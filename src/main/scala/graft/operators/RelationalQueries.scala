@@ -1,0 +1,427 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query inventory — one named query per operator family of
+  * SURVEY.md §2 (scans, P-filters, A-aggregations, O-sorts, J-joins,
+  * D-dedup, K1 upsert machinery, set ops), instantiated on the
+  * driver-generated testdata tables.
+  *
+  * Every query carries its DuckDB oracle SQL. Numeric parity rules are
+  * documented on [[graft.Tables.decSum]]: double sums go through
+  * DECIMAL(18,4) so results are bit-identical across engines.
+  *
+  * Scale notes (100 TB design stance):
+  *  - filters/projections sit directly on the parquet scan → pushdown +
+  *    column pruning (verified via explain in BenchSpec);
+  *  - dimension joins (nation/region/part) are explicitly broadcast;
+  *  - fact-fact joins shuffle on the join key only after map-side
+  *    partial aggregation where possible;
+  *  - top-k queries rely on TakeOrderedAndProject (no global sort).
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 4)
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // ---- scans / projections -------------------------------------------
+    // SURVEY §2.1 S4: full collection scan with projection + stable order.
+    "s4_scan_projection" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(1000),
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin),
+
+    // SURVEY §2.2 P1/P13 + §2.8 F17: JSON field extraction projection.
+    "p1_json_projection" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .orderBy(col("event_id")).limit(500),
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin),
+
+    // ---- filters --------------------------------------------------------
+    // SURVEY §2.2 P6 (range on time) + §2.6 O1/O3.
+    "p6_range_filter" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                col("ts") <  lit("2024-01-20 00:00:00").cast("timestamp") &&
+                col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(200),
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |  AND value > 100.0
+        |ORDER BY event_id LIMIT 200""".stripMargin),
+
+    // SURVEY §2.2 P7: numeric threshold filter, multi-predicate.
+    "p7_threshold_filter" -> QueryDef(
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // SURVEY §2.2 P8: case-insensitive substring regex filter.
+    "p8_pattern_filter" -> QueryDef(
+      (s, d) => T.part(s, d)
+        .filter(col("p_name").rlike("(?i)widget"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+        .orderBy(col("p_partkey")),
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |WHERE regexp_matches(p_name, '(?i)widget')
+        |ORDER BY p_partkey""".stripMargin),
+
+    // SURVEY §2.2 P9 + §2.4 A2: existence predicate + filtered count.
+    "p9_existence_counts" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .filter(col("props").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE props IS NOT NULL AND value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // SURVEY §2.2 P10: point lookup by unique key.
+    "p10_point_lookup" -> QueryDef(
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderkey") === 42L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice")),
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 42""".stripMargin),
+
+    // ---- sorts / pagination --------------------------------------------
+    // SURVEY §2.6 O4: skip+limit pagination with stable order.
+    "o4_pagination" -> QueryDef(
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).offset(100).limit(50),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin),
+
+    // ---- aggregations ---------------------------------------------------
+    // Flagship — TPC-H Q1-style pricing summary (SURVEY §2.4 A5/A6 math).
+    "q1_pricing_summary" -> QueryDef(
+      (s, d) => {
+        // Derived money amounts stay in exact decimal arithmetic end to
+        // end: double→decimal casts of *computed* doubles round
+        // differently across engines (Spark goes through the shortest
+        // string representation, DuckDB through the exact binary
+        // value), so cast the raw 2-dp inputs once and multiply as
+        // decimals — exact in both engines.
+        val price = col("l_extendedprice").cast(DecimalType(12, 4))
+        val disc1 = lit(1).cast(DecimalType(6, 4)) - col("l_discount").cast(DecimalType(6, 4))
+        val tax1  = lit(1).cast(DecimalType(6, 4)) + col("l_tax").cast(DecimalType(6, 4))
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            T.decSum(col("l_quantity")).as("sum_qty"),
+            T.decSum(col("l_extendedprice")).as("sum_base_price"),
+            // round(·,4) before the double cast: DuckDB's decimal→double
+            // is float-division-lossy once the scaled integer exceeds
+            // 2^53; at scale 4 these sums stay exactly convertible.
+            round(sum(price * disc1), 4).cast("double").as("sum_disc_price"),
+            round(sum(price * disc1 * tax1), 4).cast("double").as("sum_charge"),
+            T.decAvg(col("l_quantity")).as("avg_qty"),
+            T.decAvg(col("l_extendedprice")).as("avg_price"),
+            T.decAvg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${T.sqlDecSum("l_quantity")} AS sum_qty,
+         |  ${T.sqlDecSum("l_extendedprice")} AS sum_base_price,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_disc_price,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+         |  ${T.sqlDecAvg("l_quantity")} AS avg_qty,
+         |  ${T.sqlDecAvg("l_extendedprice")} AS avg_price,
+         |  ${T.sqlDecAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // SURVEY §2.4 A1: global count.
+    "a1_global_count" -> QueryDef(
+      (s, d) => T.lineitem(s, d).agg(count(lit(1)).as("n_rows")),
+      "SELECT COUNT(*) AS n_rows FROM lineitem"),
+
+    // SURVEY §2.4 A3: distinct counts.
+    "a3_distinct_count" -> QueryDef(
+      (s, d) => T.events(s, d).agg(
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users")),
+      """SELECT COUNT(DISTINCT event_type) AS n_types,
+        |       COUNT(DISTINCT user_id) AS n_users FROM events""".stripMargin),
+
+    // SURVEY §2.4 A4: group-by-date histogram (month grain).
+    "a4_date_histogram" -> QueryDef(
+      (s, d) => T.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("month")),
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
+
+    // SURVEY §2.4 A5: global multi-stat aggregate.
+    "a5_global_stats" -> QueryDef(
+      (s, d) => T.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        T.decAvg(col("o_totalprice")).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price")),
+      s"""SELECT COUNT(*) AS n, ${T.sqlDecAvg("o_totalprice")} AS avg_price,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+         |FROM orders""".stripMargin),
+
+    // SURVEY §2.4 A6: conditional band counts ($cond histogram).
+    "a6_conditional_bands" -> QueryDef(
+      (s, d) => T.orders(s, d).agg(
+        sum(when(col("o_totalprice") < 50000.0, 1L).otherwise(0L)).as("band_low"),
+        sum(when(col("o_totalprice") >= 50000.0 && col("o_totalprice") < 150000.0, 1L).otherwise(0L)).as("band_mid"),
+        sum(when(col("o_totalprice") >= 150000.0 && col("o_totalprice") < 300000.0, 1L).otherwise(0L)).as("band_high"),
+        sum(when(col("o_totalprice") >= 300000.0, 1L).otherwise(0L)).as("band_top")),
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_totalprice < 50000.0 THEN 1 ELSE 0 END) AS BIGINT) AS band_low,
+        |  CAST(SUM(CASE WHEN o_totalprice >= 50000.0 AND o_totalprice < 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS band_mid,
+        |  CAST(SUM(CASE WHEN o_totalprice >= 150000.0 AND o_totalprice < 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS band_high,
+        |  CAST(SUM(CASE WHEN o_totalprice >= 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS band_top
+        |FROM orders""".stripMargin),
+
+    // SURVEY §2.4 A7: $bucket histogram with labeled boundaries.
+    "a7_bucket_histogram" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .groupBy(
+          when(col("value") < 50.0, "[0,50)")
+            .when(col("value") < 100.0, "[50,100)")
+            .when(col("value") < 200.0, "[100,200)")
+            .otherwise("[200,inf)").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      """SELECT CASE WHEN value < 50.0 THEN '[0,50)'
+        |            WHEN value < 100.0 THEN '[50,100)'
+        |            WHEN value < 200.0 THEN '[100,200)'
+        |            ELSE '[200,inf)' END AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // SURVEY §2.4 A8: group stats with embedded conditional count.
+    "a8_group_stats" -> QueryDef(
+      (s, d) => T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          T.decAvg(col("o_totalprice")).as("avg_price"),
+          sum(when(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"), 1L)
+            .otherwise(0L)).as("recent_orders"))
+        .orderBy(col("c_mktsegment")),
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${T.sqlDecAvg("o_totalprice")} AS avg_price,
+         |  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS recent_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // SURVEY §2.4 A9 + §2.6 O2: top-k by aggregate, multi-key desc sort.
+    "a9_topk_customers" -> QueryDef(
+      (s, d) => T.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(T.decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10),
+      s"""SELECT o_custkey, ${T.sqlDecSum("o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders GROUP BY o_custkey
+         |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin),
+
+    // SURVEY §2.4 A12: smoothed success-rate ranking.
+    "a12_smoothed_ranking" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_success"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_failure"))
+        .withColumn("rate",
+          col("n_success").cast("double") / (col("n_success") + col("n_failure") + lit(1L)))
+        .orderBy(col("rate").desc, col("n_success").desc, col("user_id"))
+        .limit(20),
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failure
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_success, n_failure,
+        |  CAST(n_success AS DOUBLE) / (n_success + n_failure + 1) AS rate
+        |FROM s ORDER BY rate DESC, n_success DESC, user_id LIMIT 20""".stripMargin),
+
+    // ---- joins ----------------------------------------------------------
+    // SURVEY §2.3 J1-J3: tiny-dimension lookups as broadcast hash joins.
+    "j1_broadcast_dims" -> QueryDef(
+      (s, d) => T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          T.decAvg(col("c_acctbal")).as("avg_acctbal"))
+        .orderBy(col("r_name")),
+      s"""SELECT r_name, COUNT(*) AS n_customers,
+         |  ${T.sqlDecAvg("c_acctbal")} AS avg_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // SURVEY §2.3 J4-analog: multi-way fact join, revenue per nation
+    // (TPC-H Q5 shape). Facts shuffle on keys, dims broadcast.
+    "j5_join_revenue" -> QueryDef(
+      (s, d) => T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+            (lit(1).cast(DecimalType(6, 4)) - col("l_discount").cast(DecimalType(6, 4)))), 4)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      s"""SELECT n_name,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // Anti-join: customers that never ordered (NOT EXISTS semantics).
+    "j_anti_no_orders" -> QueryDef(
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_no_orders")),
+      """SELECT COUNT(*) AS n_customers_no_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+
+    // ---- dedup / upsert machinery --------------------------------------
+    // SURVEY §2.12 D1: in-batch first-wins dedup (insertion order ≈
+    // monotonically-increasing event_id).
+    "d1_first_wins_dedup" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin),
+
+    // SURVEY §2.1 K1 + §2.12 D2: latest-wins keyed upsert resolution.
+    "k1_latest_wins" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+
+    // SURVEY §2.5: running total window (K1 machinery; exact via decimal).
+    "w_running_total" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"), col("value"),
+            sum(col("value").cast(dec)).over(w).cast("double").as("running_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 5
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // ---- set ops --------------------------------------------------------
+    // SURVEY §2.7: union-with-dedup across source slices.
+    "set_union_distinct" -> QueryDef(
+      (s, d) => {
+        val e = T.events(s, d)
+        e.filter(col("event_type") === "purchase").select(col("user_id"))
+          .union(e.filter(col("event_type") === "signup").select(col("user_id")))
+          .distinct()
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin),
+
+    // ---- time-series / streaming-analog ---------------------------------
+    // SURVEY §2.13: tumbling-window aggregate (batch form of the
+    // Structured Streaming hourly rollup in graft.streaming).
+    "ev_hourly_agg" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("n"), T.decSum(col("value")).as("total_value"))
+        .orderBy(col("hour")),
+      s"""SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
+         |  ${T.sqlDecSum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin),
+
+    // Gap-based sessionization (30-min inactivity) via lag + cumulative
+    // flag sum — all-integer arithmetic for cross-engine parity.
+    "ev_sessionize" -> QueryDef(
+      (s, d) => {
+        val byTs = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        T.events(s, d)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(byTs))
+          .withColumn("new_session",
+            when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- scalar-function showcases --------------------------------------
+    // SURVEY §2.8 F12: deterministic composite-key hashing (md5 + sha256).
+    "f12_hash_keys" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          md5(concat_ws("|", col("user_id"), col("event_type"))).as("k_md5"),
+          sha2(concat_ws("|", col("user_id"), col("event_type")), 256).as("k_sha"))
+        .orderBy(col("event_id")).limit(100),
+      """SELECT event_id,
+        |  md5(CAST(user_id AS VARCHAR) || '|' || event_type) AS k_md5,
+        |  sha256(CAST(user_id AS VARCHAR) || '|' || event_type) AS k_sha
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin)
+  )
+}

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis, dedup, and similarity queries — SURVEY §2.9 text
+  * search plus the large-scale training-data-pipeline operators
+  * (dedup, ANN similarity, language/quality profiling) over the
+  * `documents` and `embeddings` tables.
+  *
+  * Scale stance: everything here is a scan + narrow transforms + one
+  * keyed shuffle. Shingle explosion (jaccard) is bounded per-document;
+  * the all-pairs join is shingle-bucketed (inverted index), never a
+  * cross join. Cosine similarity against a query vector broadcasts the
+  * single query row.
+  */
+object TextQueries {
+
+  private def words(c: String) = split(trim(col(c)), "\\s+")
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // SURVEY §2.9: declared text-search semantics — tokenize on
+    // whitespace, count case-insensitive whole-token matches across the
+    // search terms (equal field weights), sort by score desc.
+    "t9_text_search" -> QueryDef(
+      (s, d) => {
+        val terms = Seq("spark", "query", "join")
+        val toks = split(lower(col("text")), "\\s+")
+        val score = terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long"))
+          .reduce(_ + _)
+        T.documents(s, d)
+          .select(col("doc_id"), score.as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'spark'))
+        |  + len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'query'))
+        |  + len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) AS score
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'spark'))
+        |  + len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'query'))
+        |  + len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Token counting (whitespace tokenizer) — training-data pipeline op.
+    "ta_token_count" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(words("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, lang,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Heuristic document quality scoring: token count, mean token
+    // length, stopword ratio — all integer-derived, bit-exact.
+    "ta_quality_score" -> QueryDef(
+      (s, d) => {
+        val w = words("text")
+        val nTok = size(w).cast("long")
+        val nStop = Seq("the", "a", "of")
+          .map(t => size(filter(w, x => x === lit(t))).cast("long"))
+          .reduce(_ + _)
+        T.documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+              nTok.cast("double")).as("avg_token_len"),
+            (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(list_filter(w, x -> x = 'the'))
+        |     + len(list_filter(w, x -> x = 'a'))
+        |     + len(list_filter(w, x -> x = 'of')) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin),
+
+    // Corpus language profile (grouping over the language column; the
+    // n-gram language-ID heuristic itself lives in TextAnalysis and is
+    // spec-tested).
+    "ta_lang_profile" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          T.decAvg(col("n_chars")).as("avg_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang")),
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  ${T.sqlDecAvg("n_chars")} AS avg_chars,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Exact near-dup fingerprinting: md5 over whitespace-normalized
+    // text; groups sized >1 are exact duplicates (SURVEY §2.12 analog
+    // at corpus scale: hash-groupBy dedup).
+    "dd_exact_fingerprint" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("n").desc, col("fp"))
+        .limit(50),
+      """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1
+        |ORDER BY n DESC, fp LIMIT 50""".stripMargin),
+
+    // N-gram (word-bigram) Jaccard near-dup pairs over a bounded id
+    // slice, via an inverted shingle index join (no cross join) —
+    // integer intersection/union then one deterministic division.
+    "dd_ngram_jaccard" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), words("text").as("w"))
+        val sh = docs.select(col("doc_id"),
+          array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1)))).as("shingles"))
+        val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+        val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+        val a = inv.as("a"); val b = inv.as("b")
+        val inter = a.join(b,
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+          .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+          .select(col("id1"), col("id2"),
+            (col("n_inter").cast("double") /
+              (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.1)
+          .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split_regex(trim(text), '\s+'))),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1]))) AS s
+        |  FROM documents WHERE doc_id < 40),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = id1
+        |JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) >= 0.1
+        |ORDER BY jaccard DESC, id1, id2""".stripMargin),
+
+    // Brute-force cosine top-k against a query vector (vec_id = 0) —
+    // the ANN baseline. Elements are quantized to round(x·1e7) longs
+    // first (|x| < 1 → every product, square, and 64-element sum stays
+    // under 2^53), making dot products and norms exact integers in both
+    // engines — fully deterministic ordering, no float-summation drift.
+    // The query row broadcasts; the per-element explode shuffles only
+    // vec_id-keyed longs.
+    "sim_cosine_topk" -> QueryDef(
+      (s, d) => {
+        val quant = (c: org.apache.spark.sql.Column) =>
+          transform(c, x => round(x.cast("double") * 1e7).cast("long"))
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(quant(col("embedding")).as("qv"))
+        val z = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            explode(zip_with(quant(col("embedding")), col("qv"),
+              (x, y) => struct((x * y).as("xy"), (x * x).as("xx"), (y * y).as("yy")))).as("u"))
+        z.groupBy(col("vec_id"))
+          .agg(
+            sum(col("u.xy")).as("dot"),
+            sum(col("u.xx")).as("nx"),
+            sum(col("u.yy")).as("ny"))
+          .select(col("vec_id"),
+            (col("dot").cast("double") /
+              (sqrt(col("nx").cast("double")) * sqrt(col("ny").cast("double")))).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1e7, 0) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |z AS (
+        |  SELECT vec_id, unnest(list_zip(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1e7, 0) AS BIGINT)), qv)) AS u
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |sums AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(u[1] * u[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(u[1] * u[1]) AS BIGINT) AS nx,
+        |    CAST(SUM(u[2] * u[2]) AS BIGINT) AS ny
+        |  FROM z GROUP BY vec_id)
+        |SELECT vec_id, CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) AS cosine
+        |FROM sums ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+
+    // SURVEY §2.8 F1/F19: whitespace-normalize + snippet truncation.
+    "f19_snippet" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          concat(substring(trim(regexp_replace(col("text"), "\\s+", " ")), 1, 50),
+            lit("...")).as("snippet"))
+        .orderBy(col("doc_id")).limit(100),
+      """SELECT doc_id,
+        |  substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 50) || '...' AS snippet
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin)
+  )
+}
