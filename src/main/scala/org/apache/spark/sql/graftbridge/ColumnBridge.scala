@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's classic Column↔Expression converters, which are
+  * private[sql] since the Spark 4 ColumnNode refactor. This is the
+  * supported conversion path for libraries that define custom Catalyst
+  * expressions (same mechanism functions._ uses internally).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
