@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library (SURVEY §2.8 F1–F20) — all pure Column
+  * algebra over Spark built-ins; no UDFs, codegen-friendly.
+  */
+object ScalarFunctions {
+
+  /** F1 — whitespace normalize: strip, collapse runs of ≥2 whitespace
+    * to one space, empty → null.
+    * reference: scrapers_v2/schema_adapter.py:21-26
+    */
+  def normalizeText(c: Column): Column = {
+    val t = trim(regexp_replace(c, "\\s{2,}", " "))
+    when(t === "" || c.isNull, lit(null).cast("string")).otherwise(t)
+  }
+
+  /** F12 — uuid5-style deterministic entity id:
+    * `{prefix}_{cleanId}_{uuid5(NAMESPACE_DNS, "prefix:identifier").hex[:8]}`.
+    * The first 8 hex chars of a v5 UUID are the first 4 bytes of
+    * SHA-1(namespace ‖ name) — untouched by the version/variant bit
+    * patching (bytes 6 and 8) — so sha1 over the namespace bytes plus
+    * the name reproduces them exactly.
+    * reference: schema_adapter_enhanced.py:424-427
+    */
+  def entityId(prefix: String, identifier: Column): Column = {
+    val nsDns = lit(Array[Byte](
+      0x6b, 0xa7.toByte, 0xb8.toByte, 0x10, 0x9d.toByte, 0xad.toByte,
+      0x11, 0xd1.toByte, 0x80.toByte, 0xb4.toByte, 0x00, 0xc0.toByte,
+      0x4f, 0xd4.toByte, 0x30, 0xc8.toByte))
+    val cleanId = regexp_replace(lower(identifier), "[^a-zA-Z0-9_-]", "_")
+    val hex8 = substring(
+      sha1(concat(nsDns, encode(concat(lit(prefix + ":"), identifier), "UTF-8"))),
+      1, 8)
+    concat(lit(prefix + "_"), cleanId, lit("_"), hex8)
+  }
+
+  /** F12 — sha256 composite dedup key: lower/trim each part, None →
+    * "none", join with '|'. reference: scrapers_v2/schema_adapter.py:28-32
+    */
+  def compositeId(parts: Column*): Column =
+    sha2(concat_ws("|",
+      parts.map(p => coalesce(lower(trim(p)), lit("none"))): _*), 256)
+
+  /** F7 — price extraction from free text: "free"/"gratis" → (0.0, EUR);
+    * else first `[€$£]? amount [€$£|ISO]?` occurrence, ','→'.' decimal,
+    * symbol → ISO code, default EUR.
+    * reference: scrapers_v2/schema_adapter.py:71-105
+    */
+  def extractPrice(priceText: Column): Column = {
+    val txt = lower(trim(priceText))
+    val pat = "(?i)(?:from\\s*)?([€$£])?\\s*(\\d+(?:[.,]\\d{1,2})?)\\s*([€$£]|[A-Z]{3})?"
+    val symBefore = regexp_extract(txt, pat, 1)
+    val amountStr = regexp_extract(txt, pat, 2)
+    val symAfter = regexp_extract(txt, pat, 3)
+    // amountStr already matches \d+([.,]\d{1,2})? — after ','→'.'
+    // it is always a valid double literal, and the branch below only
+    // evaluates it when non-empty.
+    val amount = translate(amountStr, ",", ".").cast("double")
+    val currency =
+      when(symBefore === "€" || symAfter === "€" || lower(symAfter) === "eur", "EUR")
+        .when(symBefore === "$" || symAfter === "$" || lower(symAfter) === "usd", "USD")
+        .when(symBefore === "£" || symAfter === "£" || lower(symAfter) === "gbp", "GBP")
+        .when(length(symAfter) === 3, upper(symAfter))
+        .otherwise("EUR")
+    val noMatch = amountStr === "" || amountStr.isNull
+    when(txt.isNull, struct(lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("currency")))
+      .when(txt.contains("free") || txt.contains("gratis"),
+        struct(lit(0.0).as("price"), lit("EUR").as("currency")))
+      .when(noMatch, struct(lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("currency")))
+      .otherwise(struct(amount.as("price"), currency.as("currency")))
+  }
+
+  /** F8 — currency amount normalize: strip symbols/spaces/commas,
+    * validate ISO code against the 8 accepted, else EUR.
+    * reference: schema_adapter_enhanced.py:158-175
+    */
+  def normalizeCurrency(amount: Column, currency: Column): Column = {
+    val cleaned = regexp_replace(amount.cast("string"), "[€$£¥₹\\s,]", "")
+    val amt = when(cleaned.rlike("^\\d+(\\.\\d+)?$"), cleaned.cast("double"))
+      .otherwise(lit(null).cast("double"))
+    val curr = when(upper(currency).isin(
+      "EUR", "USD", "GBP", "JPY", "INR", "AUD", "CAD", "CHF"), upper(currency))
+      .otherwise("EUR")
+    struct(amt.as("amount"), curr.as("currency"))
+  }
+
+  /** F9 — URL normalize: prepend https:// when schemeless; null when no
+    * host parses. reference: schema_adapter_enhanced.py:90-105
+    */
+  def normalizeUrl(url: Column): Column = {
+    val withScheme = when(
+      url.startsWith("http://") || url.startsWith("https://"), url)
+      .otherwise(concat(lit("https://"), url))
+    when(url.isNull || url === "", lit(null).cast("string"))
+      .when(try_parse_url(withScheme, lit("HOST")).isNotNull, withScheme)
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** F13 — event-type heuristic from title/venue keywords.
+    * reference: schema_adapter_enhanced.py:570-583
+    */
+  def eventType(title: Column, venue: Column): Column = {
+    val t = lower(coalesce(title, lit("")))
+    val v = lower(coalesce(venue, lit("")))
+    when(t.contains("festival") || t.contains("fest"), "festival")
+      .when(v.contains("beach") || v.contains("pool") || v.contains("outdoor"), "day_party")
+      .when(t.contains("live") || t.contains("concert") || t.contains("band"), "concert")
+      .otherwise("club_night")
+  }
+
+  /** F3 (ibiza variant) — day-name strip + multi-format date parse with
+    * 23:00 default event time, UTC. Output canonical ISO
+    * yyyy-MM-dd'T'HH:mm:ss'Z' (SURVEY §7.3 risk 2).
+    * reference: schema_adapter_enhanced.py:242-270
+    */
+  def parseIbizaDate(timeStr: Column): Column = {
+    val cleaned = trim(regexp_replace(normalizeText(timeStr),
+      "(?i)^(monday|tuesday|wednesday|thursday|friday|saturday|sunday)\\s+", ""))
+    val d = coalesce(
+      try_to_timestamp(cleaned, lit("d MMMM yyyy")),
+      try_to_timestamp(cleaned, lit("d MMM yyyy")),
+      try_to_timestamp(cleaned, lit("d/M/yyyy")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd")))
+    when(d.isNull, lit(null).cast("string"))
+      .otherwise(date_format(d + expr("INTERVAL 23 HOURS"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+  }
+
+  /** F19 — snippet truncation with ellipsis. */
+  def snippet(c: Column, n: Int): Column =
+    when(length(c) <= n, c).otherwise(concat(substring(c, 1, n), lit("...")))
+
+  /** F14 — derived ticket booleans.
+    * reference: my_scrapers/mono_ticketmaster.py:370-383
+    */
+  def hasTicketInfo(price: Column, text: Column, url: Column, tiers: Column): Column =
+    (price.isNotNull && price > 0.0) ||
+      (text.isNotNull && trim(text) =!= "") ||
+      (url.isNotNull && url =!= "") ||
+      (tiers.isNotNull && size(tiers) > 0)
+
+  def isSoldOut(status: Column): Column = {
+    val s = lower(coalesce(status, lit("")))
+    s.contains("sold out") || s.contains("unavailable") ||
+      s.contains("off-sale") || s.contains("offsale")
+  }
+
+  /** F16 — cheapest non-sold-out tier + availability status label.
+    * reference: database/query_examples.py:38-52
+    */
+  def cheapestAvailableTier(tiers: Column): Column =
+    array_min(transform(
+      filter(tiers, t => !coalesce(t.getField("is_sold_out"), lit(false))),
+      t => t.getField("tier_price")))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed upsert + dedup machinery (SURVEY §2.1 K1, §2.12 D1–D4).
+  *
+  * The reference upserts one document at a time
+  * (reference: database/etl_sqlite_to_mongo.py:129-164,
+  * database/data_migration.py:102-158,
+  * my_scrapers/unified_scraper.py:622-642). The Spark-native
+  * equivalent is a set operation: union existing and incoming, rank
+  * within each key by recency, keep rank 1 ("last write wins",
+  * etl_sqlite_to_mongo.py:142), rewrite the table. One shuffle, hash
+  * partitioned on the key — scales linearly with data volume and is
+  * idempotent under re-runs.
+  */
+object MergeOps {
+
+  /** K1/D2 — latest-wins keyed merge of incoming over existing.
+    * Ties favor incoming (it sorts first via the `_src` tiebreak).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String], recency: String): DataFrame = {
+    val tagged = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(recency).desc, col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  /** D1 — in-batch first-wins dedup in input order (the reference keys
+    * on source_url + start_date and keeps the first occurrence:
+    * data_migration.py:80-100). Input order is captured before the
+    * shuffle via monotonically_increasing_id.
+    */
+  def dedupFirstWins(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ord"))
+    df.withColumn("_ord", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ord")
+  }
+
+  /** D4/A10 — merge audit stats: incoming rows, distinct keys,
+    * duplicate (superseded) rows, net new keys.
+    */
+  def mergeAudit(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val in = incoming.select(kc: _*)
+    val ex = existing.select(kc: _*).distinct()
+    in.agg(count(lit(1)).as("incoming_rows"))
+      .crossJoin(in.distinct().agg(count(lit(1)).as("incoming_keys")))
+      .crossJoin(in.distinct().join(ex, keys, "left_anti")
+        .agg(count(lit(1)).as("new_keys")))
+      .withColumn("updated_keys", col("incoming_keys") - col("new_keys"))
+      .withColumn("in_batch_dupes", col("incoming_rows") - col("incoming_keys"))
+  }
+
+  /** K1 against a parquet table: read-modify-rewrite (no transactional
+    * format in this environment — SURVEY §7.2). At cluster scale the
+    * same logic runs per partition-month; here the table is rewritten
+    * through a staging path so a failed job never truncates the
+    * destination.
+    */
+  def upsertParquet(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], recency: String): Unit = {
+    val fs = new java.io.File(tablePath)
+    val merged =
+      if (fs.exists()) upsert(spark.read.parquet(tablePath), incoming, keys, recency)
+      else incoming
+    val staging = tablePath + "_staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val out = spark.read.parquet(staging)
+    out.write.mode(SaveMode.Overwrite).parquet(tablePath)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
+  }
+
+  /** K5 — flag events for re-scrape: keyed two-column update
+    * (reference: database/api_server.py:551-559) via the same merge
+    * machinery.
+    */
+  def flagForRefresh(events: DataFrame, eventIds: Seq[String],
+      nowIso: Column): DataFrame = {
+    val hit = col("event_id").isin(eventIds: _*)
+    events.withColumn("system_flags", struct(
+      col("system_flags.is_featured"),
+      col("system_flags.is_hidden"),
+      when(hit, lit(true)).otherwise(col("system_flags.needs_refresh"))
+        .as("needs_refresh"),
+      when(hit, nowIso).otherwise(col("system_flags.refresh_requested_at"))
+        .as("refresh_requested_at")))
+  }
+}

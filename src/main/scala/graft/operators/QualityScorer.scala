@@ -73,8 +73,11 @@ object QualityScorer {
     val cType = coords.getField("type")
     val cArr = coords.getField("coordinates")
     val hasPoint = cType === "Point" && cArr.isNotNull && size(cArr) > 0
-    val lon = element_at(cArr, 1)
-    val lat = element_at(cArr, 2)
+    // try_element_at: common-subexpression elimination can hoist
+    // these out of the size-guarded branch, and ANSI element_at
+    // throws on out-of-bounds.
+    val lon = try_element_at(cArr, lit(1))
+    val lat = try_element_at(cArr, lit(2))
     val inIbiza = lon >= 1.2 && lon <= 1.6 && lat >= 38.8 && lat <= 39.1
 
     val score =
@@ -181,7 +184,7 @@ object QualityScorer {
     val nValid = size(validTiers)
     val nTotal = size(tiers)
     val cheapest = array_min(transform(validTiers, tr => tr.getField("tier_price")))
-    val firstCurrency = element_at(validTiers, 1).getField("currency")
+    val firstCurrency = try_element_at(validTiers, lit(1)).getField("currency")
     val age = t.getField("age_restriction")
     val hasAge = age.getField("minimum_age").isNotNull ||
       nonEmpty(age.getField("restriction_type"))

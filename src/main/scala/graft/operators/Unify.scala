@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ScalarFunctions._
+
+/** The schema-adapter operator (SURVEY §2.11): raw scraped records →
+  * unified V2 event documents, as one wide `select` — the engine's
+  * central `unify(raw, platform)` transform.
+  *
+  * Mirrors the enhanced adapter pipeline
+  * (reference: schema_adapter_enhanced.py:429-471): platform
+  * validate/clean → base structure with defaults
+  * (schema_adapter_enhanced.py:473-568) → normalization (venue/genre
+  * lookup maps, url https-prefix, ibiza date parse with 23:00 default)
+  * → quality scoring. Everything is Column algebra; normalization
+  * lookups are literal maps (equivalent to broadcast joins against
+  * tiny dimension tables — J1/J2/J3 in SURVEY §2.3).
+  *
+  * Expected raw columns (aliases coalesced per the field mapping at
+  * schema_adapter_enhanced.py:181-189): title|event_name|name,
+  * time|datetime|date|start_time, venue|location|place,
+  * lineup (array<struct{name,role?,room?}>), url|link|event_url,
+  * genres (array<string>), price_text|price. Missing columns are
+  * treated as null.
+  */
+object Unify {
+
+  /** J1 — venue-name normalization lookup (lowercased key, passthrough
+    * default). reference: schema_adapter_enhanced.py:272-288
+    */
+  val venueLookup: Map[String, String] = Map(
+    "hi ibiza" -> "Hï Ibiza", "hi" -> "Hï Ibiza", "ushuaia" -> "Ushuaïa",
+    "pacha" -> "Pacha", "amnesia" -> "Amnesia", "dc10" -> "DC10",
+    "dc-10" -> "DC10", "privilege" -> "Privilege", "eden" -> "Eden",
+    "es paradis" -> "Es Paradis")
+
+  /** J2 — genre normalization lookup.
+    * reference: schema_adapter_enhanced.py:343-361
+    */
+  val genreLookup: Map[String, String] = Map(
+    "techno" -> "Techno", "tech-house" -> "Tech House",
+    "tech house" -> "Tech House", "house" -> "House",
+    "deep house" -> "Deep House", "deep-house" -> "Deep House",
+    "progressive" -> "Progressive House",
+    "progressive house" -> "Progressive House", "trance" -> "Trance",
+    "melodic techno" -> "Melodic Techno",
+    "melodic-techno" -> "Melodic Techno", "minimal" -> "Minimal",
+    "drum & bass" -> "Drum & Bass", "dnb" -> "Drum & Bass",
+    "d&b" -> "Drum & Bass")
+
+  /** J3 — timezone-from-location lookup (substring match, default UTC).
+    * reference: schema_adapter_enhanced.py:363-373
+    */
+  val timezoneLookup: Seq[(String, String)] = Seq(
+    "ibiza" -> "Europe/Madrid", "london" -> "Europe/London",
+    "berlin" -> "Europe/Berlin", "new york" -> "America/New_York",
+    "los angeles" -> "America/Los_Angeles", "tokyo" -> "Asia/Tokyo",
+    "sydney" -> "Australia/Sydney")
+
+  def normalizeVenueName(venue: Column): Column =
+    coalesce(
+      try_element_at(typedLit(venueLookup), lower(trim(venue))),
+      venue)
+
+  /** Map hit → canonical name; miss → Python str.title()-style
+    * word-capitalization (initcap). reference: schema_adapter_enhanced.py:375-381
+    */
+  def normalizeGenre(genre: Column): Column =
+    coalesce(
+      try_element_at(typedLit(genreLookup), lower(trim(genre))),
+      initcap(genre))
+
+  def timezoneFromLocation(location: Column): Column =
+    timezoneLookup.foldRight(lit("UTC"): Column) { case ((city, tz), acc) =>
+      when(lower(coalesce(location, lit(""))).contains(city), tz).otherwise(acc)
+    }
+
+  private def colOr(df: DataFrame, names: Seq[String]): Column = {
+    val present = names.filter(df.columns.contains)
+    if (present.isEmpty) lit(null).cast("string")
+    else coalesce(present.map(df(_)): _*)
+  }
+
+  /** raw scraped records → unified V2 event documents. */
+  def unify(raw: DataFrame, sourcePlatform: String,
+      now: Column = current_timestamp()): DataFrame = {
+    val nowIso = date_format(now, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+    val titleRaw = colOr(raw, Seq("title", "event_name", "name"))
+    val timeRaw = colOr(raw, Seq("time", "datetime", "date", "start_time"))
+    val venueRaw = colOr(raw, Seq("venue", "location", "place"))
+    val urlRaw = colOr(raw, Seq("url", "link", "event_url"))
+    val priceRaw = colOr(raw, Seq("price_text", "price", "ticket_price", "cost"))
+    val genresRaw =
+      if (raw.columns.contains("genres")) raw("genres")
+      else lit(null).cast("array<string>")
+    val lineupRaw =
+      if (raw.columns.contains("lineup")) raw("lineup")
+      else lit(null).cast("array<struct<name:string,role:string>>")
+    // Lineup element structs vary by platform (role/room may be
+    // absent); resolve fields against the actual schema.
+    val lineupFields: Set[String] = raw.schema.fields
+      .find(_.name == "lineup").map(_.dataType).collect {
+        case org.apache.spark.sql.types.ArrayType(
+          st: org.apache.spark.sql.types.StructType, _) => st.fieldNames.toSet
+      }.getOrElse(Set("name", "role"))
+    def lf(a: Column, f: String): Column =
+      if (lineupFields.contains(f)) a.getField(f) else lit(null).cast("string")
+
+    val title = coalesce(normalizeText(titleRaw), lit("Untitled Event"))
+    val venueName = coalesce(normalizeVenueName(normalizeText(venueRaw)),
+      lit("Unknown Venue"))
+    val rawDateString = normalizeText(timeRaw)
+    val startDate = parseIbizaDate(timeRaw)
+    val url = normalizeUrl(urlRaw)
+    val price = extractPrice(priceRaw)
+    val eventId = entityId(sourcePlatform,
+      concat(title, lit("_"), coalesce(rawDateString, lit(""))))
+
+    // Lineup → top-level acts + stage references; first artist is the
+    // headliner, billing_order is position (reference:
+    // schema_adapter_enhanced.py:646-683).
+    val validLineup = filter(lineupRaw,
+      a => lf(a, "name").isNotNull && trim(lf(a, "name")) =!= "")
+    val acts = coalesce(transform(validLineup, a => struct(
+      entityId("artist", trim(lf(a, "name"))).as("act_id"),
+      trim(lf(a, "name")).as("act_name"),
+      lower(coalesce(lf(a, "role"), lit("dj"))).as("act_type"),
+      array().cast("array<string>").as("genres"),
+      array().cast("array<string>").as("styles"),
+      map().cast("map<string,string>").as("social_media"),
+      map().cast("map<string,string>").as("popularity_metrics"))),
+      array().cast("array<struct<act_id:string,act_name:string,act_type:string,genres:array<string>,styles:array<string>,social_media:map<string,string>,popularity_metrics:map<string,string>>>"))
+    val stageActs = coalesce(transform(validLineup, (a, i) => struct(
+      entityId("artist", trim(lf(a, "name"))).as("act_id"),
+      struct(lit(null).cast("string").as("start"),
+        lit(null).cast("string").as("end"),
+        lit(null).cast("int").as("duration_minutes")).as("set_time"),
+      (i + 1).cast("int").as("billing_order"),
+      (i === 0).as("is_headliner"))),
+      array().cast("array<struct<act_id:string,set_time:struct<start:string,end:string,duration_minutes:int>,billing_order:int,is_headliner:boolean>>"))
+
+    val genres = transform(coalesce(genresRaw, array().cast("array<string>")),
+      g => normalizeGenre(g))
+
+    raw.select(
+      eventId.as("event_id"),
+      eventId.as("canonical_id"),
+      title.as("title"),
+      eventType(title, venueName).as("type"),
+      lit("scheduled").as("status"),
+      struct(
+        coalesce(startDate, nowIso).as("start_date"),
+        lit(null).cast("string").as("end_date"),
+        lit("Europe/Madrid").as("timezone"),
+        lit(null).cast("string").as("doors_open"),
+        lit(null).cast("string").as("last_entry"),
+        lit(false).as("is_all_day"),
+        lit(null).cast("double").as("duration_hours"),
+        struct(lit(false).as("is_recurring"),
+          lit(null).cast("string").as("frequency"),
+          rawDateString.as("pattern_description"),
+          lit(null).cast("string").as("end_recurrence")).as("recurring")
+      ).as("datetime"),
+      struct(
+        entityId("venue", venueName).as("venue_id"),
+        venueName.as("name"),
+        struct(lit(null).cast("string").as("street"),
+          lit("Ibiza").as("city"),
+          lit(null).cast("string").as("state"),
+          lit("Spain").as("country"),
+          lit(null).cast("string").as("postal_code"),
+          lit(null).cast("string").as("full_address")).as("address"),
+        struct(lit("Point").as("type"),
+          array().cast("array<double>").as("coordinates")).as("coordinates"),
+        lit("club").as("venue_type"),
+        lit(null).cast("int").as("total_capacity"),
+        lit(null).cast("boolean").as("has_disabled_access"),
+        lit(null).cast("string").as("website"),
+        map().cast("map<string,string>").as("social_links"),
+        lit(1).as("stage_count"),
+        array(struct(
+          lit("main_stage").as("stage_id"),
+          lit("Main Stage").as("stage_name"),
+          lit(null).cast("int").as("capacity"),
+          lit("main_stage").as("stage_type"),
+          struct(lit(null).cast("string").as("host_name"),
+            lit(null).cast("string").as("host_id")).as("host"),
+          array().cast("array<string>").as("stage_genres"),
+          stageActs.as("acts"))).as("stages")
+      ).as("venue"),
+      acts.as("acts"),
+      struct(lit(null).cast("string").as("short_description"),
+        lit(null).cast("string").as("full_description"),
+        array().cast("array<string>").as("keywords"),
+        array().cast("array<string>").as("hashtags")).as("content"),
+      struct(
+        try_element_at(genres, lit(1)).as("primary_genre"),
+        genres.as("sub_genres"),
+        array().cast("array<string>").as("styles"),
+        array().cast("array<string>").as("mood_tags"),
+        lit(null).cast("int").as("energy_level"),
+        lit(null).cast("double").as("genre_confidence")).as("music"),
+      struct(
+        lit(null).cast("string").as("tickets_url"),
+        coalesce(price.getField("price") === 0.0, lit(false)).as("is_free"),
+        struct(lit(18).as("minimum_age"),
+          lit("18+").as("restriction_type")).as("age_restriction"),
+        array().cast("array<string>").as("promos"),
+        when(price.getField("price").isNotNull && price.getField("price") > 0.0,
+          array(struct(
+            lit(null).cast("string").as("tier_id"),
+            lit("General").as("tier_name"),
+            price.getField("price").as("tier_price"),
+            price.getField("currency").as("currency"),
+            lit(null).cast("string").as("sale_start"),
+            lit(null).cast("string").as("sale_end"),
+            lit(false).as("is_sold_out"),
+            lit(false).as("is_nearly_sold_out"))))
+          .otherwise(array().cast(
+            "array<struct<tier_id:string,tier_name:string,tier_price:double,currency:string,sale_start:string,sale_end:string,is_sold_out:boolean,is_nearly_sold_out:boolean>>"))
+          .as("tiers"),
+        array().cast("array<string>").as("external_platforms")).as("ticketing"),
+      struct(
+        lit(sourcePlatform).as("source_platform"),
+        coalesce(url, urlRaw).as("source_url"),
+        lit(null).cast("string").as("source_event_id"),
+        nowIso.as("first_scraped"),
+        nowIso.as("last_scraped"),
+        lit("2.0").as("scraper_version"),
+        to_json(struct(raw.columns.map(raw(_)): _*)).as("raw_data")).as("scraping_metadata"),
+      struct(lit(true).as("is_canonical"),
+        array().cast("array<string>").as("merged_from_ids"),
+        array().cast("array<string>").as("merge_log")).as("deduplication"),
+      struct(array().cast("array<string>").as("related_events"),
+        array().cast("array<string>").as("audience_profile_tags"),
+        lit(0.0).as("influence_score")).as("knowledge_graph"),
+      struct(lit(0).as("views"), lit(0).as("saves"),
+        lit(0).as("clicks_to_tickets")).as("analytics"),
+      nowIso.as("created_at"),
+      nowIso.as("updated_at"),
+      struct(lit(false).as("is_featured"), lit(false).as("is_hidden"),
+        lit(null).cast("boolean").as("needs_refresh"),
+        lit(null).cast("string").as("refresh_requested_at")).as("system_flags")
+    ).transform(QualityScorer.withQuality(_, now))
+  }
+}

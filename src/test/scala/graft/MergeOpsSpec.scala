@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MergeOps
+import graft.sources.{Readers, Sinks}
+import java.nio.file.Files
+
+class MergeOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def existing = Seq(
+    ("e1", "old title 1", "2025-01-01"),
+    ("e2", "old title 2", "2025-01-02")).toDF("event_id", "title", "updated_at")
+
+  private def incoming = Seq(
+    ("e2", "new title 2", "2025-02-01"),
+    ("e3", "new title 3", "2025-02-02")).toDF("event_id", "title", "updated_at")
+
+  test("K1 upsert: latest wins by key, new keys inserted") {
+    val merged = MergeOps.upsert(existing, incoming, Seq("event_id"), "updated_at")
+    val got = merged.orderBy("event_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq("e1" -> "old title 1", "e2" -> "new title 2",
+      "e3" -> "new title 3"))
+  }
+
+  test("K1 upsert: idempotent under re-merge of the same batch") {
+    val once = MergeOps.upsert(existing, incoming, Seq("event_id"), "updated_at")
+    val twice = MergeOps.upsert(once, incoming, Seq("event_id"), "updated_at")
+    assert(twice.orderBy("event_id").collect().toSeq ===
+      once.orderBy("event_id").collect().toSeq)
+  }
+
+  test("K1 upsert: equal recency favors incoming (last write wins)") {
+    val inc = Seq(("e1", "rewritten", "2025-01-01")).toDF("event_id", "title", "updated_at")
+    val merged = MergeOps.upsert(existing, inc, Seq("event_id"), "updated_at")
+    assert(merged.filter($"event_id" === "e1").head().getString(1) === "rewritten")
+  }
+
+  test("D1 first-wins dedup preserves input order semantics") {
+    val batch = Seq(
+      ("u1", "2025-01-01", "first"),
+      ("u1", "2025-01-01", "second"),
+      ("u2", "2025-01-01", "only"),
+      ("u1", "2025-01-01", "third")).toDF("source_url", "start_date", "payload")
+    val got = MergeOps.dedupFirstWins(batch, Seq("source_url", "start_date"))
+      .orderBy("source_url").collect().map(_.getString(2)).toSeq
+    assert(got === Seq("first", "only"))
+  }
+
+  test("merge audit counts new/updated/duplicate rows") {
+    val batch = incoming.union(Seq(("e3", "dupe row", "2025-02-03"))
+      .toDF("event_id", "title", "updated_at"))
+    val audit = MergeOps.mergeAudit(existing, batch, Seq("event_id")).head()
+    assert(audit.getAs[Long]("incoming_rows") === 3)
+    assert(audit.getAs[Long]("incoming_keys") === 2)
+    assert(audit.getAs[Long]("new_keys") === 1)       // e3
+    assert(audit.getAs[Long]("updated_keys") === 1)   // e2
+    assert(audit.getAs[Long]("in_batch_dupes") === 1)
+  }
+
+  test("upsertParquet round-trips and merges on disk") {
+    val dir = Files.createTempDirectory("graft_upsert").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    MergeOps.upsertParquet(spark, table, existing, Seq("event_id"), "updated_at")
+    MergeOps.upsertParquet(spark, table, incoming, Seq("event_id"), "updated_at")
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "old title 1", "e2" -> "new title 2",
+      "e3" -> "new title 3"))
+  }
+
+  test("K5 flag-for-refresh updates only targeted events") {
+    val ev = spark.read.schema(graft.schema.EventSchema.schema)
+      .option("multiLine", true).json("fixtures/events_v2_sample.json")
+    val flagged = MergeOps.flagForRefresh(ev, Seq("evt_1"),
+      lit("2025-06-10T00:00:00Z"))
+    val rows = flagged.select($"event_id", $"system_flags.needs_refresh",
+      $"system_flags.refresh_requested_at").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows("evt_1") === (Some(true), Some("2025-06-10T00:00:00Z")))
+    assert(rows("evt_2") === (None, None))
+  }
+
+  test("S2 calendar reader explodes nested events") {
+    val dir = Files.createTempDirectory("graft_cal").toFile
+    val f = new java.io.File(dir, "cal.json")
+    Files.writeString(f.toPath,
+      """{"metadata": {"total_events": 2, "version": "fast_v1.0"},
+        |"events": [{"title": "A", "venue": "Pacha", "index": 0},
+        |           {"title": "B", "venue": "DC10", "index": 1}]}""".stripMargin)
+    val df = Readers.calendarEvents(spark, f.getAbsolutePath)
+    assert(df.count() === 2)
+    assert(df.columns.toSet === Set("index", "title", "venue"))
+  }
+
+  test("S3 staging reader filters and parses payload") {
+    val staging = Seq(
+      ("h1", """{"title": "Parsed Event"}""", true),
+      ("h2", """{"title": "Failed"}""", false),
+      ("h3", null, true)).toDF("url_hash", "event_data", "success")
+    val dir = Files.createTempDirectory("graft_stage").toFile.getAbsolutePath
+    staging.write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("title",
+        org.apache.spark.sql.types.StringType)))
+    val df = Readers.stagingEvents(spark, dir, schema)
+    assert(df.count() === 1)
+    assert(df.select($"payload.title").head().getString(0) === "Parsed Event")
+  }
+
+  test("K4 markdown sink formats events with lineup truncation") {
+    val ev = spark.read.schema(graft.schema.EventSchema.schema)
+      .option("multiLine", true).json("fixtures/events_v2_sample.json")
+    val md = ev.filter($"event_id" === "evt_3")
+      .select(Sinks.markdownColumn.as("md")).head().getString(0)
+    assert(md.contains("## Carl Cox at Privilege Ibiza"))
+    assert(md.contains("- **Venue**: Privilege"))
+    assert(md.contains("Carl Cox, Adam Beyer, Charlotte de Witte"))
+  }
+}

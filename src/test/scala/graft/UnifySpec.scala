@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Unify
+
+/** Unify (schema adapter) tests — FIXTURES.md §3 raw scraper dict with
+  * the expected behavior listed there; entity-id goldens computed with
+  * Python uuid.uuid5 (reference: schema_adapter_enhanced.py:424-427).
+  */
+class UnifySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private val rawJson =
+    """{"title": "Techno Night at Amnesia",
+      | "time": "Friday 15 July 2025",
+      | "venue": "amnesia",
+      | "lineup": [{"name": "Charlotte de Witte", "role": "headliner"},
+      |            {"name": "Amelie Lens", "role": "support"}],
+      | "url": "www.ibiza-spotlight.com/event/12345",
+      | "genres": ["techno", "melodic-techno"],
+      | "price_text": "From €50.00 - Tickets available"}""".stripMargin
+
+  private lazy val unified: Row = {
+    val raw = spark.read.json(Seq(rawJson).toDS)
+    Unify.unify(raw, "ibiza-spotlight",
+      lit("2025-06-10 00:00:00").cast("timestamp")).head()
+  }
+
+  private def field(path: String): Any = {
+    val raw = spark.read.json(Seq(rawJson).toDS)
+    Unify.unify(raw, "ibiza-spotlight",
+      lit("2025-06-10 00:00:00").cast("timestamp"))
+      .select(col(path)).head().get(0)
+  }
+
+  test("venue name normalized via lookup; uuid5-golden venue_id") {
+    assert(field("venue.name") === "Amnesia")
+    assert(field("venue.venue_id") === "venue_amnesia_06d2647a")
+  }
+
+  test("ibiza date parse: day-name strip + 23:00 default, canonical ISO") {
+    assert(field("datetime.start_date") === "2025-07-15T23:00:00Z")
+    assert(field("datetime.recurring.pattern_description") === "Friday 15 July 2025")
+  }
+
+  test("genres normalized through lookup") {
+    assert(field("music.primary_genre") === "Techno")
+    assert(field("music.sub_genres") === Seq("Techno", "Melodic Techno"))
+  }
+
+  test("price text extraction to tier (50.0 EUR), not free") {
+    assert(field("ticketing.is_free") === false)
+    val tier = field("ticketing.tiers").asInstanceOf[scala.collection.Seq[Row]].head
+    assert(tier.getAs[Double]("tier_price") === 50.0)
+    assert(tier.getAs[String]("currency") === "EUR")
+  }
+
+  test("lineup → acts with uuid5-golden ids; first artist headliner") {
+    val acts = field("acts").asInstanceOf[scala.collection.Seq[Row]]
+    assert(acts.map(_.getAs[String]("act_name")) ===
+      Seq("Charlotte de Witte", "Amelie Lens"))
+    assert(acts.head.getAs[String]("act_id") === "artist_charlotte_de_witte_21508948")
+    assert(acts(1).getAs[String]("act_id") === "artist_amelie_lens_df2cf13a")
+    assert(acts.head.getAs[String]("act_type") === "headliner")
+    val stageActs = field("venue.stages").asInstanceOf[scala.collection.Seq[Row]]
+      .head.getAs[scala.collection.Seq[Row]]("acts")
+    assert(stageActs.map(_.getAs[Boolean]("is_headliner")) === Seq(true, false))
+    assert(stageActs.map(_.getAs[Int]("billing_order")) === Seq(1, 2))
+  }
+
+  test("schemeless URL https-prefixed") {
+    assert(field("scraping_metadata.source_url") ===
+      "https://www.ibiza-spotlight.com/event/12345")
+  }
+
+  test("uuid5-golden event_id from platform + title + raw date") {
+    assert(field("event_id") ===
+      "ibiza-spotlight_techno_night_at_amnesia_friday_15_july_2025_72f21477")
+  }
+
+  test("event type heuristic and quality attached") {
+    assert(field("type") === "club_night")
+    val overall = field("data_quality.overall_score").asInstanceOf[Double]
+    assert(overall > 0.5 && overall <= 1.0)
+  }
+
+  test("calendar-shape record with unparseable time range falls back to now") {
+    val calJson =
+      """{"title": "Introducing... Baddest Behaviour",
+        | "url": "https://www.ibiza-spotlight.com/night/promoters/x",
+        | "time": "23:00\n                         - 06:00",
+        | "lineup": [{"name": "Mau P", "room": "Main"}, {"name": "CAMELPHAT", "room": "Main"}],
+        | "venue": "Pacha"}""".stripMargin
+    val raw = spark.read.json(Seq(calJson).toDS)
+    val u = Unify.unify(raw, "ibiza-spotlight-calendar",
+      lit("2025-06-10 00:00:00").cast("timestamp"))
+    val r = u.select(col("datetime.start_date"), col("venue.name"),
+      col("datetime.recurring.pattern_description"), size(col("acts"))).head()
+    assert(r.getString(0) === "2025-06-10T00:00:00Z") // fallback to now
+    assert(r.getString(1) === "Pacha")
+    assert(r.getString(2) === "23:00 - 06:00") // whitespace-collapsed raw
+    assert(r.getInt(3) === 2)
+  }
+
+  test("timezone-from-location lookup (J3)") {
+    val df = Seq("Club in Ibiza town", "somewhere in London", "unknown city", null)
+      .toDF("loc")
+      .select(Unify.timezoneFromLocation(col("loc")).as("tz"))
+    assert(df.collect().map(_.getString(0)).toSeq ===
+      Seq("Europe/Madrid", "Europe/London", "UTC", "UTC"))
+  }
+
+  test("empty lineup / missing columns degrade to defaults") {
+    val raw = spark.read.json(Seq("""{"title": "Solo Event 2025"}""").toDS)
+    val u = Unify.unify(raw, "ibiza-spotlight",
+      lit("2025-06-10 00:00:00").cast("timestamp"))
+    val r = u.select(size(col("acts")), col("venue.name"), col("ticketing.is_free"),
+      size(col("ticketing.tiers"))).head()
+    assert(r.getInt(0) === 0)
+    assert(r.getString(1) === "Unknown Venue")
+    assert(r.getBoolean(2) === false)
+    assert(r.getInt(3) === 0)
+  }
+}
