@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalQueries, TextQueries}
+import graft.operators.{PipelineQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.operators.{RelationalQueries, TextQueries}
 object SparkEntry {
 
   val registry: Map[String, QueryDef] =
-    RelationalQueries.registry ++ TextQueries.registry
+    RelationalQueries.registry ++ TextQueries.registry ++
+      PipelineQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

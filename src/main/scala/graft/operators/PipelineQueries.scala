@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator queries over documents/embeddings —
+  * MinHash LSH, SimHash, ANN LSH, language ID, fingerprints. These are
+  * not expressible as plain DuckDB SQL (seeded permutation families,
+  * LSH hyperplanes), so they register without oracle SQL (rows-only
+  * check); their semantics are verified in DedupSpec/SimilaritySpec
+  * against hand-built near-duplicate corpora.
+  */
+object PipelineQueries {
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // MinHash signatures + band keys — the dedup sketch materialization
+    // (one scan, no shuffle; at 100 TB this is the table you write
+    // bucketed by band_hash).
+    "dd_minhash_signature" -> QueryDef(
+      (s, d) => {
+        val sigs = T.documents(s, d).select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), numHashes = 64).as("sig"))
+        Dedup.lshBands(sigs, "doc_id", "sig", bands = 16)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bands"),
+            countDistinct(col("band_hash")).as("n_distinct_bands"))
+          .orderBy(col("doc_id")).limit(200)
+      }, None),
+
+    // MinHash LSH candidate pairs over the corpus (may legitimately be
+    // empty on random text; the synthetic corpus contains shared
+    // vocabulary so band collisions do occur at low thresholds).
+    "dd_minhash_pairs" -> QueryDef(
+      (s, d) => Dedup.minhashCandidatePairs(
+        T.documents(s, d), "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 1)
+        .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
+        .limit(100), None),
+
+    // SimHash: signature + distance-to-reference ranking.
+    "dd_simhash" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        val ref = docs.filter(col("doc_id") === 0)
+          .select(col("simhash").as("ref_hash"))
+        docs.crossJoin(broadcast(ref))
+          .select(col("doc_id"), col("simhash"),
+            Dedup.hammingDistance(col("simhash"), col("ref_hash")).as("hamming"))
+          .filter(col("doc_id") =!= 0)
+          .orderBy(col("hamming"), col("doc_id")).limit(20)
+      }, None),
+
+    // ANN via random-hyperplane LSH: probe the query vector's bucket.
+    "sim_ann_lsh" -> QueryDef(
+      (s, d) => {
+        val q = T.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Similarity.annTopK(T.embeddings(s, d), "vec_id", "embedding",
+          q, k = 10, bits = 4)
+      }, None),
+
+    // Language-ID heuristic vs the labeled lang column (accuracy
+    // profile per language).
+    "ta_langid" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred")), None),
+
+    // Bottom-k shingle fingerprints (containment sketch).
+    "ta_fingerprint" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.bottomKFingerprint(col("text")).as("fp"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("subwords"))
+        .orderBy(col("doc_id")).limit(200), None)
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths, per the training-data-pipeline contract:
+  *  - brute-force cosine top-k — the exact baseline. One scan, per-row
+  *    fold for the dot product (no explode, no shuffle except the final
+  *    top-k, which Spark plans as TakeOrderedAndProject);
+  *  - random-hyperplane LSH buckets — the scale path. Vectors hash to
+  *    sign-pattern buckets; a query probes only its bucket
+  *    (candidates ≈ n / 2^bits), trading recall for a ~2^bits fan-in
+  *    reduction. At 100 TB the bucketed table is written
+  *    partitioned-by-bucket so a probe is one partition-pruned scan.
+  */
+object Similarity {
+
+  /** Deterministic unit-free random hyperplanes (seeded). */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Dot product of a vector column against a constant vector — a
+    * per-row fold in doubles, whole-stage-codegen friendly.
+    */
+  def dotConst(vec: Column, const: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(const), (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Dot product of two vector columns (element fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k against a query vector. */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    embeddings.select(col(idCol),
+        (dotConst(col(vecCol), query) / (norm(col(vecCol)) * lit(qNorm)))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-pattern LSH bucket id for each vector (int, `bits` wide). */
+  def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 7L): Column =
+    hyperplanes(bits, dim, seed).zipWithIndex.map { case (h, i) =>
+      when(dotConst(vec, h) >= 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Attach LSH buckets — the materialization step. At scale, write
+    * this out partitioned by `bucket`.
+    */
+  def withLshBucket(embeddings: DataFrame, vecCol: String, bits: Int,
+      dim: Int, seed: Long = 7L): DataFrame =
+    embeddings.withColumn("bucket", lshBucket(col(vecCol), bits, dim, seed))
+
+  /** ANN top-k: probe the query's bucket only, then exact cosine within
+    * it. Returns (id, cosine, bucket).
+    */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int, seed: Long = 7L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(bits, dim, seed)
+    val qBucket = planes.zipWithIndex.map { case (h, i) =>
+      if (h.zip(query).map { case (a, b) => a * b }.sum >= 0.0) 1 << i else 0
+    }.reduce(_ | _)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    withLshBucket(embeddings, vecCol, bits, dim, seed)
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol),
+        (dotConst(col(vecCol), query) / (norm(col(vecCol)) * lit(qNorm)))
+          .as("cosine"),
+        col("bucket"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
+    * embedding analog of MinHash banding): one shuffle on bucket, exact
+    * cosine verification within buckets.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
+      vecCol: String, dim: Int, minCosine: Double, bits: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val b = withLshBucket(embeddings, vecCol, bits, dim, seed)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text profiling for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All per-row
+  * column algebra — runs at scan speed, no shuffles.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Dedup.tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: word-piece regex split (letters /
+    * digits / punctuation runs), ~chars/4 floor for long words.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[\\p{L}\\p{N}])(?=[^\\p{L}\\p{N}\\s])|(?<=[^\\p{L}\\p{N}\\s])(?=[\\p{L}\\p{N}])|\\s+"),
+      t => t =!= "")).cast("long") +
+      aggregate(Dedup.tokens(text), lit(0L),
+        (acc, w) => acc + greatest(lit(0L), (length(w) / 8).cast("long")))
+
+  /** Language-ID heuristic: score each language by distinctive
+    * marker-token hits (stopword n-gram profile), take the argmax;
+    * "und" (undetermined) when nothing matches.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "für", "nicht"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "it" -> Seq("il", "la", "che", "di", "per", "con", "una", "sono"))
+
+  def langScores(text: Column): Column = {
+    val toks = tokens(text)
+    map(langMarkers.toSeq.sortBy(_._1).flatMap { case (lang, markers) =>
+      Seq(lit(lang),
+        markers.map(m => size(filter(toks, t => t === lit(m))).cast("long"))
+          .reduce(_ + _))
+    }: _*)
+  }
+
+  /** Predicted language code by marker-hit argmax (ties → alphabetical
+    * first, deterministic).
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val entries = map_entries(scores)
+    val best = aggregate(entries,
+      struct(lit("und").as("key"), lit(0L).as("value")),
+      (acc, e) => when(e.getField("value") > acc.getField("value"), e)
+        .otherwise(acc))
+    best.getField("key")
+  }
+
+  /** Document quality heuristics: token count, mean token length,
+    * stopword ratio, punctuation ratio, digit ratio — the fields a
+    * filtering pipeline thresholds on.
+    */
+  def qualityProfile(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("long")
+    val chars = length(text).cast("double")
+    val nonSpace = length(regexp_replace(text, "\\s+", "")).cast("double")
+    val stop = langMarkers("en")
+    val nStop = stop.map(m =>
+      size(filter(tokens(text), t => t === lit(m))).cast("long")).reduce(_ + _)
+    struct(
+      nTok.as("n_tokens"),
+      (nonSpace / nTok.cast("double")).as("avg_token_len"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") / chars)
+        .as("punct_ratio"),
+      (length(regexp_replace(text, "[^0-9]", "")).cast("double") / chars)
+        .as("digit_ratio"))
+  }
+
+  /** Rolling-hash document fingerprint: the k smallest distinct shingle
+    * hashes (bottom-k sketch) — stable under small edits, unioned for
+    * corpus-level containment estimates.
+    */
+  def bottomKFingerprint(text: Column, shingleSize: Int = 5, k: Int = 8): Column =
+    slice(array_sort(array_distinct(
+      transform(Dedup.shingles(text, shingleSize), s => xxhash64(s)))), 1, k)
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val nearDup = base.replace("green", "blue") // 1-word edit
+  private val unrelated = "completely different content about database engines and vectorized execution pipelines with columnar storage formats"
+
+  private def corpus = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated),
+    (4L, base + " extra trailing words"), (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("minhash signature: identical text → identical signature") {
+    val sigs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+      .select(Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === 64)
+  }
+
+  test("minhash LSH finds near-duplicate pairs, not unrelated ones") {
+    val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleSize = 3, minEstimate = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated not paired")
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val est = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleSize = 3)
+      .filter($"id1" === 1 && $"id2" === 2)
+      .head().getAs[Double]("est_jaccard")
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.0)
+      .filter($"id1" === 1 && $"id2" === 2)
+      .head().getAs[Double]("jaccard")
+    assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sh = corpus.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < 12, "near-dup close")
+    assert(ham(sh(1L), sh(3L)) > 12, "unrelated far")
+  }
+
+  test("simhash candidate pairs finds the near-dup") {
+    // 16 bands of 4 bits guarantee detection up to Hamming distance 15
+    val pairs = Dedup.simhashCandidatePairs(corpus, "doc_id", "text",
+      maxDistance = 15, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact fingerprint ignores whitespace differences") {
+    val fps = Seq(("a b  c"), ("a b c"), (" a b c ")).toDF("text")
+      .select(Dedup.exactFingerprint($"text")).collect().map(_.getString(0))
+    assert(fps.distinct.length === 1)
+  }
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 3).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("ANN LSH probe returns the exact best match from its bucket") {
+    val rng = new scala.util.Random(123)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 16).map(i => if (i == 0) 1.0 else 0.05)
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding", query, 5, bits = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", query, 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ann.nonEmpty)
+    // every ANN hit must be among the global top-40 by exact cosine
+    assert(ann.forall(brute.contains), s"ann $ann not within brute top-40 $brute")
+  }
+
+  test("embedding near-dup pairs finds duplicated vectors") {
+    val rng = new scala.util.Random(7)
+    val baseVecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val dup = (100L, baseVecs.head._2.map(x => (x * 1.001f)))
+    val vecs = (baseVecs :+ dup).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, minCosine = 0.999, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("language ID picks the right language on clear samples") {
+    val samples = Seq(
+      ("en", "the cat and the dog is in that house with the red door"),
+      ("es", "el perro y la casa de los árboles que una vez por la mañana"),
+      ("de", "der hund und die katze ist mit der frau für das kind nicht da"),
+      ("fr", "le chien est dans la maison avec les enfants pour une fête des amis"))
+      .toDF("expected", "text")
+      .select($"expected", TextAnalysis.langId($"text").as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    samples.foreach { case (exp, pred) => assert(exp === pred) }
+  }
+
+  test("language ID returns 'und' on no markers") {
+    val pred = Seq("zzz qqq xxx").toDF("text")
+      .select(TextAnalysis.langId($"text")).head().getString(0)
+    assert(pred === "und")
+  }
+
+  test("quality profile fields are sane") {
+    val r = Seq("The quick brown fox, 42 times!").toDF("text")
+      .select(TextAnalysis.qualityProfile($"text").as("q")).select("q.*").head()
+    assert(r.getAs[Long]("n_tokens") === 6)
+    assert(r.getAs[Double]("punct_ratio") > 0.0 && r.getAs[Double]("punct_ratio") < 0.2)
+    assert(r.getAs[Double]("digit_ratio") > 0.0)
+  }
+
+  test("bottom-k fingerprint stable under trailing append") {
+    val fps = Seq(base, base + " tail tail tail").toDF("text")
+      .select(TextAnalysis.bottomKFingerprint($"text", 5, 8).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    val overlap = fps(0).toSet.intersect(fps(1).toSet).size
+    assert(overlap >= 6, s"expected ≥6 shared of 8, got $overlap")
+  }
+}
