@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque binary
+  * columns with typed metadata, plus the decode / feature-extract /
+  * frame-sample plumbing a training-data pipeline needs.
+  *
+  * The actual media codecs are NOT available in this environment, so
+  * the decode step is a clearly-marked DETERMINISTIC STUB (features
+  * derived from content hashes). Everything around it — schema,
+  * format sniffing, size-aware partitioning, batch shape — is real and
+  * is what matters at 100 TB: media bytes dominate shuffle volume, so
+  * partitioning is by cumulative byte size, not row count, and
+  * metadata-only projections must never touch the binary column
+  * (columnar pruning keeps scans cheap).
+  */
+object Multimodal {
+
+  /** Sniff the container format from magic bytes — real, not stubbed. */
+  def sniffMime(bytes: Column): Column = {
+    val magic = hex(substring(bytes, 1, 12))
+    when(magic.startsWith("FFD8FF"), "image/jpeg")
+      .when(magic.startsWith("89504E47"), "image/png")
+      .when(magic.startsWith("47494638"), "image/gif")
+      .when(magic.startsWith("52494646") && magic.substr(17, 8) === "57415645", "audio/wav")
+      .when(magic.startsWith("494433") || magic.startsWith("FFFB"), "audio/mpeg")
+      .when(magic.substr(9, 8) === "66747970", "video/mp4")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Attach typed metadata to a binary media column: byte size, mime
+    * from magic bytes, content digest for dedup.
+    */
+  def withMediaMeta(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      length(col(bytesCol)).cast("long").as("n_bytes"),
+      sniffMime(col(bytesCol)).as("mime"),
+      md5(col(bytesCol)).as("digest")))
+
+  /** STUB decode → feature vector. Deterministic fake: 8 doubles from
+    * xxhash64 over salted content — stands in for a real image/audio
+    * model until codecs are available. The signature (binary → fixed
+    * array<double>) and the per-row, no-shuffle execution shape are the
+    * real contract.
+    */
+  def extractFeaturesStub(bytes: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(bytes, i), lit(1000000L)).cast("double") /
+        lit(500000.0)) - lit(1.0))
+
+  /** STUB frame sampling: n evenly-spaced byte windows from a video
+    * blob — the slicing/batching plumbing of real frame extraction.
+    */
+  def sampleFramesStub(bytes: Column, n: Int, frameBytes: Int = 64): Column = {
+    val total = length(bytes)
+    val stride = greatest(lit(1),
+      ((total - lit(frameBytes)) / lit(math.max(n - 1, 1))).cast("int"))
+    transform(sequence(lit(0), lit(n - 1)),
+      i => bytes.substr(lit(1) + i * stride, lit(frameBytes)))
+  }
+
+  /** Size-aware repartitioning: media rows are bin-packed so each
+    * partition carries ≈ targetBytes of payload — the knob that keeps
+    * decode batches memory-bounded on executors regardless of row
+    * width skew. (Row-count partitioning is wrong for media: one 4K
+    * video ≈ 10⁵ thumbnails.)
+    */
+  def repartitionByBytes(df: DataFrame, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    val total = df.agg(sum(length(col(bytesCol)).cast("long"))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    df.repartitionByRange(parts, xxhash64(col(bytesCol)))
+  }
+
+  /** Metadata-only projection — the pattern callers must use for
+    * counting/filtering media without dragging blobs through the plan.
+    */
+  def mediaStats(df: DataFrame): DataFrame =
+    df.groupBy(col("media_meta.mime").as("mime"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("media_meta.n_bytes")).as("total_bytes"),
+        countDistinct(col("media_meta.digest")).as("distinct_content"))
+      .orderBy(col("mime"))
+}

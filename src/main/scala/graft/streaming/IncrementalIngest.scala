@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.operators.{MergeOps, Unify}
+
+/** Incremental mode (SURVEY §2.13/§7.1 M8): the same
+  * unify ∘ score ∘ merge pipeline running under Structured Streaming.
+  * The reference upserts per scraped event as crawls land
+  * (reference: my_scrapers/unified_scraper.py:622-642); here a landing
+  * directory of raw JSON is the stream source and each micro-batch
+  * reuses the batch operators verbatim inside foreachBatch — identical
+  * semantics, exactly-once per batch via the K1 keyed overwrite.
+  */
+object IncrementalIngest {
+
+  /** Raw scraped record shape for the stream source (the batch path
+    * infers this; streams must declare it).
+    */
+  val rawSchema: StructType = StructType.fromDDL(
+    """title STRING, time STRING, venue STRING,
+      |lineup ARRAY<STRUCT<name: STRING, role: STRING, room: STRING>>,
+      |url STRING, genres ARRAY<STRING>, price_text STRING,
+      |scraped_at STRING""".stripMargin.replace("\n", " "))
+
+  /** Start the incremental pipeline over a landing directory.
+    * Trigger.AvailableNow drains what's there and stops — the batch
+    * refresh pattern; swap the trigger for continuous ingest.
+    */
+  def start(spark: SparkSession, landingDir: String, tableDir: String,
+      platform: String = "ibiza-spotlight",
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("multiLine", true)
+      .json(landingDir)
+    stream.writeStream
+      .queryName("graft-incremental-ingest")
+      .option("checkpointLocation",
+        checkpoint.getOrElse(s"$tableDir/_checkpoint"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val unified = Unify.unify(batch, platform)
+            .transform(df => MergeOps.dedupFirstWins(df, Seq("event_id")))
+          MergeOps.upsertParquet(batch.sparkSession, s"$tableDir/events",
+            unified, Seq("event_id"), "updated_at")
+        }
+      }
+      .start()
+  }
+
+  /** Streaming hourly event rollup with watermark — the windowed-agg
+    * path (batch analog: the ev_hourly_agg oracle query).
+    */
+  def hourlyRollup(events: DataFrame, tsCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+}

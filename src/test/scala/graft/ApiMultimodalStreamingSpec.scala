@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventQueries, Multimodal, QualityScorer}
+import graft.streaming.IncrementalIngest
+import java.nio.file.Files
+
+class ApiMultimodalStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private val nowIso = lit("2025-06-10T00:00:00Z")
+
+  private lazy val events: DataFrame = {
+    val ev = spark.read.schema(graft.schema.EventSchema.schema)
+      .option("multiLine", true).json("fixtures/events_v2_sample.json")
+    QualityScorer.withQuality(ev, lit("2025-06-10 00:00:00").cast("timestamp"))
+      .cache()
+  }
+
+  test("GET /api/events: quality + future filter, summary projection, ISO sort") {
+    val rows = EventQueries.events(events, nowIso, minQuality = 0.5).collect()
+    assert(rows.map(_.getAs[String]("event_id")).toSeq ===
+      Seq("evt_1", "evt_3")) // evt_2/evt_4 fail quality; both future events sorted
+    assert(rows.head.schema.fieldNames.toSeq ===
+      Seq("event_id", "title", "venue_name", "start_date", "overall_score"))
+  }
+
+  test("GET /api/events venue regex filter is case-insensitive substring") {
+    val rows = EventQueries.events(events, nowIso, minQuality = 0.0,
+      venueRegex = Some("amnesia")).collect()
+    assert(rows.map(_.getAs[String]("venue_name")).toSeq === Seq("Amnesia"))
+  }
+
+  test("search: token matches over indexed fields, relevance sort") {
+    val rows = EventQueries.search(events, "Carl Cox", minQuality = 0.0).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[String]("event_id") === "evt_3")
+    assert(rows.head.getAs[Long]("score") >= 2L)
+  }
+
+  test("GET /api/venues: per-venue rollup with upcoming conditional count") {
+    val rows = EventQueries.venues(events, nowIso).collect()
+    val amnesia = rows.find(_.getAs[String]("venueName") == "Amnesia").get
+    assert(amnesia.getAs[Long]("eventCount") === 1)
+    assert(amnesia.getAs[Long]("upcomingEvents") === 1)
+  }
+
+  test("quality stats bands + top venues") {
+    val s = EventQueries.qualityStats(events).head()
+    assert(s.getAs[Long]("totalEvents") === 4)
+    assert(s.getAs[Long]("excellent") === 1) // evt_3 at 0.97
+    assert(s.getAs[Long]("poor") === 2)      // evt_2, evt_4
+    val top = EventQueries.topVenues(events).collect()
+    assert(top.head.getAs[String]("venueName") === "Privilege")
+  }
+
+  test("upcoming window + multikey act predicate") {
+    val up = EventQueries.upcoming(events, nowIso, days = 60, minQuality = 0.0)
+    assert(up.count() === 2)
+    val withAct = events.filter(EventQueries.hasAct("Carl Cox"))
+    assert(withAct.select("event_id").head().getString(0) === "evt_3")
+  }
+
+  test("distinct hosts across nested multikey path") {
+    val ev = Seq(
+      """{"event_id":"h1","venue":{"stages":[{"stage_id":"s1","stage_name":"A","host":{"host_name":"Circoloco"}},{"stage_id":"s2","stage_name":"B","host":{"host_name":"Music On"}}]}}""",
+      """{"event_id":"h2","venue":{"stages":[{"stage_id":"s3","stage_name":"C","host":{"host_name":"Circoloco"}}]}}""")
+      .toDS
+    val df = spark.read.schema(graft.schema.EventSchema.schema).json(ev)
+    val hosts = EventQueries.distinctHosts(df).collect().map(_.getString(0)).sorted
+    assert(hosts === Array("Circoloco", "Music On"))
+  }
+
+  test("month comparison over ISO-string windows") {
+    val r = EventQueries.monthComparison(events,
+      "2025-07-01", "2025-08-01", "2025-08-01", "2025-09-01").head()
+    assert(r.getAs[Long]("month_a") === 2) // both July events
+    assert(r.getAs[Long]("month_b") === 0)
+  }
+
+  test("multimodal: mime sniffing, metadata, dedup by digest") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      Array.fill[Byte](100)(1)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47) ++ Array.fill[Byte](50)(2)
+    val df = Seq((1L, jpeg), (2L, png), (3L, jpeg)).toDF("media_id", "bytes")
+    val meta = Multimodal.withMediaMeta(df, "bytes")
+    val stats = Multimodal.mediaStats(meta).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(stats("image/jpeg") === (2L, 1L)) // 2 rows, 1 distinct content
+    assert(stats("image/png") === (1L, 1L))
+  }
+
+  test("multimodal: stub features deterministic and fixed-width") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ Array.fill[Byte](64)(7)
+    val df = Seq((1L, jpeg), (2L, jpeg)).toDF("media_id", "bytes")
+      .select(Multimodal.extractFeaturesStub(col("bytes")).as("f"))
+    val feats = df.collect().map(_.getSeq[Double](0))
+    assert(feats(0) === feats(1))
+    assert(feats(0).length === 8)
+    assert(feats(0).forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("multimodal: frame sampling yields n windows") {
+    val vid = Array.fill[Byte](1000)(3)
+    val frames = Seq(Tuple1(vid)).toDF("bytes")
+      .select(Multimodal.sampleFramesStub(col("bytes"), 4, 64).as("frames"))
+      .head().getSeq[Array[Byte]](0)
+    assert(frames.length === 4)
+    assert(frames.forall(_.length === 64))
+  }
+
+  test("streaming: incremental ingest drains landing dir into the table") {
+    val dir = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    Files.writeString(new java.io.File(s"$landing/batch1.json").toPath,
+      """[{"title": "Stream Event One", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1"}]""".stripMargin)
+    val q1 = IncrementalIngest.start(spark, landing, dir)
+    q1.awaitTermination(60000)
+    val t1 = spark.read.parquet(s"$dir/events")
+    assert(t1.count() === 1)
+    assert(t1.select("venue.name").head().getString(0) === "Pacha")
+
+    // second drop: one update (same title/date → same event_id) + one new
+    Files.writeString(new java.io.File(s"$landing/batch2.json").toPath,
+      """[{"title": "Stream Event One", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1-updated"},
+        | {"title": "Stream Event Two", "time": "Saturday 16 August 2025",
+        |  "venue": "dc10", "url": "https://x.com/2"}]""".stripMargin)
+    val q2 = IncrementalIngest.start(spark, landing, dir)
+    q2.awaitTermination(60000)
+    val t2 = spark.read.parquet(s"$dir/events")
+    assert(t2.count() === 2)
+    val urls = t2.select("scraping_metadata.source_url").collect()
+      .map(_.getString(0)).toSet
+    assert(urls.contains("https://x.com/1-updated"))
+  }
+
+  test("streaming: hourly rollup with watermark produces windowed counts") {
+    val dir = Files.createTempDirectory("graft_roll").toFile.getAbsolutePath
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(200).write.mode("overwrite").parquet(s"$dir/ev")
+    val schema = spark.read.parquet(s"$dir/ev").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/ev")
+    val q = IncrementalIngest.hourlyRollup(stream, "ts")
+      .writeStream.format("memory").queryName("rollup_test")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode emits only watermark-closed windows; the plan itself
+    // (watermark + window + agg) is what's under test
+    assert(spark.table("rollup_test").schema.fieldNames.toSeq ===
+      Seq("hour_start", "event_type", "n", "total_value"))
+  }
+}
