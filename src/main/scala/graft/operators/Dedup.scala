@@ -18,18 +18,49 @@ object Dedup {
   /** Whitespace word tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles, distinct. */
+  /** Word n-gram shingles, distinct. Built by zipping the token array
+    * with its shifted slices (O(W)); indexing element_at(w, i) inside a
+    * transform re-evaluates the inlined tokenizer per element — O(W²)
+    * per row (CollapseProject inlines the alias).
+    */
   def shingles(text: Column, n: Int): Column = {
     val w = tokens(text)
+    val combined = (1 until n).foldLeft(w) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), size(w)),
+        (a, b) => concat(a, lit(" "), b)) // null tail propagates
+    }
     array_distinct(
       when(size(w) < n, array(array_join(w, " ")))
-        .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
-          i => array_join(slice(w, i, lit(n)), " "))))
+        .otherwise(filter(combined, s => s.isNotNull)))
   }
 
   /** Exact duplicate fingerprint: md5 of whitespace-normalized text. */
   def exactFingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Hashed word n-gram shingles without building shingle strings:
+    * per-token xxhash64 once, then a 31-bit-masked polynomial combine
+    * of n consecutive token hashes (mask keeps every product < 2^36 —
+    * ANSI-overflow-safe). ~3× cheaper than string shingling for the
+    * MinHash path, where only hash identity matters.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val m31 = lit(0x7FFFFFFFL)
+    val th = transform(tokens(text), t => xxhash64(t).bitwiseAND(m31))
+    // Combine n consecutive token hashes by zipping the array with its
+    // own shifted slices — n-1 array builds per row total. (An
+    // element_at-per-position formulation re-materializes the whole
+    // token-hash array on every access: O(W²) per row.)
+    val combined = (1 until n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), size(th)),
+        (a, b) => (a * 31L + b).bitwiseAND(m31)) // null b (tail) → null
+    }
+    val whole = aggregate(th, lit(0L),
+      (acc, h) => (acc * 31L + h).bitwiseAND(m31))
+    array_distinct(
+      when(size(th) < n, array(whole))
+        .otherwise(filter(combined, h => h.isNotNull)))
+  }
 
   // Affine permutations (a·h + b) mod p over a base 31-bit hash give k
   // independent MinHash functions from one xxhash64 pass. p = 2^61-1
@@ -43,17 +74,17 @@ object Dedup {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature: array of k minimums of permuted shingle hashes.
-    * Pure per-row column algebra — no shuffle, no UDF.
+  /** MinHash signature: array of k minimums of permuted shingle hashes
+    * over the hashed shingles — one scan, no shuffle, no UDF. The hot
+    * k×shingles loop is the codegen'd MinHashSig expression
+    * (see graft.functions.MinHashSig for why).
     */
   def minhashSignature(text: Column, numHashes: Int = 64,
       shingleSize: Int = 3, seed: Long = 42L): Column = {
-    val base = transform(shingles(text, shingleSize),
-      s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)))
     val coeffs = hashCoeffs(numHashes, seed)
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * a + b, lit(mersenne61))))
-    }: _*)
+    graft.functions.MinHashSig.minhash_sig(
+      shingleHashes(text, shingleSize),
+      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
   }
 
   /** LSH banding: (docId, band, bandHash) rows — one per band. Equal
@@ -78,18 +109,35 @@ object Dedup {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      minEstimate: Double = 0.0): DataFrame = {
+      minEstimate: Double = 0.0, maxBucketSize: Int = 500): DataFrame = {
+    // Signatures ride along through the band explode so the signature
+    // subtree is evaluated once per side, not re-joined (which would
+    // re-evaluate it per join).
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    val banded = lshBands(sigs, "id", "sig", bands)
-    val pairs = banded.as("a").join(banded.as("b"),
+    val rows = numHashes / bands
+    val bandedAll = sigs.select(col("id"), col("sig"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b.cast("string"),
+            array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
+      ).toDF("id", "sig", "band", "band_hash")
+    // Skew control: a bucket of n docs contributes n² candidate pairs,
+    // so one boilerplate-heavy bucket can dominate the whole job. Caps
+    // like this are standard in production LSH dedup — oversized
+    // buckets mean "everything here is the same boilerplate" and are
+    // better handled by exact-fingerprint dedup.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val banded = bandedAll
+      .withColumn("_bsz", count(lit(1)).over(bucketW))
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-    pairs
-      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
-      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(first(col("a.sig")).as("sig1"), first(col("b.sig")).as("sig2"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"),
           (x, y) => x === y), b => b)).cast("double") /

@@ -28,13 +28,17 @@ object PipelineQueries {
           .orderBy(col("doc_id")).limit(200)
       }, None),
 
-    // MinHash LSH candidate pairs over the corpus (may legitimately be
-    // empty on random text; the synthetic corpus contains shared
-    // vocabulary so band collisions do occur at low thresholds).
+    // MinHash LSH candidate pairs over a bounded corpus slice. The
+    // synthetic corpus draws from a ~50-word vocabulary, so at 1-gram
+    // shingles nearly EVERY doc pair is a candidate — quadratic by
+    // construction. Real corpora hit the same wall via boilerplate;
+    // the operator's maxBucketSize cap is the control. Here the slice
+    // is bounded instead so the rows-only check stays meaningful.
     "dd_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.minhashCandidatePairs(
-        T.documents(s, d), "doc_id", "text",
-        numHashes = 32, bands = 16, shingleSize = 1)
+        T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 1,
+        maxBucketSize = Int.MaxValue)
         .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
         .limit(100), None),
 

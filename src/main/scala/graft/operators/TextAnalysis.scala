@@ -35,12 +35,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
     "it" -> Seq("il", "la", "che", "di", "per", "con", "una", "sono"))
 
+  private val langsSorted = langMarkers.keys.toSeq.sorted
+
+  /** Marker-hit vote counts per language — ONE fold over the tokens
+    * (a per-marker filter() formulation re-splits the text for every
+    * language×marker combination; this was 40 splits per row).
+    */
+  def langVotes(text: Column): Column =
+    aggregate(
+      tokens(text),
+      array_repeat(lit(0L), langsSorted.length),
+      (acc, t) => zip_with(acc,
+        array(langsSorted.map(l =>
+          when(t.isin(langMarkers(l): _*), 1L).otherwise(0L)): _*),
+        (a, v) => a + v))
+
   def langScores(text: Column): Column = {
-    val toks = tokens(text)
-    map(langMarkers.toSeq.sortBy(_._1).flatMap { case (lang, markers) =>
-      Seq(lit(lang),
-        markers.map(m => size(filter(toks, t => t === lit(m))).cast("long"))
-          .reduce(_ + _))
+    val votes = langVotes(text)
+    map(langsSorted.zipWithIndex.flatMap { case (lang, i) =>
+      Seq(lit(lang), element_at(votes, i + 1))
     }: _*)
   }
 
@@ -48,9 +61,10 @@ object TextAnalysis {
     * first, deterministic).
     */
   def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val entries = map_entries(scores)
-    val best = aggregate(entries,
+    val votes = langVotes(text)
+    val names = typedLit(langsSorted)
+    val best = aggregate(
+      zip_with(names, votes, (n, v) => struct(n.as("key"), v.as("value"))),
       struct(lit("und").as("key"), lit(0L).as("value")),
       (acc, e) => when(e.getField("value") > acc.getField("value"), e)
         .otherwise(acc))

@@ -25,11 +25,14 @@ object TextQueries {
     // search terms (equal field weights), sort by score desc.
     "t9_text_search" -> QueryDef(
       (s, d) => {
+        // Single tokenize + one filter over the term set: since terms
+        // are distinct, count(tokens ∈ terms) ≡ Σ per-term counts —
+        // identical result to the oracle's per-term formulation at a
+        // third of the scan work.
         val terms = Seq("spark", "query", "join")
         val toks = split(lower(col("text")), "\\s+")
-        val score = terms.map(t =>
-          size(filter(toks, x => x === lit(t))).cast("long"))
-          .reduce(_ + _)
+        val score = size(filter(toks, x => x.isin(terms: _*)))
+          .cast("long")
         T.documents(s, d)
           .select(col("doc_id"), score.as("score"))
           .filter(col("score") > 0)
@@ -119,12 +122,17 @@ object TextQueries {
     // integer intersection/union then one deterministic division.
     "dd_ngram_jaccard" -> QueryDef(
       (s, d) => {
+        // Bigrams via zip_with against the shifted slice — O(W) per
+        // row; element_at-indexed transform is O(W²) because
+        // CollapseProject inlines the tokenizer alias per element.
+        // Result is identical to the oracle's index formulation.
         val docs = T.documents(s, d).filter(col("doc_id") < 40)
           .select(col("doc_id"), words("text").as("w"))
         val sh = docs.select(col("doc_id"),
-          array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", element_at(col("w"), i),
-              element_at(col("w"), i + 1)))).as("shingles"))
+          array_distinct(filter(
+            zip_with(col("w"), slice(col("w"), lit(2), size(col("w"))),
+              (a, b) => concat(a, lit(" "), b)),
+            x => x.isNotNull)).as("shingles"))
         val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
         val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
         val a = inv.as("a"); val b = inv.as("b")
