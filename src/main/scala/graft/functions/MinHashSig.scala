@@ -78,7 +78,9 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
 }
 
 object MinHashSig {
-  val P: Long = (1L << 61) - 1
+  // 2^31-1: must be below the 31-bit base-hash range so affine maps
+  // wrap (see Dedup scaladoc); products stay < 2^62 — overflow-safe.
+  val P: Long = (1L << 31) - 1
 
   def minhash_sig(shingleHashes: Column, as: Array[Long], bs: Array[Long]): Column =
     ColumnBridge.column(

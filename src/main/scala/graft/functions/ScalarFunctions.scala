@@ -89,6 +89,24 @@ object ScalarFunctions {
     struct(amt.as("amount"), curr.as("currency"))
   }
 
+  /** F2 — HTML-entity unescape for the common entities scraped text
+    * actually contains (the reference calls Python html.unescape;
+    * reference: scrapers_v2/data_quality/cleaning.py:21-32). A full
+    * spec unescape would need a custom Expression; this chain covers
+    * the named entities seen in event pages plus ASCII numeric forms.
+    */
+  def htmlUnescape(c: Column): Column = {
+    val named = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&euro;" -> "€",
+      "&pound;" -> "£", "&hellip;" -> "…", "&ndash;" -> "–", "&mdash;" -> "—")
+    val step = named.foldLeft(c) {
+      case (acc, (ent, ch)) => regexp_replace(acc, ent, ch)
+    }
+    // &amp; unescapes LAST so "&amp;lt;" → "&lt;" (not "<").
+    regexp_replace(step, "&amp;", "&")
+  }
+
   /** F9 — URL normalize: prepend https:// when schemeless; null when no
     * host parses. reference: schema_adapter_enhanced.py:90-105
     */

@@ -63,10 +63,13 @@ object Dedup {
   }
 
   // Affine permutations (a·h + b) mod p over a base 31-bit hash give k
-  // independent MinHash functions from one xxhash64 pass. p = 2^61-1
-  // (Mersenne prime); h is masked to 31 bits so a·h stays < 2^62 and
-  // never overflows a long (ANSI-safe).
-  private val mersenne61 = (1L << 61) - 1
+  // independent MinHash functions from one xxhash64 pass. p MUST be
+  // smaller than the h range so a·h actually wraps: with p = 2^61-1 and
+  // a·h < 2^62 the map is monotone in h and every "permutation" picks
+  // the same argmin shingle (caught by the minhash-vs-exact-jaccard
+  // property test). p = 2^31-1 wraps a·h ~2^31 times while the product
+  // stays < 2^62 — no long overflow (ANSI-safe).
+  private val mersenne31 = (1L << 31) - 1
 
   private def hashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)

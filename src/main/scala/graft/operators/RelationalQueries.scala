@@ -411,6 +411,67 @@ object RelationalQueries {
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // SURVEY §2.4 A10/A11: run-metrics accumulators with rate
+    // arithmetic (success_rate, avg value per success, events/minute).
+    "a11_run_metrics" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).as("successes"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("failures"),
+          sum(when(col("event_type") =!= "error", col("value").cast(dec))
+            .otherwise(lit(0).cast(dec))).cast("double").as("success_value"),
+          min(unix_millis(col("ts"))).as("t_min"),
+          max(unix_millis(col("ts"))).as("t_max"))
+        .select(col("total"), col("successes"), col("failures"),
+          (col("successes").cast("double") / col("total").cast("double") * 100.0)
+            .as("success_rate"),
+          (col("success_value") / col("successes").cast("double"))
+            .as("avg_success_value"),
+          (col("total").cast("double") /
+            ((col("t_max") - col("t_min")).cast("double") / 60000.0))
+            .as("events_per_minute")),
+      """WITH m AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failures,
+        |    CAST(SUM(CASE WHEN event_type <> 'error' THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS success_value,
+        |    MIN(epoch_ms(ts)) AS t_min, MAX(epoch_ms(ts)) AS t_max
+        |  FROM events)
+        |SELECT total, successes, failures,
+        |  CAST(successes AS DOUBLE) / CAST(total AS DOUBLE) * 100.0 AS success_rate,
+        |  success_value / CAST(successes AS DOUBLE) AS avg_success_value,
+        |  CAST(total AS DOUBLE) / ((CAST(t_max - t_min AS DOUBLE)) / 60000.0) AS events_per_minute
+        |FROM m""".stripMargin),
+
+    // SURVEY §2.2 P11: cache-freshness predicate — rows within a
+    // trailing window of the table's max timestamp.
+    "p11_freshness" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val cutoff = ev.agg(max(unix_millis(col("ts"))).as("mx"))
+          .select((col("mx") - 86400000L).as("cutoff"))
+        ev.crossJoin(broadcast(cutoff))
+          .filter(unix_millis(col("ts")) >= col("cutoff"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_fresh"))
+          .orderBy(col("event_type"))
+      },
+      """WITH c AS (SELECT MAX(epoch_ms(ts)) - 86400000 AS cutoff FROM events)
+        |SELECT event_type, COUNT(*) AS n_fresh
+        |FROM events, c WHERE epoch_ms(ts) >= cutoff
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // SURVEY §2.8 F20: display-value fallback chain (coalesce).
+    "f20_display_fallback" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(get_json_object(col("props"), "$.k").cast("string"), lit("0")),
+            col("event_type")).as("display"))
+        .orderBy(col("event_id")).limit(300),
+      """SELECT event_id,
+        |  COALESCE(NULLIF(json_extract_string(props, '$.k'), '0'), event_type) AS display
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin),
+
     // ---- scalar-function showcases --------------------------------------
     // SURVEY §2.8 F12: deterministic composite-key hashing (md5 + sha256).
     "f12_hash_keys" -> QueryDef(

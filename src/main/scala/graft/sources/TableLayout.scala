@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical layout for the events table at cluster scale (SURVEY §4).
+  *
+  * The reference leans on 17 MongoDB secondary indexes
+  * (reference: database/fix_schema.py:78-156). Spark has no indexes;
+  * the equivalents are:
+  *  - partition by month of start_date → partition pruning serves the
+  *    start_date range/sort queries (the reference's hottest index);
+  *  - sort within partitions by (venue.name, event_id) → parquet
+  *    row-group min/max statistics skip files for venue and id point
+  *    lookups (the b-tree equivalents);
+  *  - one file per partition-month at test scale; at 100 TB,
+  *    maxRecordsPerFile bounds file size and months are written
+  *    concurrently.
+  *
+  * Queries that filter on start_date months or venue/event_id then
+  * read a fraction of the table instead of all of it — verified by
+  * `explain` showing PartitionFilters + PushedFilters.
+  */
+object TableLayout {
+
+  /** Derived partition column: month of the ISO start_date string
+    * (lexicographic substring — no timestamp parse needed).
+    */
+  private val monthCol = substring(col("datetime.start_date"), 1, 7)
+
+  def writeEventsTable(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("start_month", monthCol)
+      .repartition(col("start_month"))
+      .sortWithinPartitions(col("start_month"), col("venue.name"), col("event_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("start_month")
+      .parquet(path)
+
+  /** Read back with partition pruning available on start_month. */
+  def readEventsTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Month-pruned scan: the physical analog of the reference's
+    * start_date index scans.
+    */
+  def monthSlice(events: DataFrame, yearMonth: String): DataFrame =
+    events.filter(col("start_month") === yearMonth)
+}

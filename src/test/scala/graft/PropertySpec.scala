@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, MergeOps, QualityScorer}
+import graft.functions.ScalarFunctions
+
+/** Property tests (SURVEY §5 upgrade over the reference's example-based
+  * suite): invariants that must hold for arbitrary inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  // Deterministic sampling from ScalaCheck generators (the scalatest
+  // bridge artifact is not in the offline cache).
+  private val params = Gen.Parameters.default
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(params, Seed(42L + i)))
+  private def forAll[A](g: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    samples(g, n).foreach(f)
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val titleGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(40)),
+    Gen.listOf(Gen.oneOf("Amnesia", "night", "2025", "DJ", "at", "!!!", "12/05",
+      "la", "fiesta", "ALL", "CAPS")).map(_.mkString(" ")),
+    Gen.const(""), Gen.const("   "))
+
+  test("property: title score always in [0,1] and flags consistent") {
+    forAll(Gen.listOfN(30, titleGen)) { titles =>
+      whenever(titles.nonEmpty) {
+        val rows = titles.toDF("title")
+          .select(QualityScorer.scoreTitle(col("title")).as("s"))
+          .select(col("s.score"), col("s.flags")).collect()
+        rows.foreach { r =>
+          val score = r.getDouble(0)
+          assert(score >= 0.0 && score <= 1.0)
+        }
+      }
+    }
+  }
+
+  test("property: overall score is the weighted mean, within [0,1]") {
+    val g = Gen.chooseNum(0.0, 1.0)
+    forAll(Gen.listOfN(20, Gen.zip(g, Gen.zip(g, Gen.zip(g, Gen.zip(g, g)))))) { xs =>
+      whenever(xs.nonEmpty) {
+        val flat = xs.map { case (t, (v, (d, (a, k)))) => (t, v, d, a, k) }
+        val rows = flat.toDF("t", "v", "d", "a", "k")
+          .select(QualityScorer.overallScore(col("t"), col("v"), col("d"),
+            col("a"), col("k")).as("o"))
+          .collect().map(_.getDouble(0))
+        rows.zip(flat).foreach { case (o, (t, v, d, a, k)) =>
+          val expected = BigDecimal(
+            (t * 0.25 + v * 0.20 + d * 0.25 + a * 0.15 + k * 0.15) / 1.0)
+            .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+          assert(math.abs(o - expected) < 1e-9)
+          assert(o >= 0.0 && o <= 1.0)
+        }
+      }
+    }
+  }
+
+  test("property: upsert idempotence and key uniqueness") {
+    val rowGen = Gen.zip(Gen.chooseNum(1, 10), Gen.chooseNum(1, 100),
+      Gen.alphaStr.map(_.take(8)))
+    forAll(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen))) { case (ex, in) =>
+      val existing = ex.map { case (k, r, p) => (s"k$k", r, p) }
+        .toDF("key", "rev", "payload")
+      val incoming = in.map { case (k, r, p) => (s"k$k", r, p) }
+        .toDF("key", "rev", "payload")
+      val once = MergeOps.upsert(existing, incoming, Seq("key"), "rev")
+      val twice = MergeOps.upsert(once, incoming, Seq("key"), "rev")
+      // key uniqueness
+      assert(once.groupBy("key").count().filter(col("count") > 1).isEmpty)
+      // idempotence
+      assert(twice.orderBy("key", "rev", "payload").collect().toSeq ===
+        once.orderBy("key", "rev", "payload").collect().toSeq)
+      // every winner has the max revision for its key
+      val maxRev = existing.union(incoming).groupBy("key")
+        .agg(max("rev").as("mx"))
+      val bad = once.join(maxRev, "key").filter(col("rev") =!= col("mx"))
+      assert(bad.isEmpty)
+    }
+  }
+
+  test("property: minhash estimate within 0.3 of exact jaccard") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, docGen)) { docs =>
+      whenever(docs.size >= 2 && docs.forall(_.split("\\s+").length >= 3)) {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val est = Dedup.minhashCandidatePairs(df, "doc_id", "text",
+          numHashes = 128, bands = 64, shingleSize = 2).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 0.0)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        est.foreach { case (pair, e) =>
+          val x = exact.getOrElse(pair, 0.0)
+          assert(math.abs(e - x) <= 0.3, s"pair $pair est $e exact $x")
+        }
+      }
+    }
+  }
+
+  test("property: text normalize idempotent; entity unescape stable") {
+    forAll(Gen.listOfN(20, Gen.asciiPrintableStr.map(_.take(60)))) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.toDF("t")
+        val once = df.select(ScalarFunctions.normalizeText(col("t")).as("n"))
+        val twice = once.select(ScalarFunctions.normalizeText(col("n")).as("n"))
+        assert(once.collect().map(_.getString(0)).toSeq ===
+          twice.collect().map(_.getString(0)).toSeq)
+      }
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ScalarFunctions._
+import graft.sources.TableLayout
+import java.nio.file.Files
+
+class ScalarFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any =
+    Seq(Option(input)).toDF("x").select(c).head().get(0)
+
+  test("F2 html unescape covers common entities, &amp; last") {
+    val got = Seq(
+      "Dance &amp; Techno", "a &lt;b&gt; c", "&quot;hi&quot; &#39;x&#39;",
+      "&amp;lt;literal&amp;gt;", "price &euro;50")
+      .toDF("x").select(htmlUnescape(col("x"))).collect().map(_.getString(0))
+    assert(got(0) === "Dance & Techno")
+    assert(got(1) === "a <b> c")
+    assert(got(2) === "\"hi\" 'x'")
+    assert(got(3) === "&lt;literal&gt;") // double-escaped stays single-escaped
+    assert(got(4) === "price €50")
+  }
+
+  test("F7 price extraction variants") {
+    val cases = Seq(
+      "From €50.00 - Tickets available" -> (50.0, "EUR"),
+      "free entry" -> (0.0, "EUR"),
+      "$25" -> (25.0, "USD"),
+      "£15.50" -> (15.5, "GBP"),
+      "20,50 EUR" -> (20.5, "EUR"),
+      "30 chf" -> (30.0, "CHF"))
+    cases.foreach { case (txt, (p, c)) =>
+      val r = Seq(txt).toDF("x")
+        .select(extractPrice(col("x")).as("p")).select("p.*").head()
+      assert(r.getDouble(0) === p, txt)
+      assert(r.getString(1) === c, txt)
+    }
+    val none = Seq("no numbers here").toDF("x")
+      .select(extractPrice(col("x")).as("p")).select("p.*").head()
+    assert(none.isNullAt(0))
+  }
+
+  test("F8 currency normalize strips symbols, validates ISO") {
+    val r = Seq(("€1,250.50", "eur")).toDF("a", "c")
+      .select(normalizeCurrency(col("a"), col("c")).as("n")).select("n.*").head()
+    assert(r.getDouble(0) === 1250.50)
+    assert(r.getString(1) === "EUR")
+    val bad = Seq(("50", "XYZ")).toDF("a", "c")
+      .select(normalizeCurrency(col("a"), col("c")).as("n")).select("n.*").head()
+    assert(bad.getString(1) === "EUR")
+  }
+
+  test("F14/F16 ticket booleans and cheapest available tier") {
+    val tiers = Seq((
+      Seq(("GA", 60.0, false), ("VIP", 120.0, false), ("Early", 40.0, true))
+        .map(t => (null.asInstanceOf[String], t._1, t._2, "EUR",
+          null.asInstanceOf[String], null.asInstanceOf[String], t._3, false))))
+      .toDF("tiers")
+      .withColumn("tiers", col("tiers").cast(
+        "array<struct<tier_id:string,tier_name:string,tier_price:double,currency:string,sale_start:string,sale_end:string,is_sold_out:boolean,is_nearly_sold_out:boolean>>"))
+    // cheapest non-sold-out = 60 (40 is sold out)
+    assert(tiers.select(cheapestAvailableTier(col("tiers"))).head().getDouble(0) === 60.0)
+    val r = Seq(("sold out", "", "")).toDF("status", "txt", "url")
+      .select(isSoldOut(col("status")).as("so"),
+        hasTicketInfo(lit(null).cast("double"), col("txt"), col("url"),
+          lit(null).cast("array<string>")).as("hti")).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
+  test("F3 ibiza date parse formats") {
+    val cases = Seq(
+      "Friday 15 July 2025" -> "2025-07-15T23:00:00Z",
+      "15 Jul 2025" -> "2025-07-15T23:00:00Z",
+      "15/7/2025" -> "2025-07-15T23:00:00Z",
+      "2025-07-15" -> "2025-07-15T23:00:00Z")
+    cases.foreach { case (in, out) =>
+      assert(one(parseIbizaDate(col("x")), in) === out, in)
+    }
+    assert(one(parseIbizaDate(col("x")), "23:00 - 06:00") === null)
+  }
+
+  test("table layout: month partitioning prunes scans") {
+    val ev = spark.read.schema(graft.schema.EventSchema.schema)
+      .option("multiLine", true).json("fixtures/events_v2_sample.json")
+      .filter(col("datetime.start_date").isNotNull)
+    val dir = Files.createTempDirectory("graft_layout").toFile.getAbsolutePath
+    TableLayout.writeEventsTable(ev, s"$dir/events")
+    val back = TableLayout.readEventsTable(spark, s"$dir/events")
+    val sliced = TableLayout.monthSlice(back, "2025-07")
+    assert(sliced.count() === 2)
+    // partition pruning visible in the physical plan
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("start_month"), plan.take(500))
+  }
+}
