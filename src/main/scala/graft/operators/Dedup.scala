@@ -129,12 +129,16 @@ object Dedup {
     // like this are standard in production LSH dedup — oversized
     // buckets mean "everything here is the same boilerplate" and are
     // better handled by exact-fingerprint dedup.
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
-    val banded = bandedAll
-      .withColumn("_bsz", count(lit(1)).over(bucketW))
-      .filter(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedAll
+      else {
+        val bucketW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        bandedAll
+          .withColumn("_bsz", count(lit(1)).over(bucketW))
+          .filter(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The quality-scoring operator (SURVEY §2.10) as pure Column algebra —
-  * no UDFs, fully whole-stage-codegen-able, so it runs at scan speed on
-  * a 1000-executor cluster.
+  * no UDFs. The scalar arithmetic stays inside whole-stage codegen;
+  * the array-valued parts (flag lists, per-act folds) use higher-order
+  * functions, which Spark evaluates as expression-interpreted islands —
+  * still a single scan-speed pass with no shuffle.
   *
   * Semantics mirror the reference scorer exactly
   * (reference: database/quality_scorer.py:29-404): per-field scores in

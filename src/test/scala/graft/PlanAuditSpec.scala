@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit (SURVEY §4): the optimizations we rely on at
+  * cluster scale must actually appear in the executed plans — pushed
+  * filters, pruned columns, broadcast joins for dims, top-k as
+  * TakeOrderedAndProject, partial (map-side) aggregation. Failing here
+  * means a plan silently degraded, even if results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.registry(name).fn(spark, sf)
+    df.collect() // materialize THIS plan so AQE finalizes it (count()
+                 // would execute a different derived plan)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("p7_threshold_filter")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_discount") ||
+      p.contains("LessThan(l_quantity"), p.take(800))
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val p = plan("s4_scan_projection")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("props"), "unused column read from parquet")
+  }
+
+  test("dimension joins broadcast, fact joins do not collect") {
+    val p = plan("j1_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "tiny dims must not sort-merge")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("a9_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("aggregations are two-phase (map-side partial)") {
+    val p = plan("q1_pricing_summary")
+    // two HashAggregates around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("Exchange"))
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    // HOF lambdas (filter/transform) are CodegenFallback in Spark, so
+    // the scorer's flag-building parts run interpreted by design; the
+    // relational aggregation path must stay inside WSCG (formatted
+    // explain annotates codegen stages with [codegen id : N]).
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("[codegen id :"), p.take(800))
+  }
+
+  test("point lookup pushes the key predicate") {
+    val p = plan("p10_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"), p.take(800))
+  }
+}
