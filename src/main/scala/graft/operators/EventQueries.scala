@@ -160,6 +160,45 @@ object EventQueries {
   def hasAct(actName: String): Column =
     exists(col("acts"), a => a.getField("act_name") === actName)
 
+  /** P12 — extraction-sufficiency predicate
+    * (reference: my_scrapers/mono_ticketmaster.py:69-79): jsonld needs
+    * only a title; fallback needs a title plus any of venue /
+    * display-date / positive price / description. Column-name
+    * parameterized so it applies to any staging shape.
+    */
+  def isDataSufficient(method: Column, title: Column, venue: Column,
+      displayDate: Column, startingPrice: Column, description: Column): Column = {
+    val hasTitle = title.isNotNull && title =!= ""
+    (method === "jsonld" && hasTitle) ||
+      (method === "fallback" && hasTitle && (
+        (venue.isNotNull && venue =!= "") ||
+          (displayDate.isNotNull && displayDate =!= "") ||
+          coalesce(startingPrice, lit(0.0)) > 0.0 ||
+          (description.isNotNull && description =!= "")))
+  }
+
+  /** J4 — stage-act ↔ top-level act lineage: explode both sides and
+    * equi-join on act_id (the schema-level FK,
+    * reference: helpers/schemas.py:69-70). Yields one row per stage
+    * booking with the act's display fields resolved.
+    */
+  def stageActLineage(ev: DataFrame): DataFrame = {
+    val stageActs = ev.select(col("event_id"),
+        explode(col("venue.stages")).as("stage"))
+      .select(col("event_id"), col("stage.stage_name").as("stage_name"),
+        explode(col("stage.acts")).as("sa"))
+      .select(col("event_id"), col("stage_name"),
+        col("sa.act_id").as("act_id"),
+        col("sa.billing_order").as("billing_order"),
+        col("sa.is_headliner").as("is_headliner"))
+    val acts = ev.select(explode(col("acts")).as("a"))
+      .select(col("a.act_id").as("act_id"),
+        col("a.act_name").as("act_name"),
+        col("a.act_type").as("act_type"))
+      .distinct()
+    stageActs.join(acts, Seq("act_id"), "left")
+  }
+
   /** Month-range comparison
     * (reference: database/query_july_vs_august.py:36-86): event counts
     * for two ISO-string month windows side by side.

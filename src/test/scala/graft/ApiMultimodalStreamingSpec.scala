@@ -75,6 +75,43 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
     assert(hosts === Array("Circoloco", "Music On"))
   }
 
+  test("P12 sufficiency predicate per extraction method") {
+    val rows = Seq(
+      ("jsonld", "Event Title", null, null, null, null),
+      ("jsonld", null, "Venue", "date", null, "desc"),
+      ("fallback", "T", "Pacha", null, null, null),
+      ("fallback", "T", null, null, 10.0, null),
+      ("fallback", "T", null, null, null, null),
+      ("adaptive", "T", "V", "d", 10.0, "x"))
+      .asInstanceOf[Seq[(String, String, String, String, Any, String)]]
+      .map { case (m, t, v, d, p, x) =>
+        (m, t, v, d, p.asInstanceOf[java.lang.Double], x) }
+      .toDF("method", "title", "venue", "ddate", "price", "descr")
+      .select(EventQueries.isDataSufficient(col("method"), col("title"),
+        col("venue"), col("ddate"), col("price"), col("descr")).as("ok"))
+      .collect().map(r => Option(r.get(0)).exists(_ == true))
+    assert(rows.toSeq === Seq(true, false, true, true, false, false))
+  }
+
+  test("J4 stage-act lineage resolves act display fields") {
+    val json =
+      """{"event_id":"j4","acts":[
+        |  {"act_id":"a1","act_name":"Carl Cox","act_type":"dj"},
+        |  {"act_id":"a2","act_name":"Adam Beyer","act_type":"dj"}],
+        |"venue":{"stages":[{"stage_id":"s1","stage_name":"Main",
+        |  "acts":[{"act_id":"a1","billing_order":1,"is_headliner":true},
+        |          {"act_id":"a2","billing_order":2,"is_headliner":false}]}]}}"""
+        .stripMargin
+    val df = spark.read.schema(graft.schema.EventSchema.schema)
+      .json(Seq(json).toDS)
+    val lineage = EventQueries.stageActLineage(df)
+      .orderBy(col("billing_order")).collect()
+    assert(lineage.map(_.getAs[String]("act_name")).toSeq ===
+      Seq("Carl Cox", "Adam Beyer"))
+    assert(lineage.head.getAs[Boolean]("is_headliner") === true)
+    assert(lineage.head.getAs[String]("stage_name") === "Main")
+  }
+
   test("month comparison over ISO-string windows") {
     val r = EventQueries.monthComparison(events,
       "2025-07-01", "2025-08-01", "2025-08-01", "2025-09-01").head()
