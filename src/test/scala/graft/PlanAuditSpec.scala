@@ -62,6 +62,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("[codegen id :"), p.take(800))
   }
 
+  test("nested-schema pruning works on the depth-4 event schema (SURVEY §7.3 risk 8)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+      .toFile.getAbsolutePath
+    spark.read.schema(graft.schema.EventSchema.schema)
+      .option("multiLine", true).json("fixtures/events_v2_sample.json")
+      .write.mode("overwrite").parquet(s"$dir/ev")
+    val df = spark.read.parquet(s"$dir/ev")
+      .select(col("venue.name"), col("datetime.start_date"))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the scan schema must contain only the selected nested leaves,
+    // not the full venue struct (stages would drag the whole tree)
+    assert(p.contains("venue:struct<name:string>"), p.take(1200))
+    assert(!p.contains("stages"), "full venue struct read for a name projection")
+  }
+
   test("point lookup pushes the key predicate") {
     val p = plan("p10_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,42)"), p.take(800))
