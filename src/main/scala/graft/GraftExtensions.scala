@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashSig, PythonRound}
+
+/** SparkSessionExtensions registration for the engine's custom
+  * Catalyst expressions, making them available from SQL:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   spark.sql("SELECT py_round(x, 3), minhash_sig(hashes, 64, 42)")
+  *
+  * No custom optimizer Rule or SparkStrategy is injected — SURVEY §4:
+  * every rewrite the reference relies on is index selection inside
+  * MongoDB, which Spark replaces with layout (TableLayout) + Catalyst's
+  * own pushdown/pruning.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+/** Function builders, usable both through extensions (new sessions)
+  * and via [[GraftExtensions.register]] on an existing session
+  * (extensions are silently ignored by getOrCreate when a context is
+  * already live).
+  */
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("py_round"),
+      new ExpressionInfo(classOf[graft.functions.PythonRound].getName, "py_round"),
+      (args: Seq[Expression]) =>
+        // SQL numeric literals may arrive as DECIMAL — normalize to
+        // double at the analyzer boundary.
+        graft.functions.PythonRound(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.DoubleType),
+          intArg(args(1), "scale"))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        val k = intArg(args(1), "numHashes")
+        val seed = if (args.length > 2) longArg(args(2), "seed") else 42L
+        val rng = new scala.util.Random(seed)
+        val coeffs = Seq.fill(k)((rng.nextInt(Int.MaxValue).toLong + 1L,
+          rng.nextInt(Int.MaxValue).toLong))
+        MinHashSig(args.head, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
+      }))
+
+  /** Register on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, id, info, builder)
+    }
+}

@@ -65,6 +65,20 @@ object PipelineQueries {
           q, k = 10, bits = 4)
       }, None),
 
+    // Brute-force cosine, scale-path formulation: per-row fold for the
+    // dot product (no explode, no per-element shuffle rows) + top-k as
+    // TakeOrderedAndProject. Same ranking as sim_cosine_topk but
+    // float-summation order differs from SQL, so rows-only here; the
+    // integer-quantized variant carries the oracle.
+    "sim_cosine_fast" -> QueryDef(
+      (s, d) => {
+        val q = T.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        Similarity.cosineTopK(
+          T.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, 10)
+      }, None),
+
     // Language-ID heuristic vs the labeled lang column (accuracy
     // profile per language).
     "ta_langid" -> QueryDef(

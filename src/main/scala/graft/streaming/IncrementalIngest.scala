@@ -62,4 +62,43 @@ object IncrementalIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Streaming exactly-once-per-key dedup with bounded state: drops
+    * duplicate keys arriving within the watermark horizon — the
+    * streaming analog of D1 first-wins (late duplicates beyond the
+    * watermark age out of the state store instead of growing it
+    * forever, which is the property that matters at sustained 100 TB
+    * ingest).
+    */
+  def dedupStream(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Custom per-key streaming state: running per-user event counts and
+    * latest value via mapGroupsWithState — the
+    * KeyValueGroupedDataset state path for aggregates the built-in
+    * windowed operators can't express.
+    */
+  def statefulUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (prevN, _) = state.getOption.getOrElse((0L, 0.0))
+          var n = prevN
+          var last = 0.0
+          rows.foreach { case (_, v) => n += 1; last = v }
+          state.update((n, last))
+          (user, n, last)
+      }
+      .toDF("user_id", "n_events", "last_value")
+  }
 }

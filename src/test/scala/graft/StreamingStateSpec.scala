@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.IncrementalIngest
+import java.nio.file.Files
+
+class StreamingStateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def eventsStream(dir: String) = {
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(300).write.mode("overwrite").parquet(s"$dir/src")
+    val schema = spark.read.parquet(s"$dir/src").schema
+    spark.readStream.schema(schema).parquet(s"$dir/src")
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    val dir = Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
+    // duplicate every event id by unioning the source with itself
+    Tables.events(spark, "/root/testdata/sf0.001").limit(100)
+      .write.mode("overwrite").parquet(s"$dir/src")
+    spark.read.parquet(s"$dir/src")
+      .write.mode("append").parquet(s"$dir/src")
+    val schema = spark.read.parquet(s"$dir/src").schema
+    val q = IncrementalIngest.dedupStream(
+        spark.readStream.schema(schema).parquet(s"$dir/src"), "event_id", "ts")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("sdedup")
+    assert(out.count() === 100) // 200 in, dups dropped
+    assert(out.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("mapGroupsWithState keeps running per-user counts") {
+    val dir = Files.createTempDirectory("graft_state").toFile.getAbsolutePath
+    val q = IncrementalIngest.statefulUserCounts(eventsStream(dir))
+      .writeStream.format("memory").queryName("ucounts")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ucounts")
+    val expected = spark.read.parquet(s"$dir/src")
+      .groupBy("user_id").count()
+    val joined = out.join(expected, "user_id")
+      .filter(col("n_events") =!= col("count"))
+    assert(joined.isEmpty, "state counts must equal batch counts")
+  }
+
+  test("SQL function registration exposes py_round and minhash_sig") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
+    assert(r === 0.807)
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(1L, 2L, 3L), 8, 42L) AS s").head().getSeq[Long](0)
+    assert(sig.length === 8)
+    assert(sig.forall(_ >= 0))
+  }
+}
