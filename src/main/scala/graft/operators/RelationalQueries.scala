@@ -361,6 +361,24 @@ object RelationalQueries {
         |FROM events WHERE user_id < 5
         |ORDER BY user_id, event_id""".stripMargin),
 
+    // Grouped top-k via the custom GroupedTopK physical operator
+    // (bounded per-key heaps after one hash exchange — no per-group
+    // sort; see graft.plans.GroupedTopK). Oracle: the equivalent
+    // window formulation. Total order via (value desc, event_id desc)
+    // makes results identical.
+    "plan_grouped_topk" -> QueryDef(
+      (s, d) => graft.plans.GroupedTopK.of(
+        T.events(s, d).select(col("user_id"), col("event_id"), col("value")),
+        keyCols = Seq("user_id"), orderCols = Seq("value", "event_id"),
+        descending = true, k = 3)
+        .orderBy(col("user_id"), col("value").desc, col("event_id").desc),
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id DESC""".stripMargin),
+
     // ---- set ops --------------------------------------------------------
     // SURVEY §2.7: union-with-dedup across source slices.
     "set_union_distinct" -> QueryDef(
