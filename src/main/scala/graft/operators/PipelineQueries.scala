@@ -65,6 +65,19 @@ object PipelineQueries {
           q, k = 10, bits = 4)
       }, None),
 
+    // IVF ANN: train a 8-cell coarse quantizer, probe the 2 cells
+    // nearest the query vector, exact cosine within them.
+    "sim_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val centroids = Similarity.trainIvfCentroids(emb, "vec_id",
+          "embedding", dim = q.length, nlist = 8, iters = 3)
+        Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", q, k = 10, centroids, nprobe = 2)
+      }, None),
+
     // Brute-force cosine, scale-path formulation: per-row fold for the
     // dot product (no explode, no per-element shuffle rows) + top-k as
     // TakeOrderedAndProject. Same ranking as sim_cosine_topk but

@@ -271,4 +271,62 @@ object QualityScorer {
       .when(overall >= 0.7, "Fair")
       .when(overall >= 0.6, "Poor")
       .otherwise("Very Poor")
+
+  /** Full human-readable summary: level, weak fields (<0.7), flag
+    * count, recommendation string
+    * (reference: quality_scorer.py:412-451).
+    */
+  def qualitySummary(dq: Column): Column = {
+    val overall = dq.getField("overall_score")
+    val fs = dq.getField("field_quality_scores")
+    val fields = Seq("title", "venue", "datetime", "acts", "ticketing")
+    val weak = filter(
+      array(fields.map(f =>
+        when(fs.getField(f) < 0.7, lit(f))): _*),
+      x => x.isNotNull)
+    val weakJoined = array_join(weak, ", ")
+    val recommendation =
+      when(overall >= 0.9, lit("Data quality is excellent. No immediate action needed."))
+        .when(overall >= 0.8, concat(lit("Good data quality. Consider improving: "), weakJoined))
+        .when(overall >= 0.7, concat(lit("Fair data quality. Priority improvements needed for: "), weakJoined))
+        .otherwise(concat(lit("Poor data quality ("),
+          format_number(overall, 2),
+          lit("). Focus on: "), weakJoined,
+          lit(". Consider re-scraping or manual review.")))
+    struct(
+      qualityLevel(overall).as("qualityLevel"),
+      overall.as("overallScore"),
+      weak.as("weakFields"),
+      size(dq.getField("validation_flags")).as("totalFlags"),
+      recommendation.as("recommendation"))
+  }
+
+  /** Alternative basic 100-point scorer
+    * (reference: scrapers_v2/data_quality/scoring.py:43-100): start at
+    * 100, subtract 30/30/20/20 for missing-or-invalid title / start
+    * date / venue name / description; floor at 0; issues listed per
+    * field. Column-name parameterized for the flatter Pydantic-variant
+    * shape.
+    */
+  def basicQualityScore(title: Column, startDateUtc: Column,
+      venueName: Column, description: Column): Column = {
+    val issues = Seq(
+      (!nonEmpty(trim(title)),
+        "event_details.title", "Title is missing or empty."),
+      (!nonEmpty(startDateUtc) || try_to_timestamp(startDateUtc).isNull,
+        "event_dates.start_date_utc", "Start date UTC is missing or invalid format."),
+      (!nonEmpty(trim(venueName)),
+        "location.venue_name", "Venue name is missing or empty."),
+      (!nonEmpty(trim(description)),
+        "event_details.description_text", "Text description is missing or empty."))
+    val weights = Seq(30.0, 30.0, 20.0, 20.0)
+    val score = issues.zip(weights).foldLeft(lit(100.0)) {
+      case (acc, ((cond, _, _), w)) => acc - when(cond, w).otherwise(0.0)
+    }
+    struct(
+      greatest(score, lit(0.0)).as("overall_score"),
+      filter(array(issues.map { case (cond, f, msg) =>
+        when(cond, struct(lit(f).as("field"), lit(msg).as("issue")))
+      }: _*), x => x.isNotNull).as("issues"))
+  }
 }

@@ -85,6 +85,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer — the k-means alternative to
+    * hyperplane LSH. Lloyd's iterations are driver-coordinated but
+    * data-parallel: assignment is a per-row argmin expression, the
+    * mean step is one explode+groupBy; only nlist×dim doubles cross
+    * the driver per iteration. Deterministic seeded init.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.Row
+    var centroids: Seq[Seq[Double]] =
+      embeddings.orderBy(xxhash64(col(idCol))).limit(nlist)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.withColumn("_c",
+        ivfAssignment(col(vecCol), centroids))
+      val means = assigned
+        .select(col("_c"), posexplode(col(vecCol)).as(Seq("_p", "_v")))
+        .groupBy(col("_c"), col("_p"))
+        .agg(avg(col("_v").cast("double")).as("_m"))
+        .collect()
+        .groupBy(_.getAs[Int]("_c"))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getAs[Int]("_p")).map(_.getAs[Double]("_m")).toSeq
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid index per vector: argmin of −2·v·c + |c|²
+    * (the |v|² term is constant per row). One fold, no shuffle.
+    */
+  def ivfAssignment(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val best = centroids.zipWithIndex.foldLeft(
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("i"))) {
+      case (acc, (c, i)) =>
+        val cNorm = c.map(x => x * x).sum
+        val d = lit(cNorm) - lit(2.0) * dotConst(vec, c)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), lit(i).as("i"))).otherwise(acc)
+    }
+    best.getField("i")
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroids nearest to the query,
+    * exact cosine within those cells only. At 100 TB the assignment
+    * column is materialized once (partitioned-by-cell table) so a
+    * probe is a partition-pruned scan of nprobe/nlist of the data.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+      nprobe: Int = 2): DataFrame = {
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.map(x => x * x).sum -
+        2.0 * c.zip(query).map { case (a, b) => a * b }.sum
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    embeddings
+      .withColumn("_cell", ivfAssignment(col(vecCol), centroids))
+      .filter(col("_cell").isin(probes: _*))
+      .select(col(idCol),
+        (dotConst(col(vecCol), query) / (norm(col(vecCol)) * lit(qNorm)))
+          .as("cosine"),
+        col("_cell").as("cell"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding analog of MinHash banding): one shuffle on bucket, exact
     * cosine verification within buckets.

@@ -94,6 +94,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.forall(brute.contains), s"ann $ann not within brute top-40 $brute")
   }
 
+  test("IVF: centroids train, cells partition, probe finds the cluster") {
+    val rng = new scala.util.Random(99)
+    // three well-separated gaussian clusters in 8 dims
+    val centers = Seq(
+      Array.fill(8)(5.0f), Array.fill(8)(-5.0f),
+      (0 until 8).map(i => if (i % 2 == 0) 5.0f else -5.0f).toArray)
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rng.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+      dim = 8, nlist = 6, iters = 4)
+    assert(centroids.size === 6)
+    // every vector lands in a valid cell
+    val cells = vecs.select(
+      Similarity.ivfAssignment(col("embedding"), centroids).as("c"))
+      .distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 6))
+    // probing with a query near cluster 0 must return cluster-0 members
+    val query = Seq.fill(8)(5.0)
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", query,
+      k = 5, centroids, nprobe = 2).collect()
+    assert(got.length === 5)
+    assert(got.forall(_.getLong(0) % 3 === 0), // cluster 0 = ids ≡ 0 mod 3
+      got.map(_.getLong(0)).mkString(","))
+    // recall vs brute force top-5
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).count(brute.contains) >= 4)
+  }
+
   test("embedding near-dup pairs finds duplicated vectors") {
     val rng = new scala.util.Random(7)
     val baseVecs = (0 until 50).map(i =>

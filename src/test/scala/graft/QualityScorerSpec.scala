@@ -156,6 +156,36 @@ class QualityScorerSpec extends AnyFunSuite {
         "ticketing" -> "very_high_ticket_price"))
   }
 
+  test("quality summary: weak fields + recommendation strings") {
+    val json =
+      """{"title":"Event","venue":{"name":"Unknown"},"datetime":{},"acts":[],"ticketing":{}}"""
+    val dq = spark.read.schema(EventSchema.schema).json(Seq(json).toDS)
+      .select(QualityScorer.dataQuality(col("title"), col("venue"),
+        col("datetime"), col("acts"), col("ticketing"), now).as("dq"))
+      .select(QualityScorer.qualitySummary(col("dq")).as("s"))
+      .select("s.*").head()
+    assert(dq.getAs[String]("qualityLevel") === "Very Poor")
+    assert(dq.getAs[scala.collection.Seq[String]]("weakFields") ===
+      Seq("title", "venue", "datetime", "acts", "ticketing"))
+    assert(dq.getAs[Int]("totalFlags") === 6)
+    assert(dq.getAs[String]("recommendation").startsWith("Poor data quality (0.21)"))
+  }
+
+  test("basic 100-point scorer (reference scoring.py:43-100)") {
+    val r = Seq(
+      ("Good Title", "2025-07-15T23:00:00Z", "Pacha", "a description"),
+      ("", "not-a-date", "Pacha", null),
+      (null, null, null, null))
+      .toDF("t", "d", "v", "x")
+      .select(QualityScorer.basicQualityScore(col("t"), col("d"),
+        col("v"), col("x")).as("q"))
+      .select(col("q.overall_score"), size(col("q.issues")).as("n"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(r(0) === (100.0, 0))
+    assert(r(1) === (20.0, 3)) // -30 title, -30 bad date, -20 description
+    assert(r(2) === (0.0, 4))
+  }
+
   test("quality level bands (reference quality_scorer.py:412-433)") {
     val df = Seq(0.95, 0.85, 0.75, 0.65, 0.3).toDF("s")
       .select(QualityScorer.qualityLevel(col("s")).as("lvl"))
