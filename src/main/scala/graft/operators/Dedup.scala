@@ -113,17 +113,19 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       minEstimate: Double = 0.0, maxBucketSize: Int = 500): DataFrame = {
-    // Signatures ride along through the band explode so the signature
-    // subtree is evaluated once per side, not re-joined (which would
-    // re-evaluate it per join).
+    // The band join shuffles ONLY (id, band, band_hash) triples —
+    // signatures are recomputed per join side instead of being
+    // shuffled along (a 64-long array per banded row is ~100× the
+    // bytes of the id pair, and MinHashSig recomputation is a cheap
+    // codegen'd scan).
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
     val rows = numHashes / bands
-    val bandedAll = sigs.select(col("id"), col("sig"), posexplode(
+    val bandedAll = sigs.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", b.cast("string"),
             array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
-      ).toDF("id", "sig", "band", "band_hash")
+      ).toDF("id", "band", "band_hash")
     // Skew control: a bucket of n docs contributes n² candidate pairs,
     // so one boilerplate-heavy bucket can dominate the whole job. Caps
     // like this are standard in production LSH dedup — oversized
@@ -139,12 +141,15 @@ object Dedup {
           .filter(col("_bsz") <= maxBucketSize)
           .drop("_bsz")
       }
-    banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(first(col("a.sig")).as("sig1"), first(col("b.sig")).as("sig2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    pairs
+      .join(sigs.toDF("id1", "sig1"), "id1")
+      .join(sigs.toDF("id2", "sig2"), "id2")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"),
           (x, y) => x === y), b => b)).cast("double") /

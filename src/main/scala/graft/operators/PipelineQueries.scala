@@ -65,15 +65,19 @@ object PipelineQueries {
           q, k = 10, bits = 4)
       }, None),
 
-    // IVF ANN: train a 8-cell coarse quantizer, probe the 2 cells
-    // nearest the query vector, exact cosine within them.
+    // IVF ANN: train a small coarse quantizer, probe the 2 cells
+    // nearest the query vector, exact cosine within them. Training is
+    // kept to 2 Lloyd iterations here — at scale the quantizer is
+    // trained offline on a sample and the assignment column
+    // materialized (partitioned by cell), so a probe never pays
+    // training cost.
     "sim_ann_ivf" -> QueryDef(
       (s, d) => {
         val emb = T.embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         val centroids = Similarity.trainIvfCentroids(emb, "vec_id",
-          "embedding", dim = q.length, nlist = 8, iters = 3)
+          "embedding", dim = q.length, nlist = 4, iters = 2)
         Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
           "embedding", q, k = 10, centroids, nprobe = 2)
       }, None),

@@ -177,21 +177,23 @@ object TextQueries {
     // vec_id-keyed longs.
     "sim_cosine_topk" -> QueryDef(
       (s, d) => {
+        // Per-row integer folds (sums of quantized products are exact
+        // longs, order-independent — same values as the oracle's
+        // unnest+SUM) instead of explode+groupBy: no shuffle at all
+        // except the final TakeOrderedAndProject.
         val quant = (c: org.apache.spark.sql.Column) =>
           transform(c, x => round(x.cast("double") * 1e7).cast("long"))
         val emb = T.embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0)
           .select(quant(col("embedding")).as("qv"))
-        val z = emb.filter(col("vec_id") =!= 0)
+        val lsum = (c: org.apache.spark.sql.Column) =>
+          aggregate(c, lit(0L), (acc, x) => acc + x)
+        emb.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            explode(zip_with(quant(col("embedding")), col("qv"),
-              (x, y) => struct((x * y).as("xy"), (x * x).as("xx"), (y * y).as("yy")))).as("u"))
-        z.groupBy(col("vec_id"))
-          .agg(
-            sum(col("u.xy")).as("dot"),
-            sum(col("u.xx")).as("nx"),
-            sum(col("u.yy")).as("ny"))
+            lsum(zip_with(quant(col("embedding")), col("qv"), (x, y) => x * y)).as("dot"),
+            lsum(transform(quant(col("embedding")), x => x * x)).as("nx"),
+            lsum(transform(col("qv"), y => y * y)).as("ny"))
           .select(col("vec_id"),
             (col("dot").cast("double") /
               (sqrt(col("nx").cast("double")) * sqrt(col("ny").cast("double")))).as("cosine"))
