@@ -47,4 +47,20 @@ object TableLayout {
     */
   def monthSlice(events: DataFrame, yearMonth: String): DataFrame =
     events.filter(col("start_month") === yearMonth)
+
+  /** Bucketed write for co-located fact-fact joins: both sides
+    * bucketed by the join key into the same bucket count join with NO
+    * exchange — the pre-shuffle is paid once at write time instead of
+    * per query. At 100 TB this turns the recurring
+    * lineitem⋈orders-class joins from the dominant shuffle into a
+    * local zip of buckets. Requires saveAsTable (bucket metadata lives
+    * in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

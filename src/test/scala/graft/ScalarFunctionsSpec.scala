@@ -86,6 +86,36 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     assert(one(parseIbizaDate(col("x")), "23:00 - 06:00") === null)
   }
 
+  test("bucketed tables join without a shuffle") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse dirs survive — clear both
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(s"spark-warehouse/$t"))
+    }
+    TableLayout.writeBucketed(li, "li_b", "l_orderkey", 4)
+    TableLayout.writeBucketed(o, "o_b", "o_orderkey", 4)
+    // force a non-broadcast join so the test proves bucket co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_totalprice"))
+      joined.collect()
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"),
+        "bucketed join must not shuffle:\n" + p.take(1500))
+      assert(p.contains("SelectedBucketsCount"), p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("table layout: month partitioning prunes scans") {
     val ev = spark.read.schema(graft.schema.EventSchema.schema)
       .option("multiLine", true).json("fixtures/events_v2_sample.json")
