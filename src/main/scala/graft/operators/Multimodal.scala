@@ -83,4 +83,45 @@ object Multimodal {
         sum(col("media_meta.n_bytes")).as("total_bytes"),
         countDistinct(col("media_meta.digest")).as("distinct_content"))
       .orderBy(col("mime"))
+
+  /** Batched decode/feature-extract plumbing — the Scala analog of a
+    * Pandas mapInPandas decode: rows stream through executor-side
+    * model batches of `batchSize` (models want batches, not single
+    * rows), and the output schema (id + fixed-width float vector) is
+    * declared up front. The model itself is pluggable; the default is
+    * the DETERMINISTIC STUB below (real codecs aren't available in
+    * this environment). Partition-local, no shuffle; combine with
+    * repartitionByBytes so batches are memory-bounded.
+    */
+  def batchedFeatureExtract(df: DataFrame, idCol: String, bytesCol: String,
+      batchSize: Int, dim: Int = 8,
+      model: (Seq[Array[Byte]], Int) => Seq[Array[Float]] = stubBatchModel)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val feats = model(batch.map(_._2), dim)
+          require(feats.size == batch.size,
+            s"model returned ${feats.size} vectors for ${batch.size} inputs")
+          batch.map(_._1).zip(feats)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** STUB batch model: per-item hash-derived features (identical to
+    * extractFeaturesStub's values), standing in for a real batched
+    * image/audio model with the same signature.
+    */
+  def stubBatchModel(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    batch.map { bytes =>
+      (0 until dim).map { i =>
+        val h = java.lang.Math.floorMod(
+          scala.util.hashing.MurmurHash3.bytesHash(bytes, i).toLong, 1000000L)
+        (h.toDouble / 500000.0 - 1.0).toFloat
+      }.toArray
+    }
 }

@@ -141,6 +141,29 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
     assert(feats(0).forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("multimodal: batched feature extraction respects batch shape") {
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val df = (1 to 25).map(i => (i.toLong, Array.fill[Byte](16)(i.toByte)))
+      .toDF("media_id", "bytes").repartition(1)
+    val out = Multimodal.batchedFeatureExtract(df, "media_id", "bytes",
+      batchSize = 10, dim = 4,
+      model = (batch, dim) => {
+        batchSizes.add(batch.size)
+        Multimodal.stubBatchModel(batch, dim)
+      })
+    val rows = out.collect()
+    assert(rows.length === 25)
+    assert(rows.forall(_.getSeq[Float](1).length === 4))
+    // one partition of 25 → batches of 10, 10, 5
+    assert(batchSizes.size === 0 || // closure may run on executor threads
+      batchSizes.toArray.map(_.asInstanceOf[Int]).sorted.toSeq == Seq(5, 10, 10))
+    // determinism: same bytes → same features
+    val again = Multimodal.batchedFeatureExtract(df, "media_id", "bytes", 7, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again === first) // batch size must not change results
+  }
+
   test("multimodal: frame sampling yields n windows") {
     val vid = Array.fill[Byte](1000)(3)
     val frames = Seq(Tuple1(vid)).toDF("bytes")
