@@ -65,6 +65,19 @@ object PipelineQueries {
           q, k = 10, bits = 4)
       }, None),
 
+    // Embedding-cosine near-duplicate pairs: sign-pattern LSH buckets
+    // (6 hyperplanes → 64 cells) generate candidates, exact cosine
+    // verifies within cells — one shuffle, never an all-pairs join.
+    "dd_embedding_neardup" -> QueryDef(
+      (s, d) => {
+        val dim = T.embeddings(s, d).select(size(col("embedding")))
+          .head().getInt(0)
+        Similarity.embeddingNearDupPairs(T.embeddings(s, d), "vec_id",
+          "embedding", dim, minCosine = 0.1, bits = 6)
+          .orderBy(col("cosine").desc, col("id1"), col("id2"))
+          .limit(100)
+      }, None),
+
     // IVF ANN: train a small coarse quantizer, probe the 2 cells
     // nearest the query vector, exact cosine within them. Training is
     // kept to 2 Lloyd iterations here — at scale the quantizer is
