@@ -50,6 +50,29 @@ object Multimodal {
       i => (pmod(xxhash64(bytes, i), lit(1000000L)).cast("double") /
         lit(500000.0)) - lit(1.0))
 
+  /** STUB resize: deterministic stride-decimation of the payload to a
+    * target byte budget (stands in for pixel resampling; the real
+    * implementation swaps the byte stride for an image scaler with the
+    * same binary→binary signature and byte-budget contract). Keeps the
+    * magic-byte header intact so mime sniffing still works downstream.
+    */
+  def resizeStub(bytes: Column, targetBytes: Int, headerBytes: Int = 16): Column = {
+    val total = length(bytes)
+    val body = bytes.substr(lit(headerBytes + 1), total - headerBytes)
+    val stride = greatest(lit(1),
+      ((total - headerBytes).cast("double") / lit((targetBytes - headerBytes).toDouble))
+        .cast("int"))
+    val sampled = aggregate(
+      transform(
+        sequence(lit(1),
+          greatest(lit(0), ((total - headerBytes) / stride).cast("int"))),
+        i => body.substr(lit(1) + (i - 1) * stride, lit(1))),
+      lit(Array.emptyByteArray),
+      (acc, piece) => concat(acc, piece))
+    when(total <= targetBytes, bytes)
+      .otherwise(concat(bytes.substr(1, headerBytes), sampled))
+  }
+
   /** STUB frame sampling: n evenly-spaced byte windows from a video
     * blob — the slicing/batching plumbing of real frame extraction.
     */

@@ -164,6 +164,24 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
     assert(again === first) // batch size must not change results
   }
 
+  test("multimodal: resize stub shrinks payload, keeps header/mime") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      Array.tabulate[Byte](2000)(i => (i % 127).toByte)
+    val df = Seq(Tuple1(jpeg)).toDF("bytes")
+      .select(Multimodal.resizeStub(col("bytes"), 200).as("small"))
+    val small = df.head().getAs[Array[Byte]](0)
+    assert(small.length < jpeg.length && small.length <= 220,
+      s"resized to ${small.length}")
+    val mime = Seq(Tuple1(small)).toDF("b")
+      .select(Multimodal.sniffMime(col("b"))).head().getString(0)
+    assert(mime === "image/jpeg") // header preserved
+    // no-op below the budget
+    val tiny = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)
+    val same = Seq(Tuple1(tiny)).toDF("b")
+      .select(Multimodal.resizeStub(col("b"), 200)).head().getAs[Array[Byte]](0)
+    assert(same === tiny)
+  }
+
   test("multimodal: frame sampling yields n windows") {
     val vid = Array.fill[Byte](1000)(3)
     val frames = Seq(Tuple1(vid)).toDF("bytes")
