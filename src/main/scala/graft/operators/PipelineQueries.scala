@@ -14,6 +14,34 @@ object PipelineQueries {
 
   val registry: Map[String, QueryDef] = Map(
 
+    // The engine's central capability, benched at scale: raw
+    // scraped-shaped records (derived deterministically from the
+    // documents corpus) → unify (alias coalescing, venue/genre
+    // lookups, date parse, uuid5 ids, lineup processing) → quality
+    // scoring. One scan, zero shuffles until the final order+limit.
+    // rows-only: uuid5/sha1 id derivation is not DuckDB-expressible.
+    "etl_unify_score" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val raw = docs.select(
+          initcap(substring(col("text"), 1, 28)).as("title"),
+          date_format(
+            date_add(lit("2025-06-01").cast("date"),
+              (col("doc_id") % 90).cast("int")), "d MMMM yyyy").as("time"),
+          element_at(typedLit(Seq("amnesia", "pacha", "hi ibiza", "dc10",
+            "Secret Garden")), (col("doc_id") % 5 + 1).cast("int")).as("venue"),
+          concat(lit("www.example.com/event/"), col("doc_id")).as("url"),
+          array(lit("techno"), lit("deep-house")).as("genres"),
+          concat(lit("From €"), (lit(20) + col("doc_id") % 80)).as("price_text"))
+        Unify.unify(raw, "ibiza-spotlight",
+            lit("2025-06-10 00:00:00").cast("timestamp"))
+          .select(col("event_id"), col("title"),
+            col("venue.name").as("venue_name"),
+            col("datetime.start_date").as("start_date"),
+            col("data_quality.overall_score").as("quality"))
+          .orderBy(col("event_id")).limit(500)
+      }, None),
+
     // MinHash signatures + band keys — the dedup sketch materialization
     // (one scan, no shuffle; at 100 TB this is the table you write
     // bucketed by band_hash).
