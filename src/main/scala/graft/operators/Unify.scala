@@ -95,24 +95,31 @@ object Unify {
     val genresRaw =
       if (raw.columns.contains("genres")) raw("genres")
       else lit(null).cast("array<string>")
-    val lineupRaw =
-      if (raw.columns.contains("lineup")) raw("lineup")
-      else lit(null).cast("array<struct<name:string,role:string>>")
     // Lineup element structs vary by platform (role/room may be
-    // absent); resolve fields against the actual schema.
-    val lineupFields: Set[String] = raw.schema.fields
+    // absent), and an always-empty lineup infers as array<string> from
+    // JSON — treat any non-struct element type as "no lineup".
+    val lineupStructFields: Option[Set[String]] = raw.schema.fields
       .find(_.name == "lineup").map(_.dataType).collect {
         case org.apache.spark.sql.types.ArrayType(
           st: org.apache.spark.sql.types.StructType, _) => st.fieldNames.toSet
-      }.getOrElse(Set("name", "role"))
+      }
+    val lineupRaw =
+      if (lineupStructFields.isDefined) raw("lineup")
+      else lit(null).cast("array<struct<name:string,role:string>>")
+    val lineupFields: Set[String] =
+      lineupStructFields.getOrElse(Set("name", "role"))
     def lf(a: Column, f: String): Column =
       if (lineupFields.contains(f)) a.getField(f) else lit(null).cast("string")
 
     val title = coalesce(normalizeText(titleRaw), lit("Untitled Event"))
     val venueName = coalesce(normalizeVenueName(normalizeText(venueRaw)),
       lit("Unknown Venue"))
-    val rawDateString = normalizeText(timeRaw)
     val startDate = parseIbizaDate(timeRaw)
+    // The reference records the raw date string only when it parses
+    // (schema_adapter_enhanced.py:206-213) — it feeds the event id and
+    // recurring.pattern_description, unmodified.
+    val rawDateString = when(startDate.isNotNull, timeRaw)
+      .otherwise(lit(null).cast("string"))
     val url = normalizeUrl(urlRaw)
     val price = extractPrice(priceRaw)
     val eventId = entityId(sourcePlatform,

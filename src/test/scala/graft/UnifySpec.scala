@@ -102,7 +102,9 @@ class UnifySpec extends AnyFunSuite {
       col("datetime.recurring.pattern_description"), size(col("acts"))).head()
     assert(r.getString(0) === "2025-06-10T00:00:00Z") // fallback to now
     assert(r.getString(1) === "Pacha")
-    assert(r.getString(2) === "23:00 - 06:00") // whitespace-collapsed raw
+    // unparseable time → no raw_date_string recorded (reference:
+    // schema_adapter_enhanced.py:206-213)
+    assert(r.isNullAt(2))
     assert(r.getInt(3) === 2)
   }
 
