@@ -11,7 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Input: array<long> of shingle hashes. Output: array<long> of k
   * minimums over the affine permutation family
-  * (a_j·h + b_j) mod (2^61-1).
+  * (a_j·h + b_j) mod (2^31-1). The modulus is deliberately SMALLER
+  * than the base-hash range — see the rationale in
+  * graft.operators.Dedup: with a modulus at or above the hash range
+  * the maps are monotone and every permutation picks the same argmin.
   *
   * Why an Expression: the higher-order-function formulation
   * (aggregate + zip_with) allocates two k-wide arrays per shingle in

@@ -63,21 +63,36 @@ object MergeOps {
 
   /** K1 against a parquet table: read-modify-rewrite (no transactional
     * format in this environment — SURVEY §7.2). At cluster scale the
-    * same logic runs per partition-month; here the table is rewritten
-    * through a staging path so a failed job never truncates the
-    * destination.
+    * same logic runs per partition-month.
+    *
+    * Crash safety: the merge is materialized to a staging directory
+    * while the destination is still intact, then swapped in with two
+    * FileSystem renames (destination → retired, staging → destination).
+    * Renames are metadata operations — the expensive write never
+    * touches the live table, so a crash mid-job leaves the old table
+    * readable; the only loss window is between the two renames, and a
+    * crash there leaves BOTH the retired copy and the fully-written
+    * staging directory on disk for trivial recovery (versus rewriting
+    * the destination in place, where a crash truncates it).
     */
   def upsertParquet(spark: SparkSession, tablePath: String,
       incoming: DataFrame, keys: Seq[String], recency: String): Unit = {
-    val fs = new java.io.File(tablePath)
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (fs.exists()) upsert(spark.read.parquet(tablePath), incoming, keys, recency)
+      if (fs.exists(dest)) upsert(spark.read.parquet(tablePath), incoming, keys, recency)
       else incoming
-    val staging = tablePath + "_staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val out = spark.read.parquet(staging)
-    out.write.mode(SaveMode.Overwrite).parquet(tablePath)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(staging))
+    val staging = new Path(tablePath + "_staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val retired = new Path(tablePath + "_retired")
+    fs.delete(retired, true)
+    if (fs.exists(dest) && !fs.rename(dest, retired))
+      throw new java.io.IOException(s"could not retire $dest")
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(
+        s"could not activate $staging as $dest (old table at $retired)")
+    fs.delete(retired, true)
   }
 
   /** K5 — flag events for re-scrape: keyed two-column update

@@ -84,17 +84,57 @@ object Multimodal {
       i => bytes.substr(lit(1) + i * stride, lit(frameBytes)))
   }
 
-  /** Size-aware repartitioning: media rows are bin-packed so each
-    * partition carries ≈ targetBytes of payload — the knob that keeps
-    * decode batches memory-bounded on executors regardless of row
-    * width skew. (Row-count partitioning is wrong for media: one 4K
-    * video ≈ 10⁵ thumbnails.)
+  /** Size-aware repartitioning: true byte-cumulative bin packing so
+    * each output partition carries ≈ targetBytes of payload — the knob
+    * that keeps decode batches memory-bounded on executors regardless
+    * of row width skew. (Row-count partitioning is wrong for media:
+    * one 4K video ≈ 10⁵ thumbnails.)
+    *
+    * Mechanics — a distributed prefix sum, NOT a global sort/window
+    * (which would funnel every row through one task):
+    *  1. narrow pass over just the byte lengths → per-input-partition
+    *     totals (tiny: one row per partition, collected to the driver
+    *     and turned into running offsets);
+    *  2. narrow pass tagging each row with bin = floor(globalStartByte
+    *     / targetBytes), where globalStartByte = partition offset +
+    *     running total within the partition;
+    *  3. one range repartition on the bin id — the only shuffle that
+    *     moves payload, and bins are contiguous so each output
+    *     partition receives ≈ one bin.
+    * A partition can exceed targetBytes by at most the single row that
+    * straddles its boundary (rows are never split). Both passes must
+    * observe the same source partitioning — true for deterministic
+    * inputs (file sources); cache the input first if it is not.
     */
   def repartitionByBytes(df: DataFrame, bytesCol: String,
       targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(length(col(bytesCol)).cast("long"))).head().getLong(0)
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val spark = df.sparkSession
+    val byteIdx = df.schema.fieldIndex(bytesCol)
+    val partTotals = df.select(length(col(bytesCol)).cast("long")).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).sum)
+      }.collect().toMap
+    // offsets(pid) = total bytes in partitions before pid.
+    val sortedPids = partTotals.keys.toSeq.sorted
+    val offsets = sortedPids
+      .zip(sortedPids.scanLeft(0L)(_ + partTotals(_)).init).toMap
+    val total = partTotals.values.sum
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    df.repartitionByRange(parts, xxhash64(col(bytesCol)))
+    val binned = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets.getOrElse(pid, 0L)
+      it.map { r =>
+        val v = r.get(byteIdx)
+        val n = if (v == null) 0L else v.asInstanceOf[Array[Byte]].length.toLong
+        val bin = run / targetBytes
+        run += n
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(binned,
+        df.schema.add("_byte_bin", org.apache.spark.sql.types.LongType))
+      .repartitionByRange(parts, col("_byte_bin"))
+      .drop("_byte_bin")
   }
 
   /** Metadata-only projection — the pattern callers must use for
@@ -135,9 +175,11 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
-  /** STUB batch model: per-item hash-derived features (identical to
-    * extractFeaturesStub's values), standing in for a real batched
-    * image/audio model with the same signature.
+  /** STUB batch model: per-item hash-derived features (same shape and
+    * value range as extractFeaturesStub, but a different hash family —
+    * MurmurHash3 here vs xxhash64 there, so the vectors differ),
+    * standing in for a real batched image/audio model with the same
+    * signature.
     */
   def stubBatchModel(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
     batch.map { bytes =>

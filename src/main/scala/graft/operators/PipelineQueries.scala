@@ -146,11 +146,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred")), None),
 
-    // Bottom-k shingle fingerprints (containment sketch).
+    // Bottom-k shingle fingerprints (containment sketch). The sketch
+    // is emitted as a comma-joined string, not array<long>: the
+    // driver's rows-only check sorts result columns, and array cells
+    // are unsortable there — the string form carries identical
+    // information and stays deterministic.
     "ta_fingerprint" -> QueryDef(
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
-          TextAnalysis.bottomKFingerprint(col("text")).as("fp"),
+          concat_ws(",", TextAnalysis.bottomKFingerprint(col("text"))).as("fp"),
           TextAnalysis.subwordCountEstimate(col("text")).as("subwords"))
         .orderBy(col("doc_id")).limit(200), None)
   )

@@ -82,11 +82,17 @@ object QualityScorer {
     val lat = try_element_at(cArr, lit(2))
     val inIbiza = lon >= 1.2 && lon <= 1.6 && lat >= 38.8 && lat <= 39.1
 
+    // One addition term per reference `score +=`, in reference order —
+    // combined branches like `0.3 + 0.1` would be constant-folded by
+    // scalac into a differently-rounded literal (0.2 + 0.1 ≠ 0.30000…4
+    // as one constant), breaking bit-for-bit golden parity.
     val score =
-      when(nonEmpty(name), when(isKnown, 0.3 + 0.1).otherwise(0.3)).otherwise(0.0) +
+      when(nonEmpty(name), 0.3).otherwise(0.0) +
+        when(nonEmpty(name) && isKnown, 0.1).otherwise(0.0) +
         when(nonEmpty(fullAddr), 0.2)
           .when(nonEmpty(street) && nonEmpty(city), 0.15).otherwise(0.0) +
-        when(nonEmpty(city), when(lower(city).contains("ibiza"), 0.2 + 0.1).otherwise(0.2)).otherwise(0.0) +
+        when(nonEmpty(city), 0.2).otherwise(0.0) +
+        when(nonEmpty(city) && lower(city).contains("ibiza"), 0.1).otherwise(0.0) +
         when(hasPoint && size(cArr) === 2 && inIbiza, 0.2).otherwise(0.0)
 
     val flags = flagsOf(
@@ -121,14 +127,18 @@ object QualityScorer {
     val isRec = rec.getField("is_recurring") === true
     val pattern = rec.getField("pattern_description")
 
+    // One addition per reference `score +=`, reference order (see
+    // scoreVenue note on scalac constant folding vs golden parity).
     val score =
       when(nonEmpty(startStr), 0.4).otherwise(0.0) +
         when(nonEmpty(startStr) && saneBand, 0.1).otherwise(0.0) +
         when(nonEmpty(endStr), 0.1).otherwise(0.0) +
         when(nonEmpty(endStr) && nonEmpty(startStr) && endTs.isNotNull &&
           startTs.isNotNull && endTs >= startTs, 0.05).otherwise(0.0) +
-        when(nonEmpty(tz), when(tz.isin("Europe/Madrid", "CET", "CEST"), 0.2 + 0.05).otherwise(0.2)).otherwise(0.0) +
-        when(isRec, when(nonEmpty(pattern), 0.05 + 0.1).otherwise(0.05)).otherwise(0.0)
+        when(nonEmpty(tz), 0.2).otherwise(0.0) +
+        when(nonEmpty(tz) && tz.isin("Europe/Madrid", "CET", "CEST"), 0.05).otherwise(0.0) +
+        when(isRec, 0.05).otherwise(0.0) +
+        when(isRec && nonEmpty(pattern), 0.1).otherwise(0.0)
 
     val flags = flagsOf(
       ((nonEmpty(startStr) && startTs.isNotNull && tooPast), "date_too_far_past"),
@@ -191,14 +201,20 @@ object QualityScorer {
     val hasAge = age.getField("minimum_age").isNotNull ||
       nonEmpty(age.getField("restriction_type"))
 
+    // One addition per reference `score +=`, reference order — a
+    // grouped sub-sum like (prop + eur + price) would change FP
+    // association versus the reference's flat accumulation (see
+    // scoreVenue note).
     val score =
       when(isFree === true, 0.5).when(isFree === false, 0.1).otherwise(0.0) +
-        when(nonEmpty(url), when(urlOk, 0.2 + 0.05).otherwise(0.2)).otherwise(0.0) +
+        when(nonEmpty(url), 0.2).otherwise(0.0) +
+        when(nonEmpty(url) && urlOk, 0.05).otherwise(0.0) +
         when(hasTiers, 0.2).otherwise(0.0) +
         when(hasTiers && nValid > 0,
-          lit(0.1) * (nValid.cast("double") / nTotal.cast("double")) +
-            when(firstCurrency === "EUR", 0.05).otherwise(0.0) +
-            when(cheapest >= 5.0 && cheapest <= 500.0, 0.05).otherwise(0.0))
+          lit(0.1) * (nValid.cast("double") / nTotal.cast("double")))
+          .otherwise(0.0) +
+        when(hasTiers && nValid > 0 && firstCurrency === "EUR", 0.05).otherwise(0.0) +
+        when(hasTiers && nValid > 0 && cheapest >= 5.0 && cheapest <= 500.0, 0.05)
           .otherwise(0.0) +
         when(hasAge, 0.05).otherwise(0.0)
 
