@@ -80,12 +80,22 @@ object MergeOps {
     import org.apache.hadoop.fs.Path
     val dest = new Path(tablePath)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Siblings derived from the normalized Path, never by string
+    // suffixing — "events/" + "_staging" would nest staging INSIDE the
+    // destination and the retire rename would drag it along.
+    val staging = new Path(dest.getParent, dest.getName + "_staging")
+    val retired = new Path(dest.getParent, dest.getName + "_retired")
+    // Crash recovery: a prior run that died between the two renames
+    // left the sole live copy under _retired. Restore it BEFORE
+    // reading, or this run would compute merged = incoming only and the
+    // final delete(retired) would destroy all prior history.
+    if (!fs.exists(dest) && fs.exists(retired) && !fs.rename(retired, dest))
+      throw new java.io.IOException(
+        s"found orphaned $retired but could not restore it to $dest")
     val merged =
       if (fs.exists(dest)) upsert(spark.read.parquet(tablePath), incoming, keys, recency)
       else incoming
-    val staging = new Path(tablePath + "_staging")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val retired = new Path(tablePath + "_retired")
     fs.delete(retired, true)
     if (fs.exists(dest) && !fs.rename(dest, retired))
       throw new java.io.IOException(s"could not retire $dest")

@@ -106,9 +106,18 @@ object Multimodal {
     * observe the same source partitioning — true for deterministic
     * inputs (file sources); cache the input first if it is not.
     */
-  def repartitionByBytes(df: DataFrame, bytesCol: String,
+  def repartitionByBytes(df0: DataFrame, bytesCol: String,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(df0.schema(bytesCol).dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"$bytesCol must be BinaryType, got ${df0.schema(bytesCol).dataType}")
+    // Both passes must see identical partitioning AND row order;
+    // persist defensively so nondeterministic upstreams (round-robin
+    // repartition, shuffles) cannot mismatch offsets between passes.
+    // The cache must outlive the returned (lazy) plan — callers may
+    // unpersist once the result is materialized.
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = df.sparkSession
     val byteIdx = df.schema.fieldIndex(bytesCol)
     val partTotals = df.select(length(col(bytesCol)).cast("long")).rdd

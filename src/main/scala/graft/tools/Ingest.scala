@@ -30,8 +30,12 @@ object Ingest {
       .transform(df => MergeOps.dedupFirstWins(df, Seq("event_id")))
 
     val table = s"$tableDir/events"
+    // Same FileSystem abstraction as upsertParquet — a java.io.File
+    // check silently misses tables on any non-local FS.
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      if (new java.io.File(table).exists()) spark.read.parquet(table)
+      if (fs.exists(tablePath)) spark.read.parquet(table)
       else unified.limit(0)
     MergeOps.mergeAudit(existing, unified, Seq("event_id")).show()
     MergeOps.upsertParquet(spark, table, unified, Seq("event_id"), "updated_at")
