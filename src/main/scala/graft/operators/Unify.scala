@@ -82,9 +82,15 @@ object Unify {
     else coalesce(present.map(df(_)): _*)
   }
 
-  /** raw scraped records → unified V2 event documents. */
+  /** raw scraped records → unified V2 event documents.
+    *
+    * @param keep raw columns to carry through unchanged (appended after
+    *             the unified schema) — correlation/ordering keys for
+    *             pipelines that need to join results back to inputs.
+    */
   def unify(raw: DataFrame, sourcePlatform: String,
-      now: Column = current_timestamp()): DataFrame = {
+      now: Column = current_timestamp(),
+      keep: Seq[String] = Nil): DataFrame = {
     val nowIso = date_format(now, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
     val titleRaw = colOr(raw, Seq("title", "event_name", "name"))
@@ -151,7 +157,53 @@ object Unify {
     val genres = transform(coalesce(genresRaw, array().cast("array<string>")),
       g => normalizeGenre(g))
 
-    raw.select(
+    // Validation metadata — the reference's ValidationResult bookkeeping
+    // (schema_adapter_enhanced.py:36-69): each issue both lands in the
+    // level's list and decays confidence_score ×0.7 (error), ×0.9
+    // (warning), ×0.95 (info). Conditions mirror
+    // IbizaSpotlightValidator.validate_and_clean
+    // (schema_adapter_enhanced.py:193-240) in its issue order — the
+    // confidence product folds left in that same order, so the float
+    // result matches the reference's sequential `*=` bit-for-bit.
+    val titleStripped = trim(titleRaw)
+    val titleMissing = titleRaw.isNull || titleStripped === ""
+    val titleShort = !titleMissing && length(titleStripped) < 3
+    val dateInvalid = timeRaw.isNotNull && timeRaw =!= "" && startDate.isNull
+    val venueMissing = venueRaw.isNull || venueRaw === ""
+    val urlInvalid = urlRaw.isNotNull && urlRaw =!= "" && url.isNull
+    def issue(field: String, message: Column, level: String): Column =
+      struct(lit(field).as("field"), message.as("message"),
+        lit(level).as("level"))
+    def issues(conds: (Column, Column, String, String)*): Column =
+      filter(array(conds.map { case (c, msg, f, lvl) =>
+        when(c, issue(f, msg, lvl)) }: _*), x => x.isNotNull)
+    val vErrors = issues(
+      (titleMissing, lit("Missing event title"), "title", "error"),
+      (dateInvalid, concat(lit("Invalid date format: "), timeRaw),
+        "datetime", "error"))
+    val vWarnings = issues(
+      (titleShort, lit("Title too short"), "title", "warning"),
+      (venueMissing, lit("Missing venue information"), "venue", "warning"),
+      (urlInvalid, lit("Invalid URL format"), "url", "warning"))
+    // _process_lineup (schema_adapter_enhanced.py:290-310): INFO per
+    // truthy-named artist whose stripped name is shorter than 2 chars.
+    val shortNamed = filter(lineupRaw, a =>
+      lf(a, "name").isNotNull && lf(a, "name") =!= "" &&
+        length(trim(lf(a, "name"))) < 2)
+    val vInfo = coalesce(
+      transform(shortNamed, a => issue("artists",
+        concat(lit("Very short artist name: "), trim(lf(a, "name"))), "info")),
+      array().cast("array<struct<field:string,message:string,level:string>>"))
+    val confBase = lit(1.0) *
+      when(titleMissing, 0.7).when(titleShort, 0.9).otherwise(1.0) *
+      when(dateInvalid, 0.7).otherwise(1.0) *
+      when(venueMissing, 0.9).otherwise(1.0) *
+      when(urlInvalid, 0.9).otherwise(1.0)
+    val confidence = coalesce(
+      aggregate(shortNamed, confBase, (acc, _) => acc * lit(0.95)),
+      confBase)
+
+    raw.select(Seq(
       eventId.as("event_id"),
       eventId.as("canonical_id"),
       title.as("title"),
@@ -249,7 +301,17 @@ object Unify {
       nowIso.as("updated_at"),
       struct(lit(false).as("is_featured"), lit(false).as("is_hidden"),
         lit(null).cast("boolean").as("needs_refresh"),
-        lit(null).cast("string").as("refresh_requested_at")).as("system_flags")
+        lit(null).cast("string").as("refresh_requested_at")).as("system_flags"),
+      // reference: schema_adapter_enhanced.py:455-464 — validation
+      // issue lists + multiplicative confidence decay.
+      struct(
+        nowIso.as("validation_timestamp"),
+        vErrors.as("validation_errors"),
+        vWarnings.as("validation_warnings"),
+        vInfo.as("validation_info"),
+        lit("IbizaSpotlightValidator").as("platform_validator"),
+        confidence.as("confidence_score")).as("validation_metadata")
+    ) ++ keep.map(raw(_)): _*
     ).transform(QualityScorer.withQuality(_, now))
   }
 }

@@ -127,4 +127,64 @@ class UnifySpec extends AnyFunSuite {
     assert(r.getBoolean(2) === false)
     assert(r.getInt(3) === 0)
   }
+
+  test("clean record → empty validation lists, confidence 1.0") {
+    val raw = spark.read.json(Seq(rawJson).toDS)
+    val r = Unify.unify(raw, "ibiza-spotlight",
+        lit("2025-06-10 00:00:00").cast("timestamp"))
+      .select(size(col("validation_metadata.validation_errors")),
+        size(col("validation_metadata.validation_warnings")),
+        size(col("validation_metadata.validation_info")),
+        col("validation_metadata.confidence_score"),
+        col("validation_metadata.platform_validator")).head()
+    assert(r.getInt(0) === 0 && r.getInt(1) === 0 && r.getInt(2) === 0)
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getString(4) === "IbizaSpotlightValidator")
+  }
+
+  test("validation decay: error ×0.7, warning ×0.9, info ×0.95 in issue order") {
+    // missing title (error), bad date (error), missing venue (warning),
+    // 1-char artist name (info) — reference sequential *= order:
+    // 1.0 * 0.7 * 0.7 * 0.9 * 0.95
+    val raw = spark.read.json(Seq(
+      """{"time": "whenever vibes", "lineup": [{"name": "X"}], "url": "www.ok.com/e"}""").toDS)
+    val u = Unify.unify(raw, "ibiza-spotlight",
+      lit("2025-06-10 00:00:00").cast("timestamp"))
+    val r = u.select(
+      col("validation_metadata.confidence_score"),
+      transform(col("validation_metadata.validation_errors"),
+        x => x.getField("message")).as("errs"),
+      transform(col("validation_metadata.validation_warnings"),
+        x => x.getField("field")).as("warns"),
+      transform(col("validation_metadata.validation_info"),
+        x => x.getField("message")).as("infos"),
+      col("datetime.start_date")).head()
+    assert(r.getDouble(0) === 1.0 * 0.7 * 0.7 * 0.9 * 0.95)
+    assert(r.getSeq[String](1) ===
+      Seq("Missing event title", "Invalid date format: whenever vibes"))
+    assert(r.getSeq[String](2) === Seq("venue"))
+    assert(r.getSeq[String](3) === Seq("Very short artist name: X"))
+    // unparseable date still falls back to now for start_date — the
+    // reference's own behavior (schema_adapter_enhanced.py:592); the
+    // failure is recorded here, not by nulling the field.
+    assert(r.getString(4) === "2025-06-10T00:00:00Z")
+  }
+
+  test("short-title warning decays ×0.9 and keeps the title") {
+    val raw = spark.read.json(Seq("""{"title": "XY", "venue": "pacha"}""").toDS)
+    val r = Unify.unify(raw, "ibiza-spotlight",
+        lit("2025-06-10 00:00:00").cast("timestamp"))
+      .select(col("validation_metadata.confidence_score"), col("title")).head()
+    assert(r.getDouble(0) === 0.9)
+    assert(r.getString(1) === "XY")
+  }
+
+  test("keep columns pass through after the unified schema") {
+    val raw = spark.read.json(
+      Seq("""{"title": "Solo Event", "my_key": 42}""").toDS)
+    val u = Unify.unify(raw, "ibiza-spotlight",
+      lit("2025-06-10 00:00:00").cast("timestamp"), keep = Seq("my_key"))
+    assert(u.columns.contains("my_key"))
+    assert(u.select(col("my_key")).head().getLong(0) === 42L)
+  }
 }
