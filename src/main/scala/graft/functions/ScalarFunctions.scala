@@ -175,4 +175,21 @@ object ScalarFunctions {
     array_min(transform(
       filter(tiers, t => !coalesce(t.getField("is_sold_out"), lit(false))),
       t => t.getField("tier_price")))
+
+  /** F16 — the reference's ticket-status when-chain over a full
+    * ticketing struct: Free → Available → Sold Out / Check URL →
+    * Check URL → Unknown. reference: database/query_examples.py:38-52
+    */
+  def availabilityStatus(ticketing: Column): Column = {
+    val tiers = ticketing.getField("tiers")
+    val hasTiers = tiers.isNotNull && size(tiers) > 0
+    val available = filter(tiers,
+      t => !coalesce(t.getField("is_sold_out"), lit(false)))
+    val url = ticketing.getField("tickets_url")
+    when(ticketing.getField("is_free") === true, "Free")
+      .when(hasTiers && size(available) > 0, "Available")
+      .when(hasTiers, "Sold Out / Check URL")
+      .when(url.isNotNull && url =!= "", "Check URL")
+      .otherwise("Unknown")
+  }
 }

@@ -15,21 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  private val summaryCols = Seq(
-    col("event_id"), col("title"),
+  private def summaryCols(keyCol: String) = Seq(
+    col(keyCol), col("title"),
     col("venue.name").as("venue_name"),
     col("datetime.start_date").as("start_date"),
     col("data_quality.overall_score").as("overall_score"))
 
-  /** GET /api/events (reference: database/api_server.py:252-295). */
+  /** Python-round(×,3) of a deterministic average: exact decimal sum
+    * (order-independent in any engine) divided by the exact count, then
+    * exact-binary HALF_EVEN rounding — the reference's round(avg, 3)
+    * without float-summation drift.
+    */
+  private def avg3(c: Column): Column =
+    graft.functions.PythonRound.py_round(graft.Tables.decAvg(c), 3)
+
+  /** GET /api/events (reference: database/api_server.py:252-295).
+    * `keyCol` is the identity column to expose and use as the
+    * deterministic sort tiebreak (default event_id).
+    */
   def events(ev: DataFrame, nowIso: Column, minQuality: Double = 0.7,
       venueRegex: Option[String] = None, futureOnly: Boolean = true,
-      limit: Int = 50, skip: Int = 0): DataFrame = {
+      limit: Int = 50, skip: Int = 0, keyCol: String = "event_id"): DataFrame = {
     var df = ev.filter(col("data_quality.overall_score") >= minQuality)
     venueRegex.foreach(v => df = df.filter(col("venue.name").rlike("(?i)" + v)))
     if (futureOnly) df = df.filter(col("datetime.start_date") >= nowIso)
-    df.select(summaryCols: _*)
-      .orderBy(col("start_date"))
+    df.select(summaryCols(keyCol): _*)
+      .orderBy(col("start_date"), col(keyCol))
       .offset(skip).limit(limit)
   }
 
@@ -62,12 +73,12 @@ object EventQueries {
     * (reference: api_server.py:314-350) — O5 sort by relevance.
     */
   def search(ev: DataFrame, term: String, minQuality: Double = 0.6,
-      limit: Int = 20): DataFrame =
+      limit: Int = 20, keyCol: String = "event_id"): DataFrame =
     ev.filter(col("data_quality.overall_score") >= minQuality)
       .withColumn("score", textScore(term))
       .filter(col("score") > 0)
-      .select(summaryCols :+ col("score"): _*)
-      .orderBy(col("score").desc, col("event_id"))
+      .select(summaryCols(keyCol) :+ col("score"): _*)
+      .orderBy(col("score").desc, col(keyCol))
       .limit(limit)
 
   /** GET /api/venues (reference: api_server.py:353-385) — A8. */
@@ -76,17 +87,19 @@ object EventQueries {
       .groupBy(col("venue.name").as("venueName"))
       .agg(
         count(lit(1)).as("eventCount"),
-        round(avg(col("data_quality.overall_score")), 3).as("avgQuality"),
+        avg3(col("data_quality.overall_score")).as("avgQuality"),
         sum(when(col("datetime.start_date") >= nowIso, 1L).otherwise(0L))
           .as("upcomingEvents"))
       .orderBy(col("eventCount").desc, col("venueName"))
 
   /** GET /api/venues/{name}/events (reference: api_server.py:388-424). */
   def venueEvents(ev: DataFrame, venueName: String, nowIso: Column,
-      futureOnly: Boolean = true, limit: Int = 50): DataFrame = {
+      futureOnly: Boolean = true, limit: Int = 50,
+      keyCol: String = "event_id"): DataFrame = {
     var df = ev.filter(col("venue.name").rlike("(?i)" + venueName))
     if (futureOnly) df = df.filter(col("datetime.start_date") >= nowIso)
-    df.select(summaryCols: _*).orderBy(col("start_date")).limit(limit)
+    df.select(summaryCols(keyCol): _*)
+      .orderBy(col("start_date"), col(keyCol)).limit(limit)
   }
 
   /** GET /api/stats/quality — global stats half
@@ -96,7 +109,7 @@ object EventQueries {
     val s = col("data_quality.overall_score")
     ev.agg(
       count(lit(1)).as("totalEvents"),
-      round(avg(s), 3).as("averageQuality"),
+      avg3(s).as("averageQuality"),
       sum(when(s >= 0.9, 1L).otherwise(0L)).as("excellent"),
       sum(when(s >= 0.8 && s < 0.9, 1L).otherwise(0L)).as("good"),
       sum(when(s >= 0.7 && s < 0.8, 1L).otherwise(0L)).as("fair"),
@@ -109,22 +122,23 @@ object EventQueries {
   def topVenues(ev: DataFrame, k: Int = 10): DataFrame =
     ev.filter(col("venue.name").isNotNull)
       .groupBy(col("venue.name").as("venueName"))
-      .agg(round(avg(col("data_quality.overall_score")), 3).as("averageQuality"),
+      .agg(avg3(col("data_quality.overall_score")).as("averageQuality"),
         count(lit(1)).as("eventCount"))
       .orderBy(col("averageQuality").desc, col("eventCount").desc, col("venueName"))
       .limit(k)
 
   /** GET /api/upcoming (reference: api_server.py:498-538). */
   def upcoming(ev: DataFrame, nowIso: Column, days: Int = 7,
-      minQuality: Double = 0.75, limit: Int = 20): DataFrame = {
+      minQuality: Double = 0.75, limit: Int = 20,
+      keyCol: String = "event_id"): DataFrame = {
     val endIso = date_format(
       to_timestamp(nowIso, "yyyy-MM-dd'T'HH:mm:ss'Z'") +
         expr(s"INTERVAL $days DAYS"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     ev.filter(col("datetime.start_date") >= nowIso &&
         col("datetime.start_date") <= endIso &&
         col("data_quality.overall_score") >= minQuality)
-      .select(summaryCols: _*)
-      .orderBy(col("start_date"))
+      .select(summaryCols(keyCol): _*)
+      .orderBy(col("start_date"), col(keyCol))
       .limit(limit)
   }
 
@@ -182,21 +196,26 @@ object EventQueries {
     * reference: helpers/schemas.py:69-70). Yields one row per stage
     * booking with the act's display fields resolved.
     */
-  def stageActLineage(ev: DataFrame): DataFrame = {
-    val stageActs = ev.select(col("event_id"),
+  def stageActLineage(ev: DataFrame, keyCol: String = "event_id"): DataFrame = {
+    val stageActs = ev.select(col(keyCol),
         explode(col("venue.stages")).as("stage"))
-      .select(col("event_id"), col("stage.stage_name").as("stage_name"),
+      .select(col(keyCol), col("stage.stage_name").as("stage_name"),
         explode(col("stage.acts")).as("sa"))
-      .select(col("event_id"), col("stage_name"),
+      .select(col(keyCol), col("stage_name"),
         col("sa.act_id").as("act_id"),
-        col("sa.billing_order").as("billing_order"),
+        col("sa.billing_order").cast("long").as("billing_order"),
         col("sa.is_headliner").as("is_headliner"))
-    val acts = ev.select(explode(col("acts")).as("a"))
-      .select(col("a.act_id").as("act_id"),
+    // The acts array is per-event (schemas.py:69-70): the same act_id
+    // can carry different attributes on different events (e.g. the same
+    // artist booked as dj on one bill, live on another), so the
+    // dimension must be resolved within the event — joining a globally
+    // deduped acts table would fan rows out per attribute variant.
+    val acts = ev.select(col(keyCol), explode(col("acts")).as("a"))
+      .select(col(keyCol), col("a.act_id").as("act_id"),
         col("a.act_name").as("act_name"),
         col("a.act_type").as("act_type"))
       .distinct()
-    stageActs.join(acts, Seq("act_id"), "left")
+    stageActs.join(acts, Seq(keyCol, "act_id"), "left")
   }
 
   /** Month-range comparison
