@@ -158,14 +158,23 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens, pure per-row fold: per bit,
-    * +1/-1 votes from each token's xxhash64; sign of the vote total
-    * sets the bit. Bit positions are addressed through a constant mask
-    * array (shift functions take only literal shift amounts).
+  /** 64-bit SimHash over word tokens: per bit, +1/-1 votes from each
+    * token's xxhash64; sign of the vote total sets the bit. The hot
+    * loop is the codegen'd SimHash64 expression (allocation-free per
+    * token); the HOF formulation below is kept as its independent test
+    * oracle.
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64.simhash64(text)
+
+  /** Composed-built-ins SimHash — the spec oracle for the SimHash64
+    * expression. Identical semantics, but interpreted HOF evaluation
+    * allocates two 64-long arrays per token per row: correct, and ~10×
+    * slower — do not use in the hot path.
     */
   private val bitMasks: Column = typedLit((0 until 64).map(1L << _))
 
-  def simhash64(text: Column): Column = {
+  private[graft] def simhash64Hof(text: Column): Column = {
     val votes = aggregate(
       tokens(text),
       array_repeat(lit(0L), 64),

@@ -107,11 +107,11 @@ object PipelineQueries {
       }, None),
 
     // IVF ANN: train a small coarse quantizer, probe the 2 cells
-    // nearest the query vector, exact cosine within them. Training is
-    // kept to 2 Lloyd iterations here — at scale the quantizer is
-    // trained offline on a sample and the assignment column
-    // materialized (partitioned by cell), so a probe never pays
-    // training cost.
+    // nearest the query vector, exact cosine within them. Training
+    // collects ONE bounded deterministic sample and runs Lloyd
+    // driver-local — the corpus is never exploded or re-shuffled. At
+    // scale the assignment column is materialized once via withIvfCell
+    // (partitioned by cell) so probes are partition-pruned scans.
     "sim_ann_ivf" -> QueryDef(
       (s, d) => {
         val emb = T.embeddings(s, d)

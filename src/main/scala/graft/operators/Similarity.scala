@@ -85,35 +85,65 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) coarse quantizer — the k-means alternative to
-    * hyperplane LSH. Lloyd's iterations are driver-coordinated but
-    * data-parallel: assignment is a per-row argmin expression, the
-    * mean step is one explode+groupBy; only nlist×dim doubles cross
-    * the driver per iteration. Deterministic seeded init.
+  /** IVF (inverted-file) coarse quantizer, trained on a bounded sample.
+    *
+    * A coarse quantizer needs only a representative sample, never the
+    * corpus: ONE deterministic bounded collect (hash-ordered top-k — a
+    * single narrow TakeOrdered pass, no shuffle of the full table),
+    * then Lloyd's iterations run driver-local over ≤ sampleSize
+    * vectors. At 100 TB this is the difference between an O(sample)
+    * setup step and `iters` full-corpus explode+shuffle+collect rounds
+    * (the previous formulation). The trained centroids then feed
+    * `withIvfCell`/`ivfTopK`, whose per-row assignment stays fully
+    * distributed.
+    *
+    * Tie-breaking matches ivfAssignment (strict-less argmin in index
+    * order), so sample assignment == query-path assignment.
     */
   def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nlist: Int, iters: Int = 5): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.Row
-    var centroids: Seq[Seq[Double]] =
-      embeddings.orderBy(xxhash64(col(idCol))).limit(nlist)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      dim: Int, nlist: Int, iters: Int = 5,
+      sampleSize: Int = 10000): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train IVF centroids on empty input")
+    var centroids: Array[Array[Double]] = sample.take(nlist).map(_.clone())
     for (_ <- 1 to iters) {
-      val assigned = embeddings.withColumn("_c",
-        ivfAssignment(col(vecCol), centroids))
-      val means = assigned
-        .select(col("_c"), posexplode(col(vecCol)).as(Seq("_p", "_v")))
-        .groupBy(col("_c"), col("_p"))
-        .agg(avg(col("_v").cast("double")).as("_m"))
-        .collect()
-        .groupBy(_.getAs[Int]("_c"))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getAs[Int]("_p")).map(_.getAs[Double]("_m")).toSeq
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = -1; var bestD = Double.MaxValue
+        var i = 0
+        while (i < centroids.length) {
+          val c = centroids(i)
+          var d = 0.0; var cn = 0.0
+          var p = 0
+          while (p < dim) { d += v(p) * c(p); cn += c(p) * c(p); p += 1 }
+          val dist = cn - 2.0 * d
+          if (dist < bestD) { bestD = dist; best = i }
+          i += 1
         }
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+        counts(best) += 1
+        var p = 0
+        while (p < dim) { sums(best)(p) += v(p); p += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
     }
-    centroids
+    centroids.map(_.toSeq).toSeq
   }
+
+  /** Attach the IVF cell assignment — the materialization step
+    * mirroring withLshBucket. At scale, write the result partitioned by
+    * `cell` so ivfTopK probes become partition-pruned scans.
+    */
+  def withIvfCell(embeddings: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    embeddings.withColumn("cell", ivfAssignment(col(vecCol), centroids))
 
   /** Nearest-centroid index per vector: argmin of −2·v·c + |c|²
     * (the |v|² term is constant per row). One fold, no shuffle.

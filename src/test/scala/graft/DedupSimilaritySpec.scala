@@ -46,6 +46,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
   }
 
+  test("simhash codegen expression matches the HOF oracle exactly") {
+    // edge shapes: empty, spaces-only, tab-led (leading empty token),
+    // trailing whitespace (trailing empty token), unicode, plus real
+    // document text
+    val edges = Seq("", "   ", "\tfoo bar", "a b ", "über die brücke",
+      base, nearDup, unrelated).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(edges)
+    val diff = docs.select(
+        Dedup.simhash64($"text").as("a"),
+        Dedup.simhash64Hof($"text").as("b"))
+      .filter($"a" =!= $"b" || ($"a".isNull =!= $"b".isNull))
+    assert(diff.count() === 0)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sh = corpus.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
