@@ -149,6 +149,39 @@ object ScalarFunctions {
         "yyyy-MM-dd'T'HH:mm:ss'Z'"))
   }
 
+  /** F3 (universal variant) — the UniversalValidator.validate_datetime
+    * format ladder (reference: schema_adapter_enhanced.py:108-141):
+    * offset-bearing ISO, literal-Z ISO, space-separated, date-only,
+    * slashed/dashed day-first with time, long-form "at" phrasing, and
+    * "d MMMM yyyy" — first match wins, naive timestamps are treated as
+    * UTC, output is canonical ISO.
+    *
+    * `yearContext` mirrors scrapers_v2/schema_adapter.py:46-47: a
+    * string with no 4-digit year gets the context year appended before
+    * parsing, so "15 July" resolves against the scrape year.
+    */
+  def parseDateTimeMulti(dateStr: Column,
+      yearContext: Option[Int] = None): Column = {
+    val cleaned0 = trim(dateStr)
+    val cleaned = yearContext match {
+      case Some(y) => when(cleaned0.rlike("\\b\\d{4}\\b"), cleaned0)
+        .otherwise(concat(cleaned0, lit(s" $y")))
+      case None => cleaned0
+    }
+    val parsed = coalesce(
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ssxx")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(cleaned, lit("yyyy-MM-dd")),
+      try_to_timestamp(cleaned, lit("d/M/yyyy HH:mm")),
+      try_to_timestamp(cleaned, lit("d-M-yyyy HH:mm")),
+      try_to_timestamp(cleaned, lit("MMMM d, yyyy 'at' h:mm a")),
+      try_to_timestamp(cleaned, lit("d MMMM yyyy")))
+    when(parsed.isNull, lit(null).cast("string"))
+      .otherwise(date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+  }
+
   /** F19 — snippet truncation with ellipsis. */
   def snippet(c: Column, n: Int): Column =
     when(length(c) <= n, c).otherwise(concat(substring(c, 1, n), lit("...")))

@@ -146,6 +146,40 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred")), None),
 
+    // Multimodal metadata path, oracle-checked: synthetic media blobs
+    // (ASCII container magic + utf-8 payload, so DuckDB's VARCHAR md5
+    // hashes the identical bytes) → magic-byte mime sniff + byte sizes
+    // + content-digest dedup, grouped per container format. The blob
+    // column is opaque binary to the engine — this is the
+    // metadata-only projection pattern (never drag payloads through
+    // an aggregate).
+    "mm_media_stats" -> QueryDef(
+      (s, d) => {
+        val magic = element_at(typedLit(Seq(
+          "GIF89a", "RIFF0000WAVE", "ID3", "0000ftypisom", "")),
+          (col("doc_id") % 5 + 1).cast("int"))
+        val blobs = T.documents(s, d).select(col("doc_id"),
+          concat(encode(magic, "UTF-8"), encode(col("text"), "UTF-8"))
+            .as("media"))
+        Multimodal.mediaStats(Multimodal.withMediaMeta(blobs, "media"))
+      },
+      """WITH mm AS (
+        |  SELECT
+        |    CASE doc_id % 5 WHEN 0 THEN 'image/gif' WHEN 1 THEN 'audio/wav'
+        |      WHEN 2 THEN 'audio/mpeg' WHEN 3 THEN 'video/mp4'
+        |      ELSE 'application/octet-stream' END AS mime,
+        |    octet_length(encode(
+        |      (CASE doc_id % 5 WHEN 0 THEN 'GIF89a' WHEN 1 THEN 'RIFF0000WAVE'
+        |        WHEN 2 THEN 'ID3' WHEN 3 THEN '0000ftypisom' ELSE '' END)
+        |      || text)) AS nb,
+        |    md5((CASE doc_id % 5 WHEN 0 THEN 'GIF89a' WHEN 1 THEN 'RIFF0000WAVE'
+        |        WHEN 2 THEN 'ID3' WHEN 3 THEN '0000ftypisom' ELSE '' END)
+        |      || text) AS digest
+        |  FROM documents)
+        |SELECT mime, COUNT(*) AS n, CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT digest) AS distinct_content
+        |FROM mm GROUP BY mime ORDER BY mime""".stripMargin),
+
     // Bottom-k shingle fingerprints (containment sketch). The sketch
     // is emitted as a comma-joined string, not array<long>: the
     // driver's rows-only check sorts result columns, and array cells

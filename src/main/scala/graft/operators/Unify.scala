@@ -76,8 +76,80 @@ object Unify {
       when(lower(coalesce(location, lit(""))).contains(city), tz).otherwise(acc)
     }
 
+  /** Platform field mapping — §2.11 step 1, the validator registry the
+    * reference dispatches on source platform
+    * (schema_adapter_enhanced.py:398-412). Aliases may be dotted nested
+    * paths (the V1 TypedDict shapes nest venue/date/price).
+    * `ibizaDates`: the ibiza validators use the day-name-strip 23:00
+    * parser; other platforms go through the UniversalValidator format
+    * ladder.
+    */
+  final case class PlatformMapping(
+      validatorName: String,
+      titleAliases: Seq[String],
+      timeAliases: Seq[String],
+      venueAliases: Seq[String],
+      urlAliases: Seq[String],
+      priceAliases: Seq[String],
+      lineupAliases: Seq[String],
+      genresAliases: Seq[String],
+      ibizaDates: Boolean)
+
+  private val ibizaMapping = PlatformMapping("IbizaSpotlightValidator",
+    titleAliases = Seq("title", "event_name", "name"),
+    timeAliases = Seq("time", "datetime", "date", "start_time"),
+    venueAliases = Seq("venue", "location", "place"),
+    urlAliases = Seq("url", "link", "event_url"),
+    priceAliases = Seq("price_text", "price", "ticket_price", "cost"),
+    lineupAliases = Seq("lineup"),
+    genresAliases = Seq("genres"),
+    ibizaDates = true)
+
+  /** reference: schema_adapter_enhanced.py:398-412 (registry +
+    * IbizaSpotlightValidator default), :314-324 (facebook field
+    * mapping), my_scrapers/mono_ticketmaster.py:59-67 (V1 TypedDict
+    * shape).
+    */
+  val platformRegistry: Map[String, PlatformMapping] = Map(
+    "ibiza-spotlight" -> ibizaMapping,
+    "ibiza-spotlight-calendar" -> ibizaMapping,
+    "facebook" -> PlatformMapping("FacebookEventValidator",
+      titleAliases = Seq("name"),
+      timeAliases = Seq("start_time"),
+      venueAliases = Seq("place.name", "location"),
+      urlAliases = Seq("id"),
+      priceAliases = Seq.empty,
+      lineupAliases = Seq.empty,
+      genresAliases = Seq.empty,
+      ibizaDates = false),
+    "ticketmaster" -> PlatformMapping("TicketmasterValidator",
+      titleAliases = Seq("title"),
+      timeAliases = Seq("dateTime.displayText"),
+      venueAliases = Seq("location.venue"),
+      urlAliases = Seq("ticketsUrl", "url"),
+      priceAliases = Seq("ticketInfo.displayText"),
+      lineupAliases = Seq("lineUp"),
+      genresAliases = Seq("genres"),
+      ibizaDates = false))
+
+  def mappingFor(platform: String): PlatformMapping =
+    platformRegistry.getOrElse(platform.toLowerCase, ibizaMapping)
+
+  /** Resolve the first alias that exists in the schema; dotted names
+    * descend struct fields. Missing everywhere → typed null.
+    */
   private def colOr(df: DataFrame, names: Seq[String]): Column = {
-    val present = names.filter(df.columns.contains)
+    import org.apache.spark.sql.types.StructType
+    def resolves(name: String): Boolean = {
+      val parts = name.split('.')
+      if (!df.columns.contains(parts.head)) false
+      else parts.tail.foldLeft(Option(df.schema(parts.head).dataType)) {
+        case (Some(st: StructType), p) if st.fieldNames.contains(p) =>
+          Some(st(p).dataType)
+        case _ => None
+      }.isDefined
+    }
+    val present = names.filter(resolves)
     if (present.isEmpty) lit(null).cast("string")
     else coalesce(present.map(df(_)): _*)
   }
@@ -92,25 +164,27 @@ object Unify {
       now: Column = current_timestamp(),
       keep: Seq[String] = Nil): DataFrame = {
     val nowIso = date_format(now, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val mapping = mappingFor(sourcePlatform)
 
-    val titleRaw = colOr(raw, Seq("title", "event_name", "name"))
-    val timeRaw = colOr(raw, Seq("time", "datetime", "date", "start_time"))
-    val venueRaw = colOr(raw, Seq("venue", "location", "place"))
-    val urlRaw = colOr(raw, Seq("url", "link", "event_url"))
-    val priceRaw = colOr(raw, Seq("price_text", "price", "ticket_price", "cost"))
-    val genresRaw =
-      if (raw.columns.contains("genres")) raw("genres")
-      else lit(null).cast("array<string>")
+    val titleRaw = colOr(raw, mapping.titleAliases)
+    val timeRaw = colOr(raw, mapping.timeAliases)
+    val venueRaw = colOr(raw, mapping.venueAliases)
+    val urlRaw = colOr(raw, mapping.urlAliases)
+    val priceRaw = colOr(raw, mapping.priceAliases)
+    val genresCol = mapping.genresAliases.find(raw.columns.contains)
+    val genresRaw = genresCol.map(raw(_))
+      .getOrElse(lit(null).cast("array<string>"))
     // Lineup element structs vary by platform (role/room may be
     // absent), and an always-empty lineup infers as array<string> from
     // JSON — treat any non-struct element type as "no lineup".
-    val lineupStructFields: Option[Set[String]] = raw.schema.fields
-      .find(_.name == "lineup").map(_.dataType).collect {
+    val lineupCol = mapping.lineupAliases.find(raw.columns.contains)
+    val lineupStructFields: Option[Set[String]] = lineupCol
+      .map(c => raw.schema(c).dataType).collect {
         case org.apache.spark.sql.types.ArrayType(
           st: org.apache.spark.sql.types.StructType, _) => st.fieldNames.toSet
       }
     val lineupRaw =
-      if (lineupStructFields.isDefined) raw("lineup")
+      if (lineupStructFields.isDefined) raw(lineupCol.get)
       else lit(null).cast("array<struct<name:string,role:string>>")
     val lineupFields: Set[String] =
       lineupStructFields.getOrElse(Set("name", "role"))
@@ -120,7 +194,9 @@ object Unify {
     val title = coalesce(normalizeText(titleRaw), lit("Untitled Event"))
     val venueName = coalesce(normalizeVenueName(normalizeText(venueRaw)),
       lit("Unknown Venue"))
-    val startDate = parseIbizaDate(timeRaw)
+    val startDate =
+      if (mapping.ibizaDates) parseIbizaDate(timeRaw)
+      else parseDateTimeMulti(timeRaw)
     // The reference records the raw date string only when it parses
     // (schema_adapter_enhanced.py:206-213) — it feeds the event id and
     // recurring.pattern_description, unmodified.
@@ -309,7 +385,7 @@ object Unify {
         vErrors.as("validation_errors"),
         vWarnings.as("validation_warnings"),
         vInfo.as("validation_info"),
-        lit("IbizaSpotlightValidator").as("platform_validator"),
+        lit(mapping.validatorName).as("platform_validator"),
         confidence.as("confidence_score")).as("validation_metadata")
     ) ++ keep.map(raw(_)): _*
     ).transform(QualityScorer.withQuality(_, now))

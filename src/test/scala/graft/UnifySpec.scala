@@ -179,6 +179,68 @@ class UnifySpec extends AnyFunSuite {
     assert(r.getString(1) === "XY")
   }
 
+  test("platform registry: V1 ticketmaster TypedDict shape unifies") {
+    val tmJson =
+      """{"title": "Summer Closing",
+        | "url": "https://www.ticketmaster.com/event/99",
+        | "location": {"venue": "hi ibiza", "address": "Platja d'en Bossa"},
+        | "dateTime": {"displayText": "2025-07-15 21:00:00"},
+        | "lineUp": [{"name": "Some DJ", "headliner": true},
+        |            {"name": "Opener Act"}],
+        | "ticketInfo": {"displayText": "From €45", "currency": "EUR"}}""".stripMargin
+    val raw = spark.read.json(Seq(tmJson).toDS)
+    val u = Unify.unify(raw, "ticketmaster",
+      lit("2025-06-10 00:00:00").cast("timestamp"))
+    val r = u.select(col("title"), col("venue.name"),
+      col("datetime.start_date"),
+      element_at(col("ticketing.tiers"), 1).getField("tier_price"),
+      transform(col("acts"), a => a.getField("act_name")),
+      col("validation_metadata.platform_validator")).head()
+    assert(r.getString(0) === "Summer Closing")
+    assert(r.getString(1) === "Hï Ibiza") // nested location.venue + lookup
+    assert(r.getString(2) === "2025-07-15T21:00:00Z") // universal ladder
+    assert(r.getDouble(3) === 45.0)
+    assert(r.getSeq[String](4) === Seq("Some DJ", "Opener Act"))
+    assert(r.getString(5) === "TicketmasterValidator")
+  }
+
+  test("unknown platform falls back to the default (ibiza) validator") {
+    val raw = spark.read.json(Seq(rawJson).toDS)
+    val r = Unify.unify(raw, "some-new-site",
+        lit("2025-06-10 00:00:00").cast("timestamp"))
+      .select(col("venue.name"),
+        col("validation_metadata.platform_validator")).head()
+    assert(r.getString(0) === "Amnesia")
+    assert(r.getString(1) === "IbizaSpotlightValidator")
+  }
+
+  test("universal date ladder: every reference format parses to ISO") {
+    import graft.functions.ScalarFunctions
+    val cases = Seq(
+      "2025-07-15T23:00:00+0200" -> "2025-07-15T21:00:00Z",
+      "2025-07-15T23:00:00+02:00" -> "2025-07-15T21:00:00Z",
+      "2025-07-15T23:00:00Z" -> "2025-07-15T23:00:00Z",
+      "2025-07-15 23:00:00" -> "2025-07-15T23:00:00Z",
+      "2025-07-15" -> "2025-07-15T00:00:00Z",
+      "15/07/2025 23:00" -> "2025-07-15T23:00:00Z",
+      "15-07-2025 23:00" -> "2025-07-15T23:00:00Z",
+      "July 15, 2025 at 11:30 PM" -> "2025-07-15T23:30:00Z",
+      "15 July 2025" -> "2025-07-15T00:00:00Z",
+      "total garbage" -> null)
+    val got = cases.map(_._1).toDF("s")
+      .select(ScalarFunctions.parseDateTimeMulti(col("s"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+  }
+
+  test("year-context parse resolves yearless dates (scrapers_v2)") {
+    import graft.functions.ScalarFunctions
+    val got = Seq("15 July", "15 July 2024").toDF("s")
+      .select(ScalarFunctions.parseDateTimeMulti(col("s"),
+        yearContext = Some(2025))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("2025-07-15T00:00:00Z", "2024-07-15T00:00:00Z"))
+  }
+
   test("keep columns pass through after the unified schema") {
     val raw = spark.read.json(
       Seq("""{"title": "Solo Event", "my_key": 42}""").toDS)
