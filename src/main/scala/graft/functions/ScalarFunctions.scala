@@ -182,6 +182,36 @@ object ScalarFunctions {
       .otherwise(date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
   }
 
+  /** F18 — $type introspection (reference: event_stats_report.py:30-34,
+    * a debug report over schemaless documents). On a typed DataFrame
+    * the schema is static, so the dynamic per-row form only matters for
+    * raw staging JSON: classify the JSON type of a path inside a JSON
+    * string column. get_json_object cannot distinguish JSON null from
+    * an absent path — both report "missing", which is also how the
+    * reference report buckets them.
+    */
+  def jsonTypeOf(json: Column, path: String): Column = {
+    val v = get_json_object(json, path)
+    // get_json_object strips quotes, so a JSON string that LOOKS
+    // numeric ("5") classifies as a number — acceptable for the debug
+    // report this mirrors; a full fidelity classifier would need a
+    // variant type or a JSON parser expression.
+    when(v.isNull, "missing")
+      .when(v.startsWith("{"), "object")
+      .when(v.startsWith("["), "array")
+      .when(v === "true" || v === "false", "bool")
+      .when(v.rlike("^-?\\d+$"), "long")
+      .when(v.rlike("^-?\\d*\\.\\d+([eE][+-]?\\d+)?$"), "double")
+      .otherwise("string")
+  }
+
+  /** F18 (typed side) — the static schema report: column name → Spark
+    * SQL type string, the answer the Mongo $type debug report seeks
+    * when the data already has a schema.
+    */
+  def schemaTypes(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+
   /** F19 — snippet truncation with ellipsis. */
   def snippet(c: Column, n: Int): Column =
     when(length(c) <= n, c).otherwise(concat(substring(c, 1, n), lit("...")))

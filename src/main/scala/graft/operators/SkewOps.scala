@@ -44,11 +44,17 @@ object SkewOps {
 
   /** Key-distribution report — the diagnostic that decides whether to
     * salt: top-k keys by row count with their share of the table.
+    *
+    * ONE scan of the base table: the grand total is the sum of the
+    * per-key counts (a cross join against the one-row aggregate of the
+    * already-tiny counts relation), not a second df.count() pass.
     */
   def keySkewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    val total = df.count()
-    counts.withColumn("share", col("n").cast("double") / lit(total.toDouble))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("_total"))))
+      .withColumn("share", col("n").cast("double") / col("_total").cast("double"))
+      .drop("_total")
       .orderBy(col("n").desc)
       .limit(k)
   }

@@ -84,4 +84,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("p10_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,42)"), p.take(800))
   }
+
+  test("v2 fixture scan prunes documents to doc_id + text") {
+    // the nested events table derives from two source columns only —
+    // the parquet scan must not read lang/source/n_chars
+    val p = {
+      val df = graft.operators.V2Fixtures.raw(spark, sf)
+      df.collect()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    assert(p.contains("ReadSchema"), p.take(500))
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "fixture reads unused document columns:\n" + p.take(800))
+  }
+
+  test("v2 serving queries hit the cached unified table, not re-unify") {
+    val df = SparkEntry.registry("v2_venues").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      "v2 query did not read the materialized events table:\n" + p.take(800))
+  }
 }

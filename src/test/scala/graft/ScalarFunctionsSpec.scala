@@ -116,6 +116,22 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("F18: json $type introspection classifies path types") {
+    import graft.functions.ScalarFunctions
+    val js = """{"s":"hi","n":5,"d":2.5,"b":true,"o":{"x":1},"a":[1,2]}"""
+    val df = Seq(js).toDF("j")
+    val got = df.select(
+      ScalarFunctions.jsonTypeOf(col("j"), "$.s"),
+      ScalarFunctions.jsonTypeOf(col("j"), "$.n"),
+      ScalarFunctions.jsonTypeOf(col("j"), "$.d"),
+      ScalarFunctions.jsonTypeOf(col("j"), "$.b"),
+      ScalarFunctions.jsonTypeOf(col("j"), "$.o"),
+      ScalarFunctions.jsonTypeOf(col("j"), "$.a"),
+      ScalarFunctions.jsonTypeOf(col("j"), "$.nope")).head()
+    assert((0 until 7).map(got.getString) ===
+      Seq("string", "long", "double", "bool", "object", "array", "missing"))
+  }
+
   test("table layout: month partitioning prunes scans") {
     val ev = spark.read.schema(graft.schema.EventSchema.schema)
       .option("multiLine", true).json("fixtures/events_v2_sample.json")
