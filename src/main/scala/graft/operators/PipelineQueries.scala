@@ -146,6 +146,58 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred")), None),
 
+    // Duplicate clusters: n-gram Jaccard pairs → connected components
+    // (min-label propagation) → (doc, cluster) labels — the step that
+    // turns LSH candidate pairs into canonical-document groups. Oracle:
+    // DuckDB recursive CTE computes the same min-reachable-id labels
+    // over the same pair set.
+    "dd_dup_clusters" -> QueryDef(
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(
+          T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+          n = 2, minJaccard = 0.5)
+        Dedup.duplicateClusters(pairs)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split_regex(trim(text), '\s+'))),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1]))) AS s
+        |  FROM documents WHERE doc_id < 500),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id1, id2 FROM pairs
+        |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM jp
+        |          UNION SELECT id2, id1 FROM jp),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        |SELECT n AS doc_id, MIN(m) AS cluster_id
+        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin),
+
+    // Stratified quota sample: deterministic hash-ordered top-`quota`
+    // per language — the curation cap for a training-data mix.
+    "ta_stratified_sample" -> QueryDef(
+      (s, d) => TextAnalysis.stratifiedSample(
+          T.documents(s, d), "lang", "doc_id", quota = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id")),
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin),
+
     // Multimodal metadata path, oracle-checked: synthetic media blobs
     // (ASCII container magic + utf-8 payload, so DuckDB's VARCHAR md5
     // hashes the identical bytes) → magic-byte mime sniff + byte sizes

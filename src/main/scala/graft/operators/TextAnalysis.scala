@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text profiling for training-data pipelines: language ID, quality
@@ -91,6 +92,24 @@ object TextAnalysis {
         .as("punct_ratio"),
       (length(regexp_replace(text, "[^0-9]", "")).cast("double") / chars)
         .as("digit_ratio"))
+  }
+
+  /** Stratified (quota) sampling for corpus curation: at most `quota`
+    * rows per stratum, chosen by deterministic hash order — the
+    * per-language / per-source cap a training-data mix needs. Hash
+    * order (md5 of the id, id tiebreak) makes the sample reproducible
+    * across runs, partitionings, and engines — no RNG state. Cost: one
+    * shuffle (window partitioned by stratum); quota bounds per-task
+    * memory, and a hot stratum is exactly the salting case SkewOps
+    * covers if it ever dominates a task.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
   }
 
   /** Rolling-hash document fingerprint: the k smallest distinct shingle

@@ -46,6 +46,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
   }
 
+  test("duplicate clusters: min-label propagation labels components") {
+    // components: {1,2,3,4 chain}, {10,11}, {20,21,22 star on 20}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash codegen expression matches the HOF oracle exactly") {
     // edge shapes: empty, spaces-only, tab-led (leading empty token),
     // trailing whitespace (trailing empty token), unicode, plus real
