@@ -264,6 +264,34 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Canonical-document selection — the final step of the dedup
+    * funnel: given cluster labels (from duplicateClusters) and the
+    * corpus, keep ONE representative per cluster (longest text wins,
+    * smallest id breaks ties — "keep the most complete copy") plus
+    * every unclustered document. Returns the deduplicated corpus with
+    * a `cluster_id` column (own id for singletons).
+    *
+    * Joins are keyed on the doc id (clusters is a tiny fraction of the
+    * corpus — broadcast-sized in practice); the per-cluster argmax is
+    * one window over the clustered slice only, never the full corpus.
+    */
+  def canonicalDocuments(docs: DataFrame, clusters: DataFrame,
+      idCol: String, lengthCol: String): DataFrame = {
+    val cl = clusters.withColumnRenamed("node", idCol)
+    // Window ONLY over the clustered slice: a left-join + null-group
+    // window would funnel every unclustered row through one task.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(lengthCol).desc, col(idCol))
+    val keep = docs.join(broadcast(cl), Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+    val singletons = docs.join(broadcast(cl), Seq(idCol), "left_anti")
+      .withColumn("cluster_id", col(idCol))
+    singletons.unionByName(keep)
+  }
+
   /** Exact n-gram Jaccard over candidate pairs via inverted shingle
     * index (SURVEY-declared semantics; the oracle-checked query in
     * TextQueries instantiates the same shape).

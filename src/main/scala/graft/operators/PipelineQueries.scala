@@ -184,6 +184,91 @@ object PipelineQueries {
         |SELECT n AS doc_id, MIN(m) AS cluster_id
         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin),
 
+    // Canonical-document selection: clusters → one representative each
+    // (longest text, smallest id tiebreak) + all singletons — the
+    // deduplicated corpus, oracle-checked end to end.
+    "dd_canonical_docs" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d).filter(col("doc_id") < 500)
+        val clusters = Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 2, minJaccard = 0.5))
+        Dedup.canonicalDocuments(docs, clusters, "doc_id", "n_chars")
+          .select(col("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split_regex(trim(text), '\s+'))),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1]))) AS s
+        |  FROM documents WHERE doc_id < 500),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id1, id2 FROM pairs
+        |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM jp
+        |          UNION SELECT id2, id1 FROM jp),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        |labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+        |           FROM reach GROUP BY n),
+        |clustered AS (
+        |  SELECT d.doc_id, l.cluster_id,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        |  FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+        |  WHERE d.doc_id < 500)
+        |SELECT doc_id, doc_id AS cluster_id FROM documents
+        |WHERE doc_id < 500 AND doc_id NOT IN (SELECT doc_id FROM labels)
+        |UNION ALL
+        |SELECT doc_id, cluster_id FROM clustered WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin),
+
+    // End-to-end corpus curation — the canonical "build a training
+    // mix" pipeline as ONE query: language filter → token floor →
+    // exact-fingerprint first-wins dedup → per-language quota sample.
+    "etl_curate_corpus" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
+        val fp = md5(trim(regexp_replace(col("text"), "\\s+", " ")))
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = T.documents(s, d)
+          .filter(col("lang").isin("en", "es"))
+          .withColumn("n_tokens", nTokens).filter(col("n_tokens") >= 10)
+          .withColumn("fp", fp)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "fp")
+        TextAnalysis.stratifiedSample(deduped, "lang", "doc_id", quota = 30)
+          .select(col("lang"), col("doc_id"), col("n_tokens"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      """WITH filtered AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |  WHERE lang IN ('en', 'es')
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 10),
+        |deduped AS (
+        |  SELECT lang, doc_id, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1)
+        |SELECT lang, doc_id, n_tokens FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrn
+        |  FROM deduped)
+        |WHERE qrn <= 30 ORDER BY lang, doc_id""".stripMargin),
+
     // Stratified quota sample: deterministic hash-ordered top-`quota`
     // per language — the curation cap for a training-data mix.
     "ta_stratified_sample" -> QueryDef(
