@@ -22,7 +22,12 @@ object PipelineQueries {
     // rows-only: uuid5/sha1 id derivation is not DuckDB-expressible.
     "etl_unify_score" -> QueryDef(
       (s, d) => {
+        // repartition narrow rows before the wide adapter projection —
+        // the parquet is one split locally, and the projection (uuid5
+        // sha1s, regex soup, scorer) is the cost, so spread it before
+        // computing, not after.
         val docs = T.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
         val raw = docs.select(
           initcap(substring(col("text"), 1, 28)).as("title"),
           date_format(

@@ -109,8 +109,29 @@ object V2Fixtures {
         concat(lit("Host "), (col("doc_id") % 17).cast("string")))
         .otherwise(lit(null).cast("string"))
       val soldOut = col("doc_id") % 9 === 0
-      Unify.unify(raw(s, dir), "ibiza-spotlight",
+      // repartition the NARROW raw rows before the wide projection:
+      // documents.parquet is one small split, so without it the whole
+      // adapter+scorer compute runs on one core (8.4s serial vs ~0.6s
+      // parallel at sf0.1) — the shuffle moves only slim raw tuples.
+      // localCheckpoint then cuts the plan before the nested withField
+      // updates so CollapseProject can't inline the giant projection
+      // into each struct rebuild.
+      Unify.unify(
+          raw(s, dir).repartition(s.sparkContext.defaultParallelism),
+          "ibiza-spotlight",
           lit(nowTs).cast("timestamp"), keep = Seq("doc_id"))
+        // serving projection: only the columns the v2 queries read.
+        // The unify tree is ~10⁴ expression nodes; materializing the
+        // full document costs ~10s of DRIVER-side analysis/optimization
+        // alone (measured at sf0.001 — data-independent), most of it in
+        // branches nothing here queries (raw_data to_json, uuid5 event
+        // ids, empty default structs). Column pruning collapses the
+        // optimized tree several-fold — the same reason etl_unify_score
+        // (5 columns) plans in <2s.
+        .select(col("doc_id"), col("title"), col("type"), col("venue"),
+          col("datetime"), col("acts"), col("content"), col("music"),
+          col("ticketing"), col("data_quality"), col("validation_metadata"))
+        .localCheckpoint()
         .withColumn("venue", col("venue").withField("stages",
           transform(col("venue.stages"), st => st.withField("host",
             struct(host.as("host_name"),
