@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the merge/upsert bookkeeping family
+  * (SURVEY §2.12 D4 / §2.5 A10 / §2.1 K5) that previously had only
+  * ScalaTest specs.
+  */
+object MergeQueries {
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // D4/A10 — merge audit accumulators (reference:
+    // database/data_migration.py:102-158 keeps inserted/updated/dup
+    // counters while looping; here one set-algebra pass computes the
+    // same numbers for a batch): incoming rows, distinct keys, net-new
+    // vs updated keys, in-batch duplicate rows.
+    "d4_merge_audit" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val existing = ev.filter(col("event_id") < 2000)
+        val incoming = ev.filter(col("event_id") >= 1000 && col("event_id") < 3000)
+        MergeOps.mergeAudit(existing, incoming, Seq("user_id"))
+      },
+      """WITH ex AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_id < 2000),
+        |inc AS (
+        |  SELECT user_id FROM events
+        |  WHERE event_id >= 1000 AND event_id < 3000)
+        |SELECT
+        |  (SELECT COUNT(*) FROM inc) AS incoming_rows,
+        |  (SELECT COUNT(DISTINCT user_id) FROM inc) AS incoming_keys,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM inc) i
+        |     WHERE i.user_id NOT IN (SELECT user_id FROM ex)) AS new_keys,
+        |  (SELECT COUNT(DISTINCT user_id) FROM inc)
+        |    - (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM inc) i
+        |       WHERE i.user_id NOT IN (SELECT user_id FROM ex)) AS updated_keys,
+        |  (SELECT COUNT(*) FROM inc)
+        |    - (SELECT COUNT(DISTINCT user_id) FROM inc) AS in_batch_dupes""".stripMargin),
+
+    // K5 — re-scrape flag update (reference: database/api_server.py:
+    // 551-559): keyed two-field update inside the system_flags struct,
+    // applied as a column rewrite (no row explosion, no join — the id
+    // list broadcasts as a literal predicate).
+    "k5_refresh_flags" -> QueryDef(
+      (s, d) => {
+        val base = T.documents(s, d).select(
+          concat(lit("ev"), col("doc_id")).as("event_id"),
+          col("doc_id"),
+          struct(lit(false).as("is_featured"),
+            (col("doc_id") % 7 === 0).as("is_hidden"),
+            lit(false).as("needs_refresh"),
+            lit(null).cast("string").as("refresh_requested_at"))
+            .as("system_flags"))
+        MergeOps.flagForRefresh(base,
+            Seq("ev10", "ev20", "ev30", "ev40", "ev50"),
+            lit(V2Fixtures.nowIso))
+          .select(col("doc_id"),
+            col("system_flags.is_hidden").as("is_hidden"),
+            col("system_flags.needs_refresh").as("needs_refresh"),
+            col("system_flags.refresh_requested_at").as("refreshed_at"))
+          .orderBy(col("doc_id")).limit(300)
+      },
+      s"""SELECT doc_id, doc_id % 7 = 0 AS is_hidden,
+         |  doc_id IN (10, 20, 30, 40, 50) AS needs_refresh,
+         |  CASE WHEN doc_id IN (10, 20, 30, 40, 50)
+         |       THEN '${V2Fixtures.nowIso}' END AS refreshed_at
+         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin)
+  )
+}

@@ -16,36 +16,33 @@ object PipelineQueries {
 
     // The engine's central capability, benched at scale: raw
     // scraped-shaped records (derived deterministically from the
-    // documents corpus) → unify (alias coalescing, venue/genre
-    // lookups, date parse, uuid5 ids, lineup processing) → quality
-    // scoring. One scan, zero shuffles until the final order+limit.
-    // rows-only: uuid5/sha1 id derivation is not DuckDB-expressible.
+    // documents corpus — V2Fixtures.raw) → unify (alias coalescing,
+    // venue/genre lookups, date parse, uuid5 ids, lineup processing) →
+    // quality scoring. One scan, zero shuffles until the final
+    // order+limit. Unlike the V2 serving queries this does NOT use the
+    // cached fixture table: it re-runs the whole adapter, which is the
+    // thing being benched. Oracle: the fixture's DuckDB mirror
+    // recomputes title/venue/start_date/score from documents.parquet.
     "etl_unify_score" -> QueryDef(
       (s, d) => {
         // repartition narrow rows before the wide adapter projection —
         // the parquet is one split locally, and the projection (uuid5
         // sha1s, regex soup, scorer) is the cost, so spread it before
         // computing, not after.
-        val docs = T.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-        val raw = docs.select(
-          initcap(substring(col("text"), 1, 28)).as("title"),
-          date_format(
-            date_add(lit("2025-06-01").cast("date"),
-              (col("doc_id") % 90).cast("int")), "d MMMM yyyy").as("time"),
-          element_at(typedLit(Seq("amnesia", "pacha", "hi ibiza", "dc10",
-            "Secret Garden")), (col("doc_id") % 5 + 1).cast("int")).as("venue"),
-          concat(lit("www.example.com/event/"), col("doc_id")).as("url"),
-          array(lit("techno"), lit("deep-house")).as("genres"),
-          concat(lit("From €"), (lit(20) + col("doc_id") % 80)).as("price_text"))
-        Unify.unify(raw, "ibiza-spotlight",
-            lit("2025-06-10 00:00:00").cast("timestamp"))
-          .select(col("event_id"), col("title"),
+        Unify.unify(
+            V2Fixtures.raw(s, d)
+              .repartition(s.sparkContext.defaultParallelism),
+            "ibiza-spotlight",
+            lit(V2Fixtures.nowTs).cast("timestamp"), keep = Seq("doc_id"))
+          .select(col("doc_id"), col("title"),
             col("venue.name").as("venue_name"),
             col("datetime.start_date").as("start_date"),
             col("data_quality.overall_score").as("quality"))
-          .orderBy(col("event_id")).limit(500)
-      }, None),
+          .orderBy(col("doc_id")).limit(500)
+      },
+      s"""${V2Fixtures.oracleCte} SELECT doc_id, title, venue_name,
+         |  start_date, overall_score AS quality
+         |FROM v2ev ORDER BY doc_id LIMIT 500""".stripMargin),
 
     // MinHash signatures + band keys — the dedup sketch materialization
     // (one scan, no shuffle; at 100 TB this is the table you write
@@ -143,13 +140,38 @@ object PipelineQueries {
       }, None),
 
     // Language-ID heuristic vs the labeled lang column (accuracy
-    // profile per language).
+    // profile per language). The oracle replays the marker-vote argmax
+    // with DuckDB list functions: strict-greater fold over languages in
+    // alphabetical order means a tie keeps the EARLIER language, and
+    // all-zero votes yield 'und' — the CASE chain mirrors exactly that.
     "ta_langid" -> QueryDef(
       (s, d) => T.documents(s, d)
         .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred")), None),
+        .orderBy(col("lang"), col("pred")),
+      """WITH toks AS (
+        |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |votes AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','mit','für','nicht'))) AS v_de,
+        |    len(list_filter(w, x -> x IN ('the','and','of','is','to','in','that','with'))) AS v_en,
+        |    len(list_filter(w, x -> x IN ('el','la','de','que','los','las','una','por'))) AS v_es,
+        |    len(list_filter(w, x -> x IN ('le','la','les','des','est','une','dans','pour'))) AS v_fr,
+        |    len(list_filter(w, x -> x IN ('il','la','che','di','per','con','una','sono'))) AS v_it
+        |  FROM toks),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN v_de=0 AND v_en=0 AND v_es=0 AND v_fr=0 AND v_it=0 THEN 'und'
+        |         WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr AND v_de >= v_it THEN 'de'
+        |         WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_it THEN 'en'
+        |         WHEN v_es >= v_fr AND v_es >= v_it THEN 'es'
+        |         WHEN v_fr >= v_it THEN 'fr'
+        |         ELSE 'it' END AS pred
+        |  FROM votes)
+        |SELECT lang, pred, COUNT(*) AS n FROM pred
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin),
 
     // Duplicate clusters: n-gram Jaccard pairs → connected components
     // (min-label propagation) → (doc, cluster) labels — the step that
@@ -322,15 +344,36 @@ object PipelineQueries {
         |  COUNT(DISTINCT digest) AS distinct_content
         |FROM mm GROUP BY mime ORDER BY mime""".stripMargin),
 
-    // Bottom-k shingle fingerprints (containment sketch). The sketch
-    // is emitted as a comma-joined string, not array<long>: the
-    // driver's rows-only check sorts result columns, and array cells
-    // are unsortable there — the string form carries identical
-    // information and stays deterministic.
+    // Bottom-k shingle fingerprints (containment sketch), portable
+    // md5-hex variant so DuckDB can recompute the identical sketch:
+    // word 5-gram shingles → distinct md5 → lexicographic bottom-8,
+    // comma-joined (array cells are unsortable in the driver compare;
+    // the string form carries identical information).
     "ta_fingerprint" -> QueryDef(
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
-          concat_ws(",", TextAnalysis.bottomKFingerprint(col("text"))).as("fp"),
+          concat_ws(",",
+            TextAnalysis.bottomKFingerprintHex(col("text"))).as("fp"))
+        .orderBy(col("doc_id")).limit(200),
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                w[i+3] || ' ' || w[i+4])) END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents))
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(shingles, s -> md5(s))))[1:8], ',') AS fp
+        |FROM sh ORDER BY doc_id LIMIT 200""".stripMargin),
+
+    // BPE-ish subword count estimate — the split regex needs
+    // lookarounds (unsupported in DuckDB's RE2), so rows-only; the
+    // estimate's properties are spec-tested in TextAnalysisSpec.
+    "ta_subword_count" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
           TextAnalysis.subwordCountEstimate(col("text")).as("subwords"))
         .orderBy(col("doc_id")).limit(200), None)
   )

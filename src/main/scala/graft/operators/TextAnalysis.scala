@@ -119,4 +119,15 @@ object TextAnalysis {
   def bottomKFingerprint(text: Column, shingleSize: Int = 5, k: Int = 8): Column =
     slice(array_sort(array_distinct(
       transform(Dedup.shingles(text, shingleSize), s => xxhash64(s)))), 1, k)
+
+  /** Portable bottom-k fingerprint: md5-hex shingle hashes ordered
+    * lexicographically. Same sketch semantics as [[bottomKFingerprint]]
+    * (any uniform hash works for a bottom-k sketch); md5 hex strings
+    * are engine-portable, so this variant is oracle-checkable against
+    * DuckDB bit-for-bit. Prefer the xxhash64 variant in hot paths —
+    * ~4× cheaper per shingle.
+    */
+  def bottomKFingerprintHex(text: Column, shingleSize: Int = 5, k: Int = 8): Column =
+    slice(array_sort(array_distinct(
+      transform(Dedup.shingles(text, shingleSize), s => md5(s)))), 1, k)
 }

@@ -286,6 +286,11 @@ object Unify {
       eventType(title, venueName).as("type"),
       lit("scheduled").as("status"),
       struct(
+        // Unparseable dates fall back to scrape-time BY REFERENCE
+        // SEMANTICS (schema_adapter_enhanced.py:587-592: `start_date =
+        // data.get('start_date', datetime.now(...).isoformat())`) —
+        // the failure is still surfaced via the datetime ERROR issue +
+        // ×0.7 confidence decay above, exactly like the reference.
         coalesce(startDate, nowIso).as("start_date"),
         lit(null).cast("string").as("end_date"),
         lit("Europe/Madrid").as("timezone"),
