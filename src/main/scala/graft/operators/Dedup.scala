@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ensure at least default parallelism BEFORE an expensive per-row
+    * compute (shingling, signatures). A small parquet table is one
+    * split, so without this the whole HOF/signature compute runs on a
+    * single core while the rest idle — the repartition shuffles only
+    * the narrow projected input, never the computed arrays. No-op when
+    * the source already has enough splits (the 100 TB case).
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Whitespace word tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -118,8 +130,8 @@ object Dedup {
     // shuffled along (a 64-long array per banded row is ~100× the
     // bytes of the id pair, and MinHashSig recomputation is a cheap
     // codegen'd scan).
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val sigs = spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), minhashSignature(col("t"), numHashes, shingleSize).as("sig"))
     val rows = numHashes / bands
     val bandedAll = sigs.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -223,14 +235,15 @@ object Dedup {
     * propagation: every node converges to the smallest doc id reachable
     * in its component.
     *
-    * Scale notes: each round is one join + one groupBy on the label
-    * table, both hash-partitioned on the node id; rounds needed =
-    * component diameter, and near-dup clusters are shallow (boilerplate
-    * families, mirror sites), so convergence is fast in practice — the
-    * large-star/small-star contraction is the asymptotic upgrade if
-    * components turn out deep. localCheckpoint every round cuts the
-    * exponential lineage growth iterative Spark plans otherwise
-    * accumulate.
+    * Scale notes: each round is (neighbor-min join + groupBy) followed
+    * by a pointer jump (label := label of own label), so label
+    * distance to the component minimum roughly halves per round —
+    * O(log diameter) rounds instead of O(diameter), the same
+    * contraction idea as large-star/small-star. All joins are
+    * hash-partitioned on the node id. localCheckpoint every round cuts
+    * the exponential lineage growth iterative Spark plans otherwise
+    * accumulate, and the convergence probe reads the checkpointed
+    * round result (old label carried through) — no extra join job.
     *
     * Returns (node, cluster_id) for every node that appears in `pairs`
     * (singletons never enter the pair stream).
@@ -251,14 +264,19 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nl"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val stepped = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("mid"))
+      // pointer jump: follow the new label one hop (label of label).
+      // `stepped` is tiny relative to edges and recomputing it on the
+      // probe side of the self-join is cheaper than a checkpoint job.
+      val jump = stepped.select(col("node").as("l"), col("mid").as("ll"))
+      val next = stepped.join(jump, col("mid") === col("l"), "left")
+        .select(col("node"), col("old"),
+          least(col("mid"), coalesce(col("ll"), col("mid"))).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      converged = changed == 0
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
@@ -298,8 +316,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("shingles"))
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), shingles(col("t"), n).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n"))
     val inv = sh.select(col("id"), explode(col("shingles")).as("s"))
     inv.as("a").join(inv.as("b"),

@@ -56,6 +56,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicate clusters: deep chain converges within the iteration cap") {
+    // a 64-node path is the worst case for plain min-propagation
+    // (needs 63 rounds, over the default maxIters=20); the pointer
+    // jump makes label distance halve per round, so it must converge
+    // well inside the cap — this pins the O(log diameter) behavior.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64 && got.values.forall(_ == 1L),
+      s"chain not fully contracted: ${got.filter(_._2 != 1L)}")
+  }
+
   test("simhash codegen expression matches the HOF oracle exactly") {
     // edge shapes: empty, spaces-only, tab-led (leading empty token),
     // trailing whitespace (trailing empty token), unicode, plus real

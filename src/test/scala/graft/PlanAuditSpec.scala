@@ -99,6 +99,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "fixture reads unused document columns:\n" + p.take(800))
   }
 
+  test("scalar-function queries stay shuffle-free up to the final top-k") {
+    // pure per-row column algebra over one scan: the only "ordering"
+    // operator allowed is TakeOrderedAndProject (no Exchange, no Sort).
+    for (q <- Seq("f3_date_ladder", "f7_price_extract", "k5_refresh_flags")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: " + p.take(500))
+      assert(!p.contains("Exchange"), s"$q shuffles a per-row projection")
+    }
+  }
+
   test("v2 serving queries hit the cached unified table, not re-unify") {
     val df = SparkEntry.registry("v2_venues").fn(spark, sf)
     df.collect()
