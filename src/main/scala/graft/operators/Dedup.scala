@@ -102,6 +102,36 @@ object Dedup {
       coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
   }
 
+  /** Engine-portable base hashes: 28-bit ints from the md5 hex prefix
+    * of each word-n-gram STRING (vs [[shingleHashes]]' xxhash64 token
+    * composite — cheaper, but xxhash64 exists only in Spark). Any
+    * uniform base hash gives an equally valid MinHash family; this one
+    * lets DuckDB recompute signatures bit-for-bit
+    * (CAST('0x'||substr(md5(s),1,7) AS BIGINT)).
+    */
+  def shingleHashesPortable(text: Column, n: Int): Column =
+    transform(shingles(text, n),
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+
+  /** [[minhashSignature]] over the portable md5 base hash — same
+    * codegen'd k-min loop, oracle-checkable. The affine family and
+    * modulus are identical; only the base hash differs.
+    */
+  def minhashSignaturePortable(text: Column, numHashes: Int = 64,
+      shingleSize: Int = 3, seed: Long = 42L): Column = {
+    val coeffs = hashCoeffs(numHashes, seed)
+    graft.functions.MinHashSig.minhash_sig(
+      shingleHashesPortable(text, shingleSize),
+      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
+  }
+
+  /** The (a, b) coefficient table for [[minhashSignaturePortable]]'s
+    * oracle SQL — callers embed these as literals so DuckDB applies the
+    * identical affine family.
+    */
+  def portableCoeffs(numHashes: Int = 64, seed: Long = 42L): Seq[(Long, Long)] =
+    hashCoeffs(numHashes, seed)
+
   /** LSH banding: (docId, band, bandHash) rows — one per band. Equal
     * bandHash within a band ⇒ candidate duplicate pair. `bands` must
     * divide the signature length.

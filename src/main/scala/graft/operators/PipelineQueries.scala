@@ -62,19 +62,44 @@ object PipelineQueries {
          |  start_date, overall_score AS quality
          |FROM v2ev ORDER BY doc_id LIMIT 500""".stripMargin),
 
-    // MinHash signatures + band keys — the dedup sketch materialization
-    // (one scan, no shuffle; at 100 TB this is the table you write
-    // bucketed by band_hash).
+    // MinHash signatures — the dedup sketch materialization (one scan,
+    // no shuffle; at 100 TB this is the table you write bucketed by
+    // band_hash). Oracle-checked bit-for-bit via the PORTABLE base
+    // hash (md5 hex prefix): DuckDB replays the identical affine
+    // family over the identical shingle hashes — the coefficient table
+    // is embedded in the SQL from the same seeded generator. The
+    // comma-joined string carries the full 64-long signature (array
+    // cells are unsortable in the driver compare).
     "dd_minhash_signature" -> QueryDef(
-      (s, d) => {
-        val sigs = T.documents(s, d).select(col("doc_id"),
-          Dedup.minhashSignature(col("text"), numHashes = 64).as("sig"))
-        Dedup.lshBands(sigs, "doc_id", "sig", bands = 16)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bands"),
-            countDistinct(col("band_hash")).as("n_distinct_bands"))
-          .orderBy(col("doc_id")).limit(200)
-      }, None),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(",",
+            Dedup.minhashSignaturePortable(col("text"), numHashes = 64,
+              shingleSize = 3)).as("sig"))
+        .orderBy(col("doc_id")).limit(200),
+      {
+        val coeffs = Dedup.portableCoeffs(64)
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+          .mkString(", ")
+        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+           |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS shingles
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           |        FROM documents)),
+           |vals AS (
+           |  SELECT doc_id, i,
+           |    list_min(list_transform(shingles,
+           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+           |           % 2147483647)) AS v
+           |  FROM sh, coeffs)
+           |SELECT doc_id,
+           |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+           |FROM vals GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
+      }),
 
     // MinHash LSH candidate pairs over a bounded corpus slice. The
     // synthetic corpus draws from a ~50-word vocabulary, so at 1-gram

@@ -110,6 +110,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: portable minhash estimates jaccard like the xxhash family") {
+    // the md5-base portable variant must be an equally valid MinHash
+    // family: signature-position match fraction approximates exact
+    // jaccard with the same error bound as the xxhash64 family
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(4, docGen)) { docs =>
+      whenever(docs.size >= 2 && docs.forall(_.split("\\s+").length >= 3)) {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val sigs = df.select(col("doc_id"),
+          Dedup.minhashSignaturePortable(col("text"), numHashes = 128,
+            shingleSize = 2).as("sig")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 0.0)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        for (i <- sigs.keys; j <- sigs.keys if i < j) {
+          val est = sigs(i).zip(sigs(j)).count { case (x, y) => x == y } / 128.0
+          val x = exact.getOrElse((i, j), 0.0)
+          assert(math.abs(est - x) <= 0.3, s"pair ($i,$j) est $est exact $x")
+        }
+      }
+    }
+  }
+
   test("property: text normalize idempotent; entity unescape stable") {
     forAll(Gen.listOfN(20, Gen.asciiPrintableStr.map(_.take(60)))) { texts =>
       whenever(texts.nonEmpty) {

@@ -86,6 +86,33 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     assert(one(parseIbizaDate(col("x")), "23:00 - 06:00") === null)
   }
 
+  test("F3 universal ladder: shape gates admit every parseable format") {
+    // the regex gates ahead of each try_to_timestamp are a pure perf
+    // device; this pins that every format the ungated ladder accepted
+    // still parses — including single-digit day/month forms, which is
+    // where an over-eager gate would bite
+    val cases = Seq(
+      "2025-07-15T14:30:00+0200" -> "2025-07-15T12:30:00Z",
+      "2025-07-15T14:30:00+02:00" -> "2025-07-15T12:30:00Z",
+      "2025-07-15T09:15:00Z" -> "2025-07-15T09:15:00Z",
+      "2025-07-15 18:45:30" -> "2025-07-15T18:45:30Z",
+      "2025-07-15" -> "2025-07-15T00:00:00Z",
+      "5/7/2025 22:00" -> "2025-07-05T22:00:00Z",
+      "15/7/2025 22:00" -> "2025-07-15T22:00:00Z",
+      "5-7-2025 07:30" -> "2025-07-05T07:30:00Z",
+      "July 5, 2025 at 2:30 PM" -> "2025-07-05T14:30:00Z",
+      "5 July 2025" -> "2025-07-05T00:00:00Z",
+      "15 July 2025" -> "2025-07-15T00:00:00Z")
+    cases.foreach { case (in, out) =>
+      assert(one(parseDateTimeMulti(col("x")), in) === out, in)
+    }
+    // unparseable / pathological stay null, not mis-gated to a parse
+    Seq("sometime soon", "tba", "15 2025", "2025-07-15X10:00",
+        null.asInstanceOf[String]).foreach { in =>
+      assert(one(parseDateTimeMulti(col("x")), in) === null, s"'$in'")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
