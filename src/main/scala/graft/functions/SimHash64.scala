@@ -75,3 +75,71 @@ object SimHash64 {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 }
+
+/** SimHash vote loop over a PRECOMPUTED token-hash array — same ±1
+  * bit votes as [[SimHash64]], but the base hash is whatever produced
+  * the input column. Feeding it md5-derived hashes (portable across
+  * engines) makes the sketch DuckDB-reproducible while the loop stays
+  * codegen'd and allocation-free per token (one int[bits] per row).
+  */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val votes = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[$bits];
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    if ((($h >>> $j) & 1L) != 0L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  def simhash_bits(tokenHashes: Column, bits: Int): Column =
+    ColumnBridge.column(
+      SimHashBits(ColumnBridge.expression(tokenHashes), bits))
+}

@@ -154,14 +154,19 @@ object Dedup {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      minEstimate: Double = 0.0, maxBucketSize: Int = 500): DataFrame = {
+      minEstimate: Double = 0.0, maxBucketSize: Int = 500,
+      portable: Boolean = false): DataFrame = {
     // The band join shuffles ONLY (id, band, band_hash) triples —
     // signatures are recomputed per join side instead of being
     // shuffled along (a 64-long array per banded row is ~100× the
     // bytes of the id pair, and MinHashSig recomputation is a cheap
-    // codegen'd scan).
+    // codegen'd scan). `portable` swaps in the md5-base signature so
+    // an external engine can replay the pair generation (band equality
+    // ⟺ slice equality).
     val sigs = spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), minhashSignature(col("t"), numHashes, shingleSize).as("sig"))
+      .select(col("id"),
+        (if (portable) minhashSignaturePortable(col("t"), numHashes, shingleSize)
+         else minhashSignature(col("t"), numHashes, shingleSize)).as("sig"))
     val rows = numHashes / bands
     val bandedAll = sigs.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -233,6 +238,18 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Engine-portable 60-bit SimHash: per-token base hash = md5 hex
+    * prefix (15 hex chars = 60 bits, BIGINT-safe in DuckDB), vote loop
+    * in the codegen'd SimHashBits expression. Same sketch semantics as
+    * [[simhash64]]; only the base hash and width differ — this variant
+    * exists so the registry query is oracle-checkable bit-for-bit.
+    */
+  def simhash60Portable(text: Column): Column =
+    graft.functions.SimHashBits.simhash_bits(
+      transform(tokens(text),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      bits = 60)
 
   /** SimHash near-dup candidate pairs: band the 64 bits into `bands`
     * equal keys (any exact band match ⇒ candidate). Pigeonhole: every

@@ -106,20 +106,64 @@ object PipelineQueries {
     // shingles nearly EVERY doc pair is a candidate — quadratic by
     // construction. Real corpora hit the same wall via boilerplate;
     // the operator's maxBucketSize cap is the control. Here the slice
-    // is bounded instead so the rows-only check stays meaningful.
+    // is bounded instead so the check stays meaningful. Oracle: with
+    // the portable md5-base signatures, DuckDB recomputes the same
+    // 32-long sigs, joins on band-SLICE equality (band-hash equality
+    // is slice equality — the hash only compresses the shuffle key),
+    // and replays the match-fraction estimate exactly (n/32 doubles).
     "dd_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.minhashCandidatePairs(
         T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
         numHashes = 32, bands = 16, shingleSize = 1,
-        maxBucketSize = Int.MaxValue)
+        maxBucketSize = Int.MaxValue, portable = true)
         .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
-        .limit(100), None),
+        .limit(100),
+      {
+        val coeffs = Dedup.portableCoeffs(32)
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+          .mkString(", ")
+        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
+           |  FROM documents WHERE doc_id < 500),
+           |vals AS (
+           |  SELECT doc_id, i,
+           |    list_min(list_transform(shingles,
+           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+           |           % 2147483647)) AS v
+           |  FROM sh, coeffs),
+           |sig AS (
+           |  SELECT doc_id, list(v ORDER BY i) AS sig
+           |  FROM vals GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
+           |  FROM sig, range(0, 16) r(b)),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.b = y.b AND x.sl = y.sl AND x.doc_id < y.doc_id)
+           |SELECT c.id1, c.id2,
+           |  CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
+           |       AS DOUBLE) / CAST(32 AS DOUBLE) AS est_jaccard
+           |FROM cand c
+           |JOIN sig s1 ON s1.doc_id = c.id1
+           |JOIN sig s2 ON s2.doc_id = c.id2
+           |ORDER BY est_jaccard DESC, id1, id2 LIMIT 100""".stripMargin
+      }),
 
-    // SimHash: signature + distance-to-reference ranking.
+    // SimHash: signature + distance-to-reference ranking. Oracle-checked
+    // via the PORTABLE 60-bit variant (md5 token hashes): DuckDB replays
+    // the same majority-vote bits ((h >> j) & 1 over 60 bits, bit set
+    // when ones outnumber zeros) and bit_count(xor) hamming. The
+    // xxhash64-based SimHash64 expression stays the hot path for
+    // banding; its semantics are pinned by the expression==HOF spec.
     "dd_simhash" -> QueryDef(
       (s, d) => {
         val docs = T.documents(s, d)
-          .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+          .select(col("doc_id"),
+            Dedup.simhash60Portable(col("text")).as("simhash"))
         val ref = docs.filter(col("doc_id") === 0)
           .select(col("simhash").as("ref_hash"))
         docs.crossJoin(broadcast(ref))
@@ -127,20 +171,70 @@ object PipelineQueries {
             Dedup.hammingDistance(col("simhash"), col("ref_hash")).as("hamming"))
           .filter(col("doc_id") =!= 0)
           .orderBy(col("hamming"), col("doc_id")).limit(20)
-      }, None),
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    (SELECT COALESCE(SUM(CASE
+        |        WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
+        |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 0)
+        |     FROM range(0, 60) r(j)) AS simhash
+        |  FROM t),
+        |ref AS (SELECT simhash AS ref_hash FROM sh WHERE doc_id = 0)
+        |SELECT doc_id, simhash,
+        |  CAST(bit_count(xor(simhash, ref_hash)) AS INT) AS hamming
+        |FROM sh, ref WHERE doc_id <> 0
+        |ORDER BY hamming, doc_id LIMIT 20""".stripMargin),
 
     // ANN via random-hyperplane LSH: probe the query vector's bucket.
+    // Oracle: the 4 seeded hyperplanes are embedded as literals, DuckDB
+    // replays the sign-pattern bucketing (sum of disjoint powers ==
+    // the bit OR), the bucket probe, and the left-to-right cosine fold
+    // — all bit-exact (see sim_cosine_fast for the fold-parity
+    // argument). Embedding dim is pinned at 64 by the testdata
+    // generator at every sf.
     "sim_ann_lsh" -> QueryDef(
       (s, d) => {
         val q = T.embeddings(s, d).filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         Similarity.annTopK(T.embeddings(s, d), "vec_id", "embedding",
           q, k = 10, bits = 4)
-      }, None),
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(4, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |buck AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE
+         |      WHEN list_reduce(list_transform(range(1, 65),
+         |        j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |      THEN (1 << hp.i) ELSE 0 END) AS INT) AS bucket
+         |  FROM emb e, hp GROUP BY e.vec_id),
+         |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+         |qn AS (
+         |  SELECT qv, sqrt(list_reduce(list_transform(qv, x -> x * x),
+         |    (a, b) -> a + b)) AS qnorm FROM q),
+         |qb AS (SELECT bucket AS qbucket FROM buck WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  list_reduce(list_transform(range(1, 65), j -> e.v[j] * qn.qv[j]),
+         |    (a, b) -> a + b)
+         |  / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+         |      (a, b) -> a + b)) * qn.qnorm) AS cosine,
+         |  b.bucket
+         |FROM emb e JOIN buck b ON b.vec_id = e.vec_id, qn, qb
+         |WHERE b.bucket = qb.qbucket
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin),
 
     // Embedding-cosine near-duplicate pairs: sign-pattern LSH buckets
     // (6 hyperplanes → 64 cells) generate candidates, exact cosine
     // verifies within cells — one shuffle, never an all-pairs join.
+    // Oracle: embedded hyperplane literals + bucket-equality self-join
+    // + left-to-right cosine folds, bit-exact like sim_cosine_fast.
     "dd_embedding_neardup" -> QueryDef(
       (s, d) => {
         val dim = T.embeddings(s, d).select(size(col("embedding")))
@@ -149,7 +243,34 @@ object PipelineQueries {
           "embedding", dim, minCosine = 0.1, bits = 6)
           .orderBy(col("cosine").desc, col("id1"), col("id2"))
           .limit(100)
-      }, None),
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(6, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |buck AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE
+         |      WHEN list_reduce(list_transform(range(1, 65),
+         |        j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |      THEN (1 << hp.i) ELSE 0 END) AS INT) AS bucket
+         |  FROM emb e, hp GROUP BY e.vec_id),
+         |bv AS (
+         |  SELECT e.vec_id, e.v, b.bucket
+         |  FROM emb e JOIN buck b ON b.vec_id = e.vec_id),
+         |pairs AS (
+         |  SELECT x.vec_id AS id1, y.vec_id AS id2,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> x.v[j] * y.v[j]), (a, b) -> a + b)
+         |    / (sqrt(list_reduce(list_transform(x.v, t -> t * t),
+         |        (a, b) -> a + b))
+         |       * sqrt(list_reduce(list_transform(y.v, t -> t * t),
+         |         (a, b) -> a + b))) AS cosine
+         |  FROM bv x JOIN bv y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id1, id2, cosine FROM pairs
+         |WHERE cosine >= CAST(0.1 AS DOUBLE)
+         |ORDER BY cosine DESC, id1, id2 LIMIT 100""".stripMargin),
 
     // IVF ANN: train a small coarse quantizer, probe the 2 cells
     // nearest the query vector, exact cosine within them. Training
@@ -170,9 +291,11 @@ object PipelineQueries {
 
     // Brute-force cosine, scale-path formulation: per-row fold for the
     // dot product (no explode, no per-element shuffle rows) + top-k as
-    // TakeOrderedAndProject. Same ranking as sim_cosine_topk but
-    // float-summation order differs from SQL, so rows-only here; the
-    // integer-quantized variant carries the oracle.
+    // TakeOrderedAndProject. Oracle-checked BIT-FOR-BIT on the float
+    // path: Spark's aggregate() fold and DuckDB's list_reduce are both
+    // strict left-to-right IEEE double accumulation (and 0.0 + x == x
+    // exactly, so the differing inits don't matter) — same products,
+    // same order, same sqrt, same division.
     "sim_cosine_fast" -> QueryDef(
       (s, d) => {
         val q = T.embeddings(s, d).filter(col("vec_id") === 0)
@@ -180,7 +303,23 @@ object PipelineQueries {
         Similarity.cosineTopK(
           T.embeddings(s, d).filter(col("vec_id") =!= 0),
           "vec_id", "embedding", q, 10)
-      }, None),
+      },
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |qn AS (
+        |  SELECT sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |    (a, b) -> a + b)) AS qnorm, qv FROM q),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * qv[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, b) -> a + b)) * qnorm) AS cosine
+        |  FROM embeddings, qn WHERE vec_id <> 0)
+        |SELECT vec_id, cosine FROM scored
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
 
     // Language-ID heuristic vs the labeled lang column (accuracy
     // profile per language). The oracle replays the marker-vote argmax
@@ -402,13 +541,19 @@ object PipelineQueries {
         |    list_transform(shingles, s -> md5(s))))[1:8], ',') AS fp
         |FROM sh ORDER BY doc_id LIMIT 200""".stripMargin),
 
-    // BPE-ish subword count estimate — the split regex needs
-    // lookarounds (unsupported in DuckDB's RE2), so rows-only; the
-    // estimate's properties are spec-tested in TextAnalysisSpec.
+    // BPE-ish subword count estimate: segment-run matching + long-word
+    // extras, replayed by DuckDB with the same RE2-compatible pattern
+    // (integer arithmetic throughout — order-independent).
     "ta_subword_count" -> QueryDef(
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.subwordCountEstimate(col("text")).as("subwords"))
-        .orderBy(col("doc_id")).limit(200), None)
+        .orderBy(col("doc_id")).limit(200),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]+'))
+        |    AS BIGINT)
+        |  + list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |      w -> greatest(0, length(w) // 8))) AS subwords
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)
   )
 }

@@ -23,6 +23,17 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** The hyperplane table as DuckDB VALUES rows `(i, [d0, d1, ...])` —
+    * oracle SQL embeds these literals so an external engine can replay
+    * the sign-pattern bucketing exactly. Double.toString is the
+    * shortest round-trip form, so parsing it back yields the identical
+    * bits.
+    */
+  def hyperplaneSqlValues(bits: Int, dim: Int, seed: Long = 7L): String =
+    hyperplanes(bits, dim, seed).zipWithIndex
+      .map { case (h, i) => s"($i, [${h.mkString(", ")}])" }
+      .mkString(", ")
+
   /** Dot product of a vector column against a constant vector — a
     * per-row fold in doubles, whole-stage-codegen friendly.
     */

@@ -15,13 +15,16 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Dedup.tokens(text)).cast("long")
 
-  /** BPE-ish subword count estimate: word-piece regex split (letters /
-    * digits / punctuation runs), ~chars/4 floor for long words.
+  /** BPE-ish subword count estimate: word-piece segments (maximal runs
+    * of letters/digits or of punctuation) + an extra piece per 8 chars
+    * of long words. Run-MATCHING (`regexp_extract_all`) rather than
+    * boundary-splitting with lookarounds — the same segments, but the
+    * pattern is RE2-compatible, so DuckDB can replay it for the oracle
+    * (and match-all is cheaper than split-at-lookaround in Java too).
     */
   def subwordCountEstimate(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[\\p{L}\\p{N}])(?=[^\\p{L}\\p{N}\\s])|(?<=[^\\p{L}\\p{N}\\s])(?=[\\p{L}\\p{N}])|\\s+"),
-      t => t =!= "")).cast("long") +
+    size(regexp_extract_all(text,
+      lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]+"), lit(0))).cast("long") +
       aggregate(Dedup.tokens(text), lit(0L),
         (acc, w) => acc + greatest(lit(0L), (length(w) / 8).cast("long")))
 
