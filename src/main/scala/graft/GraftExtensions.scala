@@ -63,7 +63,14 @@ object GraftExtensions {
         val coeffs = Seq.fill(k)((rng.nextInt(Int.MaxValue).toLong + 1L,
           rng.nextInt(Int.MaxValue).toLong))
         MinHashSig(args.head, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
-      }))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => graft.functions.SimHash64(args.head)),
+    (FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) =>
+        graft.functions.SimHashBits(args.head, intArg(args(1), "bits"))))
 
   /** Register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -59,5 +59,14 @@ class StreamingStateSpec extends AnyFunSuite {
       "SELECT minhash_sig(array(1L, 2L, 3L), 8, 42L) AS s").head().getSeq[Long](0)
     assert(sig.length === 8)
     assert(sig.forall(_ >= 0))
+    // simhash64 over SQL == the Column API path
+    val sh = spark.sql("SELECT simhash64('hello world foo') AS h").head().getLong(0)
+    val shCol = Seq("hello world foo").toDF("t")
+      .select(graft.operators.Dedup.simhash64(col("t"))).head().getLong(0)
+    assert(sh === shCol)
+    // simhash_bits: 60-bit output stays under 2^60
+    val sb = spark.sql(
+      "SELECT simhash_bits(array(1L, 3L, 7L), 60) AS h").head().getLong(0)
+    assert(sb >= 0L && sb < (1L << 60))
   }
 }
