@@ -357,6 +357,39 @@ object Dedup {
     singletons.unionByName(keep)
   }
 
+  /** Train/eval contamination check — the decontamination pass every
+    * training-data pipeline needs: flag training documents whose
+    * bottom-k fingerprint shares at least `minShared` sketch hashes
+    * with any eval/benchmark document (sketch-hash overlap approximates
+    * shingle containment). Inverted index on the sketch hashes — the
+    * join is |train sketches| × |eval sketches| on hash equality, never
+    * doc × doc. Eval sets are small; the exploded eval side broadcasts.
+    *
+    * Returns (train id, worst eval match, shared-hash count), one row
+    * per contaminated training doc; ties on overlap resolve to the
+    * smallest eval id.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 5, k: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    def fps(df: DataFrame, out: String) =
+      spread(df.select(col(idCol).as(out), col(textCol).as("t")))
+        .select(col(out), explode(
+          TextAnalysis.bottomKFingerprintHex(col("t"), shingleSize, k)).as("h"))
+    val overlaps = fps(train, "train_id")
+      .join(broadcast(fps(eval, "eval_id")), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    overlaps
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("n_shared"), (-col("eval_id")).as("neg")))
+        .as("best"))
+      .select(col("train_id"),
+        (-col("best.neg")).as("eval_id"),
+        col("best.n_shared").as("n_shared"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs via inverted shingle
     * index (SURVEY-declared semantics; the oracle-checked query in
     * TextQueries instantiates the same shape).

@@ -66,6 +66,33 @@ object MergeQueries {
          |  doc_id IN (10, 20, 30, 40, 50) AS needs_refresh,
          |  CASE WHEN doc_id IN (10, 20, 30, 40, 50)
          |       THEN '${V2Fixtures.nowIso}' END AS refreshed_at
-         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin)
+         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin),
+
+    // Skew diagnostic — the one-scan key-distribution report that
+    // decides whether to salt (top keys by count + share of table).
+    "skew_report" -> QueryDef(
+      (s, d) => SkewOps.keySkewReport(T.events(s, d), "event_type", k = 10),
+      """WITH c AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS share
+        |FROM c ORDER BY n DESC, event_type LIMIT 10""".stripMargin),
+
+    // Salted two-phase aggregation, oracle-checked against the PLAIN
+    // group-by: the salt spreads one hot key over `buckets` reducers
+    // but must not change any result — summing through DECIMAL makes
+    // the partial-sum order irrelevant, so the equality is exact.
+    "skew_salted_agg" -> QueryDef(
+      (s, d) => {
+        val df = T.events(s, d).withColumn("v",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        SkewOps.saltedCountSum(df, "event_type", "v", "event_id", buckets = 8)
+          .select(col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

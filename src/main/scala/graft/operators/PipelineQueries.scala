@@ -541,6 +541,44 @@ object PipelineQueries {
         |    list_transform(shingles, s -> md5(s))))[1:8], ',') AS fp
         |FROM sh ORDER BY doc_id LIMIT 200""".stripMargin),
 
+    // Decontamination: training docs sharing >= 2 bottom-k sketch
+    // hashes with the held-out slice — the benchmark-overlap pass a
+    // training-data pipeline runs before every mix. Portable md5
+    // sketches, so DuckDB replays the inverted-index overlap exactly.
+    "etl_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 500),
+          "doc_id", "text")
+          .orderBy(col("train_id"))
+      },
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(w) - 3),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                w[i+3] || ' ' || w[i+4])) END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents WHERE doc_id < 500)),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_sort(list_distinct(
+        |    list_transform(shingles, s -> md5(s))))[1:8]) AS h
+        |  FROM sh),
+        |ov AS (
+        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |    COUNT(*) AS n_shared
+        |  FROM fp t JOIN fp e ON t.h = e.h
+        |  WHERE t.doc_id < 400 AND e.doc_id >= 400
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |best AS (
+        |  SELECT train_id, eval_id, n_shared, row_number() OVER (
+        |    PARTITION BY train_id ORDER BY n_shared DESC, eval_id) AS rk
+        |  FROM ov)
+        |SELECT train_id, eval_id, n_shared FROM best
+        |WHERE rk = 1 ORDER BY train_id""".stripMargin),
+
     // BPE-ish subword count estimate: segment-run matching + long-word
     // extras, replayed by DuckDB with the same RE2-compatible pattern
     // (integer arithmetic throughout — order-independent).

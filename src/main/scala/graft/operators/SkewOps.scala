@@ -55,7 +55,7 @@ object SkewOps {
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("_total"))))
       .withColumn("share", col("n").cast("double") / col("_total").cast("double"))
       .drop("_total")
-      .orderBy(col("n").desc)
+      .orderBy(col("n").desc, col(keyCol))
       .limit(k)
   }
 }

@@ -56,6 +56,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("contamination report flags sketch overlap with the eval set, not unrelated docs") {
+    val train = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val eval = Seq((100L, nearDup)).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the near-dup of doc 1 is in eval → doc 1 flagged with overlap ≥ 2;
+    // doc 2 shares no 5-gram sketches → absent
+    assert(got.map(_._1).toSet === Set(1L))
+    val (_, evalId, shared) = got.head
+    assert(evalId === 100L && shared >= 2)
+  }
+
   test("duplicate clusters: deep chain converges within the iteration cap") {
     // a 64-node path is the worst case for plain min-propagation
     // (needs 63 rounds, over the default maxIters=20); the pointer
