@@ -66,11 +66,21 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => graft.functions.SimHash64(args.head)),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash64(text) takes 1 argument, got ${args.length}")
+        // normalize at the analyzer boundary like py_round does — a
+        // non-string input otherwise dies at runtime with a cast error
+        graft.functions.SimHash64(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType))
+      }),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
-      (args: Seq[Expression]) =>
-        graft.functions.SimHashBits(args.head, intArg(args(1), "bits"))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"simhash_bits(token_hashes, bits) takes 2 arguments, got ${args.length}")
+        graft.functions.SimHashBits(args.head, intArg(args(1), "bits"))
+      }))
 
   /** Register on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

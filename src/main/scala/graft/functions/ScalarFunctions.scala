@@ -215,7 +215,9 @@ object ScalarFunctions {
       .when(v.startsWith("["), "array")
       .when(v === "true" || v === "false", "bool")
       .when(v.rlike("^-?\\d+$"), "long")
-      .when(v.rlike("^-?\\d*\\.\\d+([eE][+-]?\\d+)?$"), "double")
+      // decimal-point doubles AND exponent-only forms (1e5 is a valid
+      // JSON number with no '.')
+      .when(v.rlike("^-?(\\d*\\.\\d+|\\d+)([eE][+-]?\\d+)?$"), "double")
       .otherwise("string")
   }
 

@@ -326,6 +326,15 @@ object Dedup {
       labels = next.select(col("node"), col("label"))
       i += 1
     }
+    // A partial result here is internally INCONSISTENT (a node may
+    // carry a different label than its neighbor), and downstream
+    // canonical selection would silently keep several representatives
+    // of one cluster — fail loudly instead. With the pointer jump,
+    // convergence needs ~log2(diameter) rounds, so the default cap
+    // covers any component up to ~2^20 hops across.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge within $maxIters rounds — " +
+        "raise maxIters (component diameter exceeds 2^maxIters)")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
@@ -345,14 +354,18 @@ object Dedup {
     val cl = clusters.withColumnRenamed("node", idCol)
     // Window ONLY over the clustered slice: a left-join + null-group
     // window would funnel every unclustered row through one task.
+    // No broadcast hint on `cl`: a heavily duplicated corpus can have
+    // an arbitrarily large clustered set, and a forced broadcast would
+    // hit the driver/broadcast limits exactly when dedup matters most.
+    // AQE broadcasts it at runtime whenever it IS small.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col(lengthCol).desc, col(idCol))
-    val keep = docs.join(broadcast(cl), Seq(idCol))
+    val keep = docs.join(cl, Seq(idCol))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .drop("_rk")
-    val singletons = docs.join(broadcast(cl), Seq(idCol), "left_anti")
+    val singletons = docs.join(cl, Seq(idCol), "left_anti")
       .withColumn("cluster_id", col(idCol))
     singletons.unionByName(keep)
   }
@@ -381,13 +394,17 @@ object Dedup {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // worst-match selection via a window, not an arithmetic negation
+    // trick — ids of ANY orderable type (incl. the string event ids of
+    // the unified schema) tie-break correctly. The window partitions
+    // the already-small overlap relation, never the corpora.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id"))
+      .orderBy(col("n_shared").desc, col("eval_id"))
     overlaps
-      .groupBy(col("train_id"))
-      .agg(max(struct(col("n_shared"), (-col("eval_id")).as("neg")))
-        .as("best"))
-      .select(col("train_id"),
-        (-col("best.neg")).as("eval_id"),
-        col("best.n_shared").as("n_shared"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
   }
 
   /** Exact n-gram Jaccard over candidate pairs via inverted shingle

@@ -27,17 +27,22 @@ object MergeQueries {
         |  SELECT DISTINCT user_id FROM events WHERE event_id < 2000),
         |inc AS (
         |  SELECT user_id FROM events
-        |  WHERE event_id >= 1000 AND event_id < 3000)
+        |  WHERE event_id >= 1000 AND event_id < 3000),
+        |incd AS (SELECT DISTINCT user_id FROM inc),
+        |newk AS (
+        |  -- NOT EXISTS (not NOT IN): a NULL key behaves like Spark's
+        |  -- left_anti (null joins nothing → counted as new), and
+        |  -- COUNT(*) over the DISTINCT subquery keeps a NULL key as
+        |  -- one distinct value like DataFrame.distinct()
+        |  SELECT COUNT(*) AS n FROM incd i
+        |  WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.user_id = i.user_id))
         |SELECT
         |  (SELECT COUNT(*) FROM inc) AS incoming_rows,
-        |  (SELECT COUNT(DISTINCT user_id) FROM inc) AS incoming_keys,
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM inc) i
-        |     WHERE i.user_id NOT IN (SELECT user_id FROM ex)) AS new_keys,
-        |  (SELECT COUNT(DISTINCT user_id) FROM inc)
-        |    - (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM inc) i
-        |       WHERE i.user_id NOT IN (SELECT user_id FROM ex)) AS updated_keys,
+        |  (SELECT COUNT(*) FROM incd) AS incoming_keys,
+        |  (SELECT n FROM newk) AS new_keys,
+        |  (SELECT COUNT(*) FROM incd) - (SELECT n FROM newk) AS updated_keys,
         |  (SELECT COUNT(*) FROM inc)
-        |    - (SELECT COUNT(DISTINCT user_id) FROM inc) AS in_batch_dupes""".stripMargin),
+        |    - (SELECT COUNT(*) FROM incd) AS in_batch_dupes""".stripMargin),
 
     // K5 — re-scrape flag update (reference: database/api_server.py:
     // 551-559): keyed two-field update inside the system_flags struct,

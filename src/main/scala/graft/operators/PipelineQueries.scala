@@ -22,13 +22,48 @@ object PipelineQueries {
   private val clusterCache =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
+  // keyed by (applicationId, dir): a cached DataFrame is bound to the
+  // SparkContext that built it — reusing it from a NEW session in the
+  // same JVM would fail with "SparkContext has been shut down".
   private def clustersFor(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.getOrElseUpdate(d, {
+    clusterCache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$d", {
       Dedup.duplicateClusters(Dedup.ngramJaccardPairs(
         T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
         n = 2, minJaccard = 0.5))
     })
+
+  // Shared DuckDB mirror of the cluster-label computation (2-gram
+  // jaccard >= 0.5 pairs over doc_id < 500 → min-reachable-id labels),
+  // used by both dd_dup_clusters and dd_canonical_docs. The
+  // single-token fallback mirrors Dedup.shingles: a doc with fewer
+  // than n tokens contributes its whole text as one shingle.
+  private val clusterOracleCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1])) END) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents WHERE doc_id < 500)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id1, id2 FROM pairs
+      |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) >= 0.5),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM jp
+      |          UNION SELECT id2, id1 FROM jp),
+      |reach(n, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+      |labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+      |           FROM reach GROUP BY n)
+      |""".stripMargin
 
   val registry: Map[String, QueryDef] = Map(
 
@@ -364,29 +399,8 @@ object PipelineQueries {
       (s, d) => clustersFor(s, d)
         .select(col("node").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id")),
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(string_split_regex(trim(text), '\s+'))),
-        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
-        |         string_split_regex(trim(text), '\s+')[i+1]))) AS s
-        |  FROM documents WHERE doc_id < 500),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id1, id2 FROM pairs
-        |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
-        |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM jp
-        |          UNION SELECT id2, id1 FROM jp),
-        |reach(n, m) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-        |SELECT n AS doc_id, MIN(m) AS cluster_id
-        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin),
+      s"""$clusterOracleCte
+         |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin),
 
     // Canonical-document selection: clusters → one representative each
     // (longest text, smallest id tiebreak) + all singletons — the
@@ -397,40 +411,18 @@ object PipelineQueries {
           clustersFor(s, d), "doc_id", "n_chars")
         .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id")),
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(string_split_regex(trim(text), '\s+'))),
-        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
-        |         string_split_regex(trim(text), '\s+')[i+1]))) AS s
-        |  FROM documents WHERE doc_id < 500),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id1, id2 FROM pairs
-        |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
-        |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n + s2.n - n_inter AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM jp
-        |          UNION SELECT id2, id1 FROM jp),
-        |reach(n, m) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
-        |labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id
-        |           FROM reach GROUP BY n),
-        |clustered AS (
-        |  SELECT d.doc_id, l.cluster_id,
-        |    row_number() OVER (PARTITION BY l.cluster_id
-        |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
-        |  FROM documents d JOIN labels l ON d.doc_id = l.doc_id
-        |  WHERE d.doc_id < 500)
-        |SELECT doc_id, doc_id AS cluster_id FROM documents
-        |WHERE doc_id < 500 AND doc_id NOT IN (SELECT doc_id FROM labels)
-        |UNION ALL
-        |SELECT doc_id, cluster_id FROM clustered WHERE rk = 1
-        |ORDER BY doc_id""".stripMargin),
+      s"""$clusterOracleCte,
+         |clustered AS (
+         |  SELECT d.doc_id, l.cluster_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+         |  WHERE d.doc_id < 500)
+         |SELECT doc_id, doc_id AS cluster_id FROM documents
+         |WHERE doc_id < 500 AND doc_id NOT IN (SELECT doc_id FROM labels)
+         |UNION ALL
+         |SELECT doc_id, cluster_id FROM clustered WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin),
 
     // End-to-end corpus curation — the canonical "build a training
     // mix" pipeline as ONE query: language filter → token floor →

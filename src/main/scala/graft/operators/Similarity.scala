@@ -122,6 +122,13 @@ object Similarity {
     require(sample.nonEmpty, "cannot train IVF centroids on empty input")
     var centroids: Array[Array[Double]] = sample.take(nlist).map(_.clone())
     for (_ <- 1 to iters) {
+      // per-centroid squared norms depend only on the centroid — hoist
+      // them out of the per-sample loop (they were ~half its FLOPs)
+      val cNorms = centroids.map { c =>
+        var cn = 0.0; var p = 0
+        while (p < dim) { cn += c(p) * c(p); p += 1 }
+        cn
+      }
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
@@ -129,10 +136,10 @@ object Similarity {
         var i = 0
         while (i < centroids.length) {
           val c = centroids(i)
-          var d = 0.0; var cn = 0.0
+          var d = 0.0
           var p = 0
-          while (p < dim) { d += v(p) * c(p); cn += c(p) * c(p); p += 1 }
-          val dist = cn - 2.0 * d
+          while (p < dim) { d += v(p) * c(p); p += 1 }
+          val dist = cNorms(i) - 2.0 * d
           if (dist < bestD) { bestD = dist; best = i }
           i += 1
         }

@@ -104,7 +104,10 @@ object V2Fixtures {
     * enrichment (stage hosts, tier sold-out flags) — cached per dir.
     */
   def events(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(dir, {
+    // keyed by (applicationId, dir): the persisted DataFrame is bound
+    // to the SparkContext that built it — a NEW session in the same
+    // JVM must rebuild, not reuse a handle into a stopped context.
+    cache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
       val host = when(col("doc_id") % 3 =!= 0,
         concat(lit("Host "), (col("doc_id") % 17).cast("string")))
         .otherwise(lit(null).cast("string"))
