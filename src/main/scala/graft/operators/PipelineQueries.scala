@@ -461,6 +461,50 @@ object PipelineQueries {
         |  FROM deduped)
         |WHERE qrn <= 30 ORDER BY lang, doc_id""".stripMargin),
 
+    // Sequence packing: contiguous fill of ≤ 512-token bins in doc_id
+    // order — the "fill the context window" step; the bin id is a pure
+    // window running sum, exact integers in both engines.
+    "etl_pack_sequences" -> QueryDef(
+      (s, d) => {
+        val withTokens = T.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens",
+            maxTokens = 512L)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("bin"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    -- integer division (//): CAST(double AS BIGINT) ROUNDS in
+        |    -- DuckDB while Spark's cast truncates
+        |    (SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS bin
+        |  FROM t)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // Weighted mixture quotas: per-language caps from a weights map
+    // (langs outside the recipe drop out) in reproducible hash order.
+    "etl_weighted_mix" -> QueryDef(
+      (s, d) => TextAnalysis.weightedMix(T.documents(s, d), "lang",
+          "doc_id", Map("en" -> 40, "es" -> 25, "fr" -> 10))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang")),
+      """SELECT lang, COUNT(*) AS n FROM (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents WHERE lang IN ('en', 'es', 'fr'))
+        |WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 25
+        |            ELSE 10 END
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
     // Stratified quota sample: deterministic hash-ordered top-`quota`
     // per language — the curation cap for a training-data mix.
     "ta_stratified_sample" -> QueryDef(

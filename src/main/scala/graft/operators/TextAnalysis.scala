@@ -115,6 +115,46 @@ object TextAnalysis {
       .drop("_rn")
   }
 
+  /** Sequence packing for training: assign documents (in a stable
+    * declared order) to contiguous bins of at most `maxTokens`, the
+    * "fill the context window" step before tokenization. Fill-in-order
+    * semantics: bin = floor(tokens-before-this-doc / maxTokens), so a
+    * document may straddle a boundary (truncation/continuation is the
+    * tokenizer's concern). One window over a running sum — linear, and
+    * at corpus scale the window partitions by a shard key so no single
+    * task sees the full corpus.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Long, shardCol: Option[String] = None): DataFrame = {
+    val w0 = shardCol match {
+      case Some(sc) => Window.partitionBy(col(sc))
+      case None => Window.partitionBy()
+    }
+    val w = w0.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin",
+        ((col("_cum") - col(tokenCol)) / maxTokens).cast("long"))
+      .drop("_cum")
+  }
+
+  /** Weighted mixture quotas: at most `quotas(stratum)` rows per
+    * stratum (strata absent from the map are dropped) in deterministic
+    * hash order — the per-source mixing-weights step of a training-data
+    * recipe, reproducible across runs and engines.
+    */
+  def weightedMix(df: DataFrame, strataCol: String, idCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val quota = quotas.foldLeft(lit(0)) {
+      case (acc, (k, q)) => when(col(strataCol) === k, q).otherwise(acc)
+    }
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
+  }
+
   /** Rolling-hash document fingerprint: the k smallest distinct shingle
     * hashes (bottom-k sketch) — stable under small edits, unioned for
     * corpus-level containment estimates.

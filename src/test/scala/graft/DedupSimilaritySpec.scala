@@ -56,6 +56,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("sequence packing fills contiguous bins in order; shard partitioning keeps bins local") {
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L), (5L, 10L))
+      .toDF("doc_id", "n")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "n", maxTokens = 512L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    // cum-before: 0, 300, 600, 700, 1200 → bins 0, 0, 1, 1, 2
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    // sharded: bins restart per shard
+    val sharded = Seq(("a", 1L, 400L), ("a", 2L, 400L), ("b", 3L, 400L))
+      .toDF("shard", "doc_id", "n")
+    val gs = TextAnalysis.packSequences(sharded, "doc_id", "n", 512L,
+      shardCol = Some("shard"))
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("bin")).toMap
+    assert(gs === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("weighted mix caps each stratum at its quota and drops unlisted strata") {
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val got = TextAnalysis.weightedMix(docs, "lang", "doc_id", Map("en" -> 7))
+      .collect().map(r => r.getString(1))
+    assert(got.length === 7 && got.forall(_ == "en"))
+  }
+
   test("contamination report flags sketch overlap with the eval set, not unrelated docs") {
     val train = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
     val eval = Seq((100L, nearDup)).toDF("doc_id", "text")
