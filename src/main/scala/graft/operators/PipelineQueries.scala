@@ -461,6 +461,74 @@ object PipelineQueries {
         |  FROM deduped)
         |WHERE qrn <= 30 ORDER BY lang, doc_id""".stripMargin),
 
+    // Line-repetition profile over a derived multi-line doc (first
+    // 30-char slice repeated → known duplication) — the boilerplate
+    // filter signal, replayed line-for-line in DuckDB list algebra.
+    "ta_repetition" -> QueryDef(
+      (s, d) => {
+        val l1 = substring(col("text"), 1, 30)
+        val l2 = substring(col("text"), 31, 30)
+        val raw = concat_ws("\n", l1, l2, l1)
+        val prof = TextAnalysis.repetitionProfile(raw)
+        T.documents(s, d).select(col("doc_id"),
+          prof.getField("n_lines").as("n_lines"),
+          prof.getField("n_distinct_lines").as("n_distinct"),
+          prof.getField("distinct_ratio").as("distinct_ratio"),
+          prof.getField("dup_char_ratio").as("dup_char_ratio"))
+          .orderBy(col("doc_id")).limit(300)
+      },
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(substr(text, 1, 30) || chr(10) ||
+        |        substr(text, 31, 30) || chr(10) || substr(text, 1, 30),
+        |        chr(10)), l -> trim(l)), l -> l <> '') AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(lines) > 0 THEN
+        |    CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+        |  END AS distinct_ratio,
+        |  CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0 THEN
+        |    CAST(list_sum(list_transform(lines,
+        |      l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+        |           THEN length(l) ELSE 0 END)) AS DOUBLE)
+        |    / CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
+        |  END AS dup_char_ratio
+        |FROM r ORDER BY doc_id LIMIT 300""".stripMargin),
+
+    // PII scrub over derived text with injected contacts: emails/IPv4s
+    // → typed placeholders + redaction count. Patterns are RE2-safe on
+    // purpose (TextAnalysis.emailPattern/ipv4Pattern), so DuckDB
+    // replays the identical scrub.
+    "ta_pii_scrub" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val raw = concat(substring(col("text"), 1, 40),
+          lit(" contact user"), id.cast("string"), lit("@example.com or 10.0."),
+          (id % 256).cast("string"), lit(".7 end"))
+        val scrub = TextAnalysis.piiScrub(raw)
+        T.documents(s, d).select(id.as("doc_id"),
+          scrub.getField("n_redacted").as("n_redacted"),
+          scrub.getField("text").as("cleaned"))
+          .orderBy(col("doc_id")).limit(300)
+      },
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.7 end' AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.emailPattern}'))
+         |    + len(regexp_extract_all(raw, '${TextAnalysis.ipv4Pattern}'))
+         |    AS BIGINT) AS n_redacted,
+         |  regexp_replace(regexp_replace(raw,
+         |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.ipv4Pattern}', '<IP>', 'g') AS cleaned
+         |FROM r ORDER BY doc_id LIMIT 300""".stripMargin),
+
     // Sequence packing: contiguous fill of ≤ 512-token bins in doc_id
     // order — the "fill the context window" step; the bin id is a pure
     // window running sum, exact integers in both engines.

@@ -115,6 +115,49 @@ object TextAnalysis {
       .drop("_rn")
   }
 
+  /** Line-repetition profile — the "remove boilerplate/repeated lines"
+    * quality signal: distinct-line ratio and the share of characters in
+    * duplicated lines. Everything is per-row list algebra at scan
+    * speed.
+    */
+  def repetitionProfile(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val nDistinct = size(array_distinct(lines)).cast("long")
+    val dupChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + when(
+        size(filter(lines, x => x === l)) > 1, length(l).cast("long"))
+        .otherwise(0L))
+    val totChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    struct(
+      nLines.as("n_lines"),
+      nDistinct.as("n_distinct_lines"),
+      when(nLines > 0, nDistinct.cast("double") / nLines.cast("double"))
+        .otherwise(lit(null).cast("double")).as("distinct_ratio"),
+      when(totChars > 0, dupChars.cast("double") / totChars.cast("double"))
+        .otherwise(lit(null).cast("double")).as("dup_char_ratio"))
+  }
+
+  /** PII patterns — deliberately RE2-compatible (no \b, no
+    * lookarounds) so external engines can replay the same scrub.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub: replace emails/IPv4s with typed placeholders, count
+    * the redactions — the privacy pass before a corpus ships.
+    */
+  def piiScrub(text: Column): Column = {
+    val n = size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+    val cleaned = regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+    struct(cleaned.as("text"), n.cast("long").as("n_redacted"))
+  }
+
   /** Sequence packing for training: assign documents (in a stable
     * declared order) to contiguous bins of at most `maxTokens`, the
     * "fill the context window" step before tokenization. Fill-in-order

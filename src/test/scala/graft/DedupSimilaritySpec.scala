@@ -72,6 +72,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gs === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("repetition profile counts duplicated lines and their char share") {
+    val df = Seq("aaa\nbbb\naaa\n\n  \nccc").toDF("t")
+    val r = df.select(TextAnalysis.repetitionProfile(col("t")).as("p"))
+      .select("p.*").head()
+    // lines: aaa, bbb, aaa, ccc (blank/whitespace dropped)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.75)
+    assert(r.getDouble(3) === 6.0 / 12.0) // both aaa copies = 6 of 12 chars
+  }
+
+  test("pii scrub redacts emails and ipv4s with typed placeholders") {
+    val df = Seq("mail a.b@x.co or 10.1.2.3 and c@y.org").toDF("t")
+    val r = df.select(TextAnalysis.piiScrub(col("t")).as("p")).select("p.*").head()
+    assert(r.getString(0) === "mail <EMAIL> or <IP> and <EMAIL>")
+    assert(r.getLong(1) === 3L)
+  }
+
   test("weighted mix caps each stratum at its quota and drops unlisted strata") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
       .toDF("doc_id", "lang")
