@@ -531,31 +531,34 @@ object PipelineQueries {
 
     // Sequence packing: contiguous fill of ≤ 512-token bins in doc_id
     // order — the "fill the context window" step; the bin id is a pure
-    // window running sum, exact integers in both engines.
+    // window running sum, exact integers in both engines. SHARDED by
+    // language (the scale path: each shard's window is local to its
+    // partition, so no task ever sees the whole corpus — a global
+    // running sum would).
     "etl_pack_sequences" -> QueryDef(
       (s, d) => {
-        val withTokens = T.documents(s, d).select(col("doc_id"),
+        val withTokens = T.documents(s, d).select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens",
-            maxTokens = 512L)
-          .groupBy(col("bin"))
+            maxTokens = 512L, shardCol = Some("lang"))
+          .groupBy(col("lang"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-          .orderBy(col("bin"))
+          .orderBy(col("lang"), col("bin"))
       },
       """WITH t AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, lang,
         |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |  FROM documents),
         |b AS (
-        |  SELECT doc_id, n_tokens,
+        |  SELECT doc_id, lang, n_tokens,
         |    -- integer division (//): CAST(double AS BIGINT) ROUNDS in
         |    -- DuckDB while Spark's cast truncates
-        |    (SUM(n_tokens) OVER (ORDER BY doc_id
+        |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS bin
         |  FROM t)
-        |SELECT bin, COUNT(*) AS n_docs,
+        |SELECT lang, bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
 
     // Weighted mixture quotas: per-language caps from a weights map
     // (langs outside the recipe drop out) in reproducible hash order.
