@@ -24,14 +24,20 @@ object PipelineQueries {
 
   // keyed by (applicationId, dir): a cached DataFrame is bound to the
   // SparkContext that built it — reusing it from a NEW session in the
-  // same JVM would fail with "SparkContext has been shut down".
+  // same JVM would fail with "SparkContext has been shut down". Stale
+  // apps' entries are evicted on insert so cycling sessions can't
+  // accumulate dead plans.
   private def clustersFor(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$d", {
+      d: String): org.apache.spark.sql.DataFrame = {
+    val prefix = s.sparkContext.applicationId + ":"
+    clusterCache.keys.filterNot(_.startsWith(prefix))
+      .foreach(clusterCache.remove)
+    clusterCache.getOrElseUpdate(prefix + d, {
       Dedup.duplicateClusters(Dedup.ngramJaccardPairs(
         T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
         n = 2, minJaccard = 0.5))
     })
+  }
 
   // Shared DuckDB mirror of the cluster-label computation (2-gram
   // jaccard >= 0.5 pairs over doc_id < 500 → min-reachable-id labels),
@@ -468,7 +474,10 @@ object PipelineQueries {
       (s, d) => {
         val l1 = substring(col("text"), 1, 30)
         val l2 = substring(col("text"), 31, 30)
-        val raw = concat_ws("\n", l1, l2, l1)
+        // concat, not concat_ws: null text must propagate (null || x is
+        // null in the DuckDB mirror; concat_ws would skip nulls and
+        // break parity)
+        val raw = concat(l1, lit("\n"), l2, lit("\n"), l1)
         val prof = TextAnalysis.repetitionProfile(raw)
         T.documents(s, d).select(col("doc_id"),
           prof.getField("n_lines").as("n_lines"),

@@ -107,7 +107,15 @@ object TextAnalysis {
     * covers if it ever dominates a task.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
-      quota: Int): DataFrame = {
+      quota: Int): DataFrame =
+    quotaSample(df, strataCol, idCol, lit(quota))
+
+  /** Shared mechanism for [[stratifiedSample]] and [[weightedMix]]:
+    * keep the hash-ordered first `quota` rows per stratum (quota may
+    * depend on the stratum; ≤ 0 drops the stratum entirely).
+    */
+  private def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+      quota: Column): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("_rn", row_number().over(w))
@@ -125,10 +133,24 @@ object TextAnalysis {
       l => l =!= "")
     val nLines = size(lines).cast("long")
     val nDistinct = size(array_distinct(lines)).cast("long")
-    val dupChars = aggregate(lines, lit(0L),
-      (acc, l) => acc + when(
-        size(filter(lines, x => x === l)) > 1, length(l).cast("long"))
-        .otherwise(0L))
+    // duplicated-char total via SORTED NEIGHBORS: in array_sort order a
+    // line is part of a duplicate run iff it equals its predecessor or
+    // successor. One O(L log L) sort + linear zips — never a nested
+    // filter(lines, ...) per line, which would re-evaluate the whole
+    // split/trim pipeline per element (the CollapseProject O(L²) trap,
+    // see Dedup.shingles).
+    val lsort = array_sort(lines)
+    val nullS = array(lit(null).cast("string"))
+    val eqPrev = slice(
+      zip_with(lsort, concat(nullS, lsort),
+        (c, p) => coalesce(c === p, lit(false))),
+      lit(1), size(lsort))
+    val eqNext = zip_with(lsort, slice(concat(lsort, nullS), lit(2), size(lsort)),
+      (c, nx) => coalesce(c === nx, lit(false)))
+    val dupChars = aggregate(
+      zip_with(lsort, zip_with(eqPrev, eqNext, (a, b) => a || b),
+        (l, isDup) => when(isDup, length(l).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
     val totChars = aggregate(lines, lit(0L),
       (acc, l) => acc + length(l).cast("long"))
     struct(
@@ -150,11 +172,13 @@ object TextAnalysis {
     * the redactions — the privacy pass before a corpus ships.
     */
   def piiScrub(text: Column): Column = {
+    // IPs are counted AFTER the email replacement so an IPv4-shaped
+    // local part inside an email (1.2.3.4@x.co) — replaced once —
+    // is not double-counted.
+    val afterEmail = regexp_replace(text, emailPattern, "<EMAIL>")
     val n = size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
-      size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
-    val cleaned = regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      ipv4Pattern, "<IP>")
+      size(regexp_extract_all(afterEmail, lit(ipv4Pattern), lit(0)))
+    val cleaned = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
     struct(cleaned.as("text"), n.cast("long").as("n_redacted"))
   }
 
@@ -187,16 +211,11 @@ object TextAnalysis {
     * recipe, reproducible across runs and engines.
     */
   def weightedMix(df: DataFrame, strataCol: String, idCol: String,
-      quotas: Map[String, Int]): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val quota = quotas.foldLeft(lit(0)) {
-      case (acc, (k, q)) => when(col(strataCol) === k, q).otherwise(acc)
-    }
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= quota)
-      .drop("_rn")
-  }
+      quotas: Map[String, Int]): DataFrame =
+    quotaSample(df, strataCol, idCol,
+      quotas.foldLeft(lit(0)) {
+        case (acc, (k, q)) => when(col(strataCol) === k, q).otherwise(acc)
+      })
 
   /** Rolling-hash document fingerprint: the k smallest distinct shingle
     * hashes (bottom-k sketch) — stable under small edits, unioned for

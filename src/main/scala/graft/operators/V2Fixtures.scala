@@ -103,11 +103,15 @@ object V2Fixtures {
   /** The nested V2 events table: unify + quality + post-unify nested
     * enrichment (stage hosts, tier sold-out flags) — cached per dir.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
+  def events(s: SparkSession, dir: String): DataFrame = {
     // keyed by (applicationId, dir): the persisted DataFrame is bound
     // to the SparkContext that built it — a NEW session in the same
     // JVM must rebuild, not reuse a handle into a stopped context.
-    cache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
+    // Stale apps' entries are evicted so cycling sessions don't
+    // accumulate dead plans.
+    val prefix = s.sparkContext.applicationId + ":"
+    cache.keys.filterNot(_.startsWith(prefix)).foreach(cache.remove)
+    cache.getOrElseUpdate(prefix + dir, {
       val host = when(col("doc_id") % 3 =!= 0,
         concat(lit("Host "), (col("doc_id") % 17).cast("string")))
         .otherwise(lit(null).cast("string"))
@@ -144,6 +148,7 @@ object V2Fixtures {
             t => t.withField("is_sold_out", soldOut))))
         .persist()
     })
+  }
 
   // ---------------------------------------------------------------
   // DuckDB mirror. ᴰx ≡ CAST(x AS DOUBLE): every float literal is cast
