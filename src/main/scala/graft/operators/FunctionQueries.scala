@@ -216,6 +216,62 @@ object FunctionQueries {
         |  (doc_id % 6 IN (0, 1, 2)) AS sold_out
         |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin),
 
+    // §2.2 P12 — extraction-sufficiency predicate
+    // (reference: my_scrapers/mono_ticketmaster.py:500-516): jsonld
+    // needs only a title; fallback needs title + any secondary signal.
+    "p12_sufficiency" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val method = when(id % 2 === 0, "jsonld").otherwise("fallback")
+        val title = when(id % 5 === 0, lit(null).cast("string"))
+          .when(id % 5 === 1, lit(""))
+          .otherwise(concat(lit("Event "), id.cast("string")))
+        val venue = when(id % 3 === 0, lit("Amnesia"))
+          .otherwise(lit(null).cast("string"))
+        val date = when(id % 7 === 0, lit("15 July 2025"))
+          .otherwise(lit(null).cast("string"))
+        val price = when(id % 11 === 0, lit(25.0))
+          .otherwise(lit(null).cast("double"))
+        val desc = lit(null).cast("string")
+        T.documents(s, d).select(id.as("doc_id"),
+          graft.operators.EventQueries.isDataSufficient(
+            method, title, venue, date, price, desc).as("sufficient"))
+          .orderBy(col("doc_id")).limit(docLimit)
+      },
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 IN (0, 1) THEN FALSE
+        |       WHEN doc_id % 2 = 0 THEN TRUE
+        |       ELSE (doc_id % 3 = 0 OR doc_id % 7 = 0 OR doc_id % 11 = 0)
+        |       END AS sufficient
+        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin),
+
+    // §2.3 J3 — timezone-from-location substring lookup
+    // (reference: schema_adapter_enhanced.py:363-373); first table
+    // entry wins, default UTC.
+    "j3_timezone_lookup" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val loc = when(id % 9 === 0, lit(null).cast("string"))
+          .when(id % 9 === 1, lit("Playa d'en Bossa, IBIZA"))
+          .when(id % 9 === 2, lit("Shoreditch, London UK"))
+          .when(id % 9 === 3, lit("Berlin Mitte"))
+          .when(id % 9 === 4, lit("New York, NY"))
+          .when(id % 9 === 5, lit("downtown los angeles"))
+          .when(id % 9 === 6, lit("Shibuya, Tokyo"))
+          .when(id % 9 === 7, lit("Sydney Harbour"))
+          .otherwise(lit("Reykjavik"))
+        T.documents(s, d).select(id.as("doc_id"),
+          graft.operators.Unify.timezoneFromLocation(loc).as("tz"))
+          .orderBy(col("doc_id")).limit(docLimit)
+      },
+      """SELECT doc_id,
+        |  CASE doc_id % 9
+        |    WHEN 1 THEN 'Europe/Madrid' WHEN 2 THEN 'Europe/London'
+        |    WHEN 3 THEN 'Europe/Berlin' WHEN 4 THEN 'America/New_York'
+        |    WHEN 5 THEN 'America/Los_Angeles' WHEN 6 THEN 'Asia/Tokyo'
+        |    WHEN 7 THEN 'Australia/Sydney' ELSE 'UTC' END AS tz
+        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin),
+
     // §2.8 F16 — cheapest non-sold-out tier over a tier-struct array
     // (reference: database/query_examples.py:38-52). The oracle
     // recomputes the min over the same derived tier list with DuckDB
