@@ -467,6 +467,30 @@ object PipelineQueries {
         |  FROM deduped)
         |WHERE qrn <= 30 ORDER BY lang, doc_id""".stripMargin),
 
+    // Corpus length distribution: EXACT per-language quantiles (the
+    // "what does this corpus look like" profiling step before choosing
+    // filter thresholds). Spark's percentile() and DuckDB's
+    // quantile_cont() both linearly interpolate over the sorted values
+    // — same arithmetic, bit-identical doubles. At 100 TB swap in
+    // approx_percentile and accept the sketch error; the exact form is
+    // the oracle-able ground truth.
+    "ta_length_quantiles" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.25)").as("q25"),
+          expr("percentile(n_chars, 0.5)").as("q50"),
+          expr("percentile(n_chars, 0.75)").as("q75"),
+          expr("percentile(n_chars, 0.95)").as("q95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang")),
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS q25,
+        |  quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75,
+        |  quantile_cont(n_chars, 0.95) AS q95,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // Line-repetition profile over a derived multi-line doc (first
     // 30-char slice repeated → known duplication) — the boilerplate
     // filter signal, replayed line-for-line in DuckDB list algebra.
