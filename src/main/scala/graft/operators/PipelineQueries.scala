@@ -467,6 +467,36 @@ object PipelineQueries {
         |  FROM deduped)
         |WHERE qrn <= 30 ORDER BY lang, doc_id""".stripMargin),
 
+    // Vocabulary profile: top-10 tokens per language by frequency,
+    // THROUGH the custom GroupedTopK physical operator (bounded
+    // per-key heaps, no per-group sort) — the custom plan applied to a
+    // real text workload: explode → partial-agg counts → grouped
+    // top-k. Ties break on the token for determinism.
+    "ta_vocab_topk" -> QueryDef(
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("n"))
+        graft.plans.GroupedTopK.of(counts,
+            keyCols = Seq("lang"), orderCols = Seq("n", "token"),
+            descending = true, k = 10)
+          .orderBy(col("lang"), col("n").desc, col("token").desc)
+      },
+      """SELECT lang, token, n FROM (
+        |  SELECT lang, token, n, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, token DESC) AS rn
+        |  FROM (
+        |    SELECT lang, token, COUNT(*) AS n FROM (
+        |      SELECT lang, unnest(string_split_regex(
+        |        trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |    WHERE token <> '' GROUP BY lang, token))
+        |WHERE rn <= 10
+        |ORDER BY lang, n DESC, token DESC""".stripMargin),
+
     // Corpus length distribution: EXACT per-language quantiles (the
     // "what does this corpus look like" profiling step before choosing
     // filter thresholds). Spark's percentile() and DuckDB's
