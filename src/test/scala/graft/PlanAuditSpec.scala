@@ -109,6 +109,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab profile runs through GroupedTopKExec with partial aggregation") {
+    val p = plan("ta_vocab_topk")
+    assert(p.contains("GroupedTopK"), p.take(600))
+    // token counts must partial-aggregate before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+    assert(!p.contains("Window"), "grouped top-k fell back to a window sort")
+  }
+
+  test("decontamination broadcasts the eval side, never doc x doc") {
+    val p = plan("etl_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), "doc x doc join in decontamination")
+  }
+
+  test("sequence packing is one window pass, no extra shuffles") {
+    val p = plan("etl_pack_sequences")
+    // window partitioned by shard + final group-by: both hash-partition
+    // on lang, so AQE/exchange-reuse should not need more than the two
+    // logical exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
   test("v2 serving queries hit the cached unified table, not re-unify") {
     val df = SparkEntry.registry("v2_venues").fn(spark, sf)
     df.collect()
