@@ -467,6 +467,43 @@ object PipelineQueries {
         |  FROM deduped)
         |WHERE qrn <= 30 ORDER BY lang, doc_id""".stripMargin),
 
+    // Dataset card: the one-row corpus summary a release ships —
+    // volume, token mass, language spread, exact-duplicate rate, and
+    // short-doc share. ONE scan feeding independent aggregates (the
+    // fingerprint distinct is the only second pass); all integers +
+    // one exact division, so the card is engine-exact.
+    "ta_dataset_card" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(nTok < 10, 1L).otherwise(0L)).as("n_short"))
+        val dups = docs.agg((count(lit(1)) -
+          countDistinct(md5(trim(regexp_replace(col("text"), "\\s+", " ")))))
+          .as("n_exact_dups"))
+        base.crossJoin(dups)
+          .withColumn("en_share",
+            col("n_en").cast("double") / col("n_docs").cast("double"))
+      },
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  (SELECT CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |   FROM documents) AS total_tokens,
+        |  (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+        |  (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM documents) AS n_en,
+        |  (SELECT CAST(SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 10
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM documents) AS n_short,
+        |  (SELECT COUNT(*) - COUNT(DISTINCT md5(trim(
+        |     regexp_replace(text, '\s+', ' ', 'g')))) FROM documents)
+        |    AS n_exact_dups,
+        |  (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE) FROM documents) AS en_share""".stripMargin),
+
     // Vocabulary profile: top-10 tokens per language by frequency,
     // THROUGH the custom GroupedTopK physical operator (bounded
     // per-key heaps, no per-group sort) — the custom plan applied to a
