@@ -32,7 +32,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Headline fields LAST: the driver captures the tail of stdout, so
+    // a truncated capture must still contain the total (r3 lost it when
+    // the per-query map came after "value").
+    println(s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -220,10 +220,10 @@ object PipelineQueries {
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
-        |    (SELECT COALESCE(SUM(CASE
+        |    CAST((SELECT COALESCE(SUM(CASE
         |        WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
         |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 0)
-        |     FROM range(0, 60) r(j)) AS simhash
+        |     FROM range(0, 60) r(j)) AS BIGINT) AS simhash
         |  FROM t),
         |ref AS (SELECT simhash AS ref_hash FROM sh WHERE doc_id = 0)
         |SELECT doc_id, simhash,
@@ -313,22 +313,62 @@ object PipelineQueries {
          |WHERE cosine >= CAST(0.1 AS DOUBLE)
          |ORDER BY cosine DESC, id1, id2 LIMIT 100""".stripMargin),
 
-    // IVF ANN: train a small coarse quantizer, probe the 2 cells
-    // nearest the query vector, exact cosine within them. Training
-    // collects ONE bounded deterministic sample and runs Lloyd
-    // driver-local — the corpus is never exploded or re-shuffled. At
-    // scale the assignment column is materialized once via withIvfCell
+    // IVF ANN: probe the 2 cells nearest the query vector, exact
+    // cosine within them. The coarse quantizer was trained ONCE
+    // offline (graft.tools.PinIvfCentroids — the same bounded-sample
+    // Lloyd path the recall spec exercises) and its centroids frozen
+    // as literals, because the oracle SQL is static and k-means
+    // training itself is not SQL-replayable. DuckDB then replays the
+    // strict-less argmin assignment (cnorm − 2·dot, earliest index
+    // wins ties), the nprobe selection, and the left-to-right cosine
+    // fold — all bit-exact (see sim_cosine_fast). At scale the
+    // assignment column is materialized once via withIvfCell
     // (partitioned by cell) so probes are partition-pruned scans.
     "sim_ann_ivf" -> QueryDef(
       (s, d) => {
         val emb = T.embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-        val centroids = Similarity.trainIvfCentroids(emb, "vec_id",
-          "embedding", dim = q.length, nlist = 4, iters = 2)
         Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
-          "embedding", q, k = 10, centroids, nprobe = 2)
-      }, None),
+          "embedding", q, k = 10, IvfCentroids.pinned, nprobe = 2)
+      },
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm
+         |  FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+         |qn AS (
+         |  SELECT qv, sqrt(list_reduce(list_transform(qv, x -> x * x),
+         |    (a, b) -> a + b)) AS qnorm FROM q),
+         |probes AS (
+         |  SELECT cn.i FROM cn, q
+         |  ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |    list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      j -> q.qv[j] * cn.c[j]), (a, b) -> a + b), cn.i
+         |  LIMIT 2),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn)
+         |  WHERE rn = 1)
+         |SELECT e.vec_id,
+         |  list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |    j -> e.v[j] * qn.qv[j]), (a, b) -> a + b)
+         |  / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+         |      (a, b) -> a + b)) * qn.qnorm) AS cosine,
+         |  a.cell
+         |FROM emb e JOIN assign a ON a.vec_id = e.vec_id, qn
+         |WHERE e.vec_id <> 0 AND a.cell IN (SELECT i FROM probes)
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin),
 
     // Brute-force cosine, scale-path formulation: per-row fold for the
     // dot product (no explode, no per-element shuffle rows) + top-k as
@@ -653,8 +693,8 @@ object PipelineQueries {
         |  SELECT doc_id, lang, n_tokens,
         |    -- integer division (//): CAST(double AS BIGINT) ROUNDS in
         |    -- DuckDB while Spark's cast truncates
-        |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS bin
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
         |  FROM t)
         |SELECT lang, bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
@@ -795,10 +835,10 @@ object PipelineQueries {
           TextAnalysis.subwordCountEstimate(col("text")).as("subwords"))
         .orderBy(col("doc_id")).limit(200),
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]+'))
+        |  CAST(CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]+'))
         |    AS BIGINT)
         |  + list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-        |      w -> greatest(0, length(w) // 8))) AS subwords
+        |      w -> greatest(0, length(w) // 8))) AS BIGINT) AS subwords
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)
   )
 }
