@@ -26,16 +26,25 @@ object Bench {
     }
     // A failed query must not masquerade as a fast run: it reports -1
     // in the per-query map, is excluded from the total, and is listed
-    // under "failed".
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
+    // under "failed". Times are ms-rounded: r4's 9-decimal values blew
+    // the line past the driver's tail-capture window and the head of
+    // the JSON was lost ("parsed": null).
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else -1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = f3(results.collect { case (_, v, true) => v }.sum)
     // Headline fields LAST: the driver captures the tail of stdout, so
     // a truncated capture must still contain the total (r3 lost it when
     // the per-query map came after "value").
-    println(s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    val line = s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    println(line)
+    // Belt and braces: persist the same JSON where a truncated stdout
+    // capture can't touch it.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      line.getBytes("UTF-8")) catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -680,7 +680,7 @@ object PipelineQueries {
         val withTokens = T.documents(s, d).select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens",
-            maxTokens = 512L, shardCol = Some("lang"))
+            maxTokens = 512L, shardCol = "lang")
           .groupBy(col("lang"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .orderBy(col("lang"), col("bin"))

@@ -188,11 +188,28 @@ object TextAnalysis {
     * semantics: bin = floor(tokens-before-this-doc / maxTokens), so a
     * document may straddle a boundary (truncation/continuation is the
     * tokenizer's concern). One window over a running sum — linear, and
-    * at corpus scale the window partitions by a shard key so no single
-    * task sees the full corpus.
+    * the window partitions by the REQUIRED shard key so no single task
+    * ever sees the full corpus. Bins restart per shard; at training
+    * time shards map to data-loader streams.
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-      maxTokens: Long, shardCol: Option[String] = None): DataFrame = {
+      maxTokens: Long, shardCol: String): DataFrame =
+    packSeq(df, idCol, tokenCol, maxTokens, Some(shardCol))
+
+  /** Sequence packing with ONE global bin sequence: the running sum is
+    * a single-partition window, so the ENTIRE input funnels through one
+    * task. Only for bounded slices (a shard already isolated, a debug
+    * sample) — at corpus scale use [[packSequences]] with a shard
+    * column. The name is the warning label; it exists so the O(corpus)
+    * single-task plan is impossible to pick by accident (it used to be
+    * the default via shardCol = None).
+    */
+  def packSequencesGlobal(df: DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Long): DataFrame =
+    packSeq(df, idCol, tokenCol, maxTokens, None)
+
+  private def packSeq(df: DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Long, shardCol: Option[String]): DataFrame = {
     val w0 = shardCol match {
       case Some(sc) => Window.partitionBy(col(sc))
       case None => Window.partitionBy()

@@ -46,6 +46,13 @@ case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val orderE = order
     val childOutput = child.output
     val limit = k
+    // Memory contract: the per-task hash map retains at most k rows per
+    // DISTINCT key seen by the task — O(keys·k), with no spill path.
+    // Rather than silently OOM a 100-TB task on a high-cardinality key,
+    // fail loudly at the cap with the fix in the message. The cap
+    // bounds retained ENTRIES (keys·k), the actual memory driver.
+    val maxEntries = java.lang.Long.parseLong(conf.getConfString(
+      GroupedTopK.maxEntriesKey, GroupedTopK.maxEntriesDefault.toString))
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val rowOrd = GenerateOrdering.generate(orderE, childOutput)
@@ -53,16 +60,27 @@ case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       // evicted when a better row arrives.
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      val maxKeys = math.max(1L, maxEntries / limit)
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue
-            .empty[UnsafeRow](rowOrd.on((r: UnsafeRow) => r)))
-        if (heap.size < limit) {
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
-        } else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        val heap = heaps.getOrElse(key, null)
+        val h = if (heap != null) heap else {
+          if (heaps.size >= maxKeys) throw new org.apache.spark.SparkException(
+            s"GroupedTopK: task exceeded ${GroupedTopK.maxEntriesKey}=" +
+              s"$maxEntries retained entries ($maxKeys keys x k=$limit). " +
+              "The grouping key cardinality is too high for the in-memory " +
+              "heap formulation - use GroupedTopK.windowed (sort-based, " +
+              "spill-safe) or raise the cap.")
+          val nh = scala.collection.mutable.PriorityQueue
+            .empty[UnsafeRow](rowOrd.on((r: UnsafeRow) => r))
+          heaps.put(key.copy(), nh)
+          nh
+        }
+        if (h.size < limit) {
+          h.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        } else if (rowOrd.compare(row, h.head) < 0) {
+          h.dequeue()
+          h.enqueue(row.asInstanceOf[UnsafeRow].copy())
         }
       }
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
@@ -83,11 +101,57 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
 
 object GroupedTopK {
 
+  /** Hard cap on heap entries (keys·k) retained by one GroupedTopKExec
+    * task before it fails loudly instead of OOMing. At the 16M default
+    * with ~64-byte rows that is ~1 GiB of task memory, inside a typical
+    * executor's working set.
+    */
+  val maxEntriesKey = "spark.graft.topk.maxEntriesPerTask"
+  val maxEntriesDefault: Long = 16L * 1024 * 1024
+
   /** Top-k rows per key group, ordered by `orderCols` (first column
     * direction decides asc/desc via `descending`). Registers the
     * planner strategy on the session if absent.
+    *
+    * Memory contract: O(distinct keys per task × k) with no spill —
+    * right when key cardinality is bounded (venues, languages, shard
+    * ids), guarded by [[maxEntriesKey]] when it isn't. For unbounded /
+    * unknown cardinality use [[windowed]] (same results, sort-based,
+    * spills).
     */
   def of(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       descending: Boolean, k: Int): DataFrame =
     PlanBridge.groupedTopK(df, keyCols, orderCols, descending, k)
+
+  /** The spill-safe formulation of the same operator: row_number over a
+    * (key, order) sort — Spark's external sort spills to disk, so any
+    * key cardinality is safe at the cost of sorting whole groups. Same
+    * output as [[of]] when the order (plus tiebreak columns) is total.
+    */
+  def windowed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      descending: Boolean, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val order = orderCols.map(c => if (descending) col(c).desc else col(c).asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("_gtk_rn", row_number().over(w))
+      .filter(col("_gtk_rn") <= k)
+      .drop("_gtk_rn")
+  }
+
+  /** Picks the formulation from an estimated key cardinality: the heap
+    * operator while `estimatedKeys × k` stays under the per-task cap ×
+    * shuffle parallelism (each task then holds ~1/parallelism of the
+    * keys), the windowed fallback beyond it.
+    */
+  def ofSafe(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      descending: Boolean, k: Int, estimatedKeys: Long): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val cap = java.lang.Long.parseLong(
+      conf.getConfString(maxEntriesKey, maxEntriesDefault.toString))
+    val tasks = math.max(1, conf.numShufflePartitions)
+    if (estimatedKeys / tasks * k <= cap)
+      of(df, keyCols, orderCols, descending, k)
+    else windowed(df, keyCols, orderCols, descending, k)
+  }
 }

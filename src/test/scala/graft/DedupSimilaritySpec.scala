@@ -59,7 +59,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("sequence packing fills contiguous bins in order; shard partitioning keeps bins local") {
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L), (5L, 10L))
       .toDF("doc_id", "n")
-    val got = TextAnalysis.packSequences(docs, "doc_id", "n", maxTokens = 512L)
+    val got = TextAnalysis.packSequencesGlobal(docs, "doc_id", "n", maxTokens = 512L)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
     // cum-before: 0, 300, 600, 700, 1200 → bins 0, 0, 1, 1, 2
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
@@ -67,7 +67,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val sharded = Seq(("a", 1L, 400L), ("a", 2L, 400L), ("b", 3L, 400L))
       .toDF("shard", "doc_id", "n")
     val gs = TextAnalysis.packSequences(sharded, "doc_id", "n", 512L,
-      shardCol = Some("shard"))
+      shardCol = "shard")
       .collect().map(r => r.getLong(1) -> r.getAs[Long]("bin")).toMap
     assert(gs === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }

@@ -49,4 +49,45 @@ class GroupedTopKSpec extends AnyFunSuite {
       GroupedTopK.of(data, Seq("nope"), Seq("score"), descending = true, k = 3)
     }
   }
+
+  test("windowed formulation matches the heap operator") {
+    val a = GroupedTopK.of(data, Seq("key"), Seq("score", "id"),
+        descending = true, k = 4)
+      .orderBy($"key", $"score".desc, $"id".desc).collect().toSeq
+    val b = GroupedTopK.windowed(data, Seq("key"), Seq("score", "id"),
+        descending = true, k = 4)
+      .orderBy($"key", $"score".desc, $"id".desc).collect().toSeq
+    assert(a === b)
+  }
+
+  test("high-cardinality partition trips the entry cap loudly, not OOM") {
+    // every row its own key → keys·k explodes past a tiny cap
+    val wide = (1 to 10000).map(i => (i.toLong, i.toLong, 1.0))
+      .toDF("key", "id", "score")
+    val prev = spark.conf.getOption(GroupedTopK.maxEntriesKey)
+    spark.conf.set(GroupedTopK.maxEntriesKey, "100")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        GroupedTopK.of(wide, Seq("key"), Seq("score"), descending = true, k = 2)
+          .collect()
+      }
+      assert(e.getMessage.contains("GroupedTopK") ||
+        Option(e.getCause).exists(_.getMessage.contains("GroupedTopK")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(GroupedTopK.maxEntriesKey, v)
+      case None => spark.conf.unset(GroupedTopK.maxEntriesKey)
+    }
+  }
+
+  test("ofSafe picks the heap plan for bounded keys, the window plan past the cap") {
+    val small = GroupedTopK.ofSafe(data, Seq("key"), Seq("score", "id"),
+      descending = true, k = 5, estimatedKeys = 7L)
+    assert(small.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+    val big = GroupedTopK.ofSafe(data, Seq("key"), Seq("score", "id"),
+      descending = true, k = 5, estimatedKeys = 100L * 1000 * 1000 * 1000)
+    assert(!big.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+    // and both compute the same rows
+    assert(small.orderBy($"key", $"score".desc, $"id".desc).collect().toSeq ===
+      big.orderBy($"key", $"score".desc, $"id".desc).collect().toSeq)
+  }
 }
