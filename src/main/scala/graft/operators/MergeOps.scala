@@ -32,6 +32,51 @@ object MergeOps {
       .drop("_rn", "_src")
   }
 
+  /** K1/D2 + D3 — latest-wins keyed merge that MAINTAINS the
+    * deduplication bookkeeping the schema declares
+    * (reference: helpers/schemas.py:155-159: `merged_from_ids` = event
+    * ids merged into this canonical doc, `merge_log` = log of merge
+    * operations). The plain [[upsert]] drops the losers wholesale; this
+    * variant records them on the winner:
+    *  - `merged_from_ids` ← winner's list ∪ every loser's list ∪ the
+    *    losers' own event_ids (transitive history), sorted + distinct;
+    *  - `merge_log` ← winner's log ++ one `nowIso|loser_id|reason`
+    *    entry per loser in sorted-id order.
+    *
+    * Same single hash shuffle as [[upsert]] — the bookkeeping rides the
+    * existing key window (two more window aggregates, no extra
+    * exchange), so the scale shape is unchanged.
+    *
+    * Requires `event_id` and a `deduplication` struct with
+    * `{is_canonical, merged_from_ids: array<string>, merge_log:
+    * array<string>}` (the shape Unify emits).
+    */
+  def upsertDocs(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+      recency: String, nowIso: Column,
+      reason: String = "keyed_upsert"): DataFrame = {
+    val tagged = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(recency).desc, col("_src").desc)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    tagged.withColumn("_rn", row_number().over(wOrd))
+      // collect_list skips nulls → exactly the losers' ids
+      .withColumn("_losers", sort_array(collect_list(
+        when(col("_rn") =!= 1, col("event_id"))).over(wAll)))
+      .withColumn("_prior", flatten(collect_list(
+        col("deduplication.merged_from_ids")).over(wAll)))
+      .filter(col("_rn") === 1)
+      .withColumn("deduplication", struct(
+        col("deduplication.is_canonical").as("is_canonical"),
+        sort_array(array_distinct(concat(col("_prior"), col("_losers"))))
+          .as("merged_from_ids"),
+        concat(col("deduplication.merge_log"),
+          transform(col("_losers"),
+            l => concat_ws("|", nowIso, l, lit(reason)))).as("merge_log")))
+      .drop("_rn", "_src", "_losers", "_prior")
+  }
+
   /** D1 — in-batch first-wins dedup in input order (the reference keys
     * on source_url + start_date and keeps the first occurrence:
     * data_migration.py:80-100). Input order is captured before the

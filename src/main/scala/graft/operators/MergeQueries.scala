@@ -44,6 +44,56 @@ object MergeQueries {
         |  (SELECT COUNT(*) FROM inc)
         |    - (SELECT COUNT(*) FROM incd) AS in_batch_dupes""".stripMargin),
 
+    // D3 — dedup bookkeeping maintained BY the merge (reference:
+    // helpers/schemas.py:155-159: merged_from_ids + merge_log grow as
+    // docs merge into the canonical one). Doc-shaped rows derived from
+    // the events table, upserted latest-wins per user key: the winner
+    // must absorb every superseded event_id into merged_from_ids and
+    // append one timestamped merge_log entry per loser.
+    "d3_merge_log" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        def docs(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("event_id").cast("string").as("event_id"),
+          col("user_id"),
+          col("event_id").as("recency"),
+          struct(lit(true).as("is_canonical"),
+            array().cast("array<string>").as("merged_from_ids"),
+            array().cast("array<string>").as("merge_log"))
+            .as("deduplication"))
+        val existing = docs(ev.filter(col("event_id") < 2000))
+        val incoming = docs(ev.filter(
+          col("event_id") >= 2000 && col("event_id") < 4000))
+        MergeOps.upsertDocs(existing, incoming, Seq("user_id"),
+            "recency", lit(V2Fixtures.nowIso))
+          .select(col("user_id"), col("event_id"),
+            size(col("deduplication.merged_from_ids")).cast("long")
+              .as("n_merged"),
+            array_join(col("deduplication.merged_from_ids"), ",")
+              .as("merged_ids"),
+            try_element_at(col("deduplication.merge_log"), lit(-1))
+              .as("last_merge"))
+          .orderBy(col("user_id"))
+      },
+      s"""WITH u AS (
+         |  SELECT user_id, event_id FROM events WHERE event_id < 2000
+         |  UNION ALL
+         |  SELECT user_id, event_id FROM events
+         |  WHERE event_id >= 2000 AND event_id < 4000),
+         |r AS (
+         |  SELECT user_id, CAST(event_id AS VARCHAR) AS eid,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM u)
+         |SELECT user_id,
+         |  MAX(CASE WHEN rn = 1 THEN eid END) AS event_id,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS n_merged,
+         |  coalesce(string_agg(eid, ',' ORDER BY eid)
+         |    FILTER (WHERE rn > 1), '') AS merged_ids,
+         |  '${V2Fixtures.nowIso}|' || MAX(eid) FILTER (WHERE rn > 1)
+         |    || '|keyed_upsert' AS last_merge
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // K5 — re-scrape flag update (reference: database/api_server.py:
     // 551-559): keyed two-field update inside the system_flags struct,
     // applied as a column rewrite (no row explosion, no join — the id

@@ -93,6 +93,7 @@ object Unify {
       priceAliases: Seq[String],
       lineupAliases: Seq[String],
       genresAliases: Seq[String],
+      descAliases: Seq[String],
       ibizaDates: Boolean)
 
   private val ibizaMapping = PlatformMapping("IbizaSpotlightValidator",
@@ -103,6 +104,10 @@ object Unify {
     priceAliases = Seq("price_text", "price", "ticket_price", "cost"),
     lineupAliases = Seq("lineup"),
     genresAliases = Seq("genres"),
+    // the content builder reads the short_description key verbatim
+    // (schema_adapter_enhanced.py:509); facebook maps a raw
+    // `description` field (:322)
+    descAliases = Seq("short_description", "description"),
     ibizaDates = true)
 
   /** reference: schema_adapter_enhanced.py:398-412 (registry +
@@ -121,6 +126,7 @@ object Unify {
       priceAliases = Seq.empty,
       lineupAliases = Seq.empty,
       genresAliases = Seq.empty,
+      descAliases = Seq("description"),
       ibizaDates = false),
     "ticketmaster" -> PlatformMapping("TicketmasterValidator",
       titleAliases = Seq("title"),
@@ -130,6 +136,7 @@ object Unify {
       priceAliases = Seq("ticketInfo.displayText"),
       lineupAliases = Seq("lineUp"),
       genresAliases = Seq("genres"),
+      descAliases = Seq("description"),
       ibizaDates = false))
 
   def mappingFor(platform: String): PlatformMapping =
@@ -171,6 +178,7 @@ object Unify {
     val venueRaw = colOr(raw, mapping.venueAliases)
     val urlRaw = colOr(raw, mapping.urlAliases)
     val priceRaw = colOr(raw, mapping.priceAliases)
+    val descRaw = colOr(raw, mapping.descAliases)
     val genresCol = mapping.genresAliases.find(raw.columns.contains)
     val genresRaw = genresCol.map(raw(_))
       .getOrElse(lit(null).cast("array<string>"))
@@ -331,7 +339,9 @@ object Unify {
           stageActs.as("acts"))).as("stages")
       ).as("venue"),
       acts.as("acts"),
-      struct(lit(null).cast("string").as("short_description"),
+      // the builder passes the description keys through VERBATIM
+      // (schema_adapter_enhanced.py:508-512) — no normalization
+      struct(descRaw.as("short_description"),
         lit(null).cast("string").as("full_description"),
         array().cast("array<string>").as("keywords"),
         array().cast("array<string>").as("hashtags")).as("content"),

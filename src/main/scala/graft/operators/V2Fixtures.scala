@@ -87,10 +87,17 @@ object V2Fixtures {
       .otherwise(concat(lit("$"), amt, lit(".50")))
     val url = when(id % 6 === 5, lit(null).cast("string"))
       .otherwise(concat(lit("www.example.com/event/"), id.cast("string")))
+    // description: null / empty / rooftop-flavored — "rooftop" and
+    // "terrace" appear ONLY here, so text search over the five indexed
+    // fields (fix_schema.py:142-148) is exercised on a token that no
+    // title/venue/act can contribute.
+    val desc = when(id % 13 === 0, lit(null).cast("string"))
+      .when(id % 13 === 1, lit(""))
+      .otherwise(concat(lit("Warm up on the rooftop terrace with "), base))
     T.documents(s, dir).select(id,
       title.as("title"), time.as("time"), venue.as("venue"),
       lineup.as("lineup"), url.as("url"), genres.as("genres"),
-      price.as("price_text"))
+      price.as("price_text"), desc.as("short_description"))
   }
 
   // One unified+scored table per sf dir, materialized once and shared
@@ -138,6 +145,8 @@ object V2Fixtures {
         .select(col("doc_id"), col("title"), col("type"), col("venue"),
           col("datetime"), col("acts"), col("content"), col("music"),
           col("ticketing"), col("data_quality"), col("validation_metadata"))
+        // content is tiny (one short string + empty arrays) and three
+        // serving queries read it now — keep it in the pruned set
         .localCheckpoint()
         .withColumn("venue", col("venue").withField("stages",
           transform(col("venue.stages"), st => st.withField("host",
@@ -203,6 +212,9 @@ object V2Fixtures {
        |    (doc_id % 9 = 0) AS tier_sold_out,
        |    CASE WHEN doc_id % 3 <> 0
        |         THEN 'Host ' || CAST(doc_id % 17 AS VARCHAR) END AS host_name,
+       |    CASE WHEN doc_id % 13 = 0 THEN NULL
+       |         WHEN doc_id % 13 = 1 THEN ''
+       |         ELSE 'Warm up on the rooftop terrace with ' || b END AS sdesc,
        |    CASE gsel WHEN 0 THEN 'Techno' WHEN 1 THEN 'House'
        |         WHEN 2 THEN 'Ambient' END AS primary_genre,
        |    list_transform(range(0, CAST(nacts AS INT)),

@@ -98,23 +98,27 @@ object V2Queries {
          |  AND overall_score >= CAST(0.75 AS DOUBLE)
          |ORDER BY start_date, doc_id LIMIT 20""".stripMargin),
 
-    // §2.9/O5 nested — token-match relevance search over title + venue
-    // + act names.
+    // §2.9/O5 nested — token-match relevance search over ALL FIVE
+    // indexed fields of fix_schema.py:142-148: title, both content
+    // descriptions, venue name, act names. "dj" can only come from
+    // acts/titles; "rooftop" only from content.short_description — the
+    // score mixes both sources.
     "v2_search" -> QueryDef(
-      (s, d) => EventQueries.search(ev(s, d), "dj table",
+      (s, d) => EventQueries.search(ev(s, d), "dj rooftop",
         minQuality = 0.6, limit = 20, keyCol = "doc_id"),
       s"""$CTE, srch AS (
          |  SELECT doc_id, title, venue_name, start_date, overall_score,
-         |    string_split_regex(lower(title || '   ' || venue_name || ' ' ||
+         |    string_split_regex(lower(title || ' ' || coalesce(sdesc, '')
+         |      || '  ' || venue_name || ' ' ||
          |      array_to_string(act_names, ' ')), '\\s+') AS tk
          |  FROM v2ev)
          |SELECT doc_id, title, venue_name, start_date, overall_score,
          |  len(list_filter(tk, x -> x = 'dj'))
-         |    + len(list_filter(tk, x -> x = 'table')) AS score
+         |    + len(list_filter(tk, x -> x = 'rooftop')) AS score
          |FROM srch
          |WHERE overall_score >= CAST(0.6 AS DOUBLE)
          |  AND len(list_filter(tk, x -> x = 'dj'))
-         |    + len(list_filter(tk, x -> x = 'table')) > 0
+         |    + len(list_filter(tk, x -> x = 'rooftop')) > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
 
     // A3 multikey nested — distinct stage hosts across
@@ -226,6 +230,58 @@ object V2Queries {
          |    AND start_date < '2025-08-01T00:00:00Z' THEN 1 ELSE 0 END) AS BIGINT) AS month_a,
          |  CAST(SUM(CASE WHEN start_date >= '2025-08-01T00:00:00Z'
          |    AND start_date < '2025-09-01T00:00:00Z' THEN 1 ELSE 0 END) AS BIGINT) AS month_b
-         |FROM v2ev""".stripMargin)
+         |FROM v2ev""".stripMargin),
+
+    // J2 nested — the normalized-genre histogram over music.sub_genres:
+    // exercises both lookup hits ("deep-house" → "Deep House") and the
+    // initcap fallback ("ambient" → "Ambient")
+    // (reference: schema_adapter_enhanced.py:343-361, 375-381).
+    "v2_genres" -> QueryDef(
+      (s, d) => ev(s, d)
+        .select(explode(col("music.sub_genres")).as("genre"))
+        .groupBy(col("genre")).agg(count(lit(1)).as("n"))
+        .orderBy(col("genre")),
+      s"""$CTE, g AS (
+         |  SELECT unnest(CASE WHEN gsel = 0 THEN ['Techno', 'Deep House']
+         |                     WHEN gsel = 1 THEN ['House']
+         |                     WHEN gsel = 2 THEN ['Ambient']
+         |                     ELSE [] END) AS genre
+         |  FROM v2ev)
+         |SELECT genre, COUNT(*) AS n FROM g
+         |GROUP BY genre ORDER BY genre""".stripMargin),
+
+    // P2 — exclude-projection, the app-export shape (reference:
+    // database/query_examples.py:281-287: drop data_quality +
+    // deduplication wholesale, drop one NESTED field from an otherwise
+    // kept struct). The surviving field list is derived from the
+    // PROJECTED schema — the oracle pins exactly which fields an
+    // exclude-projection must keep — and the row aggregates prove the
+    // kept data still flows.
+    "v2_export" -> QueryDef(
+      (s, d) => {
+        val exported = ev(s, d)
+          .drop("data_quality", "validation_metadata")
+          .withColumn("content",
+            col("content").dropFields("full_description"))
+        val sub = exported.schema("content").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq.map("content." + _)
+        val fields = (exported.schema.fieldNames.toSeq ++ sub).sorted
+        import s.implicits._
+        fields.toDF("field")
+          .crossJoin(exported.agg(
+            count(lit(1)).as("n_rows"),
+            count(col("content.short_description")).as("n_descriptions")))
+          .orderBy(col("field"))
+      },
+      s"""$CTE, f AS (
+         |  SELECT unnest(['acts', 'content', 'content.hashtags',
+         |    'content.keywords', 'content.short_description', 'datetime',
+         |    'doc_id', 'music', 'ticketing', 'title', 'type', 'venue'])
+         |    AS field)
+         |SELECT field,
+         |  (SELECT COUNT(*) FROM v2ev) AS n_rows,
+         |  (SELECT COUNT(sdesc) FROM v2ev) AS n_descriptions
+         |FROM f ORDER BY field""".stripMargin)
   )
 }

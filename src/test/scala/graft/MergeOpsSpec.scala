@@ -86,6 +86,33 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(rows("evt_2") === (None, None))
   }
 
+  test("D3 upsertDocs absorbs losers into merged_from_ids and merge_log") {
+    def docs(rows: Seq[(String, String, Long, Seq[String], Seq[String])]) =
+      rows.toDF("event_id", "key", "recency", "mfi", "mlog")
+        .select($"event_id", $"key", $"recency",
+          struct(lit(true).as("is_canonical"),
+            $"mfi".as("merged_from_ids"), $"mlog".as("merge_log"))
+            .as("deduplication"))
+    // e2 already carries history (e0) from an earlier merge round
+    val ex = docs(Seq(
+      ("e1", "a", 1L, Seq.empty, Seq.empty),
+      ("e2", "a", 2L, Seq("e0"), Seq("t0|e0|keyed_upsert")),
+      ("e9", "b", 1L, Seq.empty, Seq.empty)))
+    val in = docs(Seq(("e5", "a", 5L, Seq.empty, Seq.empty)))
+    val got = MergeOps.upsertDocs(ex, in, Seq("key"), "recency",
+        lit("T1")).orderBy($"key")
+      .select($"key", $"event_id",
+        $"deduplication.merged_from_ids", $"deduplication.merge_log")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getSeq[String](3)))
+    // winner e5 absorbs losers e1+e2 AND e2's prior history e0
+    assert(got(0) === ("a", "e5", Seq("e0", "e1", "e2"),
+      Seq("T1|e1|keyed_upsert", "T1|e2|keyed_upsert")))
+    // lone doc in key b: untouched, no log growth
+    assert(got(1) === ("b", "e9", Seq(), Seq()))
+  }
+
   test("S2 calendar reader explodes nested events") {
     val dir = Files.createTempDirectory("graft_cal").toFile
     val f = new java.io.File(dir, "cal.json")
