@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import org.apache.spark.sql.functions._
-import graft.sources.Sinks
+import graft.sources.{Readers, Sinks, TableLayout}
 import V2Fixtures.{events => ev, oracleCte => CTE}
 
 /** Oracle-checked ROUNDTRIPS for the file-export sinks (SURVEY §2.1
@@ -84,6 +84,132 @@ object SinkQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
          |  MIN(start_date) AS min_start,
          |  COUNT(CASE WHEN event_type = 'club_night' THEN 1 END) AS n_club
-         |FROM v2ev""".stripMargin)
+         |FROM v2ev""".stripMargin),
+
+    // K4 — Markdown report sink (reference: database/
+    // generate_events_markdown.py:32-133): every event renders to a
+    // fixed 6-line block + blank; the read-back line census must match
+    // counts derived independently from the source table.
+    "k4_markdown_roundtrip" -> QueryDef(
+      (s, d) => {
+        val path = outDir("md", d)
+        Sinks.exportMarkdown(ev(s, d), path)
+        s.read.text(path).agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("value").startsWith("## "), 1)).as("n_events"),
+          count(when(col("value") === "- **Venue**: Unknown Venue", 1))
+            .as("n_unknown_venue"),
+          count(when(col("value") === "- **Lineup**: TBA", 1))
+            .as("n_lineup_tba"))
+      },
+      s"""$CTE SELECT CAST(COUNT(*) * 7 AS BIGINT) AS n_lines,
+         |  COUNT(*) AS n_events,
+         |  COUNT(CASE WHEN venue_name = 'Unknown Venue' THEN 1 END)
+         |    AS n_unknown_venue,
+         |  COUNT(CASE WHEN nacts = 0 THEN 1 END) AS n_lineup_tba
+         |FROM v2ev""".stripMargin),
+
+    // S1 — JSON file holding a LIST of event dicts (reference:
+    // database/data_migration.py:42-49 json.load of an array): the
+    // array file is produced Spark-side (bounded slice → one
+    // collect_list), then parsed back by the production reader.
+    "s1_json_roundtrip" -> QueryDef(
+      (s, d) => {
+        val path = outDir("s1", d)
+        val slice = V2Fixtures.raw(s, d).filter(col("doc_id") < 200)
+        slice.agg(to_json(collect_list(struct(slice.columns.map(col): _*)))
+            .as("doc"))
+          .coalesce(1).write.mode("overwrite").text(path)
+        Readers.jsonEvents(s, path).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_ids"),
+          count(col("title")).as("n_titles"),
+          count(col("url")).as("n_urls"),
+          sum(size(col("lineup"))).as("n_acts"))
+      },
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  COUNT(CASE WHEN doc_id % 23 <> 0 THEN 1 END) AS n_titles,
+        |  COUNT(CASE WHEN doc_id % 6 <> 5 THEN 1 END) AS n_urls,
+        |  CAST(SUM(doc_id % 5) AS BIGINT) AS n_acts
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
+    // S2 — nested calendar export {metadata, events:[...]} → one row
+    // per event (reference: ibiza_spotlight_calendar_events.json:1-30).
+    "s2_calendar_roundtrip" -> QueryDef(
+      (s, d) => {
+        val path = outDir("s2", d)
+        val slice = V2Fixtures.raw(s, d)
+          .filter(col("doc_id") >= 200 && col("doc_id") < 450)
+        slice.agg(to_json(struct(
+            struct(lit("ibiza-spotlight").as("source"),
+              count(lit(1)).as("total")).as("metadata"),
+            collect_list(struct(slice.columns.map(col): _*)).as("events")))
+            .as("doc"))
+          .coalesce(1).write.mode("overwrite").text(path)
+        Readers.calendarEvents(s, path).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_ids"),
+          count(col("venue")).as("n_venues"))
+      },
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  COUNT(CASE WHEN doc_id % 8 <> 7 THEN 1 END) AS n_venues
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 450""".stripMargin),
+
+    // S3 — staging scan with the ETL filter `success AND event_data IS
+    // NOT NULL` + F17 JSON payload parse (reference:
+    // database/etl_sqlite_to_mongo.py:60-69, 86).
+    "s3_staging_roundtrip" -> QueryDef(
+      (s, d) => {
+        val path = outDir("s3", d)
+        V2Fixtures.raw(s, d).filter(col("doc_id") < 600)
+          .select(col("doc_id"),
+            (col("doc_id") % 10 =!= 0).as("success"),
+            when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(to_json(struct(col("title"), col("venue"))))
+              .as("event_data"))
+          .write.mode("overwrite").parquet(path)
+        Readers.stagingEvents(s, path,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "title string, venue string"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("sum_ids"),
+            count(col("payload.title")).as("n_titles"),
+            count(col("payload.venue")).as("n_venues"))
+      },
+      """WITH st AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id < 600 AND doc_id % 10 <> 0 AND doc_id % 7 <> 0)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  COUNT(CASE WHEN doc_id % 23 <> 0 THEN 1 END) AS n_titles,
+        |  COUNT(CASE WHEN doc_id % 8 <> 7 THEN 1 END) AS n_venues
+        |FROM st""".stripMargin),
+
+    // S5 — batched table copy through the month-partitioned layout
+    // (reference: database/migrate_to_atlas.py:42-76 batches a
+    // collection copy; here the copy IS the partitioned rewrite).
+    // Read-back aggregates group by the PARTITION column, so the
+    // directory layout itself is under test, and the month filter
+    // exercises partition pruning on the copy.
+    "s5_table_copy" -> QueryDef(
+      (s, d) => {
+        val path = outDir("s5", d)
+        TableLayout.writeEventsTable(
+          ev(s, d).withColumn("event_id",
+            concat(lit("ev"), col("doc_id"))), path)
+        TableLayout.readEventsTable(s, path)
+          .filter(col("start_month") >= "2025-06" &&
+            col("start_month") <= "2025-12")
+          .groupBy(col("start_month")).agg(count(lit(1)).as("n"))
+          .orderBy(col("start_month"))
+      },
+      s"""$CTE SELECT substr(start_date, 1, 7) AS start_month,
+         |  COUNT(*) AS n
+         |FROM v2ev
+         |WHERE substr(start_date, 1, 7) >= '2025-06'
+         |  AND substr(start_date, 1, 7) <= '2025-12'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
