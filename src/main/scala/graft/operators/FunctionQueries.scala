@@ -297,6 +297,39 @@ object FunctionQueries {
         |      j -> (doc_id + j) % 3 <> 0),
         |    j -> CAST(doc_id % 150 + 5 AS DOUBLE) + j * CAST(10.0 AS DOUBLE)))
         |    AS cheapest
-        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin)
+        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin),
+
+    // F18 — $type introspection over schemaless staging JSON
+    // (reference: the Mongo $type debug report pattern,
+    // database/check_fields.py-style): each raw doc is JSON-encoded,
+    // jsonTypeOf classifies selected paths per row, and the type
+    // histogram must match the closed-form derivation rules. Fields
+    // chosen so their JSON type is decidable from doc_id arithmetic
+    // alone (doc_id: always long; genres: array|missing; url /
+    // price_text / short_description: string|missing).
+    "f18_type_report" -> QueryDef(
+      (s, d) => {
+        val r = V2Fixtures.raw(s, d)
+        val j = r.select(
+          to_json(struct(r.columns.map(col): _*)).as("doc"))
+        j.select(
+            ScalarFunctions.jsonTypeOf(col("doc"), "$.doc_id").as("t_id"),
+            ScalarFunctions.jsonTypeOf(col("doc"), "$.genres").as("t_genres"),
+            ScalarFunctions.jsonTypeOf(col("doc"), "$.url").as("t_url"),
+            ScalarFunctions.jsonTypeOf(col("doc"), "$.price_text").as("t_price"),
+            ScalarFunctions.jsonTypeOf(col("doc"), "$.short_description").as("t_desc"))
+          .groupBy(col("t_id"), col("t_genres"), col("t_url"),
+            col("t_price"), col("t_desc"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("t_genres"), col("t_url"), col("t_price"), col("t_desc"))
+      },
+      """SELECT 'long' AS t_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'missing' ELSE 'array' END AS t_genres,
+        |  CASE WHEN doc_id % 6 = 5 THEN 'missing' ELSE 'string' END AS t_url,
+        |  CASE WHEN doc_id % 7 = 4 THEN 'missing' ELSE 'string' END AS t_price,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'missing' ELSE 'string' END AS t_desc,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY t_genres, t_url, t_price, t_desc""".stripMargin)
   )
 }

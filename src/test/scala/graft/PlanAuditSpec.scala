@@ -138,4 +138,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
       "v2 query did not read the materialized events table:\n" + p.take(800))
   }
+
+  test("D3 merge bookkeeping rides the upsert's single key shuffle") {
+    // losers + prior-history window aggregates must reuse the same
+    // hashpartitioning(user_id) exchange as the row_number ranking —
+    // one shuffle total on the union, not one per window
+    val p = plan("d3_merge_log")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "merge-log windows added a shuffle:\n" + p.take(1000))
+  }
+
+  test("S5 partitioned copy prunes months at the directory level") {
+    val p = plan("s5_table_copy")
+    // read-back filters on the partition column only → PartitionFilters
+    // carry the month range and no row-level filter remains
+    assert(p.contains("PartitionFilters: ["), p.take(800))
+    assert(p.contains("start_month"), p.take(800))
+  }
+
+  test("search over five text fields stays a single-scan top-k") {
+    val p = plan("v2_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "relevance search shuffled a per-row projection:\n" + p.take(800))
+  }
 }
