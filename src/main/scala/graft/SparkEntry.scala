@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.registry ++ TextQueries.registry ++
       PipelineQueries.registry ++ V2Queries.registry ++
       FunctionQueries.registry ++ MergeQueries.registry ++
-      SinkQueries.registry
+      SinkQueries.registry ++ graft.streaming.StreamingQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-checked queries that drive the REAL Structured Streaming
+  * engine (SURVEY §2.13) — not batch analogs. Each query starts a
+  * stream over the events parquet with Trigger.AvailableNow (drain
+  * everything, then stop), lands results in a memory sink, and returns
+  * the sink table; the DuckDB oracle recomputes the same answer from
+  * the parquet directly. What this proves: the watermark/window/state
+  * machinery produces the batch-equivalent answer on a bounded input —
+  * the property incremental pipelines rely on when replaying history.
+  *
+  * Determinism notes per query matter because AvailableNow may split
+  * the input into several micro-batches:
+  *  - windowed agg runs in COMPLETE mode → final table is the full
+  *    aggregation regardless of batch boundaries;
+  *  - dedup emits exactly one row per key whatever the batch split, so
+  *    the COUNTS are stable even though which duplicate survives isn't;
+  *  - mapGroupsWithState re-emits a row per key per batch — the MAX of
+  *    the monotone running count is the batch-equivalent total.
+  */
+object StreamingQueries {
+
+  /** The events parquet as a stream, with the same nanos→timestamp
+    * normalization as Tables.events (streams must declare the schema).
+    */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = s.read.parquet(d + "/events.parquet").schema
+    // the file stream source wants a DIRECTORY (its basePath); a glob
+    // keeps it scoped to the events file inside the shared sf dir
+    s.readStream.schema(fileSchema).parquet(d + "/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the sink table. The query name doubles as the temp-view
+    * name; re-runs overwrite it (the prior query is stopped by then).
+    */
+  private def drain(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // Watermarked 1-hour windowed aggregation (IncrementalIngest
+    // .hourlyRollup shape) — complete mode, so the finalized table must
+    // equal the batch group-by exactly, decimal-summed for parity.
+    "ev_stream_hourly" -> QueryDef(
+      (s, d) => {
+        val agg = eventStream(s, d)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), T.decSum(col("value")).as("total_value"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"), col("n"), col("total_value"))
+        drain(s, agg, "graft_stream_hourly", "complete")
+          .orderBy(col("hour"), col("event_type"))
+      },
+      s"""SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         |  COUNT(*) AS n, ${T.sqlDecSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    // Watermarked streaming dedup (IncrementalIngest.dedupStream):
+    // exactly one survivor per user regardless of micro-batch
+    // boundaries; which event survives is arrival-order dependent, so
+    // the oracle checks the counts, not the survivors.
+    "ev_stream_dedup" -> QueryDef(
+      (s, d) => {
+        val deduped = IncrementalIngest.dedupStream(
+          eventStream(s, d), "user_id", "ts", watermark = "24 hours")
+        drain(s, deduped, "graft_stream_dedup", "append")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_keys"))
+      },
+      """SELECT COUNT(DISTINCT user_id) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_keys
+        |FROM events""".stripMargin),
+
+    // Custom per-key state via mapGroupsWithState (IncrementalIngest
+    // .statefulUserCounts): update mode re-emits per batch; the MAX of
+    // the monotone running count per user is the total event count.
+    "ev_stream_state" -> QueryDef(
+      (s, d) => {
+        val counted = IncrementalIngest.statefulUserCounts(eventStream(s, d))
+        drain(s, counted, "graft_stream_state", "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+}
