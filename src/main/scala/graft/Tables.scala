@@ -27,8 +27,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(t(s, d, "events"))
   }
+
+  /** The nanos→TimestampType normalization alone, for read paths that
+    * obtain the raw frame differently (the streaming source declares
+    * its schema and must apply the SAME rule, or stream results would
+    * silently diverge from the batch oracles).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

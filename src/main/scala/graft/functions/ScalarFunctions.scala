@@ -204,12 +204,22 @@ object ScalarFunctions {
     * an absent path — both report "missing", which is also how the
     * reference report buckets them.
     */
-  def jsonTypeOf(json: Column, path: String): Column = {
-    val v = get_json_object(json, path)
-    // get_json_object strips quotes, so a JSON string that LOOKS
-    // numeric ("5") classifies as a number — acceptable for the debug
-    // report this mirrors; a full fidelity classifier would need a
-    // variant type or a JSON parser expression.
+  def jsonTypeOf(json: Column, path: String): Column =
+    jsonValueType(get_json_object(json, path))
+
+  /** Classify an extracted JSON value string (the get_json_object /
+    * json_tuple output form: quotes stripped from strings, raw JSON for
+    * objects/arrays, SQL NULL for absent paths). Split out so a report
+    * over several paths can extract them all with ONE json_tuple parse
+    * and classify each — five get_json_object calls parse the document
+    * five times; json_tuple parses once.
+    *
+    * The extractors strip quotes, so a JSON string that LOOKS numeric
+    * ("5") classifies as a number — acceptable for the debug report
+    * this mirrors; a full fidelity classifier would need a variant
+    * type or a JSON parser expression.
+    */
+  def jsonValueType(v: Column): Column =
     when(v.isNull, "missing")
       .when(v.startsWith("{"), "object")
       .when(v.startsWith("["), "array")
@@ -219,7 +229,6 @@ object ScalarFunctions {
       // JSON number with no '.')
       .when(v.rlike("^-?(\\d*\\.\\d+|\\d+)([eE][+-]?\\d+)?$"), "double")
       .otherwise("string")
-  }
 
   /** F18 (typed side) — the static schema report: column name → Spark
     * SQL type string, the answer the Mongo $type debug report seeks

@@ -312,12 +312,18 @@ object FunctionQueries {
         val r = V2Fixtures.raw(s, d)
         val j = r.select(
           to_json(struct(r.columns.map(col): _*)).as("doc"))
-        j.select(
-            ScalarFunctions.jsonTypeOf(col("doc"), "$.doc_id").as("t_id"),
-            ScalarFunctions.jsonTypeOf(col("doc"), "$.genres").as("t_genres"),
-            ScalarFunctions.jsonTypeOf(col("doc"), "$.url").as("t_url"),
-            ScalarFunctions.jsonTypeOf(col("doc"), "$.price_text").as("t_price"),
-            ScalarFunctions.jsonTypeOf(col("doc"), "$.short_description").as("t_desc"))
+        // ONE json_tuple parse for all five paths (top-level fields),
+        // then the shared value classifier — not five get_json_object
+        // re-parses of the same document
+        j.select(json_tuple(col("doc"), "doc_id", "genres", "url",
+            "price_text", "short_description"))
+          .toDF("v_id", "v_genres", "v_url", "v_price", "v_desc")
+          .select(
+            ScalarFunctions.jsonValueType(col("v_id")).as("t_id"),
+            ScalarFunctions.jsonValueType(col("v_genres")).as("t_genres"),
+            ScalarFunctions.jsonValueType(col("v_url")).as("t_url"),
+            ScalarFunctions.jsonValueType(col("v_price")).as("t_price"),
+            ScalarFunctions.jsonValueType(col("v_desc")).as("t_desc"))
           .groupBy(col("t_id"), col("t_genres"), col("t_url"),
             col("t_price"), col("t_desc"))
           .agg(count(lit(1)).as("n"))

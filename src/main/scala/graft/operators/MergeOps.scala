@@ -18,19 +18,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object MergeOps {
 
-  /** K1/D2 — latest-wins keyed merge of incoming over existing.
-    * Ties favor incoming (it sorts first via the `_src` tiebreak).
+  /** Shared ranking core of the keyed merges: union existing+incoming
+    * tagged by source, rank within each key by recency (ties favor
+    * incoming via the `_src` tiebreak). Rank 1 = the winner.
     */
-  def upsert(existing: DataFrame, incoming: DataFrame,
+  private def rankedUnion(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String], recency: String): DataFrame = {
     val tagged = existing.withColumn("_src", lit(0))
       .unionByName(incoming.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(recency).desc, col("_src").desc)
     tagged.withColumn("_rn", row_number().over(w))
+  }
+
+  /** K1/D2 — latest-wins keyed merge of incoming over existing.
+    * Ties favor incoming (it sorts first via the `_src` tiebreak).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String], recency: String): DataFrame =
+    rankedUnion(existing, incoming, keys, recency)
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
-  }
 
   /** K1/D2 + D3 — latest-wins keyed merge that MAINTAINS the
     * deduplication bookkeeping the schema declares
@@ -54,24 +62,25 @@ object MergeOps {
   def upsertDocs(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
       recency: String, nowIso: Column,
       reason: String = "keyed_upsert"): DataFrame = {
-    val tagged = existing.withColumn("_src", lit(0))
-      .unionByName(incoming.withColumn("_src", lit(1)))
-    val wOrd = Window.partitionBy(keys.map(col): _*)
+    val wAll = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(recency).desc, col("_src").desc)
-    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    tagged.withColumn("_rn", row_number().over(wOrd))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // NULL bookkeeping arrays (a table read back from an export that
+    // omitted empty fields) must behave as empty — concat(NULL, x) is
+    // NULL and would silently erase the merge history.
+    val empty = array().cast("array<string>")
+    val priorIds = coalesce(col("deduplication.merged_from_ids"), empty)
+    rankedUnion(existing, incoming, keys, recency)
       // collect_list skips nulls → exactly the losers' ids
       .withColumn("_losers", sort_array(collect_list(
         when(col("_rn") =!= 1, col("event_id"))).over(wAll)))
-      .withColumn("_prior", flatten(collect_list(
-        col("deduplication.merged_from_ids")).over(wAll)))
+      .withColumn("_prior", flatten(collect_list(priorIds).over(wAll)))
       .filter(col("_rn") === 1)
       .withColumn("deduplication", struct(
         col("deduplication.is_canonical").as("is_canonical"),
         sort_array(array_distinct(concat(col("_prior"), col("_losers"))))
           .as("merged_from_ids"),
-        concat(col("deduplication.merge_log"),
+        concat(coalesce(col("deduplication.merge_log"), empty),
           transform(col("_losers"),
             l => concat_ws("|", nowIso, l, lit(reason)))).as("merge_log")))
       .drop("_rn", "_src", "_losers", "_prior")

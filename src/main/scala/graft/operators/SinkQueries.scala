@@ -120,7 +120,11 @@ object SinkQueries {
         slice.agg(to_json(collect_list(struct(slice.columns.map(col): _*)))
             .as("doc"))
           .coalesce(1).write.mode("overwrite").text(path)
-        Readers.jsonEvents(s, path).agg(
+        // declared schema (the production ETL knows its event shape):
+        // robust to an empty export, where inference has no rows
+        Readers.jsonEvents(s, path,
+          Some(org.apache.spark.sql.types.StructType(slice.schema.map(
+            _.copy(nullable = true))))).agg(
           count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_ids"),
           count(col("title")).as("n_titles"),
@@ -147,7 +151,12 @@ object SinkQueries {
             collect_list(struct(slice.columns.map(col): _*)).as("events")))
             .as("doc"))
           .coalesce(1).write.mode("overwrite").text(path)
-        Readers.calendarEvents(s, path).agg(
+        import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+        val calSchema = StructType(Seq(
+          StructField("metadata",
+            StructType.fromDDL("source string, total bigint")),
+          StructField("events", ArrayType(slice.schema))))
+        Readers.calendarEvents(s, path, Some(calSchema)).agg(
           count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_ids"),
           count(col("venue")).as("n_venues"))

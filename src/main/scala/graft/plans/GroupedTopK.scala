@@ -140,9 +140,13 @@ object GroupedTopK {
   }
 
   /** Picks the formulation from an estimated key cardinality: the heap
-    * operator while `estimatedKeys × k` stays under the per-task cap ×
-    * shuffle parallelism (each task then holds ~1/parallelism of the
-    * keys), the windowed fallback beyond it.
+    * operator while `estimatedKeys × k` stays comfortably under the
+    * per-task cap × shuffle parallelism, the windowed fallback beyond
+    * it. The 4× headroom covers hash skew (a task holding a multiple of
+    * the average key share) and AQE coalescing fewer real tasks than
+    * configured — the cap is enforced PER TASK, so a selector sized to
+    * the exact average would pick a plan one skewed task can still
+    * fail.
     */
   def ofSafe(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       descending: Boolean, k: Int, estimatedKeys: Long): DataFrame = {
@@ -150,7 +154,8 @@ object GroupedTopK {
     val cap = java.lang.Long.parseLong(
       conf.getConfString(maxEntriesKey, maxEntriesDefault.toString))
     val tasks = math.max(1, conf.numShufflePartitions)
-    if (estimatedKeys / tasks * k <= cap)
+    val headroom = 4L
+    if (estimatedKeys / tasks * k * headroom <= cap)
       of(df, keyCols, orderCols, descending, k)
     else windowed(df, keyCols, orderCols, descending, k)
   }

@@ -18,11 +18,18 @@ object Readers {
 
   /** S2 — nested calendar export {metadata, events:[...]} → one row per
     * event (reference: ibiza_spotlight_calendar_events.json:1-30).
+    * Pass `schema` (the full {metadata, events} shape) when known: an
+    * EMPTY events array under inference types as array<string>, and the
+    * star-expansion of its elements fails — with a declared schema an
+    * empty calendar yields zero typed rows instead.
     */
-  def calendarEvents(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", true).json(path)
+  def calendarEvents(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", true)
+    schema.fold(r)(s => r.schema(s)).json(path)
       .select(explode(col("events")).as("e"))
       .select(col("e.*"))
+  }
 
   /** S3 — scraped_events staging scan with the ETL filter
     * `success AND event_data IS NOT NULL`, then F17 JSON parse of the

@@ -18,8 +18,11 @@ import org.apache.spark.sql.streaming.Trigger
   * the input into several micro-batches:
   *  - windowed agg runs in COMPLETE mode → final table is the full
   *    aggregation regardless of batch boundaries;
-  *  - dedup emits exactly one row per key whatever the batch split, so
-  *    the COUNTS are stable even though which duplicate survives isn't;
+  *  - dedup holds one state row per key for the whole replay (the
+  *    watermark is set beyond the corpus' time span, so no state is
+  *    evicted mid-replay and re-emitted later) → exactly one output
+  *    row per key under any batch split; which duplicate survives
+  *    isn't stable, so the oracle checks counts;
   *  - mapGroupsWithState re-emits a row per key per batch — the MAX of
   *    the monotone running count is the batch-equivalent total.
   */
@@ -32,9 +35,11 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = s.read.parquet(d + "/events.parquet").schema
     // the file stream source wants a DIRECTORY (its basePath); a glob
-    // keeps it scoped to the events file inside the shared sf dir
-    s.readStream.schema(fileSchema).parquet(d + "/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // keeps it scoped to the events file inside the shared sf dir.
+    // ts normalization is the SHARED batch rule — divergence here would
+    // silently break stream-vs-oracle equality.
+    T.normalizeEventTs(
+      s.readStream.schema(fileSchema).parquet(d + "/events.parque*"))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
@@ -70,13 +75,16 @@ object StreamingQueries {
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
 
     // Watermarked streaming dedup (IncrementalIngest.dedupStream):
-    // exactly one survivor per user regardless of micro-batch
-    // boundaries; which event survives is arrival-order dependent, so
-    // the oracle checks the counts, not the survivors.
+    // exactly one survivor per user; which event survives is
+    // arrival-order dependent, so the oracle checks the counts.
+    // The watermark must EXCEED the corpus' time span for the
+    // batch-equivalence to hold under any micro-batch split — a
+    // shorter horizon (the right choice for live bounded-state ingest)
+    // may evict a key's state mid-replay and re-emit a late duplicate.
     "ev_stream_dedup" -> QueryDef(
       (s, d) => {
         val deduped = IncrementalIngest.dedupStream(
-          eventStream(s, d), "user_id", "ts", watermark = "24 hours")
+          eventStream(s, d), "user_id", "ts", watermark = "8760 hours")
         drain(s, deduped, "graft_stream_dedup", "append")
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("user_id")).as("n_keys"))
