@@ -407,6 +407,38 @@ object Dedup {
       .drop("_rk")
   }
 
+  /** EXACT n-gram decontamination — the canonical "any shared 13-gram"
+    * overlap test between a training corpus and an eval set, the
+    * stricter complement of the sketch-based [[contaminationReport]]
+    * (sketches approximate containment; this one proves a verbatim
+    * n-token collision). Same scale shape: inverted index on the gram
+    * hash, eval side exploded and broadcast, never doc × doc. Grams
+    * are md5'd so the join key is fixed-width instead of an n-token
+    * string.
+    *
+    * Returns (train_id, eval_id, n_shared distinct grams), every
+    * colliding pair — the caller picks worst-match/threshold policy.
+    */
+  def exactNgramContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame = {
+      val toks = tokens(col("t"))
+      val cnt = size(toks) - (n - 1)
+      // guard: sequence(1, cnt) with cnt < 1 would generate a
+      // DESCENDING sequence, not an empty one
+      val arr = when(cnt >= 1,
+        array_distinct(transform(sequence(lit(1), cnt),
+          i => md5(array_join(slice(toks, i, lit(n)), " ")))))
+        .otherwise(array().cast("array<string>"))
+      spread(df.select(col(idCol).as(out), col(textCol).as("t")))
+        .select(col(out), explode(arr).as("g"))
+    }
+    grams(train, "train_id")
+      .join(broadcast(grams(eval, "eval_id")), "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs via inverted shingle
     * index (SURVEY-declared semantics; the oracle-checked query in
     * TextQueries instantiates the same shape).

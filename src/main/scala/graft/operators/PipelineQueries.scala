@@ -788,6 +788,61 @@ object PipelineQueries {
         |    list_transform(shingles, s -> md5(s))))[1:8], ',') AS fp
         |FROM sh ORDER BY doc_id LIMIT 200""".stripMargin),
 
+    // EXACT 13-gram decontamination — the canonical verbatim-overlap
+    // test (any shared 13-token window disqualifies), complementing the
+    // sketch-based approximate pass below. Same train/eval split, so
+    // the two reports are directly comparable; DuckDB rebuilds the
+    // same md5'd gram inverted index.
+    "etl_decontaminate_exact" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.exactNgramContamination(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 500),
+          "doc_id", "text", n = 13)
+          .orderBy(col("train_id"), col("eval_id"))
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 11),
+        |      i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+        |  FROM tk)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  COUNT(*) AS n_shared
+        |FROM g t JOIN g e ON t.g = e.g
+        |WHERE t.doc_id < 400 AND e.doc_id >= 400
+        |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin),
+
+    // Token-window chunking: overlapping context windows per document
+    // (chunk 128 / overlap 16), the pre-embedding step; md5 of each
+    // chunk pins the exact token content cross-engine.
+    "etl_chunk_documents" -> QueryDef(
+      (s, d) => {
+        TextAnalysis.chunkDocuments(
+          T.documents(s, d).filter(col("doc_id") < 300),
+          "doc_id", "text", chunkSize = 128, overlap = 16)
+          .select(col("doc_id"), col("chunk_id"),
+            md5(col("chunk_text")).as("fp"),
+            length(col("chunk_text")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |    array_to_string(toks[CAST(i*112+1 AS INT):CAST(i*112+128 AS INT)],
+        |      ' ') AS chunk_text
+        |  FROM tk, unnest(range(0, greatest(1,
+        |    CAST(ceil((len(toks) - 16) / CAST(112 AS DOUBLE)) AS BIGINT))))
+        |    AS u(i))
+        |SELECT doc_id, chunk_id, md5(chunk_text) AS fp,
+        |  length(chunk_text) AS n_chars
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+
     // Decontamination: training docs sharing >= 2 bottom-k sketch
     // hashes with the held-out slice — the benchmark-overlap pass a
     // training-data pipeline runs before every mix. Portable md5

@@ -182,6 +182,28 @@ object TextAnalysis {
     struct(cleaned.as("text"), n.cast("long").as("n_redacted"))
   }
 
+  /** Token-window document chunking — the "split long documents into
+    * overlapping context windows" step that precedes embedding or
+    * packing in a training pipeline. Chunk i covers tokens
+    * [i·stride, i·stride + chunkSize) with stride = chunkSize −
+    * overlap; every document yields ≥1 chunk (short docs → one chunk of
+    * everything). Pure per-row generation (transform + posexplode) —
+    * scan speed, no shuffle, no state.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = Dedup.tokens(col(textCol))
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
+        .as(Seq("chunk_id", "chunk_text")))
+  }
+
   /** Sequence packing for training: assign documents (in a stable
     * declared order) to contiguous bins of at most `maxTokens`, the
     * "fill the context window" step before tokenization. Fill-in-order

@@ -46,6 +46,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(est - exact) < 0.25, s"est $est vs exact $exact")
   }
 
+  test("exact n-gram contamination flags verbatim window overlap only") {
+    val train = Seq(
+      (1L, "a b c d e f g h"),       // shares the 5-gram "c d e f g"
+      (2L, "totally different words here now"),
+      (3L, "a b x d e f g h"))       // x breaks every shared 5-gram
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "z z c d e f g z z")).toDF("doc_id", "text")
+    val got = Dedup.exactNgramContamination(train, eval, "doc_id", "text",
+        n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 100L, 1L)))
+    // n longer than every doc: no grams, no rows, no descending-sequence blowup
+    assert(Dedup.exactNgramContamination(train, eval, "doc_id", "text",
+      n = 50).count() === 0)
+  }
+
+  test("chunking covers every token with the declared overlap") {
+    val docs = Seq((1L, (1 to 300).map("t" + _).mkString(" ")),
+      (2L, "only four tokens here"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 128, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = rows.groupBy(_._1)
+    // 300 tokens, stride 112 → ceil((300-16)/112) = 3 chunks
+    assert(byDoc(1L).length === 3)
+    val c = byDoc(1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    assert(c(0).length === 128 && c(1).length === 128)
+    assert(c(2) === (225 to 300).map("t" + _))      // tail chunk clamps
+    assert(c(0).takeRight(16) === c(1).take(16))    // declared overlap
+    assert(byDoc(2L).map(_._3) === Array("only four tokens here"))
+    assert(byDoc(3L).length === 1)                  // empty doc → one chunk
+  }
+
   test("duplicate clusters: min-label propagation labels components") {
     // components: {1,2,3,4 chain}, {10,11}, {20,21,22 star on 20}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
