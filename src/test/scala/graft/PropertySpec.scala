@@ -147,4 +147,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: merge bookkeeping conserves ids and stays stable on re-merge") {
+    val rowGen = Gen.zip(Gen.chooseNum(1, 6), Gen.chooseNum(1, 1000))
+    forAll(Gen.zip(Gen.listOfN(12, rowGen), Gen.listOfN(12, rowGen)), n = 5) {
+      case (ex, in) =>
+        // unique event ids across both sides (real upserts never carry
+        // the same event_id twice), arbitrary key/recency collisions
+        def docs(rows: Seq[(Int, Int)], tag: String) =
+          rows.zipWithIndex.map { case ((k, r), i) => (s"$tag$i", s"k$k", r) }
+            .toDF("event_id", "key", "rev")
+            .withColumn("deduplication", struct(lit(true).as("is_canonical"),
+              array().cast("array<string>").as("merged_from_ids"),
+              array().cast("array<string>").as("merge_log")))
+        val existing = docs(ex, "e")
+        val incoming = docs(in, "i")
+        val merged = MergeOps.upsertDocs(existing, incoming, Seq("key"),
+          "rev", lit("T"))
+        val rows = merged.select(col("event_id"), col("key"),
+          col("deduplication.merged_from_ids").as("m"),
+          size(col("deduplication.merge_log")).as("nl")).collect()
+        // conservation: every input event id is either a winner or in
+        // exactly one winner's merged_from_ids
+        val winners = rows.map(_.getString(0)).toSet
+        val absorbed = rows.flatMap(_.getSeq[String](2))
+        assert(absorbed.distinct.length === absorbed.length)
+        val all = (ex.indices.map("e" + _) ++ in.indices.map("i" + _)).toSet
+        assert(winners ++ absorbed === all)
+        assert((winners & absorbed.toSet).isEmpty)
+        // one log entry per absorbed id
+        rows.foreach(r => assert(r.getInt(3) === r.getSeq[String](2).length))
+        // re-merging the merged table with NO new docs changes nothing
+        val again = MergeOps.upsertDocs(merged,
+          merged.limit(0), Seq("key"), "rev", lit("T2"))
+        assert(again.orderBy("event_id").collect().toSeq ===
+          merged.orderBy("event_id").collect().toSeq)
+    }
+  }
+
+  test("property: chunking is a partition plus declared overlap") {
+    import graft.operators.TextAnalysis
+    val textGen = Gen.chooseNum(0, 40)
+      .map(n => (1 to n).map("w" + _).mkString(" "))
+    forAll(Gen.listOfN(10, textGen), n = 5) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+            chunkSize = 7, overlap = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          .groupBy(_._1)
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val toks = t.trim.split("\\s+").toSeq
+          val cs = chunks(i.toLong).sortBy(_._2).map(_._3)
+          // dropping the overlap from every chunk after the first
+          // reconstructs the document exactly
+          val rebuilt = (cs.head.split("\\s+").toSeq ++
+            cs.tail.flatMap(_.split("\\s+").toSeq.drop(2)))
+          assert(rebuilt === toks, s"doc $i: $cs")
+        }
+      }
+    }
+  }
 }
