@@ -702,6 +702,27 @@ object PipelineQueries {
 
     // Weighted mixture quotas: per-language caps from a weights map
     // (langs outside the recipe drop out) in reproducible hash order.
+    // Deterministic train/val/test split: assignment is a pure function
+    // of (seed, id) — stable across runs/engines/cluster sizes — and
+    // the oracle re-derives it from the same md5 arithmetic. Sum of ids
+    // per split pins WHICH docs landed where, not just the sizes.
+    "etl_split" -> QueryDef(
+      (s, d) => TextAnalysis.hashSplit(T.documents(s, d), "doc_id",
+          seed = "s42", trainPct = 80, valPct = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split")),
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |            WHEN bk < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin),
+
     "etl_weighted_mix" -> QueryDef(
       (s, d) => TextAnalysis.weightedMix(T.documents(s, d), "lang",
           "doc_id", Map("en" -> 40, "es" -> 25, "fr" -> 10))

@@ -123,6 +123,27 @@ object TextAnalysis {
       .drop("_rn")
   }
 
+  /** Deterministic hash split — train/val/test assignment that is a
+    * pure function of the id and seed: stable across runs, engines, and
+    * cluster sizes (no RNG state, no partition order dependence, docs
+    * keep their split when the corpus grows). Buckets by the first 8
+    * hex chars of md5(seed || id) modulo 100; fractions are integer
+    * percents that must sum to ≤ 100 (the remainder becomes "test").
+    * Pure per-row algebra — scan speed, no shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String, seed: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percents must be 0..100 and sum <= 100, got $trainPct/$valPct")
+    val bucket = conv(substring(
+      md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Line-repetition profile — the "remove boilerplate/repeated lines"
     * quality signal: distinct-line ratio and the share of characters in
     * duplicated lines. Everything is per-row list algebra at scan
