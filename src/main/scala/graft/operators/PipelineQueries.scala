@@ -785,6 +785,39 @@ object PipelineQueries {
         |  COUNT(DISTINCT digest) AS distinct_content
         |FROM mm GROUP BY mime ORDER BY mime""".stripMargin),
 
+    // Frame-sampling PLUMBING oracle: the evenly-spaced byte-window
+    // arithmetic of sampleFramesStub (offsets, stride, tail clamp) is
+    // checked per frame against DuckDB slicing the same synthetic
+    // blobs at byte granularity — the decode inside each window stays
+    // a stub (no codecs in this environment), but where the windows
+    // land is exactly what a real extractor would receive.
+    "mm_frame_sample" -> QueryDef(
+      (s, d) => {
+        val blobs = T.documents(s, d).filter(col("doc_id") < 300)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        blobs.select(col("doc_id"),
+            posexplode(Multimodal.sampleFramesStub(col("media"), n = 4))
+              .as(Seq("frame_id", "frame")))
+          // compared in HEX space: this DuckDB build cannot slice BLOBs,
+          // but hex(blob) is sliceable at exactly 2x the byte offsets
+          .select(col("doc_id"), col("frame_id"),
+            md5(hex(col("frame"))).as("fp"),
+            length(col("frame")).cast("long").as("n_bytes"))
+          .orderBy(col("doc_id"), col("frame_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS L
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_id,
+        |    substring(h,
+        |      CAST(1 + 2 * i * greatest(1, (L - 64) // 3) AS INT), 128) AS fh
+        |  FROM b, unnest(range(0, 4)) AS u(i))
+        |SELECT doc_id, frame_id, md5(fh) AS fp,
+        |  CAST(length(fh) // 2 AS BIGINT) AS n_bytes
+        |FROM f ORDER BY doc_id, frame_id""".stripMargin),
+
     // Bottom-k shingle fingerprints (containment sketch), portable
     // md5-hex variant so DuckDB can recompute the identical sketch:
     // word 5-gram shingles → distinct md5 → lexicographic bottom-8,
