@@ -102,16 +102,23 @@ object Dedup {
       coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
   }
 
+  /** Engine-portable uniform hash: the first `hexChars` md5 hex digits
+    * as a long. The one idiom every oracle-checkable hash family in the
+    * repo builds on — DuckDB mirror:
+    * `CAST(('0x' || substr(md5(x), 1, hexChars)) AS BIGINT)`. Keep the
+    * two sides in lockstep through THIS helper, not per-site copies.
+    */
+  def portableHash(c: Column, hexChars: Int): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+
   /** Engine-portable base hashes: 28-bit ints from the md5 hex prefix
     * of each word-n-gram STRING (vs [[shingleHashes]]' xxhash64 token
     * composite — cheaper, but xxhash64 exists only in Spark). Any
     * uniform base hash gives an equally valid MinHash family; this one
-    * lets DuckDB recompute signatures bit-for-bit
-    * (CAST('0x'||substr(md5(s),1,7) AS BIGINT)).
+    * lets DuckDB recompute signatures bit-for-bit.
     */
   def shingleHashesPortable(text: Column, n: Int): Column =
-    transform(shingles(text, n),
-      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+    transform(shingles(text, n), s => portableHash(s, 7))
 
   /** [[minhashSignature]] over the portable md5 base hash — same
     * codegen'd k-min loop, oracle-checkable. The affine family and
@@ -247,8 +254,7 @@ object Dedup {
     */
   def simhash60Portable(text: Column): Column =
     graft.functions.SimHashBits.simhash_bits(
-      transform(tokens(text),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      transform(tokens(text), t => portableHash(t, 15)),
       bits = 60)
 
   /** SimHash near-dup candidate pairs: band the 64 bits into `bands`
@@ -422,13 +428,14 @@ object Dedup {
   def exactNgramContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     def grams(df: DataFrame, out: String): DataFrame = {
-      val toks = tokens(col("t"))
-      val cnt = size(toks) - (n - 1)
-      // guard: sequence(1, cnt) with cnt < 1 would generate a
-      // DESCENDING sequence, not an empty one
-      val arr = when(cnt >= 1,
-        array_distinct(transform(sequence(lit(1), cnt),
-          i => md5(array_join(slice(toks, i, lit(n)), " ")))))
+      // shingles' zip_with construction is O(W·n) per row; a
+      // slice-per-position formulation re-evaluates the tokenizer per
+      // gram → O(W²) (see the shingles scaladoc). Docs shorter than n
+      // tokens contribute NO gram (shingles' whole-text fallback is
+      // filtered by the size guard) — a <n-token doc can't contain a
+      // verbatim n-gram.
+      val arr = when(size(tokens(col("t"))) >= n,
+        transform(shingles(col("t"), n), s => md5(s)))
         .otherwise(array().cast("array<string>"))
       spread(df.select(col(idCol).as(out), col(textCol).as("t")))
         .select(col(out), explode(arr).as("g"))

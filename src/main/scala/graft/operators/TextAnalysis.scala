@@ -135,9 +135,8 @@ object TextAnalysis {
       trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"percents must be 0..100 and sum <= 100, got $trainPct/$valPct")
-    val bucket = conv(substring(
-      md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = Dedup.portableHash(
+      concat(lit(seed), col(idCol).cast("string")), 8) % 100
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -216,13 +215,20 @@ object TextAnalysis {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
-    val toks = Dedup.tokens(col(textCol))
+    // Tokenize ONCE per row into a real column; the chunk lambda then
+    // slices the materialized array. Inlining the split expression into
+    // the lambda body would re-run the tokenizer per chunk (the O(W²)
+    // trap documented on Dedup.shingles). The alias survives
+    // CollapseProject because it is non-cheap and multi-referenced
+    // (collapseProjectAlwaysInline is false by default).
+    val toks = col("_toks")
     val nChunks = greatest(lit(1),
       ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
-    df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
-        .as(Seq("chunk_id", "chunk_text")))
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
   }
 
   /** Sequence packing for training: assign documents (in a stable
