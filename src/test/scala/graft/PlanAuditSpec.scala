@@ -162,4 +162,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "relevance search shuffled a per-row projection:\n" + p.take(800))
   }
+
+  test("per-row generators (chunking, frame sampling) never hash-shuffle") {
+    for (q <- Seq("etl_chunk_documents", "mm_frame_sample")) {
+      val p = plan(q)
+      assert(p.contains("Generate"), s"$q: " + p.take(500))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q shuffled a per-row generation:\n" + p.take(800))
+    }
+  }
+
+  test("hash split aggregates map-side before its one exchange") {
+    val p = plan("etl_split")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(800))
+  }
 }
