@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries for the merge/upsert bookkeeping family
@@ -53,7 +54,7 @@ object MergeQueries {
     "d3_merge_log" -> QueryDef(
       (s, d) => {
         val ev = T.events(s, d)
-        def docs(df: org.apache.spark.sql.DataFrame) = df.select(
+        def docs(df: DataFrame) = df.select(
           col("event_id").cast("string").as("event_id"),
           col("user_id"),
           col("event_id").as("recency"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 import graft.sources.{Readers, Sinks, TableLayout}
 import V2Fixtures.{events => ev, oracleCte => CTE}
 
@@ -123,8 +124,7 @@ object SinkQueries {
         // declared schema (the production ETL knows its event shape):
         // robust to an empty export, where inference has no rows
         Readers.jsonEvents(s, path,
-          Some(org.apache.spark.sql.types.StructType(slice.schema.map(
-            _.copy(nullable = true))))).agg(
+          Some(StructType(slice.schema.map(_.copy(nullable = true))))).agg(
           count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("sum_ids"),
           count(col("title")).as("n_titles"),
@@ -151,7 +151,6 @@ object SinkQueries {
             collect_list(struct(slice.columns.map(col): _*)).as("events")))
             .as("doc"))
           .coalesce(1).write.mode("overwrite").text(path)
-        import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
         val calSchema = StructType(Seq(
           StructField("metadata",
             StructType.fromDDL("source string, total bigint")),
@@ -180,8 +179,7 @@ object SinkQueries {
               .as("event_data"))
           .write.mode("overwrite").parquet(path)
         Readers.stagingEvents(s, path,
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "title string, venue string"))
+            StructType.fromDDL("title string, venue string"))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("doc_id")).as("sum_ids"),
             count(col("payload.title")).as("n_titles"),
