@@ -394,6 +394,31 @@ object RelationalQueries {
         |SELECT user_id FROM events WHERE event_type = 'signup'
         |ORDER BY user_id""".stripMargin),
 
+    // §2.7 — the other two set operators in one row: users in BOTH
+    // slices (intersect) and purchase-only users (except), counted
+    // side by side.
+    "set_intersect_except" -> QueryDef(
+      (s, d) => {
+        val e = T.events(s, d)
+        def slice(t: String) =
+          e.filter(col("event_type") === t).select(col("user_id"))
+        val both = slice("purchase").intersect(slice("signup"))
+        val only = slice("purchase").except(slice("signup"))
+        both.agg(count(lit(1)).as("n_both"))
+          .crossJoin(only.agg(count(lit(1)).as("n_purchase_only")))
+      },
+      """SELECT
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'purchase'
+        |     INTERSECT
+        |     SELECT user_id FROM events WHERE event_type = 'signup'))
+        |    AS n_both,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'purchase'
+        |     EXCEPT
+        |     SELECT user_id FROM events WHERE event_type = 'signup'))
+        |    AS n_purchase_only""".stripMargin),
+
     // ---- time-series / streaming-analog ---------------------------------
     // SURVEY §2.13: tumbling-window aggregate (batch form of the
     // Structured Streaming hourly rollup in graft.streaming).
