@@ -232,6 +232,24 @@ object V2Queries {
          |    AND start_date < '2025-09-01T00:00:00Z' THEN 1 ELSE 0 END) AS BIGINT) AS month_b
          |FROM v2ev""".stripMargin),
 
+    // Multi-level rollup — venue × month with subtotals and a grand
+    // total in one pass (Spark expands grouping sets map-side; both
+    // engines use the same grouping-id bitmask convention, first
+    // listed column = highest bit).
+    "v2_rollup" -> QueryDef(
+      (s, d) => ev(s, d)
+        .select(col("venue.name").as("venue_name"),
+          substring(col("datetime.start_date"), 1, 7).as("month"))
+        .rollup(col("venue_name"), col("month"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("venue_name"), col("month")),
+      s"""$CTE SELECT venue_name, month, COUNT(*) AS n,
+         |  GROUPING(venue_name, month) AS gid
+         |FROM (SELECT venue_name, substr(start_date, 1, 7) AS month
+         |      FROM v2ev)
+         |GROUP BY ROLLUP (venue_name, month)
+         |ORDER BY gid, venue_name NULLS FIRST, month NULLS FIRST""".stripMargin),
+
     // J2 nested — the normalized-genre histogram over music.sub_genres:
     // exercises both lookup hits ("deep-house" → "Deep House") and the
     // initcap fallback ("ambient" → "Ambient")
