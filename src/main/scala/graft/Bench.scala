@@ -26,15 +26,19 @@ object Bench {
     }
     // A failed query must not masquerade as a fast run: it reports -1
     // in the per-query map, is excluded from the total, and is listed
-    // under "failed". Times are ms-rounded: r4's 9-decimal values blew
-    // the line past the driver's tail-capture window and the head of
-    // the JSON was lost ("parsed": null).
-    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else -1) }
+    // under "failed". Times are rounded to 10 ms and the map prints in
+    // ASCENDING time order: the driver keeps only the tail of stdout
+    // (r4's 9-decimal alphabetical line lost its head → "parsed":
+    // null), so if truncation strikes again it should cost the
+    // fastest, least informative entries — the slow queries and the
+    // total live in the final bytes.
+    def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.sortBy(_._2)
+      .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f2(v) else -1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = f3(results.collect { case (_, v, true) => v }.sum)
+    val total = f2(results.collect { case (_, v, true) => v }.sum)
     // Headline fields LAST: the driver captures the tail of stdout, so
     // a truncated capture must still contain the total (r3 lost it when
     // the per-query map came after "value").
