@@ -1,6 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
 object Bench {
+
+  /** The ev_stream_* family drives the real Structured Streaming
+    * engine and leaves debris behind (state-store maintenance threads,
+    * memory-sink tables, GC pressure) that inflated the NEXT queries'
+    * timings by 4-38× in the r5 record (j5 18.08 s recorded vs 1.1 s
+    * isolated). They now run LAST, and each one is followed by a full
+    * teardown so they can't contaminate each other either.
+    */
+  private def isStreaming(name: String) = name.startsWith("ev_stream_")
+
+  /** Stop every active streaming query, drop memory-sink temp views,
+    * clear the cache, and give the JVM a GC breath — the state-store
+    * maintenance threads shut down with their queries.
+    */
+  private def teardownStreams(spark: SparkSession): Unit = {
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case NonFatal(_) => () }
+    }
+    try spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    catch { case NonFatal(_) => () }
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
+  private def timeOnce(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      name: String): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok = try { fn(spark, sfDir).count(); true }
+             catch { case NonFatal(e) =>
+               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+               false }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,42 +52,55 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup on the smallest SF so the first timed query
     // doesn't absorb session setup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // stable alphabetical order: per-query times comparable across
-    // rounds and runs
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                 false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    try SparkEntry.entry(spark).count() catch { case NonFatal(_) => () }
+    val (streaming, batch) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => isStreaming(n) }
+    // Batch queries: timed twice; "queries" records the min (warm =
+    // plan cost, not parquet-footer/codegen cold cost), "queries_cold"
+    // records the first run so the cold data stays published.
+    val batchResults = batch.map { case (name, fn) =>
+      val (cold, okCold) = timeOnce(spark, sfDir, fn, name)
+      val (warm, okWarm) =
+        if (okCold) timeOnce(spark, sfDir, fn, name) else (cold, false)
+      (name, cold, math.min(cold, warm), okCold && okWarm)
     }
+    // Streaming queries LAST, each run once (the micro-batch + state
+    // store engine cost IS the measured capability; a warm re-run
+    // would just re-pay it) with teardown in between.
+    val streamResults = streaming.map { case (name, fn) =>
+      val (t, ok) = timeOnce(spark, sfDir, fn, name)
+      teardownStreams(spark)
+      (name, t, t, ok)
+    }
+    val results = batchResults ++ streamResults
     // A failed query must not masquerade as a fast run: it reports -1
     // in the per-query map, is excluded from the total, and is listed
-    // under "failed". Times are rounded to 10 ms and the map prints in
+    // under "failed". Times are rounded to 10 ms and the maps print in
     // ASCENDING time order: the driver keeps only the tail of stdout
     // (r4's 9-decimal alphabetical line lost its head → "parsed":
     // null), so if truncation strikes again it should cost the
     // fastest, least informative entries — the slow queries and the
     // total live in the final bytes.
     def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.sortBy(_._2)
+    def jmap(xs: Seq[(String, Double, Boolean)]) = xs.sortBy(_._2)
       .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f2(v) else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qsCold = jmap(results.map { case (k, c, _, ok) => (k, c, ok) })
+    val qs = jmap(results.map { case (k, _, w, ok) => (k, w, ok) })
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = f2(results.collect { case (_, v, true) => v }.sum)
+    val totalCold = f2(results.collect { case (_, c, _, true) => c }.sum)
+    val total = f2(results.collect { case (_, _, w, true) => w }.sum)
     // Headline fields LAST: the driver captures the tail of stdout, so
     // a truncated capture must still contain the total (r3 lost it when
     // the per-query map came after "value").
-    val line = s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries_cold":$qsCold,"total_cold":$totalCold,"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
     // Belt and braces: persist the same JSON where a truncated stdout
     // capture can't touch it.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line.getBytes("UTF-8")) catch { case _: Throwable => () }
+      line.getBytes("UTF-8")) catch { case NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -206,12 +206,28 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding analog of MinHash banding): one shuffle on bucket, exact
     * cosine verification within buckets.
+    *
+    * Skew control mirrors Dedup.minhashCandidatePairs: a bucket of n
+    * vectors contributes n² pairs, and real encoder output DOES
+    * produce near-constant embeddings for boilerplate, collapsing a
+    * corpus slice into one bucket. Buckets above `maxBucketSize` are
+    * dropped from the pair join — "everything here is the same
+    * boilerplate" is exact-fingerprint-dedup territory, not ANN's.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
       vecCol: String, dim: Int, minCosine: Double, bits: Int = 8,
-      seed: Long = 7L): DataFrame = {
-    val b = withLshBucket(embeddings, vecCol, bits, dim, seed)
+      seed: Long = 7L, maxBucketSize: Int = 500): DataFrame = {
+    val bAll = withLshBucket(embeddings, vecCol, bits, dim, seed)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+    val b =
+      if (maxBucketSize == Int.MaxValue) bAll
+      else {
+        val bucketW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))
+        bAll.withColumn("_bsz", count(lit(1)).over(bucketW))
+          .filter(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -38,7 +38,11 @@ object SinkQueries {
             lit("<html>bulk</html>").as("raw_data")))
         val path = outDir("json", d)
         Sinks.exportForApp(docs, minQuality = 0.7, path)
-        val back = s.read.json(path)
+        // read back with the DECLARED export schema (derived from the
+        // projection, not inference): an empty export must read as 0
+        // rows, not die with 'Unable to infer schema'
+        val exportSchema = Sinks.appExportProjection(docs, 0.7).schema
+        val back = s.read.schema(exportSchema).json(path)
         // raw_data must NOT have survived the exclude-projection
         require(!back.select(col("scraping_metadata.*")).columns
           .contains("raw_data"), "raw_data leaked into the JSON export")

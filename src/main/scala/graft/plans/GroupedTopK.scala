@@ -155,7 +155,10 @@ object GroupedTopK {
       conf.getConfString(maxEntriesKey, maxEntriesDefault.toString))
     val tasks = math.max(1, conf.numShufflePartitions)
     val headroom = 4L
-    if (estimatedKeys / tasks * k * headroom <= cap)
+    // division compare: `estimatedKeys / tasks * k * headroom` can
+    // overflow Long for extreme estimatedKeys×k (going negative and
+    // picking the heap plan for exactly the worst inputs)
+    if (estimatedKeys / tasks <= cap / math.max(1L, k.toLong * headroom))
       of(df, keyCols, orderCols, descending, k)
     else windowed(df, keyCols, orderCols, descending, k)
   }

@@ -6,14 +6,22 @@ import org.apache.spark.sql.functions._
 /** Export sinks (SURVEY §2.1 K2–K4). */
 object Sinks {
 
-  /** K2 — app JSON export: quality filter + drop bulky fields
-    * (reference: database/query_examples.py:269-300).
+  /** K2 — the app-export projection: quality filter + drop bulky
+    * fields (reference: database/query_examples.py:269-300). Exposed
+    * separately from the write so callers can read the export back
+    * with the DECLARED schema instead of inference (an empty export
+    * would fail schema inference outright, and inference can narrow
+    * types the filter happened to make uniform).
     */
-  def exportForApp(events: DataFrame, minQuality: Double, path: String): Unit =
+  def appExportProjection(events: DataFrame, minQuality: Double): DataFrame =
     events.filter(col("data_quality.overall_score") >= minQuality)
       .drop("data_quality", "deduplication")
       .withColumn("scraping_metadata",
         col("scraping_metadata").dropFields("raw_data"))
+
+  /** K2 — app JSON export. */
+  def exportForApp(events: DataFrame, minQuality: Double, path: String): Unit =
+    appExportProjection(events, minQuality)
       .coalesce(1).write.mode("overwrite").json(path)
 
   /** K3 — CSV export of flat summary columns

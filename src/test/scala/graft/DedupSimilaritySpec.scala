@@ -263,6 +263,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("embedding near-dup pairs caps degenerate buckets") {
+    // 1k near-identical vectors (boilerplate embeddings) all land in
+    // one LSH bucket — uncapped, that's ~500k pairs in one task. The
+    // cap drops the oversized bucket entirely; a healthy small cluster
+    // in the same corpus must still produce its pairs.
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, Array.tabulate(8)(j => 1.0f + (i % 7) * 1e-6f + j * 0f)))
+    val healthy = Seq(
+      (2000L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)),
+      (2001L, Array(1.001f, -1.001f, 1.001f, -1.001f, 1.001f, -1.001f, 1.001f, -1.001f)))
+    val vecs = (boiler ++ healthy).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, minCosine = 0.999, bits = 4, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded: no pair from the 1000-vector degenerate bucket survives
+    assert(pairs.forall { case (a, b) => a >= 2000L && b >= 2000L },
+      s"degenerate-bucket pairs leaked: ${pairs.size}")
+    assert(pairs.contains((2000L, 2001L)))
+  }
+
   test("language ID picks the right language on clear samples") {
     val samples = Seq(
       ("en", "the cat and the dog is in that house with the red door"),
