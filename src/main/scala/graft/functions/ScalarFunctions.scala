@@ -89,26 +89,14 @@ object ScalarFunctions {
     struct(amt.as("amount"), curr.as("currency"))
   }
 
-  /** F2 — HTML-entity unescape for the common entities scraped text
-    * actually contains (the reference calls Python html.unescape;
-    * reference: scrapers_v2/data_quality/cleaning.py:21-32). A full
-    * spec unescape would need a custom Expression; this chain covers
-    * the named entities seen in event pages plus ASCII numeric forms.
+  /** F2 — HTML-entity unescape (the reference calls Python
+    * html.unescape; reference: scrapers_v2/data_quality/cleaning.py:
+    * 21-32). Single-pass codegen'd Expression: full numeric-ref
+    * (`&#NNN;`/`&#xHH;`) parity with Python's WHATWG rules, named
+    * subset for the entities event pages contain — see
+    * [[HtmlUnescape]].
     */
-  def htmlUnescape(c: Column): Column = {
-    val named = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&euro;" -> "€",
-      "&pound;" -> "£", "&hellip;" -> "…", "&ndash;" -> "–", "&mdash;" -> "—")
-    // Entities are literal strings — StringReplace (no regex engine,
-    // no Matcher allocation per step) instead of 12 regexp_replace
-    // passes; ~4× cheaper on entity-free text, which is most text.
-    val step = named.foldLeft(c) {
-      case (acc, (ent, ch)) => call_function("replace", acc, lit(ent), lit(ch))
-    }
-    // &amp; unescapes LAST so "&amp;lt;" → "&lt;" (not "<").
-    call_function("replace", step, lit("&amp;"), lit("&"))
-  }
+  def htmlUnescape(c: Column): Column = HtmlUnescape.htmlUnescape(c)
 
   /** F9 — URL normalize: prepend https:// when schemeless; null when no
     * host parses. reference: schema_adapter_enhanced.py:90-105

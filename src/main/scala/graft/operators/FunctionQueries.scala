@@ -141,21 +141,40 @@ object FunctionQueries {
       (s, d) => {
         val b = trim(substring(regexp_replace(col("text"), "\\s+", " "), 1, 24))
         val raw = concat(lit("&lt;p&gt;"), b,
-          lit(" &amp;amp; Friends &euro;50&nbsp;&hellip;&#39;tba&#39; &quot;live&quot; &ndash; end&amp;"))
+          lit(" &amp;amp; Friends &euro;50&nbsp;&hellip;&#39;tba&#39; &quot;live&quot; &ndash; end&amp;" +
+            // numeric forms: decimal, hex (both cases), cp1252 remap
+            // (&#146; → ’), missing semicolon, surrogate → U+FFFD,
+            // control → dropped, literal &# with no digits
+            " &#8364;100 &#x2026!&#X27;ok&#X27; say&#146;s &#65 A&#xD800;B&#31;C &# end"))
         T.documents(s, d)
           .select(col("doc_id"), ScalarFunctions.htmlUnescape(raw).as("clean"))
           .orderBy(col("doc_id")).limit(docLimit)
       },
-      """SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(replace(replace(
-        |  replace(replace(replace(replace(
+      """WITH raw AS (
+        |  SELECT doc_id,
         |    '&lt;p&gt;' || trim(substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 24))
-        |      || ' &amp;amp; Friends &euro;50&nbsp;&hellip;&#39;tba&#39; &quot;live&quot; &ndash; end&amp;',
+        |      || ' &amp;amp; Friends &euro;50&nbsp;&hellip;&#39;tba&#39; &quot;live&quot; &ndash; end&amp;'
+        |      || ' &#8364;100 &#x2026!&#X27;ok&#X27; say&#146;s &#65 A&#xD800;B&#31;C &# end'
+        |      AS r
+        |  FROM documents),
+        |-- numeric refs (fixed strings here, so literal replaces mirror
+        |-- the engine's single-pass decode): decimal, hex, cp1252
+        |-- remap, no-semicolon, surrogate → U+FFFD, control → dropped
+        |num AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(r,
+        |      '&#8364;', '€'), '&#x2026', '…'), '&#X27;', ''''),
+        |      '&#146;', '’'), '&#xD800;', '�'), '&#31;', ''),
+        |      '&#65', 'A') AS r
+        |  FROM raw)
+        |SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(
+        |  replace(replace(replace(replace(r,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |    '&apos;', ''''), '&nbsp;', ' '), '&euro;', '€'), '&pound;', '£'),
         |    '&hellip;', '…'), '&ndash;', '–'), '&mdash;', '—'), '&amp;', '&')
         |    AS clean
-        |FROM documents ORDER BY doc_id LIMIT 400""".stripMargin),
+        |FROM num ORDER BY doc_id LIMIT 400""".stripMargin),
 
     // §2.8 F9 — URL normalization: scheme completion + host validation
     // (reference: schema_adapter_enhanced.py:90-105).

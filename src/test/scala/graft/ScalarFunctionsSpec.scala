@@ -27,6 +27,35 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     assert(got(4) === "price €50")
   }
 
+  test("F2 numeric charrefs match Python html.unescape goldens") {
+    // goldens computed with CPython html.unescape (WHATWG charref
+    // rules); the one documented divergence is &nbsp; → ' ' (Python
+    // gives   — our downstream whitespace normalizer treats both
+    // as one space)
+    val cases = Seq(
+      "&#8364;100" -> "€100",
+      "&#x2026" -> "…",                   // hex, no semicolon
+      "&#X27;ok&#X27;" -> "'ok'",              // uppercase X
+      "say&#146;s" -> "say’s",            // cp1252 remap of C1
+      "&#65 A" -> "A A",                       // terminator not consumed
+      "A&#xD800;B" -> "A�B",              // surrogate → U+FFFD
+      "B&#31;C" -> "BC",                       // C0 control → dropped
+      "&# end" -> "&# end",                    // no digits → literal
+      "&#0;x" -> "�x",
+      "&#13;y" -> "\ry",
+      "&#1114111;" -> "",                      // 0x10FFFF noncharacter
+      "&#1114112;" -> "�",                // beyond Unicode
+      "&#xfdd0;z" -> "z",                      // noncharacter block
+      "&#65279;" -> "﻿",                  // BOM is valid output
+      "&#99999999999999999999;" -> "�",   // parse must not overflow
+      "&amp;lt;" -> "&lt;",                    // single-pass semantics
+      "&#x41&#x42" -> "AB",
+      "tail&" -> "tail&")
+    cases.foreach { case (in, want) =>
+      assert(one(htmlUnescape(col("x")), in) === want, s"input: $in")
+    }
+  }
+
   test("F7 price extraction variants") {
     val cases = Seq(
       "From €50.00 - Tickets available" -> (50.0, "EUR"),
