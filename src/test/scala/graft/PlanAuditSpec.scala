@@ -177,4 +177,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(800))
   }
+
+  test("no registry query plans a cartesian or non-broadcast nested-loop join") {
+    // Anti-regression sweep over the WHOLE registry: as queries are
+    // added, none may silently plan an all-pairs join. Plans are
+    // inspected un-executed (join strategy is decided before AQE), so
+    // the sweep stays cheap; the streaming family is excluded because
+    // constructing its frames drains a real stream.
+    val skip = (n: String) => n.startsWith("ev_stream_")
+    for ((name, qd) <- SparkEntry.registry.toSeq.sortBy(_._1) if !skip(name)) {
+      val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n" + p.take(800))
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(p.contains("BroadcastExchange"),
+          s"$name nested-loop joins without a broadcast build side:\n" +
+            p.take(800))
+    }
+  }
+
+  test("geo bbox and radius-prefilter predicates push to the scan on stored coordinates") {
+    import org.apache.spark.sql.functions._
+    // the fixture derives lat/lon, so pushdown can't show there; this
+    // is the production shape — coordinates as stored parquet columns
+    val dir = java.nio.file.Files.createTempDirectory("graft_geo")
+      .toFile.getAbsolutePath
+    spark.range(0, 1000)
+      .select(col("id"),
+        (col("id") % 100 * 0.003 + 38.80).as("lat"),
+        (col("id") % 83 * 0.004 + 1.20).as("lon"))
+      .write.mode("overwrite").parquet(s"$dir/venues")
+    val df = spark.read.parquet(s"$dir/venues")
+      .filter(graft.operators.GeoOps.radiusPrefilter(
+        col("lat"), col("lon"),
+        graft.operators.GeoQueries.centerLat,
+        graft.operators.GeoQueries.centerLon, 5000.0))
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(lat") &&
+      p.contains("LessThanOrEqual(lon"),
+      "radius prefilter did not reach the parquet scan:\n" + p.take(1000))
+  }
 }
