@@ -34,16 +34,24 @@ object Similarity {
       .map { case (h, i) => s"($i, [${h.mkString(", ")}])" }
       .mkString(", ")
 
-  /** Dot product of a vector column against a constant vector — a
-    * per-row fold in doubles, whole-stage-codegen friendly.
+  /** Dot product of a vector column against a constant vector, via the
+    * codegen'd [[graft.functions.ArrayDot]] expression (bit-identical
+    * left fold; see [[dotHof]] for the HOF oracle formulation).
     */
   def dotConst(vec: Column, const: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, typedLit(const), (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, p) => acc + p)
+    graft.functions.VecOps.arrayDot(vec, typedLit(const))
 
-  /** Dot product of two vector columns (element fold). */
+  /** Dot product of two vector columns (codegen'd). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VecOps.arrayDot(a, b)
+
+  /** The composed-built-ins dot product ArrayDot replaced — kept as
+    * its independent test oracle (DedupSimilaritySpec asserts bit
+    * equality on real vectors): zip_with pads unequal lengths with
+    * null and the cast products null-propagate, which is exactly
+    * ArrayDot's null contract.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, p) => acc + p)
 

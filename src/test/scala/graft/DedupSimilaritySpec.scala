@@ -263,6 +263,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("ArrayDot is bit-identical to the HOF fold and honors its null contract") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat),
+        Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("id", "a", "b")
+    val rows = vecs.select(
+      Similarity.dot($"a", $"b").as("fast"),
+      Similarity.dotHof($"a", $"b").as("oracle")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null contract: unequal lengths and null elements give null,
+    // exactly like the zip_with padding / null-product propagation
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f), null)).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("embedding near-dup pairs caps degenerate buckets") {
     // 1k near-identical vectors (boilerplate embeddings) all land in
     // one LSH bucket — uncapped, that's ~500k pairs in one task. The
