@@ -39,7 +39,14 @@ object V2Fixtures {
   /** Raw scraped-shaped records (one per document), pure doc_id
     * arithmetic — see class doc.
     */
-  def raw(s: SparkSession, dir: String): DataFrame = {
+  def raw(s: SparkSession, dir: String): DataFrame =
+    rawFrom(T.documents(s, dir))
+
+  /** Same derivation over an arbitrary (doc_id, text) frame — lets the
+    * scaling probe (graft.tools.ScaleProbe) synthesize N× corpora
+    * without touching the read-only testdata.
+    */
+  def rawFrom(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val base = trim(substring(regexp_replace(col("text"), "\\s+", " "), 1, 20))
     val tsel = id % 23
@@ -94,7 +101,7 @@ object V2Fixtures {
     val desc = when(id % 13 === 0, lit(null).cast("string"))
       .when(id % 13 === 1, lit(""))
       .otherwise(concat(lit("Warm up on the rooftop terrace with "), base))
-    T.documents(s, dir).select(id,
+    docs.select(id,
       title.as("title"), time.as("time"), venue.as("venue"),
       lineup.as("lineup"), url.as("url"), genres.as("genres"),
       price.as("price_text"), desc.as("short_description"))

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Unify, V2Fixtures}
+
+/** Scaling probe for the central adapter+scorer operator
+  * (etl_unify_score): replicates the sf0.1 documents corpus N× with
+  * offset doc_ids (pure column arithmetic — no testdata writes), runs
+  * the FULL unify+score pipeline over every row (aggregated output, no
+  * limit — nothing is skippable), and prints rows/sec per scale.
+  *
+  * What linear rows/sec across scales demonstrates: the operator is
+  * one scan + one narrow repartition + per-row column algebra — no
+  * join, no aggregation keyed on data values — so its cost is
+  * O(rows/cores) with no term that grows with corpus size. That is
+  * the shape that survives 100 TB; this probe is the measured
+  * evidence at the scales this container can hold.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val maxFactor = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val baseRows = base.count()
+
+    def runAt(factor: Int): (Long, Double) = {
+      // replicate via range-crossjoin (broadcast of a k-row range);
+      // offsets keep doc_ids distinct while id-derived field variety
+      // (mod-small-prime arithmetic) is preserved per replica
+      val docs =
+        if (factor == 1) base
+        else base.crossJoin(broadcast(
+            spark.range(factor).select(col("id").as("_rep"))))
+          .select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+            col("text"))
+      val raw = V2Fixtures.rawFrom(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val unified = Unify.unify(raw, "ibiza-spotlight",
+        lit(V2Fixtures.nowTs).cast("timestamp"), keep = Seq("doc_id"))
+      val t0 = System.nanoTime()
+      val agg = unified.agg(
+        count(lit(1)).as("n"),
+        avg(col("data_quality.overall_score")).as("avg_q"),
+        countDistinct(col("venue.name")).as("venues"))
+        .collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (agg.getLong(0), sec)
+    }
+
+    runAt(1) // warmup: JIT + codegen + parquet footers
+    val factors = Seq(1, 2, 5, maxFactor).distinct.filter(_ <= maxFactor)
+    println(f"""{"probe":"etl_unify_score","base_rows":$baseRows%d,"runs":[""")
+    val lines = factors.map { f =>
+      val (rows, sec) = runAt(f)
+      f"""{"factor":$f%d,"rows":$rows%d,"sec":$sec%.2f,"rows_per_sec":${rows / sec}%.0f}"""
+    }
+    println(lines.mkString(",\n"))
+    println("]}")
+    spark.stop()
+  }
+}
