@@ -276,6 +276,85 @@ object PipelineQueries {
     // verifies within cells — one shuffle, never an all-pairs join.
     // Oracle: embedded hyperplane literals + bucket-equality self-join
     // + left-to-right cosine folds, bit-exact like sim_cosine_fast.
+    // Exact k-NN JOIN (retrieval-eval / cross-corpus audit shape):
+    // every 50th vector is a query, the rest are the corpus; top-3
+    // neighbors per query by cosine. Broadcast queries, partial+final
+    // GroupedTopK — the exchange moves candidates, not scored pairs.
+    "sim_knn_join" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinExact(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, t -> t * t),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM emb),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_reduce(list_transform(range(1, 65),
+        |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+        |      / (c.nrm * q.nrm) AS cosine
+        |  FROM n c, n q
+        |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, corpus_id DESC) AS rn
+        |  FROM scored)
+        |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
+        |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
+    // LSH-bucketed k-NN join — the 100 TB path: corpus scored only
+    // against queries sharing its hyperplane bucket. Deterministic
+    // hyperplanes → DuckDB replays buckets, candidates, and ranking
+    // exactly (single-probe recall is part of the contract).
+    "sim_knn_join_lsh" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinLsh(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", dim = 64, k = 3, bits = 4)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(4, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |buck AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE
+         |      WHEN list_reduce(list_transform(range(1, 65),
+         |        j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |      THEN (1 << hp.i) ELSE 0 END) AS INT) AS bucket
+         |  FROM emb e, hp GROUP BY e.vec_id),
+         |n AS (
+         |  SELECT e.vec_id, e.v, b.bucket,
+         |    sqrt(list_reduce(list_transform(e.v, t -> t * t),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM emb e JOIN buck b ON b.vec_id = e.vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+         |      / (c.nrm * q.nrm) AS cosine
+         |  FROM n c JOIN n q ON c.bucket = q.bucket
+         |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     "dd_embedding_neardup" -> QueryDef(
       (s, d) => {
         val dim = T.embeddings(s, d).select(size(col("embedding")))

@@ -211,6 +211,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN: for every query vector, the k nearest corpus
+    * vectors by cosine. The query side broadcasts (retrieval-eval /
+    * cross-corpus audit workloads have queries ≪ corpus); the corpus
+    * is scored in place — no shuffle of scored pairs: a PARTIAL
+    * per-partition GroupedTopK heap pass reduces each partition to
+    * ≤ queries×k candidates before the single exchange, and the FINAL
+    * pass reduces candidates to the true top-k. Per-query norms are
+    * computed once on the broadcast side, per-corpus-row norms once
+    * per row (not per pair).
+    */
+  def knnJoinExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(scored, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
+  }
+
+  /** LSH-bucketed k-NN join — the scale path: both sides bucket with
+    * the SAME hyperplanes, the (small) bucketed query side broadcasts,
+    * and each corpus row is scored only against the queries sharing
+    * its bucket (candidates ≈ queries/2^bits per row). Same partial+
+    * final top-k reduction as [[knnJoinExact]]. Single-probe recall:
+    * a neighbor hashing to a different bucket is missed — raise
+    * recall by lowering `bits` or unioning probes over bit-flipped
+    * query buckets (multi-probe), both without changing this shape.
+    * At 100 TB the corpus side is materialized partitioned by bucket
+    * (withLshBucket scaladoc), making the join a co-located scan.
+    */
+  def knnJoinLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, bits: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val c = withLshBucket(corpus, vecCol, bits, dim, seed)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        col("bucket"))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = withLshBucket(queries, vecCol, bits, dim, seed)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        col("bucket"))
+      .withColumn("_qn", norm(col("_qv")))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(scored, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding analog of MinHash banding): one shuffle on bucket, exact
     * cosine verification within buckets.

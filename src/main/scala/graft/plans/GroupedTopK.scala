@@ -27,19 +27,28 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * my_scrapers/ventura_crawler.py:327-343).
   */
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan, partial: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): GroupedTopK =
     copy(child = c)
 }
 
 case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, child: SparkPlan, partial: Boolean = false)
+    extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  /** `partial` runs the heaps over whatever partitioning the child
+    * already has (no exchange) and emits each partition's local top-k
+    * per key — a map-side combine for top-k. A FINAL (clustered)
+    * GroupedTopK downstream then reduces partitions x k candidates
+    * per key to the true top-k, so the exchange between them moves
+    * only candidates, never the full scored input.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
@@ -93,8 +102,8 @@ case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
 
 object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopK(g, o, k, child) =>
-      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+    case GroupedTopK(g, o, k, child, partial) =>
+      GroupedTopKExec(g, o, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -122,6 +131,20 @@ object GroupedTopK {
   def of(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       descending: Boolean, k: Int): DataFrame =
     PlanBridge.groupedTopK(df, keyCols, orderCols, descending, k)
+
+  /** Map-side-combined top-k: a PARTIAL per-partition heap pass (no
+    * exchange — runs on the child's existing partitioning) followed by
+    * the clustered FINAL pass. The exchange between the two carries at
+    * most partitions × keys × k candidate rows instead of the full
+    * scored input — the top-k analog of partial aggregation. Use when
+    * the input is large relative to keys × k (e.g. a k-NN join's
+    * corpus × queries score stream).
+    */
+  def combined(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      descending: Boolean, k: Int): DataFrame =
+    of(PlanBridge.groupedTopK(df, keyCols, orderCols, descending, k,
+        partial = true),
+      keyCols, orderCols, descending, k)
 
   /** The spill-safe formulation of the same operator: row_number over a
     * (key, order) sort — Spark's external sort spills to disk, so any

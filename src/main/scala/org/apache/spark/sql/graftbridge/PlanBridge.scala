@@ -11,7 +11,7 @@ import org.apache.spark.sql.classic
 object PlanBridge {
 
   def groupedTopK(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-      descending: Boolean, k: Int): DataFrame = {
+      descending: Boolean, k: Int, partial: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.GroupedTopKStrategy)) {
@@ -24,7 +24,8 @@ object PlanBridge {
         s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
     val direction = if (descending) Descending else Ascending
     val order = orderCols.map(c => SortOrder(attr(c), direction))
-    val plan = graft.plans.GroupedTopK(keyCols.map(attr), order, k, analyzed)
+    val plan =
+      graft.plans.GroupedTopK(keyCols.map(attr), order, k, analyzed, partial)
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   }
 }

@@ -285,6 +285,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("knn join (partial+final heaps) matches the brute-force window formulation") {
+    val rng = new scala.util.Random(23)
+    val all = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(8) // force multiple partitions so PARTIAL does work
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0)
+    val got = Similarity.knnJoinExact(corpus, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: score every pair, window-rank per query
+    val scored = corpus.select($"vec_id".as("corpus_id"), $"embedding".as("cv"))
+      .crossJoin(queries.select($"vec_id".as("query_id"), $"embedding".as("qv")))
+      .select($"query_id", $"corpus_id",
+        (Similarity.dotHof($"cv", $"qv") /
+          (sqrt(Similarity.dotHof($"cv", $"cv")) *
+            sqrt(Similarity.dotHof($"qv", $"qv")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".desc)
+    val want = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.size === 6 * 4) // 6 queries x k
+  }
+
+  test("LSH knn join returns only same-bucket neighbors, exact within bucket") {
+    val rng = new scala.util.Random(29)
+    val all = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0)
+    val got = Similarity.knnJoinLsh(corpus, queries, "vec_id", "embedding",
+      dim = 16, k = 3, bits = 2).collect()
+    val buckets = Similarity.withLshBucket(all, "embedding", 2, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    got.foreach { r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(1)),
+        s"pair crosses buckets: $r")
+    }
+    // every query with a same-bucket corpus vector must surface rows
+    val queriesWithMates = (0 until 300 by 50).count { q =>
+      buckets.exists { case (id, b) => id % 50 != 0 && b == buckets(q.toLong) }
+    }
+    assert(got.map(_.getLong(0)).distinct.length === queriesWithMates)
+  }
+
   test("embedding near-dup pairs caps degenerate buckets") {
     // 1k near-identical vectors (boilerplate embeddings) all land in
     // one LSH bucket — uncapped, that's ~500k pairs in one task. The
