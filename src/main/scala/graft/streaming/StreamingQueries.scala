@@ -93,6 +93,27 @@ object StreamingQueries {
         |  COUNT(DISTINCT user_id) AS n_keys
         |FROM events""".stripMargin),
 
+    // Stream-static join — the dimension-enrichment-during-ingest
+    // shape: each micro-batch of the event stream joins the static
+    // customer dim (broadcast — it re-resolves per batch but never
+    // shuffles the stream side), then a complete-mode rollup per
+    // nation. The finalized table must equal the batch join+group-by.
+    "ev_stream_enrich" -> QueryDef(
+      (s, d) => {
+        val dim = broadcast(T.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")))
+        val enriched = eventStream(s, d)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), T.decSum(col("value")).as("total_value"))
+        drain(s, enriched, "graft_stream_enrich", "complete")
+          .orderBy(col("c_nationkey"))
+      },
+      s"""SELECT c_nationkey, COUNT(*) AS n,
+         |  ${T.sqlDecSum("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin),
+
     // Custom per-key state via mapGroupsWithState (IncrementalIngest
     // .statefulUserCounts): update mode re-emits per batch; the MAX of
     // the monotone running count per user is the total event count.
