@@ -93,6 +93,55 @@ object StreamingQueries {
         |  COUNT(DISTINCT user_id) AS n_keys
         |FROM events""".stripMargin),
 
+    // Session windows in the REAL engine (the streaming analog of the
+    // batch ev_sessionize gap logic): 30-min-gap sessions per user,
+    // append mode — only sessions FINALIZED by the watermark are
+    // emitted. events.parquet is a single file → a single data
+    // micro-batch, so no event is ever late; after it, the watermark
+    // advances to max(ts) − 30min and the closing empty batch emits
+    // every session whose end (last event + 30min gap) precedes that
+    // cutoff. The oracle reproduces exactly that finalization rule, so
+    // this row also PINS the semantics (a session still open at drain
+    // time is state, not output — the property incremental sessionizers
+    // rely on).
+    "ev_stream_sessions" -> QueryDef(
+      (s, d) => {
+        val agg = eventStream(s, d)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        drain(s, agg, "graft_stream_sessions", "append")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n")).as("n_events"),
+            max(col("n")).as("max_session_events"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |cutoff AS (
+        |  SELECT MAX(ms) - 1800000 AS wm FROM e),
+        |g AS (
+        |  SELECT user_id, ms, CASE WHEN ms - LAG(ms) OVER
+        |      (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |      OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sid AS (
+        |  SELECT user_id, ms, SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY ms
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n,
+        |    MAX(ms) + 1800000 AS session_end
+        |  FROM sid GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(MAX(n) AS BIGINT) AS max_session_events
+        |FROM sess, cutoff WHERE session_end <= wm
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Stream-static join — the dimension-enrichment-during-ingest
     // shape: each micro-batch of the event stream joins the static
     // customer dim (broadcast — it re-resolves per batch but never
