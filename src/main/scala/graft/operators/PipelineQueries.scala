@@ -355,6 +355,54 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // Multi-probe LSH k-NN join: each query also probes its
+    // single-bit-flip neighbor buckets — recall rises to P(≤1 sign
+    // differs) with the join shape unchanged. The oracle replays the
+    // probe-set expansion (own bucket + bits XOR flips) exactly.
+    "sim_knn_join_multiprobe" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinLshMultiProbe(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", dim = 64, k = 3, bits = 4)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(4, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |buck AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE
+         |      WHEN list_reduce(list_transform(range(1, 65),
+         |        j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |      THEN (1 << hp.i) ELSE 0 END) AS INT) AS bucket
+         |  FROM emb e, hp GROUP BY e.vec_id),
+         |n AS (
+         |  SELECT e.vec_id, e.v, b.bucket,
+         |    sqrt(list_reduce(list_transform(e.v, t -> t * t),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM emb e JOIN buck b ON b.vec_id = e.vec_id),
+         |qprobe AS (
+         |  SELECT vec_id, v, nrm,
+         |    unnest([bucket] || list_transform(range(0, 4),
+         |      j -> xor(bucket, CAST(1 << j AS INT)))) AS bucket
+         |  FROM n WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+         |      / (c.nrm * q.nrm) AS cosine
+         |  FROM n c JOIN qprobe q ON c.bucket = q.bucket
+         |  WHERE c.vec_id % 50 <> 0),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     "dd_embedding_neardup" -> QueryDef(
       (s, d) => {
         val dim = T.embeddings(s, d).select(size(col("embedding")))

@@ -265,6 +265,40 @@ object Similarity {
       Seq("cosine", "corpus_id"), descending = true, k)
   }
 
+  /** Multi-probe variant of [[knnJoinLsh]]: each query probes its own
+    * bucket PLUS every single-bit-flip neighbor bucket (bits+1 probes)
+    * — the standard recall lever for sign-pattern LSH (a near neighbor
+    * differing in one hyperplane sign is recovered). Only the SMALL
+    * broadcast query side explodes ×(bits+1); the corpus is still
+    * scored in place, and a (query, corpus) pair can match at most one
+    * probe (the corpus row's bucket), so no dedup pass is needed.
+    * Recall rises from P(all signs agree) to P(≤1 sign differs) at the
+    * cost of ~(bits+1)× more candidates per corpus row — still
+    * queries/2^bits·(bits+1) ≪ brute force.
+    */
+  def knnJoinLshMultiProbe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, bits: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val c = withLshBucket(corpus, vecCol, bits, dim, seed)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        col("bucket"))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = withLshBucket(queries, vecCol, bits, dim, seed)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        col("bucket"))
+      .withColumn("_qn", norm(col("_qv")))
+      // probe set: own bucket + each single-bit flip
+      .withColumn("bucket", explode(array(
+        (Seq(col("bucket")) ++
+          (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1 << j)))): _*)))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(scored, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding analog of MinHash banding): one shuffle on bucket, exact
     * cosine verification within buckets.

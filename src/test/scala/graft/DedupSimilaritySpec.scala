@@ -333,6 +333,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.length === queriesWithMates)
   }
 
+  test("multi-probe LSH knn join dominates single-probe recall") {
+    val rng = new scala.util.Random(31)
+    val all = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.knnJoinLsh(corpus, queries,
+      "vec_id", "embedding", dim = 16, k = 3, bits = 4))
+    val multi = pairs(Similarity.knnJoinLshMultiProbe(corpus, queries,
+      "vec_id", "embedding", dim = 16, k = 3, bits = 4))
+    val exact = pairs(Similarity.knnJoinExact(corpus, queries,
+      "vec_id", "embedding", 3))
+    // recall vs exact must not DECREASE with more probes, and with
+    // bits=4 on gaussian data multi-probe should strictly find more
+    assert((multi & exact).size >= (single & exact).size)
+    assert(multi.size >= single.size)
+    // every multi-probe pair is within hamming distance 1 in bucket space
+    val b = Similarity.withLshBucket(all, "embedding", 4, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    multi.foreach { case (q, c) =>
+      assert(Integer.bitCount(b(q) ^ b(c)) <= 1, s"pair ($q,$c) too far")
+    }
+  }
+
   test("embedding near-dup pairs caps degenerate buckets") {
     // 1k near-identical vectors (boilerplate embeddings) all land in
     // one LSH bucket — uncapped, that's ~500k pairs in one task. The
