@@ -236,6 +236,54 @@ object SideTableQueries {
         |  MAX(CASE WHEN rn = 1 THEN validated_at END) AS last_at
         |FROM r GROUP BY event_id ORDER BY event_id""".stripMargin),
 
+    // The quality-report workflow the side tables exist FOR: join the
+    // serving events table with the latest tracked score per event
+    // (the (eventId, calculatedAt DESC) index read), surfacing the
+    // top-20 — history summary is tiny next to the corpus, so it
+    // broadcasts into the serving join.
+    "side_quality_report" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        def pct(mult: Int) =
+          (col("doc_id") * mult % 101).cast("double") / lit(100.0)
+        val eid = concat(lit("ev"), col("doc_id"))
+        val log = SideTables.appendLog(Seq(
+          SideTables.scoreRun(docs, eid, pct(7), "run1",
+            "2025-06-01T00:00:00Z"),
+          SideTables.scoreRun(docs.filter(col("doc_id") % 3 === 0), eid,
+            pct(13), "run2", "2025-06-08T00:00:00Z")))
+        val latest = SideTables.scoreHistorySummary(log)
+          .select(col("event_id"), col("n_runs"), col("latest_score"))
+        V2Fixtures.events(s, d)
+          .select(concat(lit("ev"), col("doc_id")).as("event_id"),
+            col("title"), col("venue.name").as("venue_name"),
+            col("data_quality.overall_score").as("engine_score"))
+          .join(broadcast(latest), Seq("event_id"))
+          .orderBy(col("latest_score").desc, col("event_id"))
+          .limit(20)
+      },
+      s"""${V2Fixtures.oracleCte} , log AS (
+         |  SELECT 'ev' || doc_id AS event_id,
+         |    '2025-06-01T00:00:00Z' AS calculated_at,
+         |    CAST(doc_id * 7 % 101 AS DOUBLE) / 100.0 AS overall_score
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'ev' || doc_id, '2025-06-08T00:00:00Z',
+         |    CAST(doc_id * 13 % 101 AS DOUBLE) / 100.0
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |lr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+         |    ORDER BY calculated_at DESC) AS rn
+         |  FROM log),
+         |latest AS (
+         |  SELECT event_id, COUNT(*) AS n_runs,
+         |    MAX(CASE WHEN rn = 1 THEN overall_score END) AS latest_score
+         |  FROM lr GROUP BY event_id)
+         |SELECT 'ev' || v.doc_id AS event_id, v.title, v.venue_name,
+         |  v.overall_score AS engine_score, l.n_runs, l.latest_score
+         |FROM v2ev v JOIN latest l ON l.event_id = 'ev' || v.doc_id
+         |ORDER BY l.latest_score DESC, event_id LIMIT 20""".stripMargin),
+
     // extraction_methods: stats seeded from an earlier attempt log,
     // then a new attempt batch upserted per (method, domain). The
     // oracle recomputes the merged state from the union of both logs —
