@@ -355,6 +355,52 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // int8 embedding quantization (4× smaller embedding tables — the
+    // storage/scan lever at 100 TB): per-vector max-abs scale,
+    // floor(x+0.5) grid (exact in both engines, unlike decimal
+    // round), clamp to ±127. The oracle recomputes the full quantize →
+    // dequantize → reconstruction-error chain; every step is exact
+    // IEEE arithmetic so no output rounding is needed.
+    "sim_quantize_int8" -> QueryDef(
+      (s, d) => {
+        val qz = Similarity.quantizeInt8(col("embedding"))
+        T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), qz.as("qz"))
+          .select(col("vec_id"),
+            col("qz.scale").as("scale"),
+            aggregate(col("qz.q"), lit(0L),
+              (a, x) => a + x.cast("long")).as("q_sum"),
+            array_min(col("qz.q")).cast("long").as("q_min"),
+            array_max(col("qz.q")).cast("long").as("q_max"),
+            array_max(zip_with(col("embedding"),
+              Similarity.dequantizeInt8(col("qz")),
+              (x, y) => abs(x.cast("double") - y))).as("recon_err"))
+          .orderBy(col("vec_id"))
+      },
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+        |      THEN 1.0
+        |      ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
+        |  FROM emb),
+        |qz AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0,
+        |      FLOOR(x / scale * 127.0 + 0.5))) AS INT)) AS q
+        |  FROM sc)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_transform(q, x -> CAST(x AS BIGINT)),
+        |    (a, b) -> a + b) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  list_max(list_transform(range(1, 65),
+        |    j -> abs(v[j] - q[j] * scale / 127.0))) AS recon_err
+        |FROM qz ORDER BY vec_id""".stripMargin),
+
     // Multi-probe LSH k-NN join: each query also probes its
     // single-bit-flip neighbor buckets — recall rises to P(≤1 sign
     // differs) with the join shape unchanged. The oracle replays the

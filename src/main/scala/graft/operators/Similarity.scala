@@ -265,6 +265,31 @@ object Similarity {
       Seq("cosine", "corpus_id"), descending = true, k)
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage
+    * lever for embedding tables at scale (float32 → int8 is 4× less
+    * scan volume; recall loss is bounded by the per-vector max-abs
+    * scale). q_i = clamp(floor(x_i / scale · 127 + 0.5), ±127) with
+    * scale = max|x| — floor(x+0.5) rather than round() because both
+    * engines floor the SAME double exactly, while decimal round sits
+    * on the shortest-repr-vs-binary fault line. A zero vector
+    * quantizes to zeros (scale guarded to 1.0).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double"))))
+    val safe = when(scale === 0.0, lit(1.0)).otherwise(scale)
+    struct(
+      safe.as("scale"),
+      transform(vec, x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / safe * 127.0 + 0.5))).cast("int"))
+        .as("q"))
+  }
+
+  /** Dequantize back to doubles: x̂_i = q_i · scale / 127. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"),
+      q => q.cast("double") * quant.getField("scale") / 127.0)
+
   /** Multi-probe variant of [[knnJoinLsh]]: each query probes its own
     * bucket PLUS every single-bit-flip neighbor bucket (bits+1 probes)
     * — the standard recall lever for sign-pattern LSH (a near neighbor

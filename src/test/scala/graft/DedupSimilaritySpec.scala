@@ -333,6 +333,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).distinct.length === queriesWithMates)
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine preserved, zero-safe") {
+    val rng = new scala.util.Random(37)
+    val vecs = ((0 until 100).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))) :+
+      (999L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8($"embedding")
+    val rows = vecs.select($"vec_id", $"embedding", qz.as("qz"))
+      .select($"vec_id",
+        // per-element error must be within half a grid step:
+        // scale/127/2, with a hair of float→double slack
+        array_max(zip_with($"embedding", Similarity.dequantizeInt8($"qz"),
+          (x, y) => abs(x.cast("double") - y))).as("err"),
+        ($"qz.scale" / 127.0 / 2.0 * 1.000001).as("bound"),
+        (Similarity.dot(Similarity.dequantizeInt8($"qz"),
+            Similarity.dequantizeInt8($"qz"))).as("qnorm2"),
+        Similarity.dot($"embedding", $"embedding").as("norm2"))
+      .collect()
+    rows.foreach { r =>
+      if (r.getLong(0) == 999L) assert(r.getDouble(3) === 0.0)
+      else {
+        assert(r.getDouble(1) <= r.getDouble(2),
+          s"vec ${r.getLong(0)}: err ${r.getDouble(1)} > bound ${r.getDouble(2)}")
+        // squared norm survives within ~2% on 64-dim gaussian vectors
+        assert(math.abs(r.getDouble(3) - r.getDouble(4)) / r.getDouble(4) < 0.02)
+      }
+    }
+  }
+
   test("multi-probe LSH knn join dominates single-probe recall") {
     val rng = new scala.util.Random(31)
     val all = (0 until 400).map(i =>
