@@ -163,6 +163,29 @@ object MergeOps {
     * (reference: database/api_server.py:551-559) via the same merge
     * machinery.
     */
+  /** D5 — snapshot diff: classify every key across two table versions
+    * as added / removed / changed / unchanged (the verification step a
+    * migration needs — the reference's migrate_to_atlas.py:15-43 only
+    * counts migrated docs and logs per-doc failures; this is the
+    * set-algebra audit that actually proves the copy landed). One
+    * full-outer hash join on the key; `fpCol` is a caller-supplied
+    * row fingerprint column present on both sides (hash of the
+    * compared payload — compare hashes, not wide rows, so the shuffle
+    * carries (key, fingerprint) pairs only).
+    */
+  def snapshotDiff(source: DataFrame, target: DataFrame,
+      keys: Seq[String], fpCol: String): DataFrame = {
+    val s = source.select((keys.map(col) :+ col(fpCol).as("_fp_s")): _*)
+    val t = target.select((keys.map(col) :+ col(fpCol).as("_fp_t")): _*)
+    s.join(t, keys, "full_outer")
+      .withColumn("status",
+        when(col("_fp_t").isNull, "removed")
+          .when(col("_fp_s").isNull, "added")
+          .when(col("_fp_s") =!= col("_fp_t"), "changed")
+          .otherwise("unchanged"))
+      .drop("_fp_s", "_fp_t")
+  }
+
   def flagForRefresh(events: DataFrame, eventIds: Seq[String],
       nowIso: Column): DataFrame = {
     val hit = col("event_id").isin(eventIds: _*)

@@ -95,6 +95,51 @@ object MergeQueries {
          |    || '|keyed_upsert' AS last_merge
          |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // D5 — snapshot diff (the migration-verification audit
+    // migrate_to_atlas.py:15-43 lacks): source = pre-migration events,
+    // target = post-migration copy with a dropped head slice, an
+    // appended tail slice, and every 7th value mutated. Per-status
+    // counts plus a key checksum prove the classification, not just
+    // the cardinality.
+    "d5_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        def fp(df: DataFrame) = df.withColumn("fp",
+          md5(concat_ws("|", col("user_id"), col("value"))))
+        val source = fp(ev.filter(col("event_id") < 8000))
+        val target = fp(ev.filter(col("event_id") >= 1000)
+          .withColumn("value",
+            when(col("event_id") % 7 === 0, col("value") * 2)
+              .otherwise(col("value"))))
+        MergeOps.snapshotDiff(source, target, Seq("event_id"), "fp")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("key_checksum"))
+          .orderBy(col("status"))
+      },
+      """WITH src AS (
+        |  SELECT event_id,
+        |    md5(CAST(user_id AS VARCHAR) || '|' || CAST(value AS VARCHAR))
+        |      AS fp
+        |  FROM events WHERE event_id < 8000),
+        |tgt AS (
+        |  SELECT event_id,
+        |    md5(CAST(user_id AS VARCHAR) || '|' ||
+        |      CAST(CASE WHEN event_id % 7 = 0 THEN value * 2
+        |                ELSE value END AS VARCHAR)) AS fp
+        |  FROM events WHERE event_id >= 1000),
+        |diff AS (
+        |  SELECT COALESCE(s.event_id, t.event_id) AS event_id,
+        |    CASE WHEN t.fp IS NULL THEN 'removed'
+        |         WHEN s.fp IS NULL THEN 'added'
+        |         WHEN s.fp <> t.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM src s FULL OUTER JOIN tgt t ON s.event_id = t.event_id)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS key_checksum
+        |FROM diff GROUP BY status ORDER BY status""".stripMargin),
+
     // K5 — re-scrape flag update (reference: database/api_server.py:
     // 551-559): keyed two-field update inside the system_flags struct,
     // applied as a column rewrite (no row explosion, no join — the id
