@@ -90,4 +90,14 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(small.orderBy($"key", $"score".desc, $"id".desc).collect().toSeq ===
       big.orderBy($"key", $"score".desc, $"id".desc).collect().toSeq)
   }
+
+  test("ofSafe never overflows into the heap plan on extreme estimates") {
+    // estimatedKeys × k × headroom used to overflow Long negative and
+    // select the heap plan for exactly the worst-case inputs; the
+    // division compare must pick the windowed plan instead
+    val worst = GroupedTopK.ofSafe(data, Seq("key"), Seq("score", "id"),
+      descending = true, k = Int.MaxValue, estimatedKeys = Long.MaxValue / 2)
+    assert(!worst.queryExecution.executedPlan.toString.contains("GroupedTopK "),
+      "overflowed estimate picked the bounded-heap plan")
+  }
 }
