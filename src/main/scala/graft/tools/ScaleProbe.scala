@@ -18,12 +18,20 @@ import graft.operators.{Unify, V2Fixtures}
   * the shape that survives 100 TB; this probe is the measured
   * evidence at the scales this container can hold.
   *
-  * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir]
+  * A second probe (`minhash`) scales the MinHash-LSH candidate-pair
+  * generation the same way: replicas get a per-replica text suffix so
+  * they are NEAR-duplicates (shared shingles, distinct signatures) —
+  * the realistic dedup load — and the probe reports pairs found per
+  * second alongside rows/sec.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
+  *   probe ∈ unify (default) | minhash
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = if (args.nonEmpty) args(0).toInt else 10
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val probe = if (args.length > 2) args(2) else "unify"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,17 +45,20 @@ object ScaleProbe {
       .select(col("doc_id"), col("text"))
     val baseRows = base.count()
 
-    def runAt(factor: Int): (Long, Double) = {
+    def replicate(factor: Int, perturbText: Boolean) =
       // replicate via range-crossjoin (broadcast of a k-row range);
       // offsets keep doc_ids distinct while id-derived field variety
       // (mod-small-prime arithmetic) is preserved per replica
-      val docs =
-        if (factor == 1) base
-        else base.crossJoin(broadcast(
-            spark.range(factor).select(col("id").as("_rep"))))
-          .select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
-            col("text"))
-      val raw = V2Fixtures.rawFrom(docs)
+      if (factor == 1) base
+      else base.crossJoin(broadcast(
+          spark.range(factor).select(col("id").as("_rep"))))
+        .select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+          (if (perturbText)
+             concat(col("text"), lit(" rep"), col("_rep").cast("string"))
+           else col("text")).as("text"))
+
+    def runAt(factor: Int): (Long, Double) = {
+      val raw = V2Fixtures.rawFrom(replicate(factor, perturbText = false))
         .repartition(spark.sparkContext.defaultParallelism)
       val unified = Unify.unify(raw, "ibiza-spotlight",
         lit(V2Fixtures.nowTs).cast("timestamp"), keep = Seq("doc_id"))
@@ -61,12 +72,27 @@ object ScaleProbe {
       (agg.getLong(0), sec)
     }
 
-    runAt(1) // warmup: JIT + codegen + parquet footers
+    // near-duplicate replicas through the FULL banded pipeline:
+    // signatures, band join (bucket-capped), signature re-join, the
+    // estimated-jaccard filter. Returns (pairs found, seconds).
+    def runMinhashAt(factor: Int): (Long, Double) = {
+      val docs = replicate(factor, perturbText = true)
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashCandidatePairs(
+        docs, "doc_id", "text", minEstimate = 0.5).count()
+      (pairs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val run: Int => (Long, Double) =
+      if (probe == "minhash") runMinhashAt else runAt
+    run(1) // warmup: JIT + codegen + parquet footers
     val factors = Seq(1, 2, 5, maxFactor).distinct.filter(_ <= maxFactor)
-    println(f"""{"probe":"etl_unify_score","base_rows":$baseRows%d,"runs":[""")
+    val label = if (probe == "minhash") "dd_minhash_pairs" else "etl_unify_score"
+    val unit = if (probe == "minhash") "pairs" else "rows"
+    println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
     val lines = factors.map { f =>
-      val (rows, sec) = runAt(f)
-      f"""{"factor":$f%d,"rows":$rows%d,"sec":$sec%.2f,"rows_per_sec":${rows / sec}%.0f}"""
+      val (n, sec) = run(f)
+      f"""{"factor":$f%d,"input_rows":${baseRows * f}%d,"$unit%s":$n%d,"sec":$sec%.2f}"""
     }
     println(lines.mkString(",\n"))
     println("]}")
