@@ -178,6 +178,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(800))
   }
 
+  test("knn join: partial heaps before ONE candidate exchange, queries broadcast") {
+    // raw plan string (arguments inline — the formatted tree separates
+    // them, hiding the partitioning kind from a text match)
+    val df = SparkEntry.registry("sim_knn_join").fn(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the initial plan after the
+    // final one — audit only the final plan section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // two GroupedTopK passes (partial + final)...
+    assert("GroupedTopK".r.findAllIn(p).size >= 2, p.take(900))
+    // ...with exactly one hash exchange between them: the candidate
+    // shuffle. The full scored stream (corpus × queries) never moves
+    // (the only other exchange is the final output sort's range
+    // partitioning).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(900))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastQueryStage"), p.take(900))
+  }
+
+  test("int8 quantization is a shuffle-free scan projection") {
+    val p = plan("sim_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-row quantization shuffled:\n" + p.take(800))
+  }
+
+  test("snapshot diff is one join on (key, fingerprint) pairs only") {
+    val p = plan("d5_snapshot_diff")
+    // the join input projections must carry the md5 fingerprint, not
+    // the compared payload columns
+    assert(p.contains("md5"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("no registry query plans a cartesian or non-broadcast nested-loop join") {
     // Anti-regression sweep over the WHOLE registry: as queries are
     // added, none may silently plan an all-pairs join. Plans are
