@@ -80,6 +80,22 @@ object GraftExtensions {
         require(args.length == 2,
           s"simhash_bits(token_hashes, bits) takes 2 arguments, got ${args.length}")
         graft.functions.SimHashBits(args.head, intArg(args(1), "bits"))
+      }),
+    (FunctionIdentifier("html_unescape"),
+      new ExpressionInfo(classOf[graft.functions.HtmlUnescape].getName, "html_unescape"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"html_unescape(text) takes 1 argument, got ${args.length}")
+        graft.functions.HtmlUnescape(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType))
+      }),
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"array_dot(a, b) takes 2 arguments, got ${args.length}")
+        graft.functions.ArrayDot(args.head, args(1))
       }))
 
   /** Register on an existing session. */

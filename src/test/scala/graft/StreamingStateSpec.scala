@@ -68,5 +68,14 @@ class StreamingStateSpec extends AnyFunSuite {
     val sb = spark.sql(
       "SELECT simhash_bits(array(1L, 3L, 7L), 60) AS h").head().getLong(0)
     assert(sb >= 0L && sb < (1L << 60))
+    // html_unescape: numeric + named refs from SQL
+    val hu = spark.sql(
+      "SELECT html_unescape('&#8364;50 &amp; up') AS t").head().getString(0)
+    assert(hu === "€50 & up")
+    // array_dot from SQL == the Column API path (double arrays)
+    val ad = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(ad === 11.0)
   }
 }
