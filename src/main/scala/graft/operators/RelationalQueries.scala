@@ -110,6 +110,62 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin),
 
+    // O4 at scale — KEYSET pagination: offset/limit re-sorts and skips
+    // O(offset) rows per page (page 10,000 of a 100 TB table scans 10k
+    // pages' worth); a cursor predicate on the sort key is a pushdown-
+    // eligible filter + top-k, O(page) regardless of depth. The cursor
+    // here is o4's last key (the page AFTER o4's page), proving the
+    // two formulations paginate the same ordering.
+    "o6_keyset_pagination" -> QueryDef(
+      (s, d) => {
+        val page = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")).offset(100).limit(50)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .filter(col("o_orderkey") > page)
+          .orderBy(col("o_orderkey")).limit(50)
+      },
+      """WITH cursor AS (
+        |  SELECT MAX(o_orderkey) AS last_key FROM (
+        |    SELECT o_orderkey FROM orders
+        |    ORDER BY o_orderkey LIMIT 50 OFFSET 100))
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, cursor WHERE o_orderkey > last_key
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin),
+
+    // §2.5 depth — lead/lag deltas: per-user time-between-events stats
+    // (the gap arithmetic ev_sessionize uses, surfaced as its own
+    // windowed aggregate: one hash shuffle on the key, both window
+    // functions ride the same sort).
+    "w_lag_delta" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id"))
+        T.events(s, d)
+          .withColumn("gap_ms",
+            unix_millis(col("ts")) -
+              lag(unix_millis(col("ts")), 1).over(byUser))
+          .filter(col("gap_ms").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_ms")).as("min_gap_ms"),
+            max(col("gap_ms")).as("max_gap_ms"),
+            sum(col("gap_ms")).as("total_gap_ms"))
+          .orderBy(col("user_id"))
+      },
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  MIN(gap_ms) AS min_gap_ms, MAX(gap_ms) AS max_gap_ms,
+        |  CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // ---- aggregations ---------------------------------------------------
     // Flagship — TPC-H Q1-style pricing summary (SURVEY §2.4 A5/A6 math).
     "q1_pricing_summary" -> QueryDef(
