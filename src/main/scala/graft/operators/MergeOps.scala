@@ -159,6 +159,101 @@ object MergeOps {
     fs.delete(retired, true)
   }
 
+  /** K1 at cluster scale — partition-pruned keyed merge into a
+    * month-partitioned parquet table (the layout
+    * [[graft.sources.TableLayout.writeEventsTable]] produces).
+    *
+    * [[upsertParquet]] reads and rewrites the WHOLE table per batch —
+    * fine for a single collection-sized table, a non-starter at 100 TB
+    * where an incremental crawl batch touches 0.01% of rows. This
+    * variant mirrors the reference's incremental upsert-on-arrival
+    * (reference: my_scrapers/unified_scraper.py:622-642 — the reference
+    * never rewrites its collection to absorb a batch): only the month
+    * partitions containing incoming rows are read (partition-pruned
+    * scan), merged, and swapped in; every other month's files are never
+    * opened, let alone rewritten.
+    *
+    * Contract: `incoming` carries the partition column `partCol`, and
+    * the partition value must be STABLE per merge key (every version of
+    * a key maps to the same month — true for the events layout, where
+    * the caller re-derives start_month from the row being upserted and
+    * a re-scrape that MOVES an event across months must include the old
+    * month in the same batch, or reconcile via a periodic compaction
+    * run of [[upsertParquet]]). A key whose old version lives in an
+    * untouched month would otherwise survive alongside its replacement.
+    *
+    * Crash safety, per month: the merged batch is materialized under a
+    * sibling `_mstaging` root while the destination is intact, then
+    * each touched month is swapped in with two renames (live month →
+    * `_mretired` root, staged month → live). A crash mid-swap leaves
+    * every month either fully old or fully new, and any month whose
+    * sole live copy sits under `_mretired` is restored on the next
+    * call before anything is read. The distinct-months collect is
+    * bounded by the number of touched partitions (a handful of months
+    * per crawl batch), not by data volume.
+    */
+  def upsertParquetByMonth(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], recency: String,
+      partCol: String = "start_month"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingRoot = new Path(dest.getParent, dest.getName + "_mstaging")
+    val retiredRoot = new Path(dest.getParent, dest.getName + "_mretired")
+    // Crash recovery: a prior run that died between the two renames of
+    // some month left that month's only live copy under the retired
+    // root. Restore every such month BEFORE reading, or the merge below
+    // would silently drop its history.
+    if (fs.exists(retiredRoot)) {
+      fs.listStatus(retiredRoot).foreach { st =>
+        val live = new Path(dest, st.getPath.getName)
+        if (!fs.exists(live)) {
+          fs.mkdirs(dest)
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"found orphaned ${st.getPath} but could not restore it to $live")
+        }
+      }
+      fs.delete(retiredRoot, true)
+    }
+    fs.delete(stagingRoot, true)
+    // One row per touched month — bounded by partition count, not rows.
+    val months = incoming.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    if (months.isEmpty) return
+    val destHasData = fs.exists(dest) &&
+      fs.listStatus(dest).exists(_.getPath.getName.startsWith(partCol + "="))
+    val merged =
+      if (destHasData) {
+        // Partition-pruned read: only the touched month directories.
+        val existing = spark.read.parquet(tablePath)
+          .filter(col(partCol).isin(months: _*))
+          .withColumn(partCol, col(partCol).cast("string"))
+        upsert(existing, incoming, keys, recency)
+      } else incoming
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol).parquet(stagingRoot.toString)
+    fs.mkdirs(dest)
+    months.foreach { m =>
+      val dirName = partCol + "=" + m
+      val staged = new Path(stagingRoot, dirName)
+      val live = new Path(dest, dirName)
+      val retired = new Path(retiredRoot, dirName)
+      fs.mkdirs(retiredRoot)
+      fs.delete(retired, true)
+      if (fs.exists(live) && !fs.rename(live, retired))
+        throw new java.io.IOException(s"could not retire $live")
+      // A month can merge to empty (all its keys' winners carry another
+      // month's partition value): retire it with nothing staged.
+      if (fs.exists(staged) && !fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"could not activate $staged as $live (old month at $retired)")
+      fs.delete(retired, true)
+    }
+    fs.delete(stagingRoot, true)
+    fs.delete(retiredRoot, true)
+  }
+
   /** K5 — flag events for re-scrape: keyed two-column update
     * (reference: database/api_server.py:551-559) via the same merge
     * machinery.

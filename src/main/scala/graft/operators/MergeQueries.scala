@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries for the merge/upsert bookkeeping family
@@ -10,7 +11,91 @@ import org.apache.spark.sql.functions._
   */
 object MergeQueries {
 
+  /** Sorted (relative path, length, mtime) of every data file in every
+    * month partition EXCEPT `skipMonth` — the fingerprint that proves a
+    * partition-pruned merge left untouched months' files alone (a
+    * rewrite changes the task-UUID file names, lengths, and mtimes).
+    */
+  private def monthCensus(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, skipMonth: String): Seq[(String, Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("start_month=") && n != s"start_month=$skipMonth"
+      }
+      .flatMap { mdir =>
+        val it = fs.listFiles(mdir.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          buf += ((mdir.getPath.getName + "/" + f.getPath.getName,
+            f.getLen, f.getModificationTime))
+        }
+        buf
+      }.sortBy(_._1)
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // K1 at scale — partition-pruned month merge. An initial table
+    // (latest row per user, event_id < 8000, month derived from the
+    // user key so partition values are key-stable) absorbs a batch
+    // confined to ONE month (user_id % 6 = 2 → 2025-03). The query
+    // proves BOTH the merge result (DuckDB recomputes latest-wins over
+    // the union) AND that the other five months' files are byte-level
+    // untouched: a file census (name+length+mtime) taken before and
+    // after the batch merge feeds the untouched_unchanged column, so a
+    // full-table rewrite — the upsertParquet failure mode at 100 TB —
+    // flips every row's boolean and hash-mismatches the oracle.
+    "k1_partition_pruned" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/month_upsert/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // fresh start: wipe the table AND its staging/retired siblings
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        def latestPerUser(df: DataFrame) = df
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
+              .as("start_month"))
+        val ev = T.events(s, d)
+        val base = latestPerUser(ev.filter(col("event_id") < 8000))
+        val batch = latestPerUser(ev.filter(
+          col("event_id") >= 8000 && col("user_id") % 6 === 2))
+        MergeOps.upsertParquetByMonth(s, table, base, Seq("user_id"), "event_id")
+        val before = monthCensus(fs, table, skipMonth = "2025-03")
+        MergeOps.upsertParquetByMonth(s, table, batch, Seq("user_id"), "event_id")
+        val after = monthCensus(fs, table, skipMonth = "2025-03")
+        val untouched = before.nonEmpty && before == after
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"),
+            max(col("event_id")).as("max_eid"),
+            T.decSum(col("value")).as("total"))
+          .withColumn("untouched_unchanged", lit(untouched))
+          .orderBy(col("start_month"))
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id < 8000
+        |     OR (event_id >= 8000 AND user_id % 6 = 2))
+        |SELECT '2025-0' || CAST(user_id % 6 + 1 AS VARCHAR) AS start_month,
+        |  COUNT(*) AS n,
+        |  MAX(event_id) AS max_eid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS untouched_unchanged
+        |FROM r WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // D4/A10 — merge audit accumulators (reference:
     // database/data_migration.py:102-158 keeps inserted/updated/dup

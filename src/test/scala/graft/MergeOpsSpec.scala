@@ -74,6 +74,95 @@ class MergeOpsSpec extends AnyFunSuite {
       "e3" -> "new title 3"))
   }
 
+  private def monthDocs(rows: Seq[(String, String, Int, String)]) =
+    rows.toDF("event_id", "title", "version", "start_month")
+
+  private def fileCensus(table: String, skip: String): Seq[(String, Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(table)).toSeq
+      .filter(st => st.getPath.getName.startsWith("start_month=") &&
+        st.getPath.getName != s"start_month=$skip")
+      .flatMap { m =>
+        val it = fs.listFiles(m.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          buf += ((m.getPath.getName + "/" + f.getPath.getName,
+            f.getLen, f.getModificationTime))
+        }
+        buf
+      }.sortBy(_._1)
+  }
+
+  test("month upsert merges only touched months, others byte-identical") {
+    val dir = Files.createTempDirectory("graft_mupsert").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    val base = monthDocs(Seq(
+      ("e1", "jan", 1, "2025-01"),
+      ("e2", "feb", 1, "2025-02"),
+      ("e3", "mar", 1, "2025-03")))
+    MergeOps.upsertParquetByMonth(spark, table, base, Seq("event_id"), "version")
+    val before = fileCensus(table, skip = "2025-02")
+    val batch = monthDocs(Seq(
+      ("e2", "feb v2", 2, "2025-02"),
+      ("e4", "feb new", 1, "2025-02")))
+    MergeOps.upsertParquetByMonth(spark, table, batch, Seq("event_id"), "version")
+    assert(fileCensus(table, skip = "2025-02") === before,
+      "untouched months were rewritten")
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "jan", "e2" -> "feb v2", "e3" -> "mar",
+      "e4" -> "feb new"))
+  }
+
+  test("month upsert recovers a month orphaned between the two renames") {
+    val dir = Files.createTempDirectory("graft_mcrash").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"), ("e2", "feb", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    // simulate a crash after the retire rename of 2025-02 but before
+    // activation: the month's only copy sits under the _mretired root
+    val retiredRoot = new org.apache.hadoop.fs.Path(s"$dir/events_mretired")
+    fs.mkdirs(retiredRoot)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(table, "start_month=2025-02"),
+      new org.apache.hadoop.fs.Path(retiredRoot, "start_month=2025-02")))
+    // next merge must restore 2025-02 BEFORE reading, so e2 survives
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e2", "feb v2", 2, "2025-02"))),
+      Seq("event_id"), "version")
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "jan", "e2" -> "feb v2"))
+  }
+
+  test("month upsert: a month can merge to empty and is retired") {
+    val dir = Files.createTempDirectory("graft_mempty").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"), ("e2", "feb", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    // e2 moves to 2025-03: the batch carries the key under BOTH months
+    // (the contract's cross-month move pattern), so the merge reads the
+    // old month, the new version wins, and 2025-02 merges to empty
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e2", "moved", 2, "2025-03"), ("e2", "old", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"),
+        r.getAs[String]("start_month"))).toSeq
+    assert(got === Seq(("e1", "jan", "2025-01"), ("e2", "moved", "2025-03")))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(table, "start_month=2025-02")),
+      "emptied month directory should be retired")
+  }
+
   test("K5 flag-for-refresh updates only targeted events") {
     val ev = spark.read.schema(graft.schema.EventSchema.schema)
       .option("multiLine", true).json("fixtures/events_v2_sample.json")
