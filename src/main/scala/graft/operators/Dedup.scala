@@ -21,10 +21,24 @@ object Dedup {
     * single core while the rest idle — the repartition shuffles only
     * the narrow projected input, never the computed arrays. No-op when
     * the source already has enough splits (the 100 TB case).
+    *
+    * The split count is ESTIMATED from the optimized logical plan's
+    * size statistic divided by `spark.sql.files.maxPartitionBytes` —
+    * never from `df.rdd.getNumPartitions`, which physically plans the
+    * subtree a second time and throws on a streaming frame. Sources
+    * with no real estimate report Long.MaxValue bytes and correctly
+    * fall on the "already parallel enough" side (no extra shuffle).
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val splitBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estSplits =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / splitBytes) + 1
+    if (estSplits >= target) df else df.repartition(target)
   }
 
   /** Whitespace word tokens of a text column. */
@@ -293,20 +307,37 @@ object Dedup {
     * distance to the component minimum roughly halves per round —
     * O(log diameter) rounds instead of O(diameter), the same
     * contraction idea as large-star/small-star. All joins are
-    * hash-partitioned on the node id. localCheckpoint every round cuts
+    * hash-partitioned on the node id. A checkpoint every round cuts
     * the exponential lineage growth iterative Spark plans otherwise
     * accumulate, and the convergence probe reads the checkpointed
     * round result (old label carried through) — no extra join job.
+    *
+    * Fault tolerance: with `checkpointDir` unset, rounds materialize
+    * via `localCheckpoint` — executor-local block storage, the right
+    * call on local[N] where executor loss means the JVM died anyway.
+    * On a real cluster that storage is NOT fault-tolerant: losing one
+    * executor mid-iteration discards blocks whose lineage was
+    * truncated, killing the job. Pass a reliable `checkpointDir`
+    * (HDFS/S3) there — rounds then go through `df.checkpoint()`, which
+    * survives executor loss at the cost of a distributed write per
+    * round (rounds are O(log diameter), so the cost is bounded).
     *
     * Returns (node, cluster_id) for every node that appears in `pairs`
     * (singletons never enter the pair stream).
     */
   def duplicateClusters(pairs: DataFrame, id1: String = "id1",
-      id2: String = "id2", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
-      .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
-      .distinct()
-      .localCheckpoint()
+      id2: String = "id2", maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = ckpt(
+      pairs.select(col(id1).as("a"), col(id2).as("b"))
+        .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+        .distinct())
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var converged = false
@@ -324,10 +355,9 @@ object Dedup {
       // `stepped` is tiny relative to edges and recomputing it on the
       // probe side of the self-join is cheaper than a checkpoint job.
       val jump = stepped.select(col("node").as("l"), col("mid").as("ll"))
-      val next = stepped.join(jump, col("mid") === col("l"), "left")
+      val next = ckpt(stepped.join(jump, col("mid") === col("l"), "left")
         .select(col("node"), col("old"),
-          least(col("mid"), coalesce(col("ll"), col("mid"))).as("label"))
-        .localCheckpoint()
+          least(col("mid"), coalesce(col("ll"), col("mid"))).as("label")))
       converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0
       labels = next.select(col("node"), col("label"))
       i += 1

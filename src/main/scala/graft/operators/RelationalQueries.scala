@@ -116,12 +116,21 @@ object RelationalQueries {
     // eligible filter + top-k, O(page) regardless of depth. The cursor
     // here is o4's last key (the page AFTER o4's page), proving the
     // two formulations paginate the same ordering.
+    //
+    // NOTE for plan sweeps: fetching the cursor runs a Spark job at
+    // query-CONSTRUCTION time (the one registry entry that does) —
+    // PlanAuditSpec's "plans are inspected un-executed" walk still
+    // holds for the returned frame, but building it executes the
+    // cursor lookup.
     "o6_keyset_pagination" -> QueryDef(
       (s, d) => {
-        val page = T.orders(s, d)
+        // max() over an empty/short table is null — fall back to key 0
+        // (first page) instead of NPEing on getLong
+        val page = Option(T.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy(col("o_orderkey")).offset(100).limit(50)
-          .agg(max(col("o_orderkey"))).head().getLong(0)
+          .agg(max(col("o_orderkey"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         T.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .filter(col("o_orderkey") > page)
@@ -132,7 +141,7 @@ object RelationalQueries {
         |    SELECT o_orderkey FROM orders
         |    ORDER BY o_orderkey LIMIT 50 OFFSET 100))
         |SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders, cursor WHERE o_orderkey > last_key
+        |FROM orders, cursor WHERE o_orderkey > COALESCE(last_key, 0)
         |ORDER BY o_orderkey LIMIT 50""".stripMargin),
 
     // §2.5 depth — lead/lag deltas: per-user time-between-events stats

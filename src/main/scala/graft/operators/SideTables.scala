@@ -66,7 +66,9 @@ object SideTables {
     */
   def scoreHistorySummary(log: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col("event_id"))
-    val recency = byKey.orderBy(col("calculated_at").desc)
+    // run_id breaks calculated_at ties: two runs stamped in the same
+    // second must still yield a deterministic latest_score
+    val recency = byKey.orderBy(col("calculated_at").desc, col("run_id").desc)
     val all = byKey.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     log
@@ -108,9 +110,11 @@ object SideTables {
     * full-outer join on the key merges it with the existing stats —
     * counts add, last_used takes the max, success_rate is recomputed
     * from the merged counts. Stats tables are tiny (methods × domains)
-    * at any corpus size, so the join broadcasts; the only data-scale
-    * work is the batch aggregation, which is a single partial-agg
-    * shuffle.
+    * at any corpus size, so the merge join is trivially cheap — note
+    * Spark cannot BROADCAST a full-outer join (both sides must stream
+    * to emit unmatched rows), so this plans as a sort-merge join over
+    * a few hundred rows; the only data-scale work is the batch
+    * aggregation, which is a single partial-agg shuffle.
     */
   def extractionMethodsUpsert(existing: DataFrame,
       attempts: DataFrame): DataFrame = {
@@ -119,7 +123,7 @@ object SideTables {
       sum(when(col("success"), 0L).otherwise(1L)).as("_b_fail"),
       max(col("used_at")).as("_b_last"))
     def z(c: String) = coalesce(col(c), lit(0L))
-    existing.join(broadcast(batch), Seq("method", "domain"), "full_outer")
+    existing.join(batch, Seq("method", "domain"), "full_outer")
       .select(col("method"), col("domain"),
         (z("success_count") + z("_b_succ")).as("success_count"),
         (z("failure_count") + z("_b_fail")).as("failure_count"),
@@ -175,18 +179,18 @@ object SideTableQueries {
           .orderBy(col("event_id"))
       },
       """WITH log AS (
-        |  SELECT 'ev' || doc_id AS event_id,
+        |  SELECT 'ev' || doc_id AS event_id, 'run1' AS run_id,
         |    '2025-06-01T00:00:00Z' AS calculated_at,
         |    CAST(doc_id * 7 % 101 AS DOUBLE) / 100.0 AS overall_score
         |  FROM documents
         |  UNION ALL
-        |  SELECT 'ev' || doc_id,
+        |  SELECT 'ev' || doc_id, 'run2',
         |    '2025-06-08T00:00:00Z',
         |    CAST(doc_id * 13 % 101 AS DOUBLE) / 100.0
         |  FROM documents WHERE doc_id % 3 = 0),
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
-        |    ORDER BY calculated_at DESC) AS rn
+        |    ORDER BY calculated_at DESC, run_id DESC) AS rn
         |  FROM log)
         |SELECT event_id,
         |  COUNT(*) AS n_runs,
@@ -263,17 +267,17 @@ object SideTableQueries {
           .limit(20)
       },
       s"""${V2Fixtures.oracleCte} , log AS (
-         |  SELECT 'ev' || doc_id AS event_id,
+         |  SELECT 'ev' || doc_id AS event_id, 'run1' AS run_id,
          |    '2025-06-01T00:00:00Z' AS calculated_at,
          |    CAST(doc_id * 7 % 101 AS DOUBLE) / 100.0 AS overall_score
          |  FROM documents
          |  UNION ALL
-         |  SELECT 'ev' || doc_id, '2025-06-08T00:00:00Z',
+         |  SELECT 'ev' || doc_id, 'run2', '2025-06-08T00:00:00Z',
          |    CAST(doc_id * 13 % 101 AS DOUBLE) / 100.0
          |  FROM documents WHERE doc_id % 3 = 0),
          |lr AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
-         |    ORDER BY calculated_at DESC) AS rn
+         |    ORDER BY calculated_at DESC, run_id DESC) AS rn
          |  FROM log),
          |latest AS (
          |  SELECT event_id, COUNT(*) AS n_runs,

@@ -89,6 +89,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicate clusters: reliable checkpoint dir yields same labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id1", "id2")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    val got = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("sequence packing fills contiguous bins in order; shard partitioning keeps bins local") {
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L), (5L, 10L))
       .toDF("doc_id", "n")

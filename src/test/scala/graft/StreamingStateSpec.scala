@@ -77,5 +77,11 @@ class StreamingStateSpec extends AnyFunSuite {
       "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)
     assert(ad === 11.0)
+    // int arrays are rejected at ANALYSIS time (checkInputDataTypes),
+    // not with a raw IllegalArgumentException out of codegen
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot(array(1, 2), array(3, 4))").collect()
+    }
+    assert(err.getMessage.contains("array_dot requires"))
   }
 }
