@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merges-table-driven byte-pair-encoding token count as a native
+  * Catalyst expression — the real-tokenizer replacement for the
+  * length-heuristic `subwordCountEstimate` (token counts feed sequence
+  * packing and mixture quotas, where estimate-vs-real divergence skews
+  * pack budgets at corpus scale).
+  *
+  * Algorithm: lowercase, trim, whitespace-split; each word becomes its
+  * code-point symbols; merge rules apply in rank order, each swept
+  * leftmost-non-overlapping repeatedly to fixpoint before the next
+  * rank. For a WELL-FORMED merges table (every composite operand is
+  * produced by an earlier-ranked rule — true of any learned BPE
+  * vocabulary, where a pair can only be counted after its constituent
+  * symbols exist) this is identical to the min-rank-pair loop used by
+  * standard BPE tokenizers: merging rank r can only create pairs that
+  * contain r's output, and any rule consuming that output has rank
+  * > r, so no lower-ranked pair ever reappears once passed.
+  *
+  * Why an Expression: the per-word merge loop is imperative and runs
+  * per row on the hot scan path; as a codegen'd expression it stays
+  * inside whole-stage codegen with zero boxing (the MinHashSig
+  * pattern), versus a Scala UDF's per-row encoder round-trip.
+  */
+object BpeImpl {
+
+  /** Token count of one word under the (a, b) rank-ordered rules. */
+  def countWord(w: String, a: Array[String], b: Array[String]): Int = {
+    val syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    var r = 0
+    while (r < a.length) {
+      var changed = true
+      while (changed) {
+        changed = false
+        var j = 0
+        while (j < syms.size - 1) {
+          if (syms.get(j) == a(r) && syms.get(j + 1) == b(r)) {
+            syms.set(j, a(r) + b(r))
+            syms.remove(j + 1)
+            changed = true
+          }
+          j += 1
+        }
+      }
+      r += 1
+    }
+    syms.size
+  }
+
+  def count(text: UTF8String, a: Array[String], b: Array[String]): Long = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT).trim
+    if (s.isEmpty) return 0L
+    var total = 0L
+    val words = s.split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) total += countWord(words(i), a, b)
+      i += 1
+    }
+    total
+  }
+}
+
+case class BpeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  private val lefts: Array[String] = merges.map(_._1).toArray
+  private val rights: Array[String] = merges.map(_._2).toArray
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.count(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeImpl$$.MODULE$$" +
+        s".count($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}
+
+object BpeCount {
+  def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeCount(ColumnBridge.expression(text), merges))
+}

@@ -1121,6 +1121,47 @@ object PipelineQueries {
         |    AS BIGINT)
         |  + list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |      w -> greatest(0, length(w) // 8))) AS BIGINT) AS subwords
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin),
+
+    // REAL merges-table BPE token count (graft.functions.BpeCount).
+    // The oracle replays the exact algorithm in DuckDB: each doc is
+    // encoded as |-delimited code-point symbols (spaces stay as
+    // never-merged word-boundary symbols), then a recursive CTE
+    // applies each rank's '|a|b|'→'|ab|' replace to fixpoint before
+    // advancing — the same rank-order-fixpoint semantics the engine
+    // implements, with the VALUES list GENERATED from the same Scala
+    // merges table so the two can never drift. Token count = symbols
+    // minus space symbols.
+    "ta_subword_bpe" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.subwordCountBpe(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id")),
+      {
+        val merges = TextAnalysis.defaultBpeMerges
+        val values = merges.zipWithIndex.map { case ((a, b), i) =>
+          s"(${i + 1}, '|$a|$b|', '|$a$b|')"
+        }.mkString(", ")
+        s"""WITH RECURSIVE merges(r, pat, rep) AS (
+           |  SELECT * FROM (VALUES $values) m(r, pat, rep)),
+           |docs0 AS (
+           |  SELECT doc_id,
+           |    '|' || regexp_replace(lower(trim(text)), '(.)', '\\1|', 'g')
+           |      AS s
+           |  FROM documents),
+           |bpe(doc_id, s, r) AS (
+           |  SELECT doc_id, s, 1 FROM docs0
+           |  UNION ALL
+           |  SELECT b.doc_id, replace(b.s, m.pat, m.rep),
+           |    CASE WHEN replace(b.s, m.pat, m.rep) <> b.s
+           |         THEN b.r ELSE b.r + 1 END
+           |  FROM bpe b JOIN merges m ON m.r = b.r)
+           |SELECT doc_id,
+           |  CAST(length(s) - length(replace(s, '|', '')) - 1
+           |       - (length(s) - length(replace(s, ' ', ''))) AS BIGINT)
+           |    AS n_bpe
+           |FROM bpe WHERE r = ${merges.size + 1}
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

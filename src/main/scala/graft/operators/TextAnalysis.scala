@@ -28,6 +28,31 @@ object TextAnalysis {
       aggregate(Dedup.tokens(text), lit(0L),
         (acc, w) => acc + greatest(lit(0L), (length(w) / 8).cast("long")))
 
+  /** Rank-ordered BPE merges table for [[subwordCountBpe]]. WELL-FORMED
+    * (every composite operand — "th", "an", "in", "ow", "ind", "wind",
+    * "va", "val", "valu", "ey", "ta", "tab", "tabl" — is the output of
+    * an earlier-ranked rule), which is the property that makes
+    * rank-order application identical to the standard min-rank BPE
+    * loop (see graft.functions.BpeCount). At production scale this Seq
+    * is loaded from a learned merges file; the table itself is data,
+    * not code — the engine applies any well-formed table.
+    */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "e" -> "r", "a" -> "n", "i" -> "n", "o" -> "w",
+    "th" -> "e", "a" -> "t", "o" -> "r", "s" -> "c", "an" -> "d",
+    "in" -> "d", "d" -> "ow", "w" -> "ind", "wind" -> "ow",
+    "v" -> "a", "va" -> "l", "val" -> "u", "valu" -> "e",
+    "q" -> "u", "e" -> "y", "k" -> "ey",
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e")
+
+  /** Real merges-table-driven BPE token count (replaces the length
+    * heuristic wherever a pack budget or mixture quota needs actual
+    * token counts). Codegen'd per-row loop — scan speed, no shuffle.
+    */
+  def subwordCountBpe(text: Column,
+      merges: Seq[(String, String)] = defaultBpeMerges): Column =
+    graft.functions.BpeCount.bpe_count(text, merges)
+
   /** Language-ID heuristic: score each language by distinctive
     * marker-token hits (stopword n-gram profile), take the argmax;
     * "und" (undetermined) when nothing matches.
