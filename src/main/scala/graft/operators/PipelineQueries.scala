@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator queries over documents/embeddings —
@@ -448,6 +449,160 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
+    // ANN recall measurement — turns the "recall lever" scaladocs into
+    // measured numbers: recall@10 of the LSH and IVF top-k probes and
+    // recall@3 of the single/multi-probe LSH k-NN joins, each against
+    // the exact answer on the same corpus. Everything is deterministic
+    // (fixed hyperplanes, pinned centroids), so DuckDB replays the
+    // full approx-vs-exact comparison and the recall fractions are
+    // oracle-checked numbers, not claims. Engine side reuses the
+    // registered operators unchanged; hits are set intersections via
+    // joins; the one-row denominators ride broadcast one-row aggs.
+    "sim_recall_report" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val corpus0 = emb.filter(col("vec_id") =!= 0)
+        val exactT = Similarity.cosineTopK(corpus0, "vec_id", "embedding",
+          q, 10).select("vec_id")
+        val lshT = Similarity.annTopK(corpus0, "vec_id", "embedding",
+          q, 10, bits = 4).select("vec_id")
+        val ivfT = Similarity.ivfTopK(corpus0, "vec_id", "embedding",
+          q, 10, IvfCentroids.pinned, nprobe = 2).select("vec_id")
+        val corpusJ = emb.filter(col("vec_id") % 50 =!= 0)
+        val queriesJ = emb.filter(col("vec_id") % 50 === 0)
+        val ePairs = Similarity.knnJoinExact(corpusJ, queriesJ,
+          "vec_id", "embedding", k = 3).select("query_id", "corpus_id")
+        val lPairs = Similarity.knnJoinLsh(corpusJ, queriesJ,
+          "vec_id", "embedding", dim = 64, k = 3, bits = 4)
+          .select("query_id", "corpus_id")
+        val mPairs = Similarity.knnJoinLshMultiProbe(corpusJ, queriesJ,
+          "vec_id", "embedding", dim = 64, k = 3, bits = 4)
+          .select("query_id", "corpus_id")
+        def topkRow(name: String, approx: DataFrame) =
+          approx.join(exactT, "vec_id").agg(count(lit(1)).as("hits"))
+            .select(lit(name).as("method"), lit(10L).as("k"), col("hits"))
+        def pairRow(name: String, approx: DataFrame) =
+          approx.join(ePairs, Seq("query_id", "corpus_id"))
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(ePairs.agg(count(lit(1)).as("k")))
+            .select(lit(name).as("method"), col("k"), col("hits"))
+        topkRow("ivf_topk", ivfT)
+          .unionByName(pairRow("knn_lsh", lPairs))
+          .unionByName(pairRow("knn_multiprobe", mPairs))
+          .unionByName(topkRow("lsh_topk", lshT))
+          .withColumn("recall",
+            col("hits").cast("double") / col("k").cast("double"))
+          .orderBy(col("method"))
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(4, 64)}),
+         |cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+         |    (a, b) -> a + b)) AS nrm FROM emb),
+         |buck AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE
+         |      WHEN list_reduce(list_transform(range(1, 65),
+         |        j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |      THEN (1 << hp.i) ELSE 0 END) AS INT) AS bucket
+         |  FROM emb e, hp GROUP BY e.vec_id),
+         |qn AS (SELECT v AS qv, nrm AS qnorm FROM n WHERE vec_id = 0),
+         |sc0 AS (
+         |  SELECT e.vec_id,
+         |    list_reduce(list_transform(range(1, 65), j -> e.v[j] * qn.qv[j]),
+         |      (a, b) -> a + b) / (e.nrm * qn.qnorm) AS cosine
+         |  FROM n e, qn WHERE e.vec_id <> 0),
+         |exact10 AS (
+         |  SELECT vec_id FROM sc0 ORDER BY cosine DESC, vec_id LIMIT 10),
+         |qb AS (SELECT bucket AS qbucket FROM buck WHERE vec_id = 0),
+         |lsh10 AS (
+         |  SELECT s.vec_id FROM sc0 s JOIN buck b ON b.vec_id = s.vec_id, qb
+         |  WHERE b.bucket = qb.qbucket
+         |  ORDER BY s.cosine DESC, s.vec_id LIMIT 10),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cn.i FROM cn, qn
+         |  ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |    list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      j -> qn.qv[j] * cn.c[j]), (a, b) -> a + b), cn.i LIMIT 2),
+         |ivf10 AS (
+         |  SELECT s.vec_id FROM sc0 s JOIN assign a ON a.vec_id = s.vec_id
+         |  WHERE a.cell IN (SELECT i FROM probes)
+         |  ORDER BY s.cosine DESC, s.vec_id LIMIT 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65), j -> c.v[j] * q.v[j]),
+         |      (a, b) -> a + b) / (c.nrm * q.nrm) AS cosine
+         |  FROM n c, n q WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |epairs AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id DESC) AS rn FROM scored)
+         |  WHERE rn <= 3),
+         |nb AS (
+         |  SELECT nn.vec_id, nn.v, nn.nrm, b.bucket
+         |  FROM n nn JOIN buck b ON b.vec_id = nn.vec_id),
+         |lscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65), j -> c.v[j] * q.v[j]),
+         |      (a, b) -> a + b) / (c.nrm * q.nrm) AS cosine
+         |  FROM nb c JOIN nb q ON c.bucket = q.bucket
+         |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |lpairs AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id DESC) AS rn FROM lscored)
+         |  WHERE rn <= 3),
+         |qprobe AS (
+         |  SELECT vec_id, v, nrm,
+         |    unnest([bucket] || list_transform(range(0, 4),
+         |      j -> xor(bucket, CAST(1 << j AS INT)))) AS bucket
+         |  FROM nb WHERE vec_id % 50 = 0),
+         |mscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65), j -> c.v[j] * q.v[j]),
+         |      (a, b) -> a + b) / (c.nrm * q.nrm) AS cosine
+         |  FROM nb c JOIN qprobe q ON c.bucket = q.bucket
+         |  WHERE c.vec_id % 50 <> 0),
+         |mpairs AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id DESC) AS rn FROM mscored)
+         |  WHERE rn <= 3),
+         |sel(method, k, hits) AS (
+         |  SELECT 'ivf_topk', CAST(10 AS BIGINT),
+         |    (SELECT COUNT(*) FROM ivf10 i JOIN exact10 x
+         |       ON x.vec_id = i.vec_id)
+         |  UNION ALL
+         |  SELECT 'knn_lsh', (SELECT COUNT(*) FROM epairs),
+         |    (SELECT COUNT(*) FROM lpairs l JOIN epairs e
+         |       ON e.query_id = l.query_id AND e.corpus_id = l.corpus_id)
+         |  UNION ALL
+         |  SELECT 'knn_multiprobe', (SELECT COUNT(*) FROM epairs),
+         |    (SELECT COUNT(*) FROM mpairs m JOIN epairs e
+         |       ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+         |  UNION ALL
+         |  SELECT 'lsh_topk', CAST(10 AS BIGINT),
+         |    (SELECT COUNT(*) FROM lsh10 l JOIN exact10 x
+         |       ON x.vec_id = l.vec_id))
+         |SELECT method, k, hits,
+         |  CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+         |FROM sel ORDER BY method""".stripMargin),
 
     "dd_embedding_neardup" -> QueryDef(
       (s, d) => {
