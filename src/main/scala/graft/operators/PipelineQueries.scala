@@ -356,6 +356,69 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // Quantized-corpus LSH k-NN join: the int8 storage lever wired
+    // into the join path — corpus scored from its dequantized int8
+    // reconstruction (4× less scan volume at 100 TB), queries stay
+    // float, buckets from the original floats (write-time
+    // materialization). Oracle replays quantize → dequantize →
+    // bucket-join → rank; every step exact IEEE arithmetic.
+    "sim_knn_join_q8" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinLshQ8(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", dim = 64, k = 3, bits = 4)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(4, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |buck AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE
+         |      WHEN list_reduce(list_transform(range(1, 65),
+         |        j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |      THEN (1 << hp.i) ELSE 0 END) AS INT) AS bucket
+         |  FROM emb e, hp GROUP BY e.vec_id),
+         |sc AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+         |      THEN 1.0
+         |      ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
+         |  FROM emb),
+         |dq AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0,
+         |      FLOOR(x / scale * 127.0 + 0.5))) AS INT) * scale / 127.0)
+         |      AS v
+         |  FROM sc),
+         |cq AS (
+         |  SELECT d.vec_id, d.v, b.bucket,
+         |    sqrt(list_reduce(list_transform(d.v, t -> t * t),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM dq d JOIN buck b ON b.vec_id = d.vec_id
+         |  WHERE d.vec_id % 50 <> 0),
+         |qf AS (
+         |  SELECT e.vec_id, e.v, b.bucket,
+         |    sqrt(list_reduce(list_transform(e.v, t -> t * t),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM emb e JOIN buck b ON b.vec_id = e.vec_id
+         |  WHERE e.vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+         |      / (c.nrm * q.nrm) AS cosine
+         |  FROM cq c JOIN qf q ON c.bucket = q.bucket),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     // int8 embedding quantization (4× smaller embedding tables — the
     // storage/scan lever at 100 TB): per-vector max-abs scale,
     // floor(x+0.5) grid (exact in both engines, unlike decimal

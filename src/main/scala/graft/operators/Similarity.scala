@@ -290,6 +290,41 @@ object Similarity {
     transform(quant.getField("q"),
       q => q.cast("double") * quant.getField("scale") / 127.0)
 
+  /** Quantized-corpus variant of [[knnJoinLsh]] — [[quantizeInt8]]
+    * wired into the join, which is the reason the quantizer exists:
+    * the corpus side is STORED as int8 + per-vector scale (4× less
+    * scan volume than float32 — at 100 TB of embeddings, the scan is
+    * the dominant cost and this is the lever), buckets are
+    * materialized at write time from the original floats (bucketing
+    * happens once, before precision is dropped), and scoring runs on
+    * the dequantized reconstruction. Recall vs the float join is
+    * bounded by the per-vector max-abs quantization error
+    * (sim_quantize_int8 pins recon_err); the spec measures the
+    * realized pair overlap.
+    */
+  def knnJoinLshQ8(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, bits: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    // what the stored table holds at scale: (id, int8 payload, bucket)
+    val stored = withLshBucket(corpus, vecCol, bits, dim, seed)
+      .select(col(idCol).as("corpus_id"),
+        quantizeInt8(col(vecCol)).as("_qz"), col("bucket"))
+    val c = stored
+      .select(col("corpus_id"), dequantizeInt8(col("_qz")).as("_cv"),
+        col("bucket"))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = withLshBucket(queries, vecCol, bits, dim, seed)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        col("bucket"))
+      .withColumn("_qn", norm(col("_qv")))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(scored, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
+  }
+
   /** Multi-probe variant of [[knnJoinLsh]]: each query probes its own
     * bucket PLUS every single-bit-flip neighbor bucket (bits+1 probes)
     * — the standard recall lever for sign-pattern LSH (a near neighbor

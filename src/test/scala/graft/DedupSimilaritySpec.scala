@@ -89,6 +89,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("quantized knn join: near-total pair overlap with the float join") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter($"vec_id" % 50 =!= 0)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = pairs(Similarity.knnJoinLsh(corpus, queries,
+      "vec_id", "embedding", dim = 64, k = 3, bits = 4))
+    val q8 = pairs(Similarity.knnJoinLshQ8(corpus, queries,
+      "vec_id", "embedding", dim = 64, k = 3, bits = 4))
+    assert(f.nonEmpty)
+    val overlap = f.intersect(q8).size.toDouble / f.size
+    // int8 reconstruction error flips only razor-thin rank margins;
+    // bound pinned just below the measured overlap on the fixture
+    assert(overlap >= 0.9, s"q8-vs-float pair overlap only $overlap")
+  }
+
   test("duplicate clusters: reliable checkpoint dir yields same labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (20L, 22L)).toDF("id1", "id2")
