@@ -327,7 +327,16 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIters: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    duplicateClustersWithRounds(pairs, id1, id2, maxIters, checkpointDir)._1
+
+  /** [[duplicateClusters]] plus the number of propagation rounds it
+    * took to converge — the O(log diameter) claim as a measured number
+    * (the dedup-funnel scale probe records this curve).
+    */
+  def duplicateClustersWithRounds(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxIters: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -371,7 +380,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge within $maxIters rounds — " +
         "raise maxIters (component diameter exceeds 2^maxIters)")
-    labels.select(col("node"), col("label").as("cluster_id"))
+    (labels.select(col("node"), col("label").as("cluster_id")), i)
   }
 
   /** Canonical-document selection — the final step of the dedup

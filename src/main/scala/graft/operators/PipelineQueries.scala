@@ -1355,31 +1355,68 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextAnalysis.subwordCountBpe(col("text")).as("n_bpe"))
         .orderBy(col("doc_id")),
-      {
-        val merges = TextAnalysis.defaultBpeMerges
-        val values = merges.zipWithIndex.map { case ((a, b), i) =>
-          s"(${i + 1}, '|$a|$b|', '|$a$b|')"
-        }.mkString(", ")
-        s"""WITH RECURSIVE merges(r, pat, rep) AS (
-           |  SELECT * FROM (VALUES $values) m(r, pat, rep)),
-           |docs0 AS (
-           |  SELECT doc_id,
-           |    '|' || regexp_replace(lower(trim(text)), '(.)', '\\1|', 'g')
-           |      AS s
-           |  FROM documents),
-           |bpe(doc_id, s, r) AS (
-           |  SELECT doc_id, s, 1 FROM docs0
-           |  UNION ALL
-           |  SELECT b.doc_id, replace(b.s, m.pat, m.rep),
-           |    CASE WHEN replace(b.s, m.pat, m.rep) <> b.s
-           |         THEN b.r ELSE b.r + 1 END
-           |  FROM bpe b JOIN merges m ON m.r = b.r)
-           |SELECT doc_id,
-           |  CAST(length(s) - length(replace(s, '|', '')) - 1
-           |       - (length(s) - length(replace(s, ' ', ''))) AS BIGINT)
-           |    AS n_bpe
-           |FROM bpe WHERE r = ${merges.size + 1}
-           |ORDER BY doc_id""".stripMargin
-      })
+      s"""$bpeCountCte
+         |SELECT doc_id, n_bpe FROM bpecnt ORDER BY doc_id""".stripMargin),
+
+    // Sequence packing over REAL BPE token counts — the pack budget
+    // measured in the tokens the trainer actually consumes, not the
+    // whitespace estimate (the divergence the heuristic-count scaladoc
+    // warns about, closed end-to-end). Same fill-in-order window as
+    // etl_pack_sequences; the oracle chains the verified BPE CTE into
+    // the verified packing arithmetic.
+    "etl_pack_bpe" -> QueryDef(
+      (s, d) => {
+        val withTokens = T.documents(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.subwordCountBpe(col("text")).as("n_bpe"))
+        TextAnalysis.packSequences(withTokens, "doc_id", "n_bpe",
+            maxTokens = 512L, shardCol = "lang")
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("n_bpe"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      s"""$bpeCountCte,
+         |t AS (
+         |  SELECT d.doc_id, d.lang, b.n_bpe
+         |  FROM documents d JOIN bpecnt b ON b.doc_id = d.doc_id),
+         |binned AS (
+         |  SELECT doc_id, lang, n_bpe,
+         |    CAST((SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_bpe) // 512 AS BIGINT) AS bin
+         |  FROM t)
+         |SELECT lang, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
+         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
   )
+
+  /** The BPE-count oracle block shared by ta_subword_bpe and
+    * etl_pack_bpe: recursive-CTE replay of the engine's rank-order-
+    * fixpoint BPE, merge rules generated from the Scala table. Ends
+    * with `bpecnt(doc_id, n_bpe)`.
+    */
+  private def bpeCountCte: String = {
+    val merges = TextAnalysis.defaultBpeMerges
+    val values = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, '|$a|$b|', '|$a$b|')"
+    }.mkString(", ")
+    s"""WITH RECURSIVE merges(r, pat, rep) AS (
+       |  SELECT * FROM (VALUES $values) m(r, pat, rep)),
+       |docs0 AS (
+       |  SELECT doc_id,
+       |    '|' || regexp_replace(lower(trim(text)), '(.)', '\\1|', 'g')
+       |      AS s
+       |  FROM documents),
+       |bpe(doc_id, s, r) AS (
+       |  SELECT doc_id, s, 1 FROM docs0
+       |  UNION ALL
+       |  SELECT b.doc_id, replace(b.s, m.pat, m.rep),
+       |    CASE WHEN replace(b.s, m.pat, m.rep) <> b.s
+       |         THEN b.r ELSE b.r + 1 END
+       |  FROM bpe b JOIN merges m ON m.r = b.r),
+       |bpecnt AS (
+       |  SELECT doc_id,
+       |    CAST(length(s) - length(replace(s, '|', '')) - 1
+       |         - (length(s) - length(replace(s, ' ', ''))) AS BIGINT)
+       |      AS n_bpe
+       |  FROM bpe WHERE r = ${merges.size + 1})""".stripMargin
+  }
 }

@@ -24,8 +24,16 @@ import graft.operators.{Unify, V2Fixtures}
   * the realistic dedup load — and the probe reports pairs found per
   * second alongside rows/sec.
   *
+  * A third probe (`funnel`) runs the FULL dedup funnel over the same
+  * near-duplicate replicas: MinHash-LSH pairs → connected-component
+  * clustering (rounds to convergence reported — the O(log diameter)
+  * claim as data) → canonical-document selection. Replication by N
+  * makes every base doc an N-clone cluster, so the funnel's output
+  * must collapse back to ~base_rows canonical docs at every factor —
+  * a correctness invariant riding along with the timing curve.
+  *
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
-  *   probe ∈ unify (default) | minhash
+  *   probe ∈ unify (default) | minhash | funnel
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -83,16 +91,45 @@ object ScaleProbe {
       (pairs, (System.nanoTime() - t0) / 1e9)
     }
 
-    val run: Int => (Long, Double) =
-      if (probe == "minhash") runMinhashAt else runAt
+    // full funnel: pairs → clusters (rounds recorded) → canonical.
+    // Returns (canonical docs, seconds); rounds ride via lastRounds.
+    var lastRounds = -1
+    def runFunnelAt(factor: Int): (Long, Double) = {
+      val docs = replicate(factor, perturbText = true)
+        .withColumn("n_chars", length(col("text")))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashCandidatePairs(
+        docs, "doc_id", "text", minEstimate = 0.5)
+      val (clusters, rounds) =
+        graft.operators.Dedup.duplicateClustersWithRounds(pairs)
+      val canon = graft.operators.Dedup.canonicalDocuments(
+        docs, clusters, "doc_id", "n_chars").count()
+      lastRounds = rounds
+      (canon, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val run: Int => (Long, Double) = probe match {
+      case "minhash" => runMinhashAt
+      case "funnel"  => runFunnelAt
+      case _         => runAt
+    }
     run(1) // warmup: JIT + codegen + parquet footers
     val factors = Seq(1, 2, 5, maxFactor).distinct.filter(_ <= maxFactor)
-    val label = if (probe == "minhash") "dd_minhash_pairs" else "etl_unify_score"
-    val unit = if (probe == "minhash") "pairs" else "rows"
+    val label = probe match {
+      case "minhash" => "dd_minhash_pairs"
+      case "funnel"  => "dedup_funnel"
+      case _         => "etl_unify_score"
+    }
+    val unit = probe match {
+      case "minhash" => "pairs"
+      case "funnel"  => "canonical"
+      case _         => "rows"
+    }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
     val lines = factors.map { f =>
       val (n, sec) = run(f)
-      f"""{"factor":$f%d,"input_rows":${baseRows * f}%d,"$unit%s":$n%d,"sec":$sec%.2f}"""
+      val extra = if (probe == "funnel") s""","rounds":$lastRounds""" else ""
+      f"""{"factor":$f%d,"input_rows":${baseRows * f}%d,"$unit%s":$n%d,"sec":$sec%.2f$extra%s}"""
     }
     println(lines.mkString(",\n"))
     println("]}")

@@ -217,7 +217,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // added, none may silently plan an all-pairs join. Plans are
     // inspected un-executed (join strategy is decided before AQE), so
     // the sweep stays cheap; the streaming family is excluded because
-    // constructing its frames drains a real stream.
+    // constructing its frames drains a real stream. Caveats to
+    // "un-executed": o6_keyset_pagination runs a small cursor-fetch
+    // job at construction time (by design — the cursor IS a prior
+    // query), and the sink/merge roundtrips write during construction;
+    // the sweep still audits their RETURNED frames without executing
+    // them.
     val skip = (n: String) => n.startsWith("ev_stream_")
     for ((name, qd) <- SparkEntry.registry.toSeq.sortBy(_._1) if !skip(name)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
