@@ -97,8 +97,73 @@ case class ArrayDot(left: Expression, right: Expression)
       newRight: Expression): ArrayDot = copy(left = newLeft, right = newRight)
 }
 
+/** Fused int8 quantize→dequantize reconstruction of a float vector —
+  * what the quantized k-NN join scores against. Semantically identical
+  * to `dequantizeInt8(quantizeInt8(v))` (the HOF formulation, kept as
+  * the spec oracle): scale = max|x| (0 → 1), x̂_i =
+  * clamp(floor(x_i/scale·127 + 0.5), ±127)·scale/127, null elements
+  * pass through. Why an Expression: the HOF chain is 4 interpreted
+  * array passes with per-element boxing (transform → array_max →
+  * transform → transform), measured at ~7× the whole join's cost;
+  * this is two allocation-free primitive loops inside codegen.
+  */
+object QuantRoundtripImpl {
+  def eval(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(arr.getFloat(i).toDouble)
+        if (a > scale) scale = a
+      }
+      i += 1
+    }
+    if (scale == 0.0) scale = 1.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getFloat(i).toDouble
+        val q = math.max(-127.0, math.min(127.0,
+          math.floor(x / scale * 127.0 + 0.5)))
+        out(i) = q * scale / 127.0
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class QuantRoundtrip(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quant_roundtrip requires array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantRoundtripImpl.eval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.QuantRoundtripImpl$$.MODULE$$.eval($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantRoundtrip = copy(child = newChild)
+}
+
 object VecOps {
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantRoundtrip(v: Column): Column =
+    ColumnBridge.column(QuantRoundtrip(ColumnBridge.expression(v)))
 }

@@ -305,12 +305,14 @@ object Similarity {
   def knnJoinLshQ8(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, bits: Int = 8,
       seed: Long = 7L): DataFrame = {
-    // what the stored table holds at scale: (id, int8 payload, bucket)
-    val stored = withLshBucket(corpus, vecCol, bits, dim, seed)
+    // At scale the table stores (id, int8 payload, bucket) and the
+    // read side dequantizes; here the store→read roundtrip is fused
+    // into one codegen'd expression (QuantRoundtrip — semantically
+    // dequantizeInt8∘quantizeInt8, which as interpreted HOFs cost 7×
+    // the whole join; spec pins the bit-equality).
+    val c = withLshBucket(corpus, vecCol, bits, dim, seed)
       .select(col(idCol).as("corpus_id"),
-        quantizeInt8(col(vecCol)).as("_qz"), col("bucket"))
-    val c = stored
-      .select(col("corpus_id"), dequantizeInt8(col("_qz")).as("_cv"),
+        graft.functions.VecOps.quantRoundtrip(col(vecCol)).as("_cv"),
         col("bucket"))
       .withColumn("_cn", norm(col("_cv")))
     val q = withLshBucket(queries, vecCol, bits, dim, seed)

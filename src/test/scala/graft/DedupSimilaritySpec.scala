@@ -89,6 +89,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("QuantRoundtrip expression == dequantize(quantize) HOF chain, bit-exact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    val got = emb.select(
+        graft.functions.VecOps.quantRoundtrip($"embedding").as("fused"),
+        Similarity.dequantizeInt8(
+          Similarity.quantizeInt8($"embedding")).as("hof"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val f = r.getSeq[Double](0)
+      val h = r.getSeq[Double](1)
+      assert(f.length === h.length)
+      f.zip(h).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ===
+          java.lang.Double.doubleToRawLongBits(b))
+      }
+    }
+    // zero vector: scale guards to 1.0, reconstruction is all zeros
+    import spark.implicits._
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("embedding")
+      .select(graft.functions.VecOps.quantRoundtrip($"embedding"))
+      .head().getSeq[Double](0)
+    assert(z === Seq(0.0, 0.0))
+  }
+
   test("quantized knn join: near-total pair overlap with the float join") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = emb.filter($"vec_id" % 50 =!= 0)
