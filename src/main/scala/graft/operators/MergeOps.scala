@@ -218,8 +218,12 @@ object MergeOps {
     }
     fs.delete(stagingRoot, true)
     // One row per touched month — bounded by partition count, not rows.
-    val months = incoming.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val monthsRaw = incoming.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    require(!monthsRaw.contains(null),
+      s"$partCol must be non-null for a partition-scoped merge — " +
+        "coalesce to a sentinel month (e.g. '0000-00') first")
+    val months = monthsRaw.sorted
     if (months.isEmpty) return
     val destHasData = fs.exists(dest) &&
       fs.listStatus(dest).exists(_.getPath.getName.startsWith(partCol + "="))

@@ -45,8 +45,18 @@ object IncrementalIngest {
         if (!batch.isEmpty) {
           val unified = Unify.unify(batch, platform)
             .transform(df => MergeOps.dedupFirstWins(df, Seq("event_id")))
-          MergeOps.upsertParquet(batch.sparkSession, s"$tableDir/events",
-            unified, Seq("event_id"), "updated_at")
+            // month partition from the event's start date (the
+            // TableLayout key); unparseable dates land in a sentinel
+            // month so the partition column is never null
+            .withColumn("start_month",
+              coalesce(substring(col("datetime.start_date"), 1, 7),
+                lit("0000-00")))
+          // partition-pruned merge: a micro-batch touches only the
+          // months it carries — sustained ingest against a 100 TB
+          // table never rewrites the table (the reference's
+          // upsert-on-arrival, unified_scraper.py:622-642)
+          MergeOps.upsertParquetByMonth(batch.sparkSession,
+            s"$tableDir/events", unified, Seq("event_id"), "updated_at")
         }
       }
       .start()

@@ -216,6 +216,12 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
     val urls = t2.select("scraping_metadata.source_url").collect()
       .map(_.getString(0)).toSet
     assert(urls.contains("https://x.com/1-updated"))
+    // the table is laid out month-partitioned (July update + August
+    // insert → two month directories), so sustained ingest merges
+    // per-month instead of rewriting the table
+    val months = new java.io.File(s"$dir/events").listFiles()
+      .map(_.getName).filter(_.startsWith("start_month=")).sorted
+    assert(months === Array("start_month=2025-07", "start_month=2025-08"))
   }
 
   test("streaming: hourly rollup with watermark produces windowed counts") {

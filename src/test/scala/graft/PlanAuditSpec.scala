@@ -259,4 +259,30 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("LessThanOrEqual(lon"),
       "radius prefilter did not reach the parquet scan:\n" + p.take(1000))
   }
+
+  test("LSH bucket probe on a bucket-partitioned table is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    // the withLshBucket scaladoc's 100 TB contract: materialize the
+    // bucketed corpus partitioned by bucket, and an ANN probe becomes
+    // a partition-pruned scan of ~n/2^bits of the data. Prove the
+    // PartitionFilters, not just claim them.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshpart")
+      .toFile.getAbsolutePath
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.Similarity
+      .withLshBucket(emb, "embedding", bits = 4, dim = 64)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/corpus")
+    val probe = spark.read.parquet(s"$dir/corpus")
+      .filter(col("bucket") === 5)
+    probe.collect()
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      "bucket probe did not partition-prune:\n" + p.take(1000))
+    val m = "PartitionFilters: \\[[^\\]]*equal[^\\]]*bucket".r
+    assert(m.findFirstIn(p.toLowerCase).isDefined ||
+      p.contains("(bucket#") || p.contains("bucket = 5"),
+      "bucket equality not in PartitionFilters:\n" + p.take(1000))
+  }
 }
