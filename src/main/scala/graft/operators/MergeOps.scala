@@ -192,31 +192,71 @@ object MergeOps {
     * bounded by the number of touched partitions (a handful of months
     * per crawl batch), not by data volume.
     */
-  def upsertParquetByMonth(spark: SparkSession, tablePath: String,
-      incoming: DataFrame, keys: Seq[String], recency: String,
-      partCol: String = "start_month"): Unit = {
+  /** The month-directory swap machinery shared by the partition-scoped
+    * merge and the cross-month reconcile: sibling staging/retired
+    * roots, orphan recovery, and the per-month two-rename activation.
+    */
+  private final class MonthSwap(spark: SparkSession, tablePath: String) {
     import org.apache.hadoop.fs.Path
     val dest = new Path(tablePath)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingRoot = new Path(dest.getParent, dest.getName + "_mstaging")
     val retiredRoot = new Path(dest.getParent, dest.getName + "_mretired")
-    // Crash recovery: a prior run that died between the two renames of
-    // some month left that month's only live copy under the retired
-    // root. Restore every such month BEFORE reading, or the merge below
-    // would silently drop its history.
-    if (fs.exists(retiredRoot)) {
-      fs.listStatus(retiredRoot).foreach { st =>
-        val live = new Path(dest, st.getPath.getName)
-        if (!fs.exists(live)) {
-          fs.mkdirs(dest)
-          if (!fs.rename(st.getPath, live))
-            throw new java.io.IOException(
-              s"found orphaned ${st.getPath} but could not restore it to $live")
+
+    /** Crash recovery: a prior run that died between the two renames
+      * of some month left that month's only live copy under the
+      * retired root. Restore every such month BEFORE reading, or a
+      * merge would silently drop its history.
+      */
+    def recoverOrphans(): Unit = {
+      if (fs.exists(retiredRoot)) {
+        fs.listStatus(retiredRoot).foreach { st =>
+          val live = new Path(dest, st.getPath.getName)
+          if (!fs.exists(live)) {
+            fs.mkdirs(dest)
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"found orphaned ${st.getPath} but could not restore it to $live")
+          }
         }
+        fs.delete(retiredRoot, true)
       }
+      fs.delete(stagingRoot, true)
+    }
+
+    /** Swap each named month from the staging root into the live
+      * table: retire live month, activate staged month (a month with
+      * nothing staged merged to empty — it is retired only). A crash
+      * mid-loop leaves every month fully old or fully new.
+      */
+    def activate(partCol: String, months: Seq[String]): Unit = {
+      fs.mkdirs(dest)
+      months.foreach { m =>
+        val dirName = partCol + "=" + m
+        val staged = new Path(stagingRoot, dirName)
+        val live = new Path(dest, dirName)
+        val retired = new Path(retiredRoot, dirName)
+        fs.mkdirs(retiredRoot)
+        fs.delete(retired, true)
+        if (fs.exists(live) && !fs.rename(live, retired))
+          throw new java.io.IOException(s"could not retire $live")
+        if (fs.exists(staged) && !fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"could not activate $staged as $live (old month at $retired)")
+        fs.delete(retired, true)
+      }
+      fs.delete(stagingRoot, true)
       fs.delete(retiredRoot, true)
     }
-    fs.delete(stagingRoot, true)
+  }
+
+  def upsertParquetByMonth(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], recency: String,
+      partCol: String = "start_month"): Unit = {
+    val swap = new MonthSwap(spark, tablePath)
+    val fs = swap.fs
+    val dest = swap.dest
+    swap.recoverOrphans()
     // One row per touched month — bounded by partition count, not rows.
     val monthsRaw = incoming.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
@@ -236,26 +276,60 @@ object MergeOps {
         upsert(existing, incoming, keys, recency)
       } else incoming
     merged.write.mode(SaveMode.Overwrite)
-      .partitionBy(partCol).parquet(stagingRoot.toString)
-    fs.mkdirs(dest)
-    months.foreach { m =>
-      val dirName = partCol + "=" + m
-      val staged = new Path(stagingRoot, dirName)
-      val live = new Path(dest, dirName)
-      val retired = new Path(retiredRoot, dirName)
-      fs.mkdirs(retiredRoot)
-      fs.delete(retired, true)
-      if (fs.exists(live) && !fs.rename(live, retired))
-        throw new java.io.IOException(s"could not retire $live")
-      // A month can merge to empty (all its keys' winners carry another
-      // month's partition value): retire it with nothing staged.
-      if (fs.exists(staged) && !fs.rename(staged, live))
-        throw new java.io.IOException(
-          s"could not activate $staged as $live (old month at $retired)")
-      fs.delete(retired, true)
-    }
-    fs.delete(stagingRoot, true)
-    fs.delete(retiredRoot, true)
+      .partitionBy(partCol).parquet(swap.stagingRoot.toString)
+    swap.activate(partCol, months)
+  }
+
+  /** Reconcile cross-month duplicate keys — the periodic pass that
+    * closes [[upsertParquetByMonth]]'s documented gap: a key whose
+    * month CHANGED between batches (re-scraped event moved dates)
+    * without the old month in the batch leaves its superseded row
+    * alive in the old month. This pass finds every such key and
+    * rewrites ONLY the months holding stale rows.
+    *
+    * Scale shape: detection is a column-pruned scan of
+    * (keys, recency, partCol) — a few percent of table bytes at
+    * 100 TB — through one hash shuffle on the key; the rewrite then
+    * reads and swaps only the affected month directories (same
+    * staging/retire crash safety as the merge). Months with no stale
+    * rows are never opened.
+    *
+    * Returns the reconciled months (empty = table was clean).
+    */
+  def reconcileCrossMonthKeys(spark: SparkSession, tablePath: String,
+      keys: Seq[String], recency: String,
+      partCol: String = "start_month"): Seq[String] = {
+    val swap = new MonthSwap(spark, tablePath)
+    swap.recoverOrphans()
+    val t = spark.read.parquet(tablePath)
+      .withColumn(partCol, col(partCol).cast("string"))
+    // detection scan reads only the key/recency/month columns; month
+    // desc tiebreaks equal recency so the winner is deterministic
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(recency).desc, col(partCol).desc)
+    val det = t.select((keys.map(col) :+ col(recency) :+ col(partCol)): _*)
+      .withColumn("_rn", row_number().over(w))
+    val staleRows = det.filter(col("_rn") > 1)
+    val staleKeys = staleRows.select(keys.map(col): _*).distinct()
+    val staleMonths = staleRows.select(col(partCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (staleMonths.isEmpty) return Nil
+    // Winner coordinates of the dirty keys: (keys, recency, month).
+    // A winner may live inside an affected month (in-month duplicate)
+    // or outside it (the moved-key case) — the rewrite must keep the
+    // former and not touch the latter. Assumes the merge's own
+    // invariant that (keys, recency) is unique within a month.
+    val winners = det.filter(col("_rn") === 1)
+      .join(staleKeys, keys)
+      .select((keys.map(col) :+ col(recency) :+ col(partCol)): _*)
+    val slice = t.filter(col(partCol).isin(staleMonths: _*))
+    val keep = slice.join(staleKeys, keys, "left_anti")
+      .unionByName(slice.join(winners, keys :+ recency :+ partCol,
+        "left_semi"))
+    keep.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol).parquet(swap.stagingRoot.toString)
+    swap.activate(partCol, staleMonths)
+    staleMonths
   }
 
   /** K5 — flag events for re-scrape: keyed two-column update

@@ -97,6 +97,65 @@ object MergeQueries {
         |FROM r WHERE rn = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // K1 reconcile — the periodic pass closing the month-merge's
+    // documented gap: even users' events get re-scraped into NEW
+    // months (user%3+4) without the old month in the batch, leaving
+    // their old rows (months user%3+1) as cross-month duplicates. The
+    // reconcile must drop exactly those stale rows — rewriting only
+    // the three dirty months — and the oracle recomputes the global
+    // latest-wins state per month, with the reconciled-month count
+    // pinned as a column.
+    "k1_cross_month_reconcile" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/month_reconcile/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        def latest(df: DataFrame, monthBase: Int) = df
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"),
+              (col("user_id") % 3 + monthBase).cast("string"))
+              .as("start_month"))
+        val ev = T.events(s, d)
+        MergeOps.upsertParquetByMonth(s, table,
+          latest(ev.filter(col("event_id") < 6000), 1),
+          Seq("user_id"), "event_id")
+        MergeOps.upsertParquetByMonth(s, table,
+          latest(ev.filter(
+            col("event_id") >= 6000 && col("user_id") % 2 === 0), 4),
+          Seq("user_id"), "event_id")
+        val months = MergeOps.reconcileCrossMonthKeys(s, table,
+          Seq("user_id"), "event_id")
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"),
+            max(col("event_id")).as("max_eid"),
+            T.decSum(col("value")).as("total"))
+          .withColumn("n_reconciled_months", lit(months.length.toLong))
+          .orderBy(col("start_month"))
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id < 6000
+        |     OR (event_id >= 6000 AND user_id % 2 = 0))
+        |SELECT CASE WHEN event_id >= 6000
+        |         THEN '2025-0' || CAST(user_id % 3 + 4 AS VARCHAR)
+        |         ELSE '2025-0' || CAST(user_id % 3 + 1 AS VARCHAR)
+        |       END AS start_month,
+        |  COUNT(*) AS n,
+        |  MAX(event_id) AS max_eid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(3 AS BIGINT) AS n_reconciled_months
+        |FROM r WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // D4/A10 — merge audit accumulators (reference:
     // database/data_migration.py:102-158 keeps inserted/updated/dup
     // counters while looping; here one set-algebra pass computes the

@@ -163,6 +163,50 @@ class MergeOpsSpec extends AnyFunSuite {
       "emptied month directory should be retired")
   }
 
+  test("cross-month reconcile drops moved keys' stale rows only") {
+    val dir = Files.createTempDirectory("graft_recon").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"), ("e2", "jan", 1, "2025-01"),
+        ("e3", "feb", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    // e2 re-scraped into March WITHOUT the old month in the batch —
+    // the documented gap: its January row survives as a duplicate
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e2", "mar v2", 2, "2025-03"))),
+      Seq("event_id"), "version")
+    assert(spark.read.parquet(table).filter($"event_id" === "e2").count() === 2)
+    val befFeb = fileCensus(table, skip = "2025-01")
+      .filter(_._1.startsWith("start_month=2025-02"))
+    val months = MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version")
+    assert(months === Seq("2025-01"))
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "jan", "e2" -> "mar v2", "e3" -> "feb"))
+    // untouched months' files stay byte-identical
+    assert(fileCensus(table, skip = "2025-01")
+      .filter(_._1.startsWith("start_month=2025-02")) === befFeb)
+    // second pass: clean table, nothing rewritten
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+  }
+
+  test("cross-month reconcile keeps a winner sharing its month with a stale row") {
+    val dir = Files.createTempDirectory("graft_recon2").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    // month 2025-01 holds BOTH versions of e1 (an in-month duplicate,
+    // e.g. a raw import) plus an unrelated clean row
+    monthDocs(Seq(("e1", "v1", 1, "2025-01"), ("e1", "v2", 2, "2025-01"),
+        ("e9", "ok", 1, "2025-01")))
+      .withColumn("start_month", $"start_month")
+      .write.partitionBy("start_month").parquet(table)
+    MergeOps.reconcileCrossMonthKeys(spark, table, Seq("event_id"), "version")
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "v2", "e9" -> "ok"))
+  }
+
   test("K5 flag-for-refresh updates only targeted events") {
     val ev = spark.read.schema(graft.schema.EventSchema.schema)
       .option("multiLine", true).json("fixtures/events_v2_sample.json")
