@@ -163,6 +163,62 @@ object StreamingQueries {
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY c_nationkey""".stripMargin),
 
+    // Streaming upsert-on-arrival through the REAL engine: foreachBatch
+    // dedupes each micro-batch latest-wins and merges it into the
+    // month-partitioned table via the partition-pruned merge (the
+    // IncrementalIngest.start shape). Latest-wins on a monotone recency
+    // is ORDER-INDEPENDENT, so the final table equals the batch
+    // latest-wins answer under ANY micro-batch split — the oracle
+    // recomputes exactly that. (The single-file source yields one data
+    // batch here; the two-batch split is exercised by the landing-dir
+    // ingest spec.)
+    "ev_stream_upsert" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/stream_upsert/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val stream = eventStream(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
+              .as("start_month"))
+        val q = stream.writeStream
+          .queryName("graft_stream_upsert")
+          .option("checkpointLocation", s"$table/../_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+              val deduped = batch.withColumn("_rn", row_number().over(w))
+                .filter(col("_rn") === 1).drop("_rn")
+              graft.operators.MergeOps.upsertParquetByMonth(
+                batch.sparkSession, table, deduped,
+                Seq("user_id"), "event_id")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"),
+            max(col("event_id")).as("max_eid"),
+            T.decSum(col("value")).as("total"))
+          .orderBy(col("start_month"))
+      },
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |SELECT '2025-0' || CAST(user_id % 6 + 1 AS VARCHAR) AS start_month,
+         |  COUNT(*) AS n,
+         |  MAX(event_id) AS max_eid,
+         |  ${T.sqlDecSum("value")} AS total
+         |FROM r WHERE rn = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Custom per-key state via mapGroupsWithState (IncrementalIngest
     // .statefulUserCounts): update mode re-emits per batch; the MAX of
     // the monotone running count per user is the total event count.
