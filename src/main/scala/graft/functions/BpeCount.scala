@@ -31,8 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeImpl {
 
-  /** Token count of one word under the (a, b) rank-ordered rules. */
-  def countWord(w: String, a: Array[String], b: Array[String]): Int = {
+  /** BPE symbols of one word under the (a, b) rank-ordered rules. */
+  def mergeWord(w: String, a: Array[String],
+      b: Array[String]): java.util.ArrayList[String] = {
     val syms = new java.util.ArrayList[String](w.length)
     var i = 0
     while (i < w.length) {
@@ -57,8 +58,12 @@ object BpeImpl {
       }
       r += 1
     }
-    syms.size
+    syms
   }
+
+  /** Token count of one word. */
+  def countWord(w: String, a: Array[String], b: Array[String]): Int =
+    mergeWord(w, a, b).size
 
   def count(text: UTF8String, a: Array[String], b: Array[String]): Long = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT).trim
@@ -71,6 +76,29 @@ object BpeImpl {
       i += 1
     }
     total
+  }
+
+  /** All BPE tokens of a text, word by word, flattened in order. */
+  def tokens(text: UTF8String, a: Array[String],
+      b: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT).trim
+    val out = new java.util.ArrayList[AnyRef]
+    if (s.nonEmpty) {
+      val words = s.split("\\s+")
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) {
+          val syms = mergeWord(words(i), a, b)
+          var j = 0
+          while (j < syms.size) {
+            out.add(UTF8String.fromString(syms.get(j)))
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }
 
@@ -98,7 +126,40 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** The token ARRAY sibling of [[BpeCount]] — same merge semantics,
+  * returns the subword tokens themselves (vocab profiling, downstream
+  * id mapping) instead of the count.
+  */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  private val lefts: Array[String] = merges.map(_._1).toArray
+  private val rights: Array[String] = merges.map(_._2).toArray
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.tokens(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeImpl$$.MODULE$$" +
+        s".tokens($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 object BpeCount {
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(text), merges))
+
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))
 }

@@ -332,6 +332,49 @@ object MergeOps {
     staleMonths
   }
 
+  /** Compact fragmented month partitions: any month whose file count
+    * exceeds `maxFilesPerMonth` is rewritten into
+    * ceil(rows/maxRecordsPerFile) files (sorted within partitions by
+    * the keys, restoring the row-group-statistics locality the
+    * TableLayout write establishes); months at or under the bound are
+    * never opened. Sustained micro-batch ingest rewrites its touched
+    * months wholesale, so fragmentation stays bounded per month — this
+    * pass is the periodic floor-sweep for long-lived tables (and the
+    * natural place the cross-month reconcile piggybacks in an ops
+    * schedule). Same per-month staging/retire crash safety as the
+    * merge. Returns the compacted months.
+    */
+  def compactMonths(spark: SparkSession, tablePath: String,
+      keys: Seq[String], partCol: String = "start_month",
+      maxFilesPerMonth: Int = 4,
+      maxRecordsPerFile: Long = 5000000L): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val swap = new MonthSwap(spark, tablePath)
+    swap.recoverOrphans()
+    val fs = swap.fs
+    if (!fs.exists(swap.dest)) return Nil
+    val fragmented = fs.listStatus(swap.dest).toSeq
+      .filter(_.getPath.getName.startsWith(partCol + "="))
+      .filter { mdir =>
+        fs.listStatus(mdir.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerMonth
+      }
+      .map(_.getPath.getName.stripPrefix(partCol + "="))
+      .sorted
+    if (fragmented.isEmpty) return Nil
+    val slice = spark.read.parquet(tablePath)
+      .filter(col(partCol).isin(fragmented: _*))
+      .withColumn(partCol, col(partCol).cast("string"))
+    slice
+      .repartition(col(partCol))
+      .sortWithinPartitions((col(partCol) +: keys.map(col)): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol).parquet(swap.stagingRoot.toString)
+    swap.activate(partCol, fragmented)
+    fragmented
+  }
+
   /** K5 — flag events for re-scrape: keyed two-column update
     * (reference: database/api_server.py:551-559) via the same merge
     * machinery.

@@ -1358,6 +1358,28 @@ object PipelineQueries {
       s"""$bpeCountCte
          |SELECT doc_id, n_bpe FROM bpecnt ORDER BY doc_id""".stripMargin),
 
+    // Subword vocabulary profile over REAL BPE tokens: top-50 tokens
+    // by corpus frequency (what the trainer's embedding table actually
+    // sees, vs the word-level ta_vocab_topk). Engine: codegen'd
+    // BpeTokens explode → two-phase count → TakeOrdered; oracle:
+    // unnest the delimited symbols of the shared BPE CTE's final
+    // state, dropping the word-boundary space symbols.
+    "ta_bpe_vocab" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(explode(TextAnalysis.subwordTokensBpe(col("text")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50),
+      s"""$bpeCountCte,
+         |tok AS (
+         |  SELECT unnest(string_split(s, '|')) AS token FROM bpefin),
+         |cnt AS (
+         |  SELECT token, COUNT(*) AS n FROM tok
+         |  WHERE token <> '' AND token <> ' '
+         |  GROUP BY token)
+         |SELECT token, n FROM cnt
+         |ORDER BY n DESC, token LIMIT 50""".stripMargin),
+
     // Sequence packing over REAL BPE token counts — the pack budget
     // measured in the tokens the trainer actually consumes, not the
     // whitespace estimate (the divergence the heuristic-count scaladoc
@@ -1412,11 +1434,13 @@ object PipelineQueries {
        |    CASE WHEN replace(b.s, m.pat, m.rep) <> b.s
        |         THEN b.r ELSE b.r + 1 END
        |  FROM bpe b JOIN merges m ON m.r = b.r),
+       |bpefin AS (
+       |  SELECT doc_id, s FROM bpe WHERE r = ${merges.size + 1}),
        |bpecnt AS (
        |  SELECT doc_id,
        |    CAST(length(s) - length(replace(s, '|', '')) - 1
        |         - (length(s) - length(replace(s, ' ', ''))) AS BIGINT)
        |      AS n_bpe
-       |  FROM bpe WHERE r = ${merges.size + 1})""".stripMargin
+       |  FROM bpefin)""".stripMargin
   }
 }

@@ -53,6 +53,13 @@ object TextAnalysis {
       merges: Seq[(String, String)] = defaultBpeMerges): Column =
     graft.functions.BpeCount.bpe_count(text, merges)
 
+  /** The BPE tokens themselves (ordered, word by word) — vocab
+    * profiling and downstream token-id mapping.
+    */
+  def subwordTokensBpe(text: Column,
+      merges: Seq[(String, String)] = defaultBpeMerges): Column =
+    graft.functions.BpeCount.bpe_tokens(text, merges)
+
   /** Language-ID heuristic: score each language by distinctive
     * marker-token hits (stopword n-gram profile), take the argmax;
     * "und" (undetermined) when nothing matches.

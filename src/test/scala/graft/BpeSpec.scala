@@ -86,6 +86,15 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("token array matches counts and order") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    val got = Seq(Tuple1("The window order")).toDF("text")
+      .select(TextAnalysis.subwordTokensBpe($"text").as("t"))
+      .head().getSeq[String](0)
+    assert(got === Seq("the", "window", "or", "d", "er"))
+  }
+
   test("Column path: whitespace split, lowercase, nulls, empty") {
     val spark = SparkTest.session
     import spark.implicits._

@@ -207,6 +207,31 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got === Seq("e1" -> "v2", "e9" -> "ok"))
   }
 
+  test("compaction rewrites only fragmented months, preserving data") {
+    val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    // 2025-01 fragmented (8 files via repartition), 2025-02 compact
+    monthDocs((1 to 40).map(i => (s"e$i", s"t$i", 1, "2025-01")))
+      .repartition(8)
+      .write.partitionBy("start_month").parquet(table)
+    monthDocs(Seq(("f1", "feb", 1, "2025-02")))
+      .coalesce(1).write.mode("append").partitionBy("start_month").parquet(table)
+    def nFiles(m: String) = new java.io.File(s"$table/start_month=$m")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles("2025-01") === 8)
+    val febBefore = fileCensus(table, skip = "2025-01")
+    val compacted = MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 4)
+    assert(compacted === Seq("2025-01"))
+    assert(nFiles("2025-01") === 1)
+    assert(fileCensus(table, skip = "2025-01") === febBefore,
+      "compact months were rewritten")
+    assert(spark.read.parquet(table).count() === 41)
+    // idempotent: nothing left to compact
+    assert(MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 4) === Nil)
+  }
+
   test("K5 flag-for-refresh updates only targeted events") {
     val ev = spark.read.schema(graft.schema.EventSchema.schema)
       .option("multiLine", true).json("fixtures/events_v2_sample.json")
