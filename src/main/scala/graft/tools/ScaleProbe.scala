@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Unify, V2Fixtures}
@@ -108,9 +108,49 @@ object ScaleProbe {
       (canon, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Month-merge probe: a table of `factor` months (one replica per
+    // month), then ONE batch merged into a single month — timed both
+    // through the partition-pruned month merge and the full-table
+    // rewrite. The point on record: month-merge cost stays flat as the
+    // table grows (it reads/writes one month), while the full rewrite
+    // grows linearly with table size — the difference between an
+    // incremental crawl batch costing O(batch) and O(100 TB).
+    var lastFullSec = -1.0
+    def runMergeAt(factor: Int): (Long, Double) = {
+      import graft.operators.MergeOps
+      val dirRoot = new java.io.File(
+        s"target/merge_probe/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      def monthOf(rep: Column) = concat(lit("2"),
+        format_string("%03d", (rep / 12).cast("int")), lit("-"),
+        format_string("%02d", (rep % 12 + 1).cast("int")))
+      val table = replicate(factor, perturbText = false)
+        .withColumn("_rep", (col("doc_id") / 10000000L).cast("long"))
+        .select(col("doc_id"), col("text"), lit(1).as("version"),
+          monthOf(col("_rep")).as("start_month"))
+      table.write.partitionBy("start_month").parquet(s"$dirRoot/bymonth")
+      table.write.parquet(s"$dirRoot/flat")
+      val batch = base.limit(1000)
+        .select(col("doc_id"), col("text"), lit(2).as("version"),
+          monthOf(lit(0L)).as("start_month"))
+      val t0 = System.nanoTime()
+      MergeOps.upsertParquetByMonth(spark, s"$dirRoot/bymonth", batch,
+        Seq("doc_id"), "version")
+      val monthSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      MergeOps.upsertParquet(spark, s"$dirRoot/flat",
+        batch, Seq("doc_id"), "version")
+      lastFullSec = (System.nanoTime() - t1) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (1000L, monthSec)
+    }
+
     val run: Int => (Long, Double) = probe match {
       case "minhash" => runMinhashAt
       case "funnel"  => runFunnelAt
+      case "merge"   => runMergeAt
       case _         => runAt
     }
     run(1) // warmup: JIT + codegen + parquet footers
@@ -118,17 +158,22 @@ object ScaleProbe {
     val label = probe match {
       case "minhash" => "dd_minhash_pairs"
       case "funnel"  => "dedup_funnel"
+      case "merge"   => "month_merge"
       case _         => "etl_unify_score"
     }
     val unit = probe match {
       case "minhash" => "pairs"
       case "funnel"  => "canonical"
+      case "merge"   => "batch_rows"
       case _         => "rows"
     }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
     val lines = factors.map { f =>
       val (n, sec) = run(f)
-      val extra = if (probe == "funnel") s""","rounds":$lastRounds""" else ""
+      val extra =
+        if (probe == "funnel") s""","rounds":$lastRounds"""
+        else if (probe == "merge") f""","sec_full_rewrite":$lastFullSec%.2f"""
+        else ""
       f"""{"factor":$f%d,"input_rows":${baseRows * f}%d,"$unit%s":$n%d,"sec":$sec%.2f$extra%s}"""
     }
     println(lines.mkString(",\n"))
