@@ -96,6 +96,28 @@ object GraftExtensions {
         require(args.length == 2,
           s"array_dot(a, b) takes 2 arguments, got ${args.length}")
         graft.functions.ArrayDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"bpe_count(text) takes 1 argument, got ${args.length}")
+        // SQL surface uses the default merges table; custom tables go
+        // through the Column API (they are data, not literals)
+        graft.functions.BpeCount(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          graft.operators.TextAnalysis.defaultBpeMerges)
+      }),
+    (FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokens].getName, "bpe_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"bpe_tokens(text) takes 1 argument, got ${args.length}")
+        graft.functions.BpeTokens(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          graft.operators.TextAnalysis.defaultBpeMerges)
       }))
 
   /** Register on an existing session. */

@@ -83,5 +83,12 @@ class StreamingStateSpec extends AnyFunSuite {
       spark.sql("SELECT array_dot(array(1, 2), array(3, 4))").collect()
     }
     assert(err.getMessage.contains("array_dot requires"))
+    // bpe_count / bpe_tokens from SQL use the default merges table
+    val bc = spark.sql("SELECT bpe_count('the window') AS n")
+      .head().getLong(0)
+    assert(bc === 2)
+    val bt = spark.sql("SELECT bpe_tokens('The window order') AS t")
+      .head().getSeq[String](0)
+    assert(bt === Seq("the", "window", "or", "d", "er"))
   }
 }
