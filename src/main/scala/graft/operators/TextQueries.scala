@@ -117,6 +117,50 @@ object TextQueries {
         |FROM documents GROUP BY 1
         |ORDER BY n DESC, fp LIMIT 50""".stripMargin),
 
+    // Incremental corpus-growth dedup: a NEW batch admitted against
+    // the fingerprints of the already-ingested corpus (the operation
+    // every continuously-growing training corpus runs on arrival —
+    // batch-internal first-wins per fingerprint, then an anti-join
+    // against the corpus fingerprint table, which at 100 TB is the
+    // stored side table keyed by fp, one hash join, never a rescan of
+    // corpus text). Summary row pins counts AND which docs were
+    // admitted (id checksum).
+    "dd_incremental_novel" -> QueryDef(
+      (s, d) => {
+        val fp = md5(trim(regexp_replace(col("text"), "\\s+", " ")))
+        val docs = T.documents(s, d).select(col("doc_id"), fp.as("fp"))
+        val corpus = docs.filter(col("doc_id") < 400)
+          .select(col("fp")).distinct()
+        val batch = docs.filter(col("doc_id") >= 400)
+        val firstPerFp = batch.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val admitted = firstPerFp.join(corpus, Seq("fp"), "left_anti")
+        batch.agg(count(lit(1)).as("batch_rows"))
+          .crossJoin(firstPerFp.agg(count(lit(1)).as("batch_distinct")))
+          .crossJoin(admitted.agg(count(lit(1)).as("n_novel"),
+            sum(col("doc_id")).as("novel_id_sum")))
+          .withColumn("dup_vs_corpus",
+            col("batch_distinct") - col("n_novel"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+        |batch AS (SELECT * FROM f WHERE doc_id >= 400),
+        |firstfp AS (
+        |  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp),
+        |adm AS (
+        |  SELECT * FROM firstfp
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = firstfp.fp))
+        |SELECT
+        |  (SELECT COUNT(*) FROM batch) AS batch_rows,
+        |  (SELECT COUNT(*) FROM firstfp) AS batch_distinct,
+        |  (SELECT COUNT(*) FROM adm) AS n_novel,
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM adm) AS novel_id_sum,
+        |  (SELECT COUNT(*) FROM firstfp) - (SELECT COUNT(*) FROM adm)
+        |    AS dup_vs_corpus""".stripMargin),
+
     // N-gram (word-bigram) Jaccard near-dup pairs over a bounded id
     // slice, via an inverted shingle index join (no cross join) —
     // integer intersection/union then one deterministic division.
