@@ -163,6 +163,28 @@ class MergeOpsSpec extends AnyFunSuite {
       "emptied month directory should be retired")
   }
 
+  test("month upsert is idempotent and its read is partition-pruned") {
+    val dir = Files.createTempDirectory("graft_midem").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"), ("e2", "feb", 1, "2025-02"),
+        ("e3", "mar", 1, "2025-03"))),
+      Seq("event_id"), "version")
+    val batch = monthDocs(Seq(("e2", "feb v2", 2, "2025-02")))
+    MergeOps.upsertParquetByMonth(spark, table, batch, Seq("event_id"), "version")
+    val once = spark.read.parquet(table).orderBy("event_id").collect().toSeq
+    MergeOps.upsertParquetByMonth(spark, table, batch, Seq("event_id"), "version")
+    assert(spark.read.parquet(table).orderBy("event_id").collect().toSeq === once)
+    // the merge's existing-side read shape: an isin filter on the
+    // partition column prunes to the touched month directories only
+    val pruned = spark.read.parquet(table)
+      .filter($"start_month".isin("2025-02"))
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("start_month"),
+      "month filter did not partition-prune:\n" + p.take(800))
+  }
+
   test("cross-month reconcile drops moved keys' stale rows only") {
     val dir = Files.createTempDirectory("graft_recon").toFile.getAbsolutePath
     val table = s"$dir/events"
