@@ -188,9 +188,15 @@ object MergeOps {
     * `_mretired` root, staged month → live). A crash mid-swap leaves
     * every month either fully old or fully new, and any month whose
     * sole live copy sits under `_mretired` is restored on the next
-    * call before anything is read. The distinct-months collect is
-    * bounded by the number of touched partitions (a handful of months
-    * per crawl batch), not by data volume.
+    * call before anything is read. A crash between month activations
+    * can leave the batch HALF-APPLIED (some months new, the rest old —
+    * each individually consistent); the contract is apply-or-retry:
+    * re-running the same batch is idempotent (latest-wins re-merge of
+    * already-applied months is a no-op), which is exactly what a
+    * foreachBatch caller's checkpoint replay does after a crash. The
+    * distinct-months collect is bounded by the number of touched
+    * partitions (a handful of months per crawl batch), not by data
+    * volume.
     */
   /** The month-directory swap machinery shared by the partition-scoped
     * merge and the cross-month reconcile: sibling staging/retired
