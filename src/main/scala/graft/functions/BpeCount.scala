@@ -29,6 +29,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen with zero boxing (the MinHashSig
   * pattern), versus a Scala UDF's per-row encoder round-trip.
   */
+/** Per-task word→symbols memo. Corpus text is zipfian — the same few
+  * thousand words dominate — so the merge loop runs once per DISTINCT
+  * word per task instead of once per occurrence (the same lru-cache
+  * trick standard BPE tokenizers use). One instance rides each
+  * expression as a codegen reference object: references deserialize
+  * per task, and a task is single-threaded, so no synchronization.
+  * Bounded: the map clears when it hits `maxEntries` (pathological
+  * unique-word corpora can't grow it without bound).
+  */
+final class BpeMemo(maxEntries: Int = 1 << 16) extends Serializable {
+  @transient private var map = new java.util.HashMap[String, Array[String]]()
+  private def m = {
+    if (map == null) map = new java.util.HashMap[String, Array[String]]()
+    map
+  }
+  def get(w: String): Array[String] = m.get(w)
+  def put(w: String, syms: Array[String]): Unit = {
+    if (m.size >= maxEntries) m.clear()
+    m.put(w, syms)
+  }
+}
+
 object BpeImpl {
 
   /** BPE symbols of one word under the (a, b) rank-ordered rules. */
@@ -65,22 +87,34 @@ object BpeImpl {
   def countWord(w: String, a: Array[String], b: Array[String]): Int =
     mergeWord(w, a, b).size
 
-  def count(text: UTF8String, a: Array[String], b: Array[String]): Long = {
+  private def memoized(w: String, a: Array[String], b: Array[String],
+      memo: BpeMemo): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) hit
+    else {
+      val syms = mergeWord(w, a, b).toArray(Array.empty[String])
+      memo.put(w, syms)
+      syms
+    }
+  }
+
+  def count(text: UTF8String, a: Array[String], b: Array[String],
+      memo: BpeMemo): Long = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (s.isEmpty) return 0L
     var total = 0L
     val words = s.split("\\s+")
     var i = 0
     while (i < words.length) {
-      if (words(i).nonEmpty) total += countWord(words(i), a, b)
+      if (words(i).nonEmpty) total += memoized(words(i), a, b, memo).length
       i += 1
     }
     total
   }
 
   /** All BPE tokens of a text, word by word, flattened in order. */
-  def tokens(text: UTF8String, a: Array[String],
-      b: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def tokens(text: UTF8String, a: Array[String], b: Array[String],
+      memo: BpeMemo): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT).trim
     val out = new java.util.ArrayList[AnyRef]
     if (s.nonEmpty) {
@@ -88,10 +122,10 @@ object BpeImpl {
       var i = 0
       while (i < words.length) {
         if (words(i).nonEmpty) {
-          val syms = mergeWord(words(i), a, b)
+          val syms = memoized(words(i), a, b, memo)
           var j = 0
-          while (j < syms.size) {
-            out.add(UTF8String.fromString(syms.get(j)))
+          while (j < syms.length) {
+            out.add(UTF8String.fromString(syms(j)))
             j += 1
           }
         }
@@ -107,19 +141,23 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
 
   private val lefts: Array[String] = merges.map(_._1).toArray
   private val rights: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val evalMemo = new BpeMemo()
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeImpl.count(input.asInstanceOf[UTF8String], lefts, rights)
+    BpeImpl.count(input.asInstanceOf[UTF8String], lefts, rights, evalMemo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
     val bRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    // the memo deserializes per task (single-threaded) — see BpeMemo
+    val mRef = ctx.addReferenceObj("bpeMemo", new BpeMemo(),
+      "graft.functions.BpeMemo")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.BpeImpl$$.MODULE$$" +
-        s".count($c, $aRef, $bRef);")
+        s".count($c, $aRef, $bRef, $mRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCount =
@@ -135,6 +173,7 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 
   private val lefts: Array[String] = merges.map(_._1).toArray
   private val rights: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val evalMemo = new BpeMemo()
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -142,14 +181,16 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeImpl.tokens(input.asInstanceOf[UTF8String], lefts, rights)
+    BpeImpl.tokens(input.asInstanceOf[UTF8String], lefts, rights, evalMemo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
     val bRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    val mRef = ctx.addReferenceObj("bpeMemo", new BpeMemo(),
+      "graft.functions.BpeMemo")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.BpeImpl$$.MODULE$$" +
-        s".tokens($c, $aRef, $bRef);")
+        s".tokens($c, $aRef, $bRef, $mRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =

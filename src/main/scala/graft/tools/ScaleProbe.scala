@@ -147,10 +147,23 @@ object ScaleProbe {
       (1000L, monthSec)
     }
 
+    // BPE throughput: total subword tokens over the replicated corpus
+    // (per-row codegen'd merge loops; zipfian word repetition is what
+    // the per-word memo in BpeImpl exploits).
+    def runBpeAt(factor: Int): (Long, Double) = {
+      val docs = replicate(factor, perturbText = false)
+      val t0 = System.nanoTime()
+      val n = docs.select(graft.operators.TextAnalysis
+          .subwordCountBpe(col("text")).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
     val run: Int => (Long, Double) = probe match {
       case "minhash" => runMinhashAt
       case "funnel"  => runFunnelAt
       case "merge"   => runMergeAt
+      case "bpe"     => runBpeAt
       case _         => runAt
     }
     run(1) // warmup: JIT + codegen + parquet footers
@@ -159,12 +172,14 @@ object ScaleProbe {
       case "minhash" => "dd_minhash_pairs"
       case "funnel"  => "dedup_funnel"
       case "merge"   => "month_merge"
+      case "bpe"     => "ta_subword_bpe"
       case _         => "etl_unify_score"
     }
     val unit = probe match {
       case "minhash" => "pairs"
       case "funnel"  => "canonical"
       case "merge"   => "batch_rows"
+      case "bpe"     => "tokens"
       case _         => "rows"
     }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
