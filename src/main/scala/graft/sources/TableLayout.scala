@@ -28,12 +28,14 @@ object TableLayout {
     */
   private val monthCol = substring(col("datetime.start_date"), 1, 7)
 
-  def writeEventsTable(events: DataFrame, path: String): Unit =
+  def writeEventsTable(events: DataFrame, path: String,
+      maxRecordsPerFile: Long = 5000000L): Unit =
     events
       .withColumn("start_month", monthCol)
       .repartition(col("start_month"))
       .sortWithinPartitions(col("start_month"), col("venue.name"), col("event_id"))
       .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("start_month")
       .parquet(path)
 
