@@ -68,9 +68,18 @@ object Dedup {
     * per-token xxhash64 once, then a 31-bit-masked polynomial combine
     * of n consecutive token hashes (mask keeps every product < 2^36 —
     * ANSI-overflow-safe). ~3× cheaper than string shingling for the
-    * MinHash path, where only hash identity matters.
+    * MinHash path, where only hash identity matters. Codegen'd
+    * (graft.functions.ShingleHashes) — the HOF formulation below is
+    * its bit-equality spec oracle.
     */
-  def shingleHashes(text: Column, n: Int): Column = {
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes.shingle_hashes(text, n)
+
+  /** The composed-built-ins formulation ShingleHashes replaced — kept
+    * as its independent test oracle (six interpreted array passes per
+    * row; DedupSimilaritySpec asserts bit equality on fixture texts).
+    */
+  private[graft] def shingleHashesHof(text: Column, n: Int): Column = {
     val m31 = lit(0x7FFFFFFFL)
     val th = transform(tokens(text), t => xxhash64(t).bitwiseAND(m31))
     // Combine n consecutive token hashes by zipping the array with its

@@ -89,6 +89,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("ShingleHashes expression == HOF chain, bit-exact incl. edges") {
+    import spark.implicits._
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").limit(100)
+    val edges = Seq("", " ", "one", "one two", "a b c", "a b c d e",
+      "a a a a", "  padded  ", "tab\tsep", "trail\t", "x\ny z")
+      .toDF("text")
+    for (df <- Seq(fixture, edges); n <- Seq(2, 3, 5)) {
+      val rows = df.select(
+          graft.operators.Dedup.shingleHashes($"text", n).as("fast"),
+          graft.operators.Dedup.shingleHashesHof($"text", n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"divergence at n=$n")
+      }
+    }
+  }
+
   test("QuantRoundtrip expression == dequantize(quantize) HOF chain, bit-exact") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .limit(200)
