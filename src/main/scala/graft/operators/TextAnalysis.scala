@@ -73,11 +73,21 @@ object TextAnalysis {
 
   private val langsSorted = langMarkers.keys.toSeq.sorted
 
-  /** Marker-hit vote counts per language — ONE fold over the tokens
-    * (a per-marker filter() formulation re-splits the text for every
-    * language×marker combination; this was 40 splits per row).
+  /** Marker-hit vote counts per language — one codegen'd pass with a
+    * token→language-bitmask lookup (graft.functions.LangVotes); the
+    * HOF formulation below is its bit-equality spec oracle.
     */
   def langVotes(text: Column): Column =
+    graft.functions.LangVotes.lang_votes(text,
+      langsSorted.map(langMarkers))
+
+  /** The composed-built-ins formulation LangVotes replaced — ONE fold
+    * over the tokens (a per-marker filter() formulation re-splits the
+    * text for every language×marker combination: 40 splits per row),
+    * but the fold builds a boxed langs-wide array per token in
+    * interpreted evaluation. Kept as the expression's test oracle.
+    */
+  private[graft] def langVotesHof(text: Column): Column =
     aggregate(
       tokens(text),
       array_repeat(lit(0L), langsSorted.length),

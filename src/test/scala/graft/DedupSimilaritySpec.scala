@@ -108,6 +108,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LangVotes expression == HOF fold, bit-exact incl. edges") {
+    import spark.implicits._
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").limit(100)
+    val edges = Seq("", " ", "THE Und La", "the the the", "el la le il",
+      "für nicht", "no markers here at all xyzzy", "that with dans")
+      .toDF("text")
+    for (df <- Seq(fixture, edges)) {
+      df.select(
+          graft.operators.TextAnalysis.langVotes($"text").as("fast"),
+          graft.operators.TextAnalysis.langVotesHof($"text").as("hof"))
+        .collect()
+        .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    }
+  }
+
   test("QuantRoundtrip expression == dequantize(quantize) HOF chain, bit-exact") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .limit(200)
