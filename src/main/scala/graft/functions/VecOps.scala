@@ -159,6 +159,56 @@ case class QuantRoundtrip(child: Expression) extends
       newChild: Expression): QuantRoundtrip = copy(child = newChild)
 }
 
+/** Count of positions where two long arrays hold equal values — the
+  * signature-agreement kernel of MinHash estimated Jaccard, which runs
+  * once per CANDIDATE PAIR (millions under heavy duplication).
+  * Semantics match the HOF it replaces
+  * (`size(filter(zip_with(a, b, _ === _), b => b))`, kept as the spec
+  * oracle): positions beyond the shorter array are zip_with null
+  * padding → dropped by the filter, so only indexes < min(len) count.
+  */
+object ArrayEqCountImpl {
+  def eval(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+        a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "array_eq_count requires two array<bigint> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayEqCountImpl.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayEqCountImpl$$.MODULE$$.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -166,4 +216,8 @@ object VecOps {
 
   def quantRoundtrip(v: Column): Column =
     ColumnBridge.column(QuantRoundtrip(ColumnBridge.expression(v)))
+
+  def arrayEqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

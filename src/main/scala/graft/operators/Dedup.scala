@@ -224,13 +224,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // per-pair signature agreement via the codegen'd ArrayEqCount
+    // (the HOF zip ran interpreted once per candidate pair — millions
+    // of boxed 64-wide zips under heavy duplication)
     pairs
       .join(sigs.toDF("id1", "sig1"), "id1")
       .join(sigs.toDF("id2", "sig2"), "id2")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"),
-          (x, y) => x === y), b => b)).cast("double") /
-          size(col("sig1")).cast("double"))
+        graft.functions.VecOps.arrayEqCount(col("sig1"), col("sig2"))
+          .cast("double") / size(col("sig1")).cast("double"))
       .filter(col("est_jaccard") >= minEstimate)
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }

@@ -108,6 +108,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ArrayEqCount expression == HOF zip-filter-size, incl. length skew") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),      // shorter left: pad dropped
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),  // shorter right
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(7L), Seq(7L))).toDF("a", "b")
+    df.select(
+        graft.functions.VecOps.arrayEqCount($"a", $"b").as("fast"),
+        size(filter(zip_with($"a", $"b", (x, y) => x === y),
+          b => b)).as("hof"))
+      .collect()
+      .foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("LangVotes expression == HOF fold, bit-exact incl. edges") {
     import spark.implicits._
     val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
