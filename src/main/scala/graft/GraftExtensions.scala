@@ -109,6 +109,25 @@ object GraftExtensions {
             args.head, org.apache.spark.sql.types.StringType),
           graft.operators.TextAnalysis.defaultBpeMerges)
       }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+        "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"shingle_hashes(text, n) takes 2 arguments, got ${args.length}")
+        graft.functions.ShingleHashes(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          intArg(args(1), "n"))
+      }),
+    (FunctionIdentifier("array_eq_count"),
+      new ExpressionInfo(classOf[graft.functions.ArrayEqCount].getName,
+        "array_eq_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"array_eq_count(a, b) takes 2 arguments, got ${args.length}")
+        graft.functions.ArrayEqCount(args.head, args(1))
+      }),
     (FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[graft.functions.BpeTokens].getName, "bpe_tokens"),
       (args: Seq[Expression]) => {

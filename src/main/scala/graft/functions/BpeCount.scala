@@ -146,6 +146,10 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    BpeCount.checkString("bpe_count", child)
+
   override protected def nullSafeEval(input: Any): Any =
     BpeImpl.count(input.asInstanceOf[UTF8String], lefts, rights, evalMemo)
 
@@ -180,6 +184,10 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
       org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    BpeCount.checkString("bpe_tokens", child)
+
   override protected def nullSafeEval(input: Any): Any =
     BpeImpl.tokens(input.asInstanceOf[UTF8String], lefts, rights, evalMemo)
 
@@ -198,6 +206,16 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 }
 
 object BpeCount {
+  private[functions] def checkString(fn: String, child: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fn requires a string argument, got ${t.catalogString}")
+    }
+
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(text), merges))
 

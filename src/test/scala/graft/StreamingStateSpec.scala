@@ -90,5 +90,21 @@ class StreamingStateSpec extends AnyFunSuite {
     val bt = spark.sql("SELECT bpe_tokens('The window order') AS t")
       .head().getSeq[String](0)
     assert(bt === Seq("the", "window", "or", "d", "er"))
+    // shingle_hashes from SQL == the Column API path
+    val shSql = spark.sql("SELECT shingle_hashes('a b c d', 3) AS h")
+      .head().getSeq[Long](0)
+    val shCol2 = Seq(Tuple1("a b c d")).toDF("t")
+      .select(graft.operators.Dedup.shingleHashes(col("t"), 3))
+      .head().getSeq[Long](0)
+    assert(shSql === shCol2)
+    // array_eq_count from SQL, and its analysis-time type rejection
+    val ec = spark.sql(
+      "SELECT array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
+      .head().getInt(0)
+    assert(ec === 2)
+    val eqErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_eq_count(array('a'), array('a'))").collect()
+    }
+    assert(eqErr.getMessage.contains("array_eq_count requires"))
   }
 }
