@@ -309,6 +309,114 @@ object RelationalQueries {
          |FROM orders GROUP BY o_custkey
          |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin),
 
+    // A13 — replayable HyperLogLog distinct count (operators.Sketches):
+    // unlike approx_count_distinct's opaque binary sketch, every step
+    // (md5-derived 60-bit hash, bucket/rho split via binary-string
+    // length, integer-scaled register sum, harmonic estimate) is exact
+    // declarative algebra, so DuckDB recomputes the IDENTICAL sketch —
+    // estimate, register sum, and bucket census all hash-compared.
+    // Exact distinct rides along as the accuracy witness.
+    "a13_hll_distinct" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        Sketches.hllEstimate(ev, col("event_id").cast("string"), p = 8)
+          .crossJoin(ev.agg(countDistinct(col("event_id")).as("n_exact")))
+          .select(col("n_exact"), col("n_buckets"), col("zeros"),
+            col("sum_int"), col("hll_estimate_x100"))
+      },
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM events),
+        |reg AS (
+        |  SELECT h & 255 AS bucket,
+        |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+        |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+        |  FROM h GROUP BY 1),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_buckets,
+        |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+        |  FROM reg),
+        |s AS (
+        |  SELECT n_buckets, 256 - n_buckets AS zeros,
+        |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
+        |      AS sum_int
+        |  FROM agg),
+        |e AS (
+        |  SELECT n_buckets, zeros, sum_int,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
+        |         / CAST(256.0 AS DOUBLE))
+        |      * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |      / CAST(sum_int AS DOUBLE) AS raw
+        |  FROM s)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact,
+        |  n_buckets, zeros, sum_int,
+        |  CAST(FLOOR(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+        |       THEN CAST(256.0 AS DOUBLE)
+        |            * ln(CAST(256.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+        |       ELSE raw END * 100) AS BIGINT) AS hll_estimate_x100
+        |FROM e""".stripMargin),
+
+    // A14 — replayable count-min frequency sketch (operators.Sketches):
+    // d=4 salted hash rows × w=64 buckets over ~250 (user, event_type)
+    // keys — w deliberately small so collisions happen and the
+    // OVERESTIMATE-ONLY guarantee is exercised, not just stated. The
+    // summary pins: zero undercounts (the CMS invariant), how many
+    // keys collided into overestimates, the worst overestimate, and
+    // the exact/estimated totals — every cell integer, every hash
+    // md5-replayable, so DuckDB rebuilds the identical sketch.
+    "a14_cms_frequency" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val key = concat(col("user_id").cast("string"), lit(":"),
+          col("event_type"))
+        val cms = Sketches.cmsCounts(ev, key, d = 4, w = 64)
+        val exact = ev.groupBy(key.as("key")).agg(count(lit(1)).as("exact"))
+        val est = Sketches.cmsEstimate(cms, exact.select(col("key")),
+          col("key"), d = 4, w = 64)
+        exact.join(est, "key")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("est") > col("exact"), 1L).otherwise(0L))
+              .as("n_overestimated"),
+            sum(when(col("est") < col("exact"), 1L).otherwise(0L))
+              .as("n_undercount"),
+            max(col("est") - col("exact")).as("max_overestimate"),
+            sum(col("exact")).as("sum_exact"),
+            sum(col("est")).as("sum_est"))
+      },
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+        |  FROM events),
+        |exact AS (SELECT key, COUNT(*) AS exact FROM k GROUP BY key),
+        |cells AS (
+        |  SELECT r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || key), 1, 15))
+        |      AS BIGINT) & 63 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM k, range(0, 4) r(i)
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT e.key, r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || e.key), 1, 15))
+        |      AS BIGINT) & 63 AS bucket
+        |  FROM exact e, range(0, 4) r(i)),
+        |est AS (
+        |  SELECT p.key, MIN(COALESCE(c.cnt, 0)) AS est
+        |  FROM probe p LEFT JOIN cells c
+        |    ON c.row = p.row AND c.bucket = p.bucket
+        |  GROUP BY p.key)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN est > exact THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overestimated,
+        |  CAST(SUM(CASE WHEN est < exact THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_undercount,
+        |  CAST(MAX(est - exact) AS BIGINT) AS max_overestimate,
+        |  CAST(SUM(exact) AS BIGINT) AS sum_exact,
+        |  CAST(SUM(est) AS BIGINT) AS sum_est
+        |FROM exact JOIN est USING (key)""".stripMargin),
+
     // SURVEY §2.4 A12: smoothed success-rate ranking.
     "a12_smoothed_ranking" -> QueryDef(
       (s, d) => T.events(s, d)

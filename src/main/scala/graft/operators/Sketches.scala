@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates for 100 TB-scale profiling, built DECLARATIVELY
+  * so Catalyst plans them as ordinary two-phase aggregations (partial
+  * map-side combine, one shuffle on the bucket key) and — unlike
+  * `approx_count_distinct`'s opaque binary sketch — an external engine
+  * can replay every step bit-for-bit for the oracle.
+  *
+  * HyperLogLog (Flajolet et al. 2007) from first principles:
+  * bucket = low p bits of a 60-bit md5-derived hash, register =
+  * max over rows of rho(remaining 52 bits) where rho = leading-zero
+  * count + 1 (computed exactly via the binary-string length — integer
+  * ops, no float log). The register sum Σ 2^(−rho) is scaled by 2^53
+  * into a BIGINT so it is EXACT and order-independent in both engines
+  * (each term ≤ 2^52, 256 buckets ⇒ sum < 2^61); the estimate then
+  * costs one deterministic double division. Absent buckets contribute
+  * 2^53 each (register 0), added from the bucket count — no dense
+  * materialization.
+  *
+  * At 100 TB: one narrow scan + a 2^p-group aggregation whose partial
+  * states are (bucket, max) pairs — constant-size reducer input per
+  * partition, the textbook distributed-sketch shape. The built-in
+  * `approx_count_distinct` remains the production default; this exists
+  * where sketch REPLAYABILITY matters (cross-engine audits, the
+  * correctness gate).
+  */
+object Sketches {
+
+  /** HLL registers of a value column: (bucket, rho). */
+  def hllRegisters(df: DataFrame, value: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16], got $p")
+    val m = 1 << p
+    df.select(Dedup.portableHash(value, 15).as("h"))
+      .select(col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        shiftrightunsigned(col("h"), p).as("w"))
+      .groupBy(col("bucket"))
+      // 60-p leading bits; rho = (60-p) - floor(log2(w)) computed via
+      // the binary string length (exact integer arithmetic); w = 0
+      // (all zeros) -> rho = 60-p+1
+      .agg(max(when(col("w") === 0, lit(60 - p + 1))
+        .otherwise(lit(60 - p + 1) - length(bin(col("w")))))
+        .as("rho"))
+  }
+
+  /** One-row HLL estimate: raw harmonic-mean formula with the
+    * standard linear-counting correction for the small range. The
+    * x100-floored estimate is emitted as an integer cell (exact
+    * cross-engine compare; see Tables.decSum scaladoc for why float
+    * cells are avoided).
+    */
+  def hllEstimate(df: DataFrame, value: Column, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = 1L << (wBits + 1) // 2^(wBits+1): register 0 term
+    val regs = hllRegisters(df, value, p)
+    regs.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
+          .as("present_sum"))
+      .select(col("n_buckets"),
+        (lit(m.toLong) - col("n_buckets")).as("zeros"),
+        (col("present_sum") +
+          (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int"))
+      .select(col("n_buckets"), col("zeros"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit((m.toLong * m).toDouble) * lit(scale.toDouble) /
+          col("sum_int").cast("double")).as("raw"),
+        col("sum_int"))
+      .select(col("n_buckets"), col("zeros"), col("sum_int"),
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw")).as("est"))
+      .select(col("n_buckets"), col("zeros"), col("sum_int"),
+        floor(col("est") * 100).cast("long").as("hll_estimate_x100"))
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of a value
+    * stream: d salted hash rows × w buckets of plain counts — the
+    * frequency oracle for heavy-hitter queries over streams too wide
+    * to count exactly. Declarative: explode ×d then ONE (row, bucket)
+    * aggregation whose state is d·w cells regardless of stream size;
+    * estimates never undercount (min over rows ≥ true count), which
+    * the probe query verifies per key.
+    */
+  def cmsCounts(df: DataFrame, value: Column, d: Int = 4,
+      w: Int = 1024): DataFrame =
+    df.select(posexplode(array((0 until d).map(i =>
+        Dedup.portableHash(concat(lit(s"s$i|"), value), 15)
+          .bitwiseAND(lit((w - 1).toLong))): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate every candidate key against the sketch: min over
+    * the d rows of the key's bucket count (absent bucket = 0). The
+    * candidate set is small (heavy-hitter shortlist), so it explodes
+    * ×d and broadcast-joins the d·w-cell sketch.
+    */
+  def cmsEstimate(cms: DataFrame, candidates: DataFrame, value: Column,
+      d: Int = 4, w: Int = 1024): DataFrame =
+    candidates.select(value.as("key"))
+      .select(col("key"), posexplode(array((0 until d).map(i =>
+        Dedup.portableHash(concat(lit(s"s$i|"), col("key")), 15)
+          .bitwiseAND(lit((w - 1).toLong))): _*))
+        .as(Seq("row", "bucket")))
+      .join(cms, Seq("row", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}
