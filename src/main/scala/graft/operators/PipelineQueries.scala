@@ -1358,6 +1358,69 @@ object PipelineQueries {
       s"""$bpeCountCte
          |SELECT doc_id, n_bpe FROM bpecnt ORDER BY doc_id""".stripMargin),
 
+    // Bottom-k corpus-overlap estimate (Broder minwise over the
+    // deterministic md5 hash order): train-vs-eval shingle-space
+    // Jaccard from a 256-hash sketch, with the EXACT Jaccard computed
+    // alongside as the accuracy witness — the continuous contamination
+    // monitor where the exact intersection needs a full join of both
+    // shingle sets and the sketch needs k rows.
+    "etl_overlap_sketch" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        def hs(df: DataFrame) = df.select(
+          explode(Dedup.shingleHashesPortable(col("text"), 3)).as("h"))
+        val train = hs(docs.filter(col("doc_id") < 400))
+        val evalH = hs(docs.filter(col("doc_id") >= 400))
+        val sketch = Sketches.bottomKJaccard(train, evalH, "h", k = 256)
+        val exact = train.distinct().withColumn("a", lit(1L))
+          .join(evalH.distinct().withColumn("b", lit(1L)), Seq("h"),
+            "full_outer")
+          .select(coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+          .agg(count(lit(1)).as("exact_union"),
+            sum(col("a") * col("b")).as("exact_inter"))
+          .withColumn("exact_jaccard_x10000",
+            floor(col("exact_inter").cast("double") /
+              col("exact_union").cast("double") * 10000).cast("long"))
+        sketch.crossJoin(exact)
+      },
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END
+        |      AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |hx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(shingles,
+        |      s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))) AS h
+        |  FROM sh),
+        |ta AS (SELECT DISTINCT h FROM hx WHERE doc_id < 400),
+        |eb AS (SELECT DISTINCT h FROM hx WHERE doc_id >= 400),
+        |j AS (
+        |  SELECT COALESCE(ta.h, eb.h) AS h,
+        |    CASE WHEN ta.h IS NULL THEN 0 ELSE 1 END AS a,
+        |    CASE WHEN eb.h IS NULL THEN 0 ELSE 1 END AS b
+        |  FROM ta FULL OUTER JOIN eb ON ta.h = eb.h),
+        |bk AS (SELECT * FROM j ORDER BY h LIMIT 256),
+        |sk AS (
+        |  SELECT COUNT(*) AS k_used, CAST(SUM(a * b) AS BIGINT) AS n_in_both
+        |  FROM bk),
+        |ex AS (
+        |  SELECT COUNT(*) AS exact_union,
+        |    CAST(SUM(a * b) AS BIGINT) AS exact_inter
+        |  FROM j)
+        |SELECT sk.k_used, sk.n_in_both,
+        |  CAST(FLOOR(CAST(sk.n_in_both AS DOUBLE) / CAST(sk.k_used AS DOUBLE)
+        |    * 10000) AS BIGINT) AS est_jaccard_x10000,
+        |  ex.exact_union, ex.exact_inter,
+        |  CAST(FLOOR(CAST(ex.exact_inter AS DOUBLE)
+        |    / CAST(ex.exact_union AS DOUBLE) * 10000) AS BIGINT)
+        |    AS exact_jaccard_x10000
+        |FROM sk, ex""".stripMargin),
+
     // Subword vocabulary profile over REAL BPE tokens: top-50 tokens
     // by corpus frequency (what the trainer's embedding table actually
     // sees, vs the word-level ta_vocab_topk). Engine: codegen'd

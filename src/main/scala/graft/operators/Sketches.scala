@@ -109,4 +109,37 @@ object Sketches {
       .join(cms, Seq("row", "bucket"), "left")
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Bottom-k Jaccard estimate between two element sets (Broder's
+    * minwise estimator over a shared hash order): among the k smallest
+    * hashes of the UNION, the fraction present in both sides estimates
+    * |A∩B|/|A∪B|. Deterministic (md5 hash order, no sampling seed), so
+    * the estimate — not just the method — is oracle-checkable. Each
+    * side reduces to its distinct hash set (one shuffle), the union's
+    * bottom-k is a TakeOrdered (never a full sort), and membership
+    * flags ride the distinct sets before the limit, so the k-row frame
+    * is the only thing that leaves the aggregation.
+    *
+    * The corpus-overlap use: A = train shingle space, B = eval shingle
+    * space; the estimate tracks train/eval contamination CONTINUOUSLY
+    * from k-sized sketches where the exact intersection needs a full
+    * join of both shingle sets.
+    */
+  def bottomKJaccard(a: DataFrame, b: DataFrame, hashCol: String,
+      k: Int = 256): DataFrame = {
+    val ah = a.select(col(hashCol).as("h")).distinct()
+      .withColumn("in_a", lit(1L))
+    val bh = b.select(col(hashCol).as("h")).distinct()
+      .withColumn("in_b", lit(1L))
+    val joined = ah.join(bh, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"))
+    joined.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_in_both"))
+      .select(col("k_used"), col("n_in_both"),
+        floor(col("n_in_both").cast("double") /
+          col("k_used").cast("double") * 10000).cast("long")
+          .as("est_jaccard_x10000"))
+  }
 }
