@@ -359,6 +359,52 @@ object RelationalQueries {
         |       ELSE raw END * 100) AS BIGINT) AS hll_estimate_x100
         |FROM e""".stripMargin),
 
+    // A13 grouped — per-event-type HLL distinct event_ids, the
+    // operational distinct-per-segment form: (group, bucket) registers
+    // then the per-group integer-exact estimate; exact distinct joined
+    // alongside per group.
+    "a13_hll_grouped" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        Sketches.hllEstimateBy(ev, col("event_id").cast("string"),
+            Seq("event_type"), p = 8)
+          .join(ev.groupBy(col("event_type"))
+            .agg(countDistinct(col("event_id")).as("n_exact")), "event_type")
+          .orderBy(col("event_type"))
+      },
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |reg AS (
+        |  SELECT event_type, h & 255 AS bucket,
+        |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+        |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_buckets,
+        |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+        |  FROM reg GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, n_buckets,
+        |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
+        |      AS sum_int
+        |  FROM agg),
+        |ex AS (
+        |  SELECT event_type, COUNT(DISTINCT event_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT s.event_type, s.n_buckets,
+        |  CAST(FLOOR(CAST(0.7213 AS DOUBLE)
+        |    / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
+        |       / CAST(256.0 AS DOUBLE))
+        |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |    / CAST(sum_int AS DOUBLE) * 100) AS BIGINT)
+        |    AS hll_estimate_x100,
+        |  ex.n_exact
+        |FROM s JOIN ex ON ex.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin),
+
     // A14 — replayable count-min frequency sketch (operators.Sketches):
     // d=4 salted hash rows × w=64 buckets over ~250 (user, event_type)
     // keys — w deliberately small so collisions happen and the

@@ -77,6 +77,38 @@ object Sketches {
         floor(col("est") * 100).cast("long").as("hll_estimate_x100"))
   }
 
+  /** Per-group HLL estimate — the operational form (distinct users
+    * per segment, distinct URLs per domain): one aggregation keyed on
+    * (group, bucket) whose state is ≤ groups × 2^p cells, then the
+    * same integer-exact estimate per group. No correction branch here:
+    * callers at the small-cardinality end should count exactly.
+    */
+  def hllEstimateBy(df: DataFrame, value: Column, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = 1L << (wBits + 1)
+    val gc = groupCols.map(col)
+    df.select((gc :+ Dedup.portableHash(value, 15).as("h")): _*)
+      .select((gc :+ col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket")
+        :+ shiftrightunsigned(col("h"), p).as("w")): _*)
+      .groupBy((gc :+ col("bucket")): _*)
+      .agg(max(when(col("w") === 0, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("w"))))).as("rho"))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
+          .as("present_sum"))
+      .select((gc :+ col("n_buckets") :+
+        (col("present_sum") +
+          (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int")): _*)
+      .select((gc :+ col("n_buckets") :+
+        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit((m.toLong * m).toDouble) * lit(scale.toDouble) /
+          col("sum_int").cast("double") * 100).cast("long")
+          .as("hll_estimate_x100")): _*)
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) of a value
     * stream: d salted hash rows × w buckets of plain counts — the
     * frequency oracle for heavy-hitter queries over streams too wide
