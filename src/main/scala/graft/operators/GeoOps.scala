@@ -43,6 +43,30 @@ object GeoOps {
       minLon: Double, maxLon: Double): Column =
     lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon
 
+  /** Z-order (Morton) curve value of a coordinate pair — the 2-D
+    * locality LAYOUT tool completing the indexes→layout story: sort
+    * (or range-partition) the stored table by `z` and a bbox query
+    * prunes row groups on BOTH dimensions at once via one 1-D range,
+    * because bit-interleaving is monotone in each coordinate — every
+    * point inside a bbox has z between the z of the box's low and
+    * high corners (a superset range; the exact bbox predicate runs on
+    * survivors, the same two-phase contract as the radius prefilter).
+    * 16 bits per dimension over the full lat/lon domain ≈ 300 m cells
+    * at the equator. Pure integer shift/mask algebra after one floor
+    * quantization — replayable and pushdown-friendly.
+    */
+  def zValue(lat: Column, lon: Column): Column = {
+    def quant(c: Column, off: Double, span: Double) =
+      greatest(lit(0L), least(lit(65535L),
+        floor((c + lit(off)) / lit(span) * lit(65535.0)).cast("long")))
+    val qlat = quant(lat, 90.0, 180.0)
+    val qlon = quant(lon, 180.0, 360.0)
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(qlat, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftrightunsigned(qlon, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
   /** Degree half-spans of a bbox that CONTAINS the radius circle:
     * 1° latitude ≈ 111.32 km everywhere; 1° longitude shrinks by
     * cos(lat). 10% slack keeps the prefilter strictly conservative
@@ -115,6 +139,78 @@ object GeoQueries {
     // validates against (reference: database/quality_scorer.py:176-189)
     // as a standalone query — four scan-pushable comparisons + a
     // count-by-venue-cell rollup.
+    // Z-order layout check: every row inside the bbox must carry a z
+    // value between the box corners' z (the monotone-interleave
+    // containment a z-sorted layout prunes by) — n_escaped pins the
+    // guarantee at 0, n_zrange measures the superset's false-positive
+    // cost, z_checksum pins the curve values themselves. The oracle
+    // regenerates the identical interleave from the same Scala loop.
+    "geo_zorder" -> QueryDef(
+      (s, d) => {
+        val ev = T.documents(s, d).select(
+          col("doc_id"), lat.as("lat"), lon.as("lon"))
+        val z = GeoOps.zValue(col("lat"), col("lon"))
+        val zLo = GeoOps.zValue(lit(38.86), lit(1.38))
+        val zHi = GeoOps.zValue(lit(38.95), lit(1.46))
+        val inBox = GeoOps.bboxFilter(col("lat"), col("lon"),
+          38.86, 38.95, 1.38, 1.46)
+        ev.withColumn("z", z)
+          .agg(
+            sum(when(inBox, 1L).otherwise(0L)).as("n_bbox"),
+            sum(when(col("z").between(zLo, zHi), 1L).otherwise(0L))
+              .as("n_zrange"),
+            sum(when(inBox && !col("z").between(zLo, zHi), 1L)
+              .otherwise(0L)).as("n_escaped"),
+            sum(when(inBox, col("z")).otherwise(0L)).as("z_checksum"))
+      },
+      {
+        def zSql(qlat: String, qlon: String) = (0 until 16).map(i =>
+          s"((($qlat >> $i) & 1) << ${2 * i + 1}) + " +
+            s"((($qlon >> $i) & 1) << ${2 * i})").mkString(" + ")
+        def quantSql(c: String, off: String, span: String) =
+          s"GREATEST(CAST(0 AS BIGINT), LEAST(CAST(65535 AS BIGINT), " +
+            s"CAST(FLOOR(($c + CAST($off AS DOUBLE)) / CAST($span AS DOUBLE)" +
+            s" * CAST(65535.0 AS DOUBLE)) AS BIGINT)))"
+        s"""WITH ev AS (
+           |  SELECT doc_id,
+           |    CAST(doc_id % 100 AS DOUBLE) * 0.003 + 38.80 AS lat,
+           |    CAST(doc_id % 83 AS DOUBLE) * 0.004 + 1.20 AS lon
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, lat, lon,
+           |    ${quantSql("lat", "90.0", "180.0")} AS qlat,
+           |    ${quantSql("lon", "180.0", "360.0")} AS qlon
+           |  FROM ev),
+           |z AS (
+           |  SELECT doc_id, lat, lon,
+           |    ${zSql("qlat", "qlon")} AS z
+           |  FROM q),
+           |corners AS (
+           |  SELECT
+           |    ${quantSql("CAST(38.86 AS DOUBLE)", "90.0", "180.0")} AS qlat_lo,
+           |    ${quantSql("CAST(1.38 AS DOUBLE)", "180.0", "360.0")} AS qlon_lo,
+           |    ${quantSql("CAST(38.95 AS DOUBLE)", "90.0", "180.0")} AS qlat_hi,
+           |    ${quantSql("CAST(1.46 AS DOUBLE)", "180.0", "360.0")} AS qlon_hi),
+           |zc AS (
+           |  SELECT ${zSql("qlat_lo", "qlon_lo")} AS z_lo,
+           |    ${zSql("qlat_hi", "qlon_hi")} AS z_hi
+           |  FROM corners)
+           |SELECT
+           |  CAST(SUM(CASE WHEN lat >= 38.86 AND lat <= 38.95
+           |    AND lon >= 1.38 AND lon <= 1.46 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_bbox,
+           |  CAST(SUM(CASE WHEN z >= z_lo AND z <= z_hi THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_zrange,
+           |  CAST(SUM(CASE WHEN lat >= 38.86 AND lat <= 38.95
+           |    AND lon >= 1.38 AND lon <= 1.46
+           |    AND NOT (z >= z_lo AND z <= z_hi) THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_escaped,
+           |  CAST(SUM(CASE WHEN lat >= 38.86 AND lat <= 38.95
+           |    AND lon >= 1.38 AND lon <= 1.46 THEN z ELSE 0 END) AS BIGINT)
+           |    AS z_checksum
+           |FROM z, zc""".stripMargin
+      }),
+
     "geo_bbox" -> QueryDef(
       (s, d) => {
         val ev = T.documents(s, d).select(
