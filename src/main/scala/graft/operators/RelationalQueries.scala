@@ -359,6 +359,55 @@ object RelationalQueries {
         |       ELSE raw END * 100) AS BIGINT) AS hll_estimate_x100
         |FROM e""".stripMargin),
 
+    // A15 — ordered funnel conversion: per user, did view happen, did
+    // a purchase follow STRICTLY AFTER the first view, and how long
+    // did conversion take (first qualifying purchase − first view, in
+    // whole seconds — integer cells, engine-exact). One shuffle on
+    // user_id; both stage timestamps ride the same aggregation. The
+    // classic product-analytics ask the reference's event store would
+    // serve with two indexed scans.
+    "a15_funnel_conversion" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val perUser = ev.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts")))
+            .as("first_view"),
+          count(when(col("event_type") === "view", 1)).as("n_views"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(perUser, "user_id")
+          .filter(col("ts") > col("first_view"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_conv"))
+        perUser.join(conv, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("first_view").isNotNull, 1L).otherwise(0L))
+              .as("n_viewed"),
+            sum(when(col("first_conv").isNotNull, 1L).otherwise(0L))
+              .as("n_converted"),
+            sum(when(col("first_conv").isNotNull,
+              unix_timestamp(col("first_conv")) -
+                unix_timestamp(col("first_view"))).otherwise(0L))
+              .as("total_conv_seconds"))
+      },
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_conv
+        |  FROM events e JOIN pu ON pu.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > pu.first_view
+        |  GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN pu.first_view IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_viewed,
+        |  CAST(SUM(CASE WHEN c.first_conv IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN c.first_conv IS NOT NULL
+        |    THEN epoch_ms(c.first_conv) // 1000 - epoch_ms(pu.first_view) // 1000
+        |    ELSE 0 END) AS BIGINT) AS total_conv_seconds
+        |FROM pu LEFT JOIN conv c ON c.user_id = pu.user_id""".stripMargin),
+
     // A13 grouped — per-event-type HLL distinct event_ids, the
     // operational distinct-per-segment form: (group, bucket) registers
     // then the per-group integer-exact estimate; exact distinct joined
