@@ -1358,6 +1358,36 @@ object PipelineQueries {
       s"""$bpeCountCte
          |SELECT doc_id, n_bpe FROM bpecnt ORDER BY doc_id""".stripMargin),
 
+    // Token-rarity profile — the OOV/noise curation signal (ccnet-
+    // style rarity filtering without the log-perplexity float-parity
+    // trap): per doc, token count, count of tokens whose CORPUS
+    // frequency is under the threshold, and the frequency sum — all
+    // integer cells, so the filter ratio derives exactly downstream.
+    // One vocab aggregation + one token↔vocab join (vocab is tiny and
+    // broadcasts; at 100 TB it is the stored frequency side table).
+    "ta_rarity_profile" -> QueryDef(
+      (s, d) => {
+        val tok = T.documents(s, d)
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+        val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+        tok.join(freq, "t")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("f") < 500, 1L).otherwise(0L)).as("n_rare"),
+            sum(col("f")).as("freq_sum"))
+          .orderBy(col("doc_id")).limit(300)
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN f < 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rare,
+        |  CAST(SUM(f) AS BIGINT) AS freq_sum
+        |FROM tok JOIN freq USING (t)
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin),
+
     // Bottom-k corpus-overlap estimate (Broder minwise over the
     // deterministic md5 hash order): train-vs-eval shingle-space
     // Jaccard from a 256-hash sketch, with the EXACT Jaccard computed
