@@ -269,6 +269,12 @@ object MergeOps {
     require(!monthsRaw.contains(null),
       s"$partCol must be non-null for a partition-scoped merge — " +
         "coalesce to a sentinel month (e.g. '0000-00') first")
+    // the swap matches directories BY NAME ("col=value"), so values
+    // must round-trip through Hive partition-path escaping unchanged
+    monthsRaw.find(!_.matches("[A-Za-z0-9._-]+")).foreach(bad =>
+      throw new IllegalArgumentException(
+        s"partition value '$bad' needs path escaping — month values " +
+          "must be plain [A-Za-z0-9._-] strings"))
     val months = monthsRaw.sorted
     if (months.isEmpty) return
     val destHasData = fs.exists(dest) &&
