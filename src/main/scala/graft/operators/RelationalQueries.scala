@@ -312,10 +312,13 @@ object RelationalQueries {
     // A13 — replayable HyperLogLog distinct count (operators.Sketches):
     // unlike approx_count_distinct's opaque binary sketch, every step
     // (md5-derived 60-bit hash, bucket/rho split via binary-string
-    // length, integer-scaled register sum, harmonic estimate) is exact
-    // declarative algebra, so DuckDB recomputes the IDENTICAL sketch —
-    // estimate, register sum, and bucket census all hash-compared.
-    // Exact distinct rides along as the accuracy witness.
+    // length, integer-scaled register sum, integral-division estimate)
+    // is exact declarative algebra, so DuckDB recomputes the IDENTICAL
+    // sketch — estimate, register sum, and bucket census all
+    // hash-compared, with ZERO double arithmetic in any compared cell
+    // (Sketches.estConstant / linearTable). Exact distinct rides along
+    // as the accuracy witness; sum_int is CAST in the oracle's final
+    // SELECT (DuckDB SUM(BIGINT) is HUGEINT, Spark emits int64).
     "a13_hll_distinct" -> QueryDef(
       (s, d) => {
         val ev = T.events(s, d)
@@ -324,40 +327,24 @@ object RelationalQueries {
           .select(col("n_exact"), col("n_buckets"), col("zeros"),
             col("sum_int"), col("hll_estimate_x100"))
       },
-      """WITH h AS (
-        |  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-        |    AS BIGINT) AS h
-        |  FROM events),
-        |reg AS (
-        |  SELECT h & 255 AS bucket,
-        |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
-        |             ELSE 53 - length(bin(h >> 8)) END) AS rho
-        |  FROM h GROUP BY 1),
-        |agg AS (
-        |  SELECT COUNT(*) AS n_buckets,
-        |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
-        |  FROM reg),
-        |s AS (
-        |  SELECT n_buckets, 256 - n_buckets AS zeros,
-        |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
-        |      AS sum_int
-        |  FROM agg),
-        |e AS (
-        |  SELECT n_buckets, zeros, sum_int,
-        |    CAST(0.7213 AS DOUBLE)
-        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
-        |         / CAST(256.0 AS DOUBLE))
-        |      * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-        |      / CAST(sum_int AS DOUBLE) AS raw
-        |  FROM s)
-        |SELECT
-        |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact,
-        |  n_buckets, zeros, sum_int,
-        |  CAST(FLOOR(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
-        |       THEN CAST(256.0 AS DOUBLE)
-        |            * ln(CAST(256.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
-        |       ELSE raw END * 100) AS BIGINT) AS hll_estimate_x100
-        |FROM e""".stripMargin),
+      Sketches.hllOracleSql("events", "event_id", p = 8, extraSelect =
+        "(SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact,")),
+
+    // A13 small-range fixture — same sketch over the 5-value
+    // event_type column, pinning the linear-counting branch
+    // (zeros > 0, raw below 2.5m) that a13_hll_distinct's high
+    // cardinality never reaches: the correction path is now an
+    // exercised oracle row, not dormant code.
+    "a13_hll_small" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        Sketches.hllEstimate(ev, col("event_type"), p = 8)
+          .crossJoin(ev.agg(countDistinct(col("event_type")).as("n_exact")))
+          .select(col("n_exact"), col("n_buckets"), col("zeros"),
+            col("sum_int"), col("hll_estimate_x100"))
+      },
+      Sketches.hllOracleSql("events", "event_type", p = 8, extraSelect =
+        "(SELECT COUNT(DISTINCT event_type) FROM events) AS n_exact,")),
 
     // A15 — ordered funnel conversion: per user, did view happen, did
     // a purchase follow STRICTLY AFTER the first view, and how long
@@ -421,7 +408,7 @@ object RelationalQueries {
             .agg(countDistinct(col("event_id")).as("n_exact")), "event_type")
           .orderBy(col("event_type"))
       },
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT event_type,
         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
@@ -444,11 +431,7 @@ object RelationalQueries {
         |  SELECT event_type, COUNT(DISTINCT event_id) AS n_exact
         |  FROM events GROUP BY 1)
         |SELECT s.event_type, s.n_buckets,
-        |  CAST(FLOOR(CAST(0.7213 AS DOUBLE)
-        |    / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
-        |       / CAST(256.0 AS DOUBLE))
-        |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-        |    / CAST(sum_int AS DOUBLE) * 100) AS BIGINT)
+        |  CAST(${Sketches.estConstant(8)} // sum_int AS BIGINT)
         |    AS hll_estimate_x100,
         |  ex.n_exact
         |FROM s JOIN ex ON ex.event_type = s.event_type

@@ -45,17 +45,71 @@ object Sketches {
         .as("rho"))
   }
 
-  /** One-row HLL estimate: raw harmonic-mean formula with the
-    * standard linear-counting correction for the small range. The
-    * x100-floored estimate is emitted as an integer cell (exact
-    * cross-engine compare; see Tables.decSum scaladoc for why float
-    * cells are avoided).
+  /** Standard HLL bias constants (Flajolet et al. 2007 §4): the
+    * closed-form 0.7213/(1+1.079/m) holds for m >= 128; smaller
+    * register counts use the paper's tabulated alpha_16/32/64.
     */
-  def hllEstimate(df: DataFrame, value: Column, p: Int = 8): DataFrame = {
+  private def alphaFor(m: Int): java.math.BigDecimal = {
+    val mc = new java.math.MathContext(50)
+    m match {
+      case 16 => new java.math.BigDecimal("0.673")
+      case 32 => new java.math.BigDecimal("0.697")
+      case 64 => new java.math.BigDecimal("0.709")
+      case _ => new java.math.BigDecimal("0.7213").divide(
+        java.math.BigDecimal.ONE.add(
+          new java.math.BigDecimal("1.079")
+            .divide(new java.math.BigDecimal(m), mc)), mc)
+    }
+  }
+
+  /** Integer estimate constant K = round(alpha_m · m² · 2^(61-p) · 100):
+    * `hll_estimate_x100 = K div sum_int` is ONE integral division of
+    * positive integers, so there is ZERO double arithmetic in any
+    * compared cell and engines agree by construction (not by IEEE
+    * luck). K has ~23 digits — beyond int64 — so Spark divides it as
+    * DECIMAL(38,0) `div` and DuckDB as a HUGEINT literal `//`; both
+    * truncate toward zero, identical on positives. The quotient stays
+    * well inside int64 for every reachable input: estimate_x100 >
+    * Long.MaxValue would need ~9·10^16 distincts, which the 60-bit
+    * hash space (and any real corpus) rules out long before.
+    */
+  def estConstant(p: Int): BigInt = {
+    val m = 1 << p
+    val k = alphaFor(m)
+      .multiply(new java.math.BigDecimal((BigInt(1) << (60 - p + 1)).bigInteger))
+      .multiply(new java.math.BigDecimal(m.toLong * m))
+      .multiply(new java.math.BigDecimal(100))
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+    BigInt(k.toBigIntegerExact)
+  }
+
+  /** Linear-counting lookup floor(m·ln(m/z)·100) for z = 1..m, computed
+    * ONCE on the JVM and embedded as the SAME literal table in the
+    * Spark plan and the oracle SQL (via [[linearTableSql]]) — the libm
+    * `ln` never runs inside either engine's compared cells, closing the
+    * last-ulp cross-engine trap documented on Tables.decSum.
+    */
+  def linearTable(m: Int): IndexedSeq[Long] =
+    (1 to m).map(z =>
+      math.floor(m.toDouble * math.log(m.toDouble / z) * 100).toLong)
+
+  /** DuckDB list literal of [[linearTable]] — index with
+    * `list_extract(..., zeros)` (1-based, matching `element_at`). */
+  def linearTableSql(m: Int): String = linearTable(m).mkString("[", ", ", "]")
+
+  /** One-row HLL estimate from a drained (bucket, rho) register frame —
+    * shared by the batch and streaming paths so stream == batch is the
+    * same code, not a parallel formula. Raw harmonic-mean estimate with
+    * the standard linear-counting correction below 2.5m (exercised by
+    * the `a13_hll_small` oracle row); every compared cell is integer
+    * (see [[estConstant]] / [[linearTable]]).
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, p: Int = 8): DataFrame = {
     val m = 1 << p
     val wBits = 60 - p
     val scale = 1L << (wBits + 1) // 2^(wBits+1): register 0 term
-    val regs = hllRegisters(df, value, p)
+    val k = estConstant(p)
+    val table = linearTable(m)
     regs.agg(
         count(lit(1)).as("n_buckets"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
@@ -64,24 +118,65 @@ object Sketches {
         (lit(m.toLong) - col("n_buckets")).as("zeros"),
         (col("present_sum") +
           (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int"))
-      .select(col("n_buckets"), col("zeros"),
-        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
-          lit((m.toLong * m).toDouble) * lit(scale.toDouble) /
-          col("sum_int").cast("double")).as("raw"),
-        col("sum_int"))
       .select(col("n_buckets"), col("zeros"), col("sum_int"),
-        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
-          .otherwise(col("raw")).as("est"))
+        expr(s"CAST('$k' AS DECIMAL(38,0)) div sum_int").as("raw_x100"))
       .select(col("n_buckets"), col("zeros"), col("sum_int"),
-        floor(col("est") * 100).cast("long").as("hll_estimate_x100"))
+        when(col("raw_x100") <= lit(250L * m) && col("zeros") > 0,
+          element_at(array(table.map(lit): _*), col("zeros").cast("int")))
+          .otherwise(col("raw_x100")).as("hll_estimate_x100"))
+  }
+
+  /** One-row HLL estimate of a value column (batch path). */
+  def hllEstimate(df: DataFrame, value: Column, p: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, value, p), p)
+
+  /** Shared oracle-SQL body recomputing the identical sketch in DuckDB:
+    * same md5-derived 60-bit hash, same integer register sum, same K
+    * literal, same linear-counting table. `extraSelect` prepends
+    * witness columns (e.g. an exact distinct count) to the final
+    * SELECT; `fromSql` names the source relation.
+    */
+  def hllOracleSql(fromSql: String, valueSql: String, p: Int = 8,
+      extraSelect: String = ""): String = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = 1L << (wBits + 1)
+    s"""WITH h AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST($valueSql AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       |  FROM $fromSql),
+       |reg AS (
+       |  SELECT h & ${m - 1} AS bucket,
+       |    MAX(CASE WHEN (h >> $p) = 0 THEN ${wBits + 1}
+       |             ELSE ${wBits + 1} - length(bin(h >> $p)) END) AS rho
+       |  FROM h GROUP BY 1),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_buckets,
+       |    SUM(CAST(1 AS BIGINT) << (${wBits + 1} - rho)) AS present_sum
+       |  FROM reg),
+       |s AS (
+       |  SELECT n_buckets, $m - n_buckets AS zeros,
+       |    present_sum + ($m - n_buckets) * CAST($scale AS BIGINT) AS sum_int
+       |  FROM agg),
+       |e AS (
+       |  SELECT n_buckets, zeros, sum_int,
+       |    CAST(${estConstant(p)} // sum_int AS BIGINT) AS raw_x100
+       |  FROM s)
+       |SELECT $extraSelect
+       |  n_buckets, zeros, CAST(sum_int AS BIGINT) AS sum_int,
+       |  CASE WHEN raw_x100 <= ${250L * m} AND zeros > 0
+       |       THEN CAST(list_extract(${linearTableSql(m)},
+       |                 CAST(zeros AS INT)) AS BIGINT)
+       |       ELSE raw_x100 END AS hll_estimate_x100
+       |FROM e""".stripMargin
   }
 
   /** Per-group HLL estimate — the operational form (distinct users
     * per segment, distinct URLs per domain): one aggregation keyed on
     * (group, bucket) whose state is ≤ groups × 2^p cells, then the
-    * same integer-exact estimate per group. No correction branch here:
-    * callers at the small-cardinality end should count exactly.
+    * same integer-exact estimate per group (K div sum_int, see
+    * [[estConstant]]). No correction branch here: callers at the
+    * small-cardinality end should count exactly.
     */
   def hllEstimateBy(df: DataFrame, value: Column, groupCols: Seq[String],
       p: Int = 8): DataFrame = {
@@ -103,9 +198,7 @@ object Sketches {
         (col("present_sum") +
           (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int")): _*)
       .select((gc :+ col("n_buckets") :+
-        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
-          lit((m.toLong * m).toDouble) * lit(scale.toDouble) /
-          col("sum_int").cast("double") * 100).cast("long")
+        expr(s"CAST('${estConstant(p)}' AS DECIMAL(38,0)) div sum_int")
           .as("hll_estimate_x100")): _*)
   }
 

@@ -223,15 +223,16 @@ object StreamingQueries {
     // for: HLL registers are a MAX per bucket, so the streaming
     // complete-mode aggregation converges to EXACTLY the batch sketch
     // under any micro-batch split (max is order-independent), and the
-    // estimate computed from the drained registers hash-matches the
-    // batch oracle bit-for-bit. Distinct-over-stream with d·w state —
-    // the bounded-memory cardinality monitor at sustained ingest.
+    // estimate computed from the drained registers is THE batch code
+    // (Sketches.hllEstimateFromRegisters — integer-exact cells, oracle
+    // SQL generated from the same constants). Distinct-over-stream
+    // with 2^p state — the bounded-memory cardinality monitor at
+    // sustained ingest.
     "ev_stream_hll" -> QueryDef(
       (s, d) => {
         val p = 8
         val m = 1 << p
         val wBits = 60 - p
-        val scale = 1L << (wBits + 1)
         val regs = eventStream(s, d)
           .select(graft.operators.Dedup
             .portableHash(col("event_id").cast("string"), 15).as("h"))
@@ -241,46 +242,10 @@ object StreamingQueries {
           .agg(max(when(col("w") === 0, lit(wBits + 1))
             .otherwise(lit(wBits + 1) - length(bin(col("w")))))
             .as("rho"))
-        drain(s, regs, "graft_stream_hll", "complete")
-          .agg(count(lit(1)).as("n_buckets"),
-            sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
-              .as("present_sum"))
-          .select(col("n_buckets"),
-            (lit(m.toLong) - col("n_buckets")).as("zeros"),
-            (col("present_sum") +
-              (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int"))
-          .select(col("n_buckets"), col("zeros"), col("sum_int"),
-            floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
-              lit((m.toLong * m).toDouble) * lit(scale.toDouble) /
-              col("sum_int").cast("double") * 100).cast("long")
-              .as("hll_estimate_x100"))
+        graft.operators.Sketches.hllEstimateFromRegisters(
+          drain(s, regs, "graft_stream_hll", "complete"), p)
       },
-      """WITH h AS (
-        |  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-        |    AS BIGINT) AS h
-        |  FROM events),
-        |reg AS (
-        |  SELECT h & 255 AS bucket,
-        |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
-        |             ELSE 53 - length(bin(h >> 8)) END) AS rho
-        |  FROM h GROUP BY 1),
-        |agg AS (
-        |  SELECT COUNT(*) AS n_buckets,
-        |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
-        |  FROM reg),
-        |s AS (
-        |  SELECT n_buckets, 256 - n_buckets AS zeros,
-        |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
-        |      AS sum_int
-        |  FROM agg)
-        |SELECT n_buckets, zeros, sum_int,
-        |  CAST(FLOOR(CAST(0.7213 AS DOUBLE)
-        |    / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
-        |       / CAST(256.0 AS DOUBLE))
-        |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-        |    / CAST(sum_int AS DOUBLE) * 100) AS BIGINT)
-        |    AS hll_estimate_x100
-        |FROM s""".stripMargin),
+      graft.operators.Sketches.hllOracleSql("events", "event_id", p = 8)),
 
     // Custom per-key state via mapGroupsWithState (IncrementalIngest
     // .statefulUserCounts): update mode re-emits per batch; the MAX of

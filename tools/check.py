@@ -8,9 +8,18 @@ same parquet tables, loads the Spark result parquet, sorts columns by
 name and rows by all columns, and compares cell values exactly
 (floats: bit-exact unless both NaN). Prints a per-query PASS/FAIL
 table and diffs for failures.
+
+TYPE-STRICT: the driver's hasher distinguishes int64 from decimal128
+(DuckDB types SUM(BIGINT) as HUGEINT -> Arrow decimal128), which a
+plain to_pylist() compare erases (Python Decimal(5) == 5). This gate
+therefore (a) compares Arrow column TYPE FAMILIES per column and
+(b) tags Decimal cells so a decimal-vs-int value never compares
+equal — an uncast aggregate in an oracle's final SELECT now FAILS
+locally exactly like it fails on the driver (r7: a13_hll_distinct).
 """
-import json, sys, math
+import json, sys, math, decimal
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 from pathlib import Path
@@ -19,9 +28,43 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_family(t):
+    """Collapse Arrow types into the families the driver treats as
+    interchangeable (width/unit/tz), keeping the families it does NOT
+    (int vs decimal vs float vs string) distinct."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{f.name}: {type_family(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def schema_families(table):
+    return {f.name: type_family(f.type) for f in table.schema}
+
+
 def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", v)
     return v
 
 
@@ -55,8 +98,13 @@ def main():
             continue
         sc, sr = rows_of(spark_tbl)
         dc, dr = rows_of(duck_tbl)
+        sf, df_ = schema_families(spark_tbl), schema_families(duck_tbl)
         if sc != dc:
             print(f"{name:28s} FAIL cols spark={sc} duck={dc}")
+            n_fail += 1
+        elif sf != df_:
+            bad = {c: (sf[c], df_[c]) for c in sc if sf[c] != df_[c]}
+            print(f"{name:28s} FAIL types (spark, duck) per col: {bad}")
             n_fail += 1
         elif sr != dr:
             n_fail += 1
