@@ -29,6 +29,24 @@ object Bench {
     System.gc()
   }
 
+  /** Fixed-work calibration: a deterministic CPU-bound expression over
+    * a GENERATED constant-size frame — zero I/O, zero dependence on the
+    * SF under test — timed FIRST and LAST in the run. Its cost varies
+    * only with machine load, so any reader can normalize a contended
+    * record: queries scale ≈ calibration/calibration_idle (this
+    * container idle: ~1 s; see BENCH_NOTES.md). Answers the r7 puzzle
+    * (driver total 118 s vs builder 67–77 s) from the artifact alone.
+    */
+  private def calibration(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200L * 1000 * 1000, 1L, 32)
+      .selectExpr("xxhash64(cast(id as string)) as h")
+      .selectExpr("xxhash64(h, h) as h2")
+      .selectExpr("bit_xor(h2) as s")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def timeOnce(spark: SparkSession, sfDir: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       name: String): (Double, Boolean) = {
@@ -53,6 +71,7 @@ object Bench {
     // JIT/codegen warmup on the smallest SF so the first timed query
     // doesn't absorb session setup.
     try SparkEntry.entry(spark).count() catch { case NonFatal(_) => () }
+    val calFirst = calibration(spark)
     val (streaming, batch) = SparkEntry.queries.toSeq.sortBy(_._1)
       .partition { case (n, _) => isStreaming(n) }
     // Batch queries: timed twice; "queries"/"value" record the FIRST
@@ -90,6 +109,7 @@ object Bench {
     val qsWarm = jmap(results.map { case (k, _, w, ok) => (k, w, ok) })
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val calLast = calibration(spark)
     val totalCold = f2(results.collect { case (_, c, _, true) => c }.sum)
     val totalWarm = f2(results.collect { case (_, _, w, true) => w }.sum)
     // Headline fields LAST: the driver captures the tail of stdout, so
@@ -99,7 +119,7 @@ object Bench {
     // like-for-like with rounds 1-5, which timed each query once. The
     // min-of-two warm times ride along under *_warm so plan-cost
     // comparisons stay published without redefining the headline.
-    val line = s"""{"queries_warm":$qsWarm,"total_warm":$totalWarm,"queries":$qsCold,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":$totalCold}"""
+    val line = s"""{"queries_warm":$qsWarm,"total_warm":$totalWarm,"queries":$qsCold,"failed":$failed,"calibration_first":${f2(calFirst)},"calibration_last":${f2(calLast)},"sf":"$sfDir","metric":"total","unit":"sec","value":$totalCold}"""
     println(line)
     // Belt and braces: persist the same JSON where a truncated stdout
     // capture can't touch it.
