@@ -103,10 +103,11 @@ object GraftExtensions {
         require(args.length == 1,
           s"bpe_count(text) takes 1 argument, got ${args.length}")
         // SQL surface uses the default merges table; custom tables go
-        // through the Column API (they are data, not literals)
-        graft.functions.BpeCount(
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            args.head, org.apache.spark.sql.types.StringType),
+        // through the Column API (they are data, not literals).
+        // No Cast wrap: the expression's checkInputDataTypes rejects
+        // non-string inputs with a typed AnalysisException instead of
+        // silently tokenizing a string rendering.
+        graft.functions.BpeCount(args.head,
           graft.operators.TextAnalysis.defaultBpeMerges)
       }),
     (FunctionIdentifier("shingle_hashes"),
@@ -115,10 +116,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           s"shingle_hashes(text, n) takes 2 arguments, got ${args.length}")
-        graft.functions.ShingleHashes(
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            args.head, org.apache.spark.sql.types.StringType),
-          intArg(args(1), "n"))
+        // strict: checkInputDataTypes rejects non-string inputs
+        graft.functions.ShingleHashes(args.head, intArg(args(1), "n"))
       }),
     (FunctionIdentifier("array_eq_count"),
       new ExpressionInfo(classOf[graft.functions.ArrayEqCount].getName,
@@ -133,9 +132,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1,
           s"bpe_tokens(text) takes 1 argument, got ${args.length}")
-        graft.functions.BpeTokens(
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            args.head, org.apache.spark.sql.types.StringType),
+        // strict: checkInputDataTypes rejects non-string inputs
+        graft.functions.BpeTokens(args.head,
           graft.operators.TextAnalysis.defaultBpeMerges)
       }))
 

@@ -1465,7 +1465,7 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("token")).limit(50),
       s"""$bpeCountCte,
          |tok AS (
-         |  SELECT unnest(string_split(s, '|')) AS token FROM bpefin),
+         |  SELECT unnest(string_split(s, chr(1))) AS token FROM bpefin),
          |cnt AS (
          |  SELECT token, COUNT(*) AS n FROM tok
          |  WHERE token <> '' AND token <> ' '
@@ -1507,18 +1507,31 @@ object PipelineQueries {
     * etl_pack_bpe: recursive-CTE replay of the engine's rank-order-
     * fixpoint BPE, merge rules generated from the Scala table. Ends
     * with `bpecnt(doc_id, n_bpe)`.
+    *
+    * Symbol delimiter is chr(1), NOT a printable char, so literal
+    * text cannot collide with it — and docs0 asserts its absence
+    * loudly (DuckDB error()) rather than corrupting silently. The
+    * engine Java-trims and splits on \\s+; docs0 mirrors that by
+    * collapsing every whitespace run to one space BEFORE the per-char
+    * split, so tabs/newlines are word boundaries in both engines
+    * instead of counted symbols in one.
     */
   private def bpeCountCte: String = {
     val merges = TextAnalysis.defaultBpeMerges
     val values = merges.zipWithIndex.map { case ((a, b), i) =>
-      s"(${i + 1}, '|$a|$b|', '|$a$b|')"
+      s"(${i + 1}, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
     }.mkString(", ")
     s"""WITH RECURSIVE merges(r, pat, rep) AS (
        |  SELECT * FROM (VALUES $values) m(r, pat, rep)),
        |docs0 AS (
        |  SELECT doc_id,
-       |    '|' || regexp_replace(lower(trim(text)), '(.)', '\\1|', 'g')
-       |      AS s
+       |    chr(1) || regexp_replace(
+       |      trim(regexp_replace(
+       |        CASE WHEN contains(text, chr(1))
+       |             THEN error('bpe oracle: text contains chr(1)')
+       |             ELSE lower(text) END,
+       |        '\\s+', ' ', 'g')),
+       |      '(.)', '\\1' || chr(1), 'g') AS s
        |  FROM documents),
        |bpe(doc_id, s, r) AS (
        |  SELECT doc_id, s, 1 FROM docs0
@@ -1531,7 +1544,7 @@ object PipelineQueries {
        |  SELECT doc_id, s FROM bpe WHERE r = ${merges.size + 1}),
        |bpecnt AS (
        |  SELECT doc_id,
-       |    CAST(length(s) - length(replace(s, '|', '')) - 1
+       |    CAST(length(s) - length(replace(s, chr(1), '')) - 1
        |         - (length(s) - length(replace(s, ' ', ''))) AS BIGINT)
        |      AS n_bpe
        |  FROM bpefin)""".stripMargin
