@@ -1060,32 +1060,36 @@ object PipelineQueries {
          |    '${TextAnalysis.ipv4Pattern}', '<IP>', 'g') AS cleaned
          |FROM r ORDER BY doc_id LIMIT 300""".stripMargin),
 
-    // Sequence packing: contiguous fill of ≤ 512-token bins in doc_id
+    // Sequence packing: contiguous fill of ≤ 1024-token bins in doc_id
     // order — the "fill the context window" step; the bin id is a pure
     // window running sum, exact integers in both engines. SHARDED by
     // language (the scale path: each shard's window is local to its
     // partition, so no task ever sees the whole corpus — a global
-    // running sum would).
+    // running sum would). Counts REAL BPE tokens by default (what the
+    // trainer consumes — TextAnalysis.subwordCountBpe); etl_pack_bpe
+    // exercises the same window at the 512 budget, ta_token_count /
+    // ta_subword_count keep the whitespace and heuristic counts as
+    // their own oracle rows.
     "etl_pack_sequences" -> QueryDef(
       (s, d) => {
         val withTokens = T.documents(s, d).select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          TextAnalysis.subwordCountBpe(col("text")).as("n_tokens"))
         TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens",
-            maxTokens = 512L, shardCol = "lang")
+            maxTokens = 1024L, shardCol = "lang")
           .groupBy(col("lang"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .orderBy(col("lang"), col("bin"))
       },
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
-        |  FROM documents),
+      s"""$bpeCountCte,
+        |t AS (
+        |  SELECT d.doc_id, d.lang, b.n_bpe AS n_tokens
+        |  FROM documents d JOIN bpecnt b ON b.doc_id = d.doc_id),
         |b AS (
         |  SELECT doc_id, lang, n_tokens,
         |    -- integer division (//): CAST(double AS BIGINT) ROUNDS in
         |    -- DuckDB while Spark's cast truncates
         |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 1024 AS BIGINT) AS bin
         |  FROM t)
         |SELECT lang, bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
@@ -1326,9 +1330,12 @@ object PipelineQueries {
         |SELECT train_id, eval_id, n_shared FROM best
         |WHERE rk = 1 ORDER BY train_id""".stripMargin),
 
-    // BPE-ish subword count estimate: segment-run matching + long-word
-    // extras, replayed by DuckDB with the same RE2-compatible pattern
-    // (integer arithmetic throughout — order-independent).
+    // BPE-ish subword count estimate — the documented no-merges-table
+    // FALLBACK (TextAnalysis.subwordCountEstimate scaladoc): segment-run
+    // matching + long-word extras, replayed by DuckDB with the same
+    // RE2-compatible pattern (integer arithmetic throughout —
+    // order-independent). Budget-bearing queries (etl_pack_sequences,
+    // etl_pack_bpe) count real BPE tokens instead.
     "ta_subword_count" -> QueryDef(
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),

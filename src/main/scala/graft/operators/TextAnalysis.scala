@@ -15,12 +15,19 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Dedup.tokens(text)).cast("long")
 
-  /** BPE-ish subword count estimate: word-piece segments (maximal runs
-    * of letters/digits or of punctuation) + an extra piece per 8 chars
-    * of long words. Run-MATCHING (`regexp_extract_all`) rather than
-    * boundary-splitting with lookarounds — the same segments, but the
-    * pattern is RE2-compatible, so DuckDB can replay it for the oracle
-    * (and match-all is cheaper than split-at-lookaround in Java too).
+  /** BPE-ish subword count estimate — the documented FALLBACK for when
+    * no merges table exists (raw crawl triage before a tokenizer is
+    * trained, or budgeting against an unknown downstream tokenizer).
+    * Anywhere a merges table IS available, use [[subwordCountBpe]]:
+    * pack budgets and mixture quotas should count the tokens the
+    * trainer actually consumes (etl_pack_sequences / etl_pack_bpe do).
+    *
+    * The estimate: word-piece segments (maximal runs of letters/digits
+    * or of punctuation) + an extra piece per 8 chars of long words.
+    * Run-MATCHING (`regexp_extract_all`) rather than boundary-splitting
+    * with lookarounds — the same segments, but the pattern is
+    * RE2-compatible, so DuckDB can replay it for the oracle (and
+    * match-all is cheaper than split-at-lookaround in Java too).
     */
   def subwordCountEstimate(text: Column): Column =
     size(regexp_extract_all(text,
