@@ -197,6 +197,22 @@ object MergeOps {
     * distinct-months collect is bounded by the number of touched
     * partitions (a handful of months per crawl batch), not by data
     * volume.
+    *
+    * Recovery invariant (proven by MergeOpsSpec's kill-between-renames
+    * case): after a crash at ANY point, the next merge / reconcile /
+    * compact call first restores every month whose only live copy sits
+    * under `_mretired` and discards the `_mstaging` root, leaving the
+    * table readable with no month lost — each month holding either its
+    * pre-merge or its post-merge contents, never neither. A killed
+    * batch is recovered TO THE PRE-MERGE STATE for its unswapped
+    * months; re-running the batch completes it.
+    *
+    * Reader exclusion: the swap is crash-safe but NOT reader-atomic —
+    * between a month's retire and activate renames a concurrent reader
+    * of the table sees that month's rows silently absent (no error).
+    * Single writer is assumed, and readers must not overlap a merge /
+    * reconcile / compact call on the same table; schedule reads around
+    * merges, or read through a snapshot copy.
     */
   /** The month-directory swap machinery shared by the partition-scoped
     * merge and the cross-month reconcile: sibling staging/retired

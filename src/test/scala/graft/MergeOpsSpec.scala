@@ -140,6 +140,54 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got === Seq("e1" -> "jan", "e2" -> "feb v2"))
   }
 
+  test("kill between retire and activate: recovery restores the table, " +
+      "retry converges") {
+    val dir = Files.createTempDirectory("graft_mkill").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"), ("e2", "feb", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    // Reproduce the exact on-disk state of a writer killed INSIDE
+    // activate, after the retire rename and before the activate rename:
+    // the merged batch sits fully materialized under _mstaging (as
+    // upsertParquetByMonth writes it), and the live month's only copy
+    // has been renamed into _mretired.
+    val batch = monthDocs(Seq(("e2", "feb v2", 2, "2025-02")))
+    MergeOps.upsert(spark.read.parquet(table)
+        .filter($"start_month" === "2025-02")
+        .withColumn("start_month", $"start_month".cast("string")),
+        batch, Seq("event_id"), "version")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("start_month").parquet(s"$dir/events_mstaging")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/events_mretired"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(table, "start_month=2025-02"),
+      new org.apache.hadoop.fs.Path(s"$dir/events_mretired/start_month=2025-02")))
+    // The reader-exclusion hazard the contract documents: a concurrent
+    // read of this state silently misses the whole month — no error.
+    assert(spark.read.parquet(table).count() === 1)
+    // Any subsequent table operation runs recoverOrphans first; a
+    // clean-table reconcile is the smallest such operation. Invariant:
+    // every month whose only live copy sits under _mretired is
+    // restored, the half-applied staging root is discarded, and the
+    // table reads as the PRE-MERGE state (apply-or-retry).
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+    val recovered = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(recovered === Seq("e1" -> "jan", "e2" -> "feb"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events_mstaging")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events_mretired")),
+      "recovery must clear both sibling roots")
+    // Retrying the killed batch converges to the intended result.
+    MergeOps.upsertParquetByMonth(spark, table, batch, Seq("event_id"), "version")
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "jan", "e2" -> "feb v2"))
+  }
+
   test("month upsert: a month can merge to empty and is retired") {
     val dir = Files.createTempDirectory("graft_mempty").toFile.getAbsolutePath
     val table = s"$dir/events"
