@@ -341,6 +341,68 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame =
     duplicateClustersWithRounds(pairs, id1, id2, maxIters, checkpointDir)._1
 
+  /** Sampled-edge mode for pathological duplicate clusters — the
+    * 100 TB guard `maxBucketSize` cannot provide: bucket caps bound
+    * pairs PER BUCKET, but one document duplicated a million times
+    * forms a clique spread across every band's buckets, and its
+    * candidate-pair count stays quadratic in clone count (the funnel
+    * probe's measured curve). This cap bounds the EDGE LIST instead:
+    * each node keeps edges to its `maxDegree` smallest-id neighbors
+    * (an edge survives if EITHER endpoint keeps it), so the edge
+    * volume entering clustering is ≤ 2·maxDegree·nodes — linear, not
+    * quadratic — and fully deterministic (neighbor rank by id, no
+    * sampling seed).
+    *
+    * What survives exactly: any clique-shaped cluster (the clone
+    * blowup case) stays one component — every member keeps its edge
+    * toward the clique minimum, leaving a connected star. What can
+    * change: a component whose only bridge ranks beyond `maxDegree`
+    * at BOTH endpoints can split — which is why the capped nodes are
+    * returned for LOUD reporting (mirroring maxBucketSize's
+    * contract: bounded work, visible approximation) rather than
+    * silently dropped.
+    *
+    * Returns (kept pairs as (id1, id2), capped nodes as
+    * (node, degree) for every node whose degree exceeded the cap).
+    * One shuffle for the rank window, one for the distinct.
+    */
+  def capDegree(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxDegree: Int = 64): (DataFrame, DataFrame) = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val directed = pairs.select(col(id1).as("node"), col(id2).as("nbr"))
+      .union(pairs.select(col(id2).as("node"), col(id1).as("nbr")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("nbr"))
+    val ranked = directed.withColumn("_rn", row_number().over(w))
+    val kept = ranked.filter(col("_rn") <= maxDegree)
+      .select(least(col("node"), col("nbr")).as(id1),
+        greatest(col("node"), col("nbr")).as(id2))
+      .distinct()
+    val capped = directed.groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") > maxDegree)
+    (kept, capped)
+  }
+
+  /** [[duplicateClusters]] behind [[capDegree]]: bounded-edge
+    * clustering for corpora where a single duplicate cluster can be
+    * pathologically large, plus the loud part of the contract — the
+    * count of clusters that contain at least one degree-capped node
+    * (the only places the approximation can have changed anything).
+    * Returns (labels, capped_cluster_count, rounds).
+    */
+  def duplicateClustersCapped(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxDegree: Int = 64, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Long, Int) = {
+    val (kept, cappedNodes) = capDegree(pairs, id1, id2, maxDegree)
+    val (labels, rounds) =
+      duplicateClustersWithRounds(kept, id1, id2, maxIters, checkpointDir)
+    val cappedClusters = labels
+      .join(cappedNodes.select(col("node")), Seq("node"))
+      .select(col("cluster_id")).distinct().count()
+    (labels, cappedClusters, rounds)
+  }
+
   /** [[duplicateClusters]] plus the number of propagation rounds it
     * took to converge — the O(log diameter) claim as a measured number
     * (the dedup-funnel scale probe records this curve).

@@ -839,6 +839,66 @@ object PipelineQueries {
       s"""$clusterOracleCte
          |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin),
 
+    // Degree-capped (sampled-edge) clustering — the bound that holds
+    // when one document is duplicated a million times and maxBucketSize
+    // can't help (the clique spans every band's buckets): each node
+    // keeps its maxDegree smallest-id neighbors, edge volume becomes
+    // linear in nodes, and the clusters touching a capped node are
+    // REPORTED, not silently approximated. maxDegree=1 here (the
+    // fixture's max observed degree is 2) so capping actually fires;
+    // the oracle replays rank,
+    // cap, connected components over kept edges, and the capped-
+    // cluster census — every cell integer.
+    "dd_degree_cap" -> QueryDef(
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(
+          T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
+          n = 2, minJaccard = 0.5)
+        val (kept, cappedNodes) = Dedup.capDegree(pairs, maxDegree = 1)
+        val labels = Dedup.duplicateClusters(kept)
+        pairs.agg(count(lit(1)).as("n_pairs_in"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_pairs_kept"),
+            coalesce(sum(col("id1") * 1000000L + col("id2")), lit(0L))
+              .as("pair_checksum")))
+          .crossJoin(cappedNodes.agg(count(lit(1)).as("n_capped_nodes")))
+          .crossJoin(labels
+            .join(cappedNodes.select(col("node")), Seq("node"))
+            .agg(countDistinct(col("cluster_id")).as("capped_clusters")))
+          .select(col("n_pairs_in"), col("n_pairs_kept"),
+            col("pair_checksum"), col("n_capped_nodes"),
+            col("capped_clusters"))
+      },
+      s"""$clusterOracleCte,
+         |directed AS (
+         |  SELECT id1 AS node, id2 AS nbr FROM jp
+         |  UNION ALL SELECT id2, id1 FROM jp),
+         |ranked AS (
+         |  SELECT node, nbr,
+         |    row_number() OVER (PARTITION BY node ORDER BY nbr) AS rn
+         |  FROM directed),
+         |kept AS (
+         |  SELECT DISTINCT least(node, nbr) AS id1,
+         |    greatest(node, nbr) AS id2
+         |  FROM ranked WHERE rn <= 1),
+         |cappedn AS (
+         |  SELECT node FROM directed GROUP BY node HAVING COUNT(*) > 1),
+         |kedges AS (SELECT id1 AS a, id2 AS b FROM kept
+         |           UNION SELECT id2, id1 FROM kept),
+         |kreach(n, m) AS (
+         |  SELECT a, a FROM kedges
+         |  UNION
+         |  SELECT r.n, e.b FROM kreach r JOIN kedges e ON r.m = e.a),
+         |klabels AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+         |            FROM kreach GROUP BY n)
+         |SELECT
+         |  (SELECT COUNT(*) FROM jp) AS n_pairs_in,
+         |  (SELECT COUNT(*) FROM kept) AS n_pairs_kept,
+         |  (SELECT CAST(COALESCE(SUM(id1 * 1000000 + id2), 0) AS BIGINT)
+         |   FROM kept) AS pair_checksum,
+         |  (SELECT COUNT(*) FROM cappedn) AS n_capped_nodes,
+         |  (SELECT COUNT(DISTINCT l.cluster_id) FROM klabels l
+         |   JOIN cappedn c ON c.node = l.doc_id) AS capped_clusters""".stripMargin),
+
     // Canonical-document selection: clusters → one representative each
     // (longest text, smallest id tiebreak) + all singletons — the
     // deduplicated corpus, oracle-checked end to end.

@@ -18,6 +18,14 @@ object TextQueries {
 
   private def words(c: String) = split(trim(col(c)), "\\s+")
 
+  /** floor(ln(1+tf)·1e6) for tf = 0..64, computed once on the JVM and
+    * embedded as the SAME literal table in the Spark plan and the
+    * oracle SQL — TF saturation without libm in any compared cell. */
+  private val tfLnTable: IndexedSeq[Long] =
+    (0 to 64).map(tf => math.floor(math.log1p(tf.toDouble) * 1e6).toLong)
+
+  private def tfLnTableSql: String = tfLnTable.mkString("[", ", ", "]")
+
   val registry: Map[String, QueryDef] = Map(
 
     // SURVEY §2.9: declared text-search semantics — tokenize on
@@ -48,6 +56,52 @@ object TextQueries {
         |  + len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'query'))
         |  + len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // TF-weighted text search — the variant that mirrors Mongo's
+    // textScore SHAPE (reference: database/query_examples.py:227-244
+    // sorts on {$meta: "textScore"}; database/fix_schema.py:142-148
+    // indexes five fields at equal weight): per term, the
+    // contribution grows as ln(1+tf) rather than linearly, so a
+    // document repeating one term 50 times no longer drowns one
+    // matching all terms once. The frozen equal-weight variant above
+    // stays as SURVEY §2.9's declared approximation; COVERAGE.md
+    // records which semantic each row mirrors. Scoring is integer-
+    // exact cross-engine: ln never runs in either engine — the score
+    // is Σ table[min(tf,64)] from a floor(ln(1+tf)·1e6) literal table
+    // computed once on the JVM and embedded in both plans
+    // (the Sketches.linearTable pattern).
+    "t9_text_search_tf" -> QueryDef(
+      (s, d) => {
+        val terms = Seq("spark", "query", "join")
+        val toks = split(lower(col("text")), "\\s+")
+        val score = terms.map { t =>
+          val tf = size(filter(toks, x => x === lit(t)))
+          element_at(array(tfLnTable.map(lit): _*),
+            least(tf, lit(64)) + 1)
+        }.reduce(_ + _)
+        T.documents(s, d)
+          .select(col("doc_id"), score.as("score_x1e6"))
+          .filter(col("score_x1e6") > 0)
+          .orderBy(col("score_x1e6").desc, col("doc_id"))
+          .limit(20)
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS w
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    list_extract($tfLnTableSql,
+         |      least(len(list_filter(w, x -> x = 'spark')), 64) + 1)
+         |    + list_extract($tfLnTableSql,
+         |      least(len(list_filter(w, x -> x = 'query')), 64) + 1)
+         |    + list_extract($tfLnTableSql,
+         |      least(len(list_filter(w, x -> x = 'join')), 64) + 1)
+         |      AS score_x1e6
+         |  FROM t)
+         |SELECT doc_id, CAST(score_x1e6 AS BIGINT) AS score_x1e6
+         |FROM sc WHERE score_x1e6 > 0
+         |ORDER BY score_x1e6 DESC, doc_id LIMIT 20""".stripMargin),
 
     // Token counting (whitespace tokenizer) — training-data pipeline op.
     "ta_token_count" -> QueryDef(

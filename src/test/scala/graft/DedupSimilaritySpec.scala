@@ -515,6 +515,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((2000L, 2001L)))
   }
 
+  test("capDegree: clique collapses to linear edges, stays one " +
+      "component, capped nodes reported") {
+    // 40-clique: 780 pairs uncapped; degree cap 3 must keep it ONE
+    // cluster (every node keeps its edge toward the clique minimum)
+    // with a linear edge count and every node reported as capped.
+    val n = 40
+    val clique = (for (a <- 1 to n; b <- (a + 1) to n)
+      yield (a.toLong, b.toLong)).toDF("id1", "id2")
+    val (kept, capped) = Dedup.capDegree(clique, maxDegree = 3)
+    val keptCount = kept.count()
+    assert(keptCount < clique.count() / 3,
+      s"cap did not bound the clique: $keptCount edges kept of 780")
+    assert(keptCount <= 2L * 3 * n, "kept edges exceed 2*maxDegree*n")
+    assert(capped.count() === n.toLong, "every clique node exceeds degree 3")
+    val labels = Dedup.duplicateClusters(kept)
+    assert(labels.select($"cluster_id").distinct().count() === 1L,
+      "clique split under the degree cap")
+    assert(labels.count() === n.toLong)
+  }
+
+  test("capDegree: disjoint chains are untouched below the cap") {
+    val chains = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("id1", "id2")
+    val (kept, capped) = Dedup.capDegree(chains, maxDegree = 3)
+    assert(kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)))
+    assert(capped.count() === 0L)
+    val (labels, cappedClusters, _) =
+      Dedup.duplicateClustersCapped(chains, maxDegree = 3)
+    assert(cappedClusters === 0L)
+    assert(labels.select($"cluster_id").distinct().count() === 2L)
+  }
+
   test("language ID picks the right language on clear samples") {
     val samples = Seq(
       ("en", "the cat and the dog is in that house with the red door"),
