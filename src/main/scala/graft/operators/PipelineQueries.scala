@@ -513,6 +513,62 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // IVF k-NN join — the partition-pruned ANN join (corpus rows in
+    // exactly one cell each, queries exploded to their nprobe nearest
+    // cells; at scale the corpus side is a cell-partitioned table and
+    // each probe is a pruned scan). Oracle replays cell assignment
+    // (strict-less argmin), the per-query probe ranking, and the
+    // cosine fold bit-exactly, same patterns as sim_ann_ivf.
+    "sim_knn_join_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinIvf(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3, IvfCentroids.pinned, nprobe = 2)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+         |    (a, b) -> a + b)) AS nrm FROM emb),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      j -> cv.v[j] * qv.v[j]), (a, b) -> a + b)
+         |      / (cv.nrm * qv.nrm) AS cosine
+         |  FROM assign c JOIN qprobe q ON q.cell = c.cell
+         |  JOIN n cv ON cv.vec_id = c.vec_id
+         |  JOIN n qv ON qv.vec_id = q.vec_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     // ANN recall measurement — turns the "recall lever" scaladocs into
     // measured numbers: recall@10 of the LSH and IVF top-k probes and
     // recall@3 of the single/multi-probe LSH k-NN joins, each against
@@ -544,6 +600,9 @@ object PipelineQueries {
         val mPairs = Similarity.knnJoinLshMultiProbe(corpusJ, queriesJ,
           "vec_id", "embedding", dim = 64, k = 3, bits = 4)
           .select("query_id", "corpus_id")
+        val iPairs = Similarity.knnJoinIvf(corpusJ, queriesJ,
+          "vec_id", "embedding", k = 3, IvfCentroids.pinned, nprobe = 2)
+          .select("query_id", "corpus_id")
         def topkRow(name: String, approx: DataFrame) =
           approx.join(exactT, "vec_id").agg(count(lit(1)).as("hits"))
             .select(lit(name).as("method"), lit(10L).as("k"), col("hits"))
@@ -553,6 +612,7 @@ object PipelineQueries {
             .crossJoin(ePairs.agg(count(lit(1)).as("k")))
             .select(lit(name).as("method"), col("k"), col("hits"))
         topkRow("ivf_topk", ivfT)
+          .unionByName(pairRow("knn_ivf", iPairs))
           .unionByName(pairRow("knn_lsh", lPairs))
           .unionByName(pairRow("knn_multiprobe", mPairs))
           .unionByName(topkRow("lsh_topk", lshT))
@@ -647,10 +707,35 @@ object PipelineQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, corpus_id DESC) AS rn FROM mscored)
          |  WHERE rn <= 3),
+         |iqprobe AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |iscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 65), j -> cv.v[j] * qv.v[j]),
+         |      (a, b) -> a + b) / (cv.nrm * qv.nrm) AS cosine
+         |  FROM assign c JOIN iqprobe q ON q.cell = c.cell
+         |  JOIN n cv ON cv.vec_id = c.vec_id
+         |  JOIN n qv ON qv.vec_id = q.vec_id
+         |  WHERE c.vec_id % 50 <> 0),
+         |ipairs AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id DESC) AS rn FROM iscored)
+         |  WHERE rn <= 3),
          |sel(method, k, hits) AS (
          |  SELECT 'ivf_topk', CAST(10 AS BIGINT),
          |    (SELECT COUNT(*) FROM ivf10 i JOIN exact10 x
          |       ON x.vec_id = i.vec_id)
+         |  UNION ALL
+         |  SELECT 'knn_ivf', (SELECT COUNT(*) FROM epairs),
+         |    (SELECT COUNT(*) FROM ipairs i JOIN epairs e
+         |       ON e.query_id = i.query_id AND e.corpus_id = i.corpus_id)
          |  UNION ALL
          |  SELECT 'knn_lsh', (SELECT COUNT(*) FROM epairs),
          |    (SELECT COUNT(*) FROM lpairs l JOIN epairs e
