@@ -247,6 +247,68 @@ object StreamingQueries {
       },
       graft.operators.Sketches.hllOracleSql("events", "event_id", p = 8)),
 
+    // Streaming count-min sketch — the additive-sketch counterpart of
+    // ev_stream_hll: CMS cells are plain COUNTs, which complete-mode
+    // aggregation finalizes to exactly the batch sketch under any
+    // micro-batch split (counts are order- and split-independent).
+    // The drained d×w cell table then feeds the SAME batch estimator
+    // (Sketches.cmsEstimate) and the summary reuses a14_cms_frequency's
+    // oracle verbatim — stream sketch == batch sketch, proven by the
+    // identical one-row census (zero undercounts, same overestimates).
+    // Bounded-memory heavy-hitter monitoring at sustained ingest.
+    "ev_stream_cms" -> QueryDef(
+      (s, d) => {
+        val key = concat(col("user_id").cast("string"), lit(":"),
+          col("event_type"))
+        val cms = drain(s,
+          graft.operators.Sketches.cmsCounts(eventStream(s, d), key,
+            d = 4, w = 64),
+          "graft_stream_cms", "complete")
+        val ev = T.events(s, d)
+        val exact = ev.groupBy(key.as("key")).agg(count(lit(1)).as("exact"))
+        val est = graft.operators.Sketches.cmsEstimate(cms,
+          exact.select(col("key")), col("key"), d = 4, w = 64)
+        exact.join(est, "key")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("est") > col("exact"), 1L).otherwise(0L))
+              .as("n_overestimated"),
+            sum(when(col("est") < col("exact"), 1L).otherwise(0L))
+              .as("n_undercount"),
+            max(col("est") - col("exact")).as("max_overestimate"),
+            sum(col("exact")).as("sum_exact"),
+            sum(col("est")).as("sum_est"))
+      },
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key
+        |  FROM events),
+        |exact AS (SELECT key, COUNT(*) AS exact FROM k GROUP BY key),
+        |cells AS (
+        |  SELECT r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || key), 1, 15))
+        |      AS BIGINT) & 63 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM k, range(0, 4) r(i)
+        |  GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT e.key, r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || e.key), 1, 15))
+        |      AS BIGINT) & 63 AS bucket
+        |  FROM exact e, range(0, 4) r(i)),
+        |est AS (
+        |  SELECT p.key, MIN(COALESCE(c.cnt, 0)) AS est
+        |  FROM probe p LEFT JOIN cells c
+        |    ON c.row = p.row AND c.bucket = p.bucket
+        |  GROUP BY p.key)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN est > exact THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overestimated,
+        |  CAST(SUM(CASE WHEN est < exact THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_undercount,
+        |  CAST(MAX(est - exact) AS BIGINT) AS max_overestimate,
+        |  CAST(SUM(exact) AS BIGINT) AS sum_exact,
+        |  CAST(SUM(est) AS BIGINT) AS sum_est
+        |FROM exact JOIN est USING (key)""".stripMargin),
+
     // Custom per-key state via mapGroupsWithState (IncrementalIngest
     // .statefulUserCounts): update mode re-emits per batch; the MAX of
     // the monotone running count per user is the total event count.
