@@ -515,6 +515,82 @@ object RelationalQueries {
         |  CAST(n_success AS DOUBLE) / (n_success + n_failure + 1) AS rate
         |FROM s ORDER BY rate DESC, n_success DESC, user_id LIMIT 20""".stripMargin),
 
+    // As-of join — for every purchase, the latest view of the same
+    // user at or before it (TemporalJoins.asofJoin: a running window,
+    // not a join — one shuffle on user_id regardless of key skew).
+    // The view side pre-aggregates to one row per (user, ts) with a
+    // deterministic max-event_id winner, satisfying the uniqueness
+    // contract in both engines. Oracle: DuckDB's native ASOF LEFT
+    // JOIN over the same deduped side — an independent implementation
+    // of the semantics, not a replay of the window trick.
+    "j_asof_latest_view" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("view_event_id"))
+          .withColumn("view_ts", col("ts"))
+        TemporalJoins.asofJoin(purchases, views, Seq("user_id"), "ts",
+            Seq("view_event_id", "view_ts"))
+          .select(col("event_id"), col("user_id"), col("view_event_id"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("view_ts")))
+              .as("gap_seconds"))
+          .orderBy(col("event_id"))
+      },
+      """WITH v AS (
+        |  SELECT user_id, ts, MAX(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.view_event_id,
+        |  epoch_ms(p.ts) // 1000 - epoch_ms(v.ts) // 1000 AS gap_seconds
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin),
+
+    // Bucketed range join — purchases within 600 s after an error by
+    // the same user (TemporalJoins.rangeJoinBucketed: intervals
+    // explode to grid cells, points land in ONE cell, equi-join on
+    // (user, cell) + exact containment — candidates per point are the
+    // cell's intervals, never the table; no dedup needed). Oracle:
+    // DuckDB evaluates the containment predicate directly — the naive
+    // formulation the bucketing must agree with exactly.
+    "j_range_bucketed" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            unix_timestamp(col("ts")).as("start_sec"))
+          .withColumn("end_sec", col("start_sec") + 600)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_timestamp(col("ts")).as("pt_sec"))
+        TemporalJoins.rangeJoinBucketed(errors, purchases, Seq("user_id"),
+            "start_sec", "end_sec", "pt_sec", bucketSeconds = 600)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("error_id")).as("n_errors_hit"),
+            sum(col("pt_sec") - col("start_sec")).as("sum_gap_seconds"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id AS error_id,
+        |    epoch_ms(ts) // 1000 AS start_sec
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |    epoch_ms(ts) // 1000 AS pt_sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT e.error_id) AS n_errors_hit,
+        |  CAST(SUM(p.pt_sec - e.start_sec) AS BIGINT) AS sum_gap_seconds
+        |FROM e JOIN p ON p.user_id = e.user_id
+        |  AND p.pt_sec >= e.start_sec AND p.pt_sec <= e.start_sec + 600
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin),
+
     // ---- joins ----------------------------------------------------------
     // SURVEY §2.3 J1-J3: tiny-dimension lookups as broadcast hash joins.
     "j1_broadcast_dims" -> QueryDef(

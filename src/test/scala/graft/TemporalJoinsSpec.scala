@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  test("asofJoin: latest prior row wins, ties match, no-match is null") {
+    val left = Seq(
+      (1L, 10L, "p1"), // after r@5 and r@10 -> tie at 10 matches
+      (1L, 7L, "p2"),  // between r@5 and r@10 -> r@5
+      (1L, 3L, "p3"),  // before any right row -> null
+      (2L, 100L, "p4") // key with no right rows at all -> null
+    ).toDF("k", "ts", "pid")
+    val right = Seq(
+      (1L, 5L, "r5"), (1L, 10L, "r10"), (3L, 1L, "unused")
+    ).toDF("k", "ts", "payload")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("payload"))
+      .select($"pid", $"payload").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got === Map(
+      "p1" -> Some("r10"), "p2" -> Some("r5"),
+      "p3" -> None, "p4" -> None))
+  }
+
+  test("asofJoin rejects payload columns that exist on the left") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "ts", "payload")
+    val r = Seq((1L, 1L, "y")).toDF("k", "ts", "payload")
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.asofJoin(l, r, Seq("k"), "ts", Seq("payload"))
+    }
+  }
+
+  test("rangeJoinBucketed == naive containment join, boundaries inclusive") {
+    // intervals and points engineered to cross bucket boundaries in
+    // every way: spanning multiple cells, exact start/end equality,
+    // points just outside
+    val intervals = Seq(
+      (1L, 100L, 350L, "i1"),  // spans cells 1..3 (bucket 100)
+      (1L, 200L, 200L, "i2"),  // degenerate single-point interval
+      (2L, 0L, 1000L, "i3")    // other key
+    ).toDF("k", "start_sec", "end_sec", "iid")
+    val points = Seq(
+      (1L, 100L, "a"), (1L, 350L, "b"), (1L, 351L, "c"),
+      (1L, 200L, "d"), (1L, 99L, "e"), (2L, 500L, "f"), (3L, 1L, "g")
+    ).toDF("k", "pt_sec", "pid")
+    val got = TemporalJoins.rangeJoinBucketed(intervals, points,
+        Seq("k"), "start_sec", "end_sec", "pt_sec", bucketSeconds = 100)
+      .select($"iid", $"pid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = intervals.join(points, Seq("k"))
+      .filter($"pt_sec" >= $"start_sec" && $"pt_sec" <= $"end_sec")
+      .select($"iid", $"pid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === naive)
+    assert(got === Set(("i1", "a"), ("i1", "b"), ("i1", "d"),
+      ("i2", "d"), ("i3", "f")))
+  }
+}
