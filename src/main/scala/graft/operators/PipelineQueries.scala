@@ -1493,6 +1493,26 @@ object PipelineQueries {
         |      w -> greatest(0, length(w) // 8))) AS BIGINT) AS subwords
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin),
 
+    // BPE merge-table TRAINING in-engine (TextAnalysis.trainBpeMerges)
+    // — the learning side of the tokenizer loop: one corpus scan into
+    // a (distinct word, count) vocab frame, then 8 vocab-sized
+    // iterations each merging the most frequent adjacent pair
+    // ((count DESC, lhs, rhs) tie-break — deterministic) and
+    // collecting exactly ONE argmax row. The oracle re-learns the
+    // table from scratch in DuckDB (unrolled chained-recursive CTEs)
+    // and must produce the IDENTICAL 8 rules in the identical order.
+    "ta_bpe_train" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val merges = TextAnalysis.trainBpeMerges(
+          T.documents(s, d), "text", numMerges = 8)
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "lhs", "rhs")
+          .orderBy(col("rank"))
+      },
+      bpeTrainOracleSql(8)),
+
     // REAL merges-table BPE token count (graft.functions.BpeCount).
     // The oracle replays the exact algorithm in DuckDB: each doc is
     // encoded as |-delimited code-point symbols (spaces stay as
@@ -1654,6 +1674,58 @@ object PipelineQueries {
          |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
          |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
   )
+
+  /** Oracle for ta_bpe_train: replays BPE merge-table LEARNING in
+    * DuckDB — `k` unrolled iterations, each one (a) counting adjacent
+    * symbol pairs over the distinct-word table weighted by word
+    * frequency, (b) picking the (count DESC, left, right) argmax, and
+    * (c) applying that merge to fixpoint via a recursive
+    * replace-until-unchanged CTE (the bpeCountCte technique, chained k
+    * times — chained recursion is one WITH RECURSIVE in DuckDB). The
+    * engine's one-corpus-scan + vocab-sized-iterations optimization is
+    * replayed exactly: same word counts, same positional pair counts,
+    * same tie-break, so the two engines must learn the IDENTICAL
+    * table.
+    */
+  private def bpeTrainOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE words AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT w AS word, COUNT(*) AS cnt,
+       |    chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS s
+       |  FROM words WHERE w <> '' GROUP BY w),
+       |""".stripMargin
+    for (i <- 1 to k) {
+      val prev = s"w${i - 1}"
+      sb ++= s"""p$i AS (
+         |  SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS p
+         |    FROM (SELECT cnt, list_filter(string_split(s, chr(1)),
+         |            x -> x <> '') AS sy
+         |          FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT a, b, chr(1)||a||chr(1)||b||chr(1) AS pat,
+         |    chr(1)||a||b||chr(1) AS rep
+         |  FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |f$i(word, cnt, s) AS (
+         |  SELECT word, cnt, s FROM $prev
+         |  UNION
+         |  SELECT f.word, f.cnt, replace(f.s, b.pat, b.rep)
+         |  FROM f$i f, b$i b),
+         |w$i AS (
+         |  SELECT f.word, f.cnt, f.s FROM f$i f, b$i b
+         |  WHERE replace(f.s, b.pat, b.rep) = f.s),
+         |""".stripMargin
+    }
+    sb ++= (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, a AS lhs, b AS rhs FROM b$i")
+      .mkString("sel AS (\n", "\n  UNION ALL\n", ")\n")
+    sb ++= "SELECT rank, lhs, rhs FROM sel ORDER BY rank"
+    sb.toString
+  }
 
   /** The BPE-count oracle block shared by ta_subword_bpe and
     * etl_pack_bpe: recursive-CTE replay of the engine's rank-order-

@@ -67,6 +67,59 @@ object TextAnalysis {
       merges: Seq[(String, String)] = defaultBpeMerges): Column =
     graft.functions.BpeCount.bpe_tokens(text, merges)
 
+  /** LEARN a BPE merges table from a corpus — the training side of
+    * [[subwordCountBpe]]/[[subwordTokensBpe]], closing the tokenizer
+    * loop in-engine: each iteration merges the most frequent adjacent
+    * symbol pair (ties broken by (left, right) string order, so the
+    * table is deterministic and oracle-replayable).
+    *
+    * Scale shape: the corpus is scanned ONCE into a (distinct word,
+    * count) table — zipfian text collapses to a vocab-sized frame —
+    * and every iteration re-tokenizes only the distinct words under
+    * the merges learned so far (the codegen'd BpeTokens expression),
+    * counts pairs weighted by word frequency, and collects exactly ONE
+    * row (the argmax). Cost: one corpus shuffle + numMerges
+    * vocab-sized aggregations, independent of corpus row count. At
+    * 100 TB, train on a sample (trainIvfCentroids' contract) — merge
+    * statistics converge long before the full corpus is needed.
+    *
+    * Pair counting is positional (a word [a,a,a] contributes (a,a)
+    * twice), matching the oracle's definition; the learned table is
+    * WELL-FORMED by construction (a pair can only be observed after
+    * its operands exist), which is what [[subwordCountBpe]]'s
+    * rank-fixpoint application requires.
+    */
+  def trainBpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    val wordCounts = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    try {
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      while (merges.size < numMerges && !exhausted) {
+        val toks = wordCounts
+          .select(col("cnt"),
+            graft.functions.BpeCount.bpe_tokens(col("w"), merges).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("cnt"),
+            slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("lb"))
+        val best = toks
+          .select(col("cnt"), explode(arrays_zip(col("la"), col("lb"))).as("p"))
+          .groupBy(col("p.la").as("a"), col("p.lb").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else merges :+= ((best(0).getString(0), best(0).getString(1)))
+      }
+      merges
+    } finally wordCounts.unpersist()
+  }
+
   /** Language-ID heuristic: score each language by distinctive
     * marker-token hits (stopword n-gram profile), take the argmax;
     * "und" (undetermined) when nothing matches.

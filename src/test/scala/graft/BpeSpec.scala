@@ -95,6 +95,45 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq("the", "window", "or", "d", "er"))
   }
 
+  test("trainBpeMerges learns the hand-derivable table on a tiny corpus") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    // Word counts: low x3, lower x2, newest x4.
+    // Pair counts (positional, weighted):
+    //   (l,o) 5, (o,w) 5, (w,e) 6, (e,r) 2, (n,e) 4, (e,w) 4,
+    //   (e,s) 4, (s,t) 4
+    // rank 1: (w,e) 6. After it: low/lower unchanged (w ends 'low'
+    //   pair (o,w) still 5... 'lower' = l,o,w,e,r -> (w,e) merged ->
+    //   l,o,we,r), newest = n,e,we,s,t.
+    // rank 2: recount: (l,o) 5, (o,w) 3 (only 'low' x3), (o,we) 2,
+    //   (we,r) 2, (n,e) 4, (e,we) 4, (we,s) 4, (s,t) 4 -> max 5 (l,o)
+    val docs = Seq(
+      "low low low lower lower",
+      "newest newest newest newest").toDF("text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 2)
+    assert(merges === Seq("w" -> "e", "l" -> "o"))
+    // loop closure: applying the learned table through the tokenizer
+    // shrinks counts and reproduces the merge on a held-out word
+    val toks = Seq(Tuple1("wet lowest")).toDF("text")
+      .select(TextAnalysis.subwordTokensBpe($"text", merges).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("we", "t", "lo", "we", "s", "t"))
+  }
+
+  test("trainBpeMerges stops early when no pair repeats") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    val docs = Seq("ab cd", "ef gh").toDF("text")
+    // every adjacent pair occurs once; argmax still deterministic:
+    // (a,b) wins rank 1 by string order, then (ab) is one symbol and
+    // (c,d) wins, etc. — with numMerges larger than distinct pairs the
+    // trainer must terminate rather than loop
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 10)
+    assert(merges.take(4) === Seq("a" -> "b", "c" -> "d", "e" -> "f",
+      "g" -> "h"))
+    assert(merges.size === 4, s"expected exhaustion after 4, got $merges")
+  }
+
   test("Column path: whitespace split, lowercase, nulls, empty") {
     val spark = SparkTest.session
     import spark.implicits._
