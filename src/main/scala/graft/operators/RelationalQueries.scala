@@ -330,6 +330,64 @@ object RelationalQueries {
       Sketches.hllOracleSql("events", "event_id", p = 8, extraSelect =
         "(SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact,")),
 
+    // A13 mergeability — THE property that makes the sketch a 100 TB
+    // tool: registers computed independently per month (per shard /
+    // day / executor in production, stored as tiny register tables)
+    // merge via max-per-bucket into EXACTLY the whole-corpus sketch.
+    // The row carries the merged estimate AND the direct estimate so
+    // equality is visible in the output, and the oracle replays the
+    // same two-level merge (month regs → max → estimate), not a
+    // shortcut.
+    "a13_hll_merge" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val perMonth = Sketches.hllRegistersBy(
+          ev.withColumn("m", date_format(col("ts"), "yyyy-MM")),
+          col("event_id").cast("string"), Seq("m"), p = 8)
+        Sketches.hllEstimateFromRegisters(
+            Sketches.hllMergeRegisters(perMonth), p = 8)
+          .crossJoin(Sketches.hllEstimate(ev,
+              col("event_id").cast("string"), p = 8)
+            .select(col("hll_estimate_x100").as("direct_estimate_x100")))
+          .select(col("n_buckets"), col("zeros"), col("sum_int"),
+            col("hll_estimate_x100"), col("direct_estimate_x100"))
+      },
+      s"""WITH h AS (
+         |  SELECT strftime(ts, '%Y-%m') AS m,
+         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |monthreg AS (
+         |  SELECT m, h & 255 AS bucket,
+         |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+         |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |reg AS (
+         |  SELECT bucket, MAX(rho) AS rho FROM monthreg GROUP BY 1),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_buckets,
+         |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+         |  FROM reg),
+         |s AS (
+         |  SELECT n_buckets, 256 - n_buckets AS zeros,
+         |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
+         |      AS sum_int
+         |  FROM agg),
+         |e AS (
+         |  SELECT n_buckets, zeros, sum_int,
+         |    CAST(${Sketches.estConstant(8)} // sum_int AS BIGINT) AS raw_x100
+         |  FROM s)
+         |SELECT n_buckets, zeros, CAST(sum_int AS BIGINT) AS sum_int,
+         |  CASE WHEN raw_x100 <= 64000 AND zeros > 0
+         |       THEN CAST(list_extract(${Sketches.linearTableSql(256)},
+         |                 CAST(zeros AS INT)) AS BIGINT)
+         |       ELSE raw_x100 END AS hll_estimate_x100,
+         |  CASE WHEN raw_x100 <= 64000 AND zeros > 0
+         |       THEN CAST(list_extract(${Sketches.linearTableSql(256)},
+         |                 CAST(zeros AS INT)) AS BIGINT)
+         |       ELSE raw_x100 END AS direct_estimate_x100
+         |FROM e""".stripMargin),
+
     // A13 small-range fixture — same sketch over the 5-value
     // event_type column, pinning the linear-counting branch
     // (zeros > 0, raw below 2.5m) that a13_hll_distinct's high

@@ -171,6 +171,36 @@ object Sketches {
        |FROM e""".stripMargin
   }
 
+  /** Per-group HLL register frame (group, bucket, rho) — the
+    * materializable sketch state (one row per group×occupied-bucket).
+    * Kept separate from [[hllEstimateBy]] so sketches can be STORED
+    * per partition/day/shard and merged later ([[hllMergeRegisters]]).
+    */
+  def hllRegistersBy(df: DataFrame, value: Column, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16], got $p")
+    val m = 1 << p
+    val wBits = 60 - p
+    val gc = groupCols.map(col)
+    df.select((gc :+ Dedup.portableHash(value, 15).as("h")): _*)
+      .select((gc :+ col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket")
+        :+ shiftrightunsigned(col("h"), p).as("w")): _*)
+      .groupBy((gc :+ col("bucket")): _*)
+      .agg(max(when(col("w") === 0, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("w"))))).as("rho"))
+  }
+
+  /** Merge sketch register frames: max(rho) per bucket. THE
+    * distributed-sketch property — registers computed per shard /
+    * day / executor union into the global sketch losslessly (max is
+    * associative, commutative, idempotent), so a 100 TB pipeline
+    * stores tiny per-partition register tables and merges on demand
+    * instead of re-scanning. merge(per-group regs) == regs(whole
+    * input) EXACTLY; a13_hll_merge pins that cross-engine.
+    */
+  def hllMergeRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+
   /** Per-group HLL estimate — the operational form (distinct users
     * per segment, distinct URLs per domain): one aggregation keyed on
     * (group, bucket) whose state is ≤ groups × 2^p cells, then the
@@ -184,12 +214,7 @@ object Sketches {
     val wBits = 60 - p
     val scale = 1L << (wBits + 1)
     val gc = groupCols.map(col)
-    df.select((gc :+ Dedup.portableHash(value, 15).as("h")): _*)
-      .select((gc :+ col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket")
-        :+ shiftrightunsigned(col("h"), p).as("w")): _*)
-      .groupBy((gc :+ col("bucket")): _*)
-      .agg(max(when(col("w") === 0, lit(wBits + 1))
-        .otherwise(lit(wBits + 1) - length(bin(col("w"))))).as("rho"))
+    hllRegistersBy(df, value, groupCols, p)
       .groupBy(gc: _*)
       .agg(count(lit(1)).as("n_buckets"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
