@@ -495,6 +495,41 @@ object RelationalQueries {
         |FROM s JOIN ex ON ex.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin),
 
+    // A16 — replayable histogram quantile sketch (operators.Sketches):
+    // 64 equi-width bins over events.value, then p50/p90/p99 as the
+    // first bin whose cumulative count reaches ceil(q·n/1000) — upper
+    // bin edge reported, error bounded by one bin width. State is 64
+    // integer cells whatever the input size, counts ADD across shards
+    // (the SUM-mergeable sketch beside HLL's max), and every compared
+    // cell is integer rank arithmetic both engines replay exactly.
+    // The exact-percentile row ta_length_quantiles stays the precise
+    // path; this is the bounded-state path for streams/shards.
+    "a16_hist_quantiles" -> QueryDef(
+      (s, d) => {
+        val hist = Sketches.histogramCounts(T.events(s, d), col("value"),
+          lo = 0.0, width = 10.0, nBins = 64)
+        Sketches.histogramQuantiles(hist, Seq(500, 900, 990),
+          loX100 = 0L, widthX100 = 1000L)
+      },
+      """WITH h AS (
+        |  SELECT LEAST(63, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT)))
+        |    AS bin
+        |  FROM events),
+        |hist AS (SELECT bin, COUNT(*) AS cnt FROM h GROUP BY bin),
+        |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+        |c AS (
+        |  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        |  FROM hist),
+        |q(q_x1000) AS (VALUES (500), (900), (990)),
+        |t AS (
+        |  SELECT q_x1000, nn.n,
+        |    CAST((q_x1000 * nn.n + 999) // 1000 AS BIGINT) AS target_rank
+        |  FROM q, nn)
+        |SELECT t.q_x1000, t.n, t.target_rank, MIN(c.bin) AS bin,
+        |  CAST((MIN(c.bin) + 1) * 1000 AS BIGINT) AS est_hi_x100
+        |FROM t JOIN c ON c.cum >= t.target_rank
+        |GROUP BY 1, 2, 3 ORDER BY t.q_x1000""".stripMargin),
+
     // A14 — replayable count-min frequency sketch (operators.Sketches):
     // d=4 salted hash rows × w=64 buckets over ~250 (user, event_type)
     // keys — w deliberately small so collisions happen and the

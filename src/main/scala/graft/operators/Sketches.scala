@@ -227,6 +227,50 @@ object Sketches {
           .as("hll_estimate_x100")): _*)
   }
 
+  /** Equi-width histogram sketch of a numeric column: nBins counts,
+    * values clamped into [lo, lo + nBins·width). The quantile sketch
+    * for bounded-range metrics (latencies, scores, prices): state is
+    * nBins cells regardless of input size, counts ADD across shards
+    * (trivially mergeable — the SUM analog of HLL's max-per-bucket),
+    * and every cell is an integer, so estimates replay exactly in any
+    * engine. floor(v/width) on IEEE doubles is engine-exact for the
+    * same reason Tables.decSum documents floor as safe.
+    */
+  def histogramCounts(df: DataFrame, value: Column, lo: Double,
+      width: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && width > 0, s"need nBins>=1, width>0")
+    df.select(least(lit(nBins - 1), greatest(lit(0),
+        floor((value - lit(lo)) / lit(width)).cast("int"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram sketch: for each q (per
+    * mille), the first bin whose cumulative count reaches
+    * ceil(q·n/1000), reported as the bin's UPPER edge — a guaranteed
+    * overestimate by at most `width` (the sketch's documented error
+    * bound). Rank arithmetic is pure integers; the cumulative window
+    * runs over ≤ nBins rows (sketch-sized — never the data), so the
+    * single-partition window is free.
+    */
+  def histogramQuantiles(hist: DataFrame, qsX1000: Seq[Int],
+      loX100: Long, widthX100: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val qs = hist.sparkSession.range(1)
+      .select(explode(array(qsX1000.map(lit): _*)).as("q_x1000"))
+      .crossJoin(hist.agg(sum(col("cnt")).as("n")))
+      .withColumn("target_rank",
+        expr("(q_x1000 * n + 999) div 1000"))
+    qs.join(cum, col("cum") >= col("target_rank"))
+      .groupBy(col("q_x1000"))
+      .agg(max(col("n")).as("n"), max(col("target_rank")).as("target_rank"),
+        min(col("bin")).as("bin"))
+      .select(col("q_x1000"), col("n"), col("target_rank"), col("bin"),
+        ((col("bin") + 1).cast("long") * lit(widthX100) + lit(loX100))
+          .as("est_hi_x100"))
+      .orderBy(col("q_x1000"))
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) of a value
     * stream: d salted hash rows × w buckets of plain counts — the
     * frequency oracle for heavy-hitter queries over streams too wide
