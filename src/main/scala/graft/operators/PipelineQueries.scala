@@ -1493,6 +1493,37 @@ object PipelineQueries {
         |      w -> greatest(0, length(w) // 8))) AS BIGINT) AS subwords
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin),
 
+    // Deterministic training shuffle (TextAnalysis.shuffleShards):
+    // every doc gets a (shard, pos) coordinate as a pure function of
+    // (seed, doc_id) — the reproducible epoch permutation a data
+    // loader consumes, vs orderBy(rand())'s run-dependent order. The
+    // oracle re-derives shard AND the exact within-shard permutation
+    // from the same md5 arithmetic; sum(doc_id·pos) pins the full
+    // ordering per shard, not just membership.
+    "etl_shuffle_shards" -> QueryDef(
+      (s, d) => TextAnalysis.shuffleShards(
+          T.documents(s, d).select(col("doc_id")), "doc_id",
+          seed = "epoch1", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("doc_id") * col("pos")).as("perm_checksum"))
+        .orderBy(col("shard")),
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS sk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(sk % 8 AS INT) AS shard,
+        |    row_number() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id)
+        |      AS pos
+        |  FROM k)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
+
     // BPE merge-table TRAINING in-engine (TextAnalysis.trainBpeMerges)
     // — the learning side of the tokenizer loop: one corpus scan into
     // a (distinct word, count) vocab frame, then 8 vocab-sized

@@ -495,6 +495,64 @@ object RelationalQueries {
         |FROM s JOIN ex ON ex.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin),
 
+    // A17 — pivot reshape (long → wide): days × event types as a
+    // crosstab, the report-facing reshape every analytics surface
+    // needs. Pivot values are PINNED literals, so Spark plans one
+    // pass (no distinct-discovery job) and the output schema is
+    // static; absent combinations are 0, not null, in both engines.
+    // Under the hood this is one partial-agg shuffle — the same cost
+    // as the long groupBy, just a different output shape.
+    "a17_pivot" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .withColumn("m", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("m"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("m")),
+      """SELECT strftime(ts, '%Y-%m-%d') AS m,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY m""".stripMargin),
+
+    // §2.5 depth — TIME-RANGE rolling window (RANGE frame on epoch
+    // seconds, not a row count): per user, events and integer-cents
+    // value volume in the trailing 24 h at every event. The frame is
+    // value-based so ties and gaps behave identically in both engines
+    // (RANGE includes all peers); one hash shuffle on the key, both
+    // aggregates ride one sort. Integer cells only — a windowed SUM of
+    // raw doubles would be accumulation-order-sensitive (Tables.decSum
+    // scaladoc), so value rides as floor(value·100) cents.
+    "w_time_window" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"))
+          .rangeBetween(-86399L, 0L)
+        T.events(s, d)
+          .filter(col("user_id") < 20)
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("sec"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_24h"),
+            sum(col("cents")).over(w).as("cents_24h"))
+          .orderBy(col("event_id"))
+      },
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS sec,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 20)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
     // A16 — replayable histogram quantile sketch (operators.Sketches):
     // 64 equi-width bins over events.value, then p50/p90/p99 as the
     // first bin whose cumulative count reaches ceil(q·n/1000) — upper

@@ -67,6 +67,30 @@ object TextAnalysis {
       merges: Seq[(String, String)] = defaultBpeMerges): Column =
     graft.functions.BpeCount.bpe_tokens(text, merges)
 
+  /** Deterministic corpus shuffle for training: every row gets a
+    * (shard, pos) coordinate that is a pure function of (seed, id) —
+    * reproducible across runs, engines, and cluster sizes, unlike
+    * `orderBy(rand())`. Shard = md5-hash mod numShards; pos = rank of
+    * the hash WITHIN the shard, so each shard's order is independent
+    * and the window never sees more than one shard (the scale path: a
+    * global shuffle order would funnel the corpus through one sort —
+    * per-shard order is what data loaders actually consume). Change
+    * `seed` to get a fresh epoch permutation.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val keyed = df.withColumn("_sk",
+      Dedup.portableHash(concat(lit(seed + "|"), col(idCol).cast("string")), 15))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("_sk"), lit(numShards.toLong)))
+      .orderBy(col("_sk"), col(idCol))
+    keyed
+      .withColumn("shard", pmod(col("_sk"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_sk")
+  }
+
   /** LEARN a BPE merges table from a corpus — the training side of
     * [[subwordCountBpe]]/[[subwordTokensBpe]], closing the tokenizer
     * loop in-engine: each iteration merges the most frequent adjacent

@@ -309,6 +309,40 @@ object StreamingQueries {
         |  CAST(SUM(est) AS BIGINT) AS sum_est
         |FROM exact JOIN est USING (key)""".stripMargin),
 
+    // Streaming histogram-quantile sketch — third of the streaming
+    // sketch family (max-mergeable HLL, additive CMS, additive
+    // histogram): bin counts finalize to the batch histogram under any
+    // micro-batch split, and the drained 64-cell table feeds the SAME
+    // batch quantile estimator. p50/p90/p99 over an unbounded stream
+    // in constant state.
+    "ev_stream_hist" -> QueryDef(
+      (s, d) => {
+        val hist = drain(s,
+          graft.operators.Sketches.histogramCounts(eventStream(s, d),
+            col("value"), lo = 0.0, width = 10.0, nBins = 64),
+          "graft_stream_hist", "complete")
+        graft.operators.Sketches.histogramQuantiles(hist,
+          Seq(500, 900, 990), loX100 = 0L, widthX100 = 1000L)
+      },
+      """WITH h AS (
+        |  SELECT LEAST(63, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT)))
+        |    AS bin
+        |  FROM events),
+        |hist AS (SELECT bin, COUNT(*) AS cnt FROM h GROUP BY bin),
+        |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+        |c AS (
+        |  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        |  FROM hist),
+        |q(q_x1000) AS (VALUES (500), (900), (990)),
+        |t AS (
+        |  SELECT q_x1000, nn.n,
+        |    CAST((q_x1000 * nn.n + 999) // 1000 AS BIGINT) AS target_rank
+        |  FROM q, nn)
+        |SELECT t.q_x1000, t.n, t.target_rank, MIN(c.bin) AS bin,
+        |  CAST((MIN(c.bin) + 1) * 1000 AS BIGINT) AS est_hi_x100
+        |FROM t JOIN c ON c.cum >= t.target_rank
+        |GROUP BY 1, 2, 3 ORDER BY t.q_x1000""".stripMargin),
+
     // Custom per-key state via mapGroupsWithState (IncrementalIngest
     // .statefulUserCounts): update mode re-emits per batch; the MAX of
     // the monotone running count per user is the total event count.
