@@ -742,6 +742,67 @@ object RelationalQueries {
         |  AND p.pt_sec >= e.start_sec AND p.pt_sec <= e.start_sec + 600
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin),
 
+    // Bloom-filter semi-join census (operators.Bloom) — the
+    // scan-reduction runtime filter: high-value order keys become a
+    // 2048-bit bitmap evaluated inside the lineitem scan, so only
+    // possible matches reach the join. The census pins the filter's
+    // CONTRACT in one integer row: zero false negatives (every true
+    // match passes), the false-positive count the bitmap's fill rate
+    // implies, and the exact pass/true totals — all replayed from the
+    // same md5 positions in DuckDB.
+    "j_bloom_prefilter" -> QueryDef(
+      (s, d) => {
+        val bits = 2048
+        val k = 2
+        val dimKeys = T.orders(s, d)
+          .filter(col("o_totalprice") > 490000.0)
+          .select(col("o_orderkey").as("key")).distinct()
+        val set = Bloom.buildBits(dimKeys, col("key"), bits, k)
+        val fact = T.lineitem(s, d).select(col("l_orderkey").as("key"))
+        fact
+          .withColumn("p",
+            Bloom.mightContain(col("key"), set, bits, k).cast("int").cast("long"))
+          .join(broadcast(dimKeys.withColumn("t", lit(1L))), Seq("key"), "left")
+          .agg(count(lit(1)).as("n_fact_rows"),
+            sum(col("p")).as("n_pass_rows"),
+            sum(coalesce(col("t"), lit(0L))).as("n_true_rows"),
+            sum(when(col("p") === 1L && col("t").isNull, 1L).otherwise(0L))
+              .as("false_positive_rows"),
+            sum(when(col("p") === 0L && col("t").isNotNull, 1L).otherwise(0L))
+              .as("missed_true_rows"))
+      },
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderkey AS key FROM orders
+        |  WHERE o_totalprice > 490000.0),
+        |pos AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(
+        |      md5('b' || r.i || '|' || CAST(key AS VARCHAR)), 1, 15))
+        |      AS BIGINT) & 2047 AS pos
+        |  FROM dim, range(0, 2) r(i)),
+        |fact AS (SELECT l_orderkey AS key FROM lineitem),
+        |fk AS (SELECT DISTINCT key FROM fact),
+        |fpos AS (
+        |  SELECT fk.key, r.i,
+        |    CAST(('0x' || substr(
+        |      md5('b' || r.i || '|' || CAST(fk.key AS VARCHAR)), 1, 15))
+        |      AS BIGINT) & 2047 AS pos
+        |  FROM fk, range(0, 2) r(i)),
+        |fpass AS (
+        |  SELECT fpos.key FROM fpos LEFT JOIN pos ON pos.pos = fpos.pos
+        |  GROUP BY fpos.key HAVING COUNT(pos.pos) = 2)
+        |SELECT COUNT(*) AS n_fact_rows,
+        |  CAST(SUM(CASE WHEN fp.key IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pass_rows,
+        |  CAST(SUM(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true_rows,
+        |  CAST(SUM(CASE WHEN fp.key IS NOT NULL AND d.key IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS false_positive_rows,
+        |  CAST(SUM(CASE WHEN fp.key IS NULL AND d.key IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS missed_true_rows
+        |FROM fact f
+        |LEFT JOIN (SELECT key FROM fpass) fp ON fp.key = f.key
+        |LEFT JOIN dim d ON d.key = f.key""".stripMargin),
+
     // ---- joins ----------------------------------------------------------
     // SURVEY §2.3 J1-J3: tiny-dimension lookups as broadcast hash joins.
     "j1_broadcast_dims" -> QueryDef(
