@@ -970,6 +970,34 @@ object RelationalQueries {
          |  ${T.sqlDecSum("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY hour""".stripMargin),
 
+    // HOPPING (sliding) windows — 2 h span every 1 h, so each event
+    // lands in exactly two overlapping windows (Spark's built-in
+    // `window(ts, "2 hours", "1 hour")` slide semantics, epoch-
+    // aligned). The missing window shape beside tumbling
+    // (ev_hourly_agg) and session (ev_sessionize): smoothed rate
+    // monitoring. The oracle derives both window starts per event
+    // from pure epoch integer arithmetic and must reproduce the
+    // grouping exactly; window_start is emitted as an epoch-seconds
+    // BIGINT (engine-exact).
+    "ev_hopping_agg" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("n"), col("n_users"))
+        .orderBy(col("window_start")),
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events),
+        |x AS (
+        |  SELECT user_id,
+        |    unnest([(sec // 3600 - 1) * 3600, (sec // 3600) * 3600])
+        |      AS window_start
+        |  FROM e)
+        |SELECT CAST(window_start AS BIGINT) AS window_start,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM x GROUP BY 1 ORDER BY window_start""".stripMargin),
+
     // Gap-based sessionization (30-min inactivity) via lag + cumulative
     // flag sum — all-integer arithmetic for cross-engine parity.
     "ev_sessionize" -> QueryDef(
