@@ -62,7 +62,34 @@ object DumpPlans {
       ("Quantized k-NN join: corpus scored from dequantized int8 " +
         "(4× less scan volume), bucket join against broadcast " +
         "queries, partial+final GroupedTopK — one exchange of " +
-        "candidates."))
+        "candidates."),
+    "sim_knn_join_ivf" ->
+      ("IVF k-NN join: corpus rows carry ONE cell each, queries " +
+        "explode to nprobe cells and broadcast — at scale a " +
+        "partition-pruned scan of the cell-partitioned corpus; " +
+        "0.60 measured recall@3, best join variant in " +
+        "sim_recall_report."),
+    "j_asof_latest_view" ->
+      ("As-of join WITHOUT a join node: union of side-tagged inputs " +
+        "through one running window per key — one hash shuffle on " +
+        "user_id, immune to key skew (no per-key quadratic term " +
+        "however hot the key)."),
+    "j_range_bucketed" ->
+      ("Interval-containment join as a time-grid equi-join: " +
+        "intervals explode to overlapped cells, points land in ONE " +
+        "cell (no pair dedup), exact containment filter after — " +
+        "never a broadcast-nested-loop."),
+    "j_bloom_prefilter" ->
+      ("Bloom pre-filter evaluated inside the fact scan (literal " +
+        "bitmap, whole-stage codegen) — 92.6% of fact rows " +
+        "eliminated before the join on the fixture, zero false " +
+        "negatives by construction."),
+    "dd_degree_cap" ->
+      ("Sampled-edge dedup clustering: per-node degree cap keeps " +
+        "edge volume linear in nodes where a pathological duplicate " +
+        "cluster is quadratic; capped clusters reported, clique " +
+        "connectivity preserved (funnelcap probe: flat wall-clock at " +
+        "2000 clones)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
