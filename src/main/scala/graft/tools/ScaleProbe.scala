@@ -33,7 +33,7 @@ import graft.operators.{Unify, V2Fixtures}
   * a correctness invariant riding along with the timing curve.
   *
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
-  *   probe ∈ unify (default) | minhash | funnel | funnelcap | merge | bpe
+  *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof | merge | bpe
   *   (`funnelcap` clones ONE doc ×factor — the adversarial duplicate
   *   cluster — through degree-capped clustering)
   */
@@ -145,6 +145,55 @@ object ScaleProbe {
       (canon, (System.nanoTime() - t0) / 1e9)
     }
 
+    // As-of hot-key probe: ONE user's events replicated ×factor with
+    // shifted timestamps — the skewed-key case where the naive
+    // formulation (inequality join per key, then per-left argmax)
+    // goes quadratic in the key's row count while the window
+    // formulation (TemporalJoins.asofJoin) stays at sort cost. Both
+    // run per factor (naive skipped past 500× where its pair count
+    // explodes); the invariant is an identical matched-purchase
+    // count.
+    var lastNaiveSec = -1.0
+    def runAsofAt(factor: Int): (Long, Double) = {
+      import org.apache.spark.sql.DataFrame
+      val one = graft.Tables.events(spark, sfDir)
+        .filter(col("user_id") === 1)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val hot = one.crossJoin(broadcast(
+          spark.range(factor).select(col("id").as("_rep"))))
+        .select((col("event_id") + col("_rep") * 10000000L).as("event_id"),
+          col("event_type"),
+          expr("timestampadd(SECOND, _rep, ts)").as("ts"))
+        .withColumn("user_id", lit(1L))
+      val purchases = hot.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = hot.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      val t0 = System.nanoTime()
+      val matched = graft.operators.TemporalJoins.asofJoin(
+          purchases, views, Seq("user_id"), "ts", Seq("view_event_id"))
+        .filter(col("view_event_id").isNotNull).count()
+      val windowSec = (System.nanoTime() - t0) / 1e9
+      lastNaiveSec = -1.0
+      if (factor <= 500) {
+        def naive(p: DataFrame, v: DataFrame): Long = {
+          val j = p.join(v.withColumnRenamed("ts", "vts"), Seq("user_id"))
+            .filter(col("vts") <= col("ts"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_id")).orderBy(col("vts").desc)
+          j.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("rn") === 1).count()
+        }
+        val t1 = System.nanoTime()
+        val nMatched = naive(purchases, views)
+        lastNaiveSec = (System.nanoTime() - t1) / 1e9
+        require(nMatched == matched,
+          s"asof window ($matched) != naive ($nMatched) at factor $factor")
+      }
+      (matched, windowSec)
+    }
+
     // Month-merge probe: a table of `factor` months (one replica per
     // month), then ONE batch merged into a single month — timed both
     // through the partition-pruned month merge and the full-table
@@ -200,6 +249,7 @@ object ScaleProbe {
       case "minhash"   => runMinhashAt
       case "funnel"    => runFunnelAt
       case "funnelcap" => runFunnelAdversarialAt
+      case "asof"      => runAsofAt
       case "merge"     => runMergeAt
       case "bpe"       => runBpeAt
       case _           => runAt
@@ -210,6 +260,7 @@ object ScaleProbe {
       case "minhash"   => "dd_minhash_pairs"
       case "funnel"    => "dedup_funnel"
       case "funnelcap" => "dedup_funnel_capped"
+      case "asof"      => "asof_hotkey"
       case "merge"     => "month_merge"
       case "bpe"       => "ta_subword_bpe"
       case _           => "etl_unify_score"
@@ -217,6 +268,7 @@ object ScaleProbe {
     val unit = probe match {
       case "minhash"   => "pairs"
       case "funnel" | "funnelcap" => "canonical"
+      case "asof"      => "matched"
       case "merge"     => "batch_rows"
       case "bpe"       => "tokens"
       case _           => "rows"
@@ -228,6 +280,8 @@ object ScaleProbe {
         if (probe == "funnel") s""","rounds":$lastRounds"""
         else if (probe == "funnelcap")
           s""","rounds":$lastRounds,"capped_clusters":$lastCapped"""
+        else if (probe == "asof")
+          f""","sec_naive":$lastNaiveSec%.2f"""
         else if (probe == "merge") f""","sec_full_rewrite":$lastFullSec%.2f"""
         else ""
       val inRows = if (probe == "funnelcap") baseRows + f else baseRows * f
