@@ -936,10 +936,17 @@ object PipelineQueries {
     // cluster census — every cell integer.
     "dd_degree_cap" -> QueryDef(
       (s, d) => {
+        // the census fans out over pairs/kept/capped several times;
+        // localCheckpoint materializes each ONCE instead of re-deriving
+        // the shingle-join pipeline per aggregate (construction-time
+        // job, the o6_keyset_pagination precedent; clustering itself
+        // checkpoints its rounds the same way)
         val pairs = Dedup.ngramJaccardPairs(
           T.documents(s, d).filter(col("doc_id") < 500), "doc_id", "text",
-          n = 2, minJaccard = 0.5)
-        val (kept, cappedNodes) = Dedup.capDegree(pairs, maxDegree = 1)
+          n = 2, minJaccard = 0.5).localCheckpoint()
+        val (kept0, capped0) = Dedup.capDegree(pairs, maxDegree = 1)
+        val kept = kept0.localCheckpoint()
+        val cappedNodes = capped0.localCheckpoint()
         val labels = Dedup.duplicateClusters(kept)
         pairs.agg(count(lit(1)).as("n_pairs_in"))
           .crossJoin(kept.agg(count(lit(1)).as("n_pairs_kept"),
