@@ -1728,7 +1728,10 @@ object PipelineQueries {
   private def bpeTrainOracleSql(k: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH RECURSIVE words AS (
-       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  SELECT unnest(string_split_regex(
+       |    CASE WHEN contains(text, chr(1))
+       |         THEN error('bpe train oracle: text contains chr(1)')
+       |         ELSE lower(text) END, '\\s+')) AS w
        |  FROM documents),
        |w0 AS (
        |  SELECT w AS word, COUNT(*) AS cnt,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bloom, Sketches}
+
+class BloomSketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  test("bloom filter: zero false negatives across configs, fp rate sane") {
+    val rnd = new scala.util.Random(7)
+    val universe = (1 to 2000).map(_ => rnd.nextLong().abs).distinct
+    val members = universe.take(150)
+    val dim = members.toDF("key")
+    for ((bits, k) <- Seq((1024, 2), (2048, 4), (256, 1))) {
+      val set = Bloom.buildBits(dim, $"key", bits, k)
+      val flags = universe.toDF("key")
+        .select($"key", Bloom.mightContain($"key", set, bits, k).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      members.foreach(m => assert(flags(m),
+        s"FALSE NEGATIVE for $m at bits=$bits k=$k"))
+      val nonMembers = universe.drop(150)
+      val fps = nonMembers.count(flags(_))
+      assert(fps < nonMembers.size,
+        s"bitmap saturated (all non-members pass) at bits=$bits k=$k")
+    }
+  }
+
+  test("histogram quantile estimate brackets the true ranked value") {
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 5000).map(_ => rnd.nextDouble() * 500.0)
+    val df = vals.toDF("v")
+    val hist = Sketches.histogramCounts(df, $"v", lo = 0.0, width = 10.0,
+      nBins = 64)
+    val qs = Seq(500, 900, 990)
+    val got = Sketches.histogramQuantiles(hist, qs, loX100 = 0L,
+        widthX100 = 1000L)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(4))).toSeq
+    val sorted = vals.sorted
+    got.foreach { case (q, target, estHiX100) =>
+      val truth = sorted((target - 1).toInt) // rank is 1-based
+      val estHi = estHiX100 / 100.0
+      assert(truth <= estHi && truth > estHi - 10.0,
+        s"q=$q: true ranked value $truth outside (${estHi - 10.0}, $estHi]")
+    }
+  }
+
+  test("histogram sketch merges additively across shards") {
+    val vals = (1 to 4000).map(i => (i % 7, (i * 37 % 5000) / 10.0))
+    val df = vals.toDF("shard", "v")
+    val direct = Sketches.histogramCounts(df, $"v", 0.0, 10.0, 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = (0 until 7).map(s =>
+        Sketches.histogramCounts(df.filter($"shard" === s), $"v",
+          0.0, 10.0, 64))
+      .reduce(_ unionByName _)
+      .groupBy($"bin").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+  }
+}

@@ -37,6 +37,36 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin == naive per-row argmax on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (1 to 200).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+      .toDF("k", "ts", "rid")
+      .groupBy($"k", $"ts").agg(max($"rid").as("payload"))
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("payload"))
+      .select($"lid", $"payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // naive reference: inequality left join + per-left argmax by ts
+    // (right unique per (k, ts), so the argmax is well-defined)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"rts".desc_nulls_last)
+    val naive = left.as("l")
+      .join(right.select($"k".as("rk"), $"ts".as("rts"), $"payload"),
+        $"l.k" === $"rk" && $"rts" <= $"l.ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === naive)
+    assert(got.size === 300)
+  }
+
   test("rangeJoinBucketed == naive containment join, boundaries inclusive") {
     // intervals and points engineered to cross bucket boundaries in
     // every way: spanning multiple cells, exact start/end equality,
