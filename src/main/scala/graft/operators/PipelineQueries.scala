@@ -569,6 +569,37 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // IVF nprobe sweep — the recall-vs-scan lever as a measured CURVE:
+    // recall@10 of ivfTopK at nprobe 1/2/4/8 against the exact top-10,
+    // plus how many corpus rows each probe set scanned (the cost side
+    // of the lever — at scale, scanned/corpus ≈ nprobe/nlist of the
+    // cell-partitioned table). Monotone non-decreasing in nprobe by
+    // construction; with the pinned nlist=4 quantizer, nprobe=4 is
+    // already exhaustive (the 8 row documents saturation: same scan,
+    // same recall). Fixture curve: 0.2 @ 115 rows → 0.5 @ 255 →
+    // 1.0 @ 499. The oracle replays every probe set.
+    "sim_ivf_nprobe_sweep" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val corpus0 = emb.filter(col("vec_id") =!= 0)
+        val exactT = Similarity.cosineTopK(corpus0, "vec_id", "embedding",
+          q, 10).select("vec_id")
+        val withCell = corpus0.withColumn("_cell",
+          Similarity.ivfAssignment(col("embedding"), IvfCentroids.pinned))
+        Seq(1, 2, 4, 8).map { np =>
+          val ivfT = Similarity.ivfTopK(corpus0, "vec_id", "embedding",
+            q, 10, IvfCentroids.pinned, nprobe = np).select("vec_id")
+          ivfT.join(exactT, "vec_id").agg(count(lit(1)).as("hits"))
+            .crossJoin(withCell.filter(col("_cell").isin(
+                Similarity.probeCells(q, IvfCentroids.pinned, np): _*))
+              .agg(count(lit(1)).as("rows_scanned")))
+            .select(lit(np).as("nprobe"), col("hits"), col("rows_scanned"))
+        }.reduce(_ unionByName _).orderBy(col("nprobe"))
+      },
+      ivfNprobeSweepOracleSql(Seq(1, 2, 4, 8))),
+
     // ANN recall measurement — turns the "recall lever" scaladocs into
     // measured numbers: recall@10 of the LSH and IVF top-k probes and
     // recall@3 of the single/multi-probe LSH k-NN joins, each against
@@ -1712,6 +1743,63 @@ object PipelineQueries {
          |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
          |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
   )
+
+  /** Oracle for sim_ivf_nprobe_sweep: centroids ranked once by
+    * distance to the query vector, then per nprobe the recall hits
+    * against the exact top-10 and the scanned-row cost — the same
+    * strict argmin/rank arithmetic sim_ann_ivf already replays.
+    */
+  private def ivfNprobeSweepOracleSql(nps: Seq[Int]): String = {
+    val dim1 = IvfCentroids.dim + 1
+    val rows = nps.map(np =>
+      s"""  SELECT CAST($np AS INT) AS nprobe,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT s.vec_id FROM sc0 s JOIN assign a
+         |         ON a.vec_id = s.vec_id
+         |       WHERE a.cell IN (SELECT i FROM prank WHERE rk <= $np)
+         |       ORDER BY s.cosine DESC, s.vec_id LIMIT 10) t
+         |     JOIN exact10 x ON x.vec_id = t.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM assign
+         |     WHERE cell IN (SELECT i FROM prank WHERE rk <= $np))
+         |      AS rows_scanned""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+       |cn AS (
+       |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+       |    (a, b) -> a + b) AS cnorm FROM cen),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+       |    (a, b) -> a + b)) AS nrm FROM emb),
+       |qn AS (SELECT v AS qv, nrm AS qnorm FROM n WHERE vec_id = 0),
+       |sc0 AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list_transform(range(1, $dim1),
+       |      j -> e.v[j] * qn.qv[j]), (a, b) -> a + b)
+       |      / (e.nrm * qn.qnorm) AS cosine
+       |  FROM n e, qn WHERE e.vec_id <> 0),
+       |exact10 AS (
+       |  SELECT vec_id FROM sc0 ORDER BY cosine DESC, vec_id LIMIT 10),
+       |prank AS (
+       |  SELECT cn.i, row_number() OVER (
+       |    ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |      list_transform(range(1, $dim1),
+       |        j -> qn.qv[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rk
+       |  FROM cn, qn),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, $dim1),
+       |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+       |    FROM emb e, cn WHERE e.vec_id <> 0) WHERE rn = 1)
+       |SELECT nprobe, hits, rows_scanned FROM (
+       |$rows
+       |) ORDER BY nprobe""".stripMargin
+  }
 
   /** Oracle for ta_bpe_train: replays BPE merge-table LEARNING in
     * DuckDB — `k` unrolled iterations, each one (a) counting adjacent

@@ -191,14 +191,22 @@ object Similarity {
     * column is materialized once (partitioned-by-cell table) so a
     * probe is a partition-pruned scan of nprobe/nlist of the data.
     */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
-      nprobe: Int = 2): DataFrame = {
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
+  /** The nprobe cells nearest a concrete (driver-side) query vector —
+    * the probe set ivfTopK scans; exposed so sweeps can report the
+    * scanned-row cost of each nprobe alongside its recall.
+    */
+  def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
       val d = c.map(x => x * x).sum -
         2.0 * c.zip(query).map { case (a, b) => a * b }.sum
       (d, i)
     }.sortBy(_._1).take(nprobe).map(_._2)
+
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+      nprobe: Int = 2): DataFrame = {
+    val probes = probeCells(query, centroids, nprobe)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     embeddings
       .withColumn("_cell", ivfAssignment(col(vecCol), centroids))
