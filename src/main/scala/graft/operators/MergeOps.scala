@@ -372,6 +372,47 @@ object MergeOps {
     * schedule). Same per-month staging/retire crash safety as the
     * merge. Returns the compacted months.
     */
+  /** Retention: drop every month partition strictly BEFORE
+    * `cutoffMonth` (lexicographic on the yyyy-MM partition value — the
+    * layout's natural order) as DIRECTORY renames, never row rewrites:
+    * at 100 TB, expiring a month of history costs two metadata ops per
+    * month, not a table scan.
+    *
+    * Crash safety: each month is renamed (atomic) into a `_mdropped`
+    * sibling and then deleted — the RENAME is the commit point, so a
+    * crash mid-drop leaves the month either fully live or committed-
+    * dropped (garbage under `_mdropped` is swept by the next call).
+    * `_mdropped` is deliberately NOT the `_mretired` root:
+    * recoverOrphans restores retired months, and a dropped month must
+    * stay dropped. Same single-writer / reader-exclusion contract as
+    * the merge. Returns the dropped months.
+    */
+  def dropMonthsBefore(spark: SparkSession, tablePath: String,
+      cutoffMonth: String, partCol: String = "start_month"): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    require(cutoffMonth.matches("[A-Za-z0-9._-]+"),
+      s"cutoff '$cutoffMonth' must be a plain partition value")
+    val dest = new Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropRoot = new Path(dest.getParent, dest.getName + "_mdropped")
+    fs.delete(dropRoot, true) // sweep a prior crash's committed drops
+    if (!fs.exists(dest)) return Nil
+    val months = fs.listStatus(dest).map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+      .map(_.stripPrefix(partCol + "="))
+      .filter(_ < cutoffMonth).sorted.toSeq
+    if (months.isEmpty) return Nil
+    fs.mkdirs(dropRoot)
+    months.foreach { m =>
+      val dirName = partCol + "=" + m
+      if (!fs.rename(new Path(dest, dirName), new Path(dropRoot, dirName)))
+        throw new java.io.IOException(
+          s"could not retire expiring month $dirName into $dropRoot")
+    }
+    fs.delete(dropRoot, true)
+    months
+  }
+
   def compactMonths(spark: SparkSession, tablePath: String,
       keys: Seq[String], partCol: String = "start_month",
       maxFilesPerMonth: Int = 4,

@@ -97,6 +97,52 @@ object MergeQueries {
         |FROM r WHERE rn = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // K6 retention — data lifecycle at directory granularity: expire
+    // the months before a cutoff as two metadata ops each (rename =
+    // commit, then delete), never a row rewrite. The query proves the
+    // drop is EXACT (DuckDB recomputes the surviving state from the
+    // cutoff predicate), that kept months' files are byte-level
+    // untouched (census before/after), and pins how many months were
+    // dropped.
+    "k6_retention_drop" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/month_retention/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        val base = T.events(s, d)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
+              .as("start_month"))
+        MergeOps.upsertParquetByMonth(s, table, base, Seq("user_id"), "event_id")
+        val before = monthCensus(fs, table, skipMonth = "2025-01")
+          .filterNot(_._1.startsWith("start_month=2025-02"))
+        val dropped = MergeOps.dropMonthsBefore(s, table, "2025-03")
+        val after = monthCensus(fs, table, skipMonth = "__none__")
+        val untouched = before.nonEmpty && before == after
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_eid"))
+          .withColumn("n_dropped_months", lit(dropped.size.toLong))
+          .withColumn("kept_untouched", lit(untouched))
+          .orderBy(col("start_month"))
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT '2025-0' || CAST(user_id % 6 + 1 AS VARCHAR) AS start_month,
+        |  COUNT(*) AS n, MAX(event_id) AS max_eid,
+        |  CAST(2 AS BIGINT) AS n_dropped_months,
+        |  TRUE AS kept_untouched
+        |FROM r WHERE rn = 1 AND user_id % 6 + 1 >= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // K1 reconcile — the periodic pass closing the month-merge's
     // documented gap: even users' events get re-scraped into NEW
     // months (user%3+4) without the old month in the batch, leaving

@@ -188,6 +188,37 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got === Seq("e1" -> "jan", "e2" -> "feb v2"))
   }
 
+  test("retention drop: rename is the commit point, crash garbage swept") {
+    val dir = Files.createTempDirectory("graft_mdrop").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"), ("e2", "feb", 1, "2025-02"),
+        ("e3", "mar", 1, "2025-03"))),
+      Seq("event_id"), "version")
+    // simulate a crash AFTER the commit rename and BEFORE the delete:
+    // the month sits under _mdropped and must NOT be resurrected by
+    // merge-side orphan recovery (that is why _mdropped != _mretired)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/events_mdropped"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(table, "start_month=2025-01"),
+      new org.apache.hadoop.fs.Path(s"$dir/events_mdropped/start_month=2025-01")))
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+    assert(spark.read.parquet(table).count() === 2,
+      "a committed-dropped month must not be resurrected")
+    // the next retention call sweeps the garbage and applies its drop
+    assert(MergeOps.dropMonthsBefore(spark, table, "2025-03") ===
+      Seq("2025-02"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events_mdropped")))
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(_.getAs[String]("event_id")).toSeq
+    assert(got === Seq("e3"))
+    // idempotent on a clean table
+    assert(MergeOps.dropMonthsBefore(spark, table, "2025-03") === Nil)
+  }
+
   test("month upsert: a month can merge to empty and is retired") {
     val dir = Files.createTempDirectory("graft_mempty").toFile.getAbsolutePath
     val table = s"$dir/events"
