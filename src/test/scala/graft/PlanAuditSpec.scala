@@ -22,6 +22,24 @@ class PlanAuditSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("query registries have no name collisions (Map ++ would shadow)") {
+    val regs = Seq(
+      graft.operators.RelationalQueries.registry,
+      graft.operators.TextQueries.registry,
+      graft.operators.PipelineQueries.registry,
+      graft.operators.V2Queries.registry,
+      graft.operators.FunctionQueries.registry,
+      graft.operators.MergeQueries.registry,
+      graft.operators.SinkQueries.registry,
+      graft.operators.SideTableQueries.registry,
+      graft.operators.GeoQueries.registry,
+      graft.streaming.StreamingQueries.registry)
+    val total = regs.map(_.size).sum
+    assert(total === SparkEntry.registry.size,
+      s"registry name collision: $total keys across registries but " +
+        s"${SparkEntry.registry.size} after merge — a query is shadowed")
+  }
+
   test("filters are pushed to the parquet scan") {
     val p = plan("p7_threshold_filter")
     assert(p.contains("PushedFilters: ["), p.take(800))
