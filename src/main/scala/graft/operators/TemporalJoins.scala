@@ -73,9 +73,13 @@ object TemporalJoins {
       keys: Seq[String], startSec: String, endSec: String,
       pointSec: String, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
-    val iv = intervals.withColumn("_cell", explode(
-      sequence(expr(s"$startSec div $bucketSeconds"),
-        expr(s"$endSec div $bucketSeconds"))))
+    // an inverted interval (end < start) matches nothing under the
+    // containment predicate, but Spark's sequence() would happily
+    // explode it DESCENDING — drop empty intervals before the explode
+    val iv = intervals.filter(col(endSec) >= col(startSec))
+      .withColumn("_cell", explode(
+        sequence(expr(s"$startSec div $bucketSeconds"),
+          expr(s"$endSec div $bucketSeconds"))))
     val pt = points.withColumn("_cell", expr(s"$pointSec div $bucketSeconds"))
     iv.join(pt, keys :+ "_cell")
       .filter(col(pointSec) >= col(startSec) &&

@@ -92,4 +92,12 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got === Set(("i1", "a"), ("i1", "b"), ("i1", "d"),
       ("i2", "d"), ("i3", "f")))
   }
+
+  test("rangeJoinBucketed: inverted intervals match nothing") {
+    val intervals = Seq((1L, 500L, 100L, "bad")).toDF(
+      "k", "start_sec", "end_sec", "iid")
+    val points = Seq((1L, 300L, "p")).toDF("k", "pt_sec", "pid")
+    assert(TemporalJoins.rangeJoinBucketed(intervals, points, Seq("k"),
+      "start_sec", "end_sec", "pt_sec", bucketSeconds = 100).count() === 0L)
+  }
 }
