@@ -820,6 +820,62 @@ object PipelineQueries {
          |WHERE cosine >= CAST(0.1 AS DOUBLE)
          |ORDER BY cosine DESC, id1, id2 LIMIT 100""".stripMargin),
 
+    // SemDeDup (cluster-then-prune) census: the coarse quantizer is
+    // the same pinned-literal centroid table sim_ann_ivf replays, so
+    // DuckDB re-derives the identical cluster assignment (strict-less
+    // argmin), the identical within-cluster near-dup pairs (left-fold
+    // cosine, bit-exact per sim_cosine_fast), and hence the identical
+    // kept set — pinned by the kept_id_sum checksum, not just counts.
+    "dd_semantic_prune" -> QueryDef(
+      (s, d) =>
+        Similarity.semanticPruneCensus(T.embeddings(s, d), "vec_id",
+          "embedding", IvfCentroids.pinned, minCosine = 0.3),
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm
+         |  FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, v, i AS cell FROM (
+         |    SELECT e.vec_id, e.v, cn.i, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn)
+         |  WHERE rn = 1),
+         |csz AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+         |nrm AS (
+         |  SELECT a.vec_id, a.cell, a.v,
+         |    sqrt(list_reduce(list_transform(a.v, t -> t * t),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM assign a JOIN csz ON csz.cell = a.cell
+         |  WHERE csz.n <= 100000),
+         |pruned AS (
+         |  SELECT DISTINCT y.cell, y.vec_id
+         |  FROM nrm x JOIN nrm y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      j -> x.v[j] * y.v[j]), (a, b) -> a + b)
+         |    / (x.nrm * y.nrm) >= CAST(0.3 AS DOUBLE))
+         |SELECT a.cell AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |  CAST(CASE WHEN COUNT(*) > 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS capped,
+         |  CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS pruned,
+         |  CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS kept,
+         |  CAST(SUM(CASE WHEN p.vec_id IS NULL THEN a.vec_id ELSE 0 END)
+         |    AS BIGINT) AS kept_id_sum
+         |FROM assign a LEFT JOIN pruned p
+         |  ON p.cell = a.cell AND p.vec_id = a.vec_id
+         |GROUP BY a.cell ORDER BY a.cell""".stripMargin),
+
     // IVF ANN: probe the 2 cells nearest the query vector, exact
     // cosine within them. The coarse quantizer was trained ONCE
     // offline (graft.tools.PinIvfCentroids — the same bounded-sample
@@ -1419,6 +1475,61 @@ object PipelineQueries {
         |  array_to_string(list_sort(list_distinct(
         |    list_transform(shingles, s -> md5(s))))[1:8], ',') AS fp
         |FROM sh ORDER BY doc_id LIMIT 200""".stripMargin),
+
+    // Winnowing (MOSS) fingerprints over a Rabin-Karp ROLLING hash —
+    // the position-robust complement to ta_fingerprint's bottom-k:
+    // any shared run of ≥ w+k−1 chars yields a shared fingerprint.
+    // The engine rolls the polynomial hash in O(n) and windows with a
+    // monotonic deque (functions.WinnowHashes codegen); the oracle
+    // recomputes every gram hash DIRECTLY (list_reduce fold per slice
+    // — equal values by modular arithmetic, an independent
+    // formulation, not a replay of the rolling update) and takes
+    // list_min per window. Census pins gram count, fingerprint count,
+    // and the exact selected-value sum per doc.
+    "ta_winnow_fingerprint" -> QueryDef(
+      (s, d) => {
+        val fps = graft.functions.WinnowHashes
+          .winnow_hashes(col("text"), 4, 16)
+        val n = length(col("text")).cast("long")
+        T.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            when(n === 0L, 0L).when(n < 4L, 1L).otherwise(n - 3L)
+              .as("n_grams"),
+            size(fps).cast("long").as("n_fps"),
+            aggregate(fps, lit(0L), (a, x) => a + x).as("fp_sum"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE doc_id < 200),
+        |cp AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, n + 1),
+        |      i -> CAST(unicode(text[i]) AS BIGINT)) AS cps
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN n < 4 THEN [list_reduce(cps,
+        |           (a, c) -> (a * 257 + c) % 1000000007)]
+        |         ELSE list_transform(range(1, n - 2),
+        |           i -> list_reduce(cps[i:i+3],
+        |             (a, c) -> (a * 257 + c) % 1000000007))
+        |    END AS hs
+        |  FROM cp),
+        |m AS (
+        |  SELECT doc_id, len(hs) AS nh,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |         ELSE list_sort(list_distinct(
+        |           list_transform(range(1, len(hs) - 14),
+        |             i -> list_min(hs[i:i+15]))))
+        |    END AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(nh AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+        |FROM m ORDER BY doc_id""".stripMargin),
 
     // EXACT 13-gram decontamination — the canonical verbatim-overlap
     // test (any shared 13-token window disqualifies), complementing the

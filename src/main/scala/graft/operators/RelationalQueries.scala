@@ -900,6 +900,36 @@ object RelationalQueries {
         |FROM events WHERE user_id < 5
         |ORDER BY user_id, event_id""".stripMargin),
 
+    // Per-group quartile banding via NTILE — the partitioned window
+    // form (each o_orderpriority group sorts independently, so the
+    // window parallelizes across groups; a GLOBAL ntile would funnel
+    // the table through one task and is the anti-pattern at scale).
+    // The (o_totalprice, o_orderkey) order is total, so tile
+    // boundaries are deterministic in both engines; min/max are
+    // arithmetic-free and the sum rides the decSum parity rule.
+    "w_ntile" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            T.decSum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"), col("quartile"))
+      },
+      s"""WITH t AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    NTILE(4) OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) AS quartile
+         |  FROM orders)
+         |SELECT o_orderpriority, quartile, COUNT(*) AS n,
+         |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+         |  ${T.sqlDecSum("o_totalprice")} AS total
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Grouped top-k via the custom GroupedTopK physical operator
     // (bounded per-key heaps after one hash exchange — no per-group
     // sort; see graft.plans.GroupedTopK). Oracle: the equivalent

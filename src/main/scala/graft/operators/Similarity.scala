@@ -429,6 +429,62 @@ object Similarity {
     * dropped from the pair join — "everything here is the same
     * boilerplate" is exact-fingerprint-dedup territory, not ANN's.
     */
+  /** SemDeDup-style semantic dedup census (Abbas et al. 2023,
+    * arXiv:2303.09540, public method): assign every embedding to its
+    * nearest coarse-quantizer centroid, then inside each cluster prune
+    * any document whose cosine to a LOWER-id document in the same
+    * cluster reaches `minCosine` — the min-id member of every near-dup
+    * neighborhood survives. This is the paper's keep-one-per-ε-ball
+    * rule made deterministic (lowest id = the kept exemplar), which
+    * intentionally differs from connected-components canonicalization
+    * (`Dedup.canonicalDocuments`): a chain a~b~c with a≁c keeps only
+    * `a` here, because both b and c have SOME earlier neighbor.
+    *
+    * Scale stance: pair generation is confined to clusters, and at
+    * 100 TB nlist grows with the corpus (SemDeDup uses ~sqrt(N)
+    * clusters) so per-cluster membership stays bounded; the pair join
+    * shuffles on `cell` only. `maxCellSize` is the same guard rail as
+    * minhashCandidatePairs' maxBucketSize — a degenerate cluster
+    * (constant boilerplate embeddings) is excluded from the pair join
+    * and reported `capped = 1` with all members kept, rather than
+    * detonating n² pairs.
+    *
+    * Output: one census row per cluster — size, capped flag, pruned /
+    * kept counts, and the exact kept-id sum (a checksum of the kept
+    * SET, so the oracle compare pins which documents survived, not
+    * just how many).
+    */
+  def semanticPruneCensus(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], minCosine: Double,
+      maxCellSize: Int = 100000): DataFrame = {
+    val assigned = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", ivfAssignment(col("v"), centroids))
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+    val sized = assigned.withColumn("_csz", count(lit(1)).over(cellW))
+    val joinable = sized.filter(col("_csz") <= maxCellSize)
+      .select(col("cell"), col("id"), col("v"))
+    val prunedIds = joinable.as("a").join(joinable.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.v"), col("b.v")) >= minCosine)
+      .select(col("b.cell").as("cell"), col("b.id").as("id"))
+      .distinct()
+    sized
+      .join(prunedIds.withColumn("_pruned", lit(1)), Seq("cell", "id"),
+        "left")
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(when(col("_csz") > maxCellSize, 1L).otherwise(0L))
+          .as("capped"),
+        sum(when(col("_pruned") === 1, 1L).otherwise(0L)).as("pruned"),
+        sum(when(col("_pruned").isNull, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("_pruned").isNull, col("id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy(col("cell"))
+  }
+
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
       vecCol: String, dim: Int, minCosine: Double, bits: Int = 8,
       seed: Long = 7L, maxBucketSize: Int = 500): DataFrame = {

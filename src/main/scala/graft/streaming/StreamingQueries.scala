@@ -343,6 +343,50 @@ object StreamingQueries {
         |FROM t JOIN c ON c.cum >= t.target_rank
         |GROUP BY 1, 2, 3 ORDER BY t.q_x1000""".stripMargin),
 
+    // STREAM-STREAM interval join in the real engine: views joined to
+    // same-user purchases landing within [view_ts, view_ts + 1 hour],
+    // both sides watermarked (the watermark + the interval bound is
+    // what lets the engine EVICT join state — without the time-range
+    // condition each side's state grows forever). Inner stream-stream
+    // joins emit a pair in the first micro-batch where both rows are
+    // present and never retract, and the replay-wide watermark means
+    // no state is evicted mid-drain, so the drained pair set equals
+    // the batch interval join under ANY micro-batch split. The sink
+    // table is then batch-aggregated into an order-free census
+    // (pair count, distinct converting users, exact integer lag sum).
+    "ev_stream_join" -> QueryDef(
+      (s, d) => {
+        val ev = eventStream(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "8760 hours")
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+          .withWatermark("buy_ts", "8760 hours")
+        val joined = views.join(buys,
+          col("user_id") === col("buy_user") &&
+            col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        drain(s, joined, "graft_stream_join", "append")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(unix_timestamp(col("buy_ts")) -
+              unix_timestamp(col("view_ts"))).as("lag_seconds"))
+      },
+      """WITH v AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT v.user_id, v.ts AS vts, p.ts AS pts
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |SELECT COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(epoch_ms(pts) // 1000 - epoch_ms(vts) // 1000)
+        |    AS BIGINT) AS lag_seconds
+        |FROM j""".stripMargin),
+
     // Custom per-key state via mapGroupsWithState (IncrementalIngest
     // .statefulUserCounts): update mode re-emits per batch; the MAX of
     // the monotone running count per user is the total event count.

@@ -369,6 +369,84 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("semantic prune census: conservation, min-id survival, cap path") {
+    val rng = new scala.util.Random(13)
+    // two well-separated synthetic clusters + exact clones inside each
+    def vec(base: Array[Float]): Array[Float] =
+      base.map(x => x + rng.nextGaussian().toFloat * 0.01f)
+    val c0 = Array.fill(8)(rng.nextGaussian().toFloat)
+    val c1 = c0.map(-_)
+    val rows = (0 until 20).map(i => (i.toLong, vec(c0))) ++
+      (20 until 40).map(i => (i.toLong, vec(c1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Seq(c0.map(_.toDouble).toSeq, c1.map(_.toDouble).toSeq)
+    val census = Similarity.semanticPruneCensus(df, "vec_id", "embedding",
+      cents, minCosine = 0.999).collect()
+    assert(census.length === 2)
+    census.foreach { r =>
+      val (size, capped, pruned, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(capped === 0L)
+      assert(pruned + kept === size) // conservation
+      assert(pruned > 0L, "clones must prune")
+    }
+    // min-id member of each cluster always survives: kept_id_sum must
+    // include id 0 (cell of c0) and id 20 (cell of c1) — verified by
+    // re-deriving the kept set at a threshold that prunes everyone else
+    val tight = Similarity.semanticPruneCensus(df, "vec_id", "embedding",
+      cents, minCosine = 0.9).collect()
+    tight.foreach { r =>
+      assert(r.getLong(4) === 1L, "only the exemplar survives")
+    }
+    assert(tight.map(_.getLong(5)).toSet === Set(0L, 20L))
+    // cap path: a cluster over maxCellSize is excluded from the pair
+    // join — everyone kept, capped flagged
+    val cappedRun = Similarity.semanticPruneCensus(df, "vec_id",
+      "embedding", cents, minCosine = 0.9, maxCellSize = 5).collect()
+    cappedRun.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === 0L &&
+        r.getLong(4) === r.getLong(1))
+    }
+  }
+
+  test("winnow fingerprints: rolling == direct hash, shared-run guarantee") {
+    import graft.functions.WinnowHashes.winnow_hashes
+    // independent direct (non-rolling) reimplementation
+    def direct(s: String, k: Int, w: Int): Set[Long] = {
+      val M = 1000000007L
+      val cps = s.codePoints().toArray.map(_.toLong)
+      if (cps.isEmpty) return Set.empty
+      val hs =
+        if (cps.length < k) Array(cps.foldLeft(0L)((a, c) => (a * 257 + c) % M))
+        else (0 to cps.length - k).map(i =>
+          (i until i + k).foldLeft(0L)((a, j) => (a * 257 + cps(j)) % M)).toArray
+      if (hs.length <= w) Set(hs.min)
+      else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+    }
+    val rng = new scala.util.Random(29)
+    def randText(n: Int) = (0 until n).map(_ =>
+      ('a' + rng.nextInt(26)).toChar).mkString
+    val shared = randText(40)
+    val d1 = randText(80) + shared + randText(80)
+    val d2 = randText(90) + shared + randText(70)
+    val texts = Seq((1L, d1), (2L, d2), (3L, randText(200)), (4L, "ab"),
+      (5L, "")).toDF("id", "text")
+    val got = texts.select($"id", winnow_hashes($"text", 4, 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // engine (rolling + deque) == independent direct formulation
+    Seq(1L -> d1, 2L -> d2, 3L -> null, 4L -> "ab", 5L -> "").foreach {
+      case (id, t) =>
+        val ref = direct(Option(t).getOrElse(
+          texts.filter($"id" === id).head().getString(1)), 4, 16)
+        assert(got(id) === ref, s"doc $id")
+    }
+    // winnowing guarantee: a shared run of >= w + k - 1 chars yields
+    // at least one shared fingerprint
+    assert((got(1L) intersect got(2L)).nonEmpty)
+    // unrelated random docs share nothing at these lengths
+    assert((got(3L) intersect got(1L)).isEmpty)
+  }
+
   test("ArrayDot is bit-identical to the HOF fold and honors its null contract") {
     val rng = new scala.util.Random(11)
     val vecs = (0 until 200).map(i =>
