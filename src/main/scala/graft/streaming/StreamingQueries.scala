@@ -45,12 +45,32 @@ object StreamingQueries {
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table. The query name doubles as the temp-view
     * name; re-runs overwrite it (the prior query is stopped by then).
+    *
+    * State partitioning: a stateful stream materializes ONE state
+    * store per shuffle partition (a stream-stream join keeps FOUR —
+    * two per side) and commits every store every micro-batch, so the
+    * per-batch floor cost is proportional to the partition count, not
+    * the state volume. The count is frozen into the checkpoint at
+    * query start from `spark.sql.shuffle.partitions`, so it is a
+    * sizing decision, not an AQE-tunable: size it to peak state volume
+    * (at 100 TB you RAISE it so each store's keyspace fits an
+    * executor; on these fixtures 32 stores hold a few keys each and
+    * the run is pure commit overhead). `statePartitions` pins it for
+    * the stream's lifetime and restores the session default after the
+    * drain. Every registry oracle here is a partition-count-invariant
+    * census (order-free aggregates / commutative sketch merges), so
+    * the knob cannot change a compared cell.
     */
   private def drain(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      mode: String, statePartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.get(key)
+    s.conf.set(key, statePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prior)
     s.table(name)
   }
 
