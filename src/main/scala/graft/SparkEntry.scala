@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{FunctionQueries, GeoQueries, MergeQueries, PipelineQueries, RelationalQueries, SideTableQueries, SinkQueries, TextQueries, V2Queries}
+import graft.operators.{FunctionQueries, GeoQueries, MergeQueries, MiningQueries, PipelineQueries, RelationalQueries, SideTableQueries, SinkQueries, TextQueries, V2Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
       PipelineQueries.registry ++ V2Queries.registry ++
       FunctionQueries.registry ++ MergeQueries.registry ++
       SinkQueries.registry ++ SideTableQueries.registry ++
-      GeoQueries.registry ++
+      GeoQueries.registry ++ MiningQueries.registry ++
       graft.streaming.StreamingQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mining operators a large training-data pipeline leans on once
+  * dedup/similarity are in place: an EXACT set-similarity self-join
+  * with prefix filtering (the lossless counterpart to MinHash-LSH),
+  * market-basket association rules, iterative PageRank over a
+  * co-occurrence graph, and an order-exact EWMA smoother.
+  *
+  * Scale stance (100 TB):
+  *  - prefixJaccardPairs generates candidates from the RAREST tokens
+  *    only (prefix-filter family of Chaudhuri/Xiao et al. — public
+  *    literature): the inverted index covers ~(1-τ)·|x| tokens per
+  *    document instead of all of them, and a length filter prunes
+  *    incompatible pairs before verification. No global rank
+  *    assignment is needed — (document-frequency, token) IS the total
+  *    order, so the plan is two keyed shuffles (df join, prefix-token
+  *    candidate join), never a row_number over an unpartitioned
+  *    window.
+  *  - assocRules prunes to frequent pairs BEFORE rule expansion; the
+  *    basket self-join shuffles on the basket key, so cost is
+  *    Σ basket² — bounded, never O(items²).
+  *  - pageRank is the canonical iterate-shuffle loop: one shuffle per
+  *    iteration on the destination key, edges materialized once. All
+  *    rank arithmetic is integral (scaled BIGINT + `div`), so results
+  *    are bit-identical on any partitioning — no float
+  *    accumulation-order drift between a 1-executor test and a
+  *    1000-executor run, and bit-identical to the DuckDB replay.
+  */
+object Mining {
+
+  /** Exact Jaccard >= tauNum/tauDen self-join over distinct
+    * whitespace-token sets; candidates via the prefix filter under the
+    * (document-frequency, token) total order. Returns
+    * (id1, id2, n1, n2, n_inter) for qualifying pairs — callers derive
+    * similarity as an integral expression (never a float threshold).
+    *
+    * Completeness: sets with Jaccard >= τ overlap in at least
+    * ⌈τ/(1+τ)·(n1+n2)⌉ >= ⌈τ·max(n1,n2)⌉ tokens, so each set's
+    * n − ⌈τ·n⌉ + 1 smallest tokens (under ANY shared total order) must
+    * hit the overlap; rarest-first minimizes index fan-out. The DuckDB
+    * oracle row recomputes via the FULL inverted index — a red row
+    * means the filter dropped a pair — and MiningSpec asserts equality
+    * with [[Dedup.ngramJaccardPairs]]-style full indexing on fixtures.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    val toks = Dedup.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"),
+        array_distinct(split(trim(col("t")), "\\s+")).as("toks"))
+    val dfreq = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("dfreq"))
+    // per-doc tokens sorted rarest-first; plen = n - ceil(tau*n) + 1
+    val sorted = toks.select(col("id"), explode(col("toks")).as("w"))
+      .join(dfreq, "w")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("w"))))
+        .getField("w").as("ord"))
+      .select(col("id"), col("ord"), size(col("ord")).cast("long").as("n"))
+      .withColumn("plen",
+        (col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
+          .cast("int"))
+    val prefix = sorted.select(col("id"), col("n"),
+      explode(slice(col("ord"), lit(1), col("plen"))).as("w"))
+    // candidate pairs: shared prefix token + length compatibility
+    // (τ·max <= min), verified exactly on the full sorted token arrays
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+          greatest(col("a.n"), col("b.n")) * tauNum <=
+            least(col("a.n"), col("b.n")) * tauDen)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val full = sorted.select(col("id"), col("ord"), col("n"))
+    cand
+      .join(full.toDF("id1", "ord1", "n1"), "id1")
+      .join(full.toDF("id2", "ord2", "n2"), "id2")
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        size(array_intersect(col("ord1"), col("ord2"))).cast("long")
+          .as("n_inter"))
+      .filter(col("n_inter") * (tauNum + tauDen) >=
+        (col("n1") + col("n2")) * tauNum)
+  }
+
+  /** Market-basket association rules over (basket, item) rows:
+    * candidate item pairs co-occurring in >= minPairSupport baskets,
+    * expanded to directed rules with integer-exact confidence and lift
+    * (scaled by 1e6, integral division — identical in any engine).
+    *
+    * conf(x→y) = n_xy/n_x; lift = n_xy·N/(n_x·n_y). Emitted as
+    * conf_x1e6 / lift_x1e6 BIGINT cells. The lift numerator
+    * n_xy·N·1e6 needs headroom: fine up to n_xy·N < 9e12 — at larger
+    * scales callers should bucket by antecedent and compute lift as
+    * two chained integral divisions.
+    */
+  def assocRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairSupport: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val nBaskets = b.groupBy().agg(
+      countDistinct(col("bk")).as("n_baskets"))
+    val itemCnt = b.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.as("a").join(b.as("bb"),
+        col("a.bk") === col("bb.bk") && col("a.it") < col("bb.it"))
+      .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minPairSupport)
+    val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("n_xy"))
+      .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("n_xy")))
+    rules
+      .join(itemCnt.toDF("ante", "n_ante"), "ante")
+      .join(itemCnt.toDF("cons", "n_cons"), "cons")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("n_xy"),
+        expr("n_xy * 1000000L div n_ante").as("conf_x1e6"),
+        expr("n_xy * n_baskets * 1000000L div (n_ante * n_cons)")
+          .as("lift_x1e6"))
+  }
+
+  /** Integer-exact PageRank over a directed edge list (srcCol, dstCol),
+    * fixed iteration count, damping dampNum/dampDen, ranks scaled by
+    * `scale`. Classic per-node formulation (ranks average `scale`, not
+    * sum to it): pr(v) = (1-d)·scale + d·Σ pr(u) div deg(u).
+    *
+    * All arithmetic BIGINT + integral `div`: exact and
+    * order-independent, so the same numbers fall out of a 1000-executor
+    * run and the DuckDB unrolled-CTE replay. Headroom: total rank mass
+    * converges to ~n_nodes·scale; with scale=1e12 the 85·Σcontrib
+    * intermediate stays < 9.2e18 for graphs up to ~10⁵ nodes — larger
+    * graphs should drop scale proportionally.
+    *
+    * Edges and degrees are localCheckpointed once (they're consumed by
+    * all iterations — without this each iteration re-derives the edge
+    * subtree); each iteration is one join + one keyed shuffle on dst.
+    * Nodes are assumed to all have out-degree >= 1 (symmetrize an
+    * undirected graph first); nodes never referenced as dst keep
+    * receiving only the teleport mass.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = deg.select(col("src").as("node"), col("d"))
+      .crossJoin(broadcast(
+        deg.groupBy().agg(count(lit(1)).as("n_nodes"))))
+      .localCheckpoint()
+    require(scale % dampDen == 0, "scale must be a multiple of dampDen")
+    val base = scale / dampDen * (dampDen - dampNum) // exact by the require
+    var ranks = nodes.select(col("node"), col("d"),
+      expr(s"${scale}L div n_nodes").as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("pr div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"))
+        .select(nodes("node"), nodes("d"),
+          (lit(base) + expr(s"$dampNum * contrib div $dampDen")).as("pr"))
+    }
+    ranks.select(col("node"), col("pr"))
+  }
+
+  /** Order-exact exponentially-weighted moving average with α = 1/2
+    * over a per-group value sequence: s_t = (s_{t-1} + x_t) · 0.5,
+    * s_0 = 0. The (acc+x)·0.5 shape is FMA-proof (no a·b+c contraction
+    * site) and multiply-by-0.5 is exact, so the fold is bit-identical
+    * across JVM and DuckDB (`list_reduce(list_prepend(0.0, xs), ...)`).
+    * `xs` must arrive sorted — pair each value with its order key and
+    * sort_array upstream.
+    */
+  def ewmaHalf(xs: Column): Column =
+    aggregate(xs, lit(0.0), (acc, x) => (acc + x) * lit(0.5))
+}
+
+/** Oracle-checked instantiations of the mining operators (registry
+  * merged into [[graft.SparkEntry]]).
+  */
+object MiningQueries {
+  import graft.{QueryDef, Tables => T}
+
+  /** Distinct (order, part) basket rows — the shared input of the
+    * market-basket queries and the co-purchase graph.
+    */
+  private def baskets(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.lineitem(s, d)
+      .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+      .distinct()
+
+  private val basketSql =
+    "SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem"
+
+  /** The DuckDB side of pg_pagerank: the SAME integral recurrence as
+    * [[Mining.pageRank]], unrolled into chained CTEs (DuckDB disallows
+    * aggregation in a recursive term). Generated by loop so the
+    * iteration count provably matches the Spark side.
+    */
+  private def pageRankOracle(iters: Int, scale: Long, base: Long): String = {
+    val head =
+      s"""WITH b AS ($basketSql),
+         |pairs AS (
+         |  SELECT a.it AS p1, bb.it AS p2 FROM b a
+         |  JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+         |          UNION ALL SELECT p2, p1 FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node, d FROM deg),
+         |it0 AS (SELECT node, d,
+         |  CAST($scale // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS pr
+         |  FROM nodes)""".stripMargin
+    val chain = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node, n.d,
+         |    CAST($base + 85 * CAST(s.contrib AS BIGINT) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM nodes n JOIN (
+         |    SELECT e.dst AS node, SUM(p.pr // p.d) AS contrib
+         |    FROM edges e JOIN it${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$chain
+       |SELECT node, pr FROM it$iters
+       |ORDER BY pr DESC, node LIMIT 50""".stripMargin
+  }
+
+  val registry: Map[String, QueryDef] = Map(
+
+    // EXACT Jaccard >= 1/2 near-dup pairs via the prefix filter —
+    // the lossless counterpart to dd_minhash_pairs. The oracle
+    // recomputes via the FULL inverted index (a different algorithm):
+    // a red row means the prefix filter dropped a pair. Threshold and
+    // similarity are integral (3·inter >= n1+n2; x10000 via div) — no
+    // float compare anywhere.
+    "dd_prefix_jaccard" -> QueryDef(
+      (s, d) => Mining.prefixJaccardPairs(
+          T.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", 1, 2)
+        .select(col("id1"), col("id2"),
+          expr("n_inter * 10000L div (n1 + n2 - n_inter)").as("jacc_x10000"))
+        .orderBy(col("jacc_x10000").desc, col("id1"), col("id2")),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    string_split_regex(trim(text), '\s+'))) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ni
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(ni * 10000 // (s1.n + s2.n - ni) AS BIGINT) AS jacc_x10000
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = id1
+        |JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE 3 * ni >= s1.n + s2.n
+        |ORDER BY jacc_x10000 DESC, id1, id2""".stripMargin),
+
+    // Market-basket association rules over (order, part) baskets:
+    // frequent co-purchase pairs -> directed rules with integer-exact
+    // confidence and lift (x1e6, integral division both engines).
+    "mb_assoc_rules" -> QueryDef(
+      (s, d) => Mining.assocRules(baskets(s, d), "bk", "it", 3L)
+        .orderBy(col("lift_x1e6").desc, col("ante"), col("cons")),
+      s"""WITH b AS ($basketSql),
+         |nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+         |ic AS (SELECT it, COUNT(*) AS n_item FROM b GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.it AS p1, bb.it AS p2, COUNT(*) AS n_xy FROM b a
+         |  JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |rules AS (SELECT p1 AS ante, p2 AS cons, n_xy FROM pairs
+         |          UNION ALL SELECT p2, p1, n_xy FROM pairs)
+         |SELECT r.ante, r.cons, CAST(r.n_xy AS BIGINT) AS n_xy,
+         |  CAST(r.n_xy * 1000000 // ia.n_item AS BIGINT) AS conf_x1e6,
+         |  CAST(r.n_xy * (SELECT n_baskets FROM nb) * 1000000
+         |    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_x1e6
+         |FROM rules r
+         |JOIN ic ia ON ia.it = r.ante
+         |JOIN ic ib ON ib.it = r.cons
+         |ORDER BY lift_x1e6 DESC, ante, cons""".stripMargin),
+
+    // Integer-exact PageRank (10 iterations, d=0.85, scale 1e12) over
+    // the symmetrized co-purchase graph (pairs co-ordered >= 2 times).
+    // Bit-identical across engines and cluster sizes by construction.
+    "pg_pagerank" -> QueryDef(
+      (s, d) => {
+        val b = baskets(s, d)
+        val pairs = b.as("a").join(b.as("bb"),
+            col("a.bk") === col("bb.bk") && col("a.it") < col("bb.it"))
+          .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
+          .agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 2)
+        val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        Mining.pageRank(edges, "src", "dst", iterations = 10)
+          .orderBy(col("pr").desc, col("node")).limit(50)
+      },
+      pageRankOracle(iters = 10, scale = 1000000000000L,
+        base = 150000000000L)),
+
+    // Order-exact EWMA (alpha = 1/2) of the exact-decimal daily value
+    // total per event type. The fold shape (acc+x)*0.5 is FMA-proof
+    // and halving-exact, so the double cells hash-match bit-for-bit.
+    "ts_ewma" -> QueryDef(
+      (s, d) => T.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(T.decSum(col("value")).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          Mining.ewmaHalf(
+            sort_array(collect_list(struct(col("day"), col("x"))))
+              .getField("x")).as("ewma"))
+        .orderBy(col("event_type")),
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, COUNT(*) AS n_days, list(x ORDER BY day) AS xs
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  list_reduce(list_prepend(0.0, xs), (acc, x) -> (acc + x) * 0.5)
+        |    AS ewma
+        |FROM l ORDER BY event_type""".stripMargin))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Mining
+
+/** Mining operator tests: prefix-filter losslessness proved in-engine
+  * against a brute-force all-pairs Jaccard, PageRank against a
+  * hand-solved 3-node graph, EWMA against its closed form.
+  */
+class MiningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  test("prefixJaccardPairs equals brute-force all-pairs at tau=1/2") {
+    val docs = Seq(
+      (0L, "red blue green yellow"),
+      (1L, "red blue green purple"),          // J(0,1)=3/5 >= 1/2
+      (2L, "red blue cyan magenta lime"),     // J(0,2)=2/7 < 1/2
+      (3L, "red blue green yellow"),          // J(0,3)=1 exact dup
+      (4L, "solo tokens only here nothing shared"),
+      (5L, "green yellow red blue"),          // J(0,5)=1 (order-insensitive)
+      (6L, "a b c d e f g h"),
+      (7L, "a b c d e f g x")                 // J(6,7)=7/9 >= 1/2
+    ).toDF("doc_id", "text")
+
+    val got = Mining.prefixJaccardPairs(docs, "doc_id", "text", 1, 2)
+      .select("id1", "id2", "n_inter").as[(Long, Long, Long)]
+      .collect().toSet
+
+    // brute force: all C(n,2) pairs, exact distinct-token Jaccard
+    val toks = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).trim.split("\\s+").toSet).toMap
+    val want = (for {
+      i <- toks.keys; j <- toks.keys if i < j
+      inter = (toks(i) & toks(j)).size
+      if 3 * inter >= toks(i).size + toks(j).size
+    } yield (i, j, inter.toLong)).toSet
+
+    assert(got === want)
+    assert(want.contains((0L, 3L, 4L)) && want.contains((6L, 7L, 7L)))
+    assert(!want.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefixJaccardPairs handles single-token and identical docs") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val got = Mining.prefixJaccardPairs(docs, "doc_id", "text", 1, 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("pageRank matches the hand-solved recurrence on a triangle+spoke") {
+    // 1<->2, 2<->3, 1<->3 (triangle), 4->1 with 1->4 (spoke): degrees
+    // 1:3, 2:2, 3:2, 4:1. Replay the integral recurrence in Scala.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = Mining.pageRank(edges, "src", "dst", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+
+    val deg = Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val out = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L))
+    var pr = deg.map { case (n, _) => n -> 1000000000000L / 4 }
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs) contrib(v) += pr(u) / deg(u)
+      pr = deg.map { case (n, _) =>
+        n -> (150000000000L + 85L * contrib(n) / 100L) }
+    }
+    assert(got === pr)
+    // hub 1 ranks highest, leaf 4 lowest
+    assert(got(1L) > got(2L) && got(2L) === got(3L) && got(3L) > got(4L))
+  }
+
+  test("pageRank symmetric 2-cycle after one iteration") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Mining.pageRank(edges, "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // symmetric 2-cycle: each gets base + 85% of the other's full rank
+    val expected = 150000000000L + 85L * 500000000000L / 100L
+    assert(got === Map(1L -> expected, 2L -> expected))
+  }
+
+  test("ewmaHalf equals the closed form sum x_i / 2^(n-i+1)") {
+    val xs = Seq(8.0, 4.0, 2.0, 16.0)
+    val got = Seq(Tuple1(xs)).toDF("xs")
+      .select(Mining.ewmaHalf(col("xs")).as("e")).as[Double].head()
+    // s_t = (s_{t-1} + x_t)/2 with s_0 = 0: exact in powers of two
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      x / math.pow(2, xs.length - i).toLong }.sum
+    assert(got === want)
+  }
+
+  test("assocRules: confidence bounded, rules symmetric in pair count") {
+    val b = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
+      (4L, 10L), (5L, 30L)).toDF("bk", "it")
+    val rules = Mining.assocRules(b, "bk", "it", 3L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rules.length === 2) // 10->20 and 20->10
+    val byAnte = rules.map(r => r._1 -> r).toMap
+    // n_10 = 4, n_20 = 3, n_xy = 3, N = 5
+    assert(byAnte(10L)._4 === 3L * 1000000L / 4L)   // conf 10->20
+    assert(byAnte(20L)._4 === 1000000L)             // conf 20->10 = 1
+    assert(byAnte(10L)._5 === byAnte(20L)._5)       // lift symmetric
+    assert(byAnte(10L)._5 === 3L * 5L * 1000000L / (4L * 3L))
+    assert(rules.forall(_._4 <= 1000000L))
+  }
+}

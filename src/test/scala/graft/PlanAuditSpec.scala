@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.operators.SinkQueries.registry,
       graft.operators.SideTableQueries.registry,
       graft.operators.GeoQueries.registry,
+      graft.operators.MiningQueries.registry,
       graft.streaming.StreamingQueries.registry)
     val total = regs.map(_.size).sum
     assert(total === SparkEntry.registry.size,
