@@ -579,4 +579,52 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Incremental NEAR-dup check of a batch against an existing corpus —
+    * the training-pipeline admission shape ([[exactFingerprint]]'s
+    * anti-join generalized from exact to MinHash similarity). The band
+    * join is ONE-SIDED (batch bands ⋈ corpus bands, batch side
+    * broadcast): cost is proportional to the batch's bucket collisions,
+    * never corpus × corpus — at 100 TB the corpus band index is the
+    * stored artifact and each arriving batch probes it.
+    *
+    * Returns one row per batch doc: (id, n_corpus_cands, best_eq,
+    * is_neardup) where best_eq is the best signature agreement (out of
+    * numHashes — an integer, so the threshold `minEq` and the output
+    * stay float-free) and novel docs surface with n_corpus_cands = 0.
+    */
+  def nearDupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32,
+      bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16,
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def sigs(df: DataFrame) =
+      spread(df.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"),
+          (if (portable) minhashSignaturePortable(col("t"), numHashes, shingleSize)
+           else minhashSignature(col("t"), numHashes, shingleSize)).as("sig"))
+    val rows = numHashes / bands
+    def banded(df: DataFrame) = df.select(col("id"), col("sig"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b.cast("string"),
+            array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
+      ).toDF("id", "sig", "band", "band_hash")
+    val corpusB = banded(sigs(corpus))
+    val batchB = banded(sigs(batch))
+    val matches = broadcast(batchB).as("q").join(corpusB.as("c"),
+        col("q.band") === col("c.band") &&
+          col("q.band_hash") === col("c.band_hash"))
+      .select(col("q.id").as("id"), col("c.id").as("cid"),
+        graft.functions.VecOps.arrayEqCount(col("q.sig"), col("c.sig"))
+          .as("n_eq"))
+      .groupBy(col("id"), col("cid"))
+      .agg(first(col("n_eq")).as("n_eq")) // dedup multi-band hits
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_corpus_cands"), max(col("n_eq")).as("best_eq"))
+    sigs(batch).select(col("id")).join(matches, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_corpus_cands"), lit(0L)).as("n_corpus_cands"),
+        coalesce(col("best_eq"), lit(0L)).as("best_eq"))
+      .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
+  }
 }

@@ -177,6 +177,66 @@ object Mining {
     */
   def ewmaHalf(xs: Column): Column =
     aggregate(xs, lit(0.0), (acc, x) => (acc + x) * lit(0.5))
+
+  /** Exact edit-distance <= k self-join over distinct strings via the
+    * q-gram count filter (Gravano et al., VLDB'01 — public
+    * literature): one edit destroys at most q q-grams, so ED(s,t) <= k
+    * forces bag-intersection >= max(|s|,|t|) - (q-1) - q·k shared
+    * grams. Candidates come from an inverted (gram, occurrence) index
+    * — bag semantics via per-string occurrence numbering, so repeated
+    * grams can't inflate the count — plus the |len diff| <= k length
+    * filter; only survivors pay the O(len²) levenshtein verify.
+    *
+    * Strings shorter than q·(k+1) can pair with LB <= 0 (the filter
+    * can't prune them), so the short bucket is joined directly — the
+    * split keeps the operator lossless. At 100 TB the refinement path
+    * is EDJoin's positional prefix filter (index only the rarest
+    * grams); the count filter is the right first cut and the oracle
+    * brute-forces all pairs, so losslessness is machine-checked.
+    *
+    * Returns (s1, s2, ed) with s1 < s2 and ed <= k.
+    */
+  def editDistancePairs(strs: DataFrame, strCol: String, k: Int, q: Int)
+      : DataFrame = {
+    require(k >= 1 && q >= 2, "need k >= 1, q >= 2")
+    val s = Dedup.spread(strs.select(col(strCol).as("s")).distinct())
+      .withColumn("len", length(col("s")))
+    val shortLen = q * (k + 1) // max(l1,l2) < this <=> LB <= 0
+    val longs = s.filter(col("len") >= shortLen)
+    val grams = longs.select(col("s"), col("len"),
+        explode(transform(sequence(lit(1), col("len") - (q - 1)),
+          i => col("s").substr(i, lit(q)))).as("g"))
+      .withColumn("occ", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s"), col("g")).orderBy(lit(1))))
+    val longCand = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+          col("a.s") < col("b.s") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"),
+        col("a.len").as("l1"), col("b.len").as("l2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("l1"), col("l2")) - (q - 1) - q * k)
+      .select(col("s1"), col("s2"))
+    // short strings: the filter is vacuous, pair them directly (the
+    // bucket is bounded by construction — every member is < q·(k+1)
+    // chars); long-short pairs with LB > 0 are covered by the gram
+    // path only when the short side HAS grams, so route all
+    // short-involving pairs here instead
+    val shorts = s.filter(col("len") < shortLen)
+    val shortShort = shorts.as("a").join(shorts.as("b"),
+        col("a.s") < col("b.s") && abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+    val shortLong = shorts.as("a").join(longs.as("b"),
+        abs(col("a.len") - col("b.len")) <= k)
+      .select(least(col("a.s"), col("b.s")).as("s1"),
+        greatest(col("a.s"), col("b.s")).as("s2"))
+    longCand.unionAll(shortShort).unionAll(shortLong).distinct()
+      .withColumn("ed", levenshtein(col("s1"), col("s2")))
+      .filter(col("ed") <= k)
+      .select(col("s1"), col("s2"), col("ed"))
+  }
 }
 
 /** Oracle-checked instantiations of the mining operators (registry
@@ -262,6 +322,23 @@ object MiningQueries {
         |JOIN sizes s2 ON s2.doc_id = id2
         |WHERE 3 * ni >= s1.n + s2.n
         |ORDER BY jacc_x10000 DESC, id1, id2""".stripMargin),
+
+    // Exact edit-distance <= 2 fuzzy self-join over distinct part
+    // names via the q-gram count filter; the oracle BRUTE-FORCES all
+    // pairs (length filter only), so a missing row proves the filter
+    // dropped a true pair. Integer distance cells; both engines'
+    // levenshtein is unit-cost insert/delete/substitute.
+    "dd_edit_distance_join" -> QueryDef(
+      (s, d) => Mining.editDistancePairs(
+          T.part(s, d).select(col("p_name")), "p_name", k = 2, q = 2)
+        .orderBy(col("s1"), col("s2")),
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT a.s AS s1, b.s AS s2,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS ed
+        |FROM n a JOIN n b ON a.s < b.s
+        |WHERE abs(len(a.s) - len(b.s)) <= 2
+        |  AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY s1, s2""".stripMargin),
 
     // Market-basket association rules over (order, part) baskets:
     // frequent co-purchase pairs -> directed rules with integer-exact

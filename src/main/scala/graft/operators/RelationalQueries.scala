@@ -518,6 +518,32 @@ object RelationalQueries {
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY m""".stripMargin),
 
+    // OLAP cube: all four grouping sets of (priority, status) in one
+    // pass — Spark's Expand operator computes every set in a single
+    // shuffle (vs 4 scans if unioned by hand). Subtotal NULLs are
+    // folded to 'ALL' (base columns are non-null) so the sort order is
+    // engine-independent, and grouping_id disambiguates levels.
+    "a18_cube" -> QueryDef(
+      (s, d) => T.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          T.decSum(col("o_totalprice")).as("revenue"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy(col("gid"), col("priority"), col("status")),
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin),
+
     // §2.5 depth — TIME-RANGE rolling window (RANGE frame on epoch
     // seconds, not a row count): per user, events and integer-cents
     // value volume in the trailing 24 h at every event. The frame is

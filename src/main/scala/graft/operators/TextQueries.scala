@@ -215,6 +215,65 @@ object TextQueries {
         |  (SELECT COUNT(*) FROM firstfp) - (SELECT COUNT(*) FROM adm)
         |    AS dup_vs_corpus""".stripMargin),
 
+    // dd_incremental_novel generalized from exact fingerprints to
+    // MinHash NEAR-dup: each batch doc probes the corpus band index
+    // one-sided (batch broadcast — incremental cost ∝ batch, never
+    // corpus²). Integer outputs only: best signature agreement out of
+    // 32 and a >= 16 (est 0.5) flag. Oracle replays the portable
+    // md5-base signatures and the same one-sided band join.
+    "dd_incremental_neardup" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.nearDupAgainstCorpus(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", numHashes = 32, bands = 16,
+          shingleSize = 1, minEq = 16, portable = true)
+          .orderBy(col("id"))
+      },
+      {
+        val coeffs = Dedup.portableCoeffs(32)
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+          .mkString(", ")
+        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
+           |  FROM documents),
+           |vals AS (
+           |  SELECT doc_id, i,
+           |    list_min(list_transform(shingles,
+           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+           |           % 2147483647)) AS v
+           |  FROM sh, coeffs),
+           |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+           |        FROM vals GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
+           |  FROM sig, range(0, 16) r(b)),
+           |cand AS (
+           |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+           |  FROM bands q JOIN bands c ON q.b = c.b AND q.sl = c.sl
+           |  WHERE q.doc_id >= 400 AND c.doc_id < 400),
+           |eq AS (
+           |  SELECT cand.id, cand.cid,
+           |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
+           |      AS n_eq
+           |  FROM cand
+           |  JOIN sig s1 ON s1.doc_id = cand.id
+           |  JOIN sig s2 ON s2.doc_id = cand.cid),
+           |agg AS (SELECT id, COUNT(*) AS n_corpus_cands,
+           |               MAX(n_eq) AS best_eq FROM eq GROUP BY id)
+           |SELECT d.doc_id AS id,
+           |  COALESCE(a.n_corpus_cands, 0) AS n_corpus_cands,
+           |  CAST(COALESCE(a.best_eq, 0) AS BIGINT) AS best_eq,
+           |  CAST(COALESCE(a.best_eq, 0) >= 16 AS INTEGER) AS is_neardup
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+           |LEFT JOIN agg a ON a.id = d.doc_id
+           |ORDER BY id""".stripMargin
+      }),
+
     // N-gram (word-bigram) Jaccard near-dup pairs over a bounded id
     // slice, via an inverted shingle index join (no cross join) —
     // integer intersection/union then one deterministic division.

@@ -94,6 +94,50 @@ class MiningSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("editDistancePairs equals brute force, short strings included") {
+    // q=2, k=1: shortLen=4 — "ab"/"ax"/"b" exercise the short bucket,
+    // the rest the gram-filtered path; "aaaa"/"aaab" has repeated
+    // grams (bag semantics matter: set-intersection would overcount)
+    val strs = Seq("ab", "ax", "b", "abcdef", "abcdxf", "abcdefg",
+      "zzzzzz", "aaaa", "aaab", "aaaaa").toDF("s")
+    val got = Mining.editDistancePairs(strs, "s", k = 1, q = 2)
+      .as[(String, String, Int)].collect().toSet
+
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ss = strs.as[String].collect().distinct
+    val want = (for {
+      a <- ss; b <- ss if a < b
+      e = ed(a, b) if e <= 1
+    } yield (a, b, e)).toSet
+    assert(got === want)
+    assert(want.contains(("aaaa", "aaab", 1)) &&
+      want.contains(("aaaa", "aaaaa", 1)) && want.contains(("ab", "ax", 1)))
+  }
+
+  test("nearDupAgainstCorpus: exact clone flagged, alien doc novel") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // clone of 1
+      (11L, "totally unrelated words nothing here at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.nearDupAgainstCorpus(
+        corpus, batch, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 1, minEq = 16)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._3 === 32L && got(10L)._4 === 1) // identical sigs
+    assert(got(11L)._2 === 0L && got(11L)._4 === 0)  // no candidates
+  }
+
   test("assocRules: confidence bounded, rules symmetric in pair count") {
     val b = Seq(
       (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
