@@ -209,6 +209,66 @@ case class ArrayEqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-count of common elements of two SORTED ASCENDING distinct
+  * string arrays — the verify kernel of the prefix-filtered Jaccard
+  * join, run once per candidate pair. O(n1+n2) with zero per-call
+  * allocation (vs `array_intersect`'s per-call hash set — the probe
+  * measured that at ~10× the cost on millions of candidate pairs).
+  * Inputs MUST be sorted ascending and distinct (`sort_array`
+  * upstream); unsorted input undercounts. Null elements are skipped
+  * (token arrays are null-filtered upstream; skipping keeps the
+  * kernel total rather than throwing mid-codegen).
+  */
+object SortedIntersectCountImpl {
+  def eval(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+}
+
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count requires two array<string> arguments, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountImpl.eval(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountImpl$$.MODULE$$.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -220,4 +280,8 @@ object VecOps {
   def arrayEqCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

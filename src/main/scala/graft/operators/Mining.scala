@@ -54,13 +54,18 @@ object Mining {
         array_distinct(split(trim(col("t")), "\\s+")).as("toks"))
     val dfreq = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("dfreq"))
-    // per-doc tokens sorted rarest-first; plen = n - ceil(tau*n) + 1
+    // per-doc tokens in TWO orders from one aggregation: rarest-first
+    // (the prefix order) and lexicographic (the verify order — the
+    // merge-count kernel needs a plain ascending sort);
+    // plen = n - ceil(tau*n) + 1
     val sorted = toks.select(col("id"), explode(col("toks")).as("w"))
       .join(dfreq, "w")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("dfreq"), col("w"))))
-        .getField("w").as("ord"))
-      .select(col("id"), col("ord"), size(col("ord")).cast("long").as("n"))
+        .getField("w").as("ord"),
+        sort_array(collect_list(col("w"))).as("lex"))
+      .select(col("id"), col("ord"), col("lex"),
+        size(col("ord")).cast("long").as("n"))
       .withColumn("plen",
         (col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
           .cast("int"))
@@ -74,13 +79,17 @@ object Mining {
             least(col("a.n"), col("b.n")) * tauDen)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val full = sorted.select(col("id"), col("ord"), col("n"))
+    // verify with the codegen'd sorted-merge intersection count —
+    // O(n1+n2) and allocation-free per candidate pair, where
+    // array_intersect builds a hash set per call (measured ~10× slower
+    // over millions of candidates — BENCH_NOTES `ppjoin` probe)
+    val full = sorted.select(col("id"), col("lex"), col("n"))
     cand
-      .join(full.toDF("id1", "ord1", "n1"), "id1")
-      .join(full.toDF("id2", "ord2", "n2"), "id2")
+      .join(full.toDF("id1", "lex1", "n1"), "id1")
+      .join(full.toDF("id2", "lex2", "n2"), "id2")
       .select(col("id1"), col("id2"), col("n1"), col("n2"),
-        size(array_intersect(col("ord1"), col("ord2"))).cast("long")
-          .as("n_inter"))
+        graft.functions.VecOps.sortedIntersectCount(
+          col("lex1"), col("lex2")).cast("long").as("n_inter"))
       .filter(col("n_inter") * (tauNum + tauDen) >=
         (col("n1") + col("n2")) * tauNum)
   }

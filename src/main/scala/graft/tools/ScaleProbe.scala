@@ -233,6 +233,93 @@ object ScaleProbe {
       (1000L, monthSec)
     }
 
+    // Prefix-filter similarity-join probe: near-duplicate replicas
+    // (each replica appends a RARE " repN" token, so clones cluster
+    // across replicas — quadratic true-pair growth, same wall as the
+    // minhash probe) through BOTH the prefix-filtered exact join and
+    // the full-inverted-index formulation. The invariant on record:
+    // IDENTICAL pair sets (the filter is lossless); the measurement:
+    // the prefix path indexes only the rarest ~half of each doc's
+    // tokens, so its candidate join stays ahead of the full index as
+    // the corpus grows.
+    var lastFullPairs = -1L
+    def runPpjoinAt(factor: Int): (Long, Double) = {
+      val docs = replicate(factor, perturbText = true)
+        .filter(col("doc_id") % 10000000L < 500)
+      val t0 = System.nanoTime()
+      val nPrefix = graft.operators.Mining.prefixJaccardPairs(
+        docs, "doc_id", "text", 1, 2).count()
+      val prefixSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      lastFullPairs = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 1, minJaccard = 0.5).count()
+      lastFullSec = (System.nanoTime() - t1) / 1e9
+      require(lastFullPairs == nPrefix,
+        s"prefix join ($nPrefix) != full index ($lastFullPairs) at ×$factor")
+      (nPrefix, prefixSec)
+    }
+
+    // Zipf-vocabulary variant of the ppjoin probe — the regime prefix
+    // filtering EXISTS for. Deterministic synthetic corpus: two docs
+    // per seed share 23 tokens and differ in a doc-unique tail token
+    // (Jaccard 23/25 — exactly one true partner each); token j draws
+    // from a bucket of 2^min(j,16) values, so low-j tokens are
+    // stopword-common (df = N) and high-j tokens near-unique. The
+    // full inverted index joins N² rows on token 0 ALONE (quadratic in
+    // corpus size — it is skipped past 4× for that reason); the prefix
+    // path indexes only the rarest ~half per doc, so its candidate
+    // volume stays near-linear. Same losslessness invariant as
+    // `ppjoin` while both paths run.
+    def zipfDocs(n: Long) =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 23).map(j => concat(lit(s"w${j}_"),
+            pmod(xxhash64(expr("id div 2"), lit(j)),
+              lit(1L << math.min(j, 16))).cast("string")))
+          :+ concat(lit("tail_"), col("id").cast("string")): _*).as("text"))
+    def runPpjoinZipfAt(factor: Int): (Long, Double) = {
+      val docs = zipfDocs(5000L * factor)
+      val t0 = System.nanoTime()
+      val nPrefix = graft.operators.Mining.prefixJaccardPairs(
+        docs, "doc_id", "text", 1, 2).count()
+      val prefixSec = (System.nanoTime() - t0) / 1e9
+      lastFullPairs = -1L
+      lastFullSec = -1.0
+      if (factor <= 4) {
+        val t1 = System.nanoTime()
+        lastFullPairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 1, minJaccard = 0.5).count()
+        lastFullSec = (System.nanoTime() - t1) / 1e9
+        require(lastFullPairs == nPrefix,
+          s"prefix ($nPrefix) != full ($lastFullPairs) at ×$factor")
+      }
+      (nPrefix, prefixSec)
+    }
+
+    // PageRank iteration-scaling probe: the factor axis is the
+    // ITERATION COUNT over the fixed sf co-purchase graph. The claim
+    // on record: one dst-keyed shuffle per iteration, so wall-clock is
+    // linear in iterations (no plan blowup from the unrolled loop, no
+    // recomputation of the checkpointed edges). The checksum is the
+    // integral top-50 rank sum — identical on any partitioning.
+    def runPagerankAt(iters: Int): (Long, Double) = {
+      val b = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val pairs = b.as("a").join(b.as("bb"),
+          col("a.bk") === col("bb.bk") && col("a.it") < col("bb.it"))
+        .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
+        .agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 2)
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+      val t0 = System.nanoTime()
+      val top = graft.operators.Mining.pageRank(edges, "src", "dst", iters)
+        .orderBy(col("pr").desc, col("node")).limit(50)
+        .agg(sum(col("pr"))).head().getLong(0)
+      (top, (System.nanoTime() - t0) / 1e9)
+    }
+
     // BPE throughput: total subword tokens over the replicated corpus
     // (per-row codegen'd merge loops; zipfian word repetition is what
     // the per-word memo in BpeImpl exploits).
@@ -252,6 +339,9 @@ object ScaleProbe {
       case "asof"      => runAsofAt
       case "merge"     => runMergeAt
       case "bpe"       => runBpeAt
+      case "ppjoin"    => runPpjoinAt
+      case "ppjoinz"   => runPpjoinZipfAt
+      case "pagerank"  => runPagerankAt
       case _           => runAt
     }
     run(1) // warmup: JIT + codegen + parquet footers
@@ -263,6 +353,9 @@ object ScaleProbe {
       case "asof"      => "asof_hotkey"
       case "merge"     => "month_merge"
       case "bpe"       => "ta_subword_bpe"
+      case "ppjoin"    => "dd_prefix_jaccard"
+      case "ppjoinz"   => "dd_prefix_jaccard_zipf"
+      case "pagerank"  => "pg_pagerank"
       case _           => "etl_unify_score"
     }
     val unit = probe match {
@@ -271,6 +364,8 @@ object ScaleProbe {
       case "asof"      => "matched"
       case "merge"     => "batch_rows"
       case "bpe"       => "tokens"
+      case "ppjoin" | "ppjoinz" => "pairs"
+      case "pagerank"  => "top50_pr_sum"
       case _           => "rows"
     }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
@@ -283,8 +378,13 @@ object ScaleProbe {
         else if (probe == "asof")
           f""","sec_naive":$lastNaiveSec%.2f"""
         else if (probe == "merge") f""","sec_full_rewrite":$lastFullSec%.2f"""
+        else if (probe == "ppjoin" || probe == "ppjoinz")
+          f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else ""
-      val inRows = if (probe == "funnelcap") baseRows + f else baseRows * f
+      val inRows =
+        if (probe == "funnelcap") baseRows + f
+        else if (probe == "ppjoinz") 5000L * f
+        else baseRows * f
       f"""{"factor":$f%d,"input_rows":$inRows%d,"$unit%s":$n%d,"sec":$sec%.2f$extra%s}"""
     }
     println(lines.mkString(",\n"))
