@@ -89,7 +89,33 @@ object DumpPlans {
         "edge volume linear in nodes where a pathological duplicate " +
         "cluster is quadratic; capped clusters reported, clique " +
         "connectivity preserved (funnelcap probe: flat wall-clock at " +
-        "2000 clones)."))
+        "2000 clones)."),
+    "dd_prefix_jaccard" ->
+      ("Prefix-filtered exact similarity join: the inverted index " +
+        "covers only each doc's rarest ~(1-tau) tokens (no global " +
+        "rank window — (df, token) IS the order), length filter " +
+        "before the verify joins, codegen'd sorted-merge intersect " +
+        "in the verify projection. Near-linear on Zipf corpora " +
+        "where the full index is quadratic (BENCH_NOTES ppjoinz)."),
+    "dd_incremental_neardup" ->
+      ("One-sided corpus probe: the batch's banded signatures " +
+        "BROADCAST into the corpus band index — incremental cost " +
+        "proportional to batch size; the corpus is never " +
+        "self-joined."),
+    "pg_pagerank" ->
+      ("Iterate-shuffle loop over localCheckpointed edges: one " +
+        "dst-keyed exchange per iteration, ~0.17 s marginal cost " +
+        "each (BENCH_NOTES pagerank probe); integral rank cells " +
+        "make the result partitioning-independent."),
+    "mb_assoc_rules" ->
+      ("Basket self-join shuffles on the basket key (cost bounded " +
+        "by basket sizes, never items²); the 1-row basket count " +
+        "broadcasts; frequent-pair support prune runs before rule " +
+        "expansion."),
+    "a18_cube" ->
+      ("All four grouping sets computed in ONE Expand + partial-agg " +
+        "shuffle — a hand-unioned cube would rescan the fact table " +
+        "per grouping set."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

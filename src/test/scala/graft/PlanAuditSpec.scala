@@ -304,4 +304,26 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("(bucket#") || p.contains("bucket = 5"),
       "bucket equality not in PartitionFilters:\n" + p.take(1000))
   }
+
+  test("cube computes all grouping sets in one Expand, not a union of scans") {
+    val p = plan("a18_cube")
+    assert(p.contains("Expand"), p.take(600))
+    assert(!p.contains("Union"), "cube fell back to unioned rescans")
+  }
+
+  test("assoc rules broadcast the 1-row basket count, never collect it") {
+    val p = plan("mb_assoc_rules")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "basket count cross-join " +
+      "planned as a cartesian product instead of a broadcast")
+  }
+
+  test("incremental near-dup broadcasts the batch side into the corpus probe") {
+    val df = SparkEntry.registry("dd_incremental_neardup").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "batch bands did not broadcast:\n" + p.take(800))
+  }
 }
