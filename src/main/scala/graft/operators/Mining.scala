@@ -187,6 +187,79 @@ object Mining {
   def ewmaHalf(xs: Column): Column =
     aggregate(xs, lit(0.0), (acc, x) => (acc + x) * lit(0.5))
 
+  /** Triangle count + global clustering coefficient over an undirected
+    * edge list given as (a, b) with a < b, each edge once. Edges are
+    * ORIENTED from lower (degree, id) to higher before the wedge join
+    * — the standard bound that caps intermediate wedges at O(m^1.5)
+    * regardless of hub degree (a naive wedge join explodes
+    * quadratically on the hottest node). Two keyed shuffles: wedge
+    * build on the pivot, closure probe on the (b, c) pair.
+    *
+    * Returns one census row: n_edges, n_wedges (open, over the
+    * UNDIRECTED degrees — Σ d·(d-1)/2), n_triangles, and the global
+    * clustering coefficient as floor(3·Δ·1e6 / wedges) — integral, so
+    * the row is engine-exact.
+    */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+      .filter(col("a") < col("b"))
+    val und = e.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient each edge from lower (deg, id) endpoint to higher
+    val oriented = und
+      .join(deg.toDF("n", "dn"), "n")
+      .join(deg.toDF("m", "dm"), "m")
+      .filter(col("dn") < col("dm") ||
+        (col("dn") === col("dm") && col("n") < col("m")))
+      .select(col("n").as("src"), col("m").as("dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+    // closure: the third edge appears in `e` as (min, max)
+    val closed = wedges.join(e,
+      least(col("x"), col("y")) === col("a") &&
+        greatest(col("x"), col("y")) === col("b"))
+    val openWedges = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(openWedges))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN 0L " +
+          "ELSE 3 * n_triangles * 1000000L div n_wedges END")
+          .as("clustering_x1e6"))
+  }
+
+  /** 2-D Pareto frontier (skyline): points with no other point at
+    * (x <=, y >=) with one strict — minimize x, maximize y. Two-phase
+    * so the global sort never sees the full input: phase 1 computes
+    * bucket-local frontiers in PARALLEL windows partitioned by an
+    * x-range bucket (a point dominated inside its bucket is dominated
+    * globally — same-bucket dominators have x <= by the sort), phase 2
+    * runs the global running-max window over local survivors only
+    * (frontier-sized, not input-sized). Survival rule both phases:
+    * ordered by (x asc, y desc), keep a point iff its y strictly
+    * exceeds every earlier point's y.
+    */
+  def skyline2d(points: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = points.select(col(xCol).as("x"), col(yCol).as("y")).distinct()
+    val localW = Window.partitionBy(col("bx"))
+      .orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = p.withColumn("bx", expr(s"x div $bucketWidth"))
+      .withColumn("pm", max(col("y")).over(localW))
+      .filter(col("pm").isNull || col("y") > col("pm"))
+    val globalW = Window.orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local.withColumn("gm", max(col("y")).over(globalW))
+      .filter(col("gm").isNull || col("y") > col("gm"))
+      .select(col("x"), col("y"))
+  }
+
   /** Exact edit-distance <= k self-join over distinct strings via the
     * q-gram count filter (Gravano et al., VLDB'01 — public
     * literature): one edit destroys at most q q-grams, so ED(s,t) <= k
@@ -391,6 +464,109 @@ object MiningQueries {
       },
       pageRankOracle(iters = 10, scale = 1000000000000L,
         base = 150000000000L)),
+
+    // Triangle census over the co-purchase graph. Spark orients edges
+    // by (degree, id) before the wedge join — O(m^1.5) intermediates;
+    // the oracle counts via the naive a<b<c three-way join (a
+    // DIFFERENT algorithm — orientation bugs turn the row red).
+    // All-integral cells including the clustering coefficient.
+    "pg_triangles" -> QueryDef(
+      (s, d) => {
+        val b = baskets(s, d)
+        val pairs = b.as("x").join(b.as("y"),
+            col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+          .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+          .agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 2)
+          .select(col("a"), col("b"))
+        Mining.triangleCensus(pairs, "a", "b")
+      },
+      s"""WITH b AS ($basketSql),
+         |e AS (
+         |  SELECT x.it AS a, y.it AS b FROM b x
+         |  JOIN b y ON x.bk = y.bk AND x.it < y.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |und AS (SELECT a AS n FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT n, COUNT(*) AS d FROM und GROUP BY n),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |      FROM deg)
+         |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         |  (SELECT n_wedges FROM w) AS n_wedges,
+         |  (SELECT n_triangles FROM tri) AS n_triangles,
+         |  CASE WHEN (SELECT n_wedges FROM w) = 0 THEN 0
+         |    ELSE CAST(3 * (SELECT n_triangles FROM tri) * 1000000
+         |      // (SELECT n_wedges FROM w) AS BIGINT)
+         |  END AS clustering_x1e6""".stripMargin),
+
+    // 2-D skyline (min price cents, max discount basis points) over
+    // lineitem — bucketed local frontiers in parallel, global pass
+    // over survivors only. Oracle: brute-force NOT EXISTS dominance (a
+    // different formulation — window tie-handling bugs turn it red).
+    "a19_skyline" -> QueryDef(
+      (s, d) => Mining.skyline2d(
+          T.lineitem(s, d).select(
+            floor(col("l_extendedprice") * 100).cast("long")
+              .as("price_cents"),
+            floor(col("l_discount") * 10000).cast("long").as("disc_bp")),
+          "price_cents", "disc_bp", bucketWidth = 100000L)
+        .toDF("price_cents", "disc_bp")
+        .orderBy(col("price_cents")),
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(floor(l_discount * 10000) AS BIGINT) AS disc_bp
+        |  FROM lineitem)
+        |SELECT price_cents, disc_bp FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.disc_bp >= a.disc_bp
+        |    AND (b.price_cents < a.price_cents OR b.disc_bp > a.disc_bp))
+        |ORDER BY price_cents""".stripMargin),
+
+    // Retention cohort matrix over events: cohort = a user's first
+    // 7-day activity bucket, offset = buckets since cohort; cell =
+    // distinct active users with retention as an integral x1e4 rate.
+    // Two keyed shuffles (per-user min, then the matrix roll-up) —
+    // the cohort join rides the same user-keyed partitioning.
+    "a20_retention_cohorts" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d).select(col("user_id"),
+          expr("unix_millis(ts) div 86400000 div 7").as("mo")).distinct()
+        val first = ev.groupBy(col("user_id")).agg(min(col("mo")).as("cohort"))
+        val act = ev.join(first, "user_id")
+          .select(col("cohort"), (col("mo") - col("cohort")).as("mo_offset"),
+            col("user_id"))
+        val sizes = first.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("cohort_users"))
+        act.groupBy(col("cohort"), col("mo_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("mo_offset"), col("cohort_users"),
+            col("n_active"),
+            expr("n_active * 10000L div cohort_users").as("retention_x1e4"))
+          .orderBy(col("cohort"), col("mo_offset"))
+      },
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 // 7 AS mo FROM events),
+        |f AS (SELECT user_id, MIN(mo) AS cohort FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM f
+        |          GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort, ev.mo - f.cohort AS mo_offset, ev.user_id
+        |  FROM ev JOIN f ON f.user_id = ev.user_id)
+        |SELECT a.cohort, a.mo_offset,
+        |  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+        |  COUNT(DISTINCT a.user_id) AS n_active,
+        |  CAST(COUNT(DISTINCT a.user_id) * 10000
+        |    // s.cohort_users AS BIGINT) AS retention_x1e4
+        |FROM act a JOIN sizes s ON s.cohort = a.cohort
+        |GROUP BY a.cohort, a.mo_offset, s.cohort_users
+        |ORDER BY a.cohort, a.mo_offset""".stripMargin),
 
     // Order-exact EWMA (alpha = 1/2) of the exact-decimal daily value
     // total per event type. The fold shape (acc+x)*0.5 is FMA-proof

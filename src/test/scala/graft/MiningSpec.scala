@@ -138,6 +138,38 @@ class MiningSpec extends AnyFunSuite {
     assert(got(11L)._2 === 0L && got(11L)._4 === 0)  // no candidates
   }
 
+  test("triangleCensus counts the known triangles of a hand-built graph") {
+    // K4 on 1-4 (4 triangles) + pendant 5-1 + disconnected edge 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (6L, 7L)).toDF("a", "b")
+    val r = Mining.triangleCensus(edges, "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 === 8L)  // edges
+    // degrees: 1:4, 2:3, 3:3, 4:3, 5:1, 6:1, 7:1 -> wedges 6+3+3+3=15
+    assert(r._2 === 15L)
+    assert(r._3 === 4L)  // C(4,3) triangles in K4
+    assert(r._4 === 3L * 4L * 1000000L / 15L)
+  }
+
+  test("triangleCensus: hub star has zero triangles, many wedges") {
+    val star = (2L to 9L).map(i => (1L, i)).toDF("a", "b")
+    val r = Mining.triangleCensus(star, "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._3 === 0L && r._4 === 0L && r._2 === 28L) // C(8,2)
+  }
+
+  test("skyline2d equals brute-force dominance, duplicates collapsed") {
+    val pts = Seq((1L, 1L), (1L, 5L), (2L, 7L), (2L, 7L), (3L, 7L),
+      (3L, 6L), (4L, 9L), (5L, 9L), (5L, 2L), (6L, 1L)).toDF("x", "y")
+    val got = Mining.skyline2d(pts, "x", "y", bucketWidth = 2L)
+      .as[(Long, Long)].collect().toSet
+    val ps = pts.as[(Long, Long)].collect().distinct
+    val want = ps.filter { case (x, y) => !ps.exists { case (a, b) =>
+      a <= x && b >= y && (a < x || b > y) } }.toSet
+    assert(got === want)
+    assert(got === Set((1L, 5L), (2L, 7L), (4L, 9L)))
+  }
+
   test("assocRules: confidence bounded, rules symmetric in pair count") {
     val b = Seq(
       (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
