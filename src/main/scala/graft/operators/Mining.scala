@@ -568,6 +568,127 @@ object MiningQueries {
         |GROUP BY a.cohort, a.mo_offset, s.cohort_users
         |ORDER BY a.cohort, a.mo_offset""".stripMargin),
 
+    // Time-series gap fill + forward fill over a SPARSE daily series
+    // (high-value events): the day grid comes from a sequence()
+    // GENERATOR per series (no shuffle — rows fan out in place), the
+    // left join lands missing days as 0, and the forward fill is one
+    // partitioned window. Grid size is bounded by the series span,
+    // never the event volume.
+    "ts_gap_fill" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = T.events(s, d).filter(col("value") > 300)
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val grid = daily.groupBy(col("event_type"))
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"))).as("day"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L))
+              .as("ff"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events WHERE value > 300 GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        |      FROM d GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS day
+        |         FROM b),
+        |j AS (
+        |  SELECT g.event_type, g.day, d.n FROM grid g
+        |  LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  COALESCE(n, 0) AS n,
+        |  COALESCE(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING), 0) AS ff
+        |FROM j ORDER BY event_type, day""".stripMargin),
+
+    // MAD-based anomaly census over daily counts — median and MAD as
+    // exact ORDER STATISTICS (lower median at rank (c+1) div 2), so
+    // every compared cell is integral: no mean, no stddev, no sqrt.
+    // Flag = |n - med| > 3·max(mad, 1). Two partitioned windows.
+    "ts_anomaly_mad" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = T.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val byN = Window.partitionBy(col("event_type"))
+          .orderBy(col("n"), col("day"))
+        val part = Window.partitionBy(col("event_type"))
+        val med = daily
+          .withColumn("rn", row_number().over(byN))
+          .withColumn("c", count(lit(1)).over(part))
+          .filter(col("rn") === expr("(c + 1) div 2"))
+          .select(col("event_type"), col("n").as("med_n"))
+        val dev = daily.join(med, "event_type")
+          .withColumn("ad", abs(col("n") - col("med_n")))
+        val byAd = Window.partitionBy(col("event_type"))
+          .orderBy(col("ad"), col("day"))
+        val mad = dev
+          .withColumn("rn", row_number().over(byAd))
+          .withColumn("c", count(lit(1)).over(part))
+          .filter(col("rn") === expr("(c + 1) div 2"))
+          .select(col("event_type"), col("ad").as("mad_n"))
+        dev.join(mad, "event_type")
+          .withColumn("flag",
+            (col("ad") > lit(3) * greatest(col("mad_n"), lit(1L)))
+              .cast("long"))
+          .groupBy(col("event_type"))
+          .agg(first(col("med_n")).as("med_n"),
+            first(col("mad_n")).as("mad_n"),
+            count(lit(1)).as("n_days"),
+            sum(col("flag")).as("n_anomalies"),
+            sum(when(col("flag") === 1, col("day")).otherwise(0L))
+              .as("anomaly_day_sum"))
+          .orderBy(col("event_type"))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, n AS med_n FROM (
+        |    SELECT event_type, n,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY n, day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS c
+        |    FROM daily)
+        |  WHERE rn = (c + 1) // 2),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med_n,
+        |    abs(d.n - m.med_n) AS ad
+        |  FROM daily d JOIN med m ON m.event_type = d.event_type),
+        |mad AS (
+        |  SELECT event_type, ad AS mad_n FROM (
+        |    SELECT event_type, ad, day,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY ad, day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS c
+        |    FROM dev)
+        |  WHERE rn = (c + 1) // 2)
+        |SELECT v.event_type,
+        |  CAST(MIN(v.med_n) AS BIGINT) AS med_n,
+        |  CAST(MIN(a.mad_n) AS BIGINT) AS mad_n,
+        |  COUNT(*) AS n_days,
+        |  CAST(SUM(CASE WHEN v.ad > 3 * greatest(a.mad_n, 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(SUM(CASE WHEN v.ad > 3 * greatest(a.mad_n, 1)
+        |    THEN v.day ELSE 0 END) AS BIGINT) AS anomaly_day_sum
+        |FROM dev v JOIN mad a ON a.event_type = v.event_type
+        |GROUP BY v.event_type
+        |ORDER BY v.event_type""".stripMargin),
+
     // Order-exact EWMA (alpha = 1/2) of the exact-decimal daily value
     // total per event type. The fold shape (acc+x)*0.5 is FMA-proof
     // and halving-exact, so the double cells hash-match bit-for-bit.

@@ -170,6 +170,23 @@ class MiningSpec extends AnyFunSuite {
     assert(got === Set((1L, 5L), (2L, 7L), (4L, 9L)))
   }
 
+  test("gap-fill forward fill: leading gap stays 0, interior gap carries") {
+    // series with a hole at day 2 and nothing before day 1
+    import org.apache.spark.sql.expressions.Window
+    val daily = Seq(("a", 1L, 5L), ("a", 3L, 7L)).toDF("k", "day", "n")
+    val grid = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = grid.join(daily, Seq("k", "day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L))
+          .as("ff"))
+      .orderBy(col("day")).as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 5L), (2L, 0L, 5L), (3L, 7L, 7L)))
+  }
+
   test("assocRules: confidence bounded, rules symmetric in pair count") {
     val b = Seq(
       (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
