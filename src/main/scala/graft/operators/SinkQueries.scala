@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.QueryDef
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, StructField, StructType}
 import graft.sources.{Readers, Sinks, TableLayout}
+import graft.{Tables => T}
 import V2Fixtures.{events => ev, oracleCte => CTE}
 
 /** Oracle-checked ROUNDTRIPS for the file-export sinks (SURVEY §2.1
@@ -197,6 +198,43 @@ object SinkQueries {
         |  COUNT(CASE WHEN doc_id % 23 <> 0 THEN 1 END) AS n_titles,
         |  COUNT(CASE WHEN doc_id % 8 <> 7 THEN 1 END) AS n_venues
         |FROM st""".stripMargin),
+
+    // Bucketed CO-LOCATED fact-fact join (SURVEY §4 layout family):
+    // both sides written with TableLayout.writeBucketed on the join
+    // key with the SAME bucket count, so the sort-merge join reads
+    // bucket i of each table directly — NO exchange on either input.
+    // At 100 TB this converts the recurring lineitem⋈orders-class
+    // join from the dominant per-query shuffle into a local zip of
+    // co-numbered buckets, paid once at write time. The only shuffle
+    // left in the plan is the tiny 5-row aggregate; PlanAuditSpec
+    // pins the no-input-exchange property. Oracle: the same census
+    // from the UNBUCKETED parquet in DuckDB — a layout bug that
+    // drops/duplicates rows across buckets turns the row red.
+    "j_bucket_colocated" -> QueryDef(
+      (s, d) => {
+        val base = outDir("bucketed", d)
+        TableLayout.writeBucketed(T.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_b_orders", "o_orderkey", 8, Some(base + "/orders"))
+        TableLayout.writeBucketed(T.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          "graft_b_lineitem", "l_orderkey", 8, Some(base + "/lineitem"))
+        s.table("graft_b_lineitem").hint("merge")
+          .join(s.table("graft_b_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+                (lit(1).cast(DecimalType(6, 4)) -
+                  col("l_discount").cast(DecimalType(6, 4)))), 4)
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // S5 — batched table copy through the month-partitioned layout
     // (reference: database/migrate_to_atlas.py:42-76 batches a

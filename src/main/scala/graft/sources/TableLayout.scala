@@ -59,10 +59,14 @@ object TableLayout {
     * in the catalog).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      buckets: Int, path: Option[String] = None): Unit = {
+    // drop first: Overwrite alone keeps the OLD table's location when
+    // the path option changes between runs
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -326,4 +326,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "batch bands did not broadcast:\n" + p.take(800))
   }
+
+  test("bucketed co-located join has NO exchange on either join input") {
+    val df = SparkEntry.registry("j_bucket_colocated").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), "merge hint ignored:\n" + p.take(800))
+    // the bucket layout must feed the join directly: any Exchange
+    // hash-partitioned on an orderkey means the write-time bucketing
+    // was not picked up and the join re-shuffled both fact tables
+    assert(!"Exchange[^\n]*orderkey".r.findFirstIn(p).isDefined,
+      "join input re-shuffled despite bucketing:\n" + p.take(1200))
+    assert(p.contains("Bucketed: true"),
+      "scan did not report bucketed read:\n" + p.take(1200))
+  }
 }
