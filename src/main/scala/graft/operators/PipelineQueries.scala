@@ -1204,6 +1204,58 @@ object PipelineQueries {
         |WHERE rn <= 10
         |ORDER BY lang, n DESC, token DESC""".stripMargin),
 
+    // TF-IDF top-k terms per document, with an INTEGRAL idf: score =
+    // tf · floor(log2(n_docs div df)). floor(log2 x) is exact integer
+    // arithmetic in both engines (length(bin(x)) - 1 — no libm), so
+    // every compared cell is integral; stopword-grade tokens
+    // (df > n_docs/2) score 0 and drop out of the top-k, which is the
+    // behavior ln-idf exists to produce. Scale shape: tf is one
+    // (doc, token)-keyed partial-agg shuffle, df one token-keyed
+    // shuffle over the tf frame (already one row per doc×token — far
+    // smaller than the raw explode), the df join rides the token key,
+    // and the 1-row corpus count broadcasts. Per-doc top-k runs as
+    // GroupedTopK partial+final — no global sort of the scored frame.
+    "ta_tfidf_topk" -> QueryDef(
+      (s, d) => {
+        val tf = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * (length(bin(expr("n_docs div df"))) - 1))
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("score"))
+        graft.plans.GroupedTopK.of(scored,
+            keyCols = Seq("doc_id"), orderCols = Seq("score", "token"),
+            descending = true, k = 5)
+          .orderBy(col("doc_id"), col("score").desc, col("token").desc)
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    t.tf * (length(bin(n.n_docs // d.df)) - 1) AS score
+        |  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token DESC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5
+        |ORDER BY doc_id, score DESC, token DESC""".stripMargin),
+
     // Corpus length distribution: EXACT per-language quantiles (the
     // "what does this corpus look like" profiling step before choosing
     // filter thresholds). Spark's percentile() and DuckDB's
