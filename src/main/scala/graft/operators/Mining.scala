@@ -568,6 +568,47 @@ object MiningQueries {
         |GROUP BY a.cohort, a.mo_offset, s.cohort_users
         |ORDER BY a.cohort, a.mo_offset""".stripMargin),
 
+    // First-order Markov transition census over per-user event
+    // sequences: one user-keyed shuffle for the lag window (ties
+    // broken by event_id — a TOTAL order, so both engines see the
+    // same predecessor), then a partial-agg shuffle over the tiny
+    // (prev, cur) pair space. Transition probability is integral:
+    // p_x1e6 = n·1e6 div n_from. The per-prev normalizer runs as a
+    // window over the k² census rows, not the event table.
+    "ev_transitions" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = T.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("n_from",
+            sum(col("n")).over(Window.partitionBy(col("prev"))))
+          .withColumn("p_x1e6", expr("n * 1000000 div n_from"))
+          .orderBy(col("prev"), col("cur"))
+      },
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |p AS (
+        |  SELECT prev, event_type AS cur, COUNT(*) AS n FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |f AS (
+        |  SELECT prev, cur, n,
+        |    CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS n_from
+        |  FROM p)
+        |SELECT prev, cur, n, n_from,
+        |  CAST(n * 1000000 // n_from AS BIGINT) AS p_x1e6
+        |FROM f ORDER BY prev, cur""".stripMargin),
+
     // Time-series gap fill + forward fill over a SPARSE daily series
     // (high-value events): the day grid comes from a sequence()
     // GENERATOR per series (no shuffle — rows fan out in place), the

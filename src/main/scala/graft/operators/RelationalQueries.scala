@@ -728,6 +728,63 @@ object RelationalQueries {
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin),
 
+    // Last-touch attribution — each purchase attributes to the LATEST
+    // preceding touch (view/click/signup) by the same user within a
+    // 24 h lookback, else the 'none' bucket. The as-of step is the
+    // same shuffle-once window machinery as j_asof_latest_view (no
+    // join node, skew-immune); the lookback predicate runs on
+    // SECOND-floored epochs so both engines compare identical
+    // integers. Census per channel: purchases, distinct buyers, and
+    // the integral attribution-lag sum. Oracle: DuckDB native ASOF
+    // LEFT JOIN — an independent implementation of the semantics.
+    "ev_attribution" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val touches = ev
+          .filter(col("event_type").isin("view", "click", "signup"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_type")).as("touch_type"))
+          .withColumn("touch_ts", col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        TemporalJoins.asofJoin(purchases, touches, Seq("user_id"), "ts",
+            Seq("touch_type", "touch_ts"))
+          .withColumn("lag_sec",
+            unix_timestamp(col("ts")) - unix_timestamp(col("touch_ts")))
+          .withColumn("channel",
+            when(col("lag_sec").isNotNull && col("lag_sec") < 86400,
+              col("touch_type")).otherwise(lit("none")))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(when(col("channel") =!= "none", col("lag_sec"))
+              .otherwise(0L)).as("lag_seconds_sum"))
+          .orderBy(col("channel"))
+      },
+      """WITH t AS (
+        |  SELECT user_id, ts, MAX(event_type) AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.user_id,
+        |    epoch_ms(p.ts) // 1000 - epoch_ms(t.ts) // 1000 AS lag_sec,
+        |    t.touch_type
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND t.ts <= p.ts),
+        |c AS (
+        |  SELECT user_id, lag_sec,
+        |    CASE WHEN lag_sec IS NOT NULL AND lag_sec < 86400
+        |      THEN touch_type ELSE 'none' END AS channel
+        |  FROM j)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CASE WHEN channel <> 'none' THEN lag_sec
+        |    ELSE 0 END) AS BIGINT) AS lag_seconds_sum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Bucketed range join — purchases within 600 s after an error by
     // the same user (TemporalJoins.rangeJoinBucketed: intervals
     // explode to grid cells, points land in ONE cell, equi-join on
