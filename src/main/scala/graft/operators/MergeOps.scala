@@ -471,6 +471,34 @@ object MergeOps {
       .drop("_fp_s", "_fp_t")
   }
 
+  /** SCD Type-2 dimension build from a change log: per key, collapse
+    * CONSECUTIVE rows with an unchanged `stateCol` into one validity
+    * interval, emitting `version` (1-based per key), `valid_to` (the
+    * next change's `tsCol`, null while current) and `is_current`.
+    *
+    * Gaps-and-islands without a self-join: a lag window marks change
+    * points, a second window over the surviving change rows numbers
+    * versions and chains `valid_to` via lead. Both windows partition
+    * on the SAME keys, so the whole build is ONE hash shuffle on the
+    * dimension key — Catalyst reuses the exchange for the second
+    * window — and per-key work is linear in that key's log, immune to
+    * overall table size. (`tsCol`, `tieCol`) must totally order each
+    * key's rows; pass an integral epoch as `tsCol` when downstream
+    * arithmetic (durations) must be engine-exact.
+    */
+  def scdType2(log: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    log
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(stateCol))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_prev")
+  }
+
   def flagForRefresh(events: DataFrame, eventIds: Seq[String],
       nowIso: Column): DataFrame = {
     val hit = col("event_id").isin(eventIds: _*)

@@ -330,6 +330,60 @@ object MergeQueries {
         |  CAST(SUM(event_id) AS BIGINT) AS key_checksum
         |FROM diff GROUP BY status ORDER BY status""".stripMargin),
 
+    // SCD Type-2 dimension build (the warehouse-side machinery the
+    // reference's latest-wins upserts replace history with): the
+    // events table read as a per-user state-change log, collapsed
+    // into validity intervals by MergeOps.scdType2 — one shuffle on
+    // user_id for both windows. Intervals live on SECOND-floored
+    // epochs so durations are integral. Census proves interval
+    // structure per state: counts, open (current) rows, closed
+    // duration mass, and a version checksum (wrong change detection
+    // or numbering shifts it).
+    "k7_scd2_census" -> QueryDef(
+      (s, d) => {
+        val log = T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("ts_sec"),
+            col("event_type").as("state"))
+        MergeOps.scdType2(log, Seq("user_id"), "ts_sec", "event_id",
+            "state")
+          .groupBy(col("state"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("is_current").cast("long")).as("n_current"),
+            sum(when(col("valid_to").isNotNull,
+              col("valid_to") - col("ts_sec")).otherwise(0L))
+              .as("closed_duration_sum"),
+            sum(col("version")).as("version_checksum"))
+          .orderBy(col("state"))
+      },
+      """WITH log AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |    event_type AS state
+        |  FROM events),
+        |m AS (
+        |  SELECT *, LAG(state) OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec, event_id) AS prev
+        |  FROM log),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_sec, state FROM m
+        |  WHERE prev IS NULL OR prev <> state),
+        |dim AS (
+        |  SELECT state,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS version,
+        |    ts_sec,
+        |    LEAD(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT state, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_current,
+        |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+        |    THEN valid_to - ts_sec ELSE 0 END) AS BIGINT)
+        |    AS closed_duration_sum,
+        |  CAST(SUM(version) AS BIGINT) AS version_checksum
+        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // K5 — re-scrape flag update (reference: database/api_server.py:
     // 551-559): keyed two-field update inside the system_flags struct,
     // applied as a column rewrite (no row explosion, no join — the id

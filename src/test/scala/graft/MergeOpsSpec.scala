@@ -408,4 +408,25 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(md.contains("- **Venue**: Privilege"))
     assert(md.contains("Carl Cox, Adam Beyer, Charlotte de Witte"))
   }
+
+  test("scdType2 collapses runs, chains valid_to, flags the current row") {
+    // user 1: A,A,B,A -> 3 intervals (the repeated A at t=20 folds
+    // into the first; the LAST A is a NEW interval, not a resumption)
+    val log = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      (2L, 15L, 104L, "C")).toDF("user_id", "ts_sec", "event_id", "state")
+    val dim = MergeOps.scdType2(log, Seq("user_id"), "ts_sec",
+        "event_id", "state")
+      .select("user_id", "version", "state", "ts_sec", "valid_to",
+        "is_current")
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)), r.getBoolean(5))).toSeq
+    assert(dim === Seq(
+      (1L, 1, "A", 10L, Some(30L), false),
+      (1L, 2, "B", 30L, Some(40L), false),
+      (1L, 3, "A", 40L, None, true),
+      (2L, 1, "C", 15L, None, true)))
+  }
 }
