@@ -111,4 +111,50 @@ object IncrementalIngest {
       }
       .toDF("user_id", "n_events", "last_value")
   }
+
+  /** Streaming SCD Type-2: per-user state-change intervals maintained
+    * incrementally (the streaming twin of
+    * [[graft.operators.MergeOps.scdType2]]). State per user =
+    * (version, current state, open-interval start). Each batch sorts
+    * ITS OWN rows for the user by (ts_sec, event_id) — the group
+    * iterator has no order contract — then folds them through the
+    * open interval, emitting every interval CLOSED in this batch plus
+    * a re-emission of the still-open one (latest-wins downstream,
+    * exactly the ev_stream_state pattern). Cross-batch contract: the
+    * source must deliver a user's rows in nondecreasing ts order
+    * across batches (true of a CDC/file-sequence source; in-batch
+    * disorder is handled here) — a regression would surface as a
+    * stream≠batch census mismatch in the oracle row.
+    */
+  def scdType2State(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "unix_timestamp(ts) AS ts_sec",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Int, String, Long)]) =>
+          val sorted = rows.toSeq.sortBy { case (_, eid, ts, _) => (ts, eid) }
+          var (ver, cur, since) = state.getOption.getOrElse((0, "", 0L))
+          val out = Seq.newBuilder[(Long, Int, String, Long, Option[Long])]
+          sorted.foreach { case (_, _, ts, st) =>
+            if (ver == 0) { ver = 1; cur = st; since = ts }
+            else if (st != cur) {
+              out += ((user, ver, cur, since, Some(ts)))
+              ver += 1; cur = st; since = ts
+            }
+          }
+          if (ver > 0) {
+            out += ((user, ver, cur, since, None))
+            state.update((ver, cur, since))
+          }
+          out.result().iterator
+      }
+      .toDF("user_id", "version", "state", "since_sec", "valid_to")
+  }
 }

@@ -419,6 +419,59 @@ object StreamingQueries {
           .orderBy(col("user_id"))
       },
       """SELECT user_id, COUNT(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Streaming SCD Type-2 (IncrementalIngest.scdType2State): the
+    // dimension intervals maintained incrementally per user, then
+    // reduced latest-wins per (user, version) — max(valid_to) ignores
+    // the open re-emissions — and rolled into the SAME census as the
+    // batch build. Oracle: identical SQL to k7_scd2_census, so the
+    // row proves stream == batch on interval structure, durations,
+    // and version numbering, not just cardinality.
+    "ev_stream_scd2" -> QueryDef(
+      (s, d) => {
+        val dim = IncrementalIngest.scdType2State(eventStream(s, d))
+        drain(s, dim, "graft_stream_scd2", "update")
+          .groupBy(col("user_id"), col("version"))
+          .agg(min(col("state")).as("state"),
+            min(col("since_sec")).as("ts_sec"),
+            max(col("valid_to")).as("valid_to"))
+          .groupBy(col("state"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+              .as("n_current"),
+            sum(when(col("valid_to").isNotNull,
+              col("valid_to") - col("ts_sec")).otherwise(0L))
+              .as("closed_duration_sum"),
+            sum(col("version")).as("version_checksum"))
+          .orderBy(col("state"))
+      },
+      """WITH log AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_sec,
+        |    event_type AS state
+        |  FROM events),
+        |m AS (
+        |  SELECT *, LAG(state) OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec, event_id) AS prev
+        |  FROM log),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_sec, state FROM m
+        |  WHERE prev IS NULL OR prev <> state),
+        |dim AS (
+        |  SELECT state,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS version,
+        |    ts_sec,
+        |    LEAD(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT state, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_current,
+        |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+        |    THEN valid_to - ts_sec ELSE 0 END) AS BIGINT)
+        |    AS closed_duration_sum,
+        |  CAST(SUM(version) AS BIGINT) AS version_checksum
+        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

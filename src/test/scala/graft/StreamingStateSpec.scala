@@ -51,6 +51,32 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(joined.isEmpty, "state counts must equal batch counts")
   }
 
+  test("streaming SCD2 closes an interval opened in an EARLIER batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val src = ms.toDF().toDF("user_id", "event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = IncrementalIngest.scdType2State(src)
+      .writeStream.format("memory").queryName("sscd2_batches")
+      .outputMode("update").start()
+    // batch 1: A opens at 10 (the repeat at 20 must fold in)
+    ms.addData((1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"))
+    q.processAllAvailable()
+    // batch 2: B at 30 closes A — interval and state CROSS the batch
+    ms.addData((1L, 3L, 30L, "B"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sscd2_batches")
+      .groupBy("user_id", "version")
+      .agg(min(col("state")).as("state"), min(col("since_sec")).as("since"),
+        max(col("valid_to")).as("vt"))
+      .orderBy("version").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)))).toSeq
+    assert(got === Seq((1, "A", 10L, Some(30L)), (2, "B", 30L, None)))
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
