@@ -453,6 +453,100 @@ object RelationalQueries {
         |    ELSE 0 END) AS BIGINT) AS total_conv_seconds
         |FROM pu LEFT JOIN conv c ON c.user_id = pu.user_id""".stripMargin),
 
+    // Multi-step WINDOW FUNNEL (view → click → purchase, each step
+    // within 1 h of the previous) with chained-earliest semantics:
+    // step k's timestamp is the MIN occurrence after step k-1 inside
+    // its window — deterministic, and each chaining step is one
+    // user-keyed join + partial-agg min that rides the same hash
+    // partitioning (no windows over the raw table, no per-user
+    // sequence materialization). Census per reached depth on
+    // SECOND-floored epochs: users and total first-to-last span.
+    "a21_window_funnel" -> QueryDef(
+      (s, d) => {
+        val e = T.events(s, d).select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("sec") > col("t1") && col("sec") <= col("t1") + 86400)
+          .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("sec") > col("t2") && col("sec") <= col("t2") + 86400)
+          .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .withColumn("depth",
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2).otherwise(1))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("t3"), col("t2"), col("t1")) - col("t1"))
+              .as("span_seconds_sum"))
+          .orderBy(col("depth"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) // 1000 AS sec
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(sec) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(sec) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND sec > t1 AND sec <= t1 + 86400
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(sec) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec > t2 AND sec <= t2 + 86400
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT s1.user_id, t1, t2, t3,
+        |    CASE WHEN t3 IS NOT NULL THEN 3
+        |         WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT depth, COUNT(*) AS n_users,
+        |  CAST(SUM(COALESCE(t3, t2, t1) - t1) AS BIGINT)
+        |    AS span_seconds_sum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // k-anonymity census over quasi-identifiers (event_type,
+    // hour-of-day, value band) — the privacy pre-screen a training
+    // corpus needs before release. All derivations are pure integer
+    // arithmetic ((sec div 3600) % 24; floor(value/100) is IEEE-exact
+    // in both engines). Per event_type: equivalence classes, risky
+    // classes (size < k=5), and the row mass needing suppression —
+    // one partial-agg shuffle on the QI tuple, then a tiny rollup.
+    "qa_k_anonymity" -> QueryDef(
+      (s, d) => {
+        val k = 5
+        val classes = T.events(s, d)
+          .select(col("event_type"),
+            expr("(unix_timestamp(ts) div 3600) % 24").as("hour_of_day"),
+            expr("CAST(floor(value / 100.0) AS BIGINT)").as("value_band"))
+          .groupBy(col("event_type"), col("hour_of_day"), col("value_band"))
+          .agg(count(lit(1)).as("n"))
+        classes.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_classes"),
+            sum(when(col("n") < k, col("n")).otherwise(0L))
+              .as("n_risky_rows"),
+            sum(col("n")).as("n_rows"))
+          .orderBy(col("event_type"))
+      },
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 1000 // 3600) % 24 AS hour_of_day,
+        |    CAST(FLOOR(value / 100.0) AS BIGINT) AS value_band,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // A13 grouped — per-event-type HLL distinct event_ids, the
     // operational distinct-per-segment form: (group, bucket) registers
     // then the per-group integer-exact estimate; exact distinct joined
