@@ -1204,6 +1204,56 @@ object PipelineQueries {
         |WHERE rn <= 10
         |ORDER BY lang, n DESC, token DESC""".stripMargin),
 
+    // Bigram language-model census — the count tables an n-gram LM
+    // (or a KN-smoothing pass) is built from, all INTEGRAL: bigram
+    // count n, left-context mass c1 = Σ_w2 n(w1,w2), continuation
+    // count cont(w2) = |{w1}| (the Kneser-Ney numerator), and the
+    // ×1e6 div probabilities. Scale shape: bigrams explode in place
+    // (no shuffle), ONE partial-agg shuffle builds the (w1,w2) count
+    // table, and c1/cont derive from THAT table (vocab²-bounded, far
+    // smaller than the corpus) — the 1-row type count broadcasts.
+    "ta_bigram_lm" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val pairs = docs.select(explode(expr(
+            "transform(sequence(0, size(t)-2), " +
+              "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+        val n = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n"))
+        val c1 = n.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+        val cont = n.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+        val dt = n.agg(count(lit(1)).as("d_types"))
+        n.join(c1, "w1").join(cont, "w2").crossJoin(broadcast(dt))
+          .withColumn("p_mle_x1e6", expr("n * 1000000 div c1"))
+          .withColumn("p_cont_x1e6", expr("cont * 1000000 div d_types"))
+          .select(col("w1"), col("w2"), col("n"), col("c1"), col("cont"),
+            col("p_mle_x1e6"), col("p_cont_x1e6"))
+          .orderBy(col("n").desc, col("w1"), col("w2")).limit(50)
+      },
+      """WITH d0 AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |  FROM d0 WHERE len(t) >= 2),
+        |p AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |n AS (SELECT w1, w2, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM n GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS cont FROM n GROUP BY 1),
+        |dt AS (SELECT COUNT(*) AS d_types FROM n)
+        |SELECT n.w1, n.w2, n.n, c1.c1, cont.cont,
+        |  CAST(n.n * 1000000 // c1.c1 AS BIGINT) AS p_mle_x1e6,
+        |  CAST(cont.cont * 1000000 // dt.d_types AS BIGINT) AS p_cont_x1e6
+        |FROM n JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN dt
+        |ORDER BY n.n DESC, n.w1, n.w2 LIMIT 50""".stripMargin),
+
     // TF-IDF top-k terms per document, with an INTEGRAL idf: score =
     // tf · floor(log2(n_docs div df)). floor(log2 x) is exact integer
     // arithmetic in both engines (length(bin(x)) - 1 — no libm), so
