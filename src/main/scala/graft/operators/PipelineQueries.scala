@@ -1222,8 +1222,13 @@ object PipelineQueries {
               "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
           .filter(col("w1") =!= "" && col("w2") =!= "")
+        // the count table is consumed FOUR times (join probe, c1,
+        // cont, d_types): localCheckpoint materializes it once so the
+        // corpus is tokenized/exploded once, not per consumer (the
+        // dd_degree_cap precedent)
         val n = pairs.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val c1 = n.groupBy(col("w1")).agg(sum(col("n")).as("c1"))
         val cont = n.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
         val dt = n.agg(count(lit(1)).as("d_types"))
@@ -1267,12 +1272,16 @@ object PipelineQueries {
     // GroupedTopK partial+final — no global sort of the scored frame.
     "ta_tfidf_topk" -> QueryDef(
       (s, d) => {
+        // tf feeds both the scored join and the df derivation:
+        // localCheckpoint tokenizes the corpus ONCE instead of once
+        // per consumer (the dd_degree_cap precedent)
         val tf = T.documents(s, d)
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("token"))
           .filter(col("token") =!= "")
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, "token")
