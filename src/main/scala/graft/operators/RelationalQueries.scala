@@ -547,6 +547,82 @@ object RelationalQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Rolling 7-day distinct users per day (the MAU/WAU family) via
+    // per-day HLL registers + windowed register max
+    // (Sketches.hllRollingEstimateBy): rolling DISTINCT does not
+    // decompose, but register MAX does — the per-day sketch table is
+    // stored once and any trailing window derives from it with a ×7
+    // fan-out over days×256 sketch rows, never a rescan of events.
+    // Exact 7-day distinct joined alongside as the witness (its ×7
+    // explode over distinct (day,user) pairs is the cost the sketch
+    // path exists to avoid at 100 TB).
+    "ev_rolling_mau" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("user_id"))
+        val days = ev.select(col("day")).distinct()
+        val regs = Sketches.hllRegistersBy(ev,
+          col("user_id").cast("string"), Seq("day"), p = 8)
+        val exact = ev.distinct()
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("tday"))
+          .join(broadcast(days.select(col("day").as("tday"))), "tday")
+          .groupBy(col("tday"))
+          .agg(countDistinct(col("user_id")).as("n_exact_7d"))
+          .withColumnRenamed("tday", "day")
+        Sketches.hllRollingEstimateBy(regs, days, windowDays = 7, p = 8)
+          .join(exact, "day")
+          .orderBy(col("day"))
+      },
+      s"""WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |h AS (
+        |  SELECT day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM e),
+        |reg AS (
+        |  SELECT day, h & 255 AS bucket,
+        |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+        |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |rolled AS (
+        |  SELECT r.day + t.o AS day, r.bucket, MAX(r.rho) AS rho
+        |  FROM reg r CROSS JOIN range(0, 7) AS t(o)
+        |  JOIN days dd ON dd.day = r.day + t.o
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT day, COUNT(*) AS n_buckets,
+        |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+        |  FROM rolled GROUP BY 1),
+        |s AS (
+        |  SELECT day, n_buckets,
+        |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
+        |      AS sum_int
+        |  FROM agg),
+        |ex AS (
+        |  SELECT du.day + t.o AS day,
+        |    COUNT(DISTINCT du.user_id) AS n_exact_7d
+        |  FROM (SELECT DISTINCT day, user_id FROM e) du
+        |  CROSS JOIN range(0, 7) AS t(o)
+        |  JOIN days dd ON dd.day = du.day + t.o
+        |  GROUP BY 1),
+        |e2 AS (
+        |  SELECT day, n_buckets, 256 - n_buckets AS zeros,
+        |    CAST(${Sketches.estConstant(8)} // sum_int AS BIGINT)
+        |      AS raw_x100
+        |  FROM s)
+        |SELECT e2.day, CAST(e2.n_buckets AS BIGINT) AS n_buckets,
+        |  CASE WHEN e2.raw_x100 <= 64000 AND e2.zeros > 0
+        |       THEN CAST(list_extract(${Sketches.linearTableSql(256)},
+        |                 CAST(e2.zeros AS INT)) AS BIGINT)
+        |       ELSE e2.raw_x100 END AS hll_estimate_x100,
+        |  ex.n_exact_7d
+        |FROM e2 JOIN ex USING (day)
+        |ORDER BY e2.day""".stripMargin),
+
     // A13 grouped — per-event-type HLL distinct event_ids, the
     // operational distinct-per-segment form: (group, bucket) registers
     // then the per-group integer-exact estimate; exact distinct joined

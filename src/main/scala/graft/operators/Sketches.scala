@@ -227,6 +227,51 @@ object Sketches {
           .as("hll_estimate_x100")): _*)
   }
 
+  /** Rolling w-day HLL estimate from a per-day register frame
+    * (day, bucket, rho): each register row contributes to the w
+    * target days it falls inside (a ×w fan-out over the COMPACT
+    * sketch frame — days×2^p rows, never the raw data), then
+    * per-(target day, bucket) max and the same integer-exact
+    * per-group estimate as [[hllEstimateBy]]. This is the
+    * distributed answer to rolling DISTINCT, which does not
+    * decompose: store per-day registers once, derive any trailing
+    * window by register max — no rescan, no per-day set union.
+    * `days` (one `day` column) bounds the emitted target days to
+    * days that exist; it is calendar-bounded and broadcasts.
+    */
+  def hllRollingEstimateBy(regs: DataFrame, days: DataFrame,
+      windowDays: Int, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = 1L << (wBits + 1)
+    regs
+      .select(col("bucket"), col("rho"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("tday"))
+      .join(broadcast(days.select(col("day").as("tday"))), "tday")
+      .groupBy(col("tday"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .groupBy(col("tday"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
+          .as("present_sum"))
+      .select(col("tday").as("day"), col("n_buckets"),
+        (col("present_sum") +
+          (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int"))
+      .select(col("day"), col("n_buckets"),
+        (lit(m.toLong) - col("n_buckets")).as("zeros"),
+        expr(s"CAST('${estConstant(p)}' AS DECIMAL(38,0)) div sum_int")
+          .as("raw_x100"))
+      // daily actives sit squarely in the linear-counting regime, so
+      // unlike hllEstimateBy the correction branch is NOT optional
+      // here (same literal table as hllEstimateFromRegisters)
+      .select(col("day"), col("n_buckets"),
+        when(col("raw_x100") <= lit(250L * m) && col("zeros") > 0,
+          element_at(array(linearTable(m).map(lit): _*),
+            col("zeros").cast("int")))
+          .otherwise(col("raw_x100")).as("hll_estimate_x100"))
+  }
+
   /** Equi-width histogram sketch of a numeric column: nBins counts,
     * values clamped into [lo, lo + nBins·width). The quantile sketch
     * for bounded-range metrics (latencies, scores, prices): state is
