@@ -1304,6 +1304,51 @@ object RelationalQueries {
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Top session paths — the "what do users actually do" census:
+    // sessions cut at 30-minute gaps (the ev_sessionize arithmetic,
+    // session number = running sum over the SAME user window, so the
+    // whole sessionization is still one shuffle + one sort), then the
+    // first 5 event types per session in event order become the path
+    // string and the top-10 paths rank by count. The per-session
+    // collect is bounded by the slice (5), and paths aggregate as a
+    // tiny vocabulary — no global sort of sessions.
+    "ev_top_paths" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        T.events(s, d)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum(col("new_session")).over(byUser))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(expr("concat_ws('>', slice(transform(" +
+            "array_sort(collect_list(struct(event_id, event_type))), " +
+            "x -> x.event_type), 1, 5))").as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(10)
+      },
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS session_no
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, session_no,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY event_id), 1, 5), '>') AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin),
+
     // SURVEY §2.4 A10/A11: run-metrics accumulators with rate
     // arithmetic (success_rate, avg value per success, events/minute).
     "a11_run_metrics" -> QueryDef(
