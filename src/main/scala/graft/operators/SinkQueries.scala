@@ -199,6 +199,38 @@ object SinkQueries {
         |  COUNT(CASE WHEN doc_id % 8 <> 7 THEN 1 END) AS n_venues
         |FROM st""".stripMargin),
 
+    // DYNAMIC partition pruning on the month layout: the fact table
+    // is month-partitioned (TableLayout), the quarter dimension lives
+    // in a FILE (a local literal would constant-fold and make the
+    // pruning static), and the Q3 filter reaches the fact scan only
+    // at RUNTIME via the broadcast result — Catalyst's
+    // DynamicPruningExpression in PartitionFilters, pinned by
+    // PlanAuditSpec. At 100 TB this is the difference between
+    // scanning 3 months and scanning the table when the month list
+    // comes from data. Oracle: the equivalent static month predicate.
+    "j_dpp_month" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val path = outDir("dpp", d)
+        TableLayout.writeEventsTable(
+          ev(s, d).withColumn("event_id",
+            concat(lit("ev"), col("doc_id"))), path)
+        val dimPath = outDir("dpp_dim", d)
+        (1 to 12).map(m => (f"2025-$m%02d", "Q" + ((m - 1) / 3 + 1)))
+          .toDF("start_month", "quarter")
+          .write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath).filter(col("quarter") === "Q3")
+        TableLayout.readEventsTable(s, path)
+          .join(broadcast(dim), "start_month")
+          .groupBy(col("start_month")).agg(count(lit(1)).as("n"))
+          .orderBy(col("start_month"))
+      },
+      s"""$CTE SELECT substr(start_date, 1, 7) AS start_month,
+         |  COUNT(*) AS n
+         |FROM v2ev
+         |WHERE substr(start_date, 1, 7) IN ('2025-07', '2025-08', '2025-09')
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Bucketed CO-LOCATED fact-fact join (SURVEY §4 layout family):
     // both sides written with TableLayout.writeBucketed on the join
     // key with the SAME bucket count, so the sort-merge join reads

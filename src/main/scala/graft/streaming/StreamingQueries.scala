@@ -421,6 +421,66 @@ object StreamingQueries {
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Streaming rolling 7-day distinct users: per-(day, bucket) HLL
+    // registers as a COMPLETE-mode max aggregation (max is the
+    // mergeable sketch op — any batch split produces the same final
+    // registers), drained and fed through the SAME rolling-window
+    // estimate tail as the batch ev_rolling_mau. Fourth streaming
+    // sketch beside HLL/CMS/histogram, and the first windowed one.
+    "ev_stream_mau" -> QueryDef(
+      (s, d) => {
+        val ev = eventStream(s, d)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("user_id"))
+        val regs = graft.operators.Sketches.hllRegistersBy(ev,
+          col("user_id").cast("string"), Seq("day"), p = 8)
+        val drained = drain(s, regs, "graft_stream_mau", "complete")
+        val days = drained.select(col("day")).distinct()
+        graft.operators.Sketches.hllRollingEstimateBy(drained, days,
+            windowDays = 7,
+            p = 8)
+          .orderBy(col("day"))
+      },
+      s"""WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |h AS (
+        |  SELECT day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM e),
+        |reg AS (
+        |  SELECT day, h & 255 AS bucket,
+        |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+        |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |rolled AS (
+        |  SELECT r.day + t.o AS day, r.bucket, MAX(r.rho) AS rho
+        |  FROM reg r CROSS JOIN range(0, 7) AS t(o)
+        |  JOIN days dd ON dd.day = r.day + t.o
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT day, COUNT(*) AS n_buckets,
+        |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+        |  FROM rolled GROUP BY 1),
+        |s AS (
+        |  SELECT day, n_buckets,
+        |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
+        |      AS sum_int
+        |  FROM agg),
+        |e2 AS (
+        |  SELECT day, n_buckets, 256 - n_buckets AS zeros,
+        |    CAST(${graft.operators.Sketches.estConstant(8)} // sum_int
+        |      AS BIGINT) AS raw_x100
+        |  FROM s)
+        |SELECT day, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CASE WHEN raw_x100 <= 64000 AND zeros > 0
+        |       THEN CAST(list_extract(
+        |              ${graft.operators.Sketches.linearTableSql(256)},
+        |              CAST(zeros AS INT)) AS BIGINT)
+        |       ELSE raw_x100 END AS hll_estimate_x100
+        |FROM e2 ORDER BY day""".stripMargin),
+
     // Streaming SCD Type-2 (IncrementalIngest.scdType2State): the
     // dimension intervals maintained incrementally per user, then
     // reduced latest-wins per (user, version) — max(valid_to) ignores

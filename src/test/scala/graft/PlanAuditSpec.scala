@@ -327,6 +327,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "batch bands did not broadcast:\n" + p.take(800))
   }
 
+  test("month join prunes fact partitions DYNAMICALLY from the dim filter") {
+    val p = plan("j_dpp_month")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no DynamicPruningExpression in the fact scan:\n" + p.take(1200))
+  }
+
   test("bucketed co-located join has NO exchange on either join input") {
     val df = SparkEntry.registry("j_bucket_colocated").fn(spark, sf)
     df.collect()
