@@ -332,6 +332,52 @@ object ScaleProbe {
       (n, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Rolling 7-day distinct: the register-table path
+    // (ev_rolling_mau) vs the exact ×7-explode-over-distinct-pairs
+    // path, replicated along the USER axis (days fixed — the shape of
+    // a growing service). On one node both are map-bound (the
+    // sketch's md5 portable hash costs ~2× the exact path's native
+    // hashing — the price of cross-engine replayability, on record
+    // below), so the decisive quantity reported is SHUFFLE ROWS:
+    // the sketch's rolling shuffle is days×256 registers NO MATTER
+    // how many users exist, while the exact path moves every distinct
+    // (day, user) pair ×7 — the divergence that, with real network
+    // and real state stores, decides the operator at 100 TB.
+    var lastExactSec = -1.0
+    var lastRegRows = -1L
+    var lastPairRows = -1L
+    def runRollingAt(factor: Int): (Long, Double) = {
+      val ev0 = graft.Tables.events(spark, sfDir)
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("user_id"))
+      val ev =
+        if (factor == 1) ev0
+        else ev0.crossJoin(broadcast(
+            spark.range(factor).select(col("id").as("_rep"))))
+          .select(col("day"),
+            (col("user_id") + col("_rep") * 1000000L).as("user_id"))
+      val days = ev.select(col("day")).distinct()
+      val t0 = System.nanoTime()
+      val regs = graft.operators.Sketches.hllRegistersBy(ev,
+        col("user_id").cast("string"), Seq("day"), p = 8)
+      val nDays = graft.operators.Sketches
+        .hllRollingEstimateBy(regs, days, windowDays = 7, p = 8)
+        .count()
+      val sketchSec = (System.nanoTime() - t0) / 1e9
+      val exactPairs = ev.distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("tday"))
+        .join(broadcast(days.select(col("day").as("tday"))), "tday")
+      val t1 = System.nanoTime()
+      exactPairs.groupBy(col("tday"))
+        .agg(countDistinct(col("user_id")))
+        .count()
+      lastExactSec = (System.nanoTime() - t1) / 1e9
+      lastRegRows = regs.count() * 7  // rolling fan-out rows shuffled
+      lastPairRows = exactPairs.count()
+      (nDays, sketchSec)
+    }
+
     val run: Int => (Long, Double) = probe match {
       case "minhash"   => runMinhashAt
       case "funnel"    => runFunnelAt
@@ -342,6 +388,7 @@ object ScaleProbe {
       case "ppjoin"    => runPpjoinAt
       case "ppjoinz"   => runPpjoinZipfAt
       case "pagerank"  => runPagerankAt
+      case "rolling"   => runRollingAt
       case _           => runAt
     }
     run(1) // warmup: JIT + codegen + parquet footers
@@ -356,6 +403,7 @@ object ScaleProbe {
       case "ppjoin"    => "dd_prefix_jaccard"
       case "ppjoinz"   => "dd_prefix_jaccard_zipf"
       case "pagerank"  => "pg_pagerank"
+      case "rolling"   => "ev_rolling_mau"
       case _           => "etl_unify_score"
     }
     val unit = probe match {
@@ -366,6 +414,7 @@ object ScaleProbe {
       case "bpe"       => "tokens"
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
+      case "rolling"   => "days"
       case _           => "rows"
     }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
@@ -380,6 +429,8 @@ object ScaleProbe {
         else if (probe == "merge") f""","sec_full_rewrite":$lastFullSec%.2f"""
         else if (probe == "ppjoin" || probe == "ppjoinz")
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
+        else if (probe == "rolling")
+          f""","sec_exact":$lastExactSec%.2f,"sketch_shuffle_rows":$lastRegRows%d,"exact_shuffle_rows":$lastPairRows%d"""
         else ""
       val inRows =
         if (probe == "funnelcap") baseRows + f
