@@ -438,6 +438,26 @@ object MergeQueries {
       },
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Incremental materialized-view refresh (MaterializedView): the
+    // stored rollup state (built from event_id % 16 != 0, persisted to
+    // parquet) absorbs the remaining rows as a late-data delta via
+    // group-wise SUM-merge of its COUNT/decimal-SUM cells. The oracle
+    // recomputes the rollup census from the FULL table in one pass —
+    // incremental == full exactly, because the cells form a monoid.
+    // A merge that dropped a group, double-counted a cell, or lost
+    // decimal exactness breaks n_days/day_checksum/value_sum.
+    "mv_incremental_refresh" -> QueryDef(
+      (s, d) => MaterializedView.refreshRoundTrip(s, d),
+      """WITH g AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS vsum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(day * n) AS BIGINT) AS day_checksum,
+        |  CAST(SUM(vsum) AS DOUBLE) AS value_sum
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

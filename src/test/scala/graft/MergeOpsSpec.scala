@@ -429,4 +429,60 @@ class MergeOpsSpec extends AnyFunSuite {
       (1L, 3, "A", 40L, None, true),
       (2L, 1, "C", 15L, None, true)))
   }
+
+  private def mvEvents(rows: Seq[(String, String, Double)]) =
+    rows.toDF("event_type", "ts_str", "value")
+      .select(col("event_type"), to_timestamp(col("ts_str")).as("ts"),
+        col("value"))
+
+  test("MV refresh: merged state == full recompute across any batch split") {
+    import graft.operators.MaterializedView
+    val all = mvEvents(Seq(
+      ("view", "2025-03-01 10:00:00", 1.25), // group shared base/delta
+      ("view", "2025-03-01 11:00:00", 2.50),
+      ("view", "2025-03-02 09:00:00", 4.00), // base-only group
+      ("purchase", "2025-03-01 12:00:00", 9.99), // delta-only group
+      ("purchase", "2025-03-03 08:00:00", 0.01),
+      ("click", "2025-03-02 07:00:00", 3.33))) // another shared group
+    // split 1: interleaved; split 2: different partition of the rows
+    val splits = Seq(
+      (Seq(0, 2, 5), Seq(1, 3, 4)),
+      (Seq(1, 3), Seq(0, 2, 4, 5)))
+    val rows = all.collect()
+    for ((bIdx, dIdx) <- splits) {
+      val base = spark.createDataFrame(
+        spark.sparkContext.parallelize(bIdx.map(rows)), all.schema)
+      val delta = spark.createDataFrame(
+        spark.sparkContext.parallelize(dIdx.map(rows)), all.schema)
+      val merged = MaterializedView.refresh(
+        MaterializedView.eventRollup(base),
+        MaterializedView.eventRollup(delta))
+      val full = MaterializedView.eventRollup(all)
+        .select(col("event_type"), col("day"), col("n"),
+          col("vsum").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+      assert(merged.orderBy("event_type", "day").collect().toSeq ===
+        full.orderBy("event_type", "day").collect().toSeq)
+    }
+  }
+
+  test("MV refresh: folding two deltas == one combined delta (associative)") {
+    import graft.operators.MaterializedView
+    val base = mvEvents(Seq(("view", "2025-03-01 10:00:00", 1.00)))
+    val d1 = mvEvents(Seq(("view", "2025-03-01 11:00:00", 2.00),
+      ("click", "2025-03-02 11:00:00", 5.00)))
+    val d2 = mvEvents(Seq(("view", "2025-03-01 12:00:00", 4.00)))
+    val stepwise = MaterializedView.refresh(
+      MaterializedView.refresh(MaterializedView.eventRollup(base),
+        MaterializedView.eventRollup(d1)),
+      MaterializedView.eventRollup(d2))
+    val combined = MaterializedView.refresh(
+      MaterializedView.eventRollup(base),
+      MaterializedView.eventRollup(d1.unionByName(d2)))
+    assert(stepwise.orderBy("event_type", "day").collect().toSeq ===
+      combined.orderBy("event_type", "day").collect().toSeq)
+    val viewRow = stepwise.filter(col("event_type") === "view")
+      .select(col("n"), col("vsum").cast("double")).collect()
+    assert(viewRow.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((3L, 7.00)))
+  }
 }
