@@ -74,6 +74,49 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Stage events as THREE parquet files with forced modification-time
+    * order so the file source (latestFirst=false sorts by mtime,
+    * maxFilesPerTrigger=1) replays them as three micro-batches:
+    * (a) the on-time slice; (b) a one-row "tick" (the max-ts on-time
+    * row re-sent) — during this batch the watermark from (a) is live,
+    * so every closed window is evicted and emitted; (c) the remainder
+    * re-timestamped into the past, arriving AFTER eviction. The
+    * three-step shape matters: Spark's lateness guarantee is
+    * one-directional (data within the delay is never dropped; older
+    * data is dropped only once its window's state is gone), so a drop
+    * is only observable against already-evicted state. Returns the
+    * staging directory. Columns: (event_id, ts) only.
+    */
+  private def stageLateBatches(s: SparkSession, d: String): String = {
+    val stage = new java.io.File("target/stream_late/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val ev = T.events(s, d).select(col("event_id"), col("ts"))
+    val ontime = ev.filter(pmod(col("event_id"), lit(4)) =!= 3)
+    val tick = ontime.orderBy(col("ts").desc).limit(1)
+    val late = ev.filter(pmod(col("event_id"), lit(4)) === 3)
+      .select(col("event_id"), timestamp_micros(unix_micros(col("ts")) -
+        when(pmod(col("event_id"), lit(2)) === 1,
+          lit(604800000000L)).otherwise(lit(1800000000L))).as("ts"))
+    def place(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = s"$stage/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$stage/$name"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      new java.io.File(s"$stage/$name").setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    place(ontime, "a_ontime.parquet", t0 - 180000)
+    place(tick, "b_tick.parquet", t0 - 120000)
+    place(late, "c_late.parquet", t0 - 60000)
+    stage
+  }
+
   val registry: Map[String, QueryDef] = Map(
 
     // Watermarked 1-hour windowed aggregation (IncrementalIngest
@@ -532,6 +575,63 @@ object StreamingQueries {
         |    THEN valid_to - ts_sec ELSE 0 END) AS BIGINT)
         |    AS closed_duration_sum,
         |  CAST(SUM(version) AS BIGINT) AS version_checksum
-        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Watermark LATE-DATA DROP semantics, pinned deterministically via
+    // the staged three-batch replay (stageLateBatches): on-time slice,
+    // watermark tick, then the re-timestamped stragglers (odd ids
+    // −7 days, even ids −30 min). Append mode is the finalizing mode:
+    // at the tick batch the watermark is exactly max(on-time ts) − 1 h
+    // and every window with window_end ≤ wm is emitted ONCE and
+    // evicted; the late batch then lands against empty state and is
+    // DISCARDED — no duplicate window emission, no count drift (the
+    // measured Spark 4.1 contract; lateness inside a still-open window
+    // would be absorbed, which is why the guarantee is one-directional).
+    // The oracle replays the pure arithmetic: finalized output ==
+    // hourly windows of the on-time slice with (win+1)·1h ≤ wm, counts
+    // from on-time rows only. A regression that re-emitted late
+    // windows, double-counted, or moved the eviction boundary breaks
+    // n_windows / finalized / win_checksum. At 100 TB this is the
+    // contract that keeps watermarked state BOUNDED: state tracks the
+    // lateness horizon, not stream history, and this census proves
+    // exactly what that discards.
+    "ev_stream_late_drop" -> QueryDef(
+      (s, d) => {
+        val stage = stageLateBatches(s, d)
+        val schema = s.read.parquet(stage).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage + "/*.parquet")
+        val agg = src.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window"), col("n"))
+        val sink = drain(s, agg, "graft_stream_late", "append")
+        // staged input = all events + the re-sent tick row
+        val total = T.events(s, d)
+          .agg((count(lit(1)) + 1).as("n_input"))
+        sink
+          .select(expr("unix_micros(window.start) div 3600000000")
+            .as("win"), col("n"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("n")).as("finalized"),
+            sum(col("win") * col("n")).as("win_checksum"))
+          .crossJoin(broadcast(total))
+          .select(col("n_windows"), col("finalized"),
+            (col("n_input") - col("finalized")).as("discarded_or_open"),
+            col("win_checksum"))
+      },
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |ontime AS (SELECT us FROM ev WHERE event_id % 4 != 3),
+        |wm AS (SELECT MAX(us) - 3600000000 AS wm1 FROM ontime),
+        |w AS (SELECT us // 3600000000 AS win, COUNT(*) AS n
+        |      FROM ontime GROUP BY 1),
+        |f AS (SELECT win, n FROM w, wm
+        |      WHERE (win + 1) * 3600000000 <= wm.wm1)
+        |SELECT COUNT(*) AS n_windows,
+        |  CAST(SUM(n) AS BIGINT) AS finalized,
+        |  CAST((SELECT COUNT(*) + 1 FROM ev) - SUM(n) AS BIGINT)
+        |    AS discarded_or_open,
+        |  CAST(SUM(win * n) AS BIGINT) AS win_checksum
+        |FROM f""".stripMargin)
   )
 }
