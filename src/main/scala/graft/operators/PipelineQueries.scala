@@ -1963,7 +1963,95 @@ object PipelineQueries {
          |  FROM t)
          |SELECT lang, bin, COUNT(*) AS n_docs,
          |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
-         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
+         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims
+    // (Similarity.randomProjection) with a MEASURED distance-
+    // preservation census over the consecutive-id pair sample: for
+    // each pair, ratio = ‖Δproj‖² / (16·‖Δv‖²) — 1.0 in expectation —
+    // floored to an integral ×1e6 cell. Both squared distances use the
+    // polarization form (v·v − 2·u·v) + u·u over the SAME codegen'd
+    // left-fold dot the LSH family uses, so the oracle replays every
+    // double bit-for-bit: per-plane dots → ordered 16-element list →
+    // identical fold. n_preserved counts pairs within [0.5×, 2×];
+    // ratio_checksum pins every cell. Scan-speed, one narrow
+    // pair-join shuffle — the 4×-byte-reduction stage a 100 TB
+    // embedding pipeline runs before any distance-heavy operator.
+    "sim_random_projection" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val prj = Similarity.randomProjection(emb, "embedding", 16, 64)
+        val a = prj.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id").as("pid"), col("embedding").as("va"),
+            col("proj").as("pa"))
+        val b = prj.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .select((col("vec_id") - 1).as("pid"), col("embedding").as("vb"),
+            col("proj").as("pb"))
+        def dist2(x: String, y: String) =
+          Similarity.dot(col(x), col(x)) -
+            lit(2.0) * Similarity.dot(col(x), col(y)) +
+            Similarity.dot(col(y), col(y))
+        val ratios = a.join(b, "pid")
+          .select(col("pid"), dist2("va", "vb").as("od"),
+            dist2("pa", "pb").as("pd"))
+          .select(col("pid"),
+            when(col("od") > 0,
+              floor(lit(1000000.0) * col("pd") / (lit(16.0) * col("od")))
+                .cast("long"))
+              .otherwise(lit(1000000L)).as("ratio"))
+        ratios.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ratio").between(500000L, 2000000L), 1L)
+            .otherwise(0L)).as("n_preserved"),
+          sum(col("ratio")).as("ratio_checksum"),
+          min(col("ratio")).as("ratio_min"),
+          max(col("ratio")).as("ratio_max"))
+      },
+      s"""WITH hp(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(16, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pl AS (
+         |  SELECT e.vec_id, hp.i,
+         |    list_reduce(list_transform(range(1, 65), j -> e.v[j] * hp.h[j]),
+         |      (a, b) -> a + b) AS p
+         |  FROM emb e, hp),
+         |pr AS (
+         |  SELECT vec_id, list(p ORDER BY i) AS proj
+         |  FROM pl GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS pid,
+         |    ea.v AS va, eb.v AS vb, a.proj AS pa, b.proj AS pb
+         |  FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1
+         |  JOIN emb ea ON ea.vec_id = a.vec_id
+         |  JOIN emb eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id % 2 = 0),
+         |d AS (
+         |  SELECT pid,
+         |    list_reduce(list_transform(range(1, 65), j -> va[j] * va[j]),
+         |      (a, b) -> a + b)
+         |    - 2.0 * list_reduce(list_transform(range(1, 65),
+         |        j -> va[j] * vb[j]), (a, b) -> a + b)
+         |    + list_reduce(list_transform(range(1, 65), j -> vb[j] * vb[j]),
+         |      (a, b) -> a + b) AS od,
+         |    list_reduce(list_transform(range(1, 17), j -> pa[j] * pa[j]),
+         |      (a, b) -> a + b)
+         |    - 2.0 * list_reduce(list_transform(range(1, 17),
+         |        j -> pa[j] * pb[j]), (a, b) -> a + b)
+         |    + list_reduce(list_transform(range(1, 17), j -> pb[j] * pb[j]),
+         |      (a, b) -> a + b) AS pd
+         |  FROM pairs),
+         |r AS (
+         |  SELECT pid, CASE WHEN od > 0
+         |    THEN CAST(floor(1000000.0 * pd / (16.0 * od)) AS BIGINT)
+         |    ELSE 1000000 END AS ratio
+         |  FROM d)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN ratio BETWEEN 500000 AND 2000000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved,
+         |  CAST(SUM(ratio) AS BIGINT) AS ratio_checksum,
+         |  MIN(ratio) AS ratio_min, MAX(ratio) AS ratio_max
+         |FROM r""".stripMargin)
   )
 
   /** Oracle for sim_ivf_nprobe_sweep: centroids ranked once by

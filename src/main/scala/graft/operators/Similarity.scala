@@ -41,6 +41,21 @@ object Similarity {
   def dotConst(vec: Column, const: Seq[Double]): Column =
     graft.functions.VecOps.arrayDot(vec, typedLit(const))
 
+  /** Johnson–Lindenstrauss random projection: `proj` = the k dot
+    * products of the vector against the pinned Gaussian planes (same
+    * seeded table the LSH family uses; [[hyperplaneSqlValues]] embeds
+    * it in oracle SQL). Plain per-row arithmetic — scan-speed, no
+    * shuffle, codegen'd folds. E‖proj‖² = k·‖v‖², so distances scale
+    * by k in expectation; at 100 TB this is the cheap width-reduction
+    * stage (64→16 dims = 4× fewer vector bytes into every downstream
+    * distance operator) whose error the sim_random_projection census
+    * measures rather than asserts.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, k: Int, dim: Int,
+      seed: Long = 7L): DataFrame =
+    df.withColumn("proj",
+      array(hyperplanes(k, dim, seed).map(h => dotConst(col(vecCol), h)): _*))
+
   /** Dot product of two vector columns (codegen'd). */
   def dot(a: Column, b: Column): Column =
     graft.functions.VecOps.arrayDot(a, b)
