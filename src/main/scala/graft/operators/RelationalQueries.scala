@@ -842,6 +842,61 @@ object RelationalQueries {
         |  CAST(SUM(est) AS BIGINT) AS sum_est
         |FROM exact JOIN est USING (key)""".stripMargin),
 
+    // Two-pass heavy hitters: pass 1 builds the CMS (d·w bounded
+    // cells); the sketch is then embedded as a LITERAL table in the
+    // fact scan (Sketches.cmsEstimateLit — the Bloom-bitmap pattern
+    // applied to frequency), so pass 2's exact-count shuffle sees ONLY
+    // rows whose estimated frequency clears the threshold. CMS never
+    // undercounts, so every true heavy key reaches the exact pass;
+    // false positives are removed there by the exact filter. At 100 TB
+    // this replaces a full-keyspace groupBy (billions of reducer
+    // groups) with a scan-side filter + a shuffle bounded by the
+    // candidate mass. The census compares candidates vs confirmed, so
+    // the filter's selectivity and the overestimate survival are both
+    // pinned.
+    "a22_heavy_hitters" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val key = col("user_id").cast("string")
+        val cms = Sketches.cmsCounts(ev, key, d = 4, w = 256)
+        val tbl = Sketches.cmsTable(cms, 4, 256)
+        val est = Sketches.cmsEstimateLit(tbl, key, 4, 256)
+        val exact = ev.filter(est >= 80)
+          .groupBy(key.as("key"))
+          .agg(count(lit(1)).as("exact"), max(est).as("est"))
+        val nCand = exact.agg(count(lit(1)).as("n_candidates"))
+        exact.filter(col("exact") >= 80)
+          .crossJoin(broadcast(nCand))
+          .select(col("key"), col("exact"), col("est"),
+            col("n_candidates"))
+          .orderBy(col("exact").desc, col("key"))
+      },
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        |cells AS (
+        |  SELECT r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || key), 1, 15))
+        |      AS BIGINT) & 255 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM k, range(0, 4) r(i) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT k2.key, MIN(COALESCE(c.cnt, 0)) AS est
+        |  FROM (SELECT DISTINCT key FROM k) k2
+        |  CROSS JOIN range(0, 4) r(i)
+        |  LEFT JOIN cells c ON c.row = r.i AND c.bucket =
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || k2.key), 1, 15))
+        |      AS BIGINT) & 255
+        |  GROUP BY 1),
+        |exact AS (SELECT key, COUNT(*) AS exact FROM k GROUP BY 1),
+        |cand AS (
+        |  SELECT e.key, e.exact, s.est
+        |  FROM exact e JOIN est s USING (key) WHERE s.est >= 80),
+        |nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+        |SELECT c.key, c.exact, CAST(c.est AS BIGINT) AS est,
+        |  nc.n_candidates
+        |FROM cand c, nc WHERE c.exact >= 80
+        |ORDER BY c.exact DESC, c.key""".stripMargin),
+
     // SURVEY §2.4 A12: smoothed success-rate ranking.
     "a12_smoothed_ranking" -> QueryDef(
       (s, d) => T.events(s, d)

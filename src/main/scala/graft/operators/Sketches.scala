@@ -349,6 +349,35 @@ object Sketches {
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** The CMS cells as a flat literal table (length d·w, absent cells
+    * 0) for embedding the sketch INTO a scan — the [[graft.operators.Bloom]]
+    * pattern applied to frequency: the collect is bounded by the
+    * sketch dimensions (d·w cells), never by input size, and the
+    * resulting array literal rides the fact scan's codegen.
+    */
+  def cmsTable(cms: DataFrame, d: Int, w: Int): IndexedSeq[Long] = {
+    val cells = cms.collect()
+      .map(r => (r.getInt(0) * w + r.getLong(1).toInt, r.getLong(2))).toMap
+    (0 until d * w).map(i => cells.getOrElse(i, 0L))
+  }
+
+  /** Scan-side CMS point estimate of `value` from an embedded
+    * [[cmsTable]] literal: min over the d salted rows — zero shuffle,
+    * zero join. This is the filter a 100 TB heavy-hitter pass pushes
+    * into the fact scan: rows whose estimate clears the threshold are
+    * the ONLY rows that reach the exact-count shuffle, and the CMS
+    * overestimate-only guarantee means no true heavy key is lost to
+    * the filter.
+    */
+  def cmsEstimateLit(table: IndexedSeq[Long], value: Column, d: Int,
+      w: Int): Column = {
+    val tbl = array(table.map(lit): _*)
+    least((0 until d).map(i =>
+      element_at(tbl, (lit(i.toLong * w) +
+        Dedup.portableHash(concat(lit(s"s$i|"), value), 15)
+          .bitwiseAND(lit((w - 1).toLong))).cast("int") + 1)): _*)
+  }
+
   /** Bottom-k Jaccard estimate between two element sets (Broder's
     * minwise estimator over a shared hash order): among the k smallest
     * hashes of the UNION, the fraction present in both sides estimates
