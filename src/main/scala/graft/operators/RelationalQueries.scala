@@ -404,6 +404,102 @@ object RelationalQueries {
       Sketches.hllOracleSql("events", "event_type", p = 8, extraSelect =
         "(SELECT COUNT(DISTINCT event_type) FROM events) AS n_exact,")),
 
+    // A13 sketch set algebra — distinct-intersection estimate via
+    // inclusion–exclusion over STORED register tables: |A∩B| ≈
+    // est(A) + est(B) − est(A∪B), where the union sketch is the
+    // per-bucket register MAX (hllMergeRegisters) of the two stored
+    // sketches. Nothing rescans the raw data: an audience-overlap
+    // matrix over S segments at 100 TB is S·2^p stored register rows
+    // and S² cheap merges. All three estimates are the same
+    // integer-exact pipeline (K div sum_int / linear-table literal),
+    // so the compared cells — including the possibly-negative
+    // intersection — are pure BIGINT arithmetic in both engines; the
+    // exact intersect count rides along as the error witness.
+    "a13_hll_intersect" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        // (user, day) grain: view-days and purchase-days overlap
+        // partially (~2 events per user-day), so the three sketches
+        // are genuinely distinct sets
+        val key = concat(col("user_id").cast("string"), lit(":"),
+          expr("unix_millis(ts) div 86400000").cast("string"))
+        val ra = Sketches.hllRegisters(
+          ev.filter(col("event_type") === "view"), key, p = 8)
+        val rb = Sketches.hllRegisters(
+          ev.filter(col("event_type") === "purchase"), key, p = 8)
+        val ru = Sketches.hllMergeRegisters(ra.unionByName(rb))
+        def est(regs: org.apache.spark.sql.DataFrame, name: String) =
+          Sketches.hllEstimateFromRegisters(regs, p = 8)
+            .select(col("hll_estimate_x100").as(name))
+        val exact = ev.filter(col("event_type") === "view")
+          .select(key.as("k"))
+          .intersect(ev.filter(col("event_type") === "purchase")
+            .select(key.as("k")))
+          .agg(count(lit(1)).as("exact_intersect"))
+        est(ra, "est_a_x100")
+          .crossJoin(est(rb, "est_b_x100"))
+          .crossJoin(est(ru, "est_union_x100"))
+          .select(col("est_a_x100"), col("est_b_x100"),
+            col("est_union_x100"),
+            (col("est_a_x100") + col("est_b_x100") -
+              col("est_union_x100")).as("est_intersect_x100"))
+          .crossJoin(broadcast(exact))
+      }, {
+        def estCtes(src: String, nm: String) =
+          s"""${nm}_agg AS (
+             |  SELECT COUNT(*) AS nb,
+             |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS ps
+             |  FROM $src),
+             |${nm}_raw AS (
+             |  SELECT nb, CAST(${Sketches.estConstant(8)} //
+             |    (ps + (256 - nb) * CAST(9007199254740992 AS BIGINT))
+             |    AS BIGINT) AS raw
+             |  FROM ${nm}_agg),
+             |$nm AS (
+             |  SELECT CASE WHEN raw <= 64000 AND (256 - nb) > 0
+             |    THEN CAST(list_extract(${Sketches.linearTableSql(256)},
+             |              CAST(256 - nb AS INT)) AS BIGINT)
+             |    ELSE raw END AS est
+             |  FROM ${nm}_raw)""".stripMargin
+        s"""WITH k AS (
+           |  SELECT event_type, CAST(user_id AS VARCHAR) || ':' ||
+           |    CAST(epoch_ms(ts) // 86400000 AS VARCHAR) AS key
+           |  FROM events),
+           |ha AS (
+           |  SELECT CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+           |  FROM k WHERE event_type = 'view'),
+           |hb AS (
+           |  SELECT CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+           |  FROM k WHERE event_type = 'purchase'),
+           |ra AS (
+           |  SELECT h & 255 AS bucket,
+           |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+           |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+           |  FROM ha GROUP BY 1),
+           |rb AS (
+           |  SELECT h & 255 AS bucket,
+           |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+           |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+           |  FROM hb GROUP BY 1),
+           |ru AS (
+           |  SELECT bucket, MAX(rho) AS rho FROM
+           |    (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+           |  GROUP BY 1),
+           |${estCtes("ra", "ea")},
+           |${estCtes("rb", "eb")},
+           |${estCtes("ru", "eu")},
+           |ex AS (
+           |  SELECT COUNT(*) AS exact_intersect FROM (
+           |    SELECT DISTINCT key FROM k WHERE event_type = 'view'
+           |    INTERSECT
+           |    SELECT DISTINCT key FROM k WHERE event_type = 'purchase'))
+           |SELECT ea.est AS est_a_x100, eb.est AS est_b_x100,
+           |  eu.est AS est_union_x100,
+           |  ea.est + eb.est - eu.est AS est_intersect_x100,
+           |  ex.exact_intersect
+           |FROM ea, eb, eu, ex""".stripMargin
+      }),
+
     // A15 — ordered funnel conversion: per user, did view happen, did
     // a purchase follow STRICTLY AFTER the first view, and how long
     // did conversion take (first qualifying purchase − first view, in
