@@ -500,6 +500,86 @@ object RelationalQueries {
            |FROM ea, eb, eu, ex""".stripMargin
       }),
 
+    // Column-profile distinct census — the distinct count of EVERY
+    // column of a table from ONE scan: rows unpivot into (colname,
+    // value) pairs in place (stack — a codegen'd Expand, no shuffle,
+    // no per-column rescan), then a single (colname, bucket)
+    // aggregation builds all the HLL sketches at once. State is
+    // ncols × 2^p cells regardless of input size; at 100 TB the
+    // alternative — COUNT(DISTINCT c) per column — is ncols
+    // expand-multiplied exact aggregations over the raw data. Columns
+    // enter as engine-portable strings (ints verbatim, doubles via
+    // floor-cents — never raw double formatting, which engines render
+    // differently). The correction branch matters here: a profile
+    // spans event_id (~rows) down to event_type (4), exactly the
+    // regime split hllProfileBy handles per group. Exact per-column
+    // distincts ride along as the error witness (the production path
+    // drops them).
+    "prof_distinct_columns" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val pairs = ev.selectExpr(
+          """stack(5,
+            |  'event_id', CAST(event_id AS STRING),
+            |  'user_id', CAST(user_id AS STRING),
+            |  'event_type', event_type,
+            |  'props', props,
+            |  'value_cents', CAST(CAST(floor(value * 100) AS BIGINT) AS STRING)
+            |) AS (colname, value)""".stripMargin)
+          .filter(col("value").isNotNull)
+        Sketches.hllProfileBy(pairs, col("value"), Seq("colname"), p = 8)
+          .join(pairs.groupBy(col("colname"))
+            .agg(countDistinct(col("value")).as("n_exact")), "colname")
+          .orderBy(col("colname"))
+      },
+      s"""WITH pairs0 AS (
+         |  SELECT 'event_id' AS colname, CAST(event_id AS VARCHAR) AS value
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         |  UNION ALL
+         |  SELECT 'event_type', event_type FROM events
+         |  UNION ALL
+         |  SELECT 'props', props FROM events
+         |  UNION ALL
+         |  SELECT 'value_cents',
+         |    CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+         |  FROM events),
+         |pairs AS (SELECT colname, value FROM pairs0 WHERE value IS NOT NULL),
+         |h AS (
+         |  SELECT colname,
+         |    CAST(('0x' || substr(md5(value), 1, 15)) AS BIGINT) AS h
+         |  FROM pairs),
+         |reg AS (
+         |  SELECT colname, h & 255 AS bucket,
+         |    MAX(CASE WHEN (h >> 8) = 0 THEN 53
+         |             ELSE 53 - length(bin(h >> 8)) END) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT colname, COUNT(*) AS n_buckets,
+         |    SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+         |  FROM reg GROUP BY 1),
+         |s AS (
+         |  SELECT colname, n_buckets, 256 - n_buckets AS zeros,
+         |    present_sum + (256 - n_buckets) * CAST(9007199254740992 AS BIGINT)
+         |      AS sum_int
+         |  FROM agg),
+         |e AS (
+         |  SELECT colname, n_buckets, zeros, CAST(sum_int AS BIGINT) AS sum_int,
+         |    CAST(${Sketches.estConstant(8)} // sum_int AS BIGINT) AS raw_x100
+         |  FROM s),
+         |ex AS (
+         |  SELECT colname, COUNT(DISTINCT value) AS n_exact
+         |  FROM pairs GROUP BY 1)
+         |SELECT e.colname, e.n_buckets, e.zeros, e.sum_int,
+         |  CASE WHEN raw_x100 <= 64000 AND zeros > 0
+         |       THEN CAST(list_extract(${Sketches.linearTableSql(256)},
+         |                 CAST(zeros AS INT)) AS BIGINT)
+         |       ELSE raw_x100 END AS hll_estimate_x100,
+         |  ex.n_exact
+         |FROM e JOIN ex ON ex.colname = e.colname
+         |ORDER BY e.colname""".stripMargin),
+
     // A15 — ordered funnel conversion: per user, did view happen, did
     // a purchase follow STRICTLY AFTER the first view, and how long
     // did conversion take (first qualifying purchase − first view, in
@@ -880,6 +960,42 @@ object RelationalQueries {
         |FROM t JOIN c ON c.cum >= t.target_rank
         |GROUP BY 1, 2, 3 ORDER BY t.q_x1000""".stripMargin),
 
+    // A16 mergeability — the histogram sketch's shard story, mirroring
+    // a13_hll_merge: bin counts computed independently per month (the
+    // storable per-shard table) SUM-merge into EXACTLY the direct
+    // whole-corpus histogram — counts are the additive monoid, so
+    // merge == direct is an identity, and the row makes it VISIBLE
+    // per bin (any divergence flips a cell). At 100 TB quantiles over
+    // any month range come from summing tiny stored count tables,
+    // never a rescan.
+    "a16_hist_merge" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val perMonth = Sketches.histogramCountsBy(
+          ev.withColumn("m", date_format(col("ts"), "yyyy-MM")),
+          col("value"), Seq("m"), lo = 0.0, width = 10.0, nBins = 64)
+        val merged = perMonth.groupBy(col("bin"))
+          .agg(sum(col("cnt")).as("merged_cnt"))
+        val direct = Sketches.histogramCounts(ev, col("value"),
+            lo = 0.0, width = 10.0, nBins = 64)
+          .withColumnRenamed("cnt", "direct_cnt")
+        merged.join(direct, "bin").orderBy(col("bin"))
+      },
+      """WITH b AS (
+        |  SELECT strftime(ts, '%Y-%m') AS m,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bin
+        |  FROM events),
+        |permonth AS (
+        |  SELECT m, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS merged_cnt
+        |  FROM permonth GROUP BY 1),
+        |direct AS (
+        |  SELECT bin, COUNT(*) AS direct_cnt FROM b GROUP BY 1)
+        |SELECT merged.bin, merged.merged_cnt, direct.direct_cnt
+        |FROM merged JOIN direct ON direct.bin = merged.bin
+        |ORDER BY merged.bin""".stripMargin),
+
     // A14 — replayable count-min frequency sketch (operators.Sketches):
     // d=4 salted hash rows × w=64 buckets over ~250 (user, event_type)
     // keys — w deliberately small so collisions happen and the
@@ -937,6 +1053,71 @@ object RelationalQueries {
         |  CAST(SUM(exact) AS BIGINT) AS sum_exact,
         |  CAST(SUM(est) AS BIGINT) AS sum_est
         |FROM exact JOIN est USING (key)""".stripMargin),
+
+    // A14 mergeability — the CMS shard story: cells counted
+    // independently per month SUM-merge into exactly the direct
+    // sketch (cell counts are additive, like the histogram's bins and
+    // unlike HLL's max). The census compares merged vs direct per
+    // hash row with a bucket-weighted checksum, so a single misplaced
+    // cell — not just a wrong total — turns the row red. The 100 TB
+    // shape: store d·w-cell sketches per shard/day, answer frequency
+    // queries over any shard subset by summing sketches.
+    "a14_cms_merge" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val key = concat(col("user_id").cast("string"), lit(":"),
+          col("event_type"))
+        val perMonth = Sketches.cmsCountsBy(
+          ev.withColumn("m", date_format(col("ts"), "yyyy-MM")),
+          concat(col("user_id").cast("string"), lit(":"), col("event_type")),
+          Seq("m"), d = 4, w = 64)
+        val merged = perMonth.groupBy(col("row"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val direct = Sketches.cmsCounts(ev, key, d = 4, w = 64)
+        def census(cms: org.apache.spark.sql.DataFrame, pfx: String) =
+          cms.groupBy(col("row")).agg(
+            count(lit(1)).as(s"${pfx}_buckets"),
+            sum(col("cnt")).as(s"${pfx}_total"),
+            sum(col("bucket") * col("cnt")).as(s"${pfx}_checksum"))
+        census(merged, "merged").join(census(direct, "direct"), "row")
+          .orderBy(col("row"))
+      },
+      """WITH k AS (
+        |  SELECT strftime(ts, '%Y-%m') AS m,
+        |    CAST(user_id AS VARCHAR) || ':' || event_type AS key
+        |  FROM events),
+        |cells AS (
+        |  SELECT m, r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || key), 1, 15))
+        |      AS BIGINT) & 63 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM k, range(0, 4) r(i)
+        |  GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |direct AS (
+        |  SELECT r.i AS row,
+        |    CAST(('0x' || substr(md5('s' || r.i || '|' || key), 1, 15))
+        |      AS BIGINT) & 63 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM k, range(0, 4) r(i)
+        |  GROUP BY 1, 2),
+        |mc AS (
+        |  SELECT row, COUNT(*) AS merged_buckets,
+        |    CAST(SUM(cnt) AS BIGINT) AS merged_total,
+        |    CAST(SUM(bucket * cnt) AS BIGINT) AS merged_checksum
+        |  FROM merged GROUP BY 1),
+        |dc AS (
+        |  SELECT row, COUNT(*) AS direct_buckets,
+        |    CAST(SUM(cnt) AS BIGINT) AS direct_total,
+        |    CAST(SUM(bucket * cnt) AS BIGINT) AS direct_checksum
+        |  FROM direct GROUP BY 1)
+        |SELECT mc.row, mc.merged_buckets, mc.merged_total,
+        |  mc.merged_checksum, dc.direct_buckets, dc.direct_total,
+        |  dc.direct_checksum
+        |FROM mc JOIN dc ON dc.row = mc.row
+        |ORDER BY mc.row""".stripMargin),
 
     // Two-pass heavy hitters: pass 1 builds the CMS (d·w bounded
     // cells); the sketch is then embedded as a LITERAL table in the

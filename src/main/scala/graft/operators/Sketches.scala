@@ -227,6 +227,39 @@ object Sketches {
           .as("hll_estimate_x100")): _*)
   }
 
+  /** Per-group HLL estimate WITH the linear-counting correction —
+    * [[hllEstimateBy]] plus the small-range branch, for callers whose
+    * groups span the full cardinality spectrum (a column profile has
+    * both `event_id` at millions and `event_type` at 4). Emits the
+    * full evidence row (n_buckets, zeros, sum_int, estimate); every
+    * compared cell is the same integer-exact pipeline as
+    * [[hllEstimateFromRegisters]].
+    */
+  def hllProfileBy(df: DataFrame, value: Column, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = 1L << (wBits + 1)
+    val k = estConstant(p)
+    val table = linearTable(m)
+    val gc = groupCols.map(col)
+    hllRegistersBy(df, value, groupCols, p)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
+          .as("present_sum"))
+      .select((gc :+ col("n_buckets") :+
+        (lit(m.toLong) - col("n_buckets")).as("zeros") :+
+        (col("present_sum") +
+          (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int")): _*)
+      .select((gc :+ col("n_buckets") :+ col("zeros") :+ col("sum_int") :+
+        expr(s"CAST('$k' AS DECIMAL(38,0)) div sum_int").as("raw_x100")): _*)
+      .select((gc :+ col("n_buckets") :+ col("zeros") :+ col("sum_int") :+
+        when(col("raw_x100") <= lit(250L * m) && col("zeros") > 0,
+          element_at(array(table.map(lit): _*), col("zeros").cast("int")))
+          .otherwise(col("raw_x100")).as("hll_estimate_x100")): _*)
+  }
+
   /** Rolling w-day HLL estimate from a per-day register frame
     * (day, bucket, rho): each register row contributes to the w
     * target days it falls inside (a ×w fan-out over the COMPACT
@@ -289,6 +322,22 @@ object Sketches {
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-shard histogram counts (shard cols + bin + cnt) — the
+    * STORABLE form: per-day/month/executor count tables SUM-merge into
+    * the global histogram losslessly (counts form the additive monoid;
+    * `a16_hist_merge` pins merged == direct cross-engine, the SUM
+    * analog of a13_hll_merge's max).
+    */
+  def histogramCountsBy(df: DataFrame, value: Column,
+      groupCols: Seq[String], lo: Double, width: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && width > 0, s"need nBins>=1, width>0")
+    val gc = groupCols.map(col)
+    df.select((gc :+ least(lit(nBins - 1), greatest(lit(0),
+        floor((value - lit(lo)) / lit(width)).cast("int"))).as("bin")): _*)
+      .groupBy((gc :+ col("bin")): _*).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Quantile estimates from a histogram sketch: for each q (per
     * mille), the first bin whose cumulative count reaches
     * ceil(q·n/1000), reported as the bin's UPPER edge — a guaranteed
@@ -332,6 +381,23 @@ object Sketches {
         .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Per-shard CMS cells (shard cols + row + bucket + cnt) — the
+    * storable form of [[cmsCounts]]: cell counts are plain sums, so
+    * per-shard sketches SUM-merge into the global sketch exactly
+    * (`a14_cms_merge` pins it). Streaming already exploits the same
+    * additivity (ev_stream_cms); this is the batch shard-table shape.
+    */
+  def cmsCountsBy(df: DataFrame, value: Column, groupCols: Seq[String],
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val gc = groupCols.map(col)
+    df.select((gc :+ posexplode(array((0 until d).map(i =>
+        Dedup.portableHash(concat(lit(s"s$i|"), value), 15)
+          .bitwiseAND(lit((w - 1).toLong))): _*))
+        .as(Seq("row", "bucket"))): _*)
+      .groupBy((gc ++ Seq(col("row"), col("bucket"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Point-estimate every candidate key against the sketch: min over
     * the d rows of the key's bucket count (absent bucket = 0). The
