@@ -1784,6 +1784,39 @@ object PipelineQueries {
         |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_checksum
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
 
+    // Dense contiguous row ids without the global sort
+    // (TextAnalysis.stableRowIds): the classic scale trap is
+    // row_number() OVER (ORDER BY key) funneling 100 TB through ONE
+    // sort partition. Here the key space range-buckets monotonically
+    // (doc_id div 4096), bucket counts roll into prefix offsets over
+    // the bucket-sized count frame, and buckets number their rows in
+    // parallel. The census pins the FULL assignment, not just the
+    // range: sum(row_id · doc_id) differs if any single id lands on
+    // the wrong row; n_distinct == n_rows == max−min+1 pins density
+    // and contiguity. Oracle computes ids with the very operator the
+    // engine refuses to run (fine over sf0.01's 60k rows).
+    "etl_stable_row_ids" -> QueryDef(
+      (s, d) => TextAnalysis.stableRowIds(
+          T.documents(s, d).select(col("doc_id")), "doc_id",
+          bucketWidth = 4096L)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("row_id")).as("min_rid"),
+          max(col("row_id")).as("max_rid"),
+          sum(col("row_id")).as("sum_rid"),
+          sum(col("row_id") * col("doc_id")).as("key_checksum"),
+          countDistinct(col("row_id")).as("n_distinct")),
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(MIN(rid) AS BIGINT) AS min_rid,
+        |  CAST(MAX(rid) AS BIGINT) AS max_rid,
+        |  CAST(SUM(rid) AS BIGINT) AS sum_rid,
+        |  CAST(SUM(rid * doc_id) AS BIGINT) AS key_checksum,
+        |  CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_distinct
+        |FROM ids""".stripMargin),
+
     // BPE merge-table TRAINING in-engine (TextAnalysis.trainBpeMerges)
     // — the learning side of the tokenizer loop: one corpus scan into
     // a (distinct word, count) vocab frame, then 8 vocab-sized
@@ -1964,6 +1997,66 @@ object PipelineQueries {
          |SELECT lang, bin, COUNT(*) AS n_docs,
          |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
          |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    // One Lloyd k-means iteration as a census
+    // (Similarity.kmeansStepCensus): nearest-centroid assignment over
+    // the pinned IVF centroids (the coarse quantizer's own training
+    // step, run in-engine), per-(cell, dim) mean recompute, and the
+    // L1 centroid shift a k-means loop watches for convergence. The
+    // oracle replays the assignment argmin AND the mean/shift
+    // arithmetic from the same integer cells — id_sum pins WHICH
+    // vectors landed in each cell, not just how many. Scale shape:
+    // per-row fold assignment (no shuffle) + one (cell, dim)
+    // partial-agg shuffle with k·dim cells of state; an iteration at
+    // 100 TB is one scan regardless of k.
+    "sim_kmeans_step" -> QueryDef(
+      (s, d) => Similarity.kmeansStepCensus(T.embeddings(s, d),
+        "vec_id", "embedding", IvfCentroids.pinned),
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm
+         |  FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, v, i AS cell FROM (
+         |    SELECT e.vec_id, e.v, cn.i, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn)
+         |  WHERE rn = 1),
+         |old(i, o4) AS (VALUES ${IvfCentroids.sqlValuesX1e4}),
+         |pairs AS (
+         |  SELECT cell, unnest(list_zip(v,
+         |    ${(1 to IvfCentroids.dim).mkString("[", ", ", "]")})) AS p
+         |  FROM assign),
+         |dm AS (
+         |  SELECT cell, CAST(p[2] AS INT) AS dim,
+         |    CAST(floor(p[1] * 10000) AS BIGINT) + 100000 AS y
+         |  FROM pairs),
+         |pd AS (
+         |  SELECT cell, dim, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+         |  FROM dm GROUP BY 1, 2),
+         |m AS (
+         |  SELECT cell, dim, n, sy // n - 100000 AS mean_x1e4 FROM pd),
+         |st AS (
+         |  SELECT m.cell, MAX(n) AS n_members,
+         |    CAST(SUM(mean_x1e4) AS BIGINT) AS sum_mean_x1e4,
+         |    CAST(SUM(ABS(mean_x1e4 - list_extract(o.o4, dim))) AS BIGINT)
+         |      AS l1_shift_x1e4
+         |  FROM m JOIN old o ON o.i = m.cell GROUP BY 1),
+         |ids AS (
+         |  SELECT cell, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+         |  FROM assign GROUP BY 1)
+         |SELECT st.cell, st.n_members, st.sum_mean_x1e4, st.l1_shift_x1e4,
+         |  ids.id_sum
+         |FROM st JOIN ids ON ids.cell = st.cell
+         |ORDER BY st.cell""".stripMargin),
 
     // Johnson–Lindenstrauss random projection 64→16 dims
     // (Similarity.randomProjection) with a MEASURED distance-

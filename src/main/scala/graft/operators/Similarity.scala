@@ -500,6 +500,60 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** One Lloyd iteration of k-means, as a census: assign every vector
+    * to its nearest centroid (same squared-distance argmin as
+    * [[ivfAssignment]]), recompute per-cell per-dimension means, and
+    * report per cell the membership count, an id-sum checksum pinning
+    * the exact assignment, the new centroid compressed to integral
+    * grain (Σ_j mean_j at ×1e4), and the L1 centroid shift vs the
+    * input centroids — the convergence number a k-means loop watches.
+    *
+    * The distributed shape is the textbook one: assignment is a
+    * per-row fold over broadcast-literal centroids (scan speed, no
+    * shuffle), the per-dim explode fans out IN PLACE, and the single
+    * (cell, dim) aggregation partial-aggregates map-side into
+    * k·dim cells of state regardless of input size. Iterating =
+    * feeding the new means back in; at 100 TB each iteration is one
+    * scan + one sketch-sized shuffle (k·dim rows).
+    *
+    * Cross-engine exactness: per-row cells are floor(x·1e4)+OFFSET —
+    * floor of the same double is engine-exact, and the offset keeps
+    * every summand (and thus the integral-division mean) positive, so
+    * truncating division agrees between engines regardless of their
+    * negative-division convention. Old-centroid cells enter as
+    * JVM-computed integer literals shared textually with the oracle —
+    * no float op crosses engines anywhere.
+    */
+  def kmeansStepCensus(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val offset = 100000L
+    val assigned = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", ivfAssignment(col("v"), centroids))
+    val oldLit = array(centroids.map(c =>
+      array(c.map(x => lit(math.floor(x * 10000).toLong)): _*)): _*)
+    val perDim = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("j0", "x")))
+      .select(col("cell"), (col("j0") + 1).cast("int").as("dim"),
+        (floor(col("x").cast("double") * 10000).cast("long") + lit(offset))
+          .as("y"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .select(col("cell"), col("dim"), col("n"),
+        (expr("sy div n") - lit(offset)).as("mean_x1e4"))
+    val stats = perDim
+      .withColumn("old_x1e4",
+        element_at(element_at(oldLit, col("cell").cast("int") + 1),
+          col("dim")))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n_members"),
+        sum(col("mean_x1e4")).as("sum_mean_x1e4"),
+        sum(abs(col("mean_x1e4") - col("old_x1e4"))).as("l1_shift_x1e4"))
+    val ids = assigned.groupBy(col("cell"))
+      .agg(sum(col("id")).as("id_sum"))
+    stats.join(ids, "cell").orderBy(col("cell"))
+  }
+
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
       vecCol: String, dim: Int, minCosine: Double, bits: Int = 8,
       seed: Long = 7L, maxBucketSize: Int = 500): DataFrame = {

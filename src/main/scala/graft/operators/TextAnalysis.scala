@@ -91,6 +91,40 @@ object TextAnalysis {
       .drop("_sk")
   }
 
+  /** Dense contiguous row ids 0..n-1 following a total key order,
+    * WITHOUT the global sort: `row_number() OVER (ORDER BY key)` is
+    * the classic 100 TB trap — every row funnels through one sort
+    * partition. Instead the key space splits into monotone range
+    * buckets (`key div bucketWidth` — order-preserving by
+    * construction), per-bucket counts roll into prefix offsets with a
+    * window over the BUCKET-sized count frame (sketch-sized, like
+    * histogramQuantiles — never the data), and each bucket numbers
+    * its own rows in parallel; global id = bucket offset + local
+    * rank − 1. One data shuffle on the bucket key (vs the sort's
+    * single-partition funnel); `bucketWidth` sizes per-partition work
+    * and AQE splits stragglers. Keys need not be dense or start at 0 —
+    * only the per-bucket counts matter. For non-integer keys, map
+    * through any monotone integer derivation first (epoch seconds,
+    * dictionary rank from a sampled range index).
+    */
+  def stableRowIds(df: DataFrame, keyCol: String,
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val bucketed = df.withColumn("_bkt", expr(s"$keyCol div $bucketWidth"))
+    val offs = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_bkt"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt")).orderBy(col(keyCol))
+    bucketed.join(broadcast(offs), "_bkt")
+      .withColumn("row_id",
+        col("_off") + row_number().over(w).cast("long") - 1)
+      .drop("_bkt", "_off")
+  }
+
   /** LEARN a BPE merges table from a corpus — the training side of
     * [[subwordCountBpe]]/[[subwordTokensBpe]], closing the tokenizer
     * loop in-engine: each iteration merges the most frequent adjacent
