@@ -580,6 +580,100 @@ object RelationalQueries {
          |FROM e JOIN ex ON ex.colname = e.colname
          |ORDER BY e.colname""".stripMargin),
 
+    // A23 — Pearson correlation matrix over lineitem's numeric
+    // columns, ONE scan / ONE global aggregation: all 15 moments
+    // (n, 4 sums, 4 square-sums, 6 cross-sums) partial-aggregate
+    // map-side into a single row, which stacks into the 6 pair rows.
+    // Exactness strategy: per-row cells are integral (floor at the
+    // column's natural grain) and PRE-CENTERED by pinned integer
+    // constants — correlation is exactly translation-invariant on
+    // integers, and centering keeps every moment below 2^53, so sums
+    // stay exact BIGINTs and the final corr cell uses only IEEE
+    // exactly-rounded ops (×, −, ÷, sqrt — never libm), making the
+    // floored ×1e6 value identical across engines by construction.
+    // (At n ≫ 10^7 rows the square-sums would cross 2^53 — there the
+    // census coarsens the grain or chunks sums through DECIMAL; the
+    // one-pass moment shape is unchanged.)
+    "a23_corr_matrix" -> QueryDef(
+      (s, d) => {
+        val li = T.lineitem(s, d).select(
+          (floor(col("l_quantity")).cast("long") - 25).as("q"),
+          (floor(col("l_extendedprice")).cast("long") - 38000).as("p"),
+          (floor(col("l_discount") * 100).cast("long") - 5).as("dd"),
+          (floor(col("l_tax") * 100).cast("long") - 4).as("t"))
+        val corrExpr =
+          """CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+            |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000)
+            |  AS BIGINT) AS corr_x1e6""".stripMargin
+        li.agg(
+            count(lit(1)).as("n"),
+            sum(col("q")).as("s_q"), sum(col("p")).as("s_p"),
+            sum(col("dd")).as("s_d"), sum(col("t")).as("s_t"),
+            sum(col("q") * col("q")).as("ss_q"),
+            sum(col("p") * col("p")).as("ss_p"),
+            sum(col("dd") * col("dd")).as("ss_d"),
+            sum(col("t") * col("t")).as("ss_t"),
+            sum(col("q") * col("p")).as("s_qp"),
+            sum(col("q") * col("dd")).as("s_qd"),
+            sum(col("q") * col("t")).as("s_qt"),
+            sum(col("p") * col("dd")).as("s_pd"),
+            sum(col("p") * col("t")).as("s_pt"),
+            sum(col("dd") * col("t")).as("s_dt"))
+          .selectExpr("n",
+            """stack(6,
+              |  'q:p', s_q, s_p, s_qp, ss_q, ss_p,
+              |  'q:d', s_q, s_d, s_qd, ss_q, ss_d,
+              |  'q:t', s_q, s_t, s_qt, ss_q, ss_t,
+              |  'p:d', s_p, s_d, s_pd, ss_p, ss_d,
+              |  'p:t', s_p, s_t, s_pt, ss_p, ss_t,
+              |  'd:t', s_d, s_t, s_dt, ss_d, ss_t
+              |) AS (pair, sx, sy, sxy, sxx, syy)""".stripMargin)
+          .selectExpr("pair", "n", "sx", "sy", "sxy", corrExpr)
+          .orderBy(col("pair"))
+      },
+      """WITH c AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) - 25 AS q,
+        |    CAST(floor(l_extendedprice) AS BIGINT) - 38000 AS p,
+        |    CAST(floor(l_discount * 100) AS BIGINT) - 5 AS dd,
+        |    CAST(floor(l_tax * 100) AS BIGINT) - 4 AS t
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS s_q, CAST(SUM(p) AS BIGINT) AS s_p,
+        |    CAST(SUM(dd) AS BIGINT) AS s_d, CAST(SUM(t) AS BIGINT) AS s_t,
+        |    CAST(SUM(q * q) AS BIGINT) AS ss_q,
+        |    CAST(SUM(p * p) AS BIGINT) AS ss_p,
+        |    CAST(SUM(dd * dd) AS BIGINT) AS ss_d,
+        |    CAST(SUM(t * t) AS BIGINT) AS ss_t,
+        |    CAST(SUM(q * p) AS BIGINT) AS s_qp,
+        |    CAST(SUM(q * dd) AS BIGINT) AS s_qd,
+        |    CAST(SUM(q * t) AS BIGINT) AS s_qt,
+        |    CAST(SUM(p * dd) AS BIGINT) AS s_pd,
+        |    CAST(SUM(p * t) AS BIGINT) AS s_pt,
+        |    CAST(SUM(dd * t) AS BIGINT) AS s_dt
+        |  FROM c),
+        |pairs AS (
+        |  SELECT 'q:p' AS pair, n, s_q AS sx, s_p AS sy, s_qp AS sxy,
+        |    ss_q AS sxx, ss_p AS syy FROM m
+        |  UNION ALL SELECT 'q:d', n, s_q, s_d, s_qd, ss_q, ss_d FROM m
+        |  UNION ALL SELECT 'q:t', n, s_q, s_t, s_qt, ss_q, ss_t FROM m
+        |  UNION ALL SELECT 'p:d', n, s_p, s_d, s_pd, ss_p, ss_d FROM m
+        |  UNION ALL SELECT 'p:t', n, s_p, s_t, s_pt, ss_p, ss_t FROM m
+        |  UNION ALL SELECT 'd:t', n, s_d, s_t, s_dt, ss_d, ss_t FROM m)
+        |SELECT pair, n, sx, sy, sxy,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000)
+        |    AS BIGINT) AS corr_x1e6
+        |FROM pairs ORDER BY pair""".stripMargin),
+
     // A15 — ordered funnel conversion: per user, did view happen, did
     // a purchase follow STRICTLY AFTER the first view, and how long
     // did conversion take (first qualifying purchase − first view, in
