@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Geo query surface — the engine analog of the reference's 2dsphere
@@ -55,6 +55,52 @@ object GeoOps {
     * at the equator. Pure integer shift/mask algebra after one floor
     * quantization — replayable and pushdown-friendly.
     */
+  /** Nearest-neighbor join via a 3×3 grid-cell probe: both sides get
+    * an integral (cell_lat, cell_lon) coordinate at `cellDeg`
+    * granularity, each query row explodes into its 9-cell neighborhood
+    * IN PLACE, and the equi-join on the cell pair confines candidate
+    * pairs to the neighborhood — the all-pairs cross join never
+    * exists. Correct whenever the true nearest neighbor lies within
+    * `cellDeg` (Chebyshev) of the query: the neighborhood then
+    * contains it, and taking the per-query min over candidates returns
+    * it exactly. Callers pick `cellDeg` ≥ the corpus' worst-case NN
+    * distance (here the fixture lattice bounds it at 0.005°; the
+    * general recipe is a density-derived bound or an escalating
+    * multi-ring probe). One shuffle on the cell key; per-cell
+    * populations bound the join fan-out, so skew follows point
+    * density, not corpus size. Distances are squared degrees
+    * (planar — the box is 0.3° wide; ordering is what matters),
+    * computed with IEEE exactly-rounded ops only, ties broken by
+    * corpus id, so the winner is engine-exact.
+    */
+  def nnJoinGrid(queries: DataFrame, corpus: DataFrame, idCol: String,
+      latCol: String, lonCol: String, cellDeg: Double): DataFrame = {
+    def cells(df: DataFrame) = df
+      .withColumn("_cla", floor(col(latCol) / lit(cellDeg)).cast("long"))
+      .withColumn("_clo", floor(col(lonCol) / lit(cellDeg)).cast("long"))
+    val q = cells(queries)
+      .select(col(idCol).as("q_id"), col(latCol).as("q_lat"),
+        col(lonCol).as("q_lon"),
+        explode(array((-1 to 1).flatMap(a => (-1 to 1).map(b =>
+          struct((col("_cla") + a).as("cla"), (col("_clo") + b).as("clo"))))
+          : _*)).as("nb"))
+      .select(col("q_id"), col("q_lat"), col("q_lon"),
+        col("nb.cla").as("_cla"), col("nb.clo").as("_clo"))
+    val c = cells(corpus).select(col("_cla"), col("_clo"),
+      col(idCol).as("c_id"), col(latCol).as("c_lat"),
+      col(lonCol).as("c_lon"))
+    val d2 = (col("q_lat") - col("c_lat")) * (col("q_lat") - col("c_lat")) +
+      (col("q_lon") - col("c_lon")) * (col("q_lon") - col("c_lon"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("c_id"))
+    q.join(c, Seq("_cla", "_clo"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), d2.as("d2"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("q_id"), col("c_id").as("nn_id"), col("d2"))
+  }
+
   def zValue(lat: Column, lon: Column): Column = {
     def quant(c: Column, off: Double, span: Double) =
       greatest(lit(0L), least(lit(65535L),
@@ -237,6 +283,53 @@ object GeoQueries {
         |  COUNT(*) AS n_events, MIN(doc_id) AS first_doc
         |FROM ev
         |WHERE lat >= 38.86 AND lat <= 38.95 AND lon >= 1.38 AND lon <= 1.46
-        |GROUP BY 1, 2 ORDER BY cell_lat, cell_lon""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY cell_lat, cell_lon""".stripMargin),
+
+    // Nearest-neighbor join (GeoOps.nnJoinGrid): "closest venue to
+    // each event" — each query point probes only its 3×3 cell
+    // neighborhood (cell 0.02° ≥ the fixture lattice's 0.005° NN
+    // bound, so the probe provably contains the true NN), vs the
+    // oracle which brute-forces ALL pairs with a window — a different
+    // algorithm, so a single wrong winner turns the row red. The
+    // census pins the full assignment (sum q_id·nn_id) and the exact
+    // distances (floored ×1e12 squared degrees — IEEE-exact ops
+    // only); n_zero_dist guards the dedup edge (ids 8300 apart would
+    // share a lattice position — absent below 8300 docs, so 0 at
+    // every sf, and the cell would catch a collapse to self-joins).
+    "geo_knn_join" -> QueryDef(
+      (s, d) => {
+        val pts = T.documents(s, d).select(
+          col("doc_id"), lat.as("lat"), lon.as("lon"))
+        val nn = GeoOps.nnJoinGrid(
+          pts.filter(col("doc_id") < 300), pts,
+          "doc_id", "lat", "lon", cellDeg = 0.02)
+        nn.agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("q_id") * col("nn_id")).as("nn_checksum"),
+          sum(floor(col("d2") * 1e12).cast("long")).as("sum_d2_x1e12"),
+          sum(when(col("d2") === 0.0, 1L).otherwise(0L)).as("n_zero_dist"))
+      },
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 100 AS DOUBLE) * 0.003 + 38.80 AS lat,
+        |    CAST(doc_id % 83 AS DOUBLE) * 0.004 + 1.20 AS lon
+        |  FROM documents),
+        |q AS (SELECT * FROM pts WHERE doc_id < 300),
+        |ranked AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |    (q.lat - c.lat) * (q.lat - c.lat) +
+        |      (q.lon - c.lon) * (q.lon - c.lon) AS d2,
+        |    row_number() OVER (PARTITION BY q.doc_id
+        |      ORDER BY (q.lat - c.lat) * (q.lat - c.lat) +
+        |        (q.lon - c.lon) * (q.lon - c.lon), c.doc_id) AS rn
+        |  FROM q, pts c
+        |  WHERE c.doc_id <> q.doc_id)
+        |SELECT COUNT(*) AS n_queries,
+        |  CAST(SUM(q_id * c_id) AS BIGINT) AS nn_checksum,
+        |  CAST(SUM(CAST(floor(d2 * 1e12) AS BIGINT)) AS BIGINT)
+        |    AS sum_d2_x1e12,
+        |  CAST(SUM(CASE WHEN d2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_dist
+        |FROM ranked WHERE rn = 1""".stripMargin)
   )
 }
