@@ -1784,6 +1784,38 @@ object PipelineQueries {
         |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_checksum
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
 
+    // Deterministic weighted priority sample: top-k documents by
+    // priority = h div weight over a portable 60-bit hash — higher
+    // weight ⇒ stochastically smaller priority ⇒ higher inclusion
+    // odds, reproducible across runs/engines/cluster sizes (no rand()
+    // seed state), and the ENTIRE selection replays in the oracle.
+    // This is the weight-MONOTONE deterministic variant, not exact
+    // Efraimidis–Spirakis (whose u^(1/w) keys need libm pow/ln — the
+    // cross-engine trap the integral pipeline exists to avoid);
+    // inclusion odds scale ∝ weight only to first order, which is
+    // what corpus curation needs from "prefer longer/higher-quality
+    // docs". Scale shape: per-row arithmetic + TakeOrdered (partial
+    // top-k per partition, k-row final) — never a global sort; the
+    // WeightedSampleSpec pins the bias direction (sample mean weight
+    // above corpus mean).
+    "etl_weighted_sample" -> QueryDef(
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("weight"),
+          Dedup.portableHash(
+            concat(lit("wsample1|"), col("doc_id").cast("string")), 15)
+            .as("h"))
+        .selectExpr("doc_id", "weight", "h div weight AS priority")
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100),
+      """WITH t AS (
+        |  SELECT doc_id, GREATEST(n_chars, 1) AS weight,
+        |    CAST(('0x' || substr(md5('wsample1|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, weight, h // weight AS priority
+        |FROM t ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+
     // Dense contiguous row ids without the global sort
     // (TextAnalysis.stableRowIds): the classic scale trap is
     // row_number() OVER (ORDER BY key) funneling 100 TB through ONE

@@ -88,6 +88,21 @@ class ProfileLayoutSpec extends AnyFunSuite {
     assert(prof("wide").getLong(4) === global.getLong(3))
   }
 
+  test("weighted priority sample: selection is biased toward weight") {
+    // 1000 ids, weights 1 or 100 in equal halves: the h div w order
+    // must over-select the heavy half decisively
+    val df = (1 to 1000).map(i =>
+      (i.toLong, if (i % 2 == 0) 100L else 1L)).toDF("id", "w")
+    val sample = df
+      .select($"id", $"w", graft.operators.Dedup.portableHash(
+        concat(lit("wsample1|"), $"id".cast("string")), 15).as("h"))
+      .selectExpr("id", "w", "h div w AS priority")
+      .orderBy($"priority", $"id").limit(100)
+      .collect()
+    val heavy = sample.count(_.getLong(1) == 100L)
+    assert(heavy > 90, s"heavy-weight rows in sample: $heavy of 100")
+  }
+
   test("histogram and CMS sketches: shard-merge == direct") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 3000).map(_ =>
