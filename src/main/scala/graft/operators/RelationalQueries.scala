@@ -1090,6 +1090,85 @@ object RelationalQueries {
         |FROM merged JOIN direct ON direct.bin = merged.bin
         |ORDER BY merged.bin""".stripMargin),
 
+    // A24 — winsorized robust stats per group, the sketch-bounded
+    // outlier-clipping pass a metrics pipeline runs before averaging
+    // heavy-tailed values: per-group p1/p99 bounds come from the
+    // 64-bin histogram SKETCH (groups × 64 cells of state — rank
+    // arithmetic over the sketch frame, never a per-group sort), then
+    // one clip-and-aggregate pass with the bounds broadcast. Every
+    // compared cell is integral: bounds are bin edges ×100, clipped
+    // values floor to cents, the winsorized mean is integral
+    // division. Two scans total at any scale; the clip never
+    // shuffles (the census groupBy reuses the partial-agg shape).
+    "a24_winsorized_stats" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+        val hist = Sketches.histogramCountsBy(ev, col("value"),
+          Seq("event_type"), lo = 0.0, width = 10.0, nBins = 64)
+        val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        val wall = Window.partitionBy(col("event_type"))
+        val c = hist
+          .withColumn("cum", sum(col("cnt")).over(wcum))
+          .withColumn("n", sum(col("cnt")).over(wall))
+        val bounds = c.groupBy(col("event_type")).agg(
+            min(when(col("cum") >= expr("(n + 99) div 100"), col("bin")))
+              .as("lo_bin"),
+            min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("bin")))
+              .as("hi_bin"))
+          .select(col("event_type"),
+            (col("lo_bin").cast("long") * 1000).as("lo_x100"),
+            ((col("hi_bin").cast("long") + 1) * 1000).as("hi_x100"))
+        ev.select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("v_x100"))
+          .join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            max(col("lo_x100")).as("lo_x100"),
+            max(col("hi_x100")).as("hi_x100"),
+            sum(when(col("v_x100") < col("lo_x100"), 1L).otherwise(0L))
+              .as("n_clipped_lo"),
+            sum(when(col("v_x100") > col("hi_x100"), 1L).otherwise(0L))
+              .as("n_clipped_hi"),
+            sum(least(col("hi_x100"), greatest(col("lo_x100"),
+              col("v_x100")))).as("s_wins"))
+          .selectExpr("event_type", "n", "lo_x100", "hi_x100",
+            "n_clipped_lo", "n_clipped_hi",
+            "s_wins div n AS wins_mean_x100")
+          .orderBy(col("event_type"))
+      },
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bin
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT event_type,
+        |    CAST(MIN(CASE WHEN cum >= (n + 99) // 100 THEN bin END)
+        |      AS BIGINT) * 1000 AS lo_x100,
+        |    (CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END)
+        |      AS BIGINT) + 1) * 1000 AS hi_x100
+        |  FROM c GROUP BY 1),
+        |v AS (
+        |  SELECT e.event_type,
+        |    CAST(FLOOR(e.value * 100) AS BIGINT) AS v_x100,
+        |    bo.lo_x100, bo.hi_x100
+        |  FROM events e JOIN bounds bo ON bo.event_type = e.event_type)
+        |SELECT event_type, COUNT(*) AS n,
+        |  MAX(lo_x100) AS lo_x100, MAX(hi_x100) AS hi_x100,
+        |  CAST(SUM(CASE WHEN v_x100 < lo_x100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN v_x100 > hi_x100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(SUM(LEAST(hi_x100, GREATEST(lo_x100, v_x100))) AS BIGINT) //
+        |    COUNT(*) AS wins_mean_x100
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // A14 — replayable count-min frequency sketch (operators.Sketches):
     // d=4 salted hash rows × w=64 buckets over ~250 (user, event_type)
     // keys — w deliberately small so collisions happen and the
