@@ -131,6 +131,53 @@ object Mining {
           .as("lift_x1e6"))
   }
 
+  /** Apriori level-3: frequent item triples at `minSupport`, found the
+    * candidate-pruned way — frequent pairs (level 2) self-join on the
+    * middle item into ordered candidates (p1 < p2 < p3) whose THIRD
+    * pair (p1, p3) must also be frequent (the Apriori closure:
+    * support is anti-monotone, so every sub-pair of a frequent triple
+    * is frequent and pruning by it is lossless). Support counting
+    * then runs with the candidate set BROADCAST against basket pairs
+    * built from items that survive level 2 — the basket stream
+    * shrinks before the expensive join, which is the whole point of
+    * Apriori at scale: level k's work is bounded by level k-1's
+    * survivors, never by the raw item universe. The oracle
+    * brute-force-counts ALL triples with no pruning — a candidate
+    * dropped by the closure logic would go red there, proving the
+    * prune lossless rather than asserting it.
+    */
+  def frequentTriples(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val f2 = b.as("a").join(b.as("c"),
+        col("a.bk") === col("c.bk") && col("a.it") < col("c.it"))
+      .groupBy(col("a.it").as("p1"), col("c.it").as("p2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minSupport)
+      .select(col("p1"), col("p2"))
+    val cand = f2.as("x").join(f2.as("y"),
+        col("x.p2") === col("y.p1"))
+      .select(col("x.p1").as("p1"), col("x.p2").as("p2"),
+        col("y.p2").as("p3"))
+      .join(f2.toDF("p1", "p3"), Seq("p1", "p3"))
+    val fItems = f2.select(col("p1").as("it"))
+      .unionAll(f2.select(col("p2").as("it"))).distinct()
+    val bf = b.join(fItems, "it").select(col("bk"), col("it"))
+    bf.as("a").join(bf.as("c"),
+        col("a.bk") === col("c.bk") && col("a.it") < col("c.it"))
+      .select(col("a.bk").as("bk"), col("a.it").as("i1"),
+        col("c.it").as("i2"))
+      .join(broadcast(cand),
+        col("i1") === col("p1") && col("i2") === col("p2"))
+      .as("pp")
+      .join(bf.as("e"),
+        col("pp.bk") === col("e.bk") && col("e.it") === col("pp.p3"))
+      .groupBy(col("p1").as("i1"), col("p2").as("i2"), col("p3").as("i3"))
+      .agg(count(lit(1)).as("n_xyz"))
+      .filter(col("n_xyz") >= minSupport)
+  }
+
   /** Integer-exact PageRank over a directed edge list (srcCol, dstCol),
     * fixed iteration count, damping dampNum/dampDen, ranks scaled by
     * `scale`. Classic per-node formulation (ranks average `scale`, not
@@ -445,6 +492,25 @@ object MiningQueries {
          |JOIN ic ia ON ia.it = r.ante
          |JOIN ic ib ON ib.it = r.cons
          |ORDER BY lift_x1e6 DESC, ante, cons""".stripMargin),
+
+    // Apriori frequent triples (Mining.frequentTriples) over the
+    // co-purchase baskets at support >= 2: level-2 survivors generate
+    // ordered candidates closed under the third pair, then one
+    // broadcast-candidate counting pass over the item-pruned basket
+    // stream. The oracle BRUTE-FORCES every triple with no pruning —
+    // a different algorithm, so the Apriori closure's losslessness is
+    // proven per row, not asserted.
+    "mb_frequent_triples" -> QueryDef(
+      (s, d) => Mining.frequentTriples(baskets(s, d), "bk", "it", 2L)
+        .orderBy(col("i1"), col("i2"), col("i3")),
+      s"""WITH b AS ($basketSql)
+         |SELECT a.it AS i1, c.it AS i2, e.it AS i3,
+         |  COUNT(*) AS n_xyz
+         |FROM b a
+         |JOIN b c ON a.bk = c.bk AND a.it < c.it
+         |JOIN b e ON a.bk = e.bk AND c.it < e.it
+         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+         |ORDER BY i1, i2, i3""".stripMargin),
 
     // Integer-exact PageRank (10 iterations, d=0.85, scale 1e12) over
     // the symmetrized co-purchase graph (pairs co-ordered >= 2 times).
