@@ -78,6 +78,59 @@ object MaterializedView {
     * state goes through parquet (write + read back) so the merged
     * result is computed from the PERSISTED schema, not a live plan.
     */
+  /** Retraction-aware refresh — the CDC case where a delta carries
+    * DELETES as well as inserts. COUNT and exact-decimal SUM are not
+    * just mergeable but INVERTIBLE (the monoid extends to an abelian
+    * group), so a delete stream folds in as negated cells through the
+    * very same group-wise merge — still no base rescan. Two
+    * invariants the merge enforces rather than assumes: a group whose
+    * count reaches 0 LEAVES the state (deleted keys must not pin
+    * rows forever — their decimal sums cancel to exactly 0 by
+    * invertibility), and a count below 0 — a delta deleting rows the
+    * base never had — raises at execution instead of clamping
+    * (silent clamping would desynchronize the view from its base
+    * permanently). Non-invertible cells (MIN/MAX) cannot ride a
+    * retraction stream; at scale those recompute per TOUCHED group
+    * only.
+    */
+  def refreshWithRetractions(stored: DataFrame, insertRollup: DataFrame,
+      deleteRollup: DataFrame): DataFrame = {
+    val wide = DecimalType(28, 4)
+    def shaped(df: DataFrame) = df.select(col("event_type"), col("day"),
+      col("n"), col("vsum").cast(wide))
+    val negated = deleteRollup.select(col("event_type"), col("day"),
+      (-col("n")).as("n"), (-col("vsum")).cast(wide).as("vsum"))
+    shaped(stored).unionByName(shaped(insertRollup)).unionByName(negated)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum"))
+      .select(col("event_type"), col("day"),
+        when(col("n") >= 0, col("n"))
+          .otherwise(expr("raise_error('retraction exceeded stored count')"))
+          .as("n"),
+        col("vsum"))
+      .filter(col("n") > 0)
+  }
+
+  /** Round trip for the retraction oracle row: the stored MV covers
+    * `event_id % 16 != 0`; one CDC batch then inserts the %16 rows
+    * AND deletes every base row with `event_id % 7 == 0`. The census
+    * of the merged state must equal a FULL recompute over the net
+    * row set — which is exactly what the oracle computes, so
+    * incremental-with-retractions == recompute is checked
+    * cross-engine, not self-referentially.
+    */
+  def retractRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val base = ev.filter(pmod(col("event_id"), lit(16)) =!= 0)
+    val inserts = ev.filter(pmod(col("event_id"), lit(16)) === 0)
+    val deletes = base.filter(pmod(col("event_id"), lit(7)) === 0)
+    val path = new java.io.File("target/mv_retract/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/rollup").getAbsolutePath
+    eventRollup(base).write.mode("overwrite").parquet(path)
+    census(refreshWithRetractions(s.read.parquet(path),
+      eventRollup(inserts), eventRollup(deletes)))
+  }
+
   def refreshRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(s, dir)
     val base = ev.filter(pmod(col("event_id"), lit(16)) =!= 0)

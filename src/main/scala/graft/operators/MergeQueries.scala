@@ -458,6 +458,29 @@ object MergeQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(SUM(day * n) AS BIGINT) AS day_checksum,
         |  CAST(SUM(vsum) AS DOUBLE) AS value_sum
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Retraction-aware MV refresh (MaterializedView
+    // .refreshWithRetractions): one CDC batch inserts the %16 slice
+    // and DELETES every stored %7 row; deletes fold in as negated
+    // cells through the same group-wise merge (COUNT/decimal-SUM are
+    // invertible), zeroed groups leave the state, and negative counts
+    // raise. The oracle is a FULL recompute over the net row set —
+    // incremental-with-retractions == recompute, checked
+    // cross-engine.
+    "mv_retract_refresh" -> QueryDef(
+      (s, d) => MaterializedView.retractRoundTrip(s, d),
+      """WITH net AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (event_id % 16 != 0 AND event_id % 7 = 0)),
+        |g AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS vsum
+        |  FROM net GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(day * n) AS BIGINT) AS day_checksum,
+        |  CAST(SUM(vsum) AS DOUBLE) AS value_sum
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

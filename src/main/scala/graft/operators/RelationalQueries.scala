@@ -817,6 +817,72 @@ object RelationalQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Distribution-drift census between two corpus snapshots — the
+    // domain-shift pre-screen a training pipeline runs before mixing
+    // a new crawl into the corpus: value distributions (64-bin
+    // histogram SKETCH — bounded state, so the comparison never
+    // rescans either snapshot at 100 TB) for the earliest vs latest
+    // month, compared bin-by-bin with the 2×k contingency chi-square.
+    // Snapshots derive from the data — the time range splits at its
+    // midpoint day ((d_lo + d_hi + 1) div 2, pure integers), sf-proof
+    // with no pinned literals and non-degenerate whenever the data
+    // spans two days; every compared cell is integral: the
+    // per-bin cross term n1·N2 − n2·N1 is exact BIGINT, and the
+    // per-bin chi-square contribution uses only IEEE exactly-rounded
+    // double ops on sub-2^53 integers before one floor (the
+    // a23_corr_matrix discipline). Total drift = SUM of the integral
+    // contributions — order-independent by construction.
+    "qa_dist_drift" -> QueryDef(
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("value"))
+        val mm = ev.agg(min(col("day")).as("d_lo"), max(col("day")).as("d_hi"))
+        val slice = ev.crossJoin(broadcast(mm))
+          .select(when(col("day") < expr("(d_lo + d_hi + 1) div 2"),
+            lit(1)).otherwise(lit(2)).as("snap"),
+            least(lit(63), greatest(lit(0),
+              floor(col("value") / lit(10.0)).cast("int"))).as("bin"))
+        val hist = slice.groupBy(col("bin"))
+          .agg(sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("snap") === 2, 1L).otherwise(0L)).as("n2"))
+        val tot = hist.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n1"), col("n2"),
+            (col("n1") * col("t2") - col("n2") * col("t1")).as("cross_term"),
+            floor((col("n1") * col("t2") - col("n2") * col("t1"))
+                .cast("double") *
+              (col("n1") * col("t2") - col("n2") * col("t1"))
+                .cast("double") /
+              (col("t1").cast("double") * col("t2").cast("double") *
+                (col("n1") + col("n2")).cast("double")) * 1e6)
+              .cast("long").as("chi2_x1e6"))
+          .orderBy(col("bin"))
+      },
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, value FROM events),
+        |mm AS (SELECT MIN(day) AS d_lo, MAX(day) AS d_hi FROM e),
+        |s AS (
+        |  SELECT CASE WHEN e.day < (mm.d_lo + mm.d_hi + 1) // 2
+        |         THEN 1 ELSE 2 END AS snap,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bin
+        |  FROM e, mm),
+        |hist AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN snap = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM s GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+        |  FROM hist)
+        |SELECT bin, n1, n2,
+        |  n1 * t2 - n2 * t1 AS cross_term,
+        |  CAST(FLOOR(CAST(n1 * t2 - n2 * t1 AS DOUBLE) *
+        |    CAST(n1 * t2 - n2 * t1 AS DOUBLE) /
+        |    (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE) *
+        |     CAST(n1 + n2 AS DOUBLE)) * 1e6) AS BIGINT) AS chi2_x1e6
+        |FROM hist, tot ORDER BY bin""".stripMargin),
+
     // Rolling 7-day distinct users per day (the MAU/WAU family) via
     // per-day HLL registers + windowed register max
     // (Sketches.hllRollingEstimateBy): rolling DISTINCT does not

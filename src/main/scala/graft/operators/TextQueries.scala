@@ -103,6 +103,59 @@ object TextQueries {
          |FROM sc WHERE score_x1e6 > 0
          |ORDER BY score_x1e6 DESC, doc_id LIMIT 20""".stripMargin),
 
+    // Inverted-index probe == direct scan: postings (token, doc_id,
+    // tf) are what a 100 TB search surface STORES (partitioned by
+    // token bucket, built in one scan + one token-keyed partial-agg
+    // shuffle); a query then reads ONLY its terms' postings — the
+    // corpus is never rescanned per query. This row builds the
+    // postings, answers the standing 3-term query from the index
+    // alone, and joins the direct scan-scored result in-row: the two
+    // score columns must agree on every row (index == scan, the
+    // merge==direct pattern applied to search). Postings tf is the
+    // same whole-token count as t9_text_search, so the frozen
+    // equal-weight semantic carries over unchanged.
+    "t9_index_probe" -> QueryDef(
+      (s, d) => {
+        val terms = Seq("spark", "query", "join")
+        val toks = split(lower(col("text")), "\\s+")
+        val postings = T.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val probed = postings.filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("idx_score"))
+        val direct = T.documents(s, d)
+          .select(col("doc_id"),
+            size(filter(toks, x => x.isin(terms: _*))).cast("long")
+              .as("scan_score"))
+          .filter(col("scan_score") > 0)
+        probed.join(direct, "doc_id")
+          .select(col("doc_id"), col("idx_score"), col("scan_score"))
+          .orderBy(col("idx_score").desc, col("doc_id"))
+          .limit(20)
+      },
+      """WITH p AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS tok
+        |  FROM documents),
+        |postings AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+        |probed AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS idx_score
+        |  FROM postings WHERE tok IN ('spark', 'query', 'join')
+        |  GROUP BY 1),
+        |direct AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('spark', 'query', 'join'))) AS scan_score
+        |  FROM documents)
+        |SELECT pr.doc_id, pr.idx_score, CAST(d.scan_score AS BIGINT)
+        |  AS scan_score
+        |FROM probed pr JOIN direct d ON d.doc_id = pr.doc_id
+        |WHERE d.scan_score > 0
+        |ORDER BY pr.idx_score DESC, pr.doc_id LIMIT 20""".stripMargin),
+
     // Token counting (whitespace tokenizer) — training-data pipeline op.
     "ta_token_count" -> QueryDef(
       (s, d) => T.documents(s, d)
