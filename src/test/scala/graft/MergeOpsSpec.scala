@@ -485,4 +485,45 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(viewRow.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
       Seq((3L, 7.00)))
   }
+
+  test("MV retractions: delete inverts insert, zeroed groups leave") {
+    import graft.operators.MaterializedView
+    val base = mvEvents(Seq(
+      ("view", "2025-03-01 10:00:00", 1.25),
+      ("view", "2025-03-01 11:00:00", 2.50),
+      ("click", "2025-03-02 07:00:00", 3.33)))
+    val delta = mvEvents(Seq(("view", "2025-03-01 12:00:00", 4.00)))
+    val stored = MaterializedView.eventRollup(base)
+    // add then retract the same delta: state returns to the original
+    val roundTrip = MaterializedView.refreshWithRetractions(
+      MaterializedView.refresh(stored, MaterializedView.eventRollup(delta)),
+      MaterializedView.eventRollup(mvEvents(Nil)),
+      MaterializedView.eventRollup(delta))
+    val shaped = stored.select(col("event_type"), col("day"), col("n"),
+      col("vsum").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+    assert(roundTrip.orderBy("event_type", "day").collect().toSeq ===
+      shaped.orderBy("event_type", "day").collect().toSeq)
+    // retracting ALL of a group's rows removes the group entirely
+    val clickGone = MaterializedView.refreshWithRetractions(stored,
+      MaterializedView.eventRollup(mvEvents(Nil)),
+      MaterializedView.eventRollup(
+        mvEvents(Seq(("click", "2025-03-02 07:00:00", 3.33)))))
+    assert(clickGone.filter(col("event_type") === "click").count() === 0)
+    assert(clickGone.filter(col("event_type") === "view").count() === 1)
+  }
+
+  test("MV retractions: over-delete raises instead of clamping") {
+    import graft.operators.MaterializedView
+    val base = mvEvents(Seq(("view", "2025-03-01 10:00:00", 1.00)))
+    val over = mvEvents(Seq(
+      ("view", "2025-03-01 10:30:00", 1.00),
+      ("view", "2025-03-01 10:45:00", 2.00)))
+    val ex = intercept[Exception] {
+      MaterializedView.refreshWithRetractions(
+        MaterializedView.eventRollup(base),
+        MaterializedView.eventRollup(mvEvents(Nil)),
+        MaterializedView.eventRollup(over)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("retraction"))
+  }
 }
