@@ -569,6 +569,65 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // Projection-prefilter rerank k-NN join (Similarity.knnJoinRerank)
+    // — the compressed-domain pattern: shortlist by cosine in the
+    // 16-dim JL space (the 4×-smaller table a 100 TB tier keeps hot),
+    // exact-rerank only the shortlist in full width. No hard bucket
+    // boundary to lose a neighbor over — recall degrades smoothly
+    // with the MEASURED projection error, and sim_recall_report shows
+    // it beating every bucketed variant. The oracle replays the
+    // 16-plane projection, the shortlist ranking, and the rerank.
+    "sim_knn_join_rerank" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinRerank(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH hp16(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(16, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pl AS (
+         |  SELECT e.vec_id, hp16.i,
+         |    list_reduce(list_transform(range(1, 65), j -> e.v[j] * hp16.h[j]),
+         |      (a, b) -> a + b) AS p
+         |  FROM emb e, hp16),
+         |pr AS (
+         |  SELECT vec_id, list(p ORDER BY i) AS proj FROM pl GROUP BY vec_id),
+         |pn AS (
+         |  SELECT pr.vec_id, pr.proj, e.v,
+         |    sqrt(list_reduce(list_transform(range(1, 17),
+         |      j -> pr.proj[j] * pr.proj[j]), (a, b) -> a + b)) AS pnrm,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      j -> e.v[j] * e.v[j]), (a, b) -> a + b)) AS nrm
+         |  FROM pr JOIN emb e ON e.vec_id = pr.vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 17),
+         |      j -> c.proj[j] * q.proj[j]), (a, b) -> a + b)
+         |      / (c.pnrm * q.pnrm) AS pc,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+         |      / (c.nrm * q.nrm) AS cosine
+         |  FROM pn c, pn q
+         |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |short AS (
+         |  SELECT query_id, corpus_id, cosine FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY pc DESC, corpus_id DESC) AS prn
+         |    FROM scored)
+         |  WHERE prn <= 50),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |  FROM short)
+         |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     // IVF nprobe sweep — the recall-vs-scan lever as a measured CURVE:
     // recall@10 of ivfTopK at nprobe 1/2/4/8 against the exact top-10,
     // plus how many corpus rows each probe set scanned (the cost side
@@ -634,6 +693,9 @@ object PipelineQueries {
         val iPairs = Similarity.knnJoinIvf(corpusJ, queriesJ,
           "vec_id", "embedding", k = 3, IvfCentroids.pinned, nprobe = 2)
           .select("query_id", "corpus_id")
+        val rPairs = Similarity.knnJoinRerank(corpusJ, queriesJ,
+          "vec_id", "embedding", k = 3)
+          .select("query_id", "corpus_id")
         def topkRow(name: String, approx: DataFrame) =
           approx.join(exactT, "vec_id").agg(count(lit(1)).as("hits"))
             .select(lit(name).as("method"), lit(10L).as("k"), col("hits"))
@@ -646,6 +708,7 @@ object PipelineQueries {
           .unionByName(pairRow("knn_ivf", iPairs))
           .unionByName(pairRow("knn_lsh", lPairs))
           .unionByName(pairRow("knn_multiprobe", mPairs))
+          .unionByName(pairRow("knn_rerank", rPairs))
           .unionByName(topkRow("lsh_topk", lshT))
           .withColumn("recall",
             col("hits").cast("double") / col("k").cast("double"))
@@ -759,6 +822,39 @@ object PipelineQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, corpus_id DESC) AS rn FROM iscored)
          |  WHERE rn <= 3),
+         |hp16(i, h) AS (VALUES ${Similarity.hyperplaneSqlValues(16, 64)}),
+         |pl AS (
+         |  SELECT e.vec_id, hp16.i,
+         |    list_reduce(list_transform(range(1, 65), j -> e.v[j] * hp16.h[j]),
+         |      (a, b) -> a + b) AS p
+         |  FROM emb e, hp16),
+         |pr AS (
+         |  SELECT vec_id, list(p ORDER BY i) AS proj FROM pl GROUP BY vec_id),
+         |pn AS (
+         |  SELECT vec_id, proj,
+         |    sqrt(list_reduce(list_transform(range(1, 17),
+         |      j -> proj[j] * proj[j]), (a, b) -> a + b)) AS pnrm
+         |  FROM pr),
+         |rproj AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, 17),
+         |      j -> c.proj[j] * q.proj[j]), (a, b) -> a + b)
+         |      / (c.pnrm * q.pnrm) AS pc
+         |  FROM pn c, pn q
+         |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |rshort AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY pc DESC, corpus_id DESC) AS prn FROM rproj)
+         |  WHERE prn <= 50),
+         |rpairs AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT s.query_id, s.corpus_id, s.cosine,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |        ORDER BY s.cosine DESC, s.corpus_id DESC) AS rn
+         |    FROM scored s JOIN rshort r
+         |      ON r.query_id = s.query_id AND r.corpus_id = s.corpus_id)
+         |  WHERE rn <= 3),
          |sel(method, k, hits) AS (
          |  SELECT 'ivf_topk', CAST(10 AS BIGINT),
          |    (SELECT COUNT(*) FROM ivf10 i JOIN exact10 x
@@ -775,6 +871,10 @@ object PipelineQueries {
          |  SELECT 'knn_multiprobe', (SELECT COUNT(*) FROM epairs),
          |    (SELECT COUNT(*) FROM mpairs m JOIN epairs e
          |       ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+         |  UNION ALL
+         |  SELECT 'knn_rerank', (SELECT COUNT(*) FROM epairs),
+         |    (SELECT COUNT(*) FROM rpairs r JOIN epairs e
+         |       ON e.query_id = r.query_id AND e.corpus_id = r.corpus_id)
          |  UNION ALL
          |  SELECT 'lsh_topk', CAST(10 AS BIGINT),
          |    (SELECT COUNT(*) FROM lsh10 l JOIN exact10 x

@@ -500,6 +500,53 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Projection-prefilter k-NN join — the compressed-domain rerank
+    * pattern: candidates are shortlisted by cosine in the kDim-wide
+    * JL-projected space (the 4×-smaller table from
+    * [[randomProjection]] — at 100 TB that is the table that fits in
+    * scan cache while the full-width vectors stay on disk), then ONLY
+    * the shortlist pairs fetch full vectors for the exact rerank.
+    * Unlike the LSH/IVF joins, no candidate is lost to a hard bucket
+    * boundary — the shortlist degrades smoothly with projection
+    * error, which sim_random_projection MEASURES (240/250 pair
+    * distances within 2×), so recall is high by construction and
+    * sim_recall_report reports the number. Same GroupedTopK
+    * partial+final reduction as every join variant; the rerank join
+    * touches shortlist×queries rows only.
+    */
+  def knnJoinRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, kDim: Int = 16, dim: Int = 64,
+      shortlist: Int = 50, seed: Long = 7L): DataFrame = {
+    val cp = randomProjection(
+        corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv")),
+        "_cv", kDim, dim, seed)
+      .select(col("corpus_id"), col("_cv"), col("proj").as("_cp"))
+      .withColumn("_cpn", norm(col("_cp")))
+    val qp = randomProjection(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+        "_qv", kDim, dim, seed)
+      .select(col("query_id"), col("_qv"), col("proj").as("_qp"))
+      .withColumn("_qpn", norm(col("_qp")))
+    val scored = cp.select(col("corpus_id"), col("_cp"), col("_cpn"))
+      .crossJoin(broadcast(qp.select(col("query_id"), col("_qp"),
+        col("_qpn"))))
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cp"), col("_qp")) / (col("_cpn") * col("_qpn")))
+          .as("proj_cosine"))
+    val cand = graft.plans.GroupedTopK.combined(scored, Seq("query_id"),
+      Seq("proj_cosine", "corpus_id"), descending = true, shortlist)
+    val reranked = cand.select(col("query_id"), col("corpus_id"))
+      .join(cp.select(col("corpus_id"), col("_cv"))
+        .withColumn("_cn", norm(col("_cv"))), "corpus_id")
+      .join(broadcast(qp.select(col("query_id"), col("_qv"))
+        .withColumn("_qn", norm(col("_qv")))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(reranked, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
+  }
+
   /** One Lloyd iteration of k-means, as a census: assign every vector
     * to its nearest centroid (same squared-distance argmin as
     * [[ivfAssignment]]), recompute per-cell per-dimension means, and
