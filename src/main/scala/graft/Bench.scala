@@ -71,6 +71,13 @@ object Bench {
     // JIT/codegen warmup on the smallest SF so the first timed query
     // doesn't absorb session setup.
     try SparkEntry.entry(spark).count() catch { case NonFatal(_) => () }
+    // Warm the calibration codepath itself before timing it: r09
+    // recorded calibration_first 12.13 s vs r08's 1.53 s — a cold
+    // JIT/codegen first pass masquerading as machine load. Two
+    // discarded runs amortize compilation so calibration_first and
+    // calibration_last measure the same steady state and their ratio
+    // isolates genuine contention.
+    calibration(spark); calibration(spark)
     val calFirst = calibration(spark)
     val (streaming, batch) = SparkEntry.queries.toSeq.sortBy(_._1)
       .partition { case (n, _) => isStreaming(n) }

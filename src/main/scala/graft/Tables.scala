@@ -2,15 +2,84 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver-generated testdata
   * (see /root/repo/TESTDATA.md) plus numeric-parity helpers shared by
   * every query that must hash-match the DuckDB oracle.
   */
 object Tables {
+
+  /** Input-schema contract, asserted at load time.
+    *
+    * The round-9 regeneration silently changed events.ts from INT64
+    * nanos to TIMESTAMP(MICROS) and zeroed 73 queries with opaque
+    * AnalysisExceptions. These one-line-per-table pins make the NEXT
+    * drift fail loud, naming the table and column, at the first load.
+    * Kinds: L=long I=int D=double S=string T=timestamp (LTZ, NTZ, or
+    * legacy nanos-as-long — normalizeEventTs adapts), F=float-array.
+    * Extra columns are tolerated (additive drift is harmless); missing
+    * or retyped columns are not.
+    */
+  private val contracts: Map[String, Seq[(String, Char)]] = Map(
+    "lineitem" -> Seq("l_orderkey" -> 'L', "l_partkey" -> 'L',
+      "l_suppkey" -> 'L', "l_linenumber" -> 'I', "l_quantity" -> 'D',
+      "l_extendedprice" -> 'D', "l_discount" -> 'D', "l_tax" -> 'D',
+      "l_returnflag" -> 'S', "l_linestatus" -> 'S', "l_shipdate" -> 'T'),
+    "orders" -> Seq("o_orderkey" -> 'L', "o_custkey" -> 'L',
+      "o_orderstatus" -> 'S', "o_totalprice" -> 'D',
+      "o_orderdate" -> 'T', "o_orderpriority" -> 'S'),
+    "customer" -> Seq("c_custkey" -> 'L', "c_name" -> 'S',
+      "c_nationkey" -> 'I', "c_acctbal" -> 'D', "c_mktsegment" -> 'S'),
+    "supplier" -> Seq("s_suppkey" -> 'L', "s_name" -> 'S',
+      "s_nationkey" -> 'I', "s_acctbal" -> 'D'),
+    "part" -> Seq("p_partkey" -> 'L', "p_name" -> 'S', "p_brand" -> 'S',
+      "p_type" -> 'S', "p_size" -> 'I', "p_retailprice" -> 'D'),
+    "nation" -> Seq("n_nationkey" -> 'I', "n_name" -> 'S',
+      "n_regionkey" -> 'I'),
+    "region" -> Seq("r_regionkey" -> 'I', "r_name" -> 'S'),
+    "events" -> Seq("event_id" -> 'L', "ts" -> 'T', "user_id" -> 'L',
+      "event_type" -> 'S', "value" -> 'D', "props" -> 'S'),
+    "documents" -> Seq("doc_id" -> 'L', "text" -> 'S', "lang" -> 'S',
+      "source" -> 'S', "n_chars" -> 'L'),
+    "embeddings" -> Seq("vec_id" -> 'L', "embedding" -> 'F',
+      "label" -> 'I'))
+
+  private def kindOk(kind: Char, dt: DataType): Boolean = (kind, dt) match {
+    case ('L', LongType) | ('I', IntegerType) | ('D', DoubleType) |
+         ('S', StringType) | ('T', TimestampType) |
+         ('T', TimestampNTZType) | ('T', LongType) => true
+    case ('F', ArrayType(FloatType, _)) => true
+    case _ => false
+  }
+
+  /** One verification per (dir, table) per JVM — the check is a
+    * driver-side schema walk, but loaders are called per query and the
+    * memo keeps the hot path allocation-free.
+    */
+  private val verified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def verifyContract(name: String, df: DataFrame, key: String): DataFrame = {
+    if (!verified.contains(key)) {
+      contracts.get(name).foreach { cols =>
+        val actual = df.schema.map(f => f.name -> f.dataType).toMap
+        for ((c, kind) <- cols) actual.get(c) match {
+          case None => throw new IllegalStateException(
+            s"testdata contract violated: $key lacks column '$c' " +
+              s"(schema: ${df.schema.simpleString}) — testdata regenerated?")
+          case Some(dt) if !kindOk(kind, dt) => throw new IllegalStateException(
+            s"testdata contract violated: $key column '$c' is $dt, " +
+              s"expected kind '$kind' — testdata regenerated?")
+          case _ => ()
+        }
+      }
+      verified.add(key)
+    }
+    df
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    verifyContract(name, spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name")
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
@@ -19,24 +88,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read nanos as long (legacy conf) and
-    * derive the TimestampType column by integer-dividing to micros —
-    * same floor truncation DuckDB applies when comparing at micro/milli
-    * grain, so oracle parity holds.
+  /** events.parquet's `ts` physical encoding has changed across
+    * testdata generations: INT64 TIMESTAMP(NANOS) originally (which
+    * Spark reads as LongType only under the legacy nanosAsLong conf),
+    * TIMESTAMP(MICROS) without timezone (→ TIMESTAMP_NTZ) since the
+    * round-9 regeneration. The conf is set unconditionally because it
+    * only affects NANOS-encoded columns — a MICROS file reads
+    * identically with or without it — and without it a nanos file
+    * fails at scan time, before normalizeEventTs can adapt.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(t(s, d, "events"))
   }
 
-  /** The nanos→TimestampType normalization alone, for read paths that
-    * obtain the raw frame differently (the streaming source declares
+  /** Dtype-adaptive normalization of `ts` to session-zone TimestampType,
+    * shared by batch and streaming reads (the streaming source declares
     * its schema and must apply the SAME rule, or stream results would
     * silently diverge from the batch oracles).
+    *
+    *  - LongType (legacy nanos-as-long): integer-divide to micros —
+    *    same floor truncation DuckDB applies at micro grain.
+    *  - TIMESTAMP_NTZ (current testdata): cast to TimestampType. All
+    *    graft sessions pin spark.sql.session.timeZone=UTC, so the cast
+    *    preserves the wall-clock instant and oracle parity (DuckDB
+    *    reads the same file as a naive timestamp).
+    *  - TimestampType: already what downstream expects.
+    *  - anything else: fail loud with the dtype named, so the next
+    *    silent testdata regeneration is a one-line diagnosis instead
+    *    of 73 opaque AnalysisExceptions.
     */
   def normalizeEventTs(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType        => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType   => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported dtype $other — expected INT64 nanos (LongType " +
+          "under nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP; testdata layout changed?")
+    }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -28,10 +28,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** The events parquet as a stream, with the same nanos→timestamp
-    * normalization as Tables.events (streams must declare the schema).
+  /** The events parquet as a stream, with the same dtype-adaptive ts
+    * normalization as Tables.events (streams must declare the schema,
+    * so the batch-read schema is probed first; the nanosAsLong conf is
+    * a no-op for MICROS-encoded files but required for legacy NANOS).
     */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = s.read.parquet(d + "/events.parquet").schema
     // the file stream source wants a DIRECTORY (its basePath); a glob
