@@ -196,10 +196,19 @@ object Mining {
     * Nodes are assumed to all have out-degree >= 1 (symmetrize an
     * undirected graph first); nodes never referenced as dst keep
     * receiving only the teleport mass.
+    *
+    * `checkpointEvery`: the unrolled loop otherwise grows one
+    * join-plan layer per iteration — harmless at 10 iterations, but at
+    * convergence-driven counts (50-100 on a real web graph) the
+    * lineage depth inflates analysis/AQE replanning and executor task
+    * binaries. Truncating `ranks` every k iterations bounds the plan
+    * at k layers for a small materialization cost (one n_nodes-row
+    * frame); values are integer-exact either way, so the knob cannot
+    * change results. 0 disables.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
@@ -212,13 +221,15 @@ object Mining {
     val base = scale / dampDen * (dampDen - dampNum) // exact by the require
     var ranks = nodes.select(col("node"), col("d"),
       expr(s"${scale}L div n_nodes").as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("pr div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"))
         .select(nodes("node"), nodes("d"),
           (lit(base) + expr(s"$dampNum * contrib div $dampDen")).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("pr"))
   }

@@ -26,6 +26,44 @@ object TextQueries {
 
   private def tfLnTableSql: String = tfLnTable.mkString("[", ", ", "]")
 
+  /** Porter-lite stemmer as an ordered suffix-rule chain. Each rule is
+    * a (pattern, replacement) pair applied once per token in sequence;
+    * the SAME rules compile to nested regexp_replace in BOTH engines
+    * (Spark/Java regex and DuckDB/RE2), which constrains them to
+    * RE2-safe constructs: no lookaround, vowel conditions expressed as
+    * captured-prefix character classes. Capture boundaries are
+    * unambiguous (the group spans the whole prefix), so greedy-
+    * backtracking (Java) and leftmost-longest (RE2) produce identical
+    * replacements. Declared approximation of Porter steps 1a/1b/1c —
+    * no measure conditions, no e-restoration — frozen here as the
+    * engine's documented stemming semantic (closing the SURVEY §2.9
+    * margin: real Mongo $text stems and drops stopwords; the unstemmed
+    * variants above keep the frozen equal-weight semantics).
+    */
+  private val stemRules: Seq[(String, String)] = Seq(
+    "sses$" -> "ss",                          // 1a: caresses -> caress
+    "ies$" -> "i",                            // 1a: queries -> queri
+    "([a-z]*[^s])s$" -> "$1",                 // 1a: joins -> join, ss kept
+    "([a-z]*[aeiou][a-z]*)(ing|ed)$" -> "$1", // 1b: joining/joined -> join
+    "([a-z]*[aeiou][a-z]*)y$" -> "$1i")       // 1c: query -> queri, sky -> sky
+
+  private def stemCol(c: org.apache.spark.sql.Column) =
+    stemRules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** The identical chain over a DuckDB expression ($1 → \1 is the only
+    * dialect difference; single-quoted SQL strings keep \ literal). */
+  private def stemSql(inner: String): String =
+    stemRules.foldLeft(inner) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '${r.replace("$", "\\")}')" }
+
+  /** JVM-side application of the same rules — stems the QUERY terms at
+    * plan build so term processing provably matches document
+    * processing. */
+  private def stemString(w: String): String =
+    stemRules.foldLeft(w) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
   val registry: Map[String, QueryDef] = Map(
 
     // SURVEY §2.9: declared text-search semantics — tokenize on
@@ -102,6 +140,47 @@ object TextQueries {
          |SELECT doc_id, CAST(score_x1e6 AS BIGINT) AS score_x1e6
          |FROM sc WHERE score_x1e6 > 0
          |ORDER BY score_x1e6 DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Stemmed + stopword-dropped text search — the closest variant to
+    // real Mongo $text semantics (which stems terms and ignores
+    // language stopwords; reference: database/fix_schema.py:142-148
+    // declares the text index, database/query_examples.py:227-244
+    // consumes it): tokens are lowercased, stopwords removed, then
+    // Porter-lite-stemmed (rule chain above, identical in both
+    // engines), and the score counts stem matches against the STEMMED
+    // query terms — so "queries", "query", "joining", "joins" all hit.
+    // Same scan-shape as t9_text_search: one pass, no shuffle before
+    // the top-k.
+    "t9_text_search_stem" -> QueryDef(
+      (s, d) => {
+        val terms = Seq("spark", "query", "join").map(stemString)
+        val toks = split(lower(col("text")), "\\s+")
+        val stems = transform(
+          filter(toks, x => !x.isin(stopwords: _*)), x => stemCol(x))
+        val score = size(filter(stems, x => x.isin(terms: _*)))
+          .cast("long")
+        T.documents(s, d)
+          .select(col("doc_id"), score.as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      {
+        val termsSql = Seq("spark", "query", "join").map(stemString)
+          .map(t => s"'$t'").mkString(", ")
+        val stopSql = stopwords.map(t => s"'$t'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_transform(
+           |    list_filter(string_split_regex(lower(text), '\\s+'),
+           |      x -> x NOT IN ($stopSql)),
+           |    x -> ${stemSql("x")}) AS st
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(list_filter(st, x -> x IN ($termsSql))) AS score
+           |FROM t
+           |WHERE len(list_filter(st, x -> x IN ($termsSql))) > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
 
     // Inverted-index probe == direct scan: postings (token, doc_id,
     // tf) are what a 100 TB search surface STORES (partitioned by
