@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator queries over documents/embeddings —
@@ -1358,6 +1359,87 @@ object PipelineQueries {
         |  CAST(cont.cont * 1000000 // dt.d_types AS BIGINT) AS p_cont_x1e6
         |FROM n JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN dt
         |ORDER BY n.n DESC, n.w1, n.w2 LIMIT 50""".stripMargin),
+
+    // LM-perplexity quality filter (the CCNet/KenLM pattern every
+    // web-scale corpus pipeline runs: score each document under a
+    // reference language model, drop the worst tail). Train: bigram
+    // count table n(w1,w2) + context mass c1(w1) from the even-id
+    // half of the corpus — one partial-agg shuffle, vocab²-bounded,
+    // localCheckpointed once. Score: each odd-id document's bigrams
+    // LEFT-join the table on the (w1,w2) key (keyed shuffle join, the
+    // scoring cost every CCNet pass pays; at 100 TB the table is the
+    // broadcast/bucketed side); per-bigram cost is the INTEGRAL
+    // -log2 p̂ = floor(log2(c1 div n)) via length(bin(x))-1 (no libm
+    // in any compared cell), unseen bigrams pay a flat 20-bit OOV
+    // cost (stupid-backoff simplified to a declared constant). Doc
+    // score = total bits and bits-per-bigram ×1e3 (integral division);
+    // kept = below the 12.000 bits/bigram line. Output: the worst 100
+    // eval docs — the tail a filter would drop first.
+    "ta_lm_quality_filter" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        def bigrams(df: DataFrame) = df
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t)-2), " +
+              "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+        val lm = bigrams(docs.filter(col("doc_id") % 2 === 0))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+          .withColumn("c1", sum(col("n")).over(
+            Window.partitionBy(col("w1"))))
+          .localCheckpoint()
+        val scored = bigrams(docs.filter(col("doc_id") % 2 === 1))
+          .join(lm, Seq("w1", "w2"), "left")
+          .select(col("doc_id"),
+            when(col("n").isNull, lit(20L))
+              .otherwise(length(bin(expr("c1 div n"))) - 1)
+              .cast("long").as("bits"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("bits")).as("total_bits"))
+          .withColumn("bits_per_bigram_x1e3",
+            expr("total_bits * 1000 div n_bigrams"))
+          .withColumn("kept",
+            (col("bits_per_bigram_x1e3") < 12000).cast("int"))
+        scored.orderBy(col("bits_per_bigram_x1e3").desc, col("doc_id"))
+          .limit(100)
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |    FROM d0 WHERE len(t) >= 2)
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |n AS (
+        |  SELECT w1, w2, COUNT(*) AS n
+        |  FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |lm AS (
+        |  SELECT w1, w2, n,
+        |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM n),
+        |costs AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN lm.n IS NULL THEN 20
+        |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
+        |  FROM bg LEFT JOIN lm USING (w1, w2)
+        |  WHERE bg.doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(bits) AS BIGINT) AS total_bits
+        |  FROM costs GROUP BY 1)
+        |SELECT doc_id, n_bigrams, total_bits,
+        |  CAST(total_bits * 1000 // n_bigrams AS BIGINT)
+        |    AS bits_per_bigram_x1e3,
+        |  CAST(total_bits * 1000 // n_bigrams < 12000 AS INTEGER) AS kept
+        |FROM sc
+        |ORDER BY bits_per_bigram_x1e3 DESC, doc_id LIMIT 100""".stripMargin),
 
     // TF-IDF top-k terms per document, with an INTEGRAL idf: score =
     // tf · floor(log2(n_docs div df)). floor(log2 x) is exact integer

@@ -378,6 +378,47 @@ object ScaleProbe {
       (nDays, sketchSec)
     }
 
+    // LM quality-filter probe (ta_lm_quality_filter): train the bigram
+    // count table on the even-id half, score the odd-id half —
+    // replicated along the corpus axis with UNPERTURBED text, so the
+    // vocabulary (and with it the count table's row count) stays FIXED
+    // while raw bigram volume scales ×factor. The two claims measured:
+    // the train aggregation collapses ×factor input into the same
+    // vocab²-bounded table (lm_table_rows flat — partial aggregation
+    // absorbs the growth map-side), and scoring cost grows linearly
+    // with eval rows (one (w1,w2)-keyed join + one per-doc partial
+    // agg — no term that grows with the TRAIN corpus).
+    var lastLmRows = -1L
+    def runLmAt(factor: Int): (Long, Double) = {
+      val docs = replicate(factor, perturbText = false)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-2), " +
+            "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val t0 = System.nanoTime()
+      val lm = bigrams(docs.filter(col("doc_id") % 2 === 0))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .withColumn("c1", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        .localCheckpoint()
+      lastLmRows = lm.count()
+      val nScored = bigrams(docs.filter(col("doc_id") % 2 === 1))
+        .join(lm, Seq("w1", "w2"), "left")
+        .select(col("doc_id"),
+          when(col("n").isNull, lit(20L))
+            .otherwise(length(bin(expr("c1 div n"))) - 1)
+            .cast("long").as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"), sum(col("bits")).as("tb"))
+        .count()
+      (nScored, (System.nanoTime() - t0) / 1e9)
+    }
+
     val run: Int => (Long, Double) = probe match {
       case "minhash"   => runMinhashAt
       case "funnel"    => runFunnelAt
@@ -389,6 +430,7 @@ object ScaleProbe {
       case "ppjoinz"   => runPpjoinZipfAt
       case "pagerank"  => runPagerankAt
       case "rolling"   => runRollingAt
+      case "lm"        => runLmAt
       case _           => runAt
     }
     run(1) // warmup: JIT + codegen + parquet footers
@@ -404,6 +446,7 @@ object ScaleProbe {
       case "ppjoinz"   => "dd_prefix_jaccard_zipf"
       case "pagerank"  => "pg_pagerank"
       case "rolling"   => "ev_rolling_mau"
+      case "lm"        => "ta_lm_quality_filter"
       case _           => "etl_unify_score"
     }
     val unit = probe match {
@@ -415,6 +458,7 @@ object ScaleProbe {
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
       case "rolling"   => "days"
+      case "lm"        => "scored_docs"
       case _           => "rows"
     }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
@@ -431,6 +475,7 @@ object ScaleProbe {
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else if (probe == "rolling")
           f""","sec_exact":$lastExactSec%.2f,"sketch_shuffle_rows":$lastRegRows%d,"exact_shuffle_rows":$lastPairRows%d"""
+        else if (probe == "lm") s""","lm_table_rows":$lastLmRows"""
         else ""
       val inRows =
         if (probe == "funnelcap") baseRows + f
