@@ -1664,6 +1664,42 @@ object PipelineQueries {
         |            ELSE 10 END
         |GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // Temperature-scaled multilingual sampling weights (the
+    // multilingual-pretraining mixture rule: p_i ∝ n_i^α with α = 1/2,
+    // which upsamples low-resource languages relative to their raw
+    // share). Exactness discipline: sqrt is IEEE correctly-rounded in
+    // both engines and the input is an exact integer count, so
+    // floor(sqrt(n)·1e3) is engine-identical; the normalization and
+    // token allocation then run entirely in BIGINT division. One tiny
+    // aggregation (langs-bounded) + a 1-row broadcast — the weights
+    // table is driver-cheap at any corpus size because it derives
+    // from per-group counts, not rows.
+    "etl_temperature_mix" -> QueryDef(
+      (s, d) => {
+        val perLang = T.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast("double")) * 1e3).cast("long"))
+        val tot = perLang.agg(sum(col("w")).as("w_total"))
+        perLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("n_chars"), col("w"),
+            expr("w * 1000000 div w_total").as("p_x1e6"),
+            expr("w * 10000000 div w_total").as("alloc_of_10m_budget"))
+          .orderBy(col("lang"))
+      },
+      """WITH g AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e3) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM g)
+        |SELECT lang, n_docs, n_chars, w,
+        |  CAST(w * 1000000 // w_total AS BIGINT) AS p_x1e6,
+        |  CAST(w * 10000000 // w_total AS BIGINT) AS alloc_of_10m_budget
+        |FROM g CROSS JOIN t ORDER BY lang""".stripMargin),
+
     // Stratified quota sample: deterministic hash-ordered top-`quota`
     // per language — the curation cap for a training-data mix.
     "ta_stratified_sample" -> QueryDef(

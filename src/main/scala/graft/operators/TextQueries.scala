@@ -406,6 +406,62 @@ object TextQueries {
            |ORDER BY id""".stripMargin
       }),
 
+    // Span-level duplication census (the "Deduplicating Training Data
+    // Makes Language Models Better" pattern, Lee et al. 2022: doc-level
+    // dedup misses repeated SPANS — boilerplate, licenses, templated
+    // headers — inside otherwise-unique documents). Each document
+    // shingles into word-8-grams; a shingle occurring in >= 2 distinct
+    // documents marks its instances as duplicated span mass; the
+    // output is each doc's duplicated-instance fraction (×1e6,
+    // integral) — the signal a span-removal pass cuts on. Scale shape:
+    // the shingle explode is the known 8× token-volume cost of span
+    // dedup; both aggregations partial-combine map-side on the shingle
+    // key, and the doc-frequency table (distinct shingles, far smaller
+    // than instances) joins back on that same key — two keyed
+    // shuffles, never all-pairs. At 100 TB the shingle column is
+    // hashed to 8 bytes first; strings stay here for oracle
+    // readability at test scale.
+    "dd_dup_span_fraction" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), words("text").as("t"))
+          .filter(size(col("t")) >= 8)
+        val inst = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-8), " +
+            "i -> array_join(slice(t, i+1, 8), ' '))")).as("s"))
+        val perDoc = inst.groupBy(col("doc_id"), col("s"))
+          .agg(count(lit(1)).as("inst"))
+        val docFreq = perDoc.groupBy(col("s"))
+          .agg(count(lit(1)).as("n_docs"))
+        perDoc.join(docFreq, "s")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("inst")).as("n_shingles"),
+            sum(when(col("n_docs") >= 2, col("inst")).otherwise(0L))
+              .as("n_dup"))
+          .withColumn("dup_frac_x1e6",
+            expr("n_dup * 1000000 div n_shingles"))
+          .orderBy(col("dup_frac_x1e6").desc, col("doc_id"))
+          .limit(100)
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(t)-7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS s
+        |  FROM d0 WHERE len(t) >= 8),
+        |perdoc AS (
+        |  SELECT doc_id, s, COUNT(*) AS inst FROM inst GROUP BY 1, 2),
+        |docfreq AS (SELECT s, COUNT(*) AS n_docs FROM perdoc GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(inst) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN n_docs >= 2 THEN inst ELSE 0 END)
+        |      AS BIGINT) AS n_dup
+        |  FROM perdoc JOIN docfreq USING (s) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_dup,
+        |  CAST(n_dup * 1000000 // n_shingles AS BIGINT) AS dup_frac_x1e6
+        |FROM agg ORDER BY dup_frac_x1e6 DESC, doc_id LIMIT 100""".stripMargin),
+
     // N-gram (word-bigram) Jaccard near-dup pairs over a bounded id
     // slice, via an inverted shingle index join (no cross join) —
     // integer intersection/union then one deterministic division.

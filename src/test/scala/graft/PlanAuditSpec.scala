@@ -254,6 +254,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("LM filter: count table partial-aggregates; scoring joins on the bigram key") {
+    val p = plan("ta_lm_quality_filter")
+    // train + score both partial-aggregate before their exchanges
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the worst-100 tail must be a TakeOrdered partial top-k, not a
+    // global sort of every scored doc
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("span-dup census: instance and doc-frequency aggs ride the shingle key") {
+    val p = plan("dd_dup_span_fraction")
+    // perDoc agg keyed (doc_id, s) and docFreq keyed (s) hash-shuffle;
+    // the join back rides the s key; the final per-doc agg adds one
+    // more — anything beyond four keyed exchanges means a plan
+    // regression re-shuffled the exploded instance stream
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("temperature mix: langs-bounded aggregation with a broadcast total") {
+    val p = plan("etl_temperature_mix")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      "1-row weight total did not broadcast:\n" + p.take(800))
+  }
+
   test("geo bbox and radius-prefilter predicates push to the scan on stored coordinates") {
     import org.apache.spark.sql.functions._
     // the fixture derives lat/lon, so pushdown can't show there; this
