@@ -141,6 +141,88 @@ object TextQueries {
          |FROM sc WHERE score_x1e6 > 0
          |ORDER BY score_x1e6 DESC, doc_id LIMIT 20""".stripMargin),
 
+    // BM25 ranking — the industry-standard relevance function the
+    // rest of the t9 family approximates pieces of: per term,
+    // idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with k1=1.2,
+    // b=0.75 — TF saturation (like the ln(1+tf) variant) PLUS
+    // doc-length normalization (long documents stop winning on bulk).
+    // Exactness discipline: the whole formula runs in BIGINT
+    // fixed-point — idf as floor(log2(n_docs div df)) via
+    // length(bin)−1, k1/b as ×1e3 integer constants, every division
+    // integral — so both engines produce identical cells with no
+    // float in the pipeline. Scale shape: corpus stats (n_docs,
+    // avgdl, per-term df) partial-aggregate to ONE broadcast row;
+    // scoring is then a scan-speed projection into the top-k — no
+    // shuffle touches per-doc data.
+    "t9_bm25" -> QueryDef(
+      (s, d) => {
+        // "dup" is the corpus's one discriminative term (df ~5% —
+        // idf 4 bits); query/join sit in ~78% of docs, so the integral
+        // floor-log2 idf correctly zeroes them as stopword-grade —
+        // the ranking shows idf weighting AND length normalization
+        // doing their jobs on a mixed query.
+        val terms = Seq("dup", "query", "join")
+        val toks = split(lower(col("text")), "\\s+")
+        def tf(t: String) = size(filter(toks, x => x === lit(t))).cast("long")
+        val stats = T.documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("total_toks") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              sum(when(tf(t) > 0, 1L).otherwise(0L)).as(s"df_$i") }: _*)
+        val withCols = terms.zipWithIndex.foldLeft(
+          T.documents(s, d)
+            .select(col("doc_id"), toks.as("w"))
+            .crossJoin(broadcast(stats))
+            .withColumn("avgdl", expr("total_toks div n_docs"))
+            .withColumn("dl", size(col("w")).cast("long"))) {
+          case (df, (t, i)) => df
+            .withColumn(s"tfc_$i",
+              size(filter(col("w"), x => x === lit(t))).cast("long"))
+            .withColumn(s"idf_$i", (length(bin(
+              expr(s"n_docs div greatest(df_$i, 1)"))) - 1).cast("long"))
+        }
+        // all-BIGINT fixed point: den_x1e3 = tf·1e3 + k1·(1−b+b·dl/avgdl)·1e3
+        val score = expr(terms.indices.map(i =>
+          s"idf_$i * (tfc_$i * 2200 * 1000) div (tfc_$i * 1000 + " +
+            "1200 * (250 + (750 * dl * 1000 div avgdl) div 1000) div 1000)")
+          .mkString(" + "))
+        withCols.select(col("doc_id"), score.as("bm25_x1e3"))
+          .filter(col("bm25_x1e3") > 0)
+          .orderBy(col("bm25_x1e3").desc, col("doc_id"))
+          .limit(20)
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, x -> x = 'dup')) AS tf0,
+        |    len(list_filter(w, x -> x = 'query')) AS tf1,
+        |    len(list_filter(w, x -> x = 'join')) AS tf2
+        |  FROM d0),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) // COUNT(*) AS avgdl,
+        |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM tfs),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (length(bin(n_docs // greatest(df0, 1))) - 1)
+        |      * (tf0 * 2200 * 1000)
+        |      // (tf0 * 1000 + 1200 * (250 + (750 * dl * 1000 // avgdl) // 1000) // 1000)
+        |    + (length(bin(n_docs // greatest(df1, 1))) - 1)
+        |      * (tf1 * 2200 * 1000)
+        |      // (tf1 * 1000 + 1200 * (250 + (750 * dl * 1000 // avgdl) // 1000) // 1000)
+        |    + (length(bin(n_docs // greatest(df2, 1))) - 1)
+        |      * (tf2 * 2200 * 1000)
+        |      // (tf2 * 1000 + 1200 * (250 + (750 * dl * 1000 // avgdl) // 1000) // 1000)
+        |    AS bm25_x1e3
+        |  FROM tfs CROSS JOIN st)
+        |SELECT doc_id, CAST(bm25_x1e3 AS BIGINT) AS bm25_x1e3
+        |FROM sc WHERE bm25_x1e3 > 0
+        |ORDER BY bm25_x1e3 DESC, doc_id LIMIT 20""".stripMargin),
+
     // Stemmed + stopword-dropped text search — the closest variant to
     // real Mongo $text semantics (which stems terms and ignores
     // language stopwords; reference: database/fix_schema.py:142-148
