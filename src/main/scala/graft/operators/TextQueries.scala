@@ -40,14 +40,14 @@ object TextQueries {
     * margin: real Mongo $text stems and drops stopwords; the unstemmed
     * variants above keep the frozen equal-weight semantics).
     */
-  private val stemRules: Seq[(String, String)] = Seq(
+  private[graft] val stemRules: Seq[(String, String)] = Seq(
     "sses$" -> "ss",                          // 1a: caresses -> caress
     "ies$" -> "i",                            // 1a: queries -> queri
     "([a-z]*[^s])s$" -> "$1",                 // 1a: joins -> join, ss kept
     "([a-z]*[aeiou][a-z]*)(ing|ed)$" -> "$1", // 1b: joining/joined -> join
     "([a-z]*[aeiou][a-z]*)y$" -> "$1i")       // 1c: query -> queri, sky -> sky
 
-  private def stemCol(c: org.apache.spark.sql.Column) =
+  private[graft] def stemCol(c: org.apache.spark.sql.Column) =
     stemRules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
 
   /** The identical chain over a DuckDB expression ($1 → \1 is the only
@@ -59,7 +59,7 @@ object TextQueries {
   /** JVM-side application of the same rules — stems the QUERY terms at
     * plan build so term processing provably matches document
     * processing. */
-  private def stemString(w: String): String =
+  private[graft] def stemString(w: String): String =
     stemRules.foldLeft(w) { case (acc, (p, r)) => acc.replaceAll(p, r) }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
