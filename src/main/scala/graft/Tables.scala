@@ -16,10 +16,12 @@ object Tables {
     * nanos to TIMESTAMP(MICROS) and zeroed 73 queries with opaque
     * AnalysisExceptions. These one-line-per-table pins make the NEXT
     * drift fail loud, naming the table and column, at the first load.
-    * Kinds: L=long I=int D=double S=string T=timestamp (LTZ, NTZ, or
-    * legacy nanos-as-long — normalizeEventTs adapts), F=float-array.
-    * Extra columns are tolerated (additive drift is harmless); missing
-    * or retyped columns are not.
+    * Kinds: L=long I=int D=double S=string T=timestamp (LTZ or NTZ
+    * only — no loader adapts a raw-integer shipdate/orderdate, so
+    * LongType here must fail loud), N=events.ts specifically
+    * (timestamp OR legacy nanos-as-long, which normalizeEventTs
+    * adapts), F=float-array. Extra columns are tolerated (additive
+    * drift is harmless); missing or retyped columns are not.
     */
   private val contracts: Map[String, Seq[(String, Char)]] = Map(
     "lineitem" -> Seq("l_orderkey" -> 'L', "l_partkey" -> 'L',
@@ -38,7 +40,7 @@ object Tables {
     "nation" -> Seq("n_nationkey" -> 'I', "n_name" -> 'S',
       "n_regionkey" -> 'I'),
     "region" -> Seq("r_regionkey" -> 'I', "r_name" -> 'S'),
-    "events" -> Seq("event_id" -> 'L', "ts" -> 'T', "user_id" -> 'L',
+    "events" -> Seq("event_id" -> 'L', "ts" -> 'N', "user_id" -> 'L',
       "event_type" -> 'S', "value" -> 'D', "props" -> 'S'),
     "documents" -> Seq("doc_id" -> 'L', "text" -> 'S', "lang" -> 'S',
       "source" -> 'S', "n_chars" -> 'L'),
@@ -48,7 +50,9 @@ object Tables {
   private def kindOk(kind: Char, dt: DataType): Boolean = (kind, dt) match {
     case ('L', LongType) | ('I', IntegerType) | ('D', DoubleType) |
          ('S', StringType) | ('T', TimestampType) |
-         ('T', TimestampNTZType) | ('T', LongType) => true
+         ('T', TimestampNTZType) => true
+    case ('N', TimestampType) | ('N', TimestampNTZType) |
+         ('N', LongType) => true
     case ('F', ArrayType(FloatType, _)) => true
     case _ => false
   }
@@ -120,7 +124,32 @@ object Tables {
     */
   def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
-      case LongType        => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // A long ts is ASSUMED nanos — but a raw-INT64 micros/millis
+        // regeneration would also read as LongType and then land every
+        // event in 1970 SILENTLY (the contract can't tell encodings
+        // apart from the schema). Guard with a magnitude check:
+        // nanos-of-epoch for 1973-2096 live in [1e17, 4e18];
+        // micros/millis/seconds are orders of magnitude below. The
+        // min/max job (column-pruned, answered from parquet footer
+        // stats) runs per construction — acceptable because this
+        // branch is the LEGACY encoding path, dormant on current
+        // testdata. Streaming frames can't run jobs and skip the
+        // guard; a batch query over the same dir raises it instead.
+        if (raw.isStreaming) ()
+        else {
+          val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+          if (!mm.isNullAt(0)) {
+            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+            if (lo < 100000000000000000L || hi > 4000000000000000000L)
+              throw new IllegalStateException(
+                s"events.ts is INT64 with range [$lo, $hi] — not " +
+                  "nanos-of-epoch magnitude. A micros/millis LongType " +
+                  "regeneration would silently misdate every event; " +
+                  "refusing to guess the encoding.")
+          }
+        }
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType   => raw
       case other => throw new IllegalStateException(

@@ -1380,31 +1380,15 @@ object PipelineQueries {
         val docs = T.documents(s, d)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 2)
-        def bigrams(df: DataFrame) = df
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(t)-2), " +
-              "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .filter(col("w1") =!= "" && col("w2") =!= "")
-        val lm = bigrams(docs.filter(col("doc_id") % 2 === 0))
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-          .withColumn("c1", sum(col("n")).over(
-            Window.partitionBy(col("w1"))))
-          .localCheckpoint()
-        val scored = bigrams(docs.filter(col("doc_id") % 2 === 1))
-          .join(lm, Seq("w1", "w2"), "left")
-          .select(col("doc_id"),
-            when(col("n").isNull, lit(20L))
-              .otherwise(length(bin(expr("c1 div n"))) - 1)
-              .cast("long").as("bits"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("bits")).as("total_bits"))
+        val lm = LmScore.trainBigramTable(
+          LmScore.bigrams(docs.filter(col("doc_id") % 2 === 0)))
+        LmScore.scoreDocs(
+            LmScore.bigrams(docs.filter(col("doc_id") % 2 === 1)), lm)
           .withColumn("bits_per_bigram_x1e3",
             expr("total_bits * 1000 div n_bigrams"))
           .withColumn("kept",
             (col("bits_per_bigram_x1e3") < 12000).cast("int"))
-        scored.orderBy(col("bits_per_bigram_x1e3").desc, col("doc_id"))
+          .orderBy(col("bits_per_bigram_x1e3").desc, col("doc_id"))
           .limit(100)
       },
       """WITH d0 AS (

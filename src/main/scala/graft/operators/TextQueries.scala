@@ -31,10 +31,13 @@ object TextQueries {
     * the SAME rules compile to nested regexp_replace in BOTH engines
     * (Spark/Java regex and DuckDB/RE2), which constrains them to
     * RE2-safe constructs: no lookaround, vowel conditions expressed as
-    * captured-prefix character classes. Capture boundaries are
-    * unambiguous (the group spans the whole prefix), so greedy-
-    * backtracking (Java) and leftmost-longest (RE2) produce identical
-    * replacements. Declared approximation of Porter steps 1a/1b/1c —
+    * captured-prefix character classes. Both engines use Perl-style
+    * leftmost-first greedy matching (RE2's default — NOT POSIX
+    * leftmost-longest), and each capture group here spans the whole
+    * prefix regardless of how the quantifiers split it internally, so
+    * the replacements are identical on both sides — an invariant
+    * StemmerSpec pins on the JVM pair and the oracle row pins
+    * cross-engine. Declared approximation of Porter steps 1a/1b/1c —
     * no measure conditions, no e-restoration — frozen here as the
     * engine's documented stemming semantic (closing the SURVEY §2.9
     * margin: real Mongo $text stems and drops stopwords; the unstemmed

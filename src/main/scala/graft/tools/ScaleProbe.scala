@@ -388,35 +388,29 @@ object ScaleProbe {
     // absorbs the growth map-side), and scoring cost grows linearly
     // with eval rows (one (w1,w2)-keyed join + one per-doc partial
     // agg — no term that grows with the TRAIN corpus).
+    // Shared implementation with ta_lm_quality_filter (LmScore) so the
+    // probe measures exactly the shipped pipeline. Train and score are
+    // timed SEPARATELY: the train section ends once the checkpointed
+    // table is materialized (lm row count doubles as the flat-table
+    // evidence), and `sec` is the SCORING pass alone — the per-batch
+    // cost a standing filter pays.
     var lastLmRows = -1L
+    var lastTrainSec = -1.0
     def runLmAt(factor: Int): (Long, Double) = {
+      import graft.operators.LmScore
       val docs = replicate(factor, perturbText = false)
         .select(col("doc_id"),
           graft.operators.TextAnalysis.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
-      def bigrams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t)-2), " +
-            "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .filter(col("w1") =!= "" && col("w2") =!= "")
       val t0 = System.nanoTime()
-      val lm = bigrams(docs.filter(col("doc_id") % 2 === 0))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-        .withColumn("c1", sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
-        .localCheckpoint()
+      val lm = LmScore.trainBigramTable(
+        LmScore.bigrams(docs.filter(col("doc_id") % 2 === 0)))
       lastLmRows = lm.count()
-      val nScored = bigrams(docs.filter(col("doc_id") % 2 === 1))
-        .join(lm, Seq("w1", "w2"), "left")
-        .select(col("doc_id"),
-          when(col("n").isNull, lit(20L))
-            .otherwise(length(bin(expr("c1 div n"))) - 1)
-            .cast("long").as("bits"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("nb"), sum(col("bits")).as("tb"))
-        .count()
-      (nScored, (System.nanoTime() - t0) / 1e9)
+      lastTrainSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nScored = LmScore.scoreDocs(
+        LmScore.bigrams(docs.filter(col("doc_id") % 2 === 1)), lm).count()
+      (nScored, (System.nanoTime() - t1) / 1e9)
     }
 
     val run: Int => (Long, Double) = probe match {
@@ -475,7 +469,8 @@ object ScaleProbe {
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else if (probe == "rolling")
           f""","sec_exact":$lastExactSec%.2f,"sketch_shuffle_rows":$lastRegRows%d,"exact_shuffle_rows":$lastPairRows%d"""
-        else if (probe == "lm") s""","lm_table_rows":$lastLmRows"""
+        else if (probe == "lm")
+          f""","sec_train":$lastTrainSec%.2f,"lm_table_rows":$lastLmRows%d"""
         else ""
       val inRows =
         if (probe == "funnelcap") baseRows + f

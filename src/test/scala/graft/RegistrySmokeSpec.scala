@@ -29,10 +29,20 @@ class RegistrySmokeSpec extends AnyFunSuite {
   // whichever dir a query touches, and the cheap source-level checks
   // below cover every generated dir.
   private val smallSf = "/root/testdata/sf0.001"
+  // ALL three driver-generated dirs, asserted present — a missing dir
+  // must fail the gate loudly, not silently shrink the sweep (this
+  // spec exists because round 9's drift had no local signal; a
+  // vacuous pass would recreate that hole).
   private val sfDirs =
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")
-      .filter(d => new java.io.File(d).isDirectory)
+
+  test("the driver-generated testdata dirs exist (TESTDATA.md contract)") {
+    val missing = sfDirs.filterNot(d => new java.io.File(d).isDirectory)
+    assert(missing.isEmpty,
+      s"testdata dirs missing: ${missing.mkString(", ")} — the smoke " +
+        "gate cannot run; was the testdata tree moved or regenerated?")
+  }
 
   private def eventsDtypes(dir: String): String =
     try spark.read.parquet(s"$dir/events.parquet").schema.simpleString
