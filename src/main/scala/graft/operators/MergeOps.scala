@@ -71,19 +71,32 @@ object MergeOps {
     val empty = array().cast("array<string>")
     val priorIds = coalesce(col("deduplication.merged_from_ids"), empty)
     rankedUnion(existing, incoming, keys, recency)
+      // A re-delivered copy of the WINNER (same event_id — a checkpoint
+      // replay, or a routine newer version of the same doc) is not a
+      // merge event: recording it would put the canonical doc's own id
+      // into merged_from_ids and append a log entry on every replay,
+      // breaking idempotency. Losers are therefore the superseded rows
+      // whose event_id DIFFERS from the winner's.
+      .withColumn("_win_id", first(col("event_id")).over(wAll))
       // collect_list skips nulls → exactly the losers' ids
       .withColumn("_losers", sort_array(collect_list(
-        when(col("_rn") =!= 1, col("event_id"))).over(wAll)))
+        when(col("_rn") =!= 1 && !(col("event_id") <=> col("_win_id")),
+          col("event_id"))).over(wAll)))
       .withColumn("_prior", flatten(collect_list(priorIds).over(wAll)))
       .filter(col("_rn") === 1)
       .withColumn("deduplication", struct(
         col("deduplication.is_canonical").as("is_canonical"),
-        sort_array(array_distinct(concat(col("_prior"), col("_losers"))))
-          .as("merged_from_ids"),
-        concat(coalesce(col("deduplication.merge_log"), empty),
-          transform(col("_losers"),
-            l => concat_ws("|", nowIso, l, lit(reason)))).as("merge_log")))
-      .drop("_rn", "_src", "_losers", "_prior")
+        // array_remove heals tables polluted by the pre-fix behavior;
+        // array_distinct on the log makes same-timestamp replays
+        // idempotent (entries are unique per (now, loser, reason))
+        array_remove(
+          sort_array(array_distinct(concat(col("_prior"), col("_losers")))),
+          col("event_id")).as("merged_from_ids"),
+        array_distinct(
+          concat(coalesce(col("deduplication.merge_log"), empty),
+            transform(col("_losers"),
+              l => concat_ws("|", nowIso, l, lit(reason))))).as("merge_log")))
+      .drop("_rn", "_src", "_losers", "_prior", "_win_id")
   }
 
   /** D1 — in-batch first-wins dedup in input order (the reference keys
@@ -107,8 +120,11 @@ object MergeOps {
     val kc = keys.map(col)
     val in = incoming.select(kc: _*)
     val ex = existing.select(kc: _*).distinct()
-    in.agg(count(lit(1)).as("incoming_rows"))
-      .crossJoin(in.distinct().agg(count(lit(1)).as("incoming_keys")))
+    // rows + distinct keys in ONE aggregation over the batch (the
+    // struct is never null, so count_distinct == distinct().count);
+    // the anti-join is the only other pass over incoming.
+    in.agg(count(lit(1)).as("incoming_rows"),
+        count_distinct(struct(kc: _*)).as("incoming_keys"))
       .crossJoin(in.distinct().join(ex, keys, "left_anti")
         .agg(count(lit(1)).as("new_keys")))
       .withColumn("updated_keys", col("incoming_keys") - col("new_keys"))
@@ -315,12 +331,16 @@ object MergeOps {
     * alive in the old month. This pass finds every such key and
     * rewrites ONLY the months holding stale rows.
     *
-    * Scale shape: detection is a column-pruned scan of
+    * Scale shape: detection is ONE column-pruned scan of
     * (keys, recency, partCol) — a few percent of table bytes at
-    * 100 TB — through one hash shuffle on the key; the rewrite then
-    * reads and swaps only the affected month directories (same
-    * staging/retire crash safety as the merge). Months with no stale
-    * rows are never opened.
+    * 100 TB — through one hash shuffle on the key; only the DIRTY
+    * keys' rows survive it (localCheckpointed — bounded by the
+    * duplicate population, not the table), so neither the stale-key
+    * set, the winner set, nor the month list re-runs the scan. The
+    * rewrite then reads and swaps only the affected month directories
+    * (same staging/retire crash safety as the merge). Months with no
+    * stale rows are never opened. A missing or month-less table is
+    * clean by definition (Nil), matching the other maintenance passes.
     *
     * Returns the reconciled months (empty = table was clean).
     */
@@ -329,31 +349,49 @@ object MergeOps {
       partCol: String = "start_month"): Seq[String] = {
     val swap = new MonthSwap(spark, tablePath)
     swap.recoverOrphans()
+    if (!swap.fs.exists(swap.dest) ||
+        !swap.fs.listStatus(swap.dest)
+          .exists(_.getPath.getName.startsWith(partCol + "=")))
+      return Nil
     val t = spark.read.parquet(tablePath)
       .withColumn(partCol, col(partCol).cast("string"))
     // detection scan reads only the key/recency/month columns; month
-    // desc tiebreaks equal recency so the winner is deterministic
+    // desc tiebreaks equal recency so the winner is deterministic. The
+    // dup census rides the SAME key partitioning as the ranking (one
+    // exchange, two window passes).
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(recency).desc, col(partCol).desc)
-    val det = t.select((keys.map(col) :+ col(recency) :+ col(partCol)): _*)
+    val wFrame = Window.partitionBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dirty = t
+      .select((keys.map(col) :+ col(recency) :+ col(partCol)): _*)
       .withColumn("_rn", row_number().over(w))
-    val staleRows = det.filter(col("_rn") > 1)
-    val staleKeys = staleRows.select(keys.map(col): _*).distinct()
-    val staleMonths = staleRows.select(col(partCol)).distinct()
+      .withColumn("_ndup",
+        count(when(col("_rn") > 1, lit(1))).over(wFrame))
+      .filter(col("_ndup") > 0)
+      .localCheckpoint()
+    val staleMonths = dirty.filter(col("_rn") > 1)
+      .select(col(partCol)).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (staleMonths.isEmpty) return Nil
+    val staleKeys = dirty.select(keys.map(col): _*).distinct()
     // Winner coordinates of the dirty keys: (keys, recency, month).
     // A winner may live inside an affected month (in-month duplicate)
     // or outside it (the moved-key case) — the rewrite must keep the
     // former and not touch the latter. Assumes the merge's own
-    // invariant that (keys, recency) is unique within a month.
-    val winners = det.filter(col("_rn") === 1)
-      .join(staleKeys, keys)
+    // invariant that (keys, recency) is unique within a month. The
+    // re-keep join is NULL-SAFE on every column: a winner with NULL
+    // recency inside a rewritten month would otherwise miss the
+    // equi-semi-join and be permanently dropped by the swap.
+    val winners = dirty.filter(col("_rn") === 1)
       .select((keys.map(col) :+ col(recency) :+ col(partCol)): _*)
     val slice = t.filter(col(partCol).isin(staleMonths: _*))
+    val sl = slice.as("_sl")
+    val wn = winners.as("_wn")
+    val keepCond = (keys :+ recency :+ partCol)
+      .map(c => col(s"_sl.$c") <=> col(s"_wn.$c")).reduce(_ && _)
     val keep = slice.join(staleKeys, keys, "left_anti")
-      .unionByName(slice.join(winners, keys :+ recency :+ partCol,
-        "left_semi"))
+      .unionByName(sl.join(wn, keepCond, "left_semi"))
     keep.write.mode(SaveMode.Overwrite)
       .partitionBy(partCol).parquet(swap.stagingRoot.toString)
     swap.activate(partCol, staleMonths)
@@ -397,10 +435,14 @@ object MergeOps {
     val dropRoot = new Path(dest.getParent, dest.getName + "_mdropped")
     fs.delete(dropRoot, true) // sweep a prior crash's committed drops
     if (!fs.exists(dest)) return Nil
+    // The "0000-00" sentinel (upsertParquetByMonth's documented home
+    // for null-month rows) sorts before every real cutoff but holds
+    // rows of UNKNOWN date, not old ones — retention must never
+    // expire it.
     val months = fs.listStatus(dest).map(_.getPath.getName)
       .filter(_.startsWith(partCol + "="))
       .map(_.stripPrefix(partCol + "="))
-      .filter(_ < cutoffMonth).sorted.toSeq
+      .filter(m => m < cutoffMonth && m != "0000-00").sorted.toSeq
     if (months.isEmpty) return Nil
     fs.mkdirs(dropRoot)
     months.foreach { m =>
@@ -460,15 +502,22 @@ object MergeOps {
     */
   def snapshotDiff(source: DataFrame, target: DataFrame,
       keys: Seq[String], fpCol: String): DataFrame = {
-    val s = source.select((keys.map(col) :+ col(fpCol).as("_fp_s")): _*)
-    val t = target.select((keys.map(col) :+ col(fpCol).as("_fp_t")): _*)
+    // Presence is tracked with dedicated non-null markers, NOT
+    // fingerprint nullness: a caller-supplied fp expression that
+    // evaluates NULL for a present row (hash over an all-null payload)
+    // must not masquerade as an absent row. Fingerprints compare
+    // null-safely for the same reason.
+    val s = source.select((keys.map(col) :+ col(fpCol).as("_fp_s")
+      :+ lit(true).as("_in_s")): _*)
+    val t = target.select((keys.map(col) :+ col(fpCol).as("_fp_t")
+      :+ lit(true).as("_in_t")): _*)
     s.join(t, keys, "full_outer")
       .withColumn("status",
-        when(col("_fp_t").isNull, "removed")
-          .when(col("_fp_s").isNull, "added")
-          .when(col("_fp_s") =!= col("_fp_t"), "changed")
+        when(col("_in_t").isNull, "removed")
+          .when(col("_in_s").isNull, "added")
+          .when(!(col("_fp_s") <=> col("_fp_t")), "changed")
           .otherwise("unchanged"))
-      .drop("_fp_s", "_fp_t")
+      .drop("_fp_s", "_fp_t", "_in_s", "_in_t")
   }
 
   /** SCD Type-2 dimension build from a change log: per key, collapse
@@ -490,13 +539,21 @@ object MergeOps {
       tieCol: String, stateCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
+    // Change detection is NULL-SAFE: with plain =!=, a NULL state (or
+    // NULL previous state) turns the predicate NULL and the row
+    // vanishes — [A, NULL, A] would collapse to two A intervals with
+    // the NULL period silently folded in. A row opens an interval iff
+    // it is the key's first row (_ord — lag can't distinguish "no
+    // previous row" from "previous state was NULL") or its state
+    // differs null-safely from the previous one.
     log
+      .withColumn("_ord", row_number().over(w))
       .withColumn("_prev", lag(col(stateCol), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(stateCol))
+      .filter(col("_ord") === 1 || !(col("_prev") <=> col(stateCol)))
       .withColumn("version", row_number().over(w))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("_prev")
+      .drop("_prev", "_ord")
   }
 
   def flagForRefresh(events: DataFrame, eventIds: Seq[String],

@@ -372,6 +372,100 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got(1) === ("b", "e9", Seq(), Seq()))
   }
 
+  test("D3 upsertDocs is idempotent under re-delivery of the winner") {
+    def docs(rows: Seq[(String, String, Long, Seq[String], Seq[String])]) =
+      rows.toDF("event_id", "key", "recency", "mfi", "mlog")
+        .select($"event_id", $"key", $"recency",
+          struct(lit(true).as("is_canonical"),
+            $"mfi".as("merged_from_ids"), $"mlog".as("merge_log"))
+            .as("deduplication"))
+    // first merge absorbed e1 into e2; the batch replays e2 itself
+    val ex = docs(Seq(("e2", "a", 2L, Seq("e1"), Seq("T0|e1|keyed_upsert"))))
+    val in = docs(Seq(("e2", "a", 2L, Seq("e1"), Seq("T0|e1|keyed_upsert"))))
+    val got = MergeOps.upsertDocs(ex, in, Seq("key"), "recency", lit("T1"))
+      .select($"event_id", $"deduplication.merged_from_ids",
+        $"deduplication.merge_log").collect()
+    assert(got.length === 1)
+    // the winner's own id must NOT enter its history, and no new log
+    // entry may appear — a replay is not a merge event
+    assert(got(0).getSeq[String](1) === Seq("e1"))
+    assert(got(0).getSeq[String](2) === Seq("T0|e1|keyed_upsert"))
+  }
+
+  test("SCD2 null states form their own intervals (null-safe change detection)") {
+    val log = Seq(
+      (1L, 1L, Some("A")), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some("A")))
+      .toDF("k", "ts", "state")
+    val got = MergeOps.scdType2(log, Seq("k"), "ts", "ts", "state")
+      .orderBy($"version")
+      .select($"version", $"state", $"valid_to", $"is_current").collect()
+    // A | NULL (the two consecutive NULLs collapse) | A — three intervals
+    assert(got.map(r => Option(r.get(1))).toSeq ===
+      Seq(Some("A"), None, Some("A")))
+    assert(got.map(r => Option(r.get(2))).toSeq ===
+      Seq(Some(2L), Some(4L), None))
+    assert(got.map(_.getBoolean(3)).toSeq === Seq(false, false, true))
+  }
+
+  test("D5 snapshot diff: a NULL fingerprint on a present row is not an absence") {
+    val src = Seq((1L, Some("f1")), (2L, None), (3L, None))
+      .toDF("id", "fp")
+    val tgt = Seq((1L, Some("f1")), (2L, None), (3L, Some("f3")))
+      .toDF("id", "fp")
+    val got = MergeOps.snapshotDiff(src, tgt, Seq("id"), "fp")
+      .orderBy($"id").select($"id", $"status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed"))
+  }
+
+  test("K6 retention never expires the null-month sentinel") {
+    val dir = Files.createTempDirectory("graft_sentinel").toFile
+    val table = new java.io.File(dir, "events").getAbsolutePath
+    Seq((1L, "0000-00"), (2L, "2023-05"), (3L, "2025-01"))
+      .toDF("event_id", "start_month")
+      .write.partitionBy("start_month").parquet(table)
+    val dropped = MergeOps.dropMonthsBefore(spark, table, "2025-01")
+    assert(dropped === Seq("2023-05"))
+    assert(spark.read.parquet(table)
+      .select($"start_month".cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("0000-00", "2025-01"))
+  }
+
+  test("K1 reconcile keeps a NULL-recency winner living in a rewritten month") {
+    val dir = Files.createTempDirectory("graft_nullrec").toFile
+    val table = new java.io.File(dir, "events").getAbsolutePath
+    // key 1: NULL-recency duplicate across months — month desc
+    // tiebreak makes 2025-02 the winner. key 3's stale row DIRTIES
+    // 2025-02, so that month is rewritten and key 1's NULL-recency
+    // winner must be re-kept by the null-safe semi-join (with plain
+    // equality it would vanish). key 2: clean row in the rewritten
+    // month (must survive the anti-join path).
+    Seq((1L, Option.empty[Long], "2025-01"),
+        (1L, Option.empty[Long], "2025-02"),
+        (2L, Some(7L), "2025-02"),
+        (3L, Some(1L), "2025-02"),
+        (3L, Some(2L), "2025-03"))
+      .toDF("user_id", "recency", "start_month")
+      .write.partitionBy("start_month").parquet(table)
+    val months = MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("user_id"), "recency")
+    assert(months.sorted === Seq("2025-01", "2025-02"))
+    val left = spark.read.parquet(table)
+      .select($"user_id", $"start_month".cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // NULL-recency winner survived the 2025-02 rewrite; both stale
+    // twins are gone; the clean row and the outside winner untouched
+    assert(left === Seq((1L, "2025-02"), (2L, "2025-02"), (3L, "2025-03")))
+  }
+
+  test("K1 reconcile on a missing table is a clean no-op") {
+    val dir = Files.createTempDirectory("graft_notable").toFile
+    assert(MergeOps.reconcileCrossMonthKeys(spark,
+      new java.io.File(dir, "events").getAbsolutePath,
+      Seq("user_id"), "recency") === Nil)
+  }
+
   test("S2 calendar reader explodes nested events") {
     val dir = Files.createTempDirectory("graft_cal").toFile
     val f = new java.io.File(dir, "cal.json")
