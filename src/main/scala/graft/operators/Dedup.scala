@@ -108,9 +108,25 @@ object Dedup {
 
   private def hashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(k)((rng.nextInt(Int.MaxValue).toLong + 1L,
-      rng.nextInt(Int.MaxValue).toLong))
+    Seq.fill(k) {
+      val a0 = rng.nextInt(Int.MaxValue).toLong + 1L
+      // a = 2^31-1 ≡ 0 mod P would make (a·h+b) mod P constant — a
+      // degenerate "permutation" inflating est_jaccard by 1/k on every
+      // pair, deterministically for any seed that draws it. Remap to
+      // the identity permutation (a=1) rather than redraw, so every
+      // other seed's coefficient sequence is byte-identical to before.
+      (if (a0 == mersenne31) 1L else a0, rng.nextInt(Int.MaxValue).toLong)
+    }
   }
+
+  /** The ONE banding expression — band hashes are comparable and
+    * replayable only while every call site (lshBands,
+    * minhashCandidatePairs, nearDupAgainstCorpus) stays bit-identical,
+    * so they all route through here.
+    */
+  private def bandHashExpr(sig: Column, b: Column, rows: Column): Column =
+    xxhash64(concat_ws("_", b.cast("string"),
+      array_join(slice(sig, b * rows + 1, rows), "_")))
 
   /** MinHash signature: array of k minimums of permuted shingle hashes
     * over the hashed shingles — one scan, no shuffle, no UDF. The hot
@@ -168,13 +184,12 @@ object Dedup {
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
+    require(bands >= 1, s"bands >= 1, got $bands")
     val sig = col(sigCol)
     val rows = size(sig) / bands
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_",
-            b.cast("string"),
-            array_join(slice(sig, b * rows + 1, rows), "_")))))
+          b => bandHashExpr(sig, b, rows)))
         .as(Seq("band", "band_hash")))
   }
 
@@ -186,6 +201,13 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       minEstimate: Double = 0.0, maxBucketSize: Int = 500,
       portable: Boolean = false): DataFrame = {
+    // rows = 0 (bands > numHashes) would give every doc the same empty
+    // band slice — silently zero pairs past the bucket cap, or an
+    // all-pairs join under it; a non-dividing bands count silently
+    // ignores trailing signature positions, lowering recall below the
+    // configured b/r curve.
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     // The band join shuffles ONLY (id, band, band_hash) triples —
     // signatures are recomputed per join side instead of being
     // shuffled along (a 64-long array per banded row is ~100× the
@@ -200,8 +222,7 @@ object Dedup {
     val rows = numHashes / bands
     val bandedAll = sigs.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", b.cast("string"),
-            array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
+          b => bandHashExpr(col("sig"), b, lit(rows))))
       ).toDF("id", "band", "band_hash")
     // Skew control: a bucket of n docs contributes n² candidate pairs,
     // so one boilerplate-heavy bucket can dominate the whole job. Caps
@@ -290,6 +311,13 @@ object Dedup {
     */
   def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    // the pigeonhole recall guarantee only covers distance <= bands-1;
+    // a larger maxDistance would silently return a subset of what the
+    // signature promises
+    require(maxDistance <= bands - 1,
+      s"maxDistance ($maxDistance) exceeds the banding guarantee " +
+        s"(bands - 1 = ${bands - 1}); raise bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
@@ -606,8 +634,7 @@ object Dedup {
     val rows = numHashes / bands
     def banded(df: DataFrame) = df.select(col("id"), col("sig"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", b.cast("string"),
-            array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
+          b => bandHashExpr(col("sig"), b, lit(rows))))
       ).toDF("id", "sig", "band", "band_hash")
     val corpusB = banded(sigs(corpus))
     val batchB = banded(sigs(batch))

@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HLL registers of a value column: (bucket, rho). */
+  /** HLL registers of a value column: (bucket, rho). NULL values are
+    * excluded (matching count-distinct semantics) — without the filter
+    * a null hashes to a phantom (bucket=null, rho=null) register row
+    * that inflates n_buckets and drops a sum term, silently skewing
+    * every downstream estimate.
+    */
   def hllRegisters(df: DataFrame, value: Column, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16], got $p")
     val m = 1 << p
-    df.select(Dedup.portableHash(value, 15).as("h"))
+    df.filter(value.isNotNull)
+      .select(Dedup.portableHash(value, 15).as("h"))
       .select(col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
         shiftrightunsigned(col("h"), p).as("w"))
       .groupBy(col("bucket"))
@@ -114,9 +120,12 @@ object Sketches {
         count(lit(1)).as("n_buckets"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - rho)"))
           .as("present_sum"))
+      // empty register frame (no input rows): sum() is NULL, which
+      // would propagate to a NULL estimate — coalesce to 0 so the
+      // pipeline lands in the linear branch and reports 0 (exact)
       .select(col("n_buckets"),
         (lit(m.toLong) - col("n_buckets")).as("zeros"),
-        (col("present_sum") +
+        (coalesce(col("present_sum"), lit(0L)) +
           (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("sum_int"))
       .select(col("n_buckets"), col("zeros"), col("sum_int"),
         expr(s"CAST('$k' AS DECIMAL(38,0)) div sum_int").as("raw_x100"))
@@ -144,7 +153,7 @@ object Sketches {
     s"""WITH h AS (
        |  SELECT CAST(('0x' || substr(md5(CAST($valueSql AS VARCHAR)), 1, 15))
        |    AS BIGINT) AS h
-       |  FROM $fromSql),
+       |  FROM $fromSql WHERE $valueSql IS NOT NULL),
        |reg AS (
        |  SELECT h & ${m - 1} AS bucket,
        |    MAX(CASE WHEN (h >> $p) = 0 THEN ${wBits + 1}
@@ -156,7 +165,8 @@ object Sketches {
        |  FROM reg),
        |s AS (
        |  SELECT n_buckets, $m - n_buckets AS zeros,
-       |    present_sum + ($m - n_buckets) * CAST($scale AS BIGINT) AS sum_int
+       |    COALESCE(present_sum, 0)
+       |      + ($m - n_buckets) * CAST($scale AS BIGINT) AS sum_int
        |  FROM agg),
        |e AS (
        |  SELECT n_buckets, zeros, sum_int,
@@ -182,7 +192,8 @@ object Sketches {
     val m = 1 << p
     val wBits = 60 - p
     val gc = groupCols.map(col)
-    df.select((gc :+ Dedup.portableHash(value, 15).as("h")): _*)
+    df.filter(value.isNotNull) // same null-exclusion as hllRegisters
+      .select((gc :+ Dedup.portableHash(value, 15).as("h")): _*)
       .select((gc :+ col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket")
         :+ shiftrightunsigned(col("h"), p).as("w")): _*)
       .groupBy((gc :+ col("bucket")): _*)
@@ -317,8 +328,15 @@ object Sketches {
   def histogramCounts(df: DataFrame, value: Column, lo: Double,
       width: Double, nBins: Int): DataFrame = {
     require(nBins >= 1 && width > 0, s"need nBins>=1, width>0")
-    df.select(least(lit(nBins - 1), greatest(lit(0),
-        floor((value - lit(lo)) / lit(width)).cast("int"))).as("bin"))
+    // NULLs are excluded, not binned: greatest() skips null arguments,
+    // so an unfiltered null would silently land in bin 0. The clamp
+    // runs on the LONG floor result BEFORE the int cast — an extreme
+    // outlier would otherwise overflow the cast (a crash under ANSI,
+    // bin 0 via wraparound without it) instead of clamping to the top
+    // bin.
+    df.filter(value.isNotNull)
+      .select(least(lit((nBins - 1).toLong), greatest(lit(0L),
+        floor((value - lit(lo)) / lit(width)))).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -333,8 +351,9 @@ object Sketches {
       nBins: Int): DataFrame = {
     require(nBins >= 1 && width > 0, s"need nBins>=1, width>0")
     val gc = groupCols.map(col)
-    df.select((gc :+ least(lit(nBins - 1), greatest(lit(0),
-        floor((value - lit(lo)) / lit(width)).cast("int"))).as("bin")): _*)
+    df.filter(value.isNotNull) // same null/overflow rules as histogramCounts
+      .select((gc :+ least(lit((nBins - 1).toLong), greatest(lit(0L),
+        floor((value - lit(lo)) / lit(width)))).cast("int").as("bin")): _*)
       .groupBy((gc :+ col("bin")): _*).agg(count(lit(1)).as("cnt"))
   }
 
@@ -375,7 +394,11 @@ object Sketches {
     */
   def cmsCounts(df: DataFrame, value: Column, d: Int = 4,
       w: Int = 1024): DataFrame =
-    df.select(posexplode(array((0 until d).map(i =>
+    // NULLs excluded: a null value hashes to (row, bucket=null) cells
+    // that survive the groupBy and crash cmsTable's driver-side
+    // getLong at embed time
+    df.filter(value.isNotNull)
+      .select(posexplode(array((0 until d).map(i =>
         Dedup.portableHash(concat(lit(s"s$i|"), value), 15)
           .bitwiseAND(lit((w - 1).toLong))): _*))
         .as(Seq("row", "bucket")))
@@ -391,7 +414,8 @@ object Sketches {
   def cmsCountsBy(df: DataFrame, value: Column, groupCols: Seq[String],
       d: Int = 4, w: Int = 1024): DataFrame = {
     val gc = groupCols.map(col)
-    df.select((gc :+ posexplode(array((0 until d).map(i =>
+    df.filter(value.isNotNull) // same null exclusion as cmsCounts
+      .select((gc :+ posexplode(array((0 until d).map(i =>
         Dedup.portableHash(concat(lit(s"s$i|"), value), 15)
           .bitwiseAND(lit((w - 1).toLong))): _*))
         .as(Seq("row", "bucket"))): _*)

@@ -29,6 +29,39 @@ class BloomSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch builders exclude NULL values (count-distinct semantics)") {
+    val withNulls = Seq(Some("a"), Some("b"), None, Some("a"), None)
+      .toDF("v")
+    val clean = Seq("a", "b", "a").toDF("v")
+    // HLL: identical register frames and estimate with and without nulls
+    assert(Sketches.hllRegisters(withNulls, $"v").collect().toSet ===
+      Sketches.hllRegisters(clean, $"v").collect().toSet)
+    // CMS: no null cells, so driver-side table embedding can't NPE
+    val cms = Sketches.cmsCounts(withNulls, $"v", d = 2, w = 16)
+    assert(cms.filter($"bucket".isNull).count() === 0)
+    assert(Sketches.cmsTable(cms, d = 2, w = 16).sum === 2L * 3)
+    // histogram: nulls are not binned (bin 0 is not inflated)
+    val hist = Sketches.histogramCounts(
+      Seq(Some(1.0), None, Some(1.5), None).toDF("v"), $"v", 0.0, 1.0, 4)
+    assert(hist.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(1 -> 2L))
+  }
+
+  test("HLL estimate of an empty frame is 0, not NULL") {
+    val est = Sketches.hllEstimate(Seq.empty[String].toDF("v"), $"v")
+      .select($"hll_estimate_x100").head()
+    assert(!est.isNullAt(0) && est.getLong(0) === 0L)
+  }
+
+  test("histogram clamps extreme outliers to the top bin instead of overflowing") {
+    // floor((1e18 - 0)/0.001) is far beyond Int range — must clamp on
+    // the long, not crash (ANSI cast) or wrap into bin 0
+    val hist = Sketches.histogramCounts(
+      Seq(0.5, 1e18).toDF("v"), $"v", 0.0, 0.001, nBins = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist === Map(7 -> 2L)) // 0.5/0.001 = 500 also clamps to top
+  }
+
   test("histogram quantile estimate brackets the true ranked value") {
     val rnd = new scala.util.Random(11)
     val vals = (1 to 5000).map(_ => rnd.nextDouble() * 500.0)
