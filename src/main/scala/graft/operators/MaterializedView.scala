@@ -39,7 +39,14 @@ object MaterializedView {
         expr("unix_millis(ts) div 86400000").as("day"),
         col("value"))
       .groupBy(col("event_type"), col("day"))
+      // nv = non-null value count, the cell that makes vsum's NULL
+      // semantics invertible: SUM-of-sums alone reproduces "NULL iff
+      // no non-null values" for insert-only merges, but a retraction
+      // can cancel a group's sum to 0 while its surviving rows are all
+      // NULL — recompute says NULL, plain cell algebra says 0. nv
+      // disambiguates (see refreshWithRetractions).
       .agg(count(lit(1)).as("n"),
+        count(col("value")).as("nv"),
         sum(col("value").cast(DecimalType(18, 4))).as("vsum"))
 
   /** Merge stored state with a delta's rollup: group-wise SUM of the
@@ -50,12 +57,9 @@ object MaterializedView {
     * corpus-bounded.
     */
   def refresh(stored: DataFrame, deltaRollup: DataFrame): DataFrame =
-    stored.select(col("event_type"), col("day"),
-        col("n"), col("vsum").cast(DecimalType(28, 4)))
-      .unionByName(deltaRollup.select(col("event_type"), col("day"),
-        col("n"), col("vsum").cast(DecimalType(28, 4))))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum"))
+    // the insert-only merge IS the retraction merge with an empty
+    // delete leg — one implementation, one set of invariants
+    refreshWithRetractions(stored, deltaRollup, deltaRollup.limit(0))
 
   /** Per-event-type census of a rollup state — the compared surface.
     * day_checksum = Σ day·n pins every group's key AND count (a merge
@@ -71,13 +75,6 @@ object MaterializedView {
         sum(col("vsum")).cast("double").as("value_sum"))
       .orderBy(col("event_type"))
 
-  /** Build-store-refresh round trip for the oracle row: the stored MV
-    * covers `event_id % 16 != 0`; the remaining rows arrive as a
-    * late-data delta touching (almost) every existing group plus any
-    * new ones — the adversarial case for group-wise merging. The view
-    * state goes through parquet (write + read back) so the merged
-    * result is computed from the PERSISTED schema, not a live plan.
-    */
   /** Retraction-aware refresh — the CDC case where a delta carries
     * DELETES as well as inserts. COUNT and exact-decimal SUM are not
     * just mergeable but INVERTIBLE (the monoid extends to an abelian
@@ -97,17 +94,24 @@ object MaterializedView {
       deleteRollup: DataFrame): DataFrame = {
     val wide = DecimalType(28, 4)
     def shaped(df: DataFrame) = df.select(col("event_type"), col("day"),
-      col("n"), col("vsum").cast(wide))
+      col("n"), col("nv"), col("vsum").cast(wide))
     val negated = deleteRollup.select(col("event_type"), col("day"),
-      (-col("n")).as("n"), (-col("vsum")).cast(wide).as("vsum"))
+      (-col("n")).as("n"), (-col("nv")).as("nv"),
+      (-col("vsum")).cast(wide).as("vsum"))
     shaped(stored).unionByName(shaped(insertRollup)).unionByName(negated)
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum"))
+      .agg(sum(col("n")).as("n"), sum(col("nv")).as("nv"),
+        sum(coalesce(col("vsum"), lit(0).cast(wide))).as("vsum"))
       .select(col("event_type"), col("day"),
         when(col("n") >= 0, col("n"))
           .otherwise(expr("raise_error('retraction exceeded stored count')"))
           .as("n"),
-        col("vsum"))
+        col("nv"),
+        // a group whose surviving rows are all NULL must read back as
+        // vsum NULL (what a full recompute says), not the 0 its
+        // retracted cells cancel to — nv carries that distinction
+        when(col("nv") > 0, col("vsum")).otherwise(lit(null).cast(wide))
+          .as("vsum"))
       .filter(col("n") > 0)
   }
 
@@ -131,6 +135,13 @@ object MaterializedView {
       eventRollup(inserts), eventRollup(deletes)))
   }
 
+  /** Build-store-refresh round trip for the oracle row: the stored MV
+    * covers `event_id % 16 != 0`; the remaining rows arrive as a
+    * late-data delta touching (almost) every existing group plus any
+    * new ones — the adversarial case for group-wise merging. The view
+    * state goes through parquet (write + read back) so the merged
+    * result is computed from the PERSISTED schema, not a live plan.
+    */
   def refreshRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(s, dir)
     val base = ev.filter(pmod(col("event_id"), lit(16)) =!= 0)

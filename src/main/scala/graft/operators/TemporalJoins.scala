@@ -40,17 +40,33 @@ object TemporalJoins {
     rightPayload.foreach(p => require(!left.columns.contains(p),
       s"left side already has a column named '$p'"))
     val l2 = left.withColumn("_side", lit(1))
-    val r2 = right.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(0).as("_side")) ++
-        rightPayload.map(col): _*)
+    // SQL join-equality semantics: a NULL key or NULL ts on the right
+    // can never satisfy `right.keys = left.keys AND right.ts <=
+    // left.ts` — but Window.partitionBy groups null keys into one
+    // partition and nulls-first ordering would sort a null-ts right
+    // row before everything, leaking its payload into every left row.
+    // Filter such right rows out; null-keyed / null-ts LEFT rows stay
+    // (left-join semantics) and correctly match nothing.
+    val r2 = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull)
+      .select((keys.map(col) :+ col(tsCol) :+ lit(0).as("_side")) :+
+        struct(rightPayload.map(col): _*).as("_rp"): _*)
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(u) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_side")
+    // the payload travels as ONE struct — non-null exactly on right
+    // rows — so the matched right row is carried AS A UNIT. Per-column
+    // last(ignoreNulls) would skip a legitimately-null payload cell on
+    // the latest right row and backfill it from an older one, emitting
+    // a torn row that never existed on the right side.
+    val filled =
+      u.withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(filled) { (df, p) =>
+        df.withColumn(p, col("_rp").getField(p))
+      }
+      .filter(col("_side") === 1).drop("_side", "_rp")
   }
 
   /** Interval-containment (range) join on a time grid: intervals

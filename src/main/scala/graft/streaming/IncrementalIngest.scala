@@ -43,14 +43,31 @@ object IncrementalIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // Month partition (the TableLayout key) must be STABLE per
+          // event_id across re-scrapes, or the partition-pruned merge
+          // accumulates cross-month duplicates. Unify coalesces an
+          // absent/unparseable start date to SCRAPE time — which
+          // varies per crawl — so those rows are routed to the
+          // "0000-00" sentinel month instead, detected from the raw
+          // evidence: no raw date string at all, or the datetime
+          // validation ERROR Unify raises on a failed parse. (A
+          // legitimately CHANGED date still moves months — that is
+          // reconcileCrossMonthKeys' documented job.)
+          val scrapeDated =
+            col("datetime.recurring.pattern_description").isNull ||
+              col("datetime.recurring.pattern_description") === "" ||
+              exists(col("validation_metadata.validation_errors"),
+                e => e.getField("field") === "datetime")
           val unified = Unify.unify(batch, platform)
             .transform(df => MergeOps.dedupFirstWins(df, Seq("event_id")))
-            // month partition from the event's start date (the
-            // TableLayout key); unparseable dates land in a sentinel
-            // month so the partition column is never null
             .withColumn("start_month",
-              coalesce(substring(col("datetime.start_date"), 1, 7),
-                lit("0000-00")))
+              when(scrapeDated, lit("0000-00"))
+                .otherwise(substring(col("datetime.start_date"), 1, 7)))
+            // the merge runs several actions (month collect, staging
+            // write) — materialize the unified batch once instead of
+            // re-running the Unify projection + dedup shuffle per
+            // action
+            .localCheckpoint()
           // partition-pruned merge: a micro-batch touches only the
           // months it carries — sustained ingest against a 100 TB
           // table never rewrites the table (the reference's
@@ -69,7 +86,13 @@ object IncrementalIngest {
     events
       .withWatermark(tsCol, "2 hours")
       .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal-sum discipline (Tables.decSum): raw double partial
+      // sums fold in micro-batch/partition order, so the same input
+      // replayed with a different batch split would differ in low
+      // bits — exactly the stream-vs-batch divergence the oracle
+      // rows guard against
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.decSum(col("value")).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -95,18 +118,25 @@ object IncrementalIngest {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    // "latest" is defined by event_id, not iterator order — the group
+    // iterator has no order contract (scdType2State documents the same
+    // trap), so taking the iterator's last element would make
+    // last_value flip nondeterministically with partitioning. value
+    // rides as Option so a NULL cell can't kill the stream through the
+    // non-nullable Double encoder.
     events
-      .selectExpr("user_id", "value")
-      .as[(Long, Double)]
+      .selectExpr("user_id", "event_id", "value")
+      .as[(Long, Long, Option[Double])]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)],
-         state: GroupState[(Long, Double)]) =>
-          val (prevN, _) = state.getOption.getOrElse((0L, 0.0))
-          var n = prevN
-          var last = 0.0
-          rows.foreach { case (_, v) => n += 1; last = v }
-          state.update((n, last))
+        (user: Long, rows: Iterator[(Long, Long, Option[Double])],
+         state: GroupState[(Long, Long, Double)]) =>
+          var (n, lastEid, last) = state.getOption.getOrElse((0L, Long.MinValue, 0.0))
+          rows.foreach { case (_, eid, v) =>
+            n += 1
+            if (eid >= lastEid) { lastEid = eid; last = v.getOrElse(0.0) }
+          }
+          state.update((n, lastEid, last))
           (user, n, last)
       }
       .toDF("user_id", "n_events", "last_value")

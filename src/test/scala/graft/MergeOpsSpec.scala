@@ -552,7 +552,7 @@ class MergeOpsSpec extends AnyFunSuite {
         MaterializedView.eventRollup(base),
         MaterializedView.eventRollup(delta))
       val full = MaterializedView.eventRollup(all)
-        .select(col("event_type"), col("day"), col("n"),
+        .select(col("event_type"), col("day"), col("n"), col("nv"),
           col("vsum").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
       assert(merged.orderBy("event_type", "day").collect().toSeq ===
         full.orderBy("event_type", "day").collect().toSeq)
@@ -594,7 +594,7 @@ class MergeOpsSpec extends AnyFunSuite {
       MaterializedView.eventRollup(mvEvents(Nil)),
       MaterializedView.eventRollup(delta))
     val shaped = stored.select(col("event_type"), col("day"), col("n"),
-      col("vsum").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+      col("nv"), col("vsum").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
     assert(roundTrip.orderBy("event_type", "day").collect().toSeq ===
       shaped.orderBy("event_type", "day").collect().toSeq)
     // retracting ALL of a group's rows removes the group entirely
@@ -604,6 +604,30 @@ class MergeOpsSpec extends AnyFunSuite {
         mvEvents(Seq(("click", "2025-03-02 07:00:00", 3.33)))))
     assert(clickGone.filter(col("event_type") === "click").count() === 0)
     assert(clickGone.filter(col("event_type") === "view").count() === 1)
+  }
+
+  test("MV retractions: a group left with only NULL values reads vsum NULL, not 0") {
+    import graft.operators.MaterializedView
+    // group holds one valued row and one NULL-valued row; retracting
+    // the valued row must read back as vsum NULL (what a full
+    // recompute over the surviving NULL row says), not the 0 the
+    // retracted cells cancel to
+    def ev(rows: Seq[(String, String, Option[Double])]) =
+      rows.toDF("event_type", "ts_str", "value")
+        .select(col("event_type"), to_timestamp(col("ts_str")).as("ts"),
+          col("value"))
+    val base = ev(Seq(
+      ("view", "2025-03-01 10:00:00", Some(5.0)),
+      ("view", "2025-03-01 11:00:00", None)))
+    val got = MaterializedView.refreshWithRetractions(
+      MaterializedView.eventRollup(base),
+      MaterializedView.eventRollup(ev(Nil)),
+      MaterializedView.eventRollup(
+        ev(Seq(("view", "2025-03-01 10:00:00", Some(5.0))))))
+      .select(col("n"), col("nv"), col("vsum")).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 0L)
+    assert(got(0).isNullAt(2), s"vsum must be NULL, got ${got(0).get(2)}")
   }
 
   test("MV retractions: over-delete raises instead of clamping") {

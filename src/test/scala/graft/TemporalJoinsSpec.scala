@@ -29,6 +29,38 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "p3" -> None, "p4" -> None))
   }
 
+  test("asofJoin carries the matched right row as a unit (no torn rows)") {
+    // latest prior right row has a legitimately-NULL payload cell: the
+    // join must return THAT row's cells verbatim, not backfill the
+    // null from an older right row (a torn row that never existed)
+    val right = Seq((1L, 1L, Some("A"), "x"), (1L, 2L, Option.empty[String], "y"))
+      .toDF("k", "ts", "a", "b")
+    val left = Seq((1L, 3L)).toDF("k", "ts")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+      Seq("a", "b")).select(col("a"), col("b")).collect()
+    assert(got.length === 1)
+    assert(got(0).isNullAt(0), s"torn row: a = ${got(0).get(0)} leaked from ts=1")
+    assert(got(0).getString(1) === "y")
+  }
+
+  test("asofJoin: NULL keys and NULL right ts never match (SQL join semantics)") {
+    val right = Seq((Option(1L), Some(1L), "P1"),
+        (Option.empty[Long], Some(1L), "PNULLKEY"),
+        (Option(2L), Option.empty[Long], "PNULLTS"))
+      .toDF("k", "ts", "payload")
+    val left = Seq((Option.empty[Long], Some(5L)), (Option(2L), Some(5L)),
+        (Option(1L), Some(5L)))
+      .toDF("k", "ts")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts",
+        Seq("payload"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(2)))).toMap
+    assert(got(Some(1L)) === Some("P1"))
+    // null-keyed left row matches nothing (null = null is not true)
+    assert(got(None) === None)
+    // right row with null ts can never satisfy right.ts <= left.ts
+    assert(got(Some(2L)) === None)
+  }
+
   test("asofJoin rejects payload columns that exist on the left") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "payload")
     val r = Seq((1L, 1L, "y")).toDF("k", "ts", "payload")
