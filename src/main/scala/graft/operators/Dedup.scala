@@ -186,7 +186,18 @@ object Dedup {
       bands: Int): DataFrame = {
     require(bands >= 1, s"bands >= 1, got $bands")
     val sig = col(sigCol)
-    val rows = size(sig) / bands
+    // Runtime divisibility guard: a non-dividing bands count silently
+    // ignores trailing signature positions (recall below the b/r
+    // curve), and bands > length degenerates to empty band slices —
+    // the failure class minhashCandidatePairs rejects statically. The
+    // signature length is only known per-row here, so the guard is a
+    // per-row expression (size + mod, negligible next to the hash).
+    val rows = when(
+        size(sig) >= lit(bands) && size(sig) % lit(bands) === 0,
+        size(sig) / bands)
+      .otherwise(raise_error(concat(
+        lit(s"lshBands: bands ($bands) must divide signature length "),
+        size(sig).cast("string"))))
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => bandHashExpr(sig, b, rows)))

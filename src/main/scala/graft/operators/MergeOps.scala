@@ -390,7 +390,15 @@ object MergeOps {
     val wn = winners.as("_wn")
     val keepCond = (keys :+ recency :+ partCol)
       .map(c => col(s"_sl.$c") <=> col(s"_wn.$c")).reduce(_ && _)
-    val keep = slice.join(staleKeys, keys, "left_anti")
+    // The stale-key removal must match the re-keep's NULL semantics:
+    // a null-UNSAFE anti-join here would let every row of a NULL-keyed
+    // duplicate group through (null = null is not true), and the
+    // group's winner ALSO matches the null-safe semi-join — written
+    // twice, losers never removed. Both legs are <=> on every key.
+    val sk = staleKeys.as("_sk")
+    val antiCond = keys
+      .map(c => col(s"_sl.$c") <=> col(s"_sk.$c")).reduce(_ && _)
+    val keep = sl.join(sk, antiCond, "left_anti")
       .unionByName(sl.join(wn, keepCond, "left_semi"))
     keep.write.mode(SaveMode.Overwrite)
       .partitionBy(partCol).parquet(swap.stagingRoot.toString)

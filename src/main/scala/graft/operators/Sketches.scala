@@ -328,13 +328,13 @@ object Sketches {
   def histogramCounts(df: DataFrame, value: Column, lo: Double,
       width: Double, nBins: Int): DataFrame = {
     require(nBins >= 1 && width > 0, s"need nBins>=1, width>0")
-    // NULLs are excluded, not binned: greatest() skips null arguments,
-    // so an unfiltered null would silently land in bin 0. The clamp
-    // runs on the LONG floor result BEFORE the int cast — an extreme
-    // outlier would otherwise overflow the cast (a crash under ANSI,
-    // bin 0 via wraparound without it) instead of clamping to the top
-    // bin.
-    df.filter(value.isNotNull)
+    // NULLs and NaNs are excluded, not binned: greatest() skips null
+    // arguments and floor(NaN) is 0, so either unfiltered would
+    // silently land in bin 0. The clamp runs on the LONG floor result
+    // BEFORE the int cast — an extreme outlier would otherwise
+    // overflow the cast (a crash under ANSI, bin 0 via wraparound
+    // without it) instead of clamping to the top bin.
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
       .select(least(lit((nBins - 1).toLong), greatest(lit(0L),
         floor((value - lit(lo)) / lit(width)))).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
@@ -351,7 +351,8 @@ object Sketches {
       nBins: Int): DataFrame = {
     require(nBins >= 1 && width > 0, s"need nBins>=1, width>0")
     val gc = groupCols.map(col)
-    df.filter(value.isNotNull) // same null/overflow rules as histogramCounts
+    // same null/NaN/overflow rules as histogramCounts
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
       .select((gc :+ least(lit((nBins - 1).toLong), greatest(lit(0L),
         floor((value - lit(lo)) / lit(width)))).cast("int").as("bin")): _*)
       .groupBy((gc :+ col("bin")): _*).agg(count(lit(1)).as("cnt"))

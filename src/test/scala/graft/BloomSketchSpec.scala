@@ -62,6 +62,22 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(hist === Map(7 -> 2L)) // 0.5/0.001 = 500 also clamps to top
   }
 
+  test("histogram excludes NaN like NULL instead of binning it at 0") {
+    val df = Seq(5.0, Double.NaN, 15.0, Double.NaN).toDF("v")
+      .unionByName(Seq.empty[Double].toDF("v")
+        .select(lit(null).cast("double").as("v")))
+    val hist = Sketches.histogramCounts(df, $"v", lo = 0.0,
+      width = 10.0, nBins = 4).orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(hist === Seq(0 -> 1L, 1 -> 1L), s"NaN leaked into a bin: $hist")
+    val by = Seq(("a", 5.0), ("a", Double.NaN), ("b", Double.NaN))
+      .toDF("g", "v")
+    val histBy = Sketches.histogramCountsBy(by, $"v", Seq("g"),
+      0.0, 10.0, 4).orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(histBy === Seq(("a", 0, 1L)))
+  }
+
   test("histogram quantile estimate brackets the true ranked value") {
     val rnd = new scala.util.Random(11)
     val vals = (1 to 5000).map(_ => rnd.nextDouble() * 500.0)

@@ -35,6 +35,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated not paired")
   }
 
+  test("lshBands rejects a non-dividing or oversized bands count at run time") {
+    val sigs = corpus.select($"doc_id",
+      Dedup.minhashSignature($"text", numHashes = 64).as("sig"))
+    // 7 does not divide 64: trailing positions would silently drop
+    val e1 = intercept[Exception] {
+      Dedup.lshBands(sigs, "doc_id", "sig", bands = 7).collect()
+    }
+    assert(e1.getMessage.contains("lshBands"), e1.getMessage)
+    // bands > signature length: every band slice would be empty
+    val e2 = intercept[Exception] {
+      Dedup.lshBands(sigs, "doc_id", "sig", bands = 128).collect()
+    }
+    assert(e2.getMessage.contains("lshBands"), e2.getMessage)
+    // the dividing config still works and yields bands × docs rows
+    assert(Dedup.lshBands(sigs, "doc_id", "sig", bands = 16).count() ===
+      16L * corpus.count())
+  }
+
   test("minhash estimate approximates true jaccard") {
     val est = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, shingleSize = 3)

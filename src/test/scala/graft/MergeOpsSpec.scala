@@ -308,6 +308,40 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got === Seq("e1" -> "v2", "e9" -> "ok"))
   }
 
+  test("cross-month reconcile handles NULL-keyed duplicate groups") {
+    // the anti-join leg must be null-safe like the re-keep leg: a
+    // null-unsafe anti lets every NULL-keyed row through AND the
+    // winner re-enters via the semi-join — written twice, stale
+    // losers never removed
+    val dir = Files.createTempDirectory("graft_recon_null").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    monthDocs(Seq(((null: String), "jan", 1, "2025-01"),
+        ((null: String), "mar", 2, "2025-03"),
+        ("e1", "ok", 1, "2025-01")))
+      .write.partitionBy("start_month").parquet(table)
+    val months = MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version")
+    assert(months === Seq("2025-01"))
+    val got = spark.read.parquet(table)
+      .orderBy(asc_nulls_first("event_id")).collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq((null, "mar"), ("e1", "ok")))
+  }
+
+  test("cross-month reconcile keeps an in-month NULL-keyed winner exactly once") {
+    val dir = Files.createTempDirectory("graft_recon_null2").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    monthDocs(Seq(((null: String), "v1", 1, "2025-01"),
+        ((null: String), "v2", 2, "2025-01"),
+        ("e9", "ok", 1, "2025-01")))
+      .write.partitionBy("start_month").parquet(table)
+    MergeOps.reconcileCrossMonthKeys(spark, table, Seq("event_id"), "version")
+    val got = spark.read.parquet(table)
+      .orderBy(asc_nulls_first("event_id")).collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq((null, "v2"), ("e9", "ok")))
+  }
+
   test("compaction rewrites only fragmented months, preserving data") {
     val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
     val table = s"$dir/events"
@@ -578,6 +612,29 @@ class MergeOpsSpec extends AnyFunSuite {
       .select(col("n"), col("vsum").cast("double")).collect()
     assert(viewRow.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
       Seq((3L, 7.00)))
+  }
+
+  test("MV refresh tolerates legacy stored state without the nv column") {
+    import graft.operators.MaterializedView
+    val base = mvEvents(Seq(
+      ("view", "2025-03-01 10:00:00", 1.25),
+      ("click", "2025-03-02 07:00:00", 3.33)))
+    // an all-NULL-value legacy group: vsum NULL must synthesize nv = 0
+    val nullGroup = Seq(("ping", "2025-03-01 09:00:00"))
+      .toDF("event_type", "ts_str")
+      .select(col("event_type"), to_timestamp(col("ts_str")).as("ts"),
+        lit(null).cast("double").as("value"))
+    val full = base.unionByName(nullGroup)
+    val legacy = MaterializedView.eventRollup(full).drop("nv")
+    val delta = mvEvents(Seq(("view", "2025-03-01 12:00:00", 4.00)))
+    val got = MaterializedView.refresh(legacy,
+      MaterializedView.eventRollup(delta))
+    val want = MaterializedView.refresh(MaterializedView.eventRollup(full),
+      MaterializedView.eventRollup(delta))
+    assert(got.orderBy("event_type", "day").collect().toSeq ===
+      want.orderBy("event_type", "day").collect().toSeq)
+    val ping = got.filter(col("event_type") === "ping").collect()
+    assert(ping.length === 1 && ping.head.getAs[Any]("vsum") == null)
   }
 
   test("MV retractions: delete inverts insert, zeroed groups leave") {
