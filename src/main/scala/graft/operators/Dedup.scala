@@ -665,4 +665,58 @@ object Dedup {
         coalesce(col("best_eq"), lit(0L)).as("best_eq"))
       .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
   }
+
+  /** Span-REMOVAL dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): the transform real
+    * pipelines run after the span census (`dd_dup_span_fraction`
+    * measures duplicated n-gram span mass; this CUTS it). A word
+    * n-gram occurring in >= `minDocFreq` distinct documents is
+    * boilerplate; every word covered by an instance of such a shingle
+    * is removed, adjacent covered spans merging naturally because
+    * coverage is computed per word position.
+    *
+    * Scale shape — keyed shuffles only, never all-pairs: (1) shingle
+    * instances explode (the known n× token-volume cost of span
+    * dedup); (2) doc-frequency partial-aggregates map-side on the
+    * shingle key; (3) the duplicated-shingle table (distinct shingles
+    * with df >= min — far smaller than instances) joins back to
+    * instances on that same key; (4) duplicated start positions
+    * collect per doc (bounded by doc length) and the cut itself is a
+    * per-row HOF — filter word j unless some duplicated start s
+    * covers it (s <= j < s+n). The coverage test is O(W·|starts|)
+    * worst case per row; |starts| is doc-bounded and in the
+    * boilerplate-heavy regime spans coalesce, so the practical cost
+    * is the explode, linear in duplicated span mass.
+    *
+    * Output: (id, n_words, n_kept, cleaned) — cleaned is the
+    * space-joined surviving words ("" when fully covered; texts with
+    * fewer than n words have no shingles and survive whole).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(n >= 1 && minDocFreq >= 2,
+      s"need n>=1, minDocFreq>=2; got n=$n, minDocFreq=$minDocFreq")
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val inst = spread(toks).filter(size(col("t")) >= n)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(t)-$n), " +
+          s"i -> array_join(slice(t, i+1, $n), ' '))"))
+        .as(Seq("i", "s")))
+    val dupShingles = inst.select(col("id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocFreq)
+      .select(col("s"))
+    val starts = inst.join(dupShingles, "s")
+      .groupBy(col("id")).agg(collect_set(col("i")).as("starts"))
+    toks.join(starts, Seq("id"), "left")
+      .select(col("id"), col("t"),
+        coalesce(col("starts"), typedLit(Array.empty[Int])).as("starts"))
+      .select(col("id"), size(col("t")).cast("long").as("n_words"),
+        filter(col("t"), (x, j) =>
+          !exists(col("starts"), st =>
+            st <= j && j < st + lit(n))).as("kept"))
+      .select(col("id"), col("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned"))
+  }
 }

@@ -1899,6 +1899,50 @@ object PipelineQueries {
         |  length(chunk_text) AS n_chars
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
 
+    // Span-REMOVAL dedup (Lee et al. 2022): the transform the span
+    // census (dd_dup_span_fraction) exists to feed — every word
+    // covered by a word-8-gram occurring in >= 2 distinct documents is
+    // cut. Oracle compares the full cleaned-corpus census per doc
+    // (word counts before/after + md5 of the surviving text), so the
+    // cut itself — not just its mass — is pinned cross-engine.
+    "etl_span_dedup" -> QueryDef(
+      (s, d) => Dedup.removeDupSpans(
+          T.documents(s, d), "doc_id", "text", n = 8, minDocFreq = 2)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_kept"),
+          md5(col("cleaned")).as("fp"))
+        .orderBy(col("doc_id")),
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |    array_to_string(t[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS s
+        |  FROM d0, unnest(range(0, len(t)-7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM inst)
+        |  GROUP BY s HAVING COUNT(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT inst.doc_id, inst.i + CAST(off AS INT) AS j
+        |  FROM inst JOIN dup USING (s), range(0, 8) r2(off)),
+        |pos AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i, t[CAST(i+1 AS INT)] AS w
+        |  FROM d0, unnest(range(0, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.w
+        |  FROM pos p LEFT JOIN covered c
+        |    ON c.doc_id = p.doc_id AND c.j = p.i
+        |  WHERE c.j IS NULL),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY i) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d0.doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(a.cleaned, '')) AS fp
+        |FROM d0 LEFT JOIN agg a ON a.doc_id = d0.doc_id
+        |ORDER BY d0.doc_id""".stripMargin),
+
     // Decontamination: training docs sharing >= 2 bottom-k sketch
     // hashes with the held-out slice — the benchmark-overlap pass a
     // training-data pipeline runs before every mix. Portable md5

@@ -413,6 +413,26 @@ object ScaleProbe {
       (nScored, (System.nanoTime() - t1) / 1e9)
     }
 
+    // Span-removal probe (etl_span_dedup): near-duplicate replicas
+    // (unique " repN" tail per replica) mean every BODY 8-gram repeats
+    // across replicas at factor >= 2, so duplicated span mass — the
+    // quantity the operator joins on and cuts — grows linearly with
+    // the corpus. The claim measured: wall-clock tracks that mass
+    // (explode + two shingle-keyed shuffles + one positions collect),
+    // with no all-pairs term; words_cut on record is the mass itself.
+    var lastWordsCut = -1L
+    def runSpanDedupAt(factor: Int): (Long, Double) = {
+      val docs = replicate(factor, perturbText = true)
+      val t0 = System.nanoTime()
+      val agg = graft.operators.Dedup
+        .removeDupSpans(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_words") - col("n_kept")), lit(0L)).as("cut"))
+        .head()
+      lastWordsCut = agg.getLong(1)
+      (agg.getLong(0), (System.nanoTime() - t0) / 1e9)
+    }
+
     val run: Int => (Long, Double) = probe match {
       case "minhash"   => runMinhashAt
       case "funnel"    => runFunnelAt
@@ -425,6 +445,7 @@ object ScaleProbe {
       case "pagerank"  => runPagerankAt
       case "rolling"   => runRollingAt
       case "lm"        => runLmAt
+      case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
     run(1) // warmup: JIT + codegen + parquet footers
@@ -441,6 +462,7 @@ object ScaleProbe {
       case "pagerank"  => "pg_pagerank"
       case "rolling"   => "ev_rolling_mau"
       case "lm"        => "ta_lm_quality_filter"
+      case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
     val unit = probe match {
@@ -453,6 +475,7 @@ object ScaleProbe {
       case "pagerank"  => "top50_pr_sum"
       case "rolling"   => "days"
       case "lm"        => "scored_docs"
+      case "spandedup" => "docs"
       case _           => "rows"
     }
     println(f"""{"probe":"$label%s","base_rows":$baseRows%d,"runs":[""")
@@ -471,6 +494,8 @@ object ScaleProbe {
           f""","sec_exact":$lastExactSec%.2f,"sketch_shuffle_rows":$lastRegRows%d,"exact_shuffle_rows":$lastPairRows%d"""
         else if (probe == "lm")
           f""","sec_train":$lastTrainSec%.2f,"lm_table_rows":$lastLmRows%d"""
+        else if (probe == "spandedup")
+          f""","words_cut":$lastWordsCut%d"""
         else ""
       val inRows =
         if (probe == "funnelcap") baseRows + f

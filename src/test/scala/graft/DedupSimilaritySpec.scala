@@ -53,6 +53,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       16L * corpus.count())
   }
 
+  test("removeDupSpans cuts cross-doc duplicated 8-gram spans and nothing else") {
+    val boiler = "one two three four five six seven eight" // exactly 8 words
+    val docs = Seq(
+      (1L, s"alpha $boiler beta"),
+      (2L, s"gamma delta $boiler"),
+      (3L, "totally unique words that never repeat anywhere at all here"),
+      (4L, "short doc"), // < n words: no shingles, survives whole
+      // repeated 8-gram WITHIN one doc only (df = 1 doc): not cut —
+      // duplication is across-document, consistent with the census
+      (5L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text",
+        n = 8, minDocFreq = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) === ((1L, 10L, 2L, "alpha beta")))
+    assert(got(1) === ((2L, 10L, 2L, "gamma delta")))
+    assert(got(2)._3 === 10L) // unique doc untouched
+    assert(got(3) === ((4L, 2L, 2L, "short doc")))
+    assert(got(4)._3 === 16L) // within-doc repeat untouched
+  }
+
   test("minhash estimate approximates true jaccard") {
     val est = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
       numHashes = 64, bands = 32, shingleSize = 3)
