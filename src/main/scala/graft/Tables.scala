@@ -122,6 +122,48 @@ object Tables {
     *    silent testdata regeneration is a one-line diagnosis instead
     *    of 73 opaque AnalysisExceptions.
     */
+  /** Min/max of an INT64 column from parquet footer statistics —
+    * driver-side metadata reads over `df.inputFiles`, no Spark job.
+    * None (→ caller falls back to an agg job) when the frame is not
+    * file-backed, any file is unreadable, or any row group's chunk
+    * lacks trustworthy INT64 stats; all-null chunks contribute
+    * nothing. At 100 TB this is one footer read per file — the same
+    * metadata the scan planner already touches — vs a cluster-wide
+    * column scan.
+    */
+  private def footerLongRange(df: DataFrame,
+      column: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.control.NonFatal
+    try {
+      val files = df.inputFiles
+      if (files.isEmpty) return None
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      var lo = Long.MaxValue; var hi = Long.MinValue; var any = false
+      for (f <- files) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          for (bg <- reader.getFooter.getBlocks.asScala;
+               cc <- bg.getColumns.asScala
+               if cc.getPath.toDotString == column) {
+            cc.getStatistics match {
+              case st: org.apache.parquet.column.statistics.LongStatistics
+                  if !st.isEmpty =>
+                if (st.hasNonNullValue) {
+                  lo = math.min(lo, st.getMin); hi = math.max(hi, st.getMax)
+                  any = true
+                } // else: all-null chunk, bounds nothing
+              case _ => return None // absent/untyped stats: can't trust
+            }
+          }
+        } finally reader.close()
+      }
+      if (any) Some((lo, hi)) else None
+    } catch { case NonFatal(_) => None }
+  }
+
   def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
@@ -131,16 +173,21 @@ object Tables {
         // apart from the schema). Guard with a magnitude check:
         // nanos-of-epoch for 1973-2096 live in [1e17, 4e18];
         // micros/millis/seconds are orders of magnitude below. The
-        // min/max job (column-pruned, answered from parquet footer
-        // stats) runs per construction — acceptable because this
+        // range comes from parquet FOOTER STATISTICS (driver-side
+        // metadata reads, ZERO Spark jobs — pinned by PlanAuditSpec);
+        // only when a chunk lacks INT64 stats does it fall back to a
+        // column-pruned min/max agg job. Acceptable either way: this
         // branch is the LEGACY encoding path, dormant on current
         // testdata. Streaming frames can't run jobs and skip the
         // guard; a batch query over the same dir raises it instead.
         if (raw.isStreaming) ()
         else {
-          val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
-          if (!mm.isNullAt(0)) {
-            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val range = footerLongRange(raw, "ts").orElse {
+            val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+            if (mm.isNullAt(0)) None
+            else Some((mm.getLong(0), mm.getLong(1)))
+          }
+          range.foreach { case (lo, hi) =>
             if (lo < 100000000000000000L || hi > 4000000000000000000L)
               throw new IllegalStateException(
                 s"events.ts is INT64 with range [$lo, $hi] — not " +

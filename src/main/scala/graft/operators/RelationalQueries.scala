@@ -112,28 +112,26 @@ object RelationalQueries {
 
     // O4 at scale — KEYSET pagination: offset/limit re-sorts and skips
     // O(offset) rows per page (page 10,000 of a 100 TB table scans 10k
-    // pages' worth); a cursor predicate on the sort key is a pushdown-
-    // eligible filter + top-k, O(page) regardless of depth. The cursor
-    // here is o4's last key (the page AFTER o4's page), proving the
-    // two formulations paginate the same ordering.
-    //
-    // NOTE for plan sweeps: fetching the cursor runs a Spark job at
-    // query-CONSTRUCTION time (the one registry entry that does) —
-    // PlanAuditSpec's "plans are inspected un-executed" walk still
-    // holds for the returned frame, but building it executes the
-    // cursor lookup.
+    // pages' worth); a cursor predicate on the sort key is O(page)
+    // regardless of depth. The cursor here is o4's last key (the page
+    // AFTER o4's page), proving the two formulations paginate the same
+    // ordering. In a real keyset API the cursor arrives as a client
+    // literal and pushes into the scan; this demo derives it in-plan —
+    // a broadcast 1-row aggregate joined ahead of the filter (the SQL
+    // scalar-subquery shape) — so query CONSTRUCTION is job-free and
+    // the whole registry is plan-only sweepable. max() over an
+    // empty/short table is NULL; COALESCE to key 0 = first page.
     "o6_keyset_pagination" -> QueryDef(
       (s, d) => {
-        // max() over an empty/short table is null — fall back to key 0
-        // (first page) instead of NPEing on getLong
-        val page = Option(T.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val cursor = T.orders(s, d)
+          .select(col("o_orderkey"))
           .orderBy(col("o_orderkey")).offset(100).limit(50)
-          .agg(max(col("o_orderkey"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+          .agg(max(col("o_orderkey")).as("_last_key"))
         T.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          .filter(col("o_orderkey") > page)
+          .crossJoin(broadcast(cursor))
+          .filter(col("o_orderkey") > coalesce(col("_last_key"), lit(0L)))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy(col("o_orderkey")).limit(50)
       },
       """WITH cursor AS (

@@ -236,12 +236,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // added, none may silently plan an all-pairs join. Plans are
     // inspected un-executed (join strategy is decided before AQE), so
     // the sweep stays cheap; the streaming family is excluded because
-    // constructing its frames drains a real stream. Caveats to
-    // "un-executed": o6_keyset_pagination runs a small cursor-fetch
-    // job at construction time (by design — the cursor IS a prior
-    // query), and the sink/merge roundtrips write during construction;
-    // the sweep still audits their RETURNED frames without executing
-    // them.
+    // constructing its frames drains a real stream. Caveat to
+    // "un-executed": the sink/merge roundtrips write during
+    // construction (the write IS the operator under test); the sweep
+    // still audits their RETURNED frames without executing them. The
+    // exact set of job-running constructors is pinned by
+    // RegistrySmokeSpec's construction-job audit.
     val skip = (n: String) => n.startsWith("ev_stream_")
     for ((name, qd) <- SparkEntry.registry.toSeq.sortBy(_._1) if !skip(name)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
@@ -252,6 +252,52 @@ class PlanAuditSpec extends AnyFunSuite {
           s"$name nested-loop joins without a broadcast build side:\n" +
             p.take(800))
     }
+  }
+
+  test("legacy-nanos guard answers from parquet footer stats: zero Spark jobs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_guard")
+      .toFile.getAbsolutePath
+    // a legacy INT64-nanos ts column plus a fat payload column the
+    // guard must NOT read; written as plain longs so the re-read
+    // schema is LongType (the legacy branch) without nanos metadata
+    val nanosBase = 1735689600L * 1000000000L
+    spark.range(0, 1000)
+      .select((lit(nanosBase) + col("id") * 1000000000L).as("ts"),
+        concat(lit("x" * 200), col("id").cast("string")).as("payload"))
+      .repartition(4).write.parquet(s"$dir/events_legacy")
+    spark.range(0, 100)
+      .select((lit(1735689600000000L) + col("id")).as("ts"))
+      .write.parquet(s"$dir/events_micros")
+    val raw = spark.read.parquet(s"$dir/events_legacy")
+    assert(raw.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // ignore spark.read.parquet's O(1) footer schema-inference job
+        val metadataOnly = js.stageInfos.nonEmpty &&
+          js.stageInfos.forall(_.name.startsWith("parquet at "))
+        if (!metadataOnly) jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val normalized = Tables.normalizeEventTs(raw)
+      assert(normalized.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      // the guard still REFUSES micros-magnitude longs, also job-free
+      val e = intercept[IllegalStateException] {
+        Tables.normalizeEventTs(spark.read.parquet(s"$dir/events_micros"))
+      }
+      assert(e.getMessage.contains("not nanos-of-epoch magnitude"))
+      org.apache.spark.GraftListenerHooks
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs.get() === 0,
+        s"the magnitude guard ran ${jobs.get()} Spark job(s) — footer " +
+          "statistics should answer it driver-side")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("LM filter: count table partial-aggregates; scoring joins on the bigram key") {

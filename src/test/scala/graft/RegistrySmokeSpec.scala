@@ -59,6 +59,79 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("query construction runs Spark jobs ONLY in the documented sink/merge set") {
+    // The wart list, frozen: sink/merge/MV roundtrips WRITE during
+    // construction (the write IS the operator under test) and the
+    // incremental-dedup pair needs its corpus fingerprint table
+    // materialized. Every other constructor must be plan-only — the
+    // property that makes the analysis sweep above a real gate (a
+    // construction that silently runs jobs is a construction whose
+    // cost explodes with the table at 100 TB). This test DECLARES the
+    // full set both ways: a new job-running constructor fails loud,
+    // and an entry that stops running jobs must leave the list.
+    // Runs after the analysis sweep, so per-dir caches are warm — the
+    // audited state is steady-state construction. `allowed` is an
+    // UPPER bound, not an exact set: a warm cluster cache or an
+    // already-written sink output legitimately skips an entry's jobs
+    // in a given sweep, so absence is not asserted — only that no
+    // constructor OUTSIDE the documented set ever runs one.
+    val allowed = Set(
+      // sink/merge/MV roundtrips: the WRITE is the operator under test
+      "k1_latest_wins", "k1_partition_pruned", "k1_cross_month_reconcile",
+      "k2_json_roundtrip", "k3_csv_roundtrip", "k4_markdown_roundtrip",
+      "k6_retention_drop", "k7_scd2_census", "s1_json_roundtrip",
+      "s2_calendar_roundtrip", "s3_staging_roundtrip", "s5_table_copy",
+      "d3_merge_log", "d4_merge_audit", "d5_snapshot_diff",
+      "mv_incremental_refresh", "mv_retract_refresh",
+      // bucketed/partitioned table SETUP writes (the layout under test)
+      "j_bucket_colocated", "j_dpp_month",
+      // iterative fixpoints: localCheckpoint per round is the lineage
+      // bound that makes them 100TB-viable (Mining/Dedup/BpeCount docs)
+      "pg_pagerank", "dd_canonical_docs", "dd_degree_cap", "ta_bpe_train",
+      // bounded driver artifacts, each documented at its collect site:
+      // Bloom bits (Bloom.scala), CMS table embed (Sketches.scala), IVF
+      // centroid sample (Similarity.scala / IvfCentroids), LM count
+      // table checkpoint (LmScore.scala), IDF table checkpoint
+      // (TextAnalysis), corpus fingerprint table (Dedup incremental)
+      "j_bloom_prefilter", "a22_heavy_hitters",
+      "sim_ann_ivf", "sim_ann_lsh", "sim_cosine_fast",
+      "sim_ivf_nprobe_sweep", "sim_recall_report",
+      "dd_embedding_neardup",
+      "ta_bigram_lm", "ta_lm_quality_filter", "ta_tfidf_topk",
+      "dd_incremental_novel", "dd_incremental_neardup",
+      "etl_shuffle_shards")
+    val skip = (n: String) => n.startsWith("ev_stream_")
+    val current = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // spark.read.parquet runs one O(1) "parquet at ..." job per
+        // call to read a single footer for schema inference — metadata,
+        // not a scan; every constructor pays it and it is not a wart
+        val metadataOnly = js.stageInfos.nonEmpty &&
+          js.stageInfos.forall(_.name.startsWith("parquet at "))
+        if (!metadataOnly) current.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val ranJobs = scala.collection.mutable.SortedMap[String, Int]()
+    try {
+      for ((name, qd) <- SparkEntry.registry.toSeq.sortBy(_._1) if !skip(name)) {
+        org.apache.spark.GraftListenerHooks
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        current.set(0)
+        qd.fn(spark, smallSf)
+        org.apache.spark.GraftListenerHooks
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        if (current.get() > 0) ranJobs(name) = current.get()
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val offenders = ranJobs.keySet -- allowed
+    assert(offenders.isEmpty,
+      s"constructors ran Spark jobs outside the documented set: " +
+        offenders.map(n => s"$n(${ranJobs(n)})").mkString(", "))
+  }
+
   test("every testdata table honors the Tables schema contract in each sf dir") {
     for (dir <- sfDirs;
          tbl <- Seq("lineitem", "orders", "customer", "supplier", "part",
