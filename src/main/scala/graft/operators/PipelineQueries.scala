@@ -570,6 +570,91 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // IVF join at a DECLARED recall target (>= 0.9): the recall curve
+    // at nprobe 1..nlist vs the exact join, the smallest qualifying
+    // nprobe chosen IN-PLAN (broadcast 1-row pick, construction
+    // job-free), pairs returned with the chosen config and measured
+    // recall x1000 on every row. The oracle replays curve, pick, and
+    // final pairs — the auto-tuned dial is an oracle-checked number.
+    "sim_knn_join_recall90" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinIvfAtRecall(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3, IvfCentroids.pinned,
+            targetX100 = 90)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+         |    (a, b) -> a + b)) AS nrm FROM emb),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+         |qrank AS (
+         |  SELECT vec_id, cell, rn FROM (
+         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 = 0)),
+         |np(np) AS (VALUES (1), (2), (3), (4)),
+         |scored AS (
+         |  SELECT np.np, q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      j -> cv.v[j] * qv.v[j]), (a, b) -> a + b)
+         |      / (cv.nrm * qv.nrm) AS cosine
+         |  FROM np, qrank q
+         |  JOIN assign c ON c.cell = q.cell
+         |  JOIN n cv ON cv.vec_id = c.vec_id
+         |  JOIN n qv ON qv.vec_id = q.vec_id
+         |  WHERE q.rn <= np.np),
+         |ivfk AS (
+         |  SELECT np, query_id, corpus_id, cosine FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+         |      ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |scoredx AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+         |      / (c.nrm * q.nrm) AS cosine
+         |  FROM n c, n q
+         |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+         |exactk AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id DESC) AS rn
+         |    FROM scoredx) WHERE rn <= 3),
+         |nex AS (SELECT COUNT(*) AS n_exact FROM exactk),
+         |hits AS (
+         |  SELECT np, COUNT(*) AS hits
+         |  FROM ivfk JOIN exactk USING (query_id, corpus_id) GROUP BY np),
+         |chosen AS (
+         |  SELECT COALESCE(MIN(np), 4) AS np
+         |  FROM hits, nex WHERE hits * 100 >= 90 * n_exact)
+         |SELECT i.query_id, i.corpus_id, i.cosine,
+         |  CAST(i.np AS INT) AS nprobe,
+         |  CAST(h.hits * 1000 // nex.n_exact AS BIGINT) AS recall_x1000
+         |FROM ivfk i
+         |JOIN chosen ch ON i.np = ch.np
+         |JOIN hits h ON h.np = i.np, nex
+         |ORDER BY i.query_id, i.cosine DESC, i.corpus_id""".stripMargin),
+
     // Projection-prefilter rerank k-NN join (Similarity.knnJoinRerank)
     // — the compressed-domain pattern: shortlist by cosine in the
     // 16-dim JL space (the 4×-smaller table a 100 TB tier keeps hot),

@@ -283,6 +283,49 @@ object Similarity {
       Seq("cosine", "corpus_id"), descending = true, k)
   }
 
+  /** IVF k-NN join at a DECLARED recall target — the nprobe dial
+    * turned automatically instead of reported (`sim_recall_report`
+    * measures ~0.6 at nprobe=2; a user needs "give me ≥0.9", not a
+    * number to stare at). Computes the recall curve of [[knnJoinIvf]]
+    * at nprobe = 1..nlist against [[knnJoinExact]] on the same pairs,
+    * picks the SMALLEST nprobe whose measured recall reaches
+    * targetX100/100 (falling back to exhaustive nlist when none
+    * does), and returns the join pairs at that nprobe with the chosen
+    * config and its measured recall ×1000 (integer-exact) on every
+    * row. Fully lazy: curve, pick, and final pairs are ONE plan —
+    * the pick and denominators ride broadcast 1-row/nlist-row
+    * aggregates — so construction is job-free. At 100 TB the
+    * calibration half runs once on a query SAMPLE against the
+    * cell-partitioned corpus and the chosen nprobe is reused by the
+    * fleet; scoring all nlist curve points costs nlist × the probed
+    * fraction ≈ one exhaustive pass, paid at calibration time only.
+    */
+  def knnJoinIvfAtRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      targetX100: Int = 90): DataFrame = {
+    require(targetX100 >= 1 && targetX100 <= 100,
+      s"targetX100 in [1,100], got $targetX100")
+    val nlist = centroids.length
+    val exact = knnJoinExact(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    val exactN = exact.agg(count(lit(1)).as("_n_exact"))
+    val curve = (1 to nlist).map { np =>
+      knnJoinIvf(corpus, queries, idCol, vecCol, k, centroids, np)
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+    val hits = curve.join(exact, Seq("query_id", "corpus_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("_hits"))
+    val chosen = hits.crossJoin(broadcast(exactN))
+      .filter(col("_hits") * 100 >= lit(targetX100.toLong) * col("_n_exact"))
+      .agg(coalesce(min(col("nprobe")), lit(nlist)).as("_chosen"))
+    curve.join(broadcast(chosen), col("nprobe") === col("_chosen"))
+      .join(broadcast(hits), "nprobe")
+      .crossJoin(broadcast(exactN))
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("nprobe"),
+        expr("_hits * 1000 div _n_exact").as("recall_x1000"))
+  }
+
   /** Exact k-NN JOIN: for every query vector, the k nearest corpus
     * vectors by cosine. The query side broadcasts (retrieval-eval /
     * cross-corpus audit workloads have queries ≪ corpus); the corpus
