@@ -67,6 +67,132 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Full-measure Porter chain (steps 1a–5b) under the same RE2-safe
+    * dual-engine compilation as stemRules. Porter's measure conditions
+    * compile to prefix patterns: m>0 ⟺ the stem contains a
+    * vowel-then-consonant subsequence (`[a-z]*V C [a-z]*`), m>1 ⟺ it
+    * contains V C … V C (each V-run→C-run transition is one unit of
+    * measure, so a VC…VC subsequence is exactly m≥2). RE2 has no
+    * backreferences, so 1b's consonant undoubling is expanded to one
+    * rule per letter (all consonants except Porter's l/s/z
+    * exclusions), and 1b's e-restoration is fused into the removal
+    * rules (`…at|iz|bl + ed|ing → …e`) since a sequential chain cannot
+    * see "rule 2/3 fired". Declared deviations from reference Porter,
+    * frozen as this engine's semantic and pinned by StemmerSpec:
+    * (1) rules cascade — each rule sees the previous rule's output, so
+    * where Porter applies one suffix per step, this chain may apply
+    * several ("generalize" → "general" → "gener"; reference Porter
+    * stops at "general" yet itself maps "general" → "gener" — the
+    * cascade is Porter-to-fixpoint-per-word, strictly more
+    * normalizing, which is what search recall wants); (2) y is always
+    * a consonant in the vowel classes (Porter's position-dependent y
+    * needs lookaround); (3) 5a's (m=1 ∧ ¬*o) e-drop enumerates the
+    * ¬cvc stem shapes (ends-VV·C, ends-CC, ends-V, V·C, C·V·[wxy])
+    * rather than computing *o. Both engines run the IDENTICAL chain,
+    * so the oracle hash pins cross-engine parity by construction. */
+  private[graft] val stem2Rules: Seq[(String, String)] = {
+    val V = "[aeiou]"; val C = "[^aeiou]"
+    val m0 = s"[a-z]*$V$C[a-z]*"           // Porter measure > 0
+    val m1 = s"[a-z]*$V$C[a-z]*$V$C[a-z]*" // Porter measure > 1
+    val undouble = "bcdfghjkmnpqrtvwxy".map(ch =>
+      s"([a-z]*$V[a-z]*$ch)$ch(ed|ing)$$" -> "$1")
+    Seq(
+      // 1a — plurals
+      "sses$" -> "ss",
+      "ies$"  -> "i",
+      "([a-z]*[^s])s$" -> "$1",
+      // 1b — eed (m>0), then the fused remove+restore forms, then
+      // undoubling, then the plain vowel-stem removal
+      s"($m0)eed$$" -> "$1ee",
+      s"^($C*$V[^aeiouwxy])(ed|ing)$$" -> "$1e", // cvc short stem: hoping→hope
+      s"([a-z]*(at|iz))(ed|ing)$$" -> "$1e",     // conflated→conflate, sized→size
+      s"([a-z]*$V[a-z]*bl)(ed|ing)$$" -> "$1e"   // troubled→trouble
+    ) ++ undouble ++ Seq(
+      s"([a-z]*$V[a-z]*)ing$$" -> "$1",
+      // [^e] keeps eed-words out: Porter's longest-suffix scan sends
+      // them to the eed rule alone (feed stays feed when m=0)
+      s"([a-z]*$V[a-z]*[^e])ed$$" -> "$1",
+      // 1c — y→i after a vowel-bearing stem
+      s"([a-z]*$V[a-z]*)y$$" -> "$1i",
+      // 2 (m>0) — longest suffixes first so e.g. ization beats ation
+      s"($m0)ization$$" -> "$1ize",
+      s"($m0)ational$$" -> "$1ate",
+      s"($m0)tional$$"  -> "$1tion",
+      s"($m0)iveness$$" -> "$1ive",
+      s"($m0)fulness$$" -> "$1ful",
+      s"($m0)ousness$$" -> "$1ous",
+      s"($m0)biliti$$"  -> "$1ble",
+      s"($m0)iviti$$"   -> "$1ive",
+      s"($m0)aliti$$"   -> "$1al",
+      s"($m0)ousli$$"   -> "$1ous",
+      s"($m0)entli$$"   -> "$1ent",
+      s"($m0)alli$$"    -> "$1al",
+      s"($m0)abli$$"    -> "$1able",
+      s"($m0)ation$$"   -> "$1ate",
+      s"($m0)ator$$"    -> "$1ate",
+      s"($m0)alism$$"   -> "$1al",
+      s"($m0)izer$$"    -> "$1ize",
+      s"($m0)enci$$"    -> "$1ence",
+      s"($m0)anci$$"    -> "$1ance",
+      s"($m0)eli$$"     -> "$1e",
+      // 3 (m>0)
+      s"($m0)icate$$" -> "$1ic",
+      s"($m0)ative$$" -> "$1",
+      s"($m0)alize$$" -> "$1al",
+      s"($m0)iciti$$" -> "$1ic",
+      s"($m0)ical$$"  -> "$1ic",
+      s"($m0)ful$$"   -> "$1",
+      s"($m0)ness$$"  -> "$1",
+      // 4 (m>1) — ion's trailing s/t may itself be the second measure
+      // consonant, so its prefix relaxes the second C to the [st]
+      s"($m1)ement$$" -> "$1",
+      s"($m1)ance$$"  -> "$1",
+      s"($m1)ence$$"  -> "$1",
+      s"($m1)able$$"  -> "$1",
+      s"($m1)ible$$"  -> "$1",
+      s"($m1)ment$$"  -> "$1",
+      s"($m1)ent$$"   -> "$1",
+      s"($m1)ant$$"   -> "$1",
+      s"([a-z]*$V$C[a-z]*$V[a-z]*[st])ion$$" -> "$1",
+      s"($m1)ism$$"   -> "$1",
+      s"($m1)ate$$"   -> "$1",
+      s"($m1)iti$$"   -> "$1",
+      s"($m1)ous$$"   -> "$1",
+      s"($m1)ive$$"   -> "$1",
+      s"($m1)ize$$"   -> "$1",
+      s"($m1)ou$$"    -> "$1",
+      s"($m1)al$$"    -> "$1",
+      s"($m1)er$$"    -> "$1",
+      s"($m1)ic$$"    -> "$1",
+      // 5a — (m>1) e-drop, then the (m=1 ∧ ¬*o) shapes
+      s"($m1)e$$" -> "$1",
+      s"^($C*$V+$C$C+)e$$" -> "$1",  // ends ≥2 consonants: cease→ceas
+      s"^($C*$V+$C+$V+)e$$" -> "$1", // stem ends in a vowel run
+      s"^($V+$C)e$$"        -> "$1", // use→us, ice→ic
+      s"^($C*$V$V+$C)e$$"   -> "$1", // heate→heat (VVC is not cvc)
+      s"^($C+$V[wxy])e$$"   -> "$1", // cvc whose last c is w/x/y is ¬*o
+      // 5b — (m>1) ll→l; the first l may be the second measure consonant
+      s"([a-z]*$V$C[a-z]*$V[a-z]*l)l$$" -> "$1")
+  }
+
+  private[graft] def stem2Col(c: org.apache.spark.sql.Column) =
+    stem2Rules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  private def stem2Sql(inner: String): String =
+    stem2Rules.foldLeft(inner) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '${r.replace("$", "\\")}')" }
+
+  private[graft] def stem2String(w: String): String =
+    stem2Rules.foldLeft(w) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+
+  /** The classic public-domain English stopword list (the Lucene
+    * StandardAnalyzer 33) — the fuller list the stem2 variant drops
+    * before stemming, vs the frozen 6-word subset above. */
+  private[graft] val stopwords2 = Seq("a", "an", "and", "are", "as", "at",
+    "be", "but", "by", "for", "if", "in", "into", "is", "it", "no", "not",
+    "of", "on", "or", "such", "that", "the", "their", "then", "there",
+    "these", "they", "this", "to", "was", "will", "with")
+
   val registry: Map[String, QueryDef] = Map(
 
     // SURVEY §2.9: declared text-search semantics — tokenize on
@@ -259,6 +385,50 @@ object TextQueries {
            |    list_filter(string_split_regex(lower(text), '\\s+'),
            |      x -> x NOT IN ($stopSql)),
            |    x -> ${stemSql("x")}) AS st
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(list_filter(st, x -> x IN ($termsSql))) AS score
+           |FROM t
+           |WHERE len(list_filter(st, x -> x IN ($termsSql))) > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // Full-measure Porter search — the stem chain above upgraded with
+    // Porter's measure-conditioned steps 2–5 (stem2Rules) and the full
+    // 33-word English stopword list, closing the remaining declared
+    // gap to real Mongo $text stemming (reference:
+    // database/fix_schema.py:142-148 declares the text index;
+    // query_examples.py:227-244 consumes it). Same one-pass scan
+    // shape; derivational variants now converge ("optimization",
+    // "optimizing", "optimizer" → one stem) where the lite chain only
+    // folded inflections. Query terms go through the identical JVM
+    // chain at plan build (stem2String), so term/document processing
+    // parity holds by construction; the oracle runs the same 70-rule
+    // chain compiled to DuckDB regexp_replace.
+    "t9_text_search_stem2" -> QueryDef(
+      (s, d) => {
+        val terms =
+          Seq("optimization", "query", "joined").map(stem2String).distinct
+        val toks = split(lower(col("text")), "\\s+")
+        val stems = transform(
+          filter(toks, x => !x.isin(stopwords2: _*)), x => stem2Col(x))
+        val score = size(filter(stems, x => x.isin(terms: _*)))
+          .cast("long")
+        T.documents(s, d)
+          .select(col("doc_id"), score.as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      {
+        val termsSql = Seq("optimization", "query", "joined")
+          .map(stem2String).distinct.map(t => s"'$t'").mkString(", ")
+        val stopSql = stopwords2.map(t => s"'$t'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_transform(
+           |    list_filter(string_split_regex(lower(text), '\\s+'),
+           |      x -> x NOT IN ($stopSql)),
+           |    x -> ${stem2Sql("x")}) AS st
            |  FROM documents)
            |SELECT doc_id,
            |  len(list_filter(st, x -> x IN ($termsSql))) AS score
