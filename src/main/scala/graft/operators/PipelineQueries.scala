@@ -1510,6 +1510,155 @@ object PipelineQueries {
         |FROM sc
         |ORDER BY bits_per_bigram_x1e3 DESC, doc_id LIMIT 100""".stripMargin),
 
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1, the heuristic
+    // gate every web corpus passes before model-based filtering; the
+    // FineWeb pipeline keeps the same rule family). Five rules, all in
+    // EXACT integer arithmetic (ratio thresholds cleared by
+    // cross-multiplication — no float division in any compared cell):
+    // word count in [50, 100k], mean word length in [3, 10] chars
+    // (sum_len vs 3n/10n), >=80% words containing an alphabetic char
+    // (5·n_alpha >= 4·n), <=10% symbol-soup words ('#' or '...'),
+    // and >=2 distinct hits from an 8-word English stopword set.
+    // Reported per language as per-rule fail counts plus the all-rules
+    // pass count — the profile a corpus owner reads before committing
+    // thresholds. Scale shape: one narrow map over the corpus (all
+    // rule inputs are per-row array folds, no explode) into a
+    // lang-keyed partial agg — a single shuffle of ~|langs| rows.
+    "ta_gopher_filter" -> QueryDef(
+      (s, d) => TextClassify.gopherCensus(T.documents(s, d)),
+      """WITH t AS (
+        |  SELECT lang, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, CAST(len(w) AS BIGINT) AS n,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(w,
+        |      x -> contains(x, '#') OR contains(x, '...')))
+        |      AS BIGINT) AS n_sym,
+        |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT (n >= 50 AND n <= 100000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        |  CAST(SUM(CASE WHEN NOT (sum_len >= n * 3 AND sum_len <= n * 10)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(SUM(CASE WHEN NOT (n_alpha * 5 >= n * 4)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_ratio,
+        |  CAST(SUM(CASE WHEN NOT (n_sym * 10 <= n)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+        |  CAST(SUM(CASE WHEN NOT (stop_hits >= 2)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+        |  CAST(SUM(CASE WHEN n >= 50 AND n <= 100000
+        |      AND sum_len >= n * 3 AND sum_len <= n * 10
+        |      AND n_alpha * 5 >= n * 4 AND n_sym * 10 <= n
+        |      AND stop_hits >= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Distributed Naive Bayes text classifier (the fastText-style
+    // model-based quality/language gate — the GPT-3 and CCNet
+    // pipelines both train exactly this shape on a reference corpus
+    // and score the crawl with it). Train on the even-id half
+    // (label: lang = 'en'): per-token class counts are ONE
+    // token-keyed partial-agg shuffle collapsing the corpus to a
+    // vocab-bounded (token, n1, n0) table, localCheckpointed because
+    // both the totals aggregate and the scoring join consume it.
+    // Score the odd-id half: tokens LEFT-join the count table on the
+    // token key, Laplace-smoothed per-token cost in INTEGRAL bits
+    // (floor(log2((N_c+V) div (n+1))) via length(bin(x))-1 — no libm
+    // in any compared cell), per-doc partial agg, class priors as
+    // floor-log2 bits from the broadcast 1-row doc census, argmin
+    // class (ties → negative). Output: the confusion-matrix census.
+    // NOTE the synthetic corpus shares one 31-token vocab across all
+    // langs, so the measured accuracy is prior-dominated — the fixture
+    // has no lexical signal; what the oracle pins is the distributed
+    // train/score machinery and its exact arithmetic. Scale shape:
+    // nothing grows with the train corpus at fixed vocab; scoring is
+    // linear in eval tokens with a vocab-bounded build side.
+    // Assumes both classes occur in the train half (the div-by-d1
+    // prior is undefined otherwise — a one-class corpus needs no
+    // classifier).
+    "ta_nb_classifier" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        val tok = docs
+          .select(col("doc_id"), col("y"), explode(col("t")).as("token"))
+          .filter(col("token") =!= "")
+        val counts = TextClassify.nbTrainCounts(
+          tok.filter(col("doc_id") % 2 === 0))
+        val priors = docs.filter(col("doc_id") % 2 === 0)
+          .agg(sum("y").as("d1"), sum(lit(1) - col("y")).as("d0"))
+        TextClassify.confusionCensus(TextClassify.nbPredict(
+          tok.filter(col("doc_id") % 2 === 1), counts, priors))
+      },
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, y, token FROM (
+        |    SELECT doc_id, y, unnest(t) AS token FROM docs)
+        |  WHERE token <> ''),
+        |counts AS (
+        |  SELECT token, CAST(SUM(y) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n0
+        |  FROM tk WHERE doc_id % 2 = 0 GROUP BY token),
+        |totals AS (
+        |  SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+        |    CAST(SUM(n0) AS BIGINT) AS tn0, COUNT(*) AS v
+        |  FROM counts),
+        |priors AS (
+        |  SELECT CAST(SUM(y) AS BIGINT) AS d1,
+        |    CAST(SUM(1 - y) AS BIGINT) AS d0
+        |  FROM docs WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT t.doc_id, t.y,
+        |    length(bin((tt.tn1 + tt.v) // (COALESCE(c.n1, 0) + 1))) - 1
+        |      AS b1,
+        |    length(bin((tt.tn0 + tt.v) // (COALESCE(c.n0, 0) + 1))) - 1
+        |      AS b0
+        |  FROM tk t LEFT JOIN counts c USING (token) CROSS JOIN totals tt
+        |  WHERE t.doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT doc_id, y, CAST(SUM(b1) AS BIGINT) AS bits1,
+        |    CAST(SUM(b0) AS BIGINT) AS bits0
+        |  FROM b GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT y,
+        |    CASE WHEN bits1 + (length(bin((p.d1 + p.d0) // p.d1)) - 1)
+        |            < bits0 + (length(bin((p.d1 + p.d0) // p.d0)) - 1)
+        |      THEN 1 ELSE 0 END AS pred
+        |  FROM sc CROSS JOIN priors p)
+        |SELECT
+        |  CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tn,
+        |  COUNT(*) AS n_eval,
+        |  CAST((SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END))
+        |      * 10000 // COUNT(*) AS BIGINT) AS accuracy_x1e4
+        |FROM pred""".stripMargin),
+
     // TF-IDF top-k terms per document, with an INTEGRAL idf: score =
     // tf · floor(log2(n_docs div df)). floor(log2 x) is exact integer
     // arithmetic in both engines (length(bin(x)) - 1 — no libm), so

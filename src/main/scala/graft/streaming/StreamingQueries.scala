@@ -579,6 +579,97 @@ object StreamingQueries {
         |  CAST(SUM(version) AS BIGINT) AS version_checksum
         |FROM dim GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Streaming LM-perplexity quality filter — the CCNet pattern as a
+    // STANDING corpus gate: the reference bigram table is trained ONCE
+    // batch-side (even-id half, localCheckpointed — at 100 TB this is
+    // the periodically-retrained reference model every scoring batch
+    // shares), then each micro-batch of arriving documents is scored
+    // STATELESSLY in foreachBatch (a document's bigrams live entirely
+    // inside its own row, so per-doc totals never span batches — no
+    // streaming state at all, the property that makes this form scale:
+    // state is zero regardless of stream history) and the verdicts
+    // append to a parquet sink. The final census is order-free
+    // (counts/sums over the sink), so it equals the batch
+    // ta_lm_quality_filter arithmetic under ANY micro-batch split —
+    // which is exactly what the oracle recomputes.
+    "ev_stream_lm_filter" -> QueryDef(
+      (s, d) => {
+        val out = new java.io.File("target/stream_lm/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        import graft.operators.{LmScore, TextAnalysis}
+        def toks(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val lm = LmScore.trainBigramTable(LmScore.bigrams(
+          toks(T.documents(s, d)).filter(col("doc_id") % 2 === 0)))
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+          .filter(col("doc_id") % 2 === 1)
+        val q = stream.writeStream.queryName("graft_stream_lm")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              LmScore.scoreDocs(LmScore.bigrams(toks(batch)), lm)
+                .withColumn("bits_per_bigram_x1e3",
+                  expr("total_bits * 1000 div n_bigrams"))
+                .withColumn("kept",
+                  (col("bits_per_bigram_x1e3") < 12000).cast("int"))
+                .write.mode("append").parquet(s"$out/scored")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/scored")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            sum(col("n_bigrams")).as("sum_bigrams"),
+            sum(col("total_bits")).as("sum_bits"),
+            sum(col("doc_id") * col("kept")).as("kept_id_checksum"))
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |    FROM d0 WHERE len(t) >= 2)
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |n AS (
+        |  SELECT w1, w2, COUNT(*) AS n
+        |  FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |lm AS (
+        |  SELECT w1, w2, n,
+        |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM n),
+        |costs AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN lm.n IS NULL THEN 20
+        |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
+        |  FROM bg LEFT JOIN lm USING (w1, w2)
+        |  WHERE bg.doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(bits) AS BIGINT) AS total_bits
+        |  FROM costs GROUP BY 1),
+        |v AS (
+        |  SELECT doc_id, n_bigrams, total_bits,
+        |    CASE WHEN total_bits * 1000 // n_bigrams < 12000
+        |      THEN 1 ELSE 0 END AS kept
+        |  FROM sc)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  CAST(SUM(total_bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(doc_id * kept) AS BIGINT) AS kept_id_checksum
+        |FROM v""".stripMargin),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids

@@ -98,6 +98,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
       "sim_ivf_nprobe_sweep", "sim_recall_report",
       "dd_embedding_neardup",
       "ta_bigram_lm", "ta_lm_quality_filter", "ta_tfidf_topk",
+      // NB count-table checkpoint (PipelineQueries ta_nb_classifier)
+      "ta_nb_classifier",
       "dd_incremental_novel", "dd_incremental_neardup",
       "etl_shuffle_shards")
     val skip = (n: String) => n.startsWith("ev_stream_")
