@@ -125,8 +125,15 @@ object Dedup {
     * so they all route through here.
     */
   private def bandHashExpr(sig: Column, b: Column, rows: Column): Column =
-    xxhash64(concat_ws("_", b.cast("string"),
-      array_join(slice(sig, b * rows + 1, rows), "_")))
+    // explicit null arm: concat_ws SKIPS null args, so without it a
+    // NULL signature (null doc text) hashes to xxhash64(bandIndex) —
+    // the same value for every null doc, silently bucketing all null
+    // docs together as mutual duplicate candidates. A null band hash
+    // instead drops out of the band equi-join: null docs pair with
+    // nothing.
+    when(sig.isNull, lit(null).cast("long"))
+      .otherwise(xxhash64(concat_ws("_", b.cast("string"),
+        array_join(slice(sig, b * rows + 1, rows), "_"))))
 
   /** MinHash signature: array of k minimums of permuted shingle hashes
     * over the hashed shingles — one scan, no shuffle, no UDF. The hot
@@ -192,8 +199,14 @@ object Dedup {
     // the failure class minhashCandidatePairs rejects statically. The
     // signature length is only known per-row here, so the guard is a
     // per-row expression (size + mod, negligible next to the hash).
+    // A NULL signature (null doc text null-propagated through the
+    // hash) must pass THROUGH, not abort: the when-condition is NULL
+    // for it, so without the isNull arm the otherwise branch would
+    // raise_error with a null-propagated (null!) message on a row
+    // that is data, not a config error.
     val rows = when(
-        size(sig) >= lit(bands) && size(sig) % lit(bands) === 0,
+        sig.isNull ||
+          (size(sig) >= lit(bands) && size(sig) % lit(bands) === 0),
         size(sig) / bands)
       .otherwise(raise_error(concat(
         lit(s"lshBands: bands ($bands) must divide signature length "),

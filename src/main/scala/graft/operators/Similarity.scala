@@ -292,13 +292,17 @@ object Similarity {
     * targetX100/100 (falling back to exhaustive nlist when none
     * does), and returns the join pairs at that nprobe with the chosen
     * config and its measured recall ×1000 (integer-exact) on every
-    * row. Fully lazy: curve, pick, and final pairs are ONE plan —
-    * the pick and denominators ride broadcast 1-row/nlist-row
-    * aggregates — so construction is job-free. At 100 TB the
-    * calibration half runs once on a query SAMPLE against the
-    * cell-partitioned corpus and the chosen nprobe is reused by the
-    * fleet; scoring all nlist curve points costs nlist × the probed
-    * fraction ≈ one exhaustive pass, paid at calibration time only.
+    * row. The exact pairs and the curve each feed TWO consumers (the
+    * hit/pick aggregates and the returned pairs), and both are already
+    * top-k-reduced to ≤ |queries|·k·(nlist+1) rows — so they are
+    * localCheckpointed: the expensive sweep joins run ONCE and the
+    * pick reads the bounded artifact, instead of a lazy single plan
+    * that would re-execute the whole sweep for each consumer (~2× the
+    * calibration cost). At 100 TB the calibration half runs once on a
+    * query SAMPLE against the cell-partitioned corpus and the chosen
+    * nprobe is reused by the fleet; scoring all nlist curve points
+    * costs nlist × the probed fraction ≈ one exhaustive pass, paid at
+    * calibration time only.
     */
   def knnJoinIvfAtRecall(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, centroids: Seq[Seq[Double]],
@@ -308,11 +312,13 @@ object Similarity {
     val nlist = centroids.length
     val exact = knnJoinExact(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint()
     val exactN = exact.agg(count(lit(1)).as("_n_exact"))
     val curve = (1 to nlist).map { np =>
       knnJoinIvf(corpus, queries, idCol, vecCol, k, centroids, np)
         .withColumn("nprobe", lit(np))
     }.reduce(_ unionByName _)
+      .localCheckpoint()
     val hits = curve.join(exact, Seq("query_id", "corpus_id"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("_hits"))
     val chosen = hits.crossJoin(broadcast(exactN))

@@ -605,6 +605,15 @@ object StreamingQueries {
           .filter(size(col("t")) >= 2)
         val lm = LmScore.trainBigramTable(LmScore.bigrams(
           toks(T.documents(s, d)).filter(col("doc_id") % 2 === 0)))
+        // seed the sink with a ZERO-ROW frame of the scored schema so
+        // the post-drain read works even when every micro-batch is
+        // empty (all-even-id or empty corpus): the census then returns
+        // n_docs=0 with NULL sums — exactly what the oracle computes.
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, n_bigrams BIGINT, total_bits BIGINT, " +
+                "bits_per_bigram_x1e3 BIGINT, kept INT"))
+          .write.mode("overwrite").parquet(s"$out/scored")
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
         val stream = s.readStream.schema(fileSchema)
           .parquet(d + "/documents.parque*")

@@ -53,6 +53,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       16L * corpus.count())
   }
 
+  test("lshBands passes NULL signatures through instead of aborting") {
+    // a NULL text null-propagates through minhashSignature; the
+    // divisibility guard must treat that as data (null band hashes),
+    // not raise a config error with a null-propagated message
+    val withNull = corpus.union(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val sigs = withNull.select($"doc_id",
+      Dedup.minhashSignature($"text", numHashes = 64).as("sig"))
+    val rows = Dedup.lshBands(sigs, "doc_id", "sig", bands = 16)
+    assert(rows.count() === 16L * (corpus.count() + 1))
+    assert(rows.filter($"doc_id" === 99L && $"band_hash".isNull)
+      .count() === 16L)
+  }
+
   test("removeDupSpans cuts cross-doc duplicated 8-gram spans and nothing else") {
     val boiler = "one two three four five six seven eight" // exactly 8 words
     val docs = Seq(

@@ -96,6 +96,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
       "j_bloom_prefilter", "a22_heavy_hitters",
       "sim_ann_ivf", "sim_ann_lsh", "sim_cosine_fast",
       "sim_ivf_nprobe_sweep", "sim_recall_report",
+      // recall-curve + exact-pair checkpoint: bounded queries×k×nlist
+      // artifacts each read twice (Similarity.knnJoinIvfAtRecall)
+      "sim_knn_join_recall90",
       "dd_embedding_neardup",
       "ta_bigram_lm", "ta_lm_quality_filter", "ta_tfidf_topk",
       // NB count-table checkpoint (PipelineQueries ta_nb_classifier)
