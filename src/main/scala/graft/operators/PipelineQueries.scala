@@ -1510,6 +1510,113 @@ object PipelineQueries {
         |FROM sc
         |ORDER BY bits_per_bigram_x1e3 DESC, doc_id LIMIT 100""".stripMargin),
 
+    // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    // §4.3 — the production form of the LM filter: the corpus is cut
+    // at the perplexity TERCILES, not a fixed threshold, so the gate
+    // self-calibrates to the corpus). Scale-right boundary
+    // computation: a global ntile would funnel every scored doc
+    // through ONE sorted partition; instead the scored frame
+    // partial-aggregates into a bits-per-bigram histogram (the
+    // domain is integral and bounded — ≤ oovBits·1000 distinct cells),
+    // boundaries come from a cumulative sum over that tiny table, and
+    // bucket assignment is a broadcast-join comparison at scan speed.
+    // Boundary rule, integer-exact: b1 = smallest bpb with cum ≥
+    // ceil(n/3), b2 = smallest with cum ≥ ceil(2n/3); bucket = head
+    // (best) if bpb ≤ b1, tail if > b2. Ties land whole bpb cells in
+    // one bucket — deterministic, and exactly what the oracle replays.
+    "ta_lm_terciles" -> QueryDef(
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val lm = LmScore.trainBigramTable(
+          LmScore.bigrams(docs.filter(col("doc_id") % 2 === 0)))
+        val scored = LmScore.scoreDocs(
+            LmScore.bigrams(docs.filter(col("doc_id") % 2 === 1)), lm)
+          .withColumn("bpb", expr("total_bits * 1000 div n_bigrams"))
+        // two-pass by design: pass 1 reduces the scored frame to the
+        // bounded histogram (checkpointed — bounds and total both read
+        // it), pass 2 re-scores for the assignment. The single-
+        // partition cum window runs over the TINY histogram only.
+        val hist = scored.groupBy(col("bpb"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.orderBy(col("bpb"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .localCheckpoint()
+        val n = hist.agg(max(col("cum")).as("n_total"))
+        val bounds = hist.crossJoin(broadcast(n)).agg(
+          min(when(col("cum") * 3 >= col("n_total"), col("bpb")))
+            .as("b1"),
+          min(when(col("cum") * 3 >= col("n_total") * 2, col("bpb")))
+            .as("b2"))
+        scored.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when(col("bpb") <= col("b1"), "head")
+              .when(col("bpb") <= col("b2"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("bpb")).as("min_bpb"), max(col("bpb")).as("max_bpb"),
+            sum(col("total_bits")).as("sum_bits"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("bucket"))
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        |    FROM d0 WHERE len(t) >= 2)
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |n AS (
+        |  SELECT w1, w2, COUNT(*) AS n
+        |  FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |lm AS (
+        |  SELECT w1, w2, n,
+        |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM n),
+        |costs AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN lm.n IS NULL THEN 20
+        |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
+        |  FROM bg LEFT JOIN lm USING (w1, w2)
+        |  WHERE bg.doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(bits) AS BIGINT) AS total_bits
+        |  FROM costs GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, total_bits,
+        |    total_bits * 1000 // n_bigrams AS bpb
+        |  FROM sc),
+        |hist AS (
+        |  SELECT bpb, COUNT(*) AS cnt FROM scored GROUP BY bpb),
+        |cum AS (
+        |  SELECT bpb, SUM(cnt) OVER (ORDER BY bpb
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |nn AS (SELECT COUNT(*) AS n_total FROM scored),
+        |bounds AS (
+        |  SELECT MIN(CASE WHEN cum * 3 >= n_total THEN bpb END) AS b1,
+        |    MIN(CASE WHEN cum * 3 >= n_total * 2 THEN bpb END) AS b2
+        |  FROM cum, nn),
+        |lab AS (
+        |  SELECT s.doc_id, s.total_bits, s.bpb,
+        |    CASE WHEN s.bpb <= b.b1 THEN 'head'
+        |         WHEN s.bpb <= b.b2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scored s CROSS JOIN bounds b)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(MIN(bpb) AS BIGINT) AS min_bpb,
+        |  CAST(MAX(bpb) AS BIGINT) AS max_bpb,
+        |  CAST(SUM(total_bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     // Gopher-style rule filter (Rae et al. 2021 §A1.1, the heuristic
     // gate every web corpus passes before model-based filtering; the
     // FineWeb pipeline keeps the same rule family). Five rules, all in

@@ -413,6 +413,36 @@ object ScaleProbe {
       (nScored, (System.nanoTime() - t1) / 1e9)
     }
 
+    // NB classifier probe (ta_nb_classifier): the same claim as the
+    // LM probe for the classifier gate — the trained count table must
+    // stay FLAT at the vocab bound as the corpus replicates (map-side
+    // partial agg absorbs the growth before the one token-keyed
+    // shuffle), with scoring cost linear in eval tokens only. The
+    // label here is doc_id-derived (replicas carry no lang column);
+    // the label source is irrelevant to the cost shape being measured.
+    var lastNbVocab = -1L
+    def runNbAt(factor: Int): (Long, Double) = {
+      import graft.operators.TextClassify
+      val docs = replicate(factor, perturbText = false)
+        .select(col("doc_id"),
+          (col("doc_id") % 3 === 0).cast("int").as("y"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+      val tok = docs
+        .select(col("doc_id"), col("y"), explode(col("t")).as("token"))
+        .filter(col("token") =!= "")
+      val t0 = System.nanoTime()
+      val counts = TextClassify.nbTrainCounts(
+        tok.filter(col("doc_id") % 2 === 0))
+      lastNbVocab = counts.count()
+      lastTrainSec = (System.nanoTime() - t0) / 1e9
+      val priors = docs.filter(col("doc_id") % 2 === 0)
+        .agg(sum(col("y")).as("d1"), sum(lit(1) - col("y")).as("d0"))
+      val t1 = System.nanoTime()
+      val n = TextClassify.nbPredict(
+        tok.filter(col("doc_id") % 2 === 1), counts, priors).count()
+      (n, (System.nanoTime() - t1) / 1e9)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -445,6 +475,7 @@ object ScaleProbe {
       case "pagerank"  => runPagerankAt
       case "rolling"   => runRollingAt
       case "lm"        => runLmAt
+      case "nb"        => runNbAt
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -462,6 +493,7 @@ object ScaleProbe {
       case "pagerank"  => "pg_pagerank"
       case "rolling"   => "ev_rolling_mau"
       case "lm"        => "ta_lm_quality_filter"
+      case "nb"        => "ta_nb_classifier"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -474,7 +506,7 @@ object ScaleProbe {
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
       case "rolling"   => "days"
-      case "lm"        => "scored_docs"
+      case "lm" | "nb" => "scored_docs"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -494,6 +526,8 @@ object ScaleProbe {
           f""","sec_exact":$lastExactSec%.2f,"sketch_shuffle_rows":$lastRegRows%d,"exact_shuffle_rows":$lastPairRows%d"""
         else if (probe == "lm")
           f""","sec_train":$lastTrainSec%.2f,"lm_table_rows":$lastLmRows%d"""
+        else if (probe == "nb")
+          f""","sec_train":$lastTrainSec%.2f,"nb_vocab_rows":$lastNbVocab%d"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""
         else ""

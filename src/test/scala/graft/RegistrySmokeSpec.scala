@@ -103,6 +103,12 @@ class RegistrySmokeSpec extends AnyFunSuite {
       "ta_bigram_lm", "ta_lm_quality_filter", "ta_tfidf_topk",
       // NB count-table checkpoint (PipelineQueries ta_nb_classifier)
       "ta_nb_classifier",
+      // LM table + bpb-histogram checkpoints (ta_lm_terciles two-pass)
+      "ta_lm_terciles",
+      // stem-dictionary checkpoints: the vocab barrier stops Catalyst
+      // pushing the 70-regex stem filter below the distinct and
+      // inferring it onto the probe side (TextQueries stem2 scaladoc)
+      "t9_text_search_stem2",
       "dd_incremental_novel", "dd_incremental_neardup",
       "etl_shuffle_shards")
     val skip = (n: String) => n.startsWith("ev_stream_")
