@@ -48,6 +48,19 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("LessThan(l_quantity"), p.take(800))
   }
 
+  test("stem2 search executes regex-free (dictionary INSET, not the chain)") {
+    // The 70-rule Porter chain must touch only the collected vocab
+    // dictionary at plan BUILD; the executed plan is an INSET probe.
+    // Regression guard for the r11 pushdown trap (BENCH_NOTES): both
+    // the distinct-pushdown and the constraint re-inference failure
+    // modes would put regexp_replace back into this plan string.
+    val p = plan("t9_text_search_stem2")
+    assert(!p.contains("regexp_replace"),
+      "stem chain leaked into the executed plan")
+    assert(p.contains("INSET") || p.contains(" IN ("),
+      "dictionary INSET filter missing: " + p.take(800))
+  }
+
   test("projection prunes the scan schema to selected columns") {
     val p = plan("s4_scan_projection")
     assert(p.contains("ReadSchema"))
