@@ -434,15 +434,19 @@ object TextQueries {
         val terms =
           Seq("optimization", "query", "joined").map(stem2String).distinct
         val toks = split(lower(col("text")), "\\s+")
-        val tokensEx = T.documents(s, d)
+        val tokens = T.documents(s, d)
           .select(col("doc_id"), explode(toks).as("tok"))
-          .filter(!col("tok").isin(stopwords2: _*))
-        val vocab = tokensEx.select(col("tok")).distinct().localCheckpoint()
+        // stopwords are dropped on the VOCAB branch only: matched is a
+        // subset of the stopword-filtered vocab, so re-probing the
+        // 33-word set per token occurrence on the scoring scan would
+        // be a redundant second INSET
+        val vocab = tokens.filter(!col("tok").isin(stopwords2: _*))
+          .select(col("tok")).distinct().localCheckpoint()
         val matched: Seq[String] = vocab
           .withColumn("stem", stem2Col(col("tok")))
           .filter(col("stem").isin(terms: _*))
           .collect().map(_.getString(0)).toSeq
-        tokensEx.filter(col("tok").isin(matched: _*))
+        tokens.filter(col("tok").isin(matched: _*))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("score"))
           .orderBy(col("score").desc, col("doc_id"))

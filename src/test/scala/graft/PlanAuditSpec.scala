@@ -57,8 +57,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("t9_text_search_stem2")
     assert(!p.contains("regexp_replace"),
       "stem chain leaked into the executed plan")
-    assert(p.contains("INSET") || p.contains(" IN ("),
-      "dictionary INSET filter missing: " + p.take(800))
+    // the dictionary filter itself, not just any INSET: 'query' stems
+    // to a query term so it is always in the matched set on this
+    // fixture, and it appears in NO other predicate (the stopword
+    // list has no 'query'; \b keeps 'Subquery' from matching)
+    assert("""(INSET|IN \()[^\n]*\bquery\b""".r.findFirstIn(p).isDefined,
+      "dictionary INSET filter with matched tokens missing: " +
+        p.take(800))
   }
 
   test("projection prunes the scan schema to selected columns") {
@@ -248,13 +253,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // Anti-regression sweep over the WHOLE registry: as queries are
     // added, none may silently plan an all-pairs join. Plans are
     // inspected un-executed (join strategy is decided before AQE), so
-    // the sweep stays cheap; the streaming family is excluded because
-    // constructing its frames drains a real stream. Caveat to
-    // "un-executed": the sink/merge roundtrips write during
-    // construction (the write IS the operator under test); the sweep
-    // still audits their RETURNED frames without executing them. The
-    // exact set of job-running constructors is pinned by
-    // RegistrySmokeSpec's construction-job audit.
+    // the RETURNED frames cost nothing to audit; the streaming family
+    // is excluded because constructing its frames drains a real
+    // stream. Caveat: construction itself is NOT free for every entry
+    // — the sink/merge roundtrips write during construction (the
+    // write IS the operator under test), and the checkpointing
+    // constructors (calibration artifacts, dictionaries, fixpoints)
+    // run real jobs at build time. The exact set of job-running
+    // constructors is pinned by RegistrySmokeSpec's construction-job
+    // audit; this sweep's own cost is dominated by them, not by the
+    // plan inspection.
     val skip = (n: String) => n.startsWith("ev_stream_")
     for ((name, qd) <- SparkEntry.registry.toSeq.sortBy(_._1) if !skip(name)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
