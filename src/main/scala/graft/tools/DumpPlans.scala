@@ -115,7 +115,25 @@ object DumpPlans {
     "a18_cube" ->
       ("All four grouping sets computed in ONE Expand + partial-agg " +
         "shuffle — a hand-unioned cube would rescan the fact table " +
-        "per grouping set."))
+        "per grouping set."),
+    "t9_text_search_stem2" ->
+      ("Dictionary-applied Porter search: the 70-regex chain ran at " +
+        "plan build over the distinct vocab only; the EXECUTED plan " +
+        "is a regex-free INSET probe + per-doc agg (the pushdown " +
+        "trap and its fix are in BENCH_NOTES; the regex-free " +
+        "property is pinned by PlanAuditSpec)."),
+    "ta_nb_classifier" ->
+      ("Naive Bayes gate: token-keyed partial-agg train collapses " +
+        "the corpus to a vocab-bounded checkpointed count table; " +
+        "scoring is one token-keyed LEFT join + per-doc partial agg " +
+        "with broadcast 1-row totals/priors — nothing grows with the " +
+        "train corpus at fixed vocab (ScaleProbe nb: table flat at " +
+        "the vocab bound from 1x to 10x)."),
+    "ta_lm_terciles" ->
+      ("CCNet tercile cut: boundaries from a cumulative sum over the " +
+        "BOUNDED integral bits-per-bigram histogram (checkpointed), " +
+        "assignment as a broadcast comparison at scan speed — never " +
+        "a global-sort ntile over scored docs."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
