@@ -1635,7 +1635,7 @@ object PipelineQueries {
       (s, d) => TextClassify.gopherCensus(T.documents(s, d)),
       """WITH t AS (
         |  SELECT lang, list_filter(
-        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    COALESCE(string_split_regex(trim(lower(text)), '\s+'), []),
         |    x -> x <> '') AS w
         |  FROM documents),
         |m AS (

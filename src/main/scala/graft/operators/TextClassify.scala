@@ -22,9 +22,19 @@ object TextClassify {
     * token length, alphabetic-token count, symbol-token count,
     * stopword-set hits. One narrow map — all folds are per-row array
     * ops, no explode, so the census below shuffles ~|langs| rows.
+    *
+    * NULL text coalesces to an empty token list rather than
+    * null-propagating: without it a null doc lands in n_docs but in
+    * NO fail or pass tally (every rule comparison is NULL, so both
+    * `when` arms fall to 0) — a silently vanishing row. Empty-list
+    * semantics instead fail the word-count and stopword rules, which
+    * is what a filter should say about a document with no text.
     */
   def gopherMetrics(docs: DataFrame): DataFrame = {
-    val tw = filter(TextAnalysis.tokens(col("text")), x => x =!= "")
+    val tw = filter(
+      coalesce(TextAnalysis.tokens(col("text")),
+        array().cast("array<string>")),
+      x => x =!= "")
     docs.select(col("lang"),
       size(tw).cast("long").as("n"),
       aggregate(tw, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),

@@ -85,6 +85,21 @@ class ClassifierFilterSpec extends AnyFunSuite {
       s"boundary doc should pass: $r")
   }
 
+  test("gopher: a null-text doc fails word-count and stopwords, not vanishes") {
+    // without the empty-list coalesce every rule comparison is NULL
+    // and the doc lands in n_docs but in NO fail or pass tally
+    val df = Seq(("x", null.asInstanceOf[String]), ("x", passText))
+      .toDF("lang", "text")
+    val r = TextClassify.gopherCensus(df).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_pass") == 1L)
+    assert(r.getAs[Long]("fail_word_count") == 1L)
+    assert(r.getAs[Long]("fail_stopwords") == 1L)
+    assert(r.getAs[Long]("fail_mean_word_len") == 0L)
+    assert(r.getAs[Long]("fail_alpha_ratio") == 0L)
+    assert(r.getAs[Long]("fail_symbol_ratio") == 0L)
+  }
+
   // -- Naive Bayes ----------------------------------------------------
 
   test("nb: separable two-class corpus classifies perfectly") {
