@@ -64,6 +64,20 @@ object Dedup {
   def exactFingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** foreachBatch body of the standing novelty gate
+    * (`ev_stream_novelty`): the batch's distinct exact fingerprints
+    * anti-join the persistent parquet table and the novel ones
+    * append. The table is the dedup memory that outlives the stream —
+    * at 100 TB it is fp-bucketed so this anti-join is a co-located
+    * probe, and the append is partitioned by fp prefix.
+    */
+  def appendNovelFingerprints(batch: DataFrame, fpTable: String): Unit = {
+    val known = batch.sparkSession.read.parquet(fpTable)
+    batch.select(exactFingerprint(col("text")).as("fp")).distinct()
+      .join(known, Seq("fp"), "left_anti")
+      .write.mode("append").parquet(fpTable)
+  }
+
   /** Hashed word n-gram shingles without building shingle strings:
     * per-token xxhash64 once, then a 31-bit-masked polynomial combine
     * of n consecutive token hashes (mask keeps every product < 2^36 —

@@ -679,6 +679,68 @@ object StreamingQueries {
         |  CAST(SUM(doc_id * kept) AS BIGINT) AS kept_id_checksum
         |FROM v""".stripMargin),
 
+    // Streaming novelty dedup against a PERSISTENT fingerprint table —
+    // the standing ingest gate of a training-corpus pipeline: each
+    // arriving micro-batch keeps only documents whose exact
+    // fingerprint (md5 of whitespace-normalized text, the
+    // dd_exact_fingerprint rule) is not yet in the on-disk table,
+    // then appends the novel fingerprints. Distinct from
+    // ev_stream_dedup (engine state-store dropDuplicates — state
+    // bounded by the watermark horizon) and dd_incremental_novel
+    // (batch anti-join): here the dedup memory is a durable TABLE
+    // that outlives the stream, which is how corpus ingest actually
+    // remembers history across runs; at 100 TB the table is
+    // fp-bucketed so the anti-join is a co-located probe. The final
+    // census (novel count = distinct fingerprints, plus an
+    // order-free checksum over them) is micro-batch-split invariant:
+    // whichever batch sees a fingerprint first claims it, and the
+    // SET of fingerprints is split-independent.
+    "ev_stream_novelty" -> QueryDef(
+      (s, d) => {
+        val out = new java.io.File("target/stream_novelty/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val fpTable = s"$out/fingerprints"
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
+          .write.mode("overwrite").parquet(fpTable)
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+        val q = stream.writeStream.queryName("graft_stream_novelty")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.operators.Dedup.appendNovelFingerprints(batch, fpTable)
+            }
+          }
+          .start()
+        q.awaitTermination()
+        val raw = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        s.read.parquet(fpTable)
+          .agg(count(lit(1)).as("n_novel"),
+            sum(graft.operators.Dedup.portableHash(col("fp"), 10))
+              .as("fp_checksum"))
+          .crossJoin(broadcast(raw))
+          .select(col("n_docs"), col("n_novel"),
+            (col("n_docs") - col("n_novel")).as("n_duplicates"),
+            col("fp_checksum"))
+      },
+      """WITH f AS (
+        |  SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |dd AS (SELECT DISTINCT fp FROM f)
+        |SELECT (SELECT COUNT(*) FROM f) AS n_docs,
+        |  COUNT(*) AS n_novel,
+        |  CAST((SELECT COUNT(*) FROM f) - COUNT(*) AS BIGINT)
+        |    AS n_duplicates,
+        |  CAST(SUM(CAST(('0x' || substr(md5(fp), 1, 10)) AS BIGINT))
+        |    AS BIGINT) AS fp_checksum
+        |FROM dd""".stripMargin),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids

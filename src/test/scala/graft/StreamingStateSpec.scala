@@ -77,6 +77,43 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(got === Seq((1, "A", 10L, Some(30L)), (2, "B", 30L, None)))
   }
 
+  test("streaming novelty gate drops a duplicate arriving in a LATER batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = new java.io.File(
+      "target/test_stream_novelty").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val fpTable = s"$out/fingerprints"
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
+      .write.mode("overwrite").parquet(fpTable)
+    val ms = MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    val q = src.writeStream
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.appendNovelFingerprints(batch, fpTable)
+        }
+      }
+      .start()
+    // batch 1: two docs, one intra-batch duplicate (whitespace-only
+    // difference must normalize to the same fingerprint)
+    ms.addData((1L, "alpha beta"), (2L, "alpha  beta"), (3L, "gamma"))
+    q.processAllAvailable()
+    // batch 2: a CROSS-BATCH duplicate of doc 1 plus one novel doc —
+    // the persistent table must absorb the former, admit the latter
+    ms.addData((4L, "alpha beta"), (5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val fps = spark.read.parquet(fpTable).collect().map(_.getString(0))
+    assert(fps.length === 3, s"expected 3 novel fingerprints: ${fps.toSeq}")
+    assert(fps.distinct.length === 3, "table must never hold a dup")
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
