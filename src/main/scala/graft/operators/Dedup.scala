@@ -73,7 +73,13 @@ object Dedup {
     */
   def appendNovelFingerprints(batch: DataFrame, fpTable: String): Unit = {
     val known = batch.sparkSession.read.parquet(fpTable)
+    // fp.isNotNull: a null-text doc has a NULL fingerprint, and NULL
+    // join keys never match — without the filter every batch (and
+    // every RUN against the standing table) would re-append a NULL
+    // row, breaking the table's no-dup invariant. Null docs carry no
+    // identity to remember; they count as non-novel.
     batch.select(exactFingerprint(col("text")).as("fp")).distinct()
+      .filter(col("fp").isNotNull)
       .join(known, Seq("fp"), "left_anti")
       .write.mode("append").parquet(fpTable)
   }

@@ -44,6 +44,26 @@ object StreamingQueries {
       s.readStream.schema(fileSchema).parquet(d + "/events.parque*"))
   }
 
+  /** Fresh per-(prefix, sfDir) output root under target/: deleted on
+    * entry so re-runs start clean. */
+  private def freshDir(s: SparkSession, prefix: String, d: String): String = {
+    val out = new java.io.File("target/" + prefix + "/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    out
+  }
+
+  /** Seed a parquet path with a ZERO-ROW frame of the given schema so
+    * post-drain reads work even when every micro-batch was empty and
+    * nothing was appended. */
+  private def seedEmptyParquet(s: SparkSession, path: String,
+      ddl: String): Unit =
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .write.mode("overwrite").parquet(path)
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table. The query name doubles as the temp-view
     * name; re-runs overwrite it (the prior query is stopped by then).
@@ -594,26 +614,19 @@ object StreamingQueries {
     // which is exactly what the oracle recomputes.
     "ev_stream_lm_filter" -> QueryDef(
       (s, d) => {
-        val out = new java.io.File("target/stream_lm/" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
-        val fs = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val out = freshDir(s, "stream_lm", d)
         import graft.operators.{LmScore, TextAnalysis}
         def toks(df: DataFrame): DataFrame = df
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 2)
         val lm = LmScore.trainBigramTable(LmScore.bigrams(
           toks(T.documents(s, d)).filter(col("doc_id") % 2 === 0)))
-        // seed the sink with a ZERO-ROW frame of the scored schema so
-        // the post-drain read works even when every micro-batch is
-        // empty (all-even-id or empty corpus): the census then returns
-        // n_docs=0 with NULL sums — exactly what the oracle computes.
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "doc_id BIGINT, n_bigrams BIGINT, total_bits BIGINT, " +
-                "bits_per_bigram_x1e3 BIGINT, kept INT"))
-          .write.mode("overwrite").parquet(s"$out/scored")
+        // an all-empty replay (all-even-id or empty corpus) must yield
+        // the n_docs=0 census the oracle computes, not a missing-path
+        // read failure
+        seedEmptyParquet(s, s"$out/scored",
+          "doc_id BIGINT, n_bigrams BIGINT, total_bits BIGINT, " +
+            "bits_per_bigram_x1e3 BIGINT, kept INT")
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
         val stream = s.readStream.schema(fileSchema)
           .parquet(d + "/documents.parque*")
@@ -697,15 +710,9 @@ object StreamingQueries {
     // SET of fingerprints is split-independent.
     "ev_stream_novelty" -> QueryDef(
       (s, d) => {
-        val out = new java.io.File("target/stream_novelty/" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
-        val fs = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val out = freshDir(s, "stream_novelty", d)
         val fpTable = s"$out/fingerprints"
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
-          .write.mode("overwrite").parquet(fpTable)
+        seedEmptyParquet(s, fpTable, "fp STRING")
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
         val stream = s.readStream.schema(fileSchema)
           .parquet(d + "/documents.parque*")
@@ -720,7 +727,15 @@ object StreamingQueries {
           .start()
         q.awaitTermination()
         val raw = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        // distinct BEFORE the census, not count(*): foreachBatch is
+        // at-least-once, so a crash between sink append and offset
+        // commit can leave a duplicated append in the table — the
+        // census must not inherit that corruption. Null fps are
+        // excluded (a null doc has no identity; it lands in the
+        // duplicates remainder), and the checksum sums the hash of
+        // each DISTINCT fp — the oracle's exact shape.
         s.read.parquet(fpTable)
+          .select(col("fp")).filter(col("fp").isNotNull).distinct()
           .agg(count(lit(1)).as("n_novel"),
             sum(graft.operators.Dedup.portableHash(col("fp"), 10))
               .as("fp_checksum"))
@@ -732,7 +747,7 @@ object StreamingQueries {
       """WITH f AS (
         |  SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |  FROM documents),
-        |dd AS (SELECT DISTINCT fp FROM f)
+        |dd AS (SELECT DISTINCT fp FROM f WHERE fp IS NOT NULL)
         |SELECT (SELECT COUNT(*) FROM f) AS n_docs,
         |  COUNT(*) AS n_novel,
         |  CAST((SELECT COUNT(*) FROM f) - COUNT(*) AS BIGINT)

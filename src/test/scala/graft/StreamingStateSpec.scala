@@ -104,14 +104,22 @@ class StreamingStateSpec extends AnyFunSuite {
     // difference must normalize to the same fingerprint)
     ms.addData((1L, "alpha beta"), (2L, "alpha  beta"), (3L, "gamma"))
     q.processAllAvailable()
-    // batch 2: a CROSS-BATCH duplicate of doc 1 plus one novel doc —
-    // the persistent table must absorb the former, admit the latter
-    ms.addData((4L, "alpha beta"), (5L, "delta"))
+    // batch 2: a CROSS-BATCH duplicate of doc 1, one novel doc, and a
+    // NULL-text doc — the persistent table must absorb the first,
+    // admit the second, and NOT accumulate a NULL row for the third
+    // (NULL join keys never anti-match, so an unfiltered null fp
+    // would re-append on every batch and every run)
+    ms.addData((4L, "alpha beta"), (5L, "delta"),
+      (6L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    // batch 3: the null doc again — still nothing to remember
+    ms.addData((7L, null.asInstanceOf[String]))
     q.processAllAvailable()
     q.stop()
     val fps = spark.read.parquet(fpTable).collect().map(_.getString(0))
     assert(fps.length === 3, s"expected 3 novel fingerprints: ${fps.toSeq}")
     assert(fps.distinct.length === 3, "table must never hold a dup")
+    assert(!fps.contains(null), "null fingerprints must never persist")
   }
 
   test("SQL function registration exposes py_round and minhash_sig") {
