@@ -443,6 +443,37 @@ object ScaleProbe {
       (n, (System.nanoTime() - t1) / 1e9)
     }
 
+    // Standing novelty-gate probe (ev_stream_novelty): the per-batch
+    // cost driver is the anti-join against the PERSISTENT fingerprint
+    // table — one probe of the table per batch, linear in table size
+    // (the batch side broadcasts). The table is seeded with factor-1
+    // perturbed replicas (base excluded, so the timed batch is always
+    // fully novel and constant-sized); what grows across factors is
+    // ONLY the table. At 100 TB the linear term is why production
+    // buckets the table by fp prefix (co-located probe) or fronts it
+    // with a Bloom bitmap — this probe records the unbucketed
+    // baseline the layout exists to beat.
+    var lastTableRows = -1L
+    def runNoveltyAt(factor: Int): (Long, Double) = {
+      val out = new java.io.File("target/probe_novelty").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val fpTable = out + "/fp"
+      replicate(factor, perturbText = true)
+        .filter(col("doc_id") >= 10000000L)
+        .select(graft.operators.Dedup.exactFingerprint(col("text"))
+          .as("fp"))
+        .filter(col("fp").isNotNull).distinct()
+        .write.mode("overwrite").parquet(fpTable)
+      lastTableRows = spark.read.parquet(fpTable).count()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.appendNovelFingerprints(
+        base.select(col("text")), fpTable)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (spark.read.parquet(fpTable).count() - lastTableRows, sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -476,6 +507,7 @@ object ScaleProbe {
       case "rolling"   => runRollingAt
       case "lm"        => runLmAt
       case "nb"        => runNbAt
+      case "novelty"   => runNoveltyAt
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -494,6 +526,7 @@ object ScaleProbe {
       case "rolling"   => "ev_rolling_mau"
       case "lm"        => "ta_lm_quality_filter"
       case "nb"        => "ta_nb_classifier"
+      case "novelty"   => "ev_stream_novelty"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -507,6 +540,7 @@ object ScaleProbe {
       case "pagerank"  => "top50_pr_sum"
       case "rolling"   => "days"
       case "lm" | "nb" => "scored_docs"
+      case "novelty"   => "novel_appended"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -528,6 +562,8 @@ object ScaleProbe {
           f""","sec_train":$lastTrainSec%.2f,"lm_table_rows":$lastLmRows%d"""
         else if (probe == "nb")
           f""","sec_train":$lastTrainSec%.2f,"nb_vocab_rows":$lastNbVocab%d"""
+        else if (probe == "novelty")
+          f""","table_rows":$lastTableRows%d"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""
         else ""
