@@ -1700,8 +1700,14 @@ object PipelineQueries {
     // classifier).
     "ta_nb_classifier" -> QueryDef(
       (s, d) => {
+        // when/otherwise, not a bare cast of the equality: a NULL lang
+        // must label 0 (the oracle's CASE semantics), never NULL —
+        // a NULL y silently drops the doc from priors and confusion
+        // cells while still counting in n_eval (latent on this
+        // fixture, which has no NULL langs, but the arithmetic must
+        // not depend on that).
         val docs = T.documents(s, d).select(col("doc_id"),
-          (col("lang") === "en").cast("int").as("y"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"),
           TextAnalysis.tokens(col("text")).as("t"))
         val tok = docs
           .select(col("doc_id"), col("y"), explode(col("t")).as("token"))

@@ -35,15 +35,26 @@ object TextClassify {
       coalesce(TextAnalysis.tokens(col("text")),
         array().cast("array<string>")),
       x => x =!= "")
-    docs.select(col("lang"),
-      size(tw).cast("long").as("n"),
-      aggregate(tw, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
-      size(filter(tw, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
-      size(filter(tw, x => x.contains("#") || x.contains("...")))
-        .cast("long").as("n_sym"),
-      Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        .map(t => when(array_contains(tw, t), 1).otherwise(0))
-        .reduce(_ + _).as("stop_hits"))
+    // The token array materializes ONCE through its own projection —
+    // the six metric columns then reference the `w` ATTRIBUTE, so the
+    // tokenizer provably runs once per row. Inlining `tw` into all six
+    // would lean on codegen subexpression elimination firing (the
+    // re-evaluation trap Dedup's shingles scaladoc documents for
+    // HOF-argument subtrees); CollapseProject cannot merge the two
+    // projections back because that would duplicate the non-cheap
+    // tokenizer sixfold.
+    docs.select(col("lang"), tw.as("w"))
+      .select(col("lang"),
+        size(col("w")).cast("long").as("n"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_len"),
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(col("w"), x => x.contains("#") || x.contains("...")))
+          .cast("long").as("n_sym"),
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(t => when(array_contains(col("w"), t), 1).otherwise(0))
+          .reduce(_ + _).as("stop_hits"))
   }
 
   /** Per-language census of the five Gopher rules (Rae et al. 2021

@@ -193,6 +193,36 @@ object TextQueries {
     "of", "on", "or", "such", "that", "the", "their", "then", "there",
     "these", "they", "this", "to", "was", "will", "with")
 
+  /** Hard cap on the collected stem-dictionary size (the query stems'
+    * preimages within the vocab — a bounded driver artifact like the
+    * Bloom bits and the CMS literal table). A real vocabulary maps a
+    * handful of query stems to at most a few dozen surface forms; a
+    * set anywhere near this cap means the corpus is pathological
+    * (adversarial tokens, binary soup) and a driver-sized INSET is the
+    * wrong plan — fail loudly rather than balloon the driver. */
+  private[graft] val stem2DictCap = 100000
+
+  /** Collect the matched-token set for the stem2 dictionary plan,
+    * guarded by [[stem2DictCap]]. The limit(cap+1) bounds the driver
+    * transfer itself (never materializes more than cap+1 rows), and
+    * stays deterministic whenever the guard passes: a result within
+    * the cap is the complete matched set. Pinned by RegistrySmokeSpec.
+    */
+  private[graft] def collectStemDict(
+      vocab: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], cap: Int = stem2DictCap): Seq[String] = {
+    val matched = vocab
+      .withColumn("stem", stem2Col(col("tok")))
+      .filter(col("stem").isin(terms: _*))
+      .limit(cap + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(matched.size <= cap,
+      s"stem2 dictionary exceeded $cap matched tokens — " +
+        "vocabulary is pathological; a driver-sized INSET is the wrong " +
+        "plan (shard the vocab or fall back to the inline chain)")
+    matched
+  }
+
   val registry: Map[String, QueryDef] = Map(
 
     // SURVEY §2.9: declared text-search semantics — tokenize on
@@ -429,6 +459,9 @@ object TextQueries {
     // vocab, a bounded driver artifact like the Bloom bits and the CMS
     // literal table — yields the plan a search engine actually wants:
     // a literal INSET filter at scan speed, zero regex at execution.
+    // The collect itself is capped (collectStemDict / stem2DictCap) so
+    // a pathological vocabulary fails loudly instead of ballooning the
+    // driver INSET.
     "t9_text_search_stem2" -> QueryDef(
       (s, d) => {
         val terms =
@@ -442,10 +475,7 @@ object TextQueries {
         // be a redundant second INSET
         val vocab = tokens.filter(!col("tok").isin(stopwords2: _*))
           .select(col("tok")).distinct().localCheckpoint()
-        val matched: Seq[String] = vocab
-          .withColumn("stem", stem2Col(col("tok")))
-          .filter(col("stem").isin(terms: _*))
-          .collect().map(_.getString(0)).toSeq
+        val matched = collectStemDict(vocab, terms)
         tokens.filter(col("tok").isin(matched: _*))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("score"))

@@ -157,6 +157,30 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("the stem2 dictionary collect is capped — a pathological vocab fails loud") {
+    // The production cap is a frozen constant: changing it is a
+    // deliberate decision, not drift.
+    assert(graft.operators.TextQueries.stem2DictCap == 100000)
+    import org.apache.spark.sql.functions._
+    // consonant+digit tokens are stem2 fixpoints (no rule's [a-z]/vowel
+    // pattern matches), so stem == tok and `terms` can name them
+    // directly — the guard logic is exercised with a tiny cap instead
+    // of materializing 100k+1 rows.
+    val toks = (0 to 11).map(i => s"bcdn$i")
+    val vocab = spark.createDataFrame(
+      spark.sparkContext.parallelize(toks.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType.fromDDL("tok STRING"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextQueries.collectStemDict(vocab, toks, cap = 10)
+    }
+    assert(e.getMessage.contains("stem2 dictionary exceeded"))
+    // within the cap the complete matched set comes back (limit(cap+1)
+    // never truncates a passing result)
+    val ok = graft.operators.TextQueries.collectStemDict(
+      vocab, toks, cap = toks.size)
+    assert(ok.toSet == toks.toSet)
+  }
+
   test("the streaming events source analyzes against each sf dir") {
     for (dir <- sfDirs) {
       try graft.streaming.StreamingQueries.eventStream(spark, dir)
