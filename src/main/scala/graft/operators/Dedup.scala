@@ -64,24 +64,130 @@ object Dedup {
   def exactFingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** foreachBatch body of the standing novelty gate
-    * (`ev_stream_novelty`): the batch's distinct exact fingerprints
-    * anti-join the persistent parquet table and the novel ones
-    * append. The table is the dedup memory that outlives the stream —
-    * at 100 TB it is fp-bucketed so this anti-join is a co-located
-    * probe, and the append is partitioned by fp prefix.
+  /** foreachBatch body of the UNBUCKETED novelty gate — the linear
+    * baseline [[appendNovelFingerprintsBucketed]] exists to beat (the
+    * ScaleProbe `novelty` row records its per-batch cost growing with
+    * the table; the `noveltyb` row records the bucketed layout flat).
+    * The batch's distinct exact fingerprints anti-join the persistent
+    * parquet table and the novel ones append.
+    *
+    * Consistency contract (both gate variants): the table is
+    * AT-LEAST-ONCE, not exactly-once — foreachBatch can replay a
+    * batch whose append already committed, re-appending the same
+    * fingerprints, so dedup is enforced at READ time (the census is
+    * distinct-first), never assumed of the stored rows. The
+    * read-then-append against one path in a single invocation is safe
+    * only because spark.read.parquet snapshots the file listing
+    * eagerly — the probe never sees its own append; a refactor to a
+    * lazily-listed source must split the paths.
+    *
+    * fp.isNotNull: a null-text doc has a NULL fingerprint, and NULL
+    * join keys never match — without the filter every batch (and
+    * every RUN against the standing table) would re-append a NULL
+    * row. Null docs carry no identity to remember; they count as
+    * non-novel.
     */
   def appendNovelFingerprints(batch: DataFrame, fpTable: String): Unit = {
     val known = batch.sparkSession.read.parquet(fpTable)
-    // fp.isNotNull: a null-text doc has a NULL fingerprint, and NULL
-    // join keys never match — without the filter every batch (and
-    // every RUN against the standing table) would re-append a NULL
-    // row, breaking the table's no-dup invariant. Null docs carry no
-    // identity to remember; they count as non-novel.
     batch.select(exactFingerprint(col("text")).as("fp")).distinct()
       .filter(col("fp").isNotNull)
       .join(known, Seq("fp"), "left_anti")
       .write.mode("append").parquet(fpTable)
+  }
+
+  // ---- fp-prefix-bucketed novelty gate --------------------------------
+
+  /** Layout constants of the bucketed fingerprint table: data rows are
+    * partitioned by the first [[fpPrefixChars]] hex digits of the
+    * fingerprint (16 directory buckets by default — see the
+    * bucket-count tradeoff note on [[NoveltyGate.admit]]), and a Bloom
+    * bitmap of [[noveltyBloomBits]] bits / [[noveltyBloomK]] salted
+    * positions fronts the whole table. SIZE THE BITMAP TO TABLE
+    * CAPACITY: the flat-cost regime needs expected false positives
+    * per batch ≪ 1, i.e. (occupancy)^k · batch ≲ 1 — the 2^22
+    * default holds ~300k fingerprints at ≈0.1% probe rate; the
+    * ScaleProbe run passes 2^25 for its 1.6M-row table. A saturated
+    * bloom is a correctness no-op but degrades every batch to bucket
+    * scans, so the gate warns loudly past 50% occupancy.
+    */
+  private[graft] val fpPrefixChars = 1
+  private[graft] val noveltyBloomBits = 1 << 22
+  private[graft] val noveltyBloomK = 4
+
+  /** The i-th salted Bloom position of a fingerprint — the ONE
+    * expression both the delta writer and the probe build on (a salt
+    * mismatch would be a silent false-negative factory). */
+  private[operators] def bloomPos(fp: Column, i: Int, bits: Int): Column =
+    portableHash(concat(lit(s"nb$i|"), fp), 15)
+      .bitwiseAND(lit((bits - 1).toLong))
+
+  /** OR-fold the append-only Bloom delta rows into a words array.
+    * Each append writes at most bits/64 (word_idx, word) rows (the
+    * delta is grouped by word before writing), so the file grows by a
+    * bounded amount per batch and this read collapses it with one
+    * tiny aggregation. Missing path = all-zero words (first batch). */
+  private[graft] def readNoveltyBloom(spark: org.apache.spark.sql.SparkSession,
+      bloomPath: String, bits: Int): Array[Long] = {
+    val words = new Array[Long](bits / 64)
+    val p = new org.apache.hadoop.fs.Path(bloomPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      spark.read.parquet(bloomPath)
+        .groupBy(col("word_idx")).agg(expr("bit_or(word)").as("word"))
+        .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    }
+    words
+  }
+
+  /** Bloom membership probe against the in-memory words, as a pure
+    * codegen-friendly Column: k salted positions, each tested via two
+    * O(1) element_at lookups (word index, then a bit mask from the
+    * shared 64-entry mask table — no column-valued shifts). The words
+    * array rides the plan as ONE ArrayType literal, not bits/64
+    * nodes. False negatives impossible for any fingerprint whose
+    * delta write committed; false positives fall through to the
+    * bucket probe. */
+  private[operators] def bloomMight(fp: Column, words: Array[Long],
+      bits: Int, k: Int): Column = {
+    // The words ride the plan as ONE UnsafeArrayData-backed literal —
+    // primitive long[] bytes, NOT typedLit(Seq[Long]): the generic
+    // literal boxes every element, and a 2^25-bit bitmap (524k words)
+    // then costs seconds of driver-side conversion/compare per plan
+    // (measured ~2.5 s per admit before the switch).
+    val w = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)))
+    (0 until k).map { i =>
+      val pos = bloomPos(fp, i, bits)
+      element_at(w, (pos / 64).cast("int") + 1)
+        .bitwiseAND(element_at(bitMasks, (pos % 64).cast("int") + 1)) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  private[operators] def bitMasksCol: Column = bitMasks
+
+  /** One-shot form of the bucketed gate for callers without a
+    * standing [[NoveltyGate]] — pays the bloom load on every call.
+    */
+  def appendNovelFingerprintsBucketed(batch: DataFrame, tableRoot: String,
+      bits: Int = noveltyBloomBits, k: Int = noveltyBloomK,
+      prefixChars: Int = fpPrefixChars): Unit =
+    new NoveltyGate(tableRoot, bits, k, prefixChars).admit(batch)
+
+  /** The bucketed table's fingerprints for read-side censuses — an
+    * empty typed frame when no batch ever appended (the all-empty
+    * replay must census n=0, not fail on a missing path). */
+  def readBucketedFingerprints(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String): DataFrame = {
+    val dataPath = s"$tableRoot/data"
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dataPath).select(col("fp"))
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
   }
 
   /** Hashed word n-gram shingles without building shingle strings:
@@ -699,6 +805,92 @@ object Dedup {
       .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
   }
 
+  /** foreachBatch body of the standing NEAR-dup gate
+    * (`ev_stream_neardup`) — [[appendNovelFingerprintsBucketed]]'s
+    * sibling with exact fingerprints generalized to MinHash
+    * similarity, and the streaming form of [[nearDupAgainstCorpus]]:
+    * the dedup memory is a durable SIGNATURE table
+    * (`root`/sigs: doc_id, sig) that outlives the stream, each
+    * arriving micro-batch probes it via the banded index and appends
+    * per-doc verdicts (`root`/verdicts) plus its own signatures.
+    *
+    * Gate semantics, chosen for micro-batch-split invariance: a doc
+    * is a near-dup iff its signature agrees in ≥ `minEq` of
+    * `numHashes` positions with ANY EARLIER-SEEN doc — earlier
+    * batches via the persistent table, same-batch predecessors via a
+    * smaller-id self-probe. "All seen", not "all admitted": an
+    * admitted-only memory makes verdicts depend on the transitive
+    * chain of earlier verdicts (doc C dup-of rejected B dup-of A),
+    * which no single-pass census can replay — all-seen is the
+    * [[nearDupAgainstCorpus]] corpus semantic, and with id-ordered
+    * arrival (file-source batches replay in file order; within one
+    * file, one batch) the verdict set is identical under ANY split.
+    *
+    * Scale shape: the batch side of the band probe BROADCASTS (cost
+    * proportional to the batch's bucket collisions, the corpus bands
+    * are scanned but never shuffled); signatures are recomputed from
+    * the stored sig column, never from corpus text. Same
+    * at-least-once contract as the novelty gate: a replayed batch can
+    * duplicate verdict/sig rows, so read-side censuses dedup first.
+    * Null-text docs carry no signature: they verdict as novel
+    * (0 candidates) and are never appended to the sig table.
+    */
+  def appendNearDupVerdicts(batch: DataFrame, root: String,
+      idCol: String, textCol: String, numHashes: Int = 32,
+      bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val rows = numHashes / bands
+    def banded(df: DataFrame) = df.select(col("id"), col("sig"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => bandHashExpr(col("sig"), b, lit(rows))))
+      ).toDF("id", "sig", "band", "band_hash")
+    // consumed four times (bands both probe sides, verdict base, sig
+    // append) — pin it once; bounded by the batch
+    val batchSigs = spread(
+        batch.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"),
+        minhashSignaturePortable(col("t"), numHashes, shingleSize).as("sig"))
+      .localCheckpoint()
+    val sigsPath = s"$root/sigs"
+    val fs = new org.apache.hadoop.fs.Path(sigsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusSigs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(sigsPath)))
+        spark.read.parquet(sigsPath)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, sig ARRAY<BIGINT>"))
+    val batchBands = banded(batchSigs)
+    val cross = broadcast(batchBands).as("q")
+      .join(banded(corpusSigs).as("c"),
+        col("q.band") === col("c.band") &&
+          col("q.band_hash") === col("c.band_hash"))
+    val internal = broadcast(batchBands).as("q")
+      .join(batchBands.as("c"),
+        col("q.band") === col("c.band") &&
+          col("q.band_hash") === col("c.band_hash") &&
+          col("c.id") < col("q.id"))
+    def pairs(j: DataFrame) = j.select(
+      col("q.id").as("id"), col("c.id").as("cid"),
+      graft.functions.VecOps.arrayEqCount(col("q.sig"), col("c.sig"))
+        .as("n_eq"))
+    val matches = pairs(cross).unionByName(pairs(internal))
+      .groupBy(col("id"), col("cid"))
+      .agg(first(col("n_eq")).as("n_eq")) // dedup multi-band hits
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cands"), max(col("n_eq")).as("best_eq"))
+    batchSigs.select(col("id")).join(matches, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("best_eq"), lit(0L)).as("best_eq"))
+      .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
+      .write.mode("append").parquet(s"$root/verdicts")
+    batchSigs.filter(col("sig").isNotNull)
+      .write.mode("append").parquet(sigsPath)
+  }
+
   /** Span-REMOVAL dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): the transform real
     * pipelines run after the span census (`dd_dup_span_fraction`
@@ -751,5 +943,129 @@ object Dedup {
       .select(col("id"), col("n_words"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("cleaned"))
+  }
+}
+
+/** The standing novelty gate over the fp-prefix-bucketed fingerprint
+  * table — one instance per ingest stream, driver-side (foreachBatch
+  * closures run on the driver), caching the Bloom bitmap across
+  * batches so the per-batch cost is independent of stream history:
+  * the words load from disk ONCE (restart = one re-read), and each
+  * batch folds its own delta into the cache in-memory.
+  *
+  * Per [[admit]] call:
+  *
+  *  1. distinct batch fingerprints test the cached bitmap;
+  *     bloom-negative fps are DEFINITELY novel — no table I/O, the
+  *     common case for mostly-novel ingest and the reason per-batch
+  *     cost stays flat as the table grows;
+  *  2. the possible-members (false positives + true duplicates, a
+  *     set bounded by `posCap` — beyond it the gate falls back to a
+  *     bucket-scan anti-join, the dup-heavy-batch shape where a scan
+  *     is the right plan anyway) COLLECT to the driver, and one read
+  *     of ONLY their prefix buckets, with the fp list pushed down as
+  *     an INSET filter, resolves which are actually present;
+  *  3. novel = batch fps minus present — a pure expression over the
+  *     batch, no table read, so evaluating it for both the delta and
+  *     the data append costs two batch scans, never two table scans;
+  *  4. the bloom delta (≤ bits/64 grouped words) collects, folds
+  *     into the cache, and lands as one durable file; novel fps then
+  *     append under their prefix partitions, fp-sorted within each
+  *     file so parquet row-group stats can refine future bucket
+  *     probes below directory granularity.
+  *
+  * Bucket-count tradeoff, measured: prefixChars=2 (256 dirs) costs
+  * ~4 s of dynamic-partition commit overhead PER BATCH on a local fs
+  * (256 file creations + renames — the same rename storm that makes
+  * fine-grained dynamic partitioning expensive on object stores), vs
+  * ~0.6 s at prefixChars=1 (16 dirs). The default is therefore 1:
+  * a standing gate pays the commit cost forever, while bucket width
+  * only bounds the (rare, bloom-filtered) probe reads. At petabyte
+  * table sizes, raise the width together with a periodic compaction
+  * pass — compaction pays the many-directory cost once per epoch
+  * instead of every batch.
+  *
+  * Consistency: same at-least-once contract as the unbucketed gate
+  * (Dedup.appendNovelFingerprints scaladoc) — a replayed batch, or a
+  * crash between the bloom append and the data append, can duplicate
+  * table rows or leave bloom bits set for fps not yet stored; both
+  * decay to duplicate rows, which the distinct-first census absorbs.
+  * The delta writes BEFORE the data append so no evaluation of
+  * `novel` can ever observe its own append (and in the common path
+  * `novel` reads no table at all). A saturated bitmap (occupancy
+  * > 50%) warns loudly at load: correctness is unaffected, but every
+  * batch degrades toward the fallback scan — resize `bits`.
+  */
+final class NoveltyGate(tableRoot: String,
+    bits: Int = Dedup.noveltyBloomBits, k: Int = Dedup.noveltyBloomK,
+    prefixChars: Int = Dedup.fpPrefixChars, posCap: Int = 100000) {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+
+  private var words: Array[Long] = _
+
+  def admit(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val dataPath = s"$tableRoot/data"
+    val bloomPath = s"$tableRoot/bloom"
+    if (words == null) {
+      words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
+      val occupied = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
+      if (occupied * 2 > bits) System.err.println(
+        s"[novelty-gate] bloom ${occupied * 100 / bits}% occupied for " +
+          s"$tableRoot — probes degrade to bucket scans; resize bits " +
+          s"($bits) to table capacity")
+    }
+    val fps = batch
+      .select(Dedup.exactFingerprint(col("text")).as("fp")).distinct()
+      .filter(col("fp").isNotNull)
+    val might = Dedup.bloomMight(col("fp"), words, bits, k)
+    val pos = fps.filter(might).select(col("fp")).limit(posCap + 1)
+      .collect().map(_.getString(0))
+    val novel: DataFrame =
+      if (pos.isEmpty) fps
+      else if (pos.length <= posCap) {
+        val prefixes = pos.map(_.take(prefixChars)).distinct.toSeq
+        val present = spark.read.parquet(dataPath)
+          .filter(col("fp_b").isin(prefixes: _*))
+          .filter(col("fp").isin(pos.toSeq: _*))
+          .select(col("fp")).collect().map(_.getString(0)).toSeq
+        if (present.isEmpty) fps
+        else fps.filter(!col("fp").isin(present: _*))
+      } else {
+        // dup-heavy fallback: prefixes of the possible-members (a
+        // bounded ≤ 16^prefixChars driver set), then one anti-join
+        // against just those buckets. Evaluated twice below (delta +
+        // data) — two bucket scans on the rare path, accepted.
+        val prefixes = fps.filter(might)
+          .select(substring(col("fp"), 1, prefixChars).as("p")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val known = spark.read.parquet(dataPath)
+          .filter(col("fp_b").isin(prefixes: _*))
+          .select(col("fp"))
+        fps.filter(might).join(known, Seq("fp"), "left_anti")
+          .union(fps.filter(!might))
+      }
+    val delta = novel
+      .select(posexplode(array((0 until k).map(i =>
+        Dedup.bloomPos(col("fp"), i, bits)): _*)).as(Seq("i", "pos")))
+      .select((col("pos") / 64).cast("long").as("word_idx"),
+        element_at(Dedup.bitMasksCol, (col("pos") % 64).cast("int") + 1)
+          .as("m"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(m)").as("word"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deltaRows = new java.util.ArrayList[Row]()
+    delta.foreach { case (i, w) => deltaRows.add(Row(i, w)) }
+    spark.createDataFrame(deltaRows,
+        StructType.fromDDL("word_idx BIGINT, word BIGINT"))
+      .coalesce(1)
+      .write.mode("append").parquet(bloomPath)
+    delta.foreach { case (i, w) => words(i.toInt) |= w }
+    novel
+      .withColumn("fp_b", substring(col("fp"), 1, prefixChars))
+      .repartition(col("fp_b"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode("append").partitionBy("fp_b").parquet(dataPath)
   }
 }

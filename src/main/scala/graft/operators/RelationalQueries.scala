@@ -1752,6 +1752,85 @@ object RelationalQueries {
          |  ${T.sqlDecSum("o_totalprice")} AS total
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // w_ntile's scale-safe sibling: quartile banding from a BOUNDED
+    // HISTOGRAM instead of a per-key global sort. w_ntile is exact
+    // ntile semantics and keeps its row, but its plan is 5 giant
+    // single-task sorts (one per o_orderpriority) — a straggler by
+    // construction at 100×. This variant reuses ta_lm_terciles'
+    // boundary pattern: bin prices to an integral bounded domain
+    // (floor(price/1000) — ~600 cells; IEEE division of the same
+    // stored double is bit-identical in both engines, the
+    // a7/ev_stream_hist precedent), partial-aggregate the corpus to a
+    // per-(priority, bin) histogram, take quartile boundaries from an
+    // integer-exact cumulative rule over that tiny table (bk =
+    // smallest bin with 4·cum ≥ k·n — cross-multiplied, no division),
+    // and assign quartiles at scan speed via a broadcast join. Tiles
+    // are approximate at bin granularity — whole bin cells land in
+    // one quartile, deterministically, exactly what the oracle
+    // replays — in exchange for a plan whose windows only ever see
+    // the histogram (PlanAuditSpec pins every Window above an
+    // aggregate, and no ntile).
+    "w_ntile_hist" -> QueryDef(
+      (s, d) => {
+        val binned = T.orders(s, d).select(col("o_orderpriority"),
+          col("o_totalprice"),
+          floor(col("o_totalprice") / 1000).cast("long").as("bin"))
+        val wCum = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hist = binned.groupBy(col("o_orderpriority"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+        val bounds = hist
+          .withColumn("n_total", max(col("cum")).over(
+            Window.partitionBy(col("o_orderpriority"))))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            min(when(col("cum") * 4 >= col("n_total"), col("bin")))
+              .as("b1"),
+            min(when(col("cum") * 4 >= col("n_total") * 2, col("bin")))
+              .as("b2"),
+            min(when(col("cum") * 4 >= col("n_total") * 3, col("bin")))
+              .as("b3"))
+        binned.join(broadcast(bounds), Seq("o_orderpriority"))
+          .withColumn("quartile",
+            (lit(1) + (col("bin") > col("b1")).cast("int")
+              + (col("bin") > col("b2")).cast("int")
+              + (col("bin") > col("b3")).cast("int")).cast("long"))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("bin")).as("lo_bin"),
+            max(col("bin")).as("hi_bin"),
+            T.decSum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"), col("quartile"))
+      },
+      s"""WITH b AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin
+         |  FROM orders),
+         |hist AS (
+         |  SELECT o_orderpriority, bin, COUNT(*) AS cnt
+         |  FROM b GROUP BY 1, 2),
+         |c AS (
+         |  SELECT o_orderpriority, bin,
+         |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+         |                   ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n_total
+         |  FROM hist),
+         |bounds AS (
+         |  SELECT o_orderpriority,
+         |    MIN(CASE WHEN cum * 4 >= n_total THEN bin END) AS b1,
+         |    MIN(CASE WHEN cum * 4 >= n_total * 2 THEN bin END) AS b2,
+         |    MIN(CASE WHEN cum * 4 >= n_total * 3 THEN bin END) AS b3
+         |  FROM c GROUP BY 1)
+         |SELECT b.o_orderpriority,
+         |  1 + CAST(b.bin > bd.b1 AS BIGINT) + CAST(b.bin > bd.b2 AS BIGINT)
+         |    + CAST(b.bin > bd.b3 AS BIGINT) AS quartile,
+         |  COUNT(*) AS n, MIN(b.bin) AS lo_bin, MAX(b.bin) AS hi_bin,
+         |  ${T.sqlDecSum("o_totalprice")} AS total
+         |FROM b JOIN bounds bd USING (o_orderpriority)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Grouped top-k via the custom GroupedTopK physical operator
     // (bounded per-key heaps after one hash exchange — no per-group
     // sort; see graft.plans.GroupedTopK). Oracle: the equivalent

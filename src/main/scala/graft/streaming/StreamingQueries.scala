@@ -702,8 +702,13 @@ object StreamingQueries {
     // bounded by the watermark horizon) and dd_incremental_novel
     // (batch anti-join): here the dedup memory is a durable TABLE
     // that outlives the stream, which is how corpus ingest actually
-    // remembers history across runs; at 100 TB the table is
-    // fp-bucketed so the anti-join is a co-located probe. The final
+    // remembers history across runs. Since r12 the table runs the
+    // 100 TB layout its scaladoc always prescribed: fp-prefix
+    // PARTITIONED data behind a Bloom bitmap front
+    // (Dedup.appendNovelFingerprintsBucketed), so a batch probe costs
+    // O(batch) bloom tests plus only its possible-members' co-located
+    // buckets — the ScaleProbe `noveltyb` row measures the per-batch
+    // cost flat where the unbucketed baseline grew linearly. The final
     // census (novel count = distinct fingerprints, plus an
     // order-free checksum over them) is micro-batch-split invariant:
     // whichever batch sees a fingerprint first claims it, and the
@@ -712,17 +717,19 @@ object StreamingQueries {
       (s, d) => {
         val out = freshDir(s, "stream_novelty", d)
         val fpTable = s"$out/fingerprints"
-        seedEmptyParquet(s, fpTable, "fp STRING")
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
         val stream = s.readStream.schema(fileSchema)
           .parquet(d + "/documents.parque*")
+        // ONE gate instance for the stream's lifetime: foreachBatch
+        // closures run on the driver, so the gate's cached Bloom
+        // words load once and fold each batch's delta in-memory —
+        // per-batch cost independent of stream history.
+        val gate = new graft.operators.NoveltyGate(fpTable)
         val q = stream.writeStream.queryName("graft_stream_novelty")
           .option("checkpointLocation", s"$out/_ckpt")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) {
-              graft.operators.Dedup.appendNovelFingerprints(batch, fpTable)
-            }
+            if (!batch.isEmpty) gate.admit(batch)
           }
           .start()
         q.awaitTermination()
@@ -730,12 +737,14 @@ object StreamingQueries {
         // distinct BEFORE the census, not count(*): foreachBatch is
         // at-least-once, so a crash between sink append and offset
         // commit can leave a duplicated append in the table — the
-        // census must not inherit that corruption. Null fps are
-        // excluded (a null doc has no identity; it lands in the
-        // duplicates remainder), and the checksum sums the hash of
-        // each DISTINCT fp — the oracle's exact shape.
-        s.read.parquet(fpTable)
-          .select(col("fp")).filter(col("fp").isNotNull).distinct()
+        // census must not inherit that corruption (readBucketed-
+        // Fingerprints also yields the empty typed frame on an
+        // all-empty replay, which must census n=0, not fail). Null
+        // fps are excluded (a null doc has no identity; it lands in
+        // the duplicates remainder), and the checksum sums the hash
+        // of each DISTINCT fp — the oracle's exact shape.
+        graft.operators.Dedup.readBucketedFingerprints(s, fpTable)
+          .filter(col("fp").isNotNull).distinct()
           .agg(count(lit(1)).as("n_novel"),
             sum(graft.operators.Dedup.portableHash(col("fp"), 10))
               .as("fp_checksum"))
@@ -755,6 +764,87 @@ object StreamingQueries {
         |  CAST(SUM(CAST(('0x' || substr(md5(fp), 1, 10)) AS BIGINT))
         |    AS BIGINT) AS fp_checksum
         |FROM dd""".stripMargin),
+
+    // Streaming NEAR-dup gate — the novelty gate's sibling and the
+    // filter real corpus ingest actually runs: exact fingerprints
+    // catch byte-identical re-crawls, but boilerplate re-posts differ
+    // by a timestamp — each micro-batch probes a PERSISTENT MinHash
+    // signature table (the durable dedup memory, banded per batch
+    // into an index probe with the batch side broadcast) plus its own
+    // smaller-id predecessors, appends per-doc verdicts, and extends
+    // the table (Dedup.appendNearDupVerdicts — see there for the
+    // split-invariance argument: verdict(d) = "agrees ≥16/32
+    // signature positions with ANY earlier-seen doc", identical under
+    // any id-ordered batch split; StreamingStateSpec stages the
+    // two-batch replay and pins cross-batch detection). Oracle:
+    // dd_incremental_neardup's portable-signature SQL with the
+    // corpus/batch split generalized to "all smaller-id docs".
+    "ev_stream_neardup" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_neardup", d)
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+        val q = stream.writeStream.queryName("graft_stream_neardup")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.operators.Dedup.appendNearDupVerdicts(
+                batch, out, "doc_id", "text")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        // distinct absorbs an at-least-once verdict replay (identical
+        // rows) — same read-side stance as the novelty census
+        s.read.parquet(s"$out/verdicts").distinct()
+          .select(col("id"), col("n_cands"), col("best_eq"),
+            col("is_neardup"))
+          .orderBy(col("id"))
+      },
+      {
+        val coeffs = graft.operators.Dedup.portableCoeffs(32)
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+          .mkString(", ")
+        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
+           |  FROM documents),
+           |vals AS (
+           |  SELECT doc_id, i,
+           |    list_min(list_transform(shingles,
+           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+           |           % 2147483647)) AS v
+           |  FROM sh, coeffs),
+           |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+           |        FROM vals GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
+           |  FROM sig, range(0, 16) r(b)),
+           |cand AS (
+           |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+           |  FROM bands q JOIN bands c
+           |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),
+           |eq AS (
+           |  SELECT cand.id, cand.cid,
+           |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
+           |      AS n_eq
+           |  FROM cand
+           |  JOIN sig s1 ON s1.doc_id = cand.id
+           |  JOIN sig s2 ON s2.doc_id = cand.cid),
+           |agg AS (SELECT id, COUNT(*) AS n_cands,
+           |               MAX(n_eq) AS best_eq FROM eq GROUP BY id)
+           |SELECT d.doc_id AS id,
+           |  COALESCE(a.n_cands, 0) AS n_cands,
+           |  CAST(COALESCE(a.best_eq, 0) AS BIGINT) AS best_eq,
+           |  CAST(COALESCE(a.best_eq, 0) >= 16 AS INTEGER) AS is_neardup
+           |FROM (SELECT doc_id FROM documents) d
+           |LEFT JOIN agg a ON a.id = d.doc_id
+           |ORDER BY id""".stripMargin
+      }),
 
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,

@@ -474,6 +474,44 @@ object ScaleProbe {
       (spark.read.parquet(fpTable).count() - lastTableRows, sec)
     }
 
+    // Bucketed novelty-gate probe (the layout the `novelty` baseline
+    // exists to beat): identical traffic shape — table seeded with
+    // factor-1 perturbed replicas THROUGH THE GATE ITSELF (same code
+    // path: bloom deltas + prefix-partitioned appends), then the
+    // constant-sized, fully-novel base batch is timed against a
+    // STANDING NoveltyGate (bloom cached, as in the stream — the
+    // one-time load is the stream-start cost, not the per-batch
+    // cost). Bits are sized to the probe's top capacity (2^25 for
+    // 1.6M fps — the gate's documented sizing rule); with the Bloom
+    // front a novel batch is ~all bloom-negative and the rare false
+    // positives resolve via a driver-collected INSET probe of their
+    // buckets, so the measured claim is per-batch cost FLAT in table
+    // rows where the unbucketed anti-join's O(table) scan grows.
+    def runNoveltyBucketedAt(factor: Int): (Long, Double) = {
+      val out = new java.io.File("target/probe_noveltyb").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val tableRoot = out + "/fp"
+      val gate = new graft.operators.NoveltyGate(tableRoot, bits = 1 << 25)
+      val seed = replicate(factor, perturbText = true)
+        .filter(col("doc_id") >= 10000000L)
+        .select(col("text"))
+      if (factor > 1) gate.admit(seed)
+      lastTableRows = graft.operators.Dedup
+        .readBucketedFingerprints(spark, tableRoot).count()
+      // the seed admit is up to 320× the timed batch — give the JVM a
+      // GC breath so the seed's garbage is not billed to the timed
+      // batch (the same hygiene Bench applies between phases)
+      System.gc()
+      val t0 = System.nanoTime()
+      gate.admit(base.select(col("text")))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = graft.operators.Dedup
+        .readBucketedFingerprints(spark, tableRoot).count()
+      (after - lastTableRows, sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -508,6 +546,7 @@ object ScaleProbe {
       case "lm"        => runLmAt
       case "nb"        => runNbAt
       case "novelty"   => runNoveltyAt
+      case "noveltyb"  => runNoveltyBucketedAt
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -527,6 +566,7 @@ object ScaleProbe {
       case "lm"        => "ta_lm_quality_filter"
       case "nb"        => "ta_nb_classifier"
       case "novelty"   => "ev_stream_novelty"
+      case "noveltyb"  => "ev_stream_novelty_bucketed"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -540,7 +580,7 @@ object ScaleProbe {
       case "pagerank"  => "top50_pr_sum"
       case "rolling"   => "days"
       case "lm" | "nb" => "scored_docs"
-      case "novelty"   => "novel_appended"
+      case "novelty" | "noveltyb" => "novel_appended"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -562,7 +602,7 @@ object ScaleProbe {
           f""","sec_train":$lastTrainSec%.2f,"lm_table_rows":$lastLmRows%d"""
         else if (probe == "nb")
           f""","sec_train":$lastTrainSec%.2f,"nb_vocab_rows":$lastNbVocab%d"""
-        else if (probe == "novelty")
+        else if (probe == "novelty" || probe == "noveltyb")
           f""","table_rows":$lastTableRows%d"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""

@@ -22,6 +22,42 @@ class PlanAuditSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("w_ntile_hist windows only ever see the histogram, never the scan") {
+    // The point of the histogram-quantile variant: no per-key global
+    // sort of the fact table. Pin it structurally — every Window in
+    // the executed plan must sit ABOVE an aggregation (its input is
+    // the bounded per-(priority, bin) histogram), and the exact-ntile
+    // marker must be absent. w_ntile keeps the exact semantics (and
+    // its per-key sort) as a separate row.
+    // AQE off for the audit: adaptive stage wrappers are leaf nodes,
+    // which would hide the tree from a structural traversal; the
+    // property pinned (window input shape) is decided at compile time.
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try SparkEntry.registry("w_ntile_hist").fn(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+      }.nonEmpty
+    val windows = executed.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "histogram boundaries should use a window " +
+      "over the aggregated histogram — none found (plan changed shape?)")
+    windows.foreach { w =>
+      assert(hasAggBelow(w.child),
+        s"a Window runs over non-aggregated input — the per-key sort " +
+          s"crept back:\n${w.treeString.take(1500)}")
+    }
+    assert(!executed.toString.contains("ntile"),
+      "exact ntile leaked into the histogram variant")
+  }
+
   test("query registries have no name collisions (Map ++ would shadow)") {
     val regs = Seq(
       graft.operators.RelationalQueries.registry,

@@ -122,6 +122,99 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(!fps.contains(null), "null fingerprints must never persist")
   }
 
+  test("bucketed novelty gate keeps its semantics across batches (cached bloom)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = new java.io.File(
+      "target/test_stream_noveltyb").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val root = s"$out/fingerprints"
+    // ONE gate for the stream — batch 2's duplicate must be caught via
+    // the IN-MEMORY bloom (set by batch 1's delta fold) driving the
+    // possible-member bucket probe, the exact path ev_stream_novelty
+    // runs
+    val gate = new graft.operators.NoveltyGate(root)
+    val ms = MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    val q = src.writeStream
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) gate.admit(batch)
+      }
+      .start()
+    ms.addData((1L, "alpha beta"), (2L, "alpha  beta"), (3L, "gamma"))
+    q.processAllAvailable()
+    ms.addData((4L, "alpha beta"), (5L, "delta"),
+      (6L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    ms.addData((7L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    q.stop()
+    val fps = graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .collect().map(_.getString(0))
+    assert(fps.length === 3, s"expected 3 novel fingerprints: ${fps.toSeq}")
+    assert(fps.distinct.length === 3, "table must never hold a dup")
+    assert(!fps.contains(null), "null fingerprints must never persist")
+    // a FRESH gate (cold restart: bloom re-read from disk) must reach
+    // the same verdicts — durability of the bitmap, not just the cache
+    val gate2 = new graft.operators.NoveltyGate(root)
+    gate2.admit(Seq((8L, "alpha beta"), (9L, "epsilon"))
+      .toDF("doc_id", "text"))
+    val fps2 = graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .collect().map(_.getString(0))
+    assert(fps2.length === 4, "restart gate must admit only the novel doc")
+  }
+
+  test("streaming near-dup gate flags a near-duplicate arriving in a LATER batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = new java.io.File(
+      "target/test_stream_neardup").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val ms = MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    val q = src.writeStream
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.appendNearDupVerdicts(
+            batch, out, "doc_id", "text")
+        }
+      }
+      .start()
+    // batch 1: doc 1 novel; doc 2 is a BATCH-INTERNAL near-dup of 1
+    // (identical token set → identical signature, flagged via the
+    // smaller-id self-probe); doc 3 disjoint vocab
+    ms.addData((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "omega psi chi phi"))
+    q.processAllAvailable()
+    // batch 2: doc 4 is a CROSS-BATCH near-dup of doc 1 — it must be
+    // flagged via the PERSISTENT sig table, the memory that outlives
+    // the batch; doc 5 novel; doc 6 null text (no signature, novel,
+    // never appended)
+    ms.addData((4L, "alpha beta gamma delta"),
+      (5L, "iota kappa lambda mu"), (6L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    q.stop()
+    val v = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(v.size === 6)
+    assert(v(1L) === ((0L, 0)), "first copy is novel")
+    assert(v(2L) === ((32L, 1)), "batch-internal near-dup flagged")
+    assert(v(3L)._2 === 0)
+    assert(v(4L) === ((32L, 1)), "cross-batch near-dup flagged via table")
+    assert(v(5L)._2 === 0)
+    assert(v(6L) === ((0L, 0)), "null doc verdicts as novel")
+    // the sig table holds only non-null-signature docs
+    val sigs = spark.read.parquet(s"$out/sigs").collect()
+    assert(sigs.length === 5 && !sigs.exists(_.isNullAt(1)))
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
