@@ -30,7 +30,8 @@ object TextClassify {
     * semantics instead fail the word-count and stopword rules, which
     * is what a filter should say about a document with no text.
     */
-  def gopherMetrics(docs: DataFrame): DataFrame = {
+  def gopherMetrics(docs: DataFrame,
+      keyCols: Seq[String] = Seq("lang")): DataFrame = {
     val tw = filter(
       coalesce(TextAnalysis.tokens(col("text")),
         array().cast("array<string>")),
@@ -43,8 +44,8 @@ object TextClassify {
     // HOF-argument subtrees); CollapseProject cannot merge the two
     // projections back because that would duplicate the non-cheap
     // tokenizer sixfold.
-    docs.select(col("lang"), tw.as("w"))
-      .select(col("lang"),
+    docs.select(keyCols.map(col) :+ tw.as("w"): _*)
+      .select(keyCols.map(col) ++ Seq(
         size(col("w")).cast("long").as("n"),
         aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
           .as("sum_len"),
@@ -54,8 +55,30 @@ object TextClassify {
           .cast("long").as("n_sym"),
         Seq("the", "be", "to", "of", "and", "that", "have", "with")
           .map(t => when(array_contains(col("w"), t), 1).otherwise(0))
-          .reduce(_ + _).as("stop_hits"))
+          .reduce(_ + _).as("stop_hits")): _*)
   }
+
+  // The five rules, defined ONCE over gopherMetrics' column names —
+  // the census and the streaming gate must never drift apart.
+  private val rWords = col("n") >= 50 && col("n") <= 100000
+  private val rMeanLen = col("sum_len") >= col("n") * 3 &&
+    col("sum_len") <= col("n") * 10
+  private val rAlpha = col("n_alpha") * 5 >= col("n") * 4
+  private val rSym = col("n_sym") * 10 <= col("n")
+  private val rStop = col("stop_hits") >= 2
+
+  /** All-five-rules pass predicate over [[gopherMetrics]] columns —
+    * the per-document form the streaming quality gate filters on. */
+  def gopherPassCol: Column = rWords && rMeanLen && rAlpha && rSym && rStop
+
+  /** The five rule outcomes as one integer bitmask (words=16,
+    * mean-len=8, alpha=4, symbols=2, stopwords=1) — lets a census pin
+    * every per-doc rule verdict in a single checksummable cell even
+    * on a corpus where the all-rules conjunction never fires. */
+  def gopherBitsCol: Column =
+    when(rWords, 16).otherwise(0) + when(rMeanLen, 8).otherwise(0) +
+      when(rAlpha, 4).otherwise(0) + when(rSym, 2).otherwise(0) +
+      when(rStop, 1).otherwise(0)
 
   /** Per-language census of the five Gopher rules (Rae et al. 2021
     * §A1.1): word count in [50, 100k], mean word length in [3, 10],
@@ -63,12 +86,6 @@ object TextClassify {
     * Emits per-rule fail counts and the all-rules pass count.
     */
   def gopherCensus(docs: DataFrame): DataFrame = {
-    val rWords = col("n") >= 50 && col("n") <= 100000
-    val rMeanLen = col("sum_len") >= col("n") * 3 &&
-      col("sum_len") <= col("n") * 10
-    val rAlpha = col("n_alpha") * 5 >= col("n") * 4
-    val rSym = col("n_sym") * 10 <= col("n")
-    val rStop = col("stop_hits") >= 2
     gopherMetrics(docs).groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         sum(when(!rWords, 1L).otherwise(0L)).as("fail_word_count"),

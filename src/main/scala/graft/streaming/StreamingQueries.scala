@@ -846,6 +846,166 @@ object StreamingQueries {
            |ORDER BY id""".stripMargin
       }),
 
+    // Streaming QUALITY gate — the composed standing filter real
+    // corpus ingest runs after dedup: the Gopher rule census
+    // (ta_gopher_filter) and the Naive Bayes classifier
+    // (ta_nb_classifier) applied per arriving document under
+    // foreachBatch. Both stages are stateless per row (rule inputs
+    // are per-row array folds; the NB model is the batch-trained,
+    // localCheckpointed count table + priors every batch shares — at
+    // 100 TB the periodically-retrained reference model), so there is
+    // ZERO streaming state and the order-free census equals the batch
+    // arithmetic under any micro-batch split — the ev_stream_lm_filter
+    // property, completing the standing-filter family (exact dedup,
+    // near-dup, LM perplexity, rules + classifier). kept = passes all
+    // five Gopher rules AND classifier says in-domain; a doc with no
+    // non-empty tokens has no NB evidence and scores pred=0 in both
+    // engines (COALESCE), while Gopher's word-count rule already
+    // fails it.
+    "ev_stream_quality_gate" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_qgate", d)
+        import graft.operators.{TextAnalysis, TextClassify}
+        def withLabel(df: DataFrame): DataFrame = df.select(
+          col("doc_id"), col("text"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+        def tokOf(df: DataFrame): DataFrame = withLabel(df)
+          .select(col("doc_id"), col("y"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        val train = T.documents(s, d).filter(col("doc_id") % 2 === 0)
+        val counts = TextClassify.nbTrainCounts(tokOf(train))
+        val priors = withLabel(train)
+          .agg(sum("y").as("d1"), sum(lit(1) - col("y")).as("d0"))
+          .localCheckpoint()
+        seedEmptyParquet(s, s"$out/scored",
+          "doc_id BIGINT, gopher_pass INT, gopher_bits INT, " +
+            "pred INT, kept INT")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+          .filter(col("doc_id") % 2 === 1)
+        val q = stream.writeStream.queryName("graft_stream_qgate")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val rules = TextClassify
+                .gopherMetrics(batch, keyCols = Seq("doc_id"))
+                .select(col("doc_id"),
+                  TextClassify.gopherPassCol.cast("int").as("gopher_pass"),
+                  TextClassify.gopherBitsCol.cast("int").as("gopher_bits"))
+              val pred = TextClassify.nbPredict(tokOf(batch), counts, priors)
+                .select(col("doc_id"), col("pred"))
+              rules.join(pred, Seq("doc_id"), "left")
+                .select(col("doc_id"), col("gopher_pass"),
+                  col("gopher_bits"),
+                  coalesce(col("pred"), lit(0)).as("pred"))
+                .withColumn("kept",
+                  (col("gopher_pass") === 1 && col("pred") === 1)
+                    .cast("int"))
+                .write.mode("append").parquet(s"$out/scored")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/scored")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("gopher_pass").cast("long")).as("n_gopher_pass"),
+            // every per-doc rule verdict pinned even where the
+            // all-rules conjunction never fires on the fixture
+            sum(col("doc_id") * col("gopher_bits")).as("rule_bits_checksum"),
+            sum(col("pred").cast("long")).as("n_pred_en"),
+            sum(col("doc_id") * col("pred")).as("pred_id_checksum"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            sum(col("doc_id") * col("kept")).as("kept_id_checksum"))
+      },
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, y, token FROM (
+        |    SELECT doc_id, y, unnest(t) AS token FROM docs)
+        |  WHERE token <> ''),
+        |counts AS (
+        |  SELECT token, CAST(SUM(y) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n0
+        |  FROM tk WHERE doc_id % 2 = 0 GROUP BY token),
+        |totals AS (
+        |  SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+        |    CAST(SUM(n0) AS BIGINT) AS tn0, COUNT(*) AS v
+        |  FROM counts),
+        |priors AS (
+        |  SELECT CAST(SUM(y) AS BIGINT) AS d1,
+        |    CAST(SUM(1 - y) AS BIGINT) AS d0
+        |  FROM docs WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT t.doc_id,
+        |    length(bin((tt.tn1 + tt.v) // (COALESCE(c.n1, 0) + 1))) - 1
+        |      AS b1,
+        |    length(bin((tt.tn0 + tt.v) // (COALESCE(c.n0, 0) + 1))) - 1
+        |      AS b0
+        |  FROM tk t LEFT JOIN counts c USING (token) CROSS JOIN totals tt
+        |  WHERE t.doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT doc_id, CAST(SUM(b1) AS BIGINT) AS bits1,
+        |    CAST(SUM(b0) AS BIGINT) AS bits0
+        |  FROM b GROUP BY 1),
+        |gw AS (
+        |  SELECT doc_id, list_filter(
+        |    COALESCE(string_split_regex(trim(lower(text)), '\s+'), []),
+        |    x -> x <> '') AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(w,
+        |      x -> contains(x, '#') OR contains(x, '...')))
+        |      AS BIGINT) AS n_sym,
+        |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM gw),
+        |verdicts AS (
+        |  SELECT m.doc_id,
+        |    CASE WHEN m.n >= 50 AND m.n <= 100000
+        |      AND m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10
+        |      AND m.n_alpha * 5 >= m.n * 4 AND m.n_sym * 10 <= m.n
+        |      AND m.stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass,
+        |    (CASE WHEN m.n >= 50 AND m.n <= 100000 THEN 16 ELSE 0 END
+        |     + CASE WHEN m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10
+        |         THEN 8 ELSE 0 END
+        |     + CASE WHEN m.n_alpha * 5 >= m.n * 4 THEN 4 ELSE 0 END
+        |     + CASE WHEN m.n_sym * 10 <= m.n THEN 2 ELSE 0 END
+        |     + CASE WHEN m.stop_hits >= 2 THEN 1 ELSE 0 END)
+        |      AS gopher_bits,
+        |    COALESCE(CASE WHEN sc.bits1
+        |          + (length(bin((p.d1 + p.d0) // p.d1)) - 1)
+        |        < sc.bits0 + (length(bin((p.d1 + p.d0) // p.d0)) - 1)
+        |      THEN 1 ELSE 0 END, 0) AS pred
+        |  FROM m LEFT JOIN sc ON sc.doc_id = m.doc_id
+        |  CROSS JOIN priors p)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(gopher_pass) AS BIGINT) AS n_gopher_pass,
+        |  CAST(SUM(doc_id * gopher_bits) AS BIGINT) AS rule_bits_checksum,
+        |  CAST(SUM(pred) AS BIGINT) AS n_pred_en,
+        |  CAST(SUM(doc_id * pred) AS BIGINT) AS pred_id_checksum,
+        |  CAST(SUM(CASE WHEN gopher_pass = 1 AND pred = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(doc_id * CASE WHEN gopher_pass = 1 AND pred = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_id_checksum
+        |FROM verdicts""".stripMargin),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids
