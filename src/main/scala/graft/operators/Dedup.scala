@@ -981,9 +981,9 @@ object Dedup {
   * ~0.6 s at prefixChars=1 (16 dirs). The default is therefore 1:
   * a standing gate pays the commit cost forever, while bucket width
   * only bounds the (rare, bloom-filtered) probe reads. At petabyte
-  * table sizes, raise the width together with a periodic compaction
-  * pass — compaction pays the many-directory cost once per epoch
-  * instead of every batch.
+  * table sizes, raise the width at [[compact]] time — compaction
+  * pays the many-directory cost once per epoch instead of every
+  * batch.
   *
   * Consistency: same at-least-once contract as the unbucketed gate
   * (Dedup.appendNovelFingerprints scaladoc) — a replayed batch, or a
@@ -1003,6 +1003,9 @@ final class NoveltyGate(tableRoot: String,
   import org.apache.spark.sql.types.StructType
 
   private var words: Array[Long] = _
+  // the LIVE bucket width — compact(newPrefixChars) can widen it for
+  // a grown table, and every subsequent probe/append must follow
+  private var pcCur: Int = prefixChars
 
   def admit(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
@@ -1025,7 +1028,7 @@ final class NoveltyGate(tableRoot: String,
     val novel: DataFrame =
       if (pos.isEmpty) fps
       else if (pos.length <= posCap) {
-        val prefixes = pos.map(_.take(prefixChars)).distinct.toSeq
+        val prefixes = pos.map(_.take(pcCur)).distinct.toSeq
         val present = spark.read.parquet(dataPath)
           .filter(col("fp_b").isin(prefixes: _*))
           .filter(col("fp").isin(pos.toSeq: _*))
@@ -1038,7 +1041,7 @@ final class NoveltyGate(tableRoot: String,
         // against just those buckets. Evaluated twice below (delta +
         // data) — two bucket scans on the rare path, accepted.
         val prefixes = fps.filter(might)
-          .select(substring(col("fp"), 1, prefixChars).as("p")).distinct()
+          .select(substring(col("fp"), 1, pcCur).as("p")).distinct()
           .collect().map(_.getString(0)).toSeq
         val known = spark.read.parquet(dataPath)
           .filter(col("fp_b").isin(prefixes: _*))
@@ -1063,9 +1066,80 @@ final class NoveltyGate(tableRoot: String,
       .write.mode("append").parquet(bloomPath)
     delta.foreach { case (i, w) => words(i.toInt) |= w }
     novel
-      .withColumn("fp_b", substring(col("fp"), 1, prefixChars))
+      .withColumn("fp_b", substring(col("fp"), 1, pcCur))
       .repartition(col("fp_b"))
       .sortWithinPartitions(col("fp"))
       .write.mode("append").partitionBy("fp_b").parquet(dataPath)
+  }
+
+  /** The periodic maintenance pass the bucket-count tradeoff note
+    * prescribes — run it between admit epochs (it must not race an
+    * admit): in one pass it (1) rewrites every bucket's accumulated
+    * per-batch files into ONE fp-sorted, exactly-deduplicated file —
+    * repairing the at-least-once decay (replayed-batch duplicate
+    * rows) and restoring the O(buckets) file count a probe must
+    * list; and (2) rebuilds the Bloom file from the table itself,
+    * collapsing the append-only delta log to one file whose bits are
+    * exactly the stored fingerprints' (a crash that left the bloom
+    * behind the data heals here). Compaction is also the moment to
+    * RAISE prefixChars for a grown table: the many-directory write
+    * cost is paid once per epoch here instead of every batch.
+    *
+    * Crash ordering: both rewrites land in `_tmp` siblings first,
+    * then swap via rename with the old generation kept as `_old`
+    * until the swap completes — a crash mid-compaction leaves either
+    * the old or the new generation intact, never neither. The cached
+    * bitmap is rebuilt from the rewritten table so the standing gate
+    * continues without a reload.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      newPrefixChars: Option[Int] = None): Unit = {
+    val dataPath = s"$tableRoot/data"
+    val bloomPath = s"$tableRoot/bloom"
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return
+    val pc = newPrefixChars.getOrElse(pcCur)
+    val fps = spark.read.parquet(dataPath)
+      .select(col("fp")).filter(col("fp").isNotNull).distinct()
+      .localCheckpoint() // pin: consumed by both rewrites, and the
+                         // source dirs are about to be swapped away
+    fps
+      .withColumn("fp_b", substring(col("fp"), 1, pc))
+      .repartition(col("fp_b"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").partitionBy("fp_b")
+      .parquet(s"$tableRoot/data_tmp")
+    val rebuilt = new Array[Long](bits / 64)
+    fps
+      .select(posexplode(array((0 until k).map(i =>
+        Dedup.bloomPos(col("fp"), i, bits)): _*)).as(Seq("i", "pos")))
+      .select((col("pos") / 64).cast("long").as("word_idx"),
+        element_at(Dedup.bitMasksCol, (col("pos") % 64).cast("int") + 1)
+          .as("m"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(m)").as("word"))
+      .collect().foreach { r =>
+        rebuilt(r.getLong(0).toInt) = r.getLong(1) }
+    val rebuiltRows = new java.util.ArrayList[Row]()
+    rebuilt.zipWithIndex.foreach { case (w, i) =>
+      if (w != 0L) rebuiltRows.add(Row(i.toLong, w)) }
+    spark.createDataFrame(rebuiltRows,
+        StructType.fromDDL("word_idx BIGINT, word BIGINT"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tableRoot/bloom_tmp")
+    def swap(name: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$tableRoot/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot/${name}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$tableRoot/${name}_old")
+      fs.delete(old, true)
+      if (fs.exists(cur)) fs.rename(cur, old)
+      fs.rename(tmp, cur)
+      fs.delete(old, true)
+    }
+    swap("data")
+    swap("bloom")
+    words = rebuilt
+    pcCur = pc
   }
 }

@@ -133,7 +133,20 @@ object DumpPlans {
       ("CCNet tercile cut: boundaries from a cumulative sum over the " +
         "BOUNDED integral bits-per-bigram histogram (checkpointed), " +
         "assignment as a broadcast comparison at scan speed — never " +
-        "a global-sort ntile over scored docs."))
+        "a global-sort ntile over scored docs."),
+    "w_ntile_hist" ->
+      ("Histogram-quantile quartiles (w_ntile's scale-safe sibling): " +
+        "the corpus partial-aggregates to a bounded per-(priority, " +
+        "bin) histogram, windows run ONLY over that tiny table " +
+        "(PlanAuditSpec pins every Window above an aggregate), and " +
+        "quartile assignment is a broadcast-join comparison at scan " +
+        "speed — no per-key global sort of the fact table."))
+  // The streaming gates (ev_stream_novelty/neardup/quality_gate) are
+  // deliberately NOT dumped here: the registry fn returns the
+  // post-drain census read, so its executed plan would show a trivial
+  // parquet scan, not the foreachBatch probe — their plan-shaped
+  // claims live in the operator scaladoc and are exercised by
+  // StreamingStateSpec + the ScaleProbe novelty rows instead.
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

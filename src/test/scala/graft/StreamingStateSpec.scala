@@ -167,6 +167,57 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(fps2.length === 4, "restart gate must admit only the novel doc")
   }
 
+  test("novelty-gate compaction dedups rows, restores one file per bucket, heals the bloom") {
+    val out = new java.io.File(
+      "target/test_gate_compact").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val root = s"$out/fp"
+    val gate = new graft.operators.NoveltyGate(root)
+    gate.admit(Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"))
+    gate.admit(Seq((3L, "delta"), (4L, "epsilon zeta")).toDF("doc_id", "text"))
+    // simulate the at-least-once decay the scaladoc documents: a
+    // replayed batch re-appends rows the table already holds
+    val dup = spark.read.parquet(s"$root/data")
+    dup.write.mode("append").partitionBy("fp_b").parquet(s"$root/data")
+    assert(spark.read.parquet(s"$root/data").count() === 8)
+    gate.compact(spark)
+    val fps = graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .collect().map(_.getString(0))
+    assert(fps.length === 4 && fps.distinct.length === 4,
+      "compaction must remove replay duplicates")
+    // one data file per bucket directory
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .filter(_.isDirectory)
+    dirs.foreach { d =>
+      val parts = fs.listStatus(d.getPath)
+        .count(_.getPath.getName.startsWith("part-"))
+      assert(parts === 1, s"bucket ${d.getPath.getName} has $parts files")
+    }
+    // the standing gate continues on the rebuilt bitmap: known fp
+    // rejected, novel admitted
+    gate.admit(Seq((5L, "alpha beta"), (6L, "eta")).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .count() === 5)
+    // a FRESH gate (cold load of the rebuilt bloom) reaches the same
+    // verdicts — the rebuilt file is complete, not just the cache
+    val gate2 = new graft.operators.NoveltyGate(root)
+    gate2.admit(Seq((7L, "gamma"), (8L, "theta")).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .count() === 6)
+    // widening the bucket layout at compaction time: the gate follows
+    // the new width for probes and appends
+    gate2.compact(spark, newPrefixChars = Some(2))
+    gate2.admit(Seq((9L, "iota"), (10L, "theta")).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .count() === 7)
+    val widths = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("fp_b=").length)
+    assert(widths.nonEmpty && widths.forall(_ === 2),
+      "compaction must have rewritten every bucket at the new width")
+  }
+
   test("streaming near-dup gate flags a near-duplicate arriving in a LATER batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
