@@ -147,18 +147,21 @@ object Dedup {
     * nodes. False negatives impossible for any fingerprint whose
     * delta write committed; false positives fall through to the
     * bucket probe. */
-  private[operators] def bloomMight(fp: Column, words: Array[Long],
-      bits: Int, k: Int): Column = {
-    // The words ride the plan as ONE UnsafeArrayData-backed literal —
-    // primitive long[] bytes, NOT typedLit(Seq[Long]): the generic
-    // literal boxes every element, and a 2^25-bit bitmap (524k words)
-    // then costs seconds of driver-side conversion/compare per plan
-    // (measured ~2.5 s per admit before the switch).
-    val w = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+  /** A primitive long[] as ONE UnsafeArrayData-backed array literal —
+    * NOT typedLit(Seq[Long]): the generic literal boxes every element,
+    * and a 2^25-bit bitmap (524k words) then costs seconds of
+    * driver-side conversion/compare per plan (measured ~2.5 s per
+    * admit before the switch). */
+  private[operators] def longArrayLit(words: Array[Long]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.Literal(
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words),
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType, containsNull = false)))
+
+  private[operators] def bloomMight(fp: Column, words: Array[Long],
+      bits: Int, k: Int): Column = {
+    val w = longArrayLit(words)
     (0 until k).map { i =>
       val pos = bloomPos(fp, i, bits)
       element_at(w, (pos / 64).cast("int") + 1)
@@ -250,7 +253,7 @@ object Dedup {
     * minhashCandidatePairs, nearDupAgainstCorpus) stays bit-identical,
     * so they all route through here.
     */
-  private def bandHashExpr(sig: Column, b: Column, rows: Column): Column =
+  private[operators] def bandHashExpr(sig: Column, b: Column, rows: Column): Column =
     // explicit null arm: concat_ws SKIPS null args, so without it a
     // NULL signature (null doc text) hashes to xxhash64(bandIndex) —
     // the same value for every null doc, silently bucketing all null
@@ -805,91 +808,18 @@ object Dedup {
       .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
   }
 
-  /** foreachBatch body of the standing NEAR-dup gate
-    * (`ev_stream_neardup`) — [[appendNovelFingerprintsBucketed]]'s
-    * sibling with exact fingerprints generalized to MinHash
-    * similarity, and the streaming form of [[nearDupAgainstCorpus]]:
-    * the dedup memory is a durable SIGNATURE table
-    * (`root`/sigs: doc_id, sig) that outlives the stream, each
-    * arriving micro-batch probes it via the banded index and appends
-    * per-doc verdicts (`root`/verdicts) plus its own signatures.
-    *
-    * Gate semantics, chosen for micro-batch-split invariance: a doc
-    * is a near-dup iff its signature agrees in ≥ `minEq` of
-    * `numHashes` positions with ANY EARLIER-SEEN doc — earlier
-    * batches via the persistent table, same-batch predecessors via a
-    * smaller-id self-probe. "All seen", not "all admitted": an
-    * admitted-only memory makes verdicts depend on the transitive
-    * chain of earlier verdicts (doc C dup-of rejected B dup-of A),
-    * which no single-pass census can replay — all-seen is the
-    * [[nearDupAgainstCorpus]] corpus semantic, and with id-ordered
-    * arrival (file-source batches replay in file order; within one
-    * file, one batch) the verdict set is identical under ANY split.
-    *
-    * Scale shape: the batch side of the band probe BROADCASTS (cost
-    * proportional to the batch's bucket collisions, the corpus bands
-    * are scanned but never shuffled); signatures are recomputed from
-    * the stored sig column, never from corpus text. Same
-    * at-least-once contract as the novelty gate: a replayed batch can
-    * duplicate verdict/sig rows, so read-side censuses dedup first.
-    * Null-text docs carry no signature: they verdict as novel
-    * (0 candidates) and are never appended to the sig table.
+  /** One-shot form of the standing NEAR-dup gate
+    * (`ev_stream_neardup`) — delegates to [[NearDupGate]], the
+    * persistent-band-index sibling of [[NoveltyGate]]; see there for
+    * the layout, semantics, and scale argument. Callers with a
+    * standing stream should hold ONE NearDupGate instance instead so
+    * the band-hash Bloom loads once per stream, not once per batch.
     */
   def appendNearDupVerdicts(batch: DataFrame, root: String,
       idCol: String, textCol: String, numHashes: Int = 32,
-      bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = batch.sparkSession
-    val rows = numHashes / bands
-    def banded(df: DataFrame) = df.select(col("id"), col("sig"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => bandHashExpr(col("sig"), b, lit(rows))))
-      ).toDF("id", "sig", "band", "band_hash")
-    // consumed four times (bands both probe sides, verdict base, sig
-    // append) — pin it once; bounded by the batch
-    val batchSigs = spread(
-        batch.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"),
-        minhashSignaturePortable(col("t"), numHashes, shingleSize).as("sig"))
-      .localCheckpoint()
-    val sigsPath = s"$root/sigs"
-    val fs = new org.apache.hadoop.fs.Path(sigsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusSigs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(sigsPath)))
-        spark.read.parquet(sigsPath)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id BIGINT, sig ARRAY<BIGINT>"))
-    val batchBands = banded(batchSigs)
-    val cross = broadcast(batchBands).as("q")
-      .join(banded(corpusSigs).as("c"),
-        col("q.band") === col("c.band") &&
-          col("q.band_hash") === col("c.band_hash"))
-    val internal = broadcast(batchBands).as("q")
-      .join(batchBands.as("c"),
-        col("q.band") === col("c.band") &&
-          col("q.band_hash") === col("c.band_hash") &&
-          col("c.id") < col("q.id"))
-    def pairs(j: DataFrame) = j.select(
-      col("q.id").as("id"), col("c.id").as("cid"),
-      graft.functions.VecOps.arrayEqCount(col("q.sig"), col("c.sig"))
-        .as("n_eq"))
-    val matches = pairs(cross).unionByName(pairs(internal))
-      .groupBy(col("id"), col("cid"))
-      .agg(first(col("n_eq")).as("n_eq")) // dedup multi-band hits
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_cands"), max(col("n_eq")).as("best_eq"))
-    batchSigs.select(col("id")).join(matches, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
-        coalesce(col("best_eq"), lit(0L)).as("best_eq"))
-      .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
-      .write.mode("append").parquet(s"$root/verdicts")
-    batchSigs.filter(col("sig").isNotNull)
-      .write.mode("append").parquet(sigsPath)
-  }
+      bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16): Unit =
+    new NearDupGate(root, numHashes, bands, shingleSize, minEq)
+      .admit(batch, idCol, textCol)
 
   /** Span-REMOVAL dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): the transform real
@@ -1141,5 +1071,260 @@ final class NoveltyGate(tableRoot: String,
     swap("bloom")
     words = rebuilt
     pcCur = pc
+  }
+}
+
+
+/** The standing NEAR-dup gate over a persistent banded MinHash index —
+  * [[NoveltyGate]]'s sibling with exact fingerprints generalized to
+  * signature similarity, one instance per ingest stream (driver-side;
+  * foreachBatch closures run on the driver). The durable memory is
+  * two tables under `root`: `sigs` (id, sig — one 32-long signature
+  * per seen doc, id-sorted files) and `bands` (id, band, band_hash —
+  * the banded index, PARTITIONED by the band hash's low 4 bits and
+  * band_hash-sorted within each file), fronted by a DRIVER-STATE
+  * Bloom bitmap over the corpus' distinct band hashes.
+  *
+  * The bitmap is deliberately NOT persisted (unlike NoveltyGate's
+  * delta-file protocol): band keys are `bands`× the doc count, so a
+  * per-batch durable delta would collect and write ~16× more rows
+  * than the novelty gate's every batch — instead the bitmap rebuilds
+  * from the bands table in ONE aggregation at gate construction (a
+  * stream-start cost, amortized over the stream's life), and each
+  * batch folds its own collected hashes in-driver. That also removes
+  * every crash window: the bands table is the single source of
+  * truth, and a restarted gate's bitmap is exactly its content.
+  * Per-batch driver transfer is the batch's distinct band hashes
+  * (≤ `bands`·batch longs — micro-batch-bounded by construction).
+  *
+  * Gate semantics (what the ev_stream_neardup oracle replays): a doc
+  * is a near-dup iff its signature agrees in ≥ minEq of numHashes
+  * positions with ANY EARLIER-SEEN doc — earlier batches via the
+  * persistent index, same-batch predecessors via a smaller-id
+  * self-probe. The cross probe ALSO requires cid < id: with
+  * id-ordered arrival that is a no-op for clean runs, and it makes
+  * an at-least-once replay harmless — a replayed batch finds its own
+  * (and its batchmates') bands already in the index, and without the
+  * guard a smaller-id doc would match its larger-id batchmate from
+  * the table, flipping a verdict the batch arithmetic says is novel.
+  *
+  * Per [[admit]], the novelty-gate cost model transplanted to bands
+  * (join sides carry checkpointed size stats, so AQE broadcasts the
+  * batch side whenever it is batch-sized — no forced hint that a
+  * degenerate huge admit would OOM on):
+  *
+  *  1. the batch's distinct band hashes collect and test the bitmap
+  *     IN-DRIVER (no bitmap literal ever enters a plan);
+  *     bloom-negative hashes have NO corpus collision — for a
+  *     mostly-novel batch that is nearly all of them, so the index
+  *     is not read at all and per-batch cost is flat in corpus size;
+  *  2. possible-colliding hashes (bounded by candCap, else the
+  *     full-scan fallback — the dup-heavy shape where scanning is
+  *     the right plan) prune the index read twice over: directory
+  *     pruning on the low-4-bit bucket, then a pushed band_hash
+  *     INSET that parquet row-group stats on the sorted files
+  *     resolve below bucket granularity (admit raises the parquet
+  *     IN-pushdown threshold for its own reads — the default 10
+  *     silently degrades larger INSETs to a useless min/max range);
+  *  3. candidate pair ids join the sigs table through the same
+  *     collected-INSET trick for verification (signatures are
+  *     fetched for the few candidates, never scanned corpus-wide);
+  *  4. per-doc verdicts (id, n_cands, best_eq, is_neardup) append,
+  *     the batch hashes fold into the bitmap, then bands and sigs
+  *     append.
+  *
+  * Driver/plan hash parity: the in-driver fold and probe use
+  * [[NearDupGate.bhPosDriver]], a bit-exact replica of the
+  * `xxhash64(lit(i), band_hash)` chain the construction-time rebuild
+  * evaluates in-plan — DedupSimilaritySpec pins the two equal, since
+  * a drift would be a silent false-negative factory.
+  *
+  * Null-text docs carry no signature: they verdict as novel and are
+  * never indexed. At-least-once decay = duplicate verdict/sig/band
+  * rows; read-side censuses dedup first, and candidate pairs are
+  * distinct, so no verdict changes. Bloom sizing rule as for
+  * [[NoveltyGate]] but per BAND key: the index holds `bands`× more
+  * keys than docs (16 by default), so size bits to 16× expected docs
+  * (the ScaleProbe run uses 2^26 bits / k=12 for its 4M-band table).
+  */
+final class NearDupGate(root: String, numHashes: Int = 32,
+    bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16,
+    bits: Int = 1 << 22, k: Int = Dedup.noveltyBloomK,
+    candCap: Int = 100000) {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  private var words: Array[Long] = _
+  private val rows = numHashes / bands
+
+  private def bhPosCol(bh: Column, i: Int): Column =
+    xxhash64(lit(i), bh).bitwiseAND(lit((bits - 1).toLong))
+
+  private def bhPos(bh: Long, i: Int): Long =
+    NearDupGate.bhPosDriver(bh, i) & (bits - 1).toLong
+
+  private def mightContain(bh: Long): Boolean =
+    (0 until k).forall { i =>
+      val pos = bhPos(bh, i)
+      (words((pos >> 6).toInt) & (1L << (pos & 63))) != 0L
+    }
+
+  private def fold(bh: Long): Unit =
+    (0 until k).foreach { i =>
+      val pos = bhPos(bh, i)
+      words((pos >> 6).toInt) |= (1L << (pos & 63))
+    }
+
+  private def banded(df: DataFrame): DataFrame =
+    df.select(col("id"), col("sig"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => Dedup.bandHashExpr(col("sig"), b, lit(rows))))
+      ).toDF("id", "sig", "band", "band_hash")
+
+  private def emptyPairs(spark: org.apache.spark.sql.SparkSession) =
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType.fromDDL("id BIGINT, cid BIGINT, n_eq INT"))
+
+  /** Rebuild the bitmap from the bands table — one aggregation over
+    * the distinct stored hashes, folded through the IN-PLAN position
+    * expression (the driver replica's parity partner). */
+  private def initBloom(spark: org.apache.spark.sql.SparkSession,
+      bandsPath: String, bandsExist: Boolean): Unit = {
+    words = new Array[Long](bits / 64)
+    if (!bandsExist) return
+    spark.read.parquet(bandsPath)
+      .select(col("band_hash")).distinct()
+      .select(posexplode(array((0 until k).map(i =>
+        bhPosCol(col("band_hash"), i)): _*)).as(Seq("i", "pos")))
+      .select((col("pos") / 64).cast("long").as("word_idx"),
+        element_at(Dedup.bitMasksCol, (col("pos") % 64).cast("int") + 1)
+          .as("m"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(m)").as("word"))
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val occupied = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
+    if (occupied * 2 > bits) System.err.println(
+      s"[neardup-gate] bloom ${occupied * 100 / bits}% occupied for " +
+        s"$root — probes degrade to index scans; resize bits ($bits) " +
+        s"to ~${bands}x expected docs")
+  }
+
+  def admit(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    // The pruned index/sig reads rely on pushing a collected INSET of
+    // band hashes / candidate ids into the parquet scan so row-group
+    // stats on the sorted files can skip; Spark only pushes IN
+    // filters up to this threshold (default 10 — above it the filter
+    // degrades to a min/max range, useless for scattered hashes).
+    // Scoped to the admit call and restored after.
+    val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val priorThr = spark.conf.getOption(thrKey)
+    spark.conf.set(thrKey, (2 * candCap).toString)
+    try admitInner(batch, idCol, textCol)
+    finally priorThr match {
+      case Some(v) => spark.conf.set(thrKey, v)
+      case None => spark.conf.unset(thrKey)
+    }
+  }
+
+  private def admitInner(batch: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val bandsPath = s"$root/bands"
+    val sigsPath = s"$root/sigs"
+    val bandsExist = {
+      val p = new org.apache.hadoop.fs.Path(bandsPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (words == null) initBloom(spark, bandsPath, bandsExist)
+    // consumed several times (hash collect, both probe sides, verdict
+    // base, appends) — pin the signatures once; bounded by the batch
+    val batchSigs = Dedup.spread(
+        batch.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), Dedup.minhashSignaturePortable(
+        col("t"), numHashes, shingleSize).as("sig"))
+      .localCheckpoint()
+    val batchBands = banded(batchSigs).filter(col("band_hash").isNotNull)
+    val hashes = batchBands.select(col("band_hash")).distinct()
+      .collect().map(_.getLong(0))
+    val posHashes = hashes.filter(mightContain).toSeq
+    val crossScored: DataFrame =
+      if (posHashes.isEmpty || !bandsExist) emptyPairs(spark)
+      else {
+        val idx0 = spark.read.parquet(bandsPath)
+        val idx =
+          if (posHashes.length <= candCap) {
+            val buckets = posHashes.map(h => h & 15L).distinct
+            idx0.filter(col("bh_b").isin(buckets: _*))
+              .filter(col("band_hash").isin(posHashes: _*))
+          } else idx0 // dup-heavy fallback: scan the index
+        // no broadcast HINT: the localCheckpointed batch side carries
+        // accurate size stats, so AQE broadcasts it whenever it is
+        // batch-sized and falls back to a shuffle join for a
+        // degenerate huge admit instead of OOMing the driver
+        val pairs = batchBands.as("q").join(idx.as("c"),
+            col("q.band") === col("c.band") &&
+              col("q.band_hash") === col("c.band_hash") &&
+              col("c.id") < col("q.id"))
+          .select(col("q.id").as("id"), col("c.id").as("cid"))
+          .distinct()
+          // pinned: consumed by the cid collect AND the scoring join,
+          // and bounded by candCap·batch collisions in the common path
+          .localCheckpoint()
+        val cids = pairs.select(col("cid")).distinct()
+          .limit(candCap + 1).collect().map(_.getLong(0))
+        val corpusSigs =
+          if (cids.length <= candCap)
+            spark.read.parquet(sigsPath)
+              .filter(col("id").isin(cids.toSeq: _*))
+          else spark.read.parquet(sigsPath)
+        pairs
+          .join(corpusSigs.toDF("cid", "csig"), "cid")
+          .join(batchSigs.toDF("id", "qsig"), "id")
+          .select(col("id"), col("cid"),
+            graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
+              .as("n_eq"))
+      }
+    val internal = batchBands.as("q").join(batchBands.as("c"),
+        col("q.band") === col("c.band") &&
+          col("q.band_hash") === col("c.band_hash") &&
+          col("c.id") < col("q.id"))
+      .select(col("q.id").as("id"), col("c.id").as("cid"),
+        graft.functions.VecOps.arrayEqCount(col("q.sig"), col("c.sig"))
+          .as("n_eq"))
+    val matches = crossScored.unionByName(internal)
+      .groupBy(col("id"), col("cid"))
+      .agg(first(col("n_eq")).as("n_eq")) // dedup multi-band hits
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cands"), max(col("n_eq")).as("best_eq"))
+    batchSigs.select(col("id")).join(matches, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("best_eq"), lit(0L)).as("best_eq"))
+      .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
+      .write.mode("append").parquet(s"$root/verdicts")
+    hashes.foreach(fold)
+    batchBands
+      .select(col("id"), col("band"), col("band_hash"),
+        col("band_hash").bitwiseAND(lit(15L)).as("bh_b"))
+      .repartition(col("bh_b"))
+      .sortWithinPartitions(col("band_hash"))
+      .write.mode("append").partitionBy("bh_b").parquet(bandsPath)
+    batchSigs.filter(col("sig").isNotNull)
+      .coalesce(1).sortWithinPartitions(col("id"))
+      .write.mode("append").parquet(sigsPath)
+  }
+}
+
+object NearDupGate {
+  /** Bit-exact driver replica of the in-plan `xxhash64(lit(i), bh)`
+    * chain (XxHash64 folds each argument with the running hash as
+    * seed, starting from the function's 42L default) — pinned equal
+    * to the Column form by DedupSimilaritySpec. */
+  private[graft] def bhPosDriver(bh: Long, i: Int): Long = {
+    val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(i, 42L)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(bh, h1)
   }
 }

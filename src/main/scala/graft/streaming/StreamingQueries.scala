@@ -772,7 +772,7 @@ object StreamingQueries {
     // signature table (the durable dedup memory, banded per batch
     // into an index probe with the batch side broadcast) plus its own
     // smaller-id predecessors, appends per-doc verdicts, and extends
-    // the table (Dedup.appendNearDupVerdicts — see there for the
+    // the table (graft.operators.NearDupGate — see there for the
     // split-invariance argument: verdict(d) = "agrees ≥16/32
     // signature positions with ANY earlier-seen doc", identical under
     // any id-ordered batch split; StreamingStateSpec stages the
@@ -785,14 +785,16 @@ object StreamingQueries {
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
         val stream = s.readStream.schema(fileSchema)
           .parquet(d + "/documents.parque*")
+        // ONE gate for the stream's lifetime (the NoveltyGate
+        // protocol): the band-hash Bloom loads once and each batch's
+        // delta folds in-memory, so per-batch cost is flat in corpus
+        // size — see NearDupGate's scaladoc for the full cost model.
+        val gate = new graft.operators.NearDupGate(out)
         val q = stream.writeStream.queryName("graft_stream_neardup")
           .option("checkpointLocation", s"$out/_ckpt")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) {
-              graft.operators.Dedup.appendNearDupVerdicts(
-                batch, out, "doc_id", "text")
-            }
+            if (!batch.isEmpty) gate.admit(batch, "doc_id", "text")
           }
           .start()
         q.awaitTermination()

@@ -512,6 +512,99 @@ object ScaleProbe {
       (after - lastTableRows, sec)
     }
 
+
+    // Near-dup gate probes, mirroring the novelty pair. The corpus is
+    // factor× near-duplicate replicas; the TIMED batch is the base
+    // corpus with every token md5-scrambled — genuinely novel traffic
+    // (disjoint vocab → disjoint signatures → no true band
+    // collisions), so what is measured is the standing-gate fixed
+    // cost plus whatever each layout spends discovering "no match".
+    def scrambled = base.select(col("doc_id"),
+      array_join(transform(split(trim(col("text")), "\\s+"),
+        t => substring(md5(concat(t, lit("z"))), 1, 8)), " ").as("text"))
+
+    // Seed corpus for the near-dup probes: every doc's tokens hashed
+    // with a per-DOC salt, so all seed docs are mutually novel — the
+    // table grows by factor x without the replicas near-dup'ing each
+    // other (a near-dup-heavy seed would make the gate's untimed seed
+    // admit quadratic in factor via its batch-internal self-probe,
+    // measuring corpus pathology instead of table growth).
+    def uniqueSeed(factor: Int) = replicate(factor, perturbText = false)
+      .select(col("doc_id"),
+        array_join(transform(split(trim(col("text")), "\\s+"),
+          t => substring(md5(concat(t, lit("s"),
+            col("doc_id").cast("string"))), 1, 8)), " ").as("text"))
+
+    // Baseline: the r12 one-shot gate shape — the sigs table is the
+    // only durable artifact; every batch RECOMPUTES the corpus band
+    // index from it and scans it whole (batch side broadcast), then
+    // writes verdicts and appends its sigs. O(corpus) per batch in
+    // both compute and scan — the cost model NearDupGate's persistent
+    // index + bloom front exists to beat.
+    def runNeardupAt(factor: Int): (Long, Double) = {
+      val out = new java.io.File("target/probe_neardup").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      def sigsOf(df: org.apache.spark.sql.DataFrame) =
+        df.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id").as("id"),
+            graft.operators.Dedup.minhashSignaturePortable(
+              col("text"), 32, 1).as("sig"))
+      sigsOf(uniqueSeed(factor))
+        .write.mode("overwrite").parquet(s"$out/sigs")
+      lastTableRows = spark.read.parquet(s"$out/sigs").count() * 16
+      System.gc()
+      val t0 = System.nanoTime()
+      val batchSigs = sigsOf(scrambled).localCheckpoint()
+      val corpusSigs = spark.read.parquet(s"$out/sigs")
+      val corpusB = graft.operators.Dedup
+        .lshBands(corpusSigs, "id", "sig", 16)
+      val batchB = graft.operators.Dedup
+        .lshBands(batchSigs, "id", "sig", 16)
+      val pairs = broadcast(batchB).as("q").join(corpusB.as("c"),
+          col("q.band") === col("c.band") &&
+            col("q.band_hash") === col("c.band_hash") &&
+            col("c.id") < col("q.id"))
+        .select(col("q.id").as("id"), col("c.id").as("cid")).distinct()
+      pairs
+        .join(corpusSigs.toDF("cid", "csig"), "cid")
+        .join(batchSigs.toDF("id", "qsig"), "id")
+        .select(col("id"),
+          graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
+            .as("n_eq"))
+        .groupBy(col("id")).agg(max(col("n_eq")).as("best_eq"))
+        .unionByName(batchSigs.select(col("id"), lit(0).as("best_eq")))
+        .groupBy(col("id")).agg(max(col("best_eq")).as("best_eq"))
+        .write.mode("append").parquet(s"$out/verdicts")
+      batchSigs.filter(col("sig").isNotNull)
+        .coalesce(1).write.mode("append").parquet(s"$out/sigs")
+      val sec = (System.nanoTime() - t0) / 1e9
+      (spark.read.parquet(s"$out/verdicts").count(), sec)
+    }
+
+    // The standing NearDupGate: band-hash bloom cached across
+    // batches, sized per the per-band rule (index keys = 16×docs;
+    // 2^26 bits / k=12 holds the 4M-band top factor near the optimal
+    // occupancy). Seeded THROUGH the gate; the timed admit is the
+    // same novel batch the baseline sees.
+    def runNeardupGateAt(factor: Int): (Long, Double) = {
+      val out = new java.io.File("target/probe_neardupb").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val gate = new graft.operators.NearDupGate(out,
+        bits = 1 << 26, k = 12)
+      gate.admit(uniqueSeed(factor), "doc_id", "text")
+      lastTableRows = spark.read.parquet(s"$out/bands").count()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/verdicts"), true)
+      System.gc()
+      val t0 = System.nanoTime()
+      gate.admit(scrambled, "doc_id", "text")
+      val sec = (System.nanoTime() - t0) / 1e9
+      (spark.read.parquet(s"$out/verdicts").count(), sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -547,6 +640,8 @@ object ScaleProbe {
       case "nb"        => runNbAt
       case "novelty"   => runNoveltyAt
       case "noveltyb"  => runNoveltyBucketedAt
+      case "neardup"   => runNeardupAt
+      case "neardupb"  => runNeardupGateAt
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -567,6 +662,8 @@ object ScaleProbe {
       case "nb"        => "ta_nb_classifier"
       case "novelty"   => "ev_stream_novelty"
       case "noveltyb"  => "ev_stream_novelty_bucketed"
+      case "neardup"   => "ev_stream_neardup_fullscan"
+      case "neardupb"  => "ev_stream_neardup_gate"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -581,6 +678,7 @@ object ScaleProbe {
       case "rolling"   => "days"
       case "lm" | "nb" => "scored_docs"
       case "novelty" | "noveltyb" => "novel_appended"
+      case "neardup" | "neardupb" => "verdicts"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -602,7 +700,8 @@ object ScaleProbe {
           f""","sec_train":$lastTrainSec%.2f,"lm_table_rows":$lastLmRows%d"""
         else if (probe == "nb")
           f""","sec_train":$lastTrainSec%.2f,"nb_vocab_rows":$lastNbVocab%d"""
-        else if (probe == "novelty" || probe == "noveltyb")
+        else if (probe == "novelty" || probe == "noveltyb" ||
+                 probe == "neardup" || probe == "neardupb")
           f""","table_rows":$lastTableRows%d"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""

@@ -713,4 +713,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val overlap = fps(0).toSet.intersect(fps(1).toSet).size
     assert(overlap >= 6, s"expected ≥6 shared of 8, got $overlap")
   }
+
+  test("NearDupGate driver hash replica matches the in-plan xxhash64 chain") {
+    // a drift between the driver fold/probe and the construction-time
+    // in-plan rebuild would be a silent false-negative factory — pin
+    // bit equality across salts and edge-case hash values
+    val samples = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      123456789L, -987654321L, 42L)
+    val df = samples.flatMap(bh => (0 until 16).map(i => (i, bh)))
+      .toDF("i", "bh")
+    df.select(col("i"), col("bh"), xxhash64(col("i"), col("bh")).as("h"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) ===
+          graft.operators.NearDupGate.bhPosDriver(r.getLong(1), r.getInt(0)),
+          s"i=${r.getInt(0)} bh=${r.getLong(1)}")
+      }
+  }
 }
