@@ -1008,6 +1008,91 @@ object StreamingQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_id_checksum
         |FROM verdicts""".stripMargin),
 
+    // Streaming DECONTAMINATION gate — the benchmark-leak guard as a
+    // standing filter (the last member of the ingest-filter family:
+    // exact dedup, near-dup, LM perplexity, rules+classifier, and
+    // now eval-set exclusion). The eval set's distinct 13-gram md5
+    // index is the fixed reference artifact built ONCE batch-side
+    // (localCheckpointed, broadcast into every batch — the
+    // ev_stream_lm_filter pattern: at 100 TB this is the pinned
+    // benchmark index every ingest worker shares); each arriving
+    // micro-batch of training documents joins its per-doc distinct
+    // grams against it STATELESSLY (a doc's grams live entirely in
+    // its own row — zero streaming state, so the order-free census
+    // equals etl_decontaminate_exact's arithmetic under any split).
+    // A doc sharing ANY verbatim 13-token window with the eval set
+    // is flagged; n_shared counts its (gram, eval-doc) collisions.
+    "ev_stream_decontam" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_decontam", d)
+        import graft.operators.Dedup
+        def gramArr = when(
+          size(Dedup.tokens(col("text"))) >= 13,
+          transform(Dedup.shingles(col("text"), 13), x => md5(x)))
+          .otherwise(array().cast("array<string>"))
+        val evalGrams = T.documents(s, d)
+          .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+          .select(explode(gramArr).as("g")).distinct()
+          .localCheckpoint()
+        seedEmptyParquet(s, s"$out/scored",
+          "doc_id BIGINT, n_shared BIGINT, contaminated INT")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+          .filter(col("doc_id") < 400)
+        val q = stream.writeStream.queryName("graft_stream_decontam")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val hits = batch
+                .select(col("doc_id"), explode(gramArr).as("g"))
+                .join(broadcast(evalGrams), "g")
+                .groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("n_shared"))
+              batch.select(col("doc_id"))
+                .join(hits, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+                .withColumn("contaminated",
+                  (col("n_shared") > 0).cast("int"))
+                .write.mode("append").parquet(s"$out/scored")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/scored").distinct()
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("contaminated").cast("long")).as("n_contaminated"),
+            sum(col("n_shared")).as("shared_pairs_sum"),
+            sum(col("doc_id") * col("contaminated"))
+              .as("contaminated_id_checksum"))
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 11),
+        |      i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+        |  FROM tk),
+        |sh AS (
+        |  SELECT t.doc_id AS id, COUNT(*) AS n_shared
+        |  FROM g t JOIN g e ON t.g = e.g
+        |  WHERE t.doc_id < 400 AND e.doc_id >= 400 AND e.doc_id < 500
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT d.doc_id, COALESCE(sh.n_shared, 0) AS n_shared
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+        |  LEFT JOIN sh ON sh.id = d.doc_id)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(n_shared) AS BIGINT) AS shared_pairs_sum,
+        |  CAST(SUM(doc_id * CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS contaminated_id_checksum
+        |FROM v""".stripMargin),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids

@@ -264,6 +264,17 @@ class StreamingStateSpec extends AnyFunSuite {
     // the sig table holds only non-null-signature docs
     val sigs = spark.read.parquet(s"$out/sigs").collect()
     assert(sigs.length === 5 && !sigs.exists(_.isNullAt(1)))
+    // a FRESH gate (cold restart) rebuilds its bloom from the bands
+    // table in one aggregation — a near-dup of a doc admitted before
+    // the restart must still be flagged, and a novel doc admitted
+    val gate2 = new graft.operators.NearDupGate(out)
+    gate2.admit(Seq((7L, "alpha beta gamma delta"),
+      (8L, "nu xi omicron pi")).toDF("doc_id", "text"), "doc_id", "text")
+    val v2 = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(v2(7L) === ((32L, 1)), "restart gate must flag via rebuilt bloom")
+    assert(v2(8L)._2 === 0)
   }
 
   test("SQL function registration exposes py_round and minhash_sig") {
