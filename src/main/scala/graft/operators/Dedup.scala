@@ -187,7 +187,10 @@ object Dedup {
     val dataPath = s"$tableRoot/data"
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(dataPath).select(col("fp"))
+    if (fs.exists(p)) spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "fp STRING, fp_b STRING"))
+      .parquet(dataPath).select(col("fp"))
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
@@ -941,6 +944,26 @@ final class NoveltyGate(tableRoot: String,
     val spark = batch.sparkSession
     val dataPath = s"$tableRoot/data"
     val bloomPath = s"$tableRoot/bloom"
+    // Robustness pair used on every internal read: an existence check
+    // (the bloom commits BEFORE the data append, so a crash window can
+    // leave bloom bits with no data path yet) and an EXPLICIT schema
+    // (a first batch of only null-text docs appends zero rows, and a
+    // schema-inference read of the resulting empty directory throws).
+    val dataExists = {
+      val p = new org.apache.hadoop.fs.Path(dataPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def readData() = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "fp STRING, fp_b STRING"))
+      .parquet(dataPath)
+    // collected-INSET pushdown needs a threshold above the possible-
+    // member count (Spark's default 10 degrades larger IN lists to a
+    // useless min/max range at the parquet scan) — scoped + restored
+    val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val priorThr = spark.conf.getOption(thrKey)
+    spark.conf.set(thrKey, (2 * posCap).toString)
+    try {
     if (words == null) {
       words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
       val occupied = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
@@ -956,10 +979,10 @@ final class NoveltyGate(tableRoot: String,
     val pos = fps.filter(might).select(col("fp")).limit(posCap + 1)
       .collect().map(_.getString(0))
     val novel: DataFrame =
-      if (pos.isEmpty) fps
+      if (pos.isEmpty || !dataExists) fps
       else if (pos.length <= posCap) {
         val prefixes = pos.map(_.take(pcCur)).distinct.toSeq
-        val present = spark.read.parquet(dataPath)
+        val present = readData()
           .filter(col("fp_b").isin(prefixes: _*))
           .filter(col("fp").isin(pos.toSeq: _*))
           .select(col("fp")).collect().map(_.getString(0)).toSeq
@@ -973,7 +996,7 @@ final class NoveltyGate(tableRoot: String,
         val prefixes = fps.filter(might)
           .select(substring(col("fp"), 1, pcCur).as("p")).distinct()
           .collect().map(_.getString(0)).toSeq
-        val known = spark.read.parquet(dataPath)
+        val known = readData()
           .filter(col("fp_b").isin(prefixes: _*))
           .select(col("fp"))
         fps.filter(might).join(known, Seq("fp"), "left_anti")
@@ -1000,6 +1023,10 @@ final class NoveltyGate(tableRoot: String,
       .repartition(col("fp_b"))
       .sortWithinPartitions(col("fp"))
       .write.mode("append").partitionBy("fp_b").parquet(dataPath)
+    } finally priorThr match {
+      case Some(v) => spark.conf.set(thrKey, v)
+      case None => spark.conf.unset(thrKey)
+    }
   }
 
   /** The periodic maintenance pass the bucket-count tradeoff note
@@ -1030,7 +1057,10 @@ final class NoveltyGate(tableRoot: String,
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return
     val pc = newPrefixChars.getOrElse(pcCur)
-    val fps = spark.read.parquet(dataPath)
+    val fps = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "fp STRING, fp_b STRING"))
+      .parquet(dataPath)
       .select(col("fp")).filter(col("fp").isNotNull).distinct()
       .localCheckpoint() // pin: consumed by both rewrites, and the
                          // source dirs are about to be swapped away
@@ -1193,7 +1223,10 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       bandsPath: String, bandsExist: Boolean): Unit = {
     words = new Array[Long](bits / 64)
     if (!bandsExist) return
-    spark.read.parquet(bandsPath)
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, band INT, band_hash BIGINT, bh_b BIGINT"))
+      .parquet(bandsPath)
       .select(col("band_hash")).distinct()
       .select(posexplode(array((0 until k).map(i =>
         bhPosCol(col("band_hash"), i)): _*)).as(Seq("i", "pos")))
@@ -1252,7 +1285,10 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val crossScored: DataFrame =
       if (posHashes.isEmpty || !bandsExist) emptyPairs(spark)
       else {
-        val idx0 = spark.read.parquet(bandsPath)
+        val idx0 = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, band INT, band_hash BIGINT, bh_b BIGINT"))
+          .parquet(bandsPath)
         val idx =
           if (posHashes.length <= candCap) {
             val buckets = posHashes.map(h => h & 15L).distinct
@@ -1274,11 +1310,14 @@ final class NearDupGate(root: String, numHashes: Int = 32,
           .localCheckpoint()
         val cids = pairs.select(col("cid")).distinct()
           .limit(candCap + 1).collect().map(_.getLong(0))
+        def readSigs() = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, sig ARRAY<BIGINT>"))
+          .parquet(sigsPath)
         val corpusSigs =
           if (cids.length <= candCap)
-            spark.read.parquet(sigsPath)
-              .filter(col("id").isin(cids.toSeq: _*))
-          else spark.read.parquet(sigsPath)
+            readSigs().filter(col("id").isin(cids.toSeq: _*))
+          else readSigs()
         pairs
           .join(corpusSigs.toDF("cid", "csig"), "cid")
           .join(batchSigs.toDF("id", "qsig"), "id")
@@ -1305,15 +1344,21 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
       .write.mode("append").parquet(s"$root/verdicts")
     hashes.foreach(fold)
-    batchBands
-      .select(col("id"), col("band"), col("band_hash"),
-        col("band_hash").bitwiseAND(lit(15L)).as("bh_b"))
-      .repartition(col("bh_b"))
-      .sortWithinPartitions(col("band_hash"))
-      .write.mode("append").partitionBy("bh_b").parquet(bandsPath)
-    batchSigs.filter(col("sig").isNotNull)
-      .coalesce(1).sortWithinPartitions(col("id"))
-      .write.mode("append").parquet(sigsPath)
+    // a batch of only null-text docs has no bands and no non-null
+    // sigs (a non-null signature always yields non-null band hashes);
+    // skipping the appends avoids creating EMPTY table directories a
+    // later schema read or restart rebuild would otherwise hit
+    if (hashes.nonEmpty) {
+      batchBands
+        .select(col("id"), col("band"), col("band_hash"),
+          col("band_hash").bitwiseAND(lit(15L)).as("bh_b"))
+        .repartition(col("bh_b"))
+        .sortWithinPartitions(col("band_hash"))
+        .write.mode("append").partitionBy("bh_b").parquet(bandsPath)
+      batchSigs.filter(col("sig").isNotNull)
+        .coalesce(1).sortWithinPartitions(col("id"))
+        .write.mode("append").parquet(sigsPath)
+    }
   }
 }
 

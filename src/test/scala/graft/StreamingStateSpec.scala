@@ -277,6 +277,36 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v2(8L)._2 === 0)
   }
 
+  test("both gates survive a first batch of only null-text docs, then continue") {
+    // the degenerate first batch appends nothing — the gates must not
+    // create empty table directories that a later read or a restart
+    // rebuild chokes on, and the NEXT real batch must behave normally
+    val out = new java.io.File("target/test_gate_nullfirst").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val nulls = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ng = new graft.operators.NoveltyGate(s"$out/nov")
+    ng.admit(nulls)
+    assert(graft.operators.Dedup
+      .readBucketedFingerprints(spark, s"$out/nov").count() === 0)
+    ng.admit(Seq((3L, "alpha"), (4L, "alpha")).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup
+      .readBucketedFingerprints(spark, s"$out/nov").count() === 1)
+    val nd = new graft.operators.NearDupGate(s"$out/nd")
+    nd.admit(nulls, "doc_id", "text")
+    nd.admit(Seq((3L, "beta gamma"), (4L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    // restart rebuild over whatever the degenerate batch left behind
+    val nd2 = new graft.operators.NearDupGate(s"$out/nd")
+    nd2.admit(Seq((5L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val v = spark.read.parquet(s"$out/nd/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
