@@ -1360,6 +1360,51 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         .write.mode("append").parquet(sigsPath)
     }
   }
+
+  /** Epoch maintenance, mirroring [[NoveltyGate.compact]]: rewrite
+    * the band index to one band_hash-sorted, exactly-deduplicated
+    * file per bucket and the sig table to one id-sorted file — the
+    * at-least-once decay (replayed-batch duplicate rows) repaired and
+    * the per-batch file accumulation collapsed, so probe-time
+    * listings stay O(buckets). The cached bloom needs NO rebuild:
+    * deduplication cannot change the distinct band-hash set. Run
+    * between admit epochs (must not race an admit); crash-ordered
+    * tmp/old swaps leave either generation intact, never neither.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val bandsPath = s"$root/bands"
+    val sigsPath = s"$root/sigs"
+    val hp = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return
+    spark.read
+      .schema(StructType.fromDDL(
+        "id BIGINT, band INT, band_hash BIGINT, bh_b BIGINT"))
+      .parquet(bandsPath)
+      .select(col("id"), col("band"), col("band_hash")).distinct()
+      .withColumn("bh_b", col("band_hash").bitwiseAND(lit(15L)))
+      .repartition(col("bh_b"))
+      .sortWithinPartitions(col("band_hash"))
+      .write.mode("overwrite").partitionBy("bh_b")
+      .parquet(s"$root/bands_tmp")
+    spark.read
+      .schema(StructType.fromDDL("id BIGINT, sig ARRAY<BIGINT>"))
+      .parquet(sigsPath)
+      .dropDuplicates("id")
+      .coalesce(1).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$root/sigs_tmp")
+    def swap(name: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
+      fs.delete(old, true)
+      if (fs.exists(cur)) fs.rename(cur, old)
+      fs.rename(tmp, cur)
+      fs.delete(old, true)
+    }
+    swap("bands")
+    swap("sigs")
+  }
 }
 
 object NearDupGate {

@@ -33,9 +33,13 @@ import graft.operators.{Unify, V2Fixtures}
   * a correctness invariant riding along with the timing curve.
   *
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
-  *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof | merge | bpe
+  *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
+  *   merge | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
+  *   novelty | noveltyb | neardup | neardupb | spandedup
   *   (`funnelcap` clones ONE doc ×factor — the adversarial duplicate
-  *   cluster — through degree-capped clustering)
+  *   cluster — through degree-capped clustering; the `novelty`/
+  *   `neardup` pairs measure each standing gate's unbucketed baseline
+  *   vs its persistent-index layout as the table grows)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

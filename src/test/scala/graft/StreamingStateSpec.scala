@@ -307,6 +307,43 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
   }
 
+  test("near-dup gate compaction dedups tables and the gate continues") {
+    val out = new java.io.File("target/test_nd_compact").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val gate = new graft.operators.NearDupGate(out)
+    gate.admit(Seq((1L, "alpha beta gamma"), (2L, "delta eps zeta"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    gate.admit(Seq((3L, "eta theta iota")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // simulate the at-least-once decay: re-append both tables' rows
+    val b = spark.read.parquet(s"$out/bands")
+    b.write.mode("append").partitionBy("bh_b").parquet(s"$out/bands")
+    val g = spark.read.parquet(s"$out/sigs")
+    g.write.mode("append").parquet(s"$out/sigs")
+    assert(spark.read.parquet(s"$out/bands").count() === 96)
+    gate.compact(spark)
+    assert(spark.read.parquet(s"$out/bands").count() === 48)
+    assert(spark.read.parquet(s"$out/sigs").count() === 3)
+    // one sig file; buckets hold one file each
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/bands"))
+      .filter(_.isDirectory).foreach { d =>
+        assert(fs.listStatus(d.getPath)
+          .count(_.getPath.getName.startsWith("part-")) === 1)
+      }
+    // the gate continues on its unchanged cache, and a FRESH gate's
+    // rebuild over the compacted tables reaches the same verdicts
+    gate.admit(Seq((4L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val nd2 = new graft.operators.NearDupGate(out)
+    nd2.admit(Seq((5L, "delta eps zeta"), (6L, "mu nu xi"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val v = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
