@@ -929,6 +929,55 @@ object Dedup {
   * > 50%) warns loudly at load: correctness is unaffected, but every
   * batch degrades toward the fallback scan — resize `bits`.
   */
+/** The tiny durable layout manifest both standing gates keep next to
+  * their tables (`<root>/_layout`, k=v lines): the constructor
+  * parameters that define how on-disk artifacts were WRITTEN — bloom
+  * geometry, bucket width, signature shape — so a gate reopened with
+  * different parameters fails fast instead of (a) crashing deep in a
+  * bloom read with an index-out-of-bounds, or (b) silently degrading
+  * (a width mismatch makes every prefix probe miss, decaying the gate
+  * to dup appends; a signature-shape mismatch is a false-negative
+  * factory). A manifest-less table (pre-manifest generations) is
+  * ADOPTED: the live bucket width is derived from the partition
+  * directory names and the manifest written, so the validation holds
+  * from the next open onward.
+  */
+private[operators] object GateLayout {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def write(fs: FileSystem, p: Path, kv: Seq[(String, String)]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(kv.map { case (key, v) => s"$key=$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(fs: FileSystem, p: Path): Map[String, String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
+  /** Fail fast on a parameter the on-disk artifacts were not written
+    * with — the remedy is a [[NoveltyGate.compact]]-style rebuild,
+    * which rewrites the artifacts at the gate's parameters and
+    * refreshes the manifest. */
+  def check(m: Map[String, String], root: String,
+      expect: Seq[(String, String)]): Unit =
+    expect.foreach { case (key, v) =>
+      m.get(key).filter(_ != v).foreach { disk =>
+        throw new IllegalStateException(
+          s"gate layout mismatch for $root: $key=$disk on disk but " +
+            s"$key=$v requested — reopen with the on-disk parameters, " +
+            "or rebuild via compact() on a gate constructed with the " +
+            "new ones")
+      }
+    }
+}
+
 final class NoveltyGate(tableRoot: String,
     bits: Int = Dedup.noveltyBloomBits, k: Int = Dedup.noveltyBloomK,
     prefixChars: Int = Dedup.fpPrefixChars, posCap: Int = 100000) {
@@ -937,8 +986,45 @@ final class NoveltyGate(tableRoot: String,
 
   private var words: Array[Long] = _
   // the LIVE bucket width — compact(newPrefixChars) can widen it for
-  // a grown table, and every subsequent probe/append must follow
+  // a grown table, and every subsequent probe/append must follow.
+  // Durable in the layout manifest: an in-memory-only width would
+  // reset to the constructor default on process restart, silently
+  // mis-bucketing every append after a widening compact.
   private var pcCur: Int = prefixChars
+
+  /** First-open handshake with the on-disk layout: validate bloom
+    * geometry against the manifest (fail fast — a smaller `bits` than
+    * the bloom file's crashes in readNoveltyBloom, a larger one
+    * silently mispositions bits), and restore the live bucket width a
+    * previous process' widening compact persisted. A manifest-less
+    * table is adopted by deriving the width from the fp_b= directory
+    * names. */
+  private def syncLayout(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      val m = GateLayout.read(fs, mp)
+      GateLayout.check(m, tableRoot,
+        Seq("bits" -> bits.toString, "k" -> k.toString))
+      m.get("prefix_chars").foreach(w => pcCur = w.toInt)
+    } else {
+      val dp = new org.apache.hadoop.fs.Path(s"$tableRoot/data")
+      if (fs.exists(dp)) {
+        val widths = fs.listStatus(dp).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("fp_b="))
+          .map(_.stripPrefix("fp_b=").length)
+        if (widths.nonEmpty) pcCur = widths.max
+      }
+      writeLayout(fs)
+    }
+  }
+
+  private def writeLayout(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    GateLayout.write(fs,
+      new org.apache.hadoop.fs.Path(s"$tableRoot/_layout"),
+      Seq("bits" -> bits.toString, "k" -> k.toString,
+        "prefix_chars" -> pcCur.toString))
 
   def admit(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
@@ -965,6 +1051,7 @@ final class NoveltyGate(tableRoot: String,
     spark.conf.set(thrKey, (2 * posCap).toString)
     try {
     if (words == null) {
+      syncLayout(spark)
       words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
       val occupied = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
       if (occupied * 2 > bits) System.err.println(
@@ -1056,6 +1143,17 @@ final class NoveltyGate(tableRoot: String,
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return
+    // a fresh gate compacting an existing table (the documented
+    // bits-resize path runs compact BEFORE any admit) must not
+    // silently narrow a previously-widened layout back to its
+    // constructor default — absent an explicit width, the persisted
+    // one wins
+    if (newPrefixChars.isEmpty) {
+      val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
+      if (fs.exists(mp))
+        GateLayout.read(fs, mp).get("prefix_chars")
+          .foreach(w => pcCur = w.toInt)
+    }
     val pc = newPrefixChars.getOrElse(pcCur)
     val fps = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -1101,6 +1199,10 @@ final class NoveltyGate(tableRoot: String,
     swap("bloom")
     words = rebuilt
     pcCur = pc
+    // compaction rewrote every artifact at THIS gate's parameters —
+    // refresh the manifest so a restart opens at the new width (and
+    // so compact() on a new-bits gate is the documented resize path)
+    writeLayout(fs)
   }
 }
 
@@ -1130,13 +1232,15 @@ final class NoveltyGate(tableRoot: String,
   * Gate semantics (what the ev_stream_neardup oracle replays): a doc
   * is a near-dup iff its signature agrees in ≥ minEq of numHashes
   * positions with ANY EARLIER-SEEN doc — earlier batches via the
-  * persistent index, same-batch predecessors via a smaller-id
-  * self-probe. The cross probe ALSO requires cid < id: with
-  * id-ordered arrival that is a no-op for clean runs, and it makes
-  * an at-least-once replay harmless — a replayed batch finds its own
-  * (and its batchmates') bands already in the index, and without the
-  * guard a smaller-id doc would match its larger-id batchmate from
-  * the table, flipping a verdict the batch arithmetic says is novel.
+  * persistent index (any indexed doc NOT of this batch; excluding
+  * the batch's own ids is what makes an at-least-once replay
+  * harmless, since a replayed batch finds its own and its
+  * batchmates' bands already indexed and the exclusion removes
+  * exactly those), same-batch predecessors via a smaller-id
+  * self-probe. Arrival order, not id order, defines "earlier" for
+  * the cross probe — under id-ordered arrival (what the file-stream
+  * fixture delivers and the oracle's smaller-id SQL assumes) the two
+  * definitions coincide.
   *
   * Per [[admit]], the novelty-gate cost model transplanted to bands
   * (join sides carry checkpointed size stats, so AQE broadcasts the
@@ -1187,6 +1291,24 @@ final class NearDupGate(root: String, numHashes: Int = 32,
 
   private var words: Array[Long] = _
   private val rows = numHashes / bands
+
+  /** Validate the signature shape against the layout manifest at
+    * first open (a numHashes/bands/shingleSize mismatch against
+    * stored sigs+bands is a silent false-negative factory — stored
+    * and fresh signatures would never agree); adopt manifest-less
+    * tables. `bits`/`k` deliberately NOT pinned: the bitmap is
+    * in-memory only, rebuilt from the bands table at construction
+    * through the CURRENT geometry, so resizing it is free here. */
+  private def syncLayout(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expect = Seq("num_hashes" -> numHashes.toString,
+      "bands" -> bands.toString, "shingle_size" -> shingleSize.toString)
+    if (fs.exists(mp))
+      GateLayout.check(GateLayout.read(fs, mp), root, expect)
+    else GateLayout.write(fs, mp, expect)
+  }
 
   private def bhPosCol(bh: Column, i: Int): Column =
     xxhash64(lit(i), bh).bitwiseAND(lit((bits - 1).toLong))
@@ -1266,11 +1388,24 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val spark = batch.sparkSession
     val bandsPath = s"$root/bands"
     val sigsPath = s"$root/sigs"
-    val bandsExist = {
-      val p = new org.apache.hadoop.fs.Path(bandsPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val hadoopFs = new org.apache.hadoop.fs.Path(bandsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandsExist =
+      hadoopFs.exists(new org.apache.hadoop.fs.Path(bandsPath))
+    // guarded independently of bandsExist: a crash between the
+    // first-ever bands append and the sigs append leaves bands
+    // present but sigs missing — on restart the bloom rebuilds from
+    // bands, every replayed doc is bloom-positive, and an unguarded
+    // sigs read would throw on every retry, permanently wedging the
+    // stream. The empty typed frame scores those candidates absent
+    // (n_eq never computed → novel), which the replayed append then
+    // heals.
+    val sigsExist =
+      hadoopFs.exists(new org.apache.hadoop.fs.Path(sigsPath))
+    if (words == null) {
+      syncLayout(spark)
+      initBloom(spark, bandsPath, bandsExist)
     }
-    if (words == null) initBloom(spark, bandsPath, bandsExist)
     // consumed several times (hash collect, both probe sides, verdict
     // base, appends) — pin the signatures once; bounded by the batch
     val batchSigs = Dedup.spread(
@@ -1302,19 +1437,35 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         // degenerate huge admit instead of OOMing the driver
         val pairs = bandKeys.as("q").join(idx.as("c"),
             col("q.band") === col("c.band") &&
-              col("q.band_hash") === col("c.band_hash") &&
-              col("c.id") < col("q.id"))
+              col("q.band_hash") === col("c.band_hash"))
           .select(col("q.id").as("id"), col("c.id").as("cid"))
           .distinct()
+          // "earlier-seen" for the cross probe = IN THE INDEX AND NOT
+          // OF THIS BATCH, not smaller-id: an id guard (c.id < q.id)
+          // would encode arrival order as id order, which the file
+          // source does not promise — a later-arriving smaller-id doc
+          // would silently never match its earlier-seen larger-id
+          // near-dup. Excluding the batch's own ids instead keeps an
+          // at-least-once replay harmless the same way (a replayed
+          // batch finds its own and its batchmates' bands in the
+          // index; the anti-join removes exactly those, so verdicts
+          // reproduce bit-for-bit), and under id-ordered arrival the
+          // two guards coincide — which is why the id-ordered oracle
+          // still replays these verdicts exactly.
+          .join(batchSigs.select(col("id").as("cid")), Seq("cid"),
+            "left_anti")
           // pinned: consumed by the cid collect AND the scoring join,
           // and bounded by candCap·batch collisions in the common path
           .localCheckpoint()
         val cids = pairs.select(col("cid")).distinct()
           .limit(candCap + 1).collect().map(_.getLong(0))
-        def readSigs() = spark.read
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(
-            "id BIGINT, sig ARRAY<BIGINT>"))
-          .parquet(sigsPath)
+        def readSigs() =
+          if (sigsExist) spark.read
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, sig ARRAY<BIGINT>"))
+            .parquet(sigsPath)
+          else spark.createDataFrame(new java.util.ArrayList[Row](),
+            StructType.fromDDL("id BIGINT, sig ARRAY<BIGINT>"))
         val corpusSigs =
           if (cids.length <= candCap)
             readSigs().filter(col("id").isin(cids.toSeq: _*))

@@ -1026,13 +1026,21 @@ object StreamingQueries {
       (s, d) => {
         val out = freshDir(s, "stream_decontam", d)
         import graft.operators.Dedup
+        // per-DOC distinct grams (array_distinct — a per-row fold, no
+        // shuffle), matching the oracle's list_distinct: a doc that
+        // repeats a 13-gram contributes it once
         def gramArr = when(
           size(Dedup.tokens(col("text"))) >= 13,
-          transform(Dedup.shingles(col("text"), 13), x => md5(x)))
+          array_distinct(
+            transform(Dedup.shingles(col("text"), 13), x => md5(x))))
           .otherwise(array().cast("array<string>"))
+        // NOT globally distinct: the oracle's sh CTE counts
+        // (gram, eval-doc) pairs, so a gram appearing in two eval docs
+        // must join twice per matching train gram — eval-doc
+        // multiplicity is the payload here
         val evalGrams = T.documents(s, d)
           .filter(col("doc_id") >= 400 && col("doc_id") < 500)
-          .select(explode(gramArr).as("g")).distinct()
+          .select(explode(gramArr).as("g"))
           .localCheckpoint()
         seedEmptyParquet(s, s"$out/scored",
           "doc_id BIGINT, n_shared BIGINT, contaminated INT")

@@ -216,6 +216,90 @@ class StreamingStateSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("fp_b=").length)
     assert(widths.nonEmpty && widths.forall(_ === 2),
       "compaction must have rewritten every bucket at the new width")
+    // PROCESS RESTART after the widening: a fresh gate must restore
+    // the live width from the layout manifest, not reset to the
+    // constructor default — a width-1 probe against width-2 fp_b
+    // partition values would match nothing, silently re-admitting
+    // every known fingerprint and writing a mixed-width layout
+    val gate3 = new graft.operators.NoveltyGate(root)
+    gate3.admit(Seq((11L, "theta"), (12L, "kappa")).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup.readBucketedFingerprints(spark, root)
+      .count() === 8, "restarted gate must keep the widened layout")
+    val widths2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("fp_b=").length)
+    assert(widths2.forall(_ === 2), "no mixed-width partitions after restart")
+  }
+
+  test("gate layout manifests fail fast on mismatched reopen parameters") {
+    val out = new java.io.File("target/test_gate_layout").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val ng = new graft.operators.NoveltyGate(s"$out/nov")
+    ng.admit(docs)
+    // reopening with smaller bits would crash inside readNoveltyBloom
+    // (stored word_idx past the array); larger bits would silently
+    // misposition previously-set positions — both must be caught at
+    // the manifest, not discovered downstream
+    val err = intercept[IllegalStateException] {
+      new graft.operators.NoveltyGate(s"$out/nov", bits = 1 << 20)
+        .admit(docs)
+    }
+    assert(err.getMessage.contains("bits"))
+    // the documented resize path: compact() on a gate constructed
+    // with the NEW bits rebuilds the bloom from data and refreshes
+    // the manifest, after which admits at the new size proceed
+    val resized = new graft.operators.NoveltyGate(s"$out/nov", bits = 1 << 20)
+    resized.compact(spark)
+    resized.admit(Seq((3L, "alpha beta"), (4L, "delta"))
+      .toDF("doc_id", "text"))
+    assert(graft.operators.Dedup
+      .readBucketedFingerprints(spark, s"$out/nov").count() === 3)
+    val nd = new graft.operators.NearDupGate(s"$out/nd")
+    nd.admit(docs, "doc_id", "text")
+    // a signature-shape mismatch vs stored sigs/bands is a silent
+    // false-negative factory — fail fast instead
+    val err2 = intercept[IllegalStateException] {
+      new graft.operators.NearDupGate(s"$out/nd", numHashes = 64,
+        bands = 16).admit(docs, "doc_id", "text")
+    }
+    assert(err2.getMessage.contains("num_hashes"))
+    // bits is NOT pinned for the near-dup gate (bitmap is in-memory,
+    // rebuilt through the current geometry) — resizing it is free
+    new graft.operators.NearDupGate(s"$out/nd", bits = 1 << 20)
+      .admit(Seq((3L, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    val v = spark.read.parquet(s"$out/nd/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v(3L) === 1, "resized-bitmap gate still flags via rebuilt bloom")
+  }
+
+  test("near-dup gate survives the bands-present/sigs-missing crash window") {
+    val out = new java.io.File("target/test_nd_crashwin").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val gate = new graft.operators.NearDupGate(out)
+    gate.admit(Seq((1L, "alpha beta gamma"), (2L, "delta eps zeta"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    // simulate a crash between the first-ever bands append and the
+    // sigs append: bands (and the bloom rebuilt from them) say the
+    // replayed docs collide, but there are no signatures to score
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/sigs"), true)
+    val gate2 = new graft.operators.NearDupGate(out)
+    // the replay must not wedge on a missing-path sigs read; docs
+    // score novel (no signature evidence) and the appends heal the
+    // table
+    gate2.admit(Seq((1L, "alpha beta gamma"), (2L, "delta eps zeta"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(spark.read.parquet(s"$out/sigs").count() === 2)
+    // the healed gate detects near-dups again
+    gate2.admit(Seq((3L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val v = spark.read.parquet(s"$out/verdicts").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v(3L) === 1)
   }
 
   test("streaming near-dup gate flags a near-duplicate arriving in a LATER batch") {
