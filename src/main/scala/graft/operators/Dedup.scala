@@ -114,6 +114,22 @@ object Dedup {
   private[graft] val noveltyBloomBits = 1 << 22
   private[graft] val noveltyBloomK = 4
 
+  /** Ceiling for the collected-INSET parquet-pushdown trick both
+    * gates use. Spark translates an IN at or below
+    * `spark.sql.parquet.pushdown.inFilterThreshold` into an OR-CHAIN
+    * of eq predicates, and parquet evaluates that chain by recursive
+    * visitor — past ~1.2k values the row-group filter overflows the
+    * executor stack (measured on this Spark/parquet pair: 1000 values
+    * fine, 1500 SO — found by the hot-band-key ScaleProbe, whose
+    * candidate sets are the first in the registry to cross 1k).
+    * Raising the threshold past this limit is therefore a crash, not
+    * a tuning choice; above it Spark pushes only the min/max range
+    * (which sorted files still row-group-prune when the probed keys
+    * cluster) and the residual InSet evaluates post-scan — safe, and
+    * the partition-directory pruning that does the heavy lifting is
+    * unaffected. */
+  private[operators] val inPushdownLimit = 1000
+
   /** The i-th salted Bloom position of a fingerprint — the ONE
     * expression both the delta writer and the probe build on (a salt
     * mismatch would be a silent false-negative factory). */
@@ -1043,12 +1059,16 @@ final class NoveltyGate(tableRoot: String,
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "fp STRING, fp_b STRING"))
       .parquet(dataPath)
-    // collected-INSET pushdown needs a threshold above the possible-
-    // member count (Spark's default 10 degrades larger IN lists to a
-    // useless min/max range at the parquet scan) — scoped + restored
+    // collected-INSET pushdown: Spark's default threshold of 10
+    // degrades larger IN lists to a useless min/max range at the
+    // parquet scan, so raise it — but only to inPushdownLimit, past
+    // which the pushed OR-chain overflows the executor stack (see the
+    // constant's scaladoc); bigger possible-member sets fall back to
+    // range + post-scan InSet with bucket pruning intact. Scoped +
+    // restored.
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val priorThr = spark.conf.getOption(thrKey)
-    spark.conf.set(thrKey, (2 * posCap).toString)
+    spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
     try {
     if (words == null) {
       syncLayout(spark)
@@ -1280,11 +1300,29 @@ final class NoveltyGate(tableRoot: String,
   * [[NoveltyGate]] but per BAND key: the index holds `bands`× more
   * keys than docs (16 by default), so size bits to 16× expected docs
   * (the ScaleProbe run uses 2^26 bits / k=12 for its 4M-band table).
+  *
+  * `bandKeyCap` (default 0 = off, the exact oracle semantics): the
+  * one remaining unbounded term in the cost model is candidate-pair
+  * VOLUME — a template-heavy corpus puts millions of docs behind one
+  * hot band key, and every matching batch doc then fans out into a
+  * pair per sharer; exact per-doc verdicts genuinely require those
+  * pairs, so at 100 TB a deployment caps them. With the cap on, each
+  * band key contributes at most `bandKeyCap` candidates per probe —
+  * the `bandKeyCap` SMALLEST ids, i.e. the earliest-seen sharers
+  * (deterministic, and for the self-probe it guarantees every kept
+  * candidate still precedes any over-cap query doc). Shedding is
+  * REPORTED, never silent (the `dd_degree_cap` stance): each verdict
+  * carries `n_capped_keys`, the number of the doc's band keys whose
+  * candidate list was truncated — a doc judged novel with
+  * n_capped_keys > 0 is "novel among the candidates examined". The
+  * cap bounds per-batch pair volume at batch·bands·bandKeyCap
+  * regardless of corpus skew; the ScaleProbe `neardupcap` pair
+  * measures the flat-vs-linear curve against a hot-key corpus.
   */
 final class NearDupGate(root: String, numHashes: Int = 32,
     bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16,
     bits: Int = 1 << 22, k: Int = Dedup.noveltyBloomK,
-    candCap: Int = 100000) {
+    candCap: Int = 100000, bandKeyCap: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(numHashes % bands == 0, "bands must divide numHashes")
@@ -1372,10 +1410,14 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // stats on the sorted files can skip; Spark only pushes IN
     // filters up to this threshold (default 10 — above it the filter
     // degrades to a min/max range, useless for scattered hashes).
-    // Scoped to the admit call and restored after.
+    // Raised to inPushdownLimit, NOT candCap: the pushed form is a
+    // recursive OR-chain that overflows the executor stack past ~1.2k
+    // values (the constant's scaladoc has the measurement) — larger
+    // candidate sets keep the range + post-scan InSet plan. Scoped to
+    // the admit call and restored after.
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val priorThr = spark.conf.getOption(thrKey)
-    spark.conf.set(thrKey, (2 * candCap).toString)
+    spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
     try admitInner(batch, idCol, textCol)
     finally priorThr match {
       case Some(v) => spark.conf.set(thrKey, v)
@@ -1418,8 +1460,32 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val hashes = batchBands.select(col("band_hash")).distinct()
       .collect().map(_.getLong(0))
     val posHashes = hashes.filter(mightContain).toSeq
-    val crossScored: DataFrame =
-      if (posHashes.isEmpty || !bandsExist) emptyPairs(spark)
+    def emptyKeys = spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType.fromDDL("band INT, band_hash BIGINT"))
+    // per-band-key candidate truncation (cap on): rank a key's
+    // sharers by id and keep the bandKeyCap earliest-seen; the keys
+    // that LOST candidates flow out for per-doc shed reporting. The
+    // ranked subtree is cheap on the common (bucket-+-INSET-pruned)
+    // path; on the dup-heavy full-scan fallback it costs one
+    // band-keyed shuffle of the index — the shape the cap exists for.
+    def capPerKey(cand: DataFrame): (DataFrame, DataFrame) =
+      if (bandKeyCap <= 0) (cand, emptyKeys)
+      else {
+        val ranked = cand
+          .select(col("id"), col("band"), col("band_hash")).distinct()
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("band_hash"))
+              .orderBy(col("id"))))
+        (ranked.filter(col("rk") <= bandKeyCap).drop("rk"),
+          ranked.filter(col("rk") > bandKeyCap)
+            .select(col("band"), col("band_hash")).distinct()
+            // bounded: ≤ the batch's own band-key count — and
+            // consumed twice (shed report + verdict join)
+            .localCheckpoint(false))
+      }
+    val (crossScored, crossCapped): (DataFrame, DataFrame) =
+      if (posHashes.isEmpty || !bandsExist) (emptyPairs(spark), emptyKeys)
       else {
         val idx0 = spark.read
           .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -1431,11 +1497,21 @@ final class NearDupGate(root: String, numHashes: Int = 32,
             idx0.filter(col("bh_b").isin(buckets: _*))
               .filter(col("band_hash").isin(posHashes: _*))
           } else idx0 // dup-heavy fallback: scan the index
+        // on the fallback path, restrict to the batch's own keys
+        // (broadcast semi-join) BEFORE ranking — otherwise the cap
+        // would rank, and report shed for, every hot key in the whole
+        // index rather than the ones this batch probes
+        val (idxCand, capped) =
+          if (bandKeyCap > 0 && posHashes.length > candCap)
+            capPerKey(idx.join(
+              bandKeys.select(col("band"), col("band_hash")).distinct(),
+              Seq("band", "band_hash"), "left_semi"))
+          else capPerKey(idx)
         // no broadcast HINT: the localCheckpointed batch side carries
         // accurate size stats, so AQE broadcasts it whenever it is
         // batch-sized and falls back to a shuffle join for a
         // degenerate huge admit instead of OOMing the driver
-        val pairs = bandKeys.as("q").join(idx.as("c"),
+        val pairs = bandKeys.as("q").join(idxCand.as("c"),
             col("q.band") === col("c.band") &&
               col("q.band_hash") === col("c.band_hash"))
           .select(col("q.id").as("id"), col("c.id").as("cid"))
@@ -1470,12 +1546,13 @@ final class NearDupGate(root: String, numHashes: Int = 32,
           if (cids.length <= candCap)
             readSigs().filter(col("id").isin(cids.toSeq: _*))
           else readSigs()
-        pairs
+        (pairs
           .join(corpusSigs.toDF("cid", "csig"), "cid")
           .join(batchSigs.toDF("id", "qsig"), "id")
           .select(col("id"), col("cid"),
             graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
-              .as("n_eq"))
+              .as("n_eq")),
+          capped)
       }
     // pairs-first, then score: only (id, cid) moves through the band
     // join (not two 32-long sig arrays per colliding row), and the
@@ -1486,7 +1563,12 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // work the exact per-doc verdict semantics genuinely require; a
     // recall-trading bucket cap like minhashCandidatePairs' is the
     // knob if a deployment wants to shed it).
-    val internal = bandKeys.as("q").join(bandKeys.as("c"),
+    // self-probe candidate side runs through the same per-key cap:
+    // the kept rows are the key's smallest ids, so every kept
+    // candidate still precedes any over-cap query doc (the c.id <
+    // q.id guard keeps exact in-batch order among them)
+    val (selfCand, selfCapped) = capPerKey(bandKeys)
+    val internal = bandKeys.as("q").join(selfCand.as("c"),
         col("q.band") === col("c.band") &&
           col("q.band_hash") === col("c.band_hash") &&
           col("c.id") < col("q.id"))
@@ -1502,11 +1584,23 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .agg(first(col("n_eq")).as("n_eq")) // dedup multi-band hits
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_cands"), max(col("n_eq")).as("best_eq"))
+    // shed REPORTING (never silent): n_capped_keys = how many of this
+    // doc's band keys had their candidate list truncated — 0 when the
+    // cap is off or never fired, so the uncapped verdict shape is a
+    // strict subset
+    val nCapped = bandKeys
+      .join(crossCapped.unionByName(selfCapped).distinct(),
+        Seq("band", "band_hash"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_capped_keys"))
     batchSigs.select(col("id")).join(matches, Seq("id"), "left")
+      .join(nCapped, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_cands"), lit(0L)).as("n_cands"),
-        coalesce(col("best_eq"), lit(0L)).as("best_eq"))
+        coalesce(col("best_eq"), lit(0L)).as("best_eq"),
+        coalesce(col("n_capped_keys"), lit(0L)).as("n_capped_keys"))
       .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
+      .select(col("id"), col("n_cands"), col("best_eq"),
+        col("is_neardup"), col("n_capped_keys"))
       .write.mode("append").parquet(s"$root/verdicts")
     hashes.foreach(fold)
     // a batch of only null-text docs has no bands and no non-null

@@ -35,7 +35,8 @@ import graft.operators.{Unify, V2Fixtures}
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
   *   merge | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
-  *   novelty | noveltyb | neardup | neardupb | spandedup
+  *   novelty | noveltyb | neardup | neardupb | neardupt |
+  *   neardupcap | spandedup
   *   (`funnelcap` clones ONE doc ×factor — the adversarial duplicate
   *   cluster — through degree-capped clustering; the `novelty`/
   *   `neardup` pairs measure each standing gate's unbucketed baseline
@@ -609,6 +610,52 @@ object ScaleProbe {
       (spark.read.parquet(s"$out/verdicts").count(), sec)
     }
 
+    // Hot-band-key adversarial pair: the corpus index holds
+    // factor×1000 docs that are ALL sharers of one template (byte-
+    // identical text → identical signatures → every band key hot with
+    // the full corpus behind it). The index is seeded DIRECTLY as
+    // bands+sigs tables — a gate-admitted template seed would itself
+    // be quadratic in its own self-probe, measuring the pathology
+    // instead of the probe against it. The timed admit is 200 more
+    // template docs: uncapped (`neardupt`), candidate-pair volume is
+    // batch × corpus — linear in factor per batch, the scale-killer a
+    // skewed 100 TB corpus would hit; capped (`neardupcap`,
+    // bandKeyCap=8) it is batch·bands·cap — flat, with the shed
+    // reported in every verdict's n_capped_keys.
+    var lastCappedKeys = -1L
+    def runHotKeyAt(cap: Int)(factor: Int): (Long, Double) = {
+      val out = new java.io.File(
+        s"target/probe_neardup_hot$cap").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      def templateDocs(n: Int, idOffset: Long) =
+        spark.range(n).select((col("id") + idOffset).as("doc_id"),
+          lit("hotkey alpha beta gamma delta epsilon zeta eta theta iota")
+            .as("text"))
+      val sigsDf = templateDocs(1000 * factor, 0)
+        .select(col("doc_id").as("id"),
+          graft.operators.Dedup.minhashSignaturePortable(
+            col("text"), 32, 1).as("sig"))
+        .localCheckpoint()
+      sigsDf.coalesce(4).write.mode("overwrite").parquet(s"$out/sigs")
+      graft.operators.Dedup.lshBands(sigsDf, "id", "sig", 16)
+        .withColumn("bh_b", col("band_hash").bitwiseAND(lit(15L)))
+        .repartition(col("bh_b"))
+        .write.mode("overwrite").partitionBy("bh_b").parquet(s"$out/bands")
+      lastTableRows = spark.read.parquet(s"$out/bands").count()
+      val gate = new graft.operators.NearDupGate(out, bandKeyCap = cap)
+      System.gc()
+      val t0 = System.nanoTime()
+      gate.admit(templateDocs(200, 900000000L), "doc_id", "text")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val v = spark.read.parquet(s"$out/verdicts")
+        .agg(count(lit(1)), coalesce(sum(col("n_capped_keys")), lit(0L)))
+        .head()
+      lastCappedKeys = v.getLong(1)
+      (v.getLong(0), sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -646,6 +693,8 @@ object ScaleProbe {
       case "noveltyb"  => runNoveltyBucketedAt
       case "neardup"   => runNeardupAt
       case "neardupb"  => runNeardupGateAt
+      case "neardupt"  => runHotKeyAt(0)
+      case "neardupcap" => runHotKeyAt(8)
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -668,6 +717,8 @@ object ScaleProbe {
       case "noveltyb"  => "ev_stream_novelty_bucketed"
       case "neardup"   => "ev_stream_neardup_fullscan"
       case "neardupb"  => "ev_stream_neardup_gate"
+      case "neardupt"  => "neardup_hotkey_uncapped"
+      case "neardupcap" => "neardup_hotkey_capped"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -682,7 +733,7 @@ object ScaleProbe {
       case "rolling"   => "days"
       case "lm" | "nb" => "scored_docs"
       case "novelty" | "noveltyb" => "novel_appended"
-      case "neardup" | "neardupb" => "verdicts"
+      case "neardup" | "neardupb" | "neardupt" | "neardupcap" => "verdicts"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -707,6 +758,8 @@ object ScaleProbe {
         else if (probe == "novelty" || probe == "noveltyb" ||
                  probe == "neardup" || probe == "neardupb")
           f""","table_rows":$lastTableRows%d"""
+        else if (probe == "neardupt" || probe == "neardupcap")
+          f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""
         else ""

@@ -275,6 +275,46 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v(3L) === 1, "resized-bitmap gate still flags via rebuilt bloom")
   }
 
+  test("near-dup gate per-band-key cap bounds template-heavy fan-out and reports shed") {
+    val out = new java.io.File("target/test_nd_cap").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val gate = new graft.operators.NearDupGate(out, bandKeyCap = 2)
+    // a template-heavy batch: five byte-identical docs share every
+    // band key, so uncapped the 5th doc would score 4 candidates —
+    // capped at 2, every doc beyond the cap scores exactly the 2
+    // EARLIEST-seen sharers and reports its truncated keys
+    gate.admit((1L to 5L).map(i => (i, "tmpl alpha beta gamma delta"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val v1 = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getLong(4)))).toMap
+    assert(v1(1L)._1 === 0L && v1(1L)._2 === 0, "first copy novel")
+    assert(v1(2L) === ((1L, 1, 16L)), "one predecessor below the cap")
+    Seq(3L, 4L, 5L).foreach { i =>
+      assert(v1(i) === ((2L, 1, 16L)),
+        s"doc $i must see exactly cap=2 earliest-seen candidates " +
+          s"and report all 16 keys truncated, got ${v1(i)}")
+    }
+    // CROSS-probe cap: a later template doc probes the persistent
+    // index (5 sharers per key) and still sees only the 2 earliest
+    gate.admit(Seq((6L, "tmpl alpha beta gamma delta"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val v2 = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getLong(4)))).toMap
+    assert(v2(6L) === ((2L, 1, 16L)),
+      s"cross probe must cap at 2 candidates, got ${v2(6L)}")
+    // an UNRELATED doc sails through with no shed reported
+    gate.admit(Seq((7L, "omega psi chi phi")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val v3 = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getLong(4)))).toMap
+    assert(v3(7L) === ((0L, 0, 0L)))
+  }
+
   test("near-dup gate survives the bands-present/sigs-missing crash window") {
     val out = new java.io.File("target/test_nd_crashwin").getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
