@@ -996,11 +996,23 @@ private[operators] object GateLayout {
 
 final class NoveltyGate(tableRoot: String,
     bits: Int = Dedup.noveltyBloomBits, k: Int = Dedup.noveltyBloomK,
-    prefixChars: Int = Dedup.fpPrefixChars, posCap: Int = 100000) {
+    prefixChars: Int = Dedup.fpPrefixChars, posCap: Int = 100000,
+    autoCompactEvery: Int = 0, widenBucketBytes: Long = 0L) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
 
   private var words: Array[Long] = _
+  // admits since the last compaction — the maintenance-policy clock.
+  // autoCompactEvery > 0 runs [[compact]] synchronously after every
+  // N-th admit (inside the same foreachBatch turn, so it can never
+  // race an admit): each batch appends one bloom-delta file and one
+  // file per touched bucket, so probe-time listings degrade
+  // O(batches) between epochs — the policy bounds that at O(N).
+  // widenBucketBytes > 0 additionally lets an auto-compaction WIDEN
+  // the bucket layout by one hex digit whenever the largest bucket's
+  // data exceeds the threshold — the self-tending form of the
+  // raise-width-at-compaction rule in the admit scaladoc.
+  private var admitsSinceCompact: Int = 0
   // the LIVE bucket width — compact(newPrefixChars) can widen it for
   // a grown table, and every subsequent probe/append must follow.
   // Durable in the layout manifest: an in-memory-only width would
@@ -1134,6 +1146,11 @@ final class NoveltyGate(tableRoot: String,
       case Some(v) => spark.conf.set(thrKey, v)
       case None => spark.conf.unset(thrKey)
     }
+    admitsSinceCompact += 1
+    if (autoCompactEvery > 0 && admitsSinceCompact >= autoCompactEvery) {
+      compact(spark)
+      admitsSinceCompact = 0
+    }
   }
 
   /** The periodic maintenance pass the bucket-count tradeoff note
@@ -1174,7 +1191,21 @@ final class NoveltyGate(tableRoot: String,
         GateLayout.read(fs, mp).get("prefix_chars")
           .foreach(w => pcCur = w.toInt)
     }
-    val pc = newPrefixChars.getOrElse(pcCur)
+    // self-tending width: when the largest bucket's data has outgrown
+    // the configured threshold, this compaction widens the layout by
+    // one hex digit (16× more, 1/16-sized buckets) — paying the
+    // many-directory write here, once per epoch, exactly as the
+    // bucket-count tradeoff note prescribes. Bounded at 4 hex chars
+    // (65536 dirs) — past that the commit storm outweighs any probe
+    // win on every filesystem this was measured on.
+    val autoWiden = newPrefixChars.isEmpty && widenBucketBytes > 0L &&
+      pcCur < 4 && {
+        val dirs = fs.listStatus(hp).filter(_.isDirectory)
+        dirs.nonEmpty && dirs.map(d =>
+          fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum)
+          .max > widenBucketBytes
+      }
+    val pc = newPrefixChars.getOrElse(if (autoWiden) pcCur + 1 else pcCur)
     val fps = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "fp STRING, fp_b STRING"))
@@ -1322,13 +1353,20 @@ final class NoveltyGate(tableRoot: String,
 final class NearDupGate(root: String, numHashes: Int = 32,
     bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16,
     bits: Int = 1 << 22, k: Int = Dedup.noveltyBloomK,
-    candCap: Int = 100000, bandKeyCap: Int = 0) {
+    candCap: Int = 100000, bandKeyCap: Int = 0,
+    autoCompactEvery: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(numHashes % bands == 0, "bands must divide numHashes")
 
   private var words: Array[Long] = _
   private val rows = numHashes / bands
+  // maintenance-policy clock (the NoveltyGate protocol): each admit
+  // appends one file per touched band bucket, one sigs file, and one
+  // verdicts file, so listings degrade O(batches) between epochs —
+  // autoCompactEvery > 0 runs [[compact]] synchronously after every
+  // N-th admit, bounding that at O(N) without ever racing an admit.
+  private var admitsSinceCompact: Int = 0
 
   /** Validate the signature shape against the layout manifest at
     * first open (a numHashes/bands/shingleSize mismatch against
@@ -1422,6 +1460,11 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     finally priorThr match {
       case Some(v) => spark.conf.set(thrKey, v)
       case None => spark.conf.unset(thrKey)
+    }
+    admitsSinceCompact += 1
+    if (autoCompactEvery > 0 && admitsSinceCompact >= autoCompactEvery) {
+      compact(spark)
+      admitsSinceCompact = 0
     }
   }
 
@@ -1622,13 +1665,16 @@ final class NearDupGate(root: String, numHashes: Int = 32,
 
   /** Epoch maintenance, mirroring [[NoveltyGate.compact]]: rewrite
     * the band index to one band_hash-sorted, exactly-deduplicated
-    * file per bucket and the sig table to one id-sorted file — the
+    * file per bucket, the sig table to one id-sorted file, and the
+    * verdicts table to one id-sorted deduplicated file — the
     * at-least-once decay (replayed-batch duplicate rows) repaired and
     * the per-batch file accumulation collapsed, so probe-time
     * listings stay O(buckets). The cached bloom needs NO rebuild:
     * deduplication cannot change the distinct band-hash set. Run
-    * between admit epochs (must not race an admit); crash-ordered
-    * tmp/old swaps leave either generation intact, never neither.
+    * between admit epochs (must not race an admit — the
+    * `autoCompactEvery` policy satisfies this by running inside the
+    * admit turn); crash-ordered tmp/old swaps leave either generation
+    * intact, never neither.
     */
   def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
     val bandsPath = s"$root/bands"
@@ -1652,6 +1698,26 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .dropDuplicates("id")
       .coalesce(1).sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(s"$root/sigs_tmp")
+    // verdicts accumulate one file per batch too — collapse them to
+    // one id-sorted file, with distinct() absorbing at-least-once
+    // replays (a replayed batch rewrites identical verdict rows).
+    // Guarded: a gate that only ever saw empty batches has no
+    // verdicts directory.
+    val vp = new org.apache.hadoop.fs.Path(s"$root/verdicts")
+    val verdictsExist = fs.exists(vp)
+    if (verdictsExist) spark.read
+      .schema(StructType.fromDDL(
+        "id BIGINT, n_cands BIGINT, best_eq BIGINT, is_neardup INT, " +
+          "n_capped_keys BIGINT"))
+      .parquet(s"$root/verdicts")
+      // pre-n_capped_keys files read as null under the explicit
+      // schema — normalize to 0 (the no-shed value) so the rewrite
+      // is uniform
+      .withColumn("n_capped_keys",
+        coalesce(col("n_capped_keys"), lit(0L)))
+      .distinct()
+      .coalesce(1).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$root/verdicts_tmp")
     def swap(name: String): Unit = {
       val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
@@ -1663,6 +1729,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     }
     swap("bands")
     swap("sigs")
+    if (verdictsExist) swap("verdicts")
   }
 }
 

@@ -468,6 +468,64 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("auto-compaction bounds standing-gate file counts with unchanged verdicts") {
+    val out = new java.io.File("target/test_gate_autocompact").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def partFiles(p: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.startsWith("part-"))
+    // six admits at autoCompactEvery=2: without the policy the
+    // verdicts/sigs tables would hold six files and every band bucket
+    // six — the policy compacts after batches 2, 4, 6, so the run
+    // ends at ONE file per table/bucket with verdicts identical to
+    // the policy-free gate's
+    val nd = new graft.operators.NearDupGate(s"$out/nd",
+      autoCompactEvery = 2)
+    (0 until 6).foreach { b =>
+      nd.admit(Seq(
+        (10L * b + 1L, s"uniq$b alpha$b beta$b gamma$b"),
+        (10L * b + 2L, "tmpl alpha beta gamma delta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    val v = spark.read.parquet(s"$out/nd/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v.size === 12, "compaction must not lose or duplicate verdicts")
+    assert(v(2L) === 0, "first template copy is novel")
+    (1 until 6).foreach(b => assert(v(10L * b + 2L) === 1,
+      s"template copy in batch $b must flag against the compacted index"))
+    assert((0 until 6).forall(b => v(10L * b + 1L) === 0))
+    assert(partFiles(s"$out/nd/verdicts") === 1)
+    assert(partFiles(s"$out/nd/sigs") === 1)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/nd/bands"))
+      .filter(_.isDirectory).foreach(d => assert(fs.listStatus(d.getPath)
+        .count(_.getPath.getName.startsWith("part-")) === 1))
+    // novelty gate under the same policy PLUS the self-tending width:
+    // widenBucketBytes=1 makes every auto-compaction widen by one hex
+    // digit, and dedup must hold seamlessly across the width changes
+    val ng = new graft.operators.NoveltyGate(s"$out/nov",
+      autoCompactEvery = 2, widenBucketBytes = 1L)
+    (0 until 4).foreach { b =>
+      ng.admit(Seq((10L * b + 1L, s"novel text $b"),
+        (10L * b + 2L, "repeat me")).toDF("doc_id", "text"))
+    }
+    val fps = graft.operators.Dedup
+      .readBucketedFingerprints(spark, s"$out/nov")
+      .collect().map(_.getString(0))
+    assert(fps.length === 5 && fps.distinct.length === 5,
+      "4 novel + 1 first-seen repeat, deduped across width changes")
+    val widths = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/nov/data"))
+      .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("fp_b=").length)
+    assert(widths.forall(_ === 3),
+      s"two widening compactions: 1 -> 2 -> 3 hex chars, got ${widths.toSeq}")
+    // a restart keeps both the width and the policy working
+    val ng2 = new graft.operators.NoveltyGate(s"$out/nov")
+    ng2.admit(Seq((100L, "repeat me"), (101L, "fresh")).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup
+      .readBucketedFingerprints(spark, s"$out/nov").count() === 6)
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
