@@ -848,6 +848,98 @@ object StreamingQueries {
            |ORDER BY id""".stripMargin
       }),
 
+    // The CAPPED near-dup gate — the production configuration of the
+    // row above, with the per-band-key candidate cap on (8) so a hot
+    // band key contributes at most its 8 earliest-seen sharers per
+    // probe. This is the 100 TB posture (per-batch pair volume
+    // bounded at batch·bands·cap regardless of corpus skew) and the
+    // oracle pins its EXACT semantics cross-engine: candidates =
+    // rank ≤ 8 per (band, slice) in id order, shed REPORTED per doc
+    // as n_capped_keys (count of its keys whose sharer list was
+    // truncated — never silent). On this fixture the cap is also the
+    // measured answer to the uncapped row's cost: the 12M genuine
+    // candidate pairs the exact semantics require collapse to ≤
+    // batch·bands·cap. Caveat pinned here: capped "earliest-seen per
+    // key" composes per-probe (index kept-set + batch kept-set), so
+    // the global-rank oracle replays it exactly under single-batch or
+    // id-ordered arrival — the fixture's shape (one file, one batch).
+    "ev_stream_neardup_capped" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_neardup_cap", d)
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+        val gate = new graft.operators.NearDupGate(out, bandKeyCap = 8)
+        val q = stream.writeStream
+          .queryName("graft_stream_neardup_cap")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) gate.admit(batch, "doc_id", "text")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/verdicts").distinct()
+          .select(col("id"), col("n_cands"), col("best_eq"),
+            col("is_neardup"), col("n_capped_keys"))
+          .orderBy(col("id"))
+      },
+      {
+        val coeffs = graft.operators.Dedup.portableCoeffs(32)
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+          .mkString(", ")
+        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
+           |  FROM documents),
+           |vals AS (
+           |  SELECT doc_id, i,
+           |    list_min(list_transform(shingles,
+           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+           |           % 2147483647)) AS v
+           |  FROM sh, coeffs),
+           |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+           |        FROM vals GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
+           |  FROM sig, range(0, 16) r(b)),
+           |ranked AS (
+           |  SELECT doc_id, b, sl,
+           |    ROW_NUMBER() OVER (PARTITION BY b, sl ORDER BY doc_id)
+           |      AS rk,
+           |    COUNT(*) OVER (PARTITION BY b, sl) AS ksize
+           |  FROM bands
+           |  WHERE sl[1] IS NOT NULL AND sl[2] IS NOT NULL),
+           |cand AS (
+           |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+           |  FROM bands q JOIN ranked c
+           |    ON q.b = c.b AND q.sl = c.sl AND c.rk <= 8
+           |      AND c.doc_id < q.doc_id),
+           |eq AS (
+           |  SELECT cand.id, cand.cid,
+           |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
+           |      AS n_eq
+           |  FROM cand
+           |  JOIN sig s1 ON s1.doc_id = cand.id
+           |  JOIN sig s2 ON s2.doc_id = cand.cid),
+           |agg AS (SELECT id, COUNT(*) AS n_cands,
+           |               MAX(n_eq) AS best_eq FROM eq GROUP BY id),
+           |capk AS (
+           |  SELECT doc_id, COUNT(*) AS n_capped
+           |  FROM ranked WHERE ksize > 8 GROUP BY doc_id)
+           |SELECT d.doc_id AS id,
+           |  COALESCE(a.n_cands, 0) AS n_cands,
+           |  CAST(COALESCE(a.best_eq, 0) AS BIGINT) AS best_eq,
+           |  CAST(COALESCE(a.best_eq, 0) >= 16 AS INTEGER) AS is_neardup,
+           |  CAST(COALESCE(k.n_capped, 0) AS BIGINT) AS n_capped_keys
+           |FROM (SELECT doc_id FROM documents) d
+           |LEFT JOIN agg a ON a.id = d.doc_id
+           |LEFT JOIN capk k ON k.doc_id = d.doc_id
+           |ORDER BY id""".stripMargin
+      }),
+
     // Streaming QUALITY gate — the composed standing filter real
     // corpus ingest runs after dedup: the Gopher rule census
     // (ta_gopher_filter) and the Naive Bayes classifier
