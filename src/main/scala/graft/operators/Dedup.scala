@@ -28,17 +28,37 @@ object Dedup {
     * subtree a second time and throws on a streaming frame. Sources
     * with no real estimate report Long.MaxValue bytes and correctly
     * fall on the "already parallel enough" side (no extra shuffle).
+    *
+    * EXCEPT for checkpointed lineages (all leaves LogicalRDD): there
+    * the partition count is KNOWN without re-planning, and the size
+    * estimate must not be trusted — a join-shaped plan overestimates
+    * by multiplied selectivities (measured: a 5 MB join output
+    * estimated at 16.6 GB), while an AQE-coalesced checkpoint is
+    * often ONE partition, so the estimate's "big enough, skip" answer
+    * silently serialized the whole downstream per-row compute AND the
+    * first post-compute join's output onto one core (the curate
+    * chain's near-dup admit: 39 s vs 5 s).
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val splitBytes = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val estSplits =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes / splitBytes) + 1
-    if (estSplits >= target) df else df.repartition(target)
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val rddParts = leaves.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions
+    }
+    if (rddParts.length == leaves.length && rddParts.nonEmpty) {
+      if (rddParts.max >= target) df else df.repartition(target)
+    } else {
+      val splitBytes = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val estSplits =
+        (plan.stats.sizeInBytes / splitBytes) + 1
+      if (estSplits >= target) df else df.repartition(target)
+    }
   }
 
   /** Whitespace word tokens of a text column. */
@@ -1055,7 +1075,45 @@ final class NoveltyGate(tableRoot: String,
         "prefix_chars" -> pcCur.toString))
 
   def admit(batch: DataFrame): Unit = {
+    admitFps(batch.sparkSession, batch
+      .select(Dedup.exactFingerprint(col("text")).as("fp")).distinct()
+      .filter(col("fp").isNotNull))
+    ()
+  }
+
+  /** Per-doc form of [[admit]] for pipeline composition
+    * (ev_stream_curate): the same state transition, plus a returned
+    * verdict frame (id, is_novel) where is_novel=1 marks the doc that
+    * ADMITTED its fingerprint — a table-novel fingerprint's
+    * smallest-id holder in this batch (first-wins, the D1 rule). A
+    * null-text doc has no identity and verdicts 0, landing in the
+    * duplicates remainder exactly as the novelty census counts it. */
+  def admitScored(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val spark = batch.sparkSession
+    val docs = batch.select(col(idCol).as("id"),
+      Dedup.exactFingerprint(col(textCol)).as("fp"))
+      .localCheckpoint()
+    val novel = admitFps(spark,
+      docs.filter(col("fp").isNotNull).select(col("fp")).distinct())
+    docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("id"))))
+      .join(novel.select(col("fp"), lit(1).as("nv")), Seq("fp"), "left")
+      .select(col("id"),
+        when(col("fp").isNotNull && col("nv") === 1 && col("rn") === 1,
+          1).otherwise(0).as("is_novel"))
+  }
+
+  /** Fingerprint-level core shared by [[admit]] and [[admitScored]]:
+    * probes, updates bloom + table state, and returns the batch's
+    * NOVEL fingerprints, localCheckpointed — one evaluation feeds the
+    * bloom delta, the data append, and any caller verdict join (the
+    * pre-refactor lazy frame was evaluated twice for the first two).
+    * `fps` must already be distinct and non-null. */
+  private def admitFps(spark: org.apache.spark.sql.SparkSession,
+      fps: DataFrame): DataFrame = {
     val dataPath = s"$tableRoot/data"
     val bloomPath = s"$tableRoot/bloom"
     // Robustness pair used on every internal read: an existence check
@@ -1081,7 +1139,7 @@ final class NoveltyGate(tableRoot: String,
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val priorThr = spark.conf.getOption(thrKey)
     spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
-    try {
+    val novelCk = try {
     if (words == null) {
       syncLayout(spark)
       words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
@@ -1091,9 +1149,6 @@ final class NoveltyGate(tableRoot: String,
           s"$tableRoot — probes degrade to bucket scans; resize bits " +
           s"($bits) to table capacity")
     }
-    val fps = batch
-      .select(Dedup.exactFingerprint(col("text")).as("fp")).distinct()
-      .filter(col("fp").isNotNull)
     val might = Dedup.bloomMight(col("fp"), words, bits, k)
     val pos = fps.filter(might).select(col("fp")).limit(posCap + 1)
       .collect().map(_.getString(0))
@@ -1121,7 +1176,12 @@ final class NoveltyGate(tableRoot: String,
         fps.filter(might).join(known, Seq("fp"), "left_anti")
           .union(fps.filter(!might))
       }
-    val delta = novel
+    // pin once: the delta write, the data append, and the caller's
+    // verdict join all consume this batch-bounded frame (the fallback
+    // branch reads the table it is ABOUT to append to — materializing
+    // before the append also removes that read-after-write ambiguity)
+    val novelPinned = novel.localCheckpoint()
+    val delta = novelPinned
       .select(posexplode(array((0 until k).map(i =>
         Dedup.bloomPos(col("fp"), i, bits)): _*)).as(Seq("i", "pos")))
       .select((col("pos") / 64).cast("long").as("word_idx"),
@@ -1137,11 +1197,12 @@ final class NoveltyGate(tableRoot: String,
       .coalesce(1)
       .write.mode("append").parquet(bloomPath)
     delta.foreach { case (i, w) => words(i.toInt) |= w }
-    novel
+    novelPinned
       .withColumn("fp_b", substring(col("fp"), 1, pcCur))
       .repartition(col("fp_b"))
       .sortWithinPartitions(col("fp"))
       .write.mode("append").partitionBy("fp_b").parquet(dataPath)
+    novelPinned
     } finally priorThr match {
       case Some(v) => spark.conf.set(thrKey, v)
       case None => spark.conf.unset(thrKey)
@@ -1151,6 +1212,7 @@ final class NoveltyGate(tableRoot: String,
       compact(spark)
       admitsSinceCompact = 0
     }
+    novelCk
   }
 
   /** The periodic maintenance pass the bucket-count tradeoff note
@@ -1442,6 +1504,21 @@ final class NearDupGate(root: String, numHashes: Int = 32,
   }
 
   def admit(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    runAdmit(batch, idCol, textCol, pin = false)
+    ()
+  }
+
+  /** Per-doc form of [[admit]] for pipeline composition
+    * (ev_stream_curate): identical state transition, returning the
+    * localCheckpointed verdict frame it appended —
+    * (id, n_cands, best_eq, is_neardup, n_capped_keys). Plain
+    * [[admit]] skips that pin (the write is its only consumer). */
+  def admitScored(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    runAdmit(batch, idCol, textCol, pin = true)
+
+  private def runAdmit(batch: DataFrame, idCol: String,
+      textCol: String, pin: Boolean): DataFrame = {
     val spark = batch.sparkSession
     // The pruned index/sig reads rely on pushing a collected INSET of
     // band hashes / candidate ids into the parquet scan so row-group
@@ -1456,7 +1533,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val priorThr = spark.conf.getOption(thrKey)
     spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
-    try admitInner(batch, idCol, textCol)
+    val verdicts = try admitInner(batch, idCol, textCol, pin)
     finally priorThr match {
       case Some(v) => spark.conf.set(thrKey, v)
       case None => spark.conf.unset(thrKey)
@@ -1466,10 +1543,11 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       compact(spark)
       admitsSinceCompact = 0
     }
+    verdicts
   }
 
   private def admitInner(batch: DataFrame, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, pin: Boolean): DataFrame = {
     val spark = batch.sparkSession
     val bandsPath = s"$root/bands"
     val sigsPath = s"$root/sigs"
@@ -1498,6 +1576,19 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .select(col("id"), Dedup.minhashSignaturePortable(
         col("t"), numHashes, shingleSize).as("sig"))
       .localCheckpoint()
+    // Broadcast the batch side by MEASURED count, not planner stats:
+    // a localCheckpoint inherits its ORIGIN plan's size estimate, and
+    // a join-shaped origin (the curate chain's survivor frames)
+    // overestimates by multiplied selectivities (measured: 5 MB
+    // estimated as 16.6 GB) — the static planner then refuses the
+    // broadcast, AQE cannot re-plan a LogicalRDD leaf, and every
+    // probe join degrades to sort-merge with skew-hot band keys
+    // (measured: 38 s vs 4.7 s for the identical admit). The count is
+    // ~free on the checkpointed rows; a degenerate huge admit keeps
+    // the shuffle-join plan instead of OOMing the driver.
+    val smallBatch = batchSigs.count() <= 100000
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
     val batchBands = banded(batchSigs).filter(col("band_hash").isNotNull)
     val bandKeys = batchBands.select(col("id"), col("band"), col("band_hash"))
     val hashes = batchBands.select(col("band_hash")).distinct()
@@ -1550,11 +1641,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
               bandKeys.select(col("band"), col("band_hash")).distinct(),
               Seq("band", "band_hash"), "left_semi"))
           else capPerKey(idx)
-        // no broadcast HINT: the localCheckpointed batch side carries
-        // accurate size stats, so AQE broadcasts it whenever it is
-        // batch-sized and falls back to a shuffle join for a
-        // degenerate huge admit instead of OOMing the driver
-        val pairs = bandKeys.as("q").join(idxCand.as("c"),
+        val pairs = maybeBroadcast(bandKeys).as("q").join(idxCand.as("c"),
             col("q.band") === col("c.band") &&
               col("q.band_hash") === col("c.band_hash"))
           .select(col("q.id").as("id"), col("c.id").as("cid"))
@@ -1591,7 +1678,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
           else readSigs()
         (pairs
           .join(corpusSigs.toDF("cid", "csig"), "cid")
-          .join(batchSigs.toDF("id", "qsig"), "id")
+          .join(maybeBroadcast(batchSigs.toDF("id", "qsig")), "id")
           .select(col("id"), col("cid"),
             graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
               .as("n_eq")),
@@ -1611,14 +1698,15 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // candidate still precedes any over-cap query doc (the c.id <
     // q.id guard keeps exact in-batch order among them)
     val (selfCand, selfCapped) = capPerKey(bandKeys)
-    val internal = bandKeys.as("q").join(selfCand.as("c"),
+    val internal = bandKeys.as("q")
+      .join(maybeBroadcast(selfCand).as("c"),
         col("q.band") === col("c.band") &&
           col("q.band_hash") === col("c.band_hash") &&
           col("c.id") < col("q.id"))
       .select(col("q.id").as("id"), col("c.id").as("cid"))
       .distinct()
-      .join(batchSigs.toDF("cid", "csig"), "cid")
-      .join(batchSigs.toDF("id", "qsig"), "id")
+      .join(maybeBroadcast(batchSigs.toDF("cid", "csig")), "cid")
+      .join(maybeBroadcast(batchSigs.toDF("id", "qsig")), "id")
       .select(col("id"), col("cid"),
         graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
           .as("n_eq"))
@@ -1635,7 +1723,10 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .join(crossCapped.unionByName(selfCapped).distinct(),
         Seq("band", "band_hash"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_capped_keys"))
-    batchSigs.select(col("id")).join(matches, Seq("id"), "left")
+    // pinned only for admitScored (batch-bounded): consumed by the
+    // table append AND the caller's stage joins
+    val verdicts0 = batchSigs.select(col("id"))
+      .join(matches, Seq("id"), "left")
       .join(nCapped, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_cands"), lit(0L)).as("n_cands"),
@@ -1644,7 +1735,8 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .withColumn("is_neardup", (col("best_eq") >= minEq).cast("int"))
       .select(col("id"), col("n_cands"), col("best_eq"),
         col("is_neardup"), col("n_capped_keys"))
-      .write.mode("append").parquet(s"$root/verdicts")
+    val verdicts = if (pin) verdicts0.localCheckpoint() else verdicts0
+    verdicts.write.mode("append").parquet(s"$root/verdicts")
     hashes.foreach(fold)
     // a batch of only null-text docs has no bands and no non-null
     // sigs (a non-null signature always yields non-null band hashes);
@@ -1661,6 +1753,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         .coalesce(1).sortWithinPartitions(col("id"))
         .write.mode("append").parquet(sigsPath)
     }
+    verdicts
   }
 
   /** Epoch maintenance, mirroring [[NoveltyGate.compact]]: rewrite

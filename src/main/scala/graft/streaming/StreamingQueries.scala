@@ -1193,6 +1193,343 @@ object StreamingQueries {
         |    AS BIGINT) AS contaminated_id_checksum
         |FROM v""".stripMargin),
 
+    // The COMPOSED standing ingest pipeline — all five gates chained
+    // in ONE foreachBatch over one stream, the topology a real corpus
+    // ingest runs (reference analog: the unify→score→upsert chain,
+    // my_scrapers/unified_scraper.py:622-642, generalized to the
+    // LLM-corpus filter family): exact-novelty → near-dup → quality
+    // (Gopher ∧ NB) → decontamination → LM perplexity, each stage
+    // seeing only the previous stage's survivors — so the two
+    // STATEFUL gates (novelty table, near-dup band index) index only
+    // curated docs, proving the gates compose without state
+    // interference. Reference models (NB counts, LM bigram table,
+    // eval 13-gram index) are trained ONCE batch-side over the full
+    // corpus and shared by every micro-batch; stages 3-5 are
+    // stateless per row. Per-doc verdict columns are NULL from the
+    // stage after the one that dropped the doc (the doc never reached
+    // it), and `kept` = survived all five. Split-invariant under
+    // id-ordered arrival for the same reasons as each gate's own row.
+    "ev_stream_curate" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_curate", d)
+        import graft.operators.{Dedup, LmScore, TextAnalysis, TextClassify}
+        val full = T.documents(s, d)
+        // reference models, trained once over the full corpus
+        def labTok(df: DataFrame): DataFrame = df
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1).otherwise(0).as("y"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        val nbCounts = TextClassify.nbTrainCounts(labTok(full))
+        val nbPriors = full
+          .select(when(col("lang") === "en", 1).otherwise(0).as("y"))
+          .agg(sum("y").as("d1"), sum(lit(1) - col("y")).as("d0"))
+          .localCheckpoint()
+        def lmToks(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val lmTable = LmScore.trainBigramTable(LmScore.bigrams(lmToks(full)))
+        def gramArr = when(
+          size(Dedup.tokens(col("text"))) >= 13,
+          array_distinct(
+            transform(Dedup.shingles(col("text"), 13), x => md5(x))))
+          .otherwise(array().cast("array<string>"))
+        val evalGrams = full
+          .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+          .select(explode(gramArr).as("g"))
+          .localCheckpoint()
+        seedEmptyParquet(s, s"$out/scored",
+          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+            "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
+        // the two stateful gates, one instance each for the stream
+        val ngate = new graft.operators.NoveltyGate(s"$out/nov")
+        val ndgate = new graft.operators.NearDupGate(s"$out/nd")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+        val q = stream.writeStream.queryName("graft_stream_curate")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val b = batch.select(col("doc_id"), col("text"))
+                .localCheckpoint()
+              // stage 1: exact novelty (first-wins per fingerprint)
+              val nov = ngate.admitScored(b, "doc_id", "text")
+              val s1 = b.join(nov.filter(col("is_novel") === 1)
+                .select(col("id").as("doc_id")), Seq("doc_id"))
+                .localCheckpoint()
+              // stage 2: near-dup vs earlier-curated docs only
+              val nd = ndgate.admitScored(s1, "doc_id", "text")
+              val s2 = s1.join(nd.filter(col("is_neardup") === 0)
+                .select(col("id").as("doc_id")), Seq("doc_id"))
+                .localCheckpoint()
+              // stage 3: Gopher rules ∧ NB classifier
+              val rules = TextClassify
+                .gopherMetrics(s2, keyCols = Seq("doc_id"))
+                .select(col("doc_id"),
+                  TextClassify.gopherPassCol.cast("int").as("gp"))
+              val pred = TextClassify.nbPredict(
+                  s2.select(col("doc_id"), lit(0).as("y"),
+                    explode(TextAnalysis.tokens(col("text"))).as("token"))
+                    .filter(col("token") =!= ""),
+                  nbCounts, nbPriors)
+                .select(col("doc_id"), col("pred"))
+              val q3 = rules.join(pred, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  (col("gp") === 1 &&
+                    coalesce(col("pred"), lit(0)) === 1)
+                    .cast("int").as("quality_kept"))
+                .localCheckpoint()
+              val s3 = s2.join(q3.filter(col("quality_kept") === 1)
+                .select(col("doc_id")), Seq("doc_id"))
+                .localCheckpoint()
+              // stage 4: decontamination (eval members themselves are
+              // excluded from a training corpus by definition)
+              val hits = s3
+                .select(col("doc_id"), explode(gramArr).as("g"))
+                .join(broadcast(evalGrams), "g")
+                .groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("n_shared"))
+              val dec = s3.select(col("doc_id"))
+                .join(hits, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  (!(col("doc_id") >= 400 && col("doc_id") < 500) &&
+                    coalesce(col("n_shared"), lit(0L)) === 0)
+                    .cast("int").as("decontam_kept"))
+                .localCheckpoint()
+              val s4 = s3.join(dec.filter(col("decontam_kept") === 1)
+                .select(col("doc_id")), Seq("doc_id"))
+                .localCheckpoint()
+              // stage 5: LM perplexity filter under the shared table
+              val lmk = LmScore.scoreDocs(LmScore.bigrams(lmToks(s4)),
+                  lmTable)
+                .select(col("doc_id"),
+                  (expr("total_bits * 1000 div n_bigrams") < 12000)
+                    .cast("int").as("lm_kept"))
+              b.select(col("doc_id"))
+                .join(nov.select(col("id").as("doc_id"),
+                  col("is_novel")), Seq("doc_id"), "left")
+                .join(nd.select(col("id").as("doc_id"),
+                  col("is_neardup")), Seq("doc_id"), "left")
+                .join(q3, Seq("doc_id"), "left")
+                .join(dec, Seq("doc_id"), "left")
+                .join(s4.select(col("doc_id"), lit(1).as("reached_lm")),
+                  Seq("doc_id"), "left")
+                .join(lmk, Seq("doc_id"), "left")
+                .select(col("doc_id"), col("is_novel"), col("is_neardup"),
+                  col("quality_kept"), col("decontam_kept"),
+                  // a doc that reached stage 5 but produced no bigram
+                  // rows has no LM evidence → 0, never NULL
+                  when(col("reached_lm") === 1,
+                    coalesce(col("lm_kept"), lit(0))).as("lm_kept"))
+                .withColumn("kept", coalesce(
+                  col("is_novel") === 1 && col("is_neardup") === 0 &&
+                    col("quality_kept") === 1 &&
+                    col("decontam_kept") === 1 && col("lm_kept") === 1,
+                  lit(false)).cast("int"))
+                .write.mode("append").parquet(s"$out/scored")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/scored").distinct()
+          .orderBy(col("doc_id"))
+      },
+      {
+        val coeffs = graft.operators.Dedup.portableCoeffs(32)
+          .zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+          .mkString(", ")
+        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+           |f AS (
+           |  SELECT doc_id,
+           |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+           |  FROM documents),
+           |nov AS (
+           |  SELECT doc_id, CASE WHEN fp IS NOT NULL AND
+           |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+           |    THEN 1 ELSE 0 END AS is_novel
+           |  FROM f),
+           |s1 AS (SELECT d.doc_id, d.text FROM documents d
+           |       JOIN nov ON nov.doc_id = d.doc_id AND nov.is_novel = 1),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
+           |  FROM s1),
+           |vals AS (
+           |  SELECT doc_id, i,
+           |    list_min(list_transform(shingles,
+           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+           |           % 2147483647)) AS v
+           |  FROM sh, coeffs),
+           |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+           |        FROM vals GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
+           |  FROM sig, range(0, 16) r(b)),
+           |cand AS (
+           |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+           |  FROM bands q JOIN bands c
+           |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),
+           |eq AS (
+           |  SELECT cand.id,
+           |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
+           |      AS n_eq
+           |  FROM cand
+           |  JOIN sig s1 ON s1.doc_id = cand.id
+           |  JOIN sig s2 ON s2.doc_id = cand.cid),
+           |nda AS (SELECT id, MAX(n_eq) AS best_eq FROM eq GROUP BY id),
+           |nd AS (
+           |  SELECT s1.doc_id, CASE WHEN COALESCE(a.best_eq, 0) >= 16
+           |    THEN 1 ELSE 0 END AS is_neardup
+           |  FROM s1 LEFT JOIN nda a ON a.id = s1.doc_id),
+           |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+           |       JOIN nd ON nd.doc_id = s1.doc_id AND nd.is_neardup = 0),
+           |docsy AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS t
+           |  FROM documents),
+           |tk AS (
+           |  SELECT doc_id, y, token FROM (
+           |    SELECT doc_id, y, unnest(t) AS token FROM docsy)
+           |  WHERE token <> ''),
+           |counts AS (
+           |  SELECT token, CAST(SUM(y) AS BIGINT) AS n1,
+           |    CAST(SUM(1 - y) AS BIGINT) AS n0
+           |  FROM tk GROUP BY token),
+           |totals AS (
+           |  SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+           |    CAST(SUM(n0) AS BIGINT) AS tn0, COUNT(*) AS v
+           |  FROM counts),
+           |priors AS (
+           |  SELECT CAST(SUM(y) AS BIGINT) AS d1,
+           |    CAST(SUM(1 - y) AS BIGINT) AS d0
+           |  FROM docsy),
+           |bsc AS (
+           |  SELECT t.doc_id,
+           |    length(bin((tt.tn1 + tt.v) // (COALESCE(c.n1, 0) + 1))) - 1
+           |      AS b1,
+           |    length(bin((tt.tn0 + tt.v) // (COALESCE(c.n0, 0) + 1))) - 1
+           |      AS b0
+           |  FROM tk t LEFT JOIN counts c USING (token) CROSS JOIN totals tt
+           |  WHERE t.doc_id IN (SELECT doc_id FROM s2)),
+           |sc AS (
+           |  SELECT doc_id, CAST(SUM(b1) AS BIGINT) AS bits1,
+           |    CAST(SUM(b0) AS BIGINT) AS bits0
+           |  FROM bsc GROUP BY 1),
+           |gw AS (
+           |  SELECT doc_id, list_filter(
+           |    COALESCE(string_split_regex(trim(lower(text)), '\\s+'), []),
+           |    x -> x <> '') AS w
+           |  FROM s2),
+           |m AS (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+           |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+           |      AS BIGINT) AS sum_len,
+           |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+           |      AS BIGINT) AS n_alpha,
+           |    CAST(len(list_filter(w,
+           |      x -> contains(x, '#') OR contains(x, '...')))
+           |      AS BIGINT) AS n_sym,
+           |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+           |      AS stop_hits
+           |  FROM gw),
+           |q3 AS (
+           |  SELECT m.doc_id,
+           |    CASE WHEN m.n >= 50 AND m.n <= 100000
+           |      AND m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10
+           |      AND m.n_alpha * 5 >= m.n * 4 AND m.n_sym * 10 <= m.n
+           |      AND m.stop_hits >= 2
+           |      AND COALESCE(CASE WHEN sc.bits1
+           |            + (length(bin((p.d1 + p.d0) // p.d1)) - 1)
+           |          < sc.bits0 + (length(bin((p.d1 + p.d0) // p.d0)) - 1)
+           |        THEN 1 ELSE 0 END, 0) = 1
+           |      THEN 1 ELSE 0 END AS quality_kept
+           |  FROM m LEFT JOIN sc ON sc.doc_id = m.doc_id
+           |  CROSS JOIN priors p),
+           |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+           |       JOIN q3 ON q3.doc_id = s2.doc_id AND q3.quality_kept = 1),
+           |tkg AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    list_transform(range(1, len(w) - 11),
+           |      i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+           |  FROM tkg),
+           |shd AS (
+           |  SELECT t.doc_id AS id, COUNT(*) AS n_shared
+           |  FROM g t JOIN g e ON t.g = e.g
+           |  WHERE t.doc_id IN (SELECT doc_id FROM s3)
+           |    AND e.doc_id >= 400 AND e.doc_id < 500
+           |  GROUP BY 1),
+           |dec AS (
+           |  SELECT s3.doc_id,
+           |    CASE WHEN s3.doc_id >= 400 AND s3.doc_id < 500 THEN 0
+           |         WHEN COALESCE(shd.n_shared, 0) > 0 THEN 0
+           |         ELSE 1 END AS decontam_kept
+           |  FROM s3 LEFT JOIN shd ON shd.id = s3.doc_id),
+           |s4 AS (SELECT s3.doc_id, s3.text FROM s3
+           |       JOIN dec ON dec.doc_id = s3.doc_id
+           |         AND dec.decontam_kept = 1),
+           |d0l AS (
+           |  SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS t
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+           |    FROM d0l WHERE len(t) >= 2)
+           |  WHERE b.w1 <> '' AND b.w2 <> ''),
+           |nlm AS (
+           |  SELECT w1, w2, COUNT(*) AS n
+           |  FROM bg GROUP BY 1, 2),
+           |lm AS (
+           |  SELECT w1, w2, n,
+           |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+           |  FROM nlm),
+           |costs AS (
+           |  SELECT bg.doc_id,
+           |    CASE WHEN lm.n IS NULL THEN 20
+           |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
+           |  FROM bg LEFT JOIN lm USING (w1, w2)
+           |  WHERE bg.doc_id IN (SELECT doc_id FROM s4)),
+           |lsc AS (
+           |  SELECT doc_id, COUNT(*) AS n_bigrams,
+           |    CAST(SUM(bits) AS BIGINT) AS total_bits
+           |  FROM costs GROUP BY 1),
+           |lmk AS (
+           |  SELECT s4.doc_id,
+           |    COALESCE(CASE WHEN lsc.total_bits * 1000 // lsc.n_bigrams
+           |      < 12000 THEN 1 ELSE 0 END, 0) AS lm_kept
+           |  FROM s4 LEFT JOIN lsc ON lsc.doc_id = s4.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(nov.is_novel AS INTEGER) AS is_novel,
+           |  CAST(nd.is_neardup AS INTEGER) AS is_neardup,
+           |  CAST(q3.quality_kept AS INTEGER) AS quality_kept,
+           |  CAST(dec.decontam_kept AS INTEGER) AS decontam_kept,
+           |  CAST(lmk.lm_kept AS INTEGER) AS lm_kept,
+           |  CAST(CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
+           |    AND q3.quality_kept = 1 AND dec.decontam_kept = 1
+           |    AND lmk.lm_kept = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
+           |FROM documents d
+           |LEFT JOIN nov ON nov.doc_id = d.doc_id
+           |LEFT JOIN nd ON nd.doc_id = d.doc_id
+           |LEFT JOIN q3 ON q3.doc_id = d.doc_id
+           |LEFT JOIN dec ON dec.doc_id = d.doc_id
+           |LEFT JOIN lmk ON lmk.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids

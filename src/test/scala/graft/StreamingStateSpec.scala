@@ -468,6 +468,55 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("curate composition: stateful gates chain across batches without interference") {
+    // the ev_stream_curate topology's stateful prefix — novelty gate
+    // feeding the near-dup gate, so the band index holds ONLY
+    // novelty-survivors — staged over two batches
+    val out = new java.io.File("target/test_curate_chain").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val ng = new graft.operators.NoveltyGate(s"$out/nov")
+    val nd = new graft.operators.NearDupGate(s"$out/nd")
+    def curate(batch: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Int, Option[Int])] = {
+      val nov = ng.admitScored(batch, "doc_id", "text")
+      val s1 = batch.join(nov.filter(col("is_novel") === 1)
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+      val ndv = nd.admitScored(s1, "doc_id", "text")
+      nov.select(col("id"), col("is_novel"))
+        .join(ndv.select(col("id"), col("is_neardup")), Seq("id"), "left")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    }
+    // batch 1: doc 1 novel; doc 2 exact-dups doc 1 (whitespace-only
+    // difference) — dropped at stage 1 and NEVER indexed by stage 2;
+    // doc 3 disjoint
+    val b1 = curate(Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha  beta gamma delta"), (3L, "omega psi chi phi"))
+      .toDF("doc_id", "text"))
+    assert(b1(1L) === ((1, Some(0))))
+    assert(b1(2L) === ((0, None)),
+      "stage-1 drop must carry NO stage-2 verdict")
+    assert(b1(3L) === ((1, Some(0))))
+    // batch 2: doc 4 permutes doc 1's tokens — a DIFFERENT exact
+    // fingerprint (novel at stage 1) but the identical MinHash
+    // signature, so stage 2 must flag it via the PERSISTENT index of
+    // batch 1's survivors; doc 5 exact-dups doc 1 cross-batch
+    // (dropped at stage 1 via the fingerprint table); doc 6 novel
+    val b2 = curate(Seq((4L, "delta gamma beta alpha"),
+      (5L, "alpha beta gamma delta"), (6L, "nu xi omicron pi"))
+      .toDF("doc_id", "text"))
+    assert(b2(4L) === ((1, Some(1))),
+      "cross-batch near-dup of a curated doc must flag")
+    assert(b2(5L) === ((0, None)),
+      "cross-batch exact dup must drop at stage 1")
+    assert(b2(6L) === ((1, Some(0))))
+    // the band index must hold exactly the four stage-1 survivors
+    assert(spark.read.parquet(s"$out/nd/sigs")
+      .select("id").distinct().count() === 4)
+  }
+
   test("auto-compaction bounds standing-gate file counts with unchanged verdicts") {
     val out = new java.io.File("target/test_gate_autocompact").getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
