@@ -670,4 +670,245 @@ object Similarity {
         cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  private[operators] def bandedHyperplanes(planes: Int, dim: Int,
+      seed: Long): Seq[Seq[Double]] = hyperplanes(planes, dim, seed)
+}
+
+/** The standing EMBEDDING near-dup gate — [[graft.operators
+  * .NearDupGate]]'s semantic sibling for vector columns, one instance
+  * per ingest stream: an arriving embedding is a near-dup iff its
+  * cosine with ANY earlier-seen vector sharing a hyperplane sign-band
+  * reaches `minCosine` (earlier batches via the persistent band
+  * index, same-batch predecessors via a smaller-id self-probe; the
+  * cross probe excludes the batch's own ids, the arrival-order
+  * "earlier" that makes at-least-once replay harmless).
+  *
+  * Candidate structure: `bands` bands of `rowBits` pinned random
+  * hyperplanes each (the seed-7 family every sim_* oracle embeds as
+  * literals); a vector's band key is the sign pattern of its band's
+  * planes — near vectors agree on most signs, so they collide in ≥1
+  * band with high probability while the orthant partition sheds far
+  * pairs. Durable state under `root`: `keys` (id, band, bkey —
+  * PARTITIONED by band, bkey-sorted files) and `vecs` (id, v,
+  * id-sorted files); verdicts (id, n_cands, best_cos, is_neardup)
+  * append per batch.
+  *
+  * One structural difference from the MinHash gate, and why there is
+  * no Bloom here: a sign-band keyspace is bands·2^rowBits — SMALL by
+  * construction (64 keys at the defaults; even 20-bit bands are only
+  * millions) — so the driver front is an EXACT seen-key set, rebuilt
+  * from the keys table in one distinct at construction. No false
+  * positives, no sizing rule, and a batch whose keys are all unseen
+  * (the mostly-novel 100 TB case) never reads the index at all.
+  * Probes that do hit prune by band partition + a bkey INSET on
+  * sorted files. Scoring fetches only candidate vectors through a
+  * collected-id INSET (capped at [[Dedup.inPushdownLimit]] — the
+  * pushed-OR-chain stack-overflow ceiling — before falling back to a
+  * vecs scan). Cosines are the [[Similarity.cosine]] left-fold, so
+  * the DuckDB oracle replays every verdict bit-exactly. Null vectors
+  * verdict as novel and are never indexed.
+  */
+final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
+    rowBits: Int = 4, minCosine: Double = 0.5, seed: Long = 7L,
+    candCap: Int = 100000) {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+  require(bands * rowBits <= 30, "band keyspace must stay int-sized")
+
+  private val planes =
+    Similarity.bandedHyperplanes(bands * rowBits, dim, seed)
+  // exact driver memory of the seen (band, bkey) keys — keyspace is
+  // bands·2^rowBits, so this is bounded by construction
+  private var seen: scala.collection.mutable.Set[Long] = _
+
+  private def keyOf(band: Int, bkey: Int): Long =
+    band.toLong * (1L << rowBits) + bkey
+
+  private def bandKeyCol(vec: Column, b: Int): Column =
+    planes.slice(b * rowBits, (b + 1) * rowBits).zipWithIndex
+      .map { case (h, i) =>
+        when(Similarity.dotConst(vec, h) >= 0.0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+
+  private def keyed(vecs: DataFrame): DataFrame = vecs
+    .filter(col("v").isNotNull)
+    .select(col("id"), posexplode(array((0 until bands).map(b =>
+      bandKeyCol(col("v"), b)): _*)).as(Seq("band", "bkey")))
+
+  private def initSeen(spark: org.apache.spark.sql.SparkSession,
+      keysPath: String, keysExist: Boolean): Unit = {
+    seen = scala.collection.mutable.Set.empty[Long]
+    if (!keysExist) return
+    spark.read
+      .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
+      .parquet(keysPath)
+      .select(col("band"), col("bkey")).distinct()
+      .collect().foreach(r => seen += keyOf(r.getInt(0), r.getInt(1)))
+  }
+
+  def admit(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    admitScored(batch, idCol, vecCol)
+    ()
+  }
+
+  def admitScored(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val priorThr = spark.conf.getOption(thrKey)
+    spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
+    try admitInner(batch, idCol, vecCol)
+    finally priorThr match {
+      case Some(v) => spark.conf.set(thrKey, v)
+      case None => spark.conf.unset(thrKey)
+    }
+  }
+
+  private def admitInner(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val keysPath = s"$root/keys"
+    val vecsPath = s"$root/vecs"
+    val fs = new org.apache.hadoop.fs.Path(keysPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
+    val vecsExist = fs.exists(new org.apache.hadoop.fs.Path(vecsPath))
+    if (seen == null) initSeen(spark, keysPath, keysExist)
+    val batchVecs = Dedup.spread(
+        batch.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .localCheckpoint()
+    // measured-count broadcast discipline (see NearDupGate: planner
+    // stats on checkpointed survivor frames cannot be trusted)
+    val smallBatch = batchVecs.count() <= candCap
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
+    val batchKeys = keyed(batchVecs).localCheckpoint()
+    val keys = batchKeys.select(col("band"), col("bkey")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val posKeys = keys.filter { case (b, bk) => seen(keyOf(b, bk)) }
+    def emptyPairs = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType.fromDDL("id BIGINT, cid BIGINT"))
+    val cross: DataFrame =
+      if (posKeys.isEmpty || !keysExist) emptyPairs
+      else {
+        // Int literals, matching the partition column's type — a Long
+        // literal would wrap the column in a cast and defeat the
+        // partition-directory pruning
+        val posBands = posKeys.map(_._1).distinct.toSeq
+        val posBkeys = posKeys.map(_._2).distinct.toSeq
+        val idx = spark.read
+          .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
+          .parquet(keysPath)
+          .filter(col("band").isin(posBands: _*))
+          .filter(col("bkey").isin(posBkeys: _*))
+        maybeBroadcast(batchKeys).as("q").join(idx.as("c"),
+            col("q.band") === col("c.band") &&
+              col("q.bkey") === col("c.bkey"))
+          .select(col("q.id").as("id"), col("c.id").as("cid"))
+          .distinct()
+          .join(batchVecs.select(col("id").as("cid")), Seq("cid"),
+            "left_anti")
+      }
+    val internal = batchKeys.as("q")
+      .join(maybeBroadcast(batchKeys).as("c"),
+        col("q.band") === col("c.band") &&
+          col("q.bkey") === col("c.bkey") &&
+          col("c.id") < col("q.id"))
+      .select(col("q.id").as("id"), col("c.id").as("cid"))
+      .distinct()
+      .join(maybeBroadcast(batchVecs.toDF("cid", "cv")), "cid")
+      .join(maybeBroadcast(batchVecs.toDF("id", "qv")), "id")
+      .select(col("id"), col("cid"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    val crossPinned = cross.localCheckpoint()
+    val cids = crossPinned.select(col("cid")).distinct()
+      .limit(candCap + 1).collect().map(_.getLong(0))
+    def readVecs() =
+      if (vecsExist) spark.read
+        .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+        .parquet(vecsPath)
+      else spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+    val corpusVecs =
+      if (cids.length <= candCap)
+        readVecs().filter(col("id").isin(cids.toSeq: _*))
+      else readVecs()
+    val crossScored = crossPinned
+      .join(corpusVecs.toDF("cid", "cv"), "cid")
+      .join(maybeBroadcast(batchVecs.toDF("id", "qv")), "id")
+      .select(col("id"), col("cid"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    val matches = crossScored.unionByName(internal)
+      .groupBy(col("id"), col("cid"))
+      .agg(first(col("cos")).as("cos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("best_cos"))
+    val verdicts = batchVecs.select(col("id"))
+      .join(matches, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("best_cos"), lit(-2.0d)).as("best_cos"))
+      .withColumn("is_neardup",
+        (col("best_cos") >= minCosine).cast("int"))
+      .localCheckpoint()
+    verdicts.write.mode("append").parquet(s"$root/verdicts")
+    keys.foreach { case (b, bk) => seen += keyOf(b, bk) }
+    if (keys.nonEmpty) {
+      batchKeys
+        .repartition(col("band"))
+        .sortWithinPartitions(col("bkey"))
+        .write.mode("append").partitionBy("band").parquet(keysPath)
+      batchVecs.filter(col("v").isNotNull)
+        .coalesce(1).sortWithinPartitions(col("id"))
+        .write.mode("append").parquet(vecsPath)
+    }
+    verdicts
+  }
+
+  /** Epoch maintenance (the [[graft.operators.NearDupGate.compact]]
+    * contract): dedup + one file per band partition / per table,
+    * crash-ordered tmp/old swaps. The seen-key set needs no rebuild —
+    * deduplication cannot change the distinct key set. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/keys"))) return
+    spark.read
+      .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
+      .parquet(s"$root/keys")
+      .select(col("id"), col("bkey"), col("band")).distinct()
+      .repartition(col("band")).sortWithinPartitions(col("bkey"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$root/keys_tmp")
+    spark.read
+      .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+      .parquet(s"$root/vecs")
+      .dropDuplicates("id")
+      .coalesce(1).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$root/vecs_tmp")
+    val verdictsExist =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/verdicts"))
+    if (verdictsExist) spark.read
+      .schema(StructType.fromDDL(
+        "id BIGINT, n_cands BIGINT, best_cos DOUBLE, is_neardup INT"))
+      .parquet(s"$root/verdicts")
+      .distinct()
+      .coalesce(1).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$root/verdicts_tmp")
+    def swap(name: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
+      fs.delete(old, true)
+      if (fs.exists(cur)) fs.rename(cur, old)
+      fs.rename(tmp, cur)
+      fs.delete(old, true)
+    }
+    swap("keys")
+    swap("vecs")
+    if (verdictsExist) swap("verdicts")
+  }
 }

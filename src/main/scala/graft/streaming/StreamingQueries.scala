@@ -1193,6 +1193,81 @@ object StreamingQueries {
         |    AS BIGINT) AS contaminated_id_checksum
         |FROM v""".stripMargin),
 
+    // Streaming EMBEDDING near-dup gate — the last member of the
+    // standing-gate family: arriving vectors are checked against the
+    // seen corpus through a persistent hyperplane sign-band index
+    // (graft.operators.EmbedNearDupGate — the NearDupGate band-table
+    // architecture with MinHash bands generalized to the pinned
+    // seed-7 hyperplane family the sim_* oracles embed as literals,
+    // and the Bloom front replaced by an EXACT driver key set, since
+    // a sign-band keyspace is bands·2^rowBits by construction).
+    // Verdict: near-dup iff cosine ≥ 0.5 with any earlier-seen vector
+    // sharing a band. The oracle replays the whole chain bit-exactly
+    // (left-fold dots per sim_cosine_fast). Split-invariant census
+    // under id-ordered arrival, as for ev_stream_neardup.
+    "ev_stream_embed_neardup" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_embed_nd", d)
+        val fileSchema = s.read.parquet(d + "/embeddings.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/embeddings.parque*")
+        val gate = new graft.operators.EmbedNearDupGate(out, dim = 64,
+          bands = 4, rowBits = 4, minCosine = 0.5)
+        val q = stream.writeStream
+          .queryName("graft_stream_embed_nd")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) gate.admit(batch, "vec_id", "embedding")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/verdicts").distinct()
+          .select(col("id"), col("n_cands"), col("best_cos"),
+            col("is_neardup"))
+          .orderBy(col("id"))
+      },
+      s"""WITH hp(i, h) AS (VALUES ${graft.operators.Similarity
+            .hyperplaneSqlValues(16, 64)}),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT e.vec_id, hp.i,
+         |    CASE WHEN list_reduce(list_transform(range(1, 65),
+         |      j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+         |    THEN 1 ELSE 0 END AS s
+         |  FROM emb e, hp),
+         |ks AS (
+         |  SELECT vec_id, CAST(i // 4 AS INTEGER) AS band,
+         |    CAST(SUM(s * (1 << (i % 4))) AS INTEGER) AS bkey
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS id, c.vec_id AS cid
+         |  FROM ks q JOIN ks c ON q.band = c.band AND q.bkey = c.bkey
+         |    AND c.vec_id < q.vec_id),
+         |cs AS (
+         |  SELECT cand.id,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> x.v[j] * y.v[j]), (a, b) -> a + b)
+         |    / (sqrt(list_reduce(list_transform(x.v, t -> t * t),
+         |        (a, b) -> a + b))
+         |       * sqrt(list_reduce(list_transform(y.v, t -> t * t),
+         |         (a, b) -> a + b))) AS cosine
+         |  FROM cand JOIN emb x ON x.vec_id = cand.id
+         |  JOIN emb y ON y.vec_id = cand.cid),
+         |agg AS (SELECT id, COUNT(*) AS n_cands, MAX(cosine) AS best_cos
+         |        FROM cs GROUP BY id)
+         |SELECT e.vec_id AS id,
+         |  CAST(COALESCE(a.n_cands, 0) AS BIGINT) AS n_cands,
+         |  CAST(COALESCE(a.best_cos, -2.0) AS DOUBLE) AS best_cos,
+         |  CAST(COALESCE(a.best_cos, -2.0) >= 0.5 AS INTEGER)
+         |    AS is_neardup
+         |FROM (SELECT vec_id FROM embeddings) e
+         |LEFT JOIN agg a ON a.id = e.vec_id
+         |ORDER BY id""".stripMargin),
+
     // The COMPOSED standing ingest pipeline — all five gates chained
     // in ONE foreachBatch over one stream, the topology a real corpus
     // ingest runs (reference analog: the unify→score→upsert chain,

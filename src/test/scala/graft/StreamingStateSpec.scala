@@ -468,6 +468,55 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("embedding near-dup gate flags across batches, restarts, and compaction") {
+    val out = new java.io.File("target/test_embed_nd").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def vecs(rows: (Long, Seq[Float])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+    def nullVec(id: Long) = Seq((id, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val gate = new graft.operators.EmbedNearDupGate(out, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    // batch 1: v1 novel; v2 nearly parallel to v1 (cos ≈ 0.999) —
+    // must flag via the smaller-id self-probe; a null vector verdicts
+    // novel and is never indexed
+    gate.admit(vecs(1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0.99f, 0.05f, 0f, 0f))
+      .union(nullVec(3L)), "vec_id", "embedding")
+    val v1 = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v1 === Map(1L -> 0, 2L -> 1, 3L -> 0))
+    assert(spark.read.parquet(s"$out/vecs").count() === 2)
+    // COLD RESTART: a fresh gate rebuilds its exact seen-key set from
+    // the keys table; a near-parallel arrival must flag via the
+    // PERSISTENT index, an orthogonal one must not (cosine 0 < 0.5
+    // even where a sign band happens to collide)
+    val gate2 = new graft.operators.EmbedNearDupGate(out, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    gate2.admit(vecs(4L -> Seq(0.98f, -0.05f, 0f, 0f),
+      5L -> Seq(0f, 0f, 1f, 0f)), "vec_id", "embedding")
+    val v2 = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v2(4L) === 1, "cross-batch embedding near-dup must flag")
+    assert(v2(5L) === 0)
+    // compaction collapses per-batch files; the gate continues and a
+    // fresh gate over the compacted tables reaches the same verdicts
+    gate2.compact(spark)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/keys"))
+      .filter(_.isDirectory).foreach(d => assert(fs.listStatus(d.getPath)
+        .count(_.getPath.getName.startsWith("part-")) === 1))
+    val gate3 = new graft.operators.EmbedNearDupGate(out, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    gate3.admit(vecs(6L -> Seq(-0.99f, 0f, 0.05f, 0f),
+      7L -> Seq(1f, 0.01f, 0f, 0f)), "vec_id", "embedding")
+    val v3 = spark.read.parquet(s"$out/verdicts").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(v3(6L) === 0, "antipodal vector (cosine ≈ -1) is novel")
+    assert(v3(7L) === 1)
+  }
+
   test("curate composition: stateful gates chain across batches without interference") {
     // the ev_stream_curate topology's stateful prefix — novelty gate
     // feeding the near-dup gate, so the band index holds ONLY
