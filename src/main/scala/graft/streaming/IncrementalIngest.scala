@@ -28,14 +28,36 @@ object IncrementalIngest {
   /** Start the incremental pipeline over a landing directory.
     * Trigger.AvailableNow drains what's there and stops — the batch
     * refresh pattern; swap the trigger for continuous ingest.
+    *
+    * `noveltyGate = true` routes every batch through a standing
+    * [[graft.operators.NoveltyGate]] (table under
+    * `tableDir/novelty`) in FLAG-DON'T-DROP mode — the production
+    * topology where the gate family meets the merge path: each raw
+    * record's crawl-invariant payload (every field except
+    * scraped_at, as canonical JSON) is fingerprinted and the per-
+    * record verdict logged to `tableDir/novelty_log` BEFORE the
+    * unify+merge, which still processes the full batch. A re-crawl
+    * of byte-identical content thus flags is_novel=0 while the
+    * keyed upsert independently converges the table — the agreement
+    * the ingest spec asserts. Flagging, not dropping, is deliberate:
+    * the merge's latest-wins semantics must still see re-scrapes
+    * whose MUTABLE envelope (scraped_at, url) moved, and a
+    * downstream compaction can use the log to skip re-scoring
+    * unchanged payloads.
     */
   def start(spark: SparkSession, landingDir: String, tableDir: String,
       platform: String = "ibiza-spotlight",
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      noveltyGate: Boolean = false): StreamingQuery = {
     val stream = spark.readStream
       .schema(rawSchema)
       .option("multiLine", true)
       .json(landingDir)
+    // ONE gate per stream (driver-side foreachBatch closure): the
+    // cached bloom loads once and folds per-batch deltas in memory
+    val gate = if (noveltyGate)
+      Some(new graft.operators.NoveltyGate(s"$tableDir/novelty"))
+    else None
     stream.writeStream
       .queryName("graft-incremental-ingest")
       .option("checkpointLocation",
@@ -43,6 +65,16 @@ object IncrementalIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          gate.foreach { g =>
+            val payloadCols = batch.columns.filterNot(_ == "scraped_at")
+            val prepared = batch.select(
+              xxhash64(to_json(struct(batch.columns.map(col): _*)))
+                .as("ingest_id"),
+              to_json(struct(payloadCols.map(col): _*)).as("payload"))
+            g.admitScored(prepared, "ingest_id", "payload")
+              .withColumnRenamed("id", "ingest_id")
+              .write.mode("append").parquet(s"$tableDir/novelty_log")
+          }
           // Month partition (the TableLayout key) must be STABLE per
           // event_id across re-scrapes, or the partition-pruned merge
           // accumulates cross-month duplicates. Unify coalesces an
