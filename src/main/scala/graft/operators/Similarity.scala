@@ -711,7 +711,7 @@ object Similarity {
   */
 final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     rowBits: Int = 4, minCosine: Double = 0.5, seed: Long = 7L,
-    candCap: Int = 100000) {
+    candCap: Int = 100000, autoCompactEvery: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(bands * rowBits <= 30, "band keyspace must stay int-sized")
@@ -721,6 +721,23 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   // exact driver memory of the seen (band, bkey) keys — keyspace is
   // bands·2^rowBits, so this is bounded by construction
   private var seen: scala.collection.mutable.Set[Long] = _
+  // the family-standard maintenance clock (NoveltyGate protocol)
+  private var admitsSinceCompact: Int = 0
+
+  /** Family-standard layout manifest (see [[graft.operators
+    * .GateLayout]]): a dim/band/seed mismatch against stored keys +
+    * vectors is a silent false-negative factory — fail fast. */
+  private def syncLayout(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expect = Seq("dim" -> dim.toString, "bands" -> bands.toString,
+      "row_bits" -> rowBits.toString, "seed" -> seed.toString)
+    if (fs.exists(mp))
+      graft.operators.GateLayout
+        .check(graft.operators.GateLayout.read(fs, mp), root, expect)
+    else graft.operators.GateLayout.write(fs, mp, expect)
+  }
 
   private def keyOf(band: Int, bkey: Int): Long =
     band.toLong * (1L << rowBits) + bkey
@@ -759,11 +776,17 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val priorThr = spark.conf.getOption(thrKey)
     spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
-    try admitInner(batch, idCol, vecCol)
+    val verdicts = try admitInner(batch, idCol, vecCol)
     finally priorThr match {
       case Some(v) => spark.conf.set(thrKey, v)
       case None => spark.conf.unset(thrKey)
     }
+    admitsSinceCompact += 1
+    if (autoCompactEvery > 0 && admitsSinceCompact >= autoCompactEvery) {
+      compact(spark)
+      admitsSinceCompact = 0
+    }
+    verdicts
   }
 
   private def admitInner(batch: DataFrame, idCol: String,
@@ -775,7 +798,10 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
     val vecsExist = fs.exists(new org.apache.hadoop.fs.Path(vecsPath))
-    if (seen == null) initSeen(spark, keysPath, keysExist)
+    if (seen == null) {
+      syncLayout(spark)
+      initSeen(spark, keysPath, keysExist)
+    }
     val batchVecs = Dedup.spread(
         batch.select(col(idCol).as("id"), col(vecCol).as("v")))
       .localCheckpoint()

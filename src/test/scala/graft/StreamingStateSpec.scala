@@ -515,6 +515,30 @@ class StreamingStateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
     assert(v3(6L) === 0, "antipodal vector (cosine ≈ -1) is novel")
     assert(v3(7L) === 1)
+    // family-standard layout manifest: a geometry mismatch against
+    // the stored keys/vectors is a silent false-negative factory —
+    // reopening with different bands must fail fast
+    val err = intercept[IllegalStateException] {
+      new graft.operators.EmbedNearDupGate(out, dim = 4,
+        bands = 4, rowBits = 2).admit(
+        vecs(8L -> Seq(1f, 0f, 0f, 0f)), "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("bands"))
+    // family-standard auto-compaction: two admits at every=2 end the
+    // run at one file per table with verdicts intact
+    val out2 = new java.io.File("target/test_embed_nd_auto").getAbsolutePath
+    fs.delete(new org.apache.hadoop.fs.Path(out2), true)
+    val auto = new graft.operators.EmbedNearDupGate(out2, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5, autoCompactEvery = 2)
+    auto.admit(vecs(1L -> Seq(1f, 0f, 0f, 0f)), "vec_id", "embedding")
+    auto.admit(vecs(2L -> Seq(0.99f, 0.02f, 0f, 0f)), "vec_id", "embedding")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$out2/vecs"))
+      .count(_.getPath.getName.startsWith("part-")) === 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$out2/verdicts"))
+      .count(_.getPath.getName.startsWith("part-")) === 1)
+    val va = spark.read.parquet(s"$out2/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(va === Map(1L -> 0, 2L -> 1))
   }
 
   test("curate composition: stateful gates chain across batches without interference") {
