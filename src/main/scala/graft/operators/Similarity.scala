@@ -673,6 +673,20 @@ object Similarity {
 
   private[operators] def bandedHyperplanes(planes: Int, dim: Int,
       seed: Long): Seq[Seq[Double]] = hyperplanes(planes, dim, seed)
+
+  /** Sign-pattern band keys — ONE source of truth shared by
+    * [[EmbedNearDupGate]] and the ScaleProbe seeding path (a drifted
+    * replica would silently miss every stored candidate). */
+  private[graft] def signBandKeyCols(vecCol: Column, bands: Int,
+      rowBits: Int, dim: Int, seed: Long): Seq[Column] = {
+    val planes = hyperplanes(bands * rowBits, dim, seed)
+    (0 until bands).map { b =>
+      planes.slice(b * rowBits, (b + 1) * rowBits).zipWithIndex
+        .map { case (h, i) =>
+          when(dotConst(vecCol, h) >= 0.0, lit(1 << i)).otherwise(lit(0))
+        }.reduce(_.bitwiseOR(_))
+    }
+  }
 }
 
 /** The standing EMBEDDING near-dup gate — [[graft.operators
@@ -699,25 +713,35 @@ object Similarity {
   * construction (64 keys at the defaults; even 20-bit bands are only
   * millions) — so the driver front is an EXACT seen-key set, rebuilt
   * from the keys table in one distinct at construction. No false
-  * positives, no sizing rule, and a batch whose keys are all unseen
-  * (the mostly-novel 100 TB case) never reads the index at all.
-  * Probes that do hit prune by band partition + a bkey INSET on
-  * sorted files. Scoring fetches only candidate vectors through a
-  * collected-id INSET (capped at [[Dedup.inPushdownLimit]] — the
-  * pushed-OR-chain stack-overflow ceiling — before falling back to a
-  * vecs scan). Cosines are the [[Similarity.cosine]] left-fold, so
-  * the DuckDB oracle replays every verdict bit-exactly. Null vectors
-  * verdict as novel and are never indexed.
+  * positives, and a batch whose keys are all unseen never reads the
+  * index at all. Probes that do hit prune by band partition + a bkey
+  * INSET on sorted files. Scoring fetches only candidate vectors
+  * through a collected-id INSET (capped at [[Dedup.inPushdownLimit]]
+  * — the pushed-OR-chain stack-overflow ceiling — before falling
+  * back to a vecs scan). Cosines are the [[Similarity.cosine]]
+  * left-fold, so the DuckDB oracle replays every verdict bit-exactly.
+  * Null vectors verdict as novel and are never indexed.
+  *
+  * SIZING RULE (this gate's analog of the Bloom-bits rule): expected
+  * candidates per arriving vector ≈ bands · corpus / 2^rowBits, so
+  * size rowBits to log2(corpus / target-candidates-per-band) — at the
+  * 4-bit default every key is seen once the corpus passes a few
+  * thousand vectors and per-batch cost grows with corpus/keyspace.
+  * Where raising rowBits is off the table (recall), `bandKeyCap` is
+  * the bound: each key contributes at most its cap earliest-seen
+  * sharers per probe, per-doc shed REPORTED in the verdicts'
+  * n_capped_keys (the [[graft.operators.NearDupGate]] discipline —
+  * never silent), making per-batch pair volume batch·bands·cap
+  * regardless of corpus skew. Default off = exact oracle semantics.
   */
 final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     rowBits: Int = 4, minCosine: Double = 0.5, seed: Long = 7L,
-    candCap: Int = 100000, autoCompactEvery: Int = 0) {
+    candCap: Int = 100000, autoCompactEvery: Int = 0,
+    bandKeyCap: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(bands * rowBits <= 30, "band keyspace must stay int-sized")
 
-  private val planes =
-    Similarity.bandedHyperplanes(bands * rowBits, dim, seed)
   // exact driver memory of the seen (band, bkey) keys — keyspace is
   // bands·2^rowBits, so this is bounded by construction
   private var seen: scala.collection.mutable.Set[Long] = _
@@ -742,17 +766,10 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   private def keyOf(band: Int, bkey: Int): Long =
     band.toLong * (1L << rowBits) + bkey
 
-  private def bandKeyCol(vec: Column, b: Int): Column =
-    planes.slice(b * rowBits, (b + 1) * rowBits).zipWithIndex
-      .map { case (h, i) =>
-        when(Similarity.dotConst(vec, h) >= 0.0, lit(1 << i))
-          .otherwise(lit(0))
-      }.reduce(_.bitwiseOR(_))
-
   private def keyed(vecs: DataFrame): DataFrame = vecs
     .filter(col("v").isNotNull)
-    .select(col("id"), posexplode(array((0 until bands).map(b =>
-      bandKeyCol(col("v"), b)): _*)).as(Seq("band", "bkey")))
+    .select(col("id"), posexplode(array(Similarity.signBandKeyCols(
+      col("v"), bands, rowBits, dim, seed): _*)).as(Seq("band", "bkey")))
 
   private def initSeen(spark: org.apache.spark.sql.SparkSession,
       keysPath: String, keysExist: Boolean): Unit = {
@@ -817,8 +834,30 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     def emptyPairs = spark.createDataFrame(
       new java.util.ArrayList[Row](),
       StructType.fromDDL("id BIGINT, cid BIGINT"))
-    val cross: DataFrame =
-      if (posKeys.isEmpty || !keysExist) emptyPairs
+    def emptyKeysDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType.fromDDL("band INT, bkey INT"))
+    // per-band-key candidate truncation, the NearDupGate discipline:
+    // a sign-band key gets hot exactly like a MinHash band key (every
+    // orthant-mate of a template embedding shares it), so the same
+    // earliest-seen-cap + per-doc shed reporting bounds the pair
+    // volume at batch·bands·cap
+    def capPerKey(cand: DataFrame): (DataFrame, DataFrame) =
+      if (bandKeyCap <= 0) (cand, emptyKeysDf)
+      else {
+        val ranked = cand
+          .select(col("id"), col("band"), col("bkey")).distinct()
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("bkey"))
+              .orderBy(col("id"))))
+        (ranked.filter(col("rk") <= bandKeyCap).drop("rk"),
+          ranked.filter(col("rk") > bandKeyCap)
+            .select(col("band"), col("bkey")).distinct()
+            .localCheckpoint(false))
+      }
+    val (cross, crossCapped): (DataFrame, DataFrame) =
+      if (posKeys.isEmpty || !keysExist) (emptyPairs, emptyKeysDf)
       else {
         // Int literals, matching the partition column's type — a Long
         // literal would wrap the column in a cast and defeat the
@@ -830,16 +869,19 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
           .parquet(keysPath)
           .filter(col("band").isin(posBands: _*))
           .filter(col("bkey").isin(posBkeys: _*))
-        maybeBroadcast(batchKeys).as("q").join(idx.as("c"),
+        val (idxCand, capped) = capPerKey(idx)
+        (maybeBroadcast(batchKeys).as("q").join(idxCand.as("c"),
             col("q.band") === col("c.band") &&
               col("q.bkey") === col("c.bkey"))
           .select(col("q.id").as("id"), col("c.id").as("cid"))
           .distinct()
           .join(batchVecs.select(col("id").as("cid")), Seq("cid"),
-            "left_anti")
+            "left_anti"),
+          capped)
       }
+    val (selfCand, selfCapped) = capPerKey(batchKeys)
     val internal = batchKeys.as("q")
-      .join(maybeBroadcast(batchKeys).as("c"),
+      .join(maybeBroadcast(selfCand).as("c"),
         col("q.band") === col("c.band") &&
           col("q.bkey") === col("c.bkey") &&
           col("c.id") < col("q.id"))
@@ -872,13 +914,21 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       .agg(first(col("cos")).as("cos"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("best_cos"))
+    val nCapped = batchKeys
+      .join(crossCapped.unionByName(selfCapped).distinct(),
+        Seq("band", "bkey"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_capped_keys"))
     val verdicts = batchVecs.select(col("id"))
       .join(matches, Seq("id"), "left")
+      .join(nCapped, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_cands"), lit(0L)).as("n_cands"),
-        coalesce(col("best_cos"), lit(-2.0d)).as("best_cos"))
+        coalesce(col("best_cos"), lit(-2.0d)).as("best_cos"),
+        coalesce(col("n_capped_keys"), lit(0L)).as("n_capped_keys"))
       .withColumn("is_neardup",
         (col("best_cos") >= minCosine).cast("int"))
+      .select(col("id"), col("n_cands"), col("best_cos"),
+        col("is_neardup"), col("n_capped_keys"))
       .localCheckpoint()
     verdicts.write.mode("append").parquet(s"$root/verdicts")
     keys.foreach { case (b, bk) => seen += keyOf(b, bk) }
@@ -919,8 +969,11 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/verdicts"))
     if (verdictsExist) spark.read
       .schema(StructType.fromDDL(
-        "id BIGINT, n_cands BIGINT, best_cos DOUBLE, is_neardup INT"))
+        "id BIGINT, n_cands BIGINT, best_cos DOUBLE, is_neardup INT, " +
+          "n_capped_keys BIGINT"))
       .parquet(s"$root/verdicts")
+      .withColumn("n_capped_keys",
+        coalesce(col("n_capped_keys"), lit(0L)))
       .distinct()
       .coalesce(1).sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(s"$root/verdicts_tmp")

@@ -36,7 +36,7 @@ import graft.operators.{Unify, V2Fixtures}
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
   *   merge | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
-  *   neardupcap | spandedup
+  *   neardupcap | embedt | embedcap | spandedup
   *   (`funnelcap` clones ONE doc ×factor — the adversarial duplicate
   *   cluster — through degree-capped clustering; the `novelty`/
   *   `neardup` pairs measure each standing gate's unbucketed baseline
@@ -656,6 +656,48 @@ object ScaleProbe {
       (v.getLong(0), sec)
     }
 
+    // The embedding gate's hot-key pair (`embedt` uncapped /
+    // `embedcap` bandKeyCap=8), mirroring the MinHash pair: the
+    // corpus is factor×1000 byte-identical template vectors (every
+    // sign-band key hot with the whole corpus behind it), seeded
+    // DIRECTLY as keys+vecs tables through the gate's own shared
+    // key expression; the timed admit is 200 more template vectors.
+    // Uncapped pair volume = batch × corpus; capped = batch·bands·cap
+    // with the shed in every verdict's n_capped_keys.
+    def runEmbedHotAt(cap: Int)(factor: Int): (Long, Double) = {
+      val out = new java.io.File(
+        s"target/probe_embed_hot$cap").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val tmpl = (0 until 64)
+        .map(i => ((i * 2654435761L % 1000L) / 1000.0f) - 0.5f)
+      def tvecs(n: Int, off: Long) = spark.range(n)
+        .select((col("id") + off).as("vec_id"),
+          typedLit(tmpl).as("embedding"))
+      val corpus = tvecs(1000 * factor, 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .localCheckpoint()
+      corpus.coalesce(4).write.mode("overwrite").parquet(s"$out/vecs")
+      corpus.select(col("id"), posexplode(array(
+          graft.operators.Similarity.signBandKeyCols(
+            col("v"), 4, 4, 64, 7L): _*)).as(Seq("band", "bkey")))
+        .repartition(col("band")).sortWithinPartitions(col("bkey"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$out/keys")
+      lastTableRows = spark.read.parquet(s"$out/keys").count()
+      val gate = new graft.operators.EmbedNearDupGate(out, dim = 64,
+        bands = 4, rowBits = 4, minCosine = 0.5, bandKeyCap = cap)
+      System.gc()
+      val t0 = System.nanoTime()
+      gate.admit(tvecs(200, 900000000L), "vec_id", "embedding")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val v = spark.read.parquet(s"$out/verdicts")
+        .agg(count(lit(1)), coalesce(sum(col("n_capped_keys")), lit(0L)))
+        .head()
+      lastCappedKeys = v.getLong(1)
+      (v.getLong(0), sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -695,6 +737,8 @@ object ScaleProbe {
       case "neardupb"  => runNeardupGateAt
       case "neardupt"  => runHotKeyAt(0)
       case "neardupcap" => runHotKeyAt(8)
+      case "embedt"    => runEmbedHotAt(0)
+      case "embedcap"  => runEmbedHotAt(8)
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -719,6 +763,8 @@ object ScaleProbe {
       case "neardupb"  => "ev_stream_neardup_gate"
       case "neardupt"  => "neardup_hotkey_uncapped"
       case "neardupcap" => "neardup_hotkey_capped"
+      case "embedt"    => "embed_neardup_hotkey_uncapped"
+      case "embedcap"  => "embed_neardup_hotkey_capped"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -733,7 +779,8 @@ object ScaleProbe {
       case "rolling"   => "days"
       case "lm" | "nb" => "scored_docs"
       case "novelty" | "noveltyb" => "novel_appended"
-      case "neardup" | "neardupb" | "neardupt" | "neardupcap" => "verdicts"
+      case "neardup" | "neardupb" | "neardupt" | "neardupcap" |
+           "embedt" | "embedcap" => "verdicts"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -758,7 +805,8 @@ object ScaleProbe {
         else if (probe == "novelty" || probe == "noveltyb" ||
                  probe == "neardup" || probe == "neardupb")
           f""","table_rows":$lastTableRows%d"""
-        else if (probe == "neardupt" || probe == "neardupcap")
+        else if (probe == "neardupt" || probe == "neardupcap" ||
+                 probe == "embedt" || probe == "embedcap")
           f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""

@@ -539,6 +539,23 @@ class StreamingStateSpec extends AnyFunSuite {
     val va = spark.read.parquet(s"$out2/verdicts")
       .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
     assert(va === Map(1L -> 0, 2L -> 1))
+    // per-band-key cap (the NearDupGate discipline transplanted):
+    // five identical vectors share every sign-band key; capped at 2,
+    // each doc beyond the cap sees exactly the 2 earliest-seen
+    // sharers and reports both its keys truncated
+    val out3 = new java.io.File("target/test_embed_nd_cap").getAbsolutePath
+    fs.delete(new org.apache.hadoop.fs.Path(out3), true)
+    val capped = new graft.operators.EmbedNearDupGate(out3, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5, bandKeyCap = 2)
+    capped.admit(vecs((1L to 5L).map(i => i -> Seq(1f, 0f, 0f, 0f)): _*),
+      "vec_id", "embedding")
+    val vc = spark.read.parquet(s"$out3/verdicts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getLong(4)))).toMap
+    assert(vc(1L) === ((0L, 0, 2L)))
+    assert(vc(2L) === ((1L, 1, 2L)))
+    Seq(3L, 4L, 5L).foreach(i => assert(vc(i) === ((2L, 1, 2L)),
+      s"doc $i must see cap=2 candidates with both keys reported"))
   }
 
   test("curate composition: stateful gates chain across batches without interference") {
