@@ -982,10 +982,16 @@ private[operators] object GateLayout {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   def write(fs: FileSystem, p: Path, kv: Seq[(String, String)]): Unit = {
-    val out = fs.create(p, true)
+    // write-then-rename: a crash mid-write must never leave a
+    // truncated manifest in place (an empty one would pass every
+    // check vacuously, silently disabling the validation)
+    val tmp = new Path(p.getParent, p.getName + "_tmp")
+    val out = fs.create(tmp, true)
     try out.write(kv.map { case (key, v) => s"$key=$v" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   def read(fs: FileSystem, p: Path): Map[String, String] = {
@@ -1012,6 +1018,46 @@ private[operators] object GateLayout {
             "new ones")
       }
     }
+}
+
+/** Maintenance machinery shared by the standing-gate family (one
+  * implementation — a fix here reaches every gate). */
+private[operators] object GateOps {
+  /** Crash-ordered generation swap: `<root>/<name>_tmp` replaces
+    * `<root>/<name>`, keeping the old generation as `_old` until the
+    * new one is in place — a crash mid-swap leaves either generation
+    * intact, never neither. */
+  def swapGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
+    fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(tmp, cur)
+    fs.delete(old, true)
+  }
+
+  /** Per-band-key candidate truncation with shed reporting, shared by
+    * the MinHash and embedding gates: rank each key's sharers by id,
+    * keep the `cap` earliest-seen, and emit the keys that LOST
+    * candidates for per-doc reporting. `keyCols` are the band-key
+    * columns, `idCol` the sharer id. */
+  def capPerKey(cand: DataFrame, keyCols: Seq[String], idCol: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    val ranked = cand
+      .select((idCol +: keyCols).map(col): _*).distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(idCol))))
+    (ranked.filter(col("rk") <= cap).drop("rk"),
+      ranked.filter(col("rk") > cap)
+        .select(keyCols.map(col): _*).distinct()
+        // bounded by the probed key count — consumed by both the shed
+        // report and the verdict join
+        .localCheckpoint(false))
+  }
 }
 
 final class NoveltyGate(tableRoot: String,
@@ -1051,21 +1097,37 @@ final class NoveltyGate(tableRoot: String,
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the partition DIRECTORIES are ground truth for the live width:
+    // a crash between a widening compaction's data swap and its
+    // manifest refresh leaves the two disagreeing, and following the
+    // stale manifest would mis-prefix every probe (silent dedup
+    // decay) — so the on-disk layout wins and the manifest heals
+    val dw = dirWidth(fs)
     if (fs.exists(mp)) {
       val m = GateLayout.read(fs, mp)
       GateLayout.check(m, tableRoot,
         Seq("bits" -> bits.toString, "k" -> k.toString))
-      m.get("prefix_chars").foreach(w => pcCur = w.toInt)
+      pcCur = dw.orElse(m.get("prefix_chars").map(_.toInt))
+        .getOrElse(pcCur)
+      if (dw.isDefined && m.get("prefix_chars") != dw.map(_.toString))
+        writeLayout(fs)
     } else {
-      val dp = new org.apache.hadoop.fs.Path(s"$tableRoot/data")
-      if (fs.exists(dp)) {
-        val widths = fs.listStatus(dp).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.startsWith("fp_b="))
-          .map(_.stripPrefix("fp_b=").length)
-        if (widths.nonEmpty) pcCur = widths.max
-      }
+      dw.foreach(w => pcCur = w)
       writeLayout(fs)
     }
+  }
+
+  /** The live bucket width as written on disk — max fp_b= directory
+    * name length (mixed widths can only arise from a crashed
+    * pre-manifest generation; the widest is the freshest). */
+  private def dirWidth(
+      fs: org.apache.hadoop.fs.FileSystem): Option[Int] = {
+    val dp = new org.apache.hadoop.fs.Path(s"$tableRoot/data")
+    if (!fs.exists(dp)) return None
+    val widths = fs.listStatus(dp).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("fp_b="))
+      .map(_.stripPrefix("fp_b=").length)
+    if (widths.nonEmpty) Some(widths.max) else None
   }
 
   private def writeLayout(fs: org.apache.hadoop.fs.FileSystem): Unit =
@@ -1077,16 +1139,27 @@ final class NoveltyGate(tableRoot: String,
   def admit(batch: DataFrame): Unit = {
     admitFps(batch.sparkSession, batch
       .select(Dedup.exactFingerprint(col("text")).as("fp")).distinct()
-      .filter(col("fp").isNotNull))
+      .filter(col("fp").isNotNull)
+      // plain admits record no ownership — their fingerprints can
+      // never verdict is_novel=1 for a later scored doc, which is
+      // exactly right (they were seen before that doc)
+      .withColumn("owner", lit(null).cast("long")))
     ()
   }
 
   /** Per-doc form of [[admit]] for pipeline composition
     * (ev_stream_curate): the same state transition, plus a returned
     * verdict frame (id, is_novel) where is_novel=1 marks the doc that
-    * ADMITTED its fingerprint — a table-novel fingerprint's
-    * smallest-id holder in this batch (first-wins, the D1 rule). A
-    * null-text doc has no identity and verdicts 0, landing in the
+    * OWNS its fingerprint's stored row — a table-novel fingerprint's
+    * smallest-id holder in the batch that admitted it (first-wins,
+    * the D1 rule). Ownership is read back from the TABLE after the
+    * append, not derived from this batch's novelty probe, which is
+    * what makes the verdicts REPLAY-STABLE: a foreachBatch retry
+    * after the gate state committed finds every fingerprint
+    * table-known, but the stored owner ids still name the first
+    * attempt's winners, so the replay reproduces its verdicts
+    * bit-for-bit instead of flipping first occurrences to is_novel=0.
+    * A null-text doc has no identity and verdicts 0, landing in the
     * duplicates remainder exactly as the novelty census counts it. */
   def admitScored(batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -1094,24 +1167,40 @@ final class NoveltyGate(tableRoot: String,
     val docs = batch.select(col(idCol).as("id"),
       Dedup.exactFingerprint(col(textCol)).as("fp"))
       .localCheckpoint()
-    val novel = admitFps(spark,
-      docs.filter(col("fp").isNotNull).select(col("fp")).distinct())
-    docs
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp")).orderBy(col("id"))))
-      .join(novel.select(col("fp"), lit(1).as("nv")), Seq("fp"), "left")
+    admitFps(spark, docs.filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(col("id")).as("owner")))
+    // bounded driver set: distinct batch prefixes (≤ 16^pcCur)
+    val prefixes = docs.filter(col("fp").isNotNull)
+      .select(substring(col("fp"), 1, pcCur).as("p")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stored =
+      if (prefixes.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType.fromDDL("fp STRING, owner BIGINT"))
+      else spark.read
+        .schema(StructType.fromDDL(
+          "fp STRING, owner BIGINT, fp_b STRING"))
+        .parquet(s"$tableRoot/data")
+        .filter(col("fp_b").isin(prefixes: _*))
+        .join(broadcast(docs.filter(col("fp").isNotNull)
+          .select(col("fp")).distinct()), Seq("fp"), "left_semi")
+        // min ignores NULLs: at-least-once duplicate rows collapse,
+        // and a legacy/plain-admit row (owner null) yields null —
+        // correctly unownable
+        .groupBy(col("fp")).agg(min(col("owner")).as("owner"))
+    docs.join(stored, Seq("fp"), "left")
       .select(col("id"),
-        when(col("fp").isNotNull && col("nv") === 1 && col("rn") === 1,
-          1).otherwise(0).as("is_novel"))
+        when(col("owner").isNotNull && col("owner") === col("id"), 1)
+          .otherwise(0).as("is_novel"))
   }
 
   /** Fingerprint-level core shared by [[admit]] and [[admitScored]]:
     * probes, updates bloom + table state, and returns the batch's
     * NOVEL fingerprints, localCheckpointed — one evaluation feeds the
-    * bloom delta, the data append, and any caller verdict join (the
-    * pre-refactor lazy frame was evaluated twice for the first two).
-    * `fps` must already be distinct and non-null. */
+    * bloom delta and the data append (the pre-refactor lazy frame was
+    * evaluated twice). `fps` must be distinct non-null (fp, owner)
+    * rows; owner (nullable) is stored beside each novel fingerprint
+    * and carries the admitScored ownership contract. */
   private def admitFps(spark: org.apache.spark.sql.SparkSession,
       fps: DataFrame): DataFrame = {
     val dataPath = s"$tableRoot/data"
@@ -1198,7 +1287,8 @@ final class NoveltyGate(tableRoot: String,
       .write.mode("append").parquet(bloomPath)
     delta.foreach { case (i, w) => words(i.toInt) |= w }
     novelPinned
-      .withColumn("fp_b", substring(col("fp"), 1, pcCur))
+      .select(col("fp"), col("owner"),
+        substring(col("fp"), 1, pcCur).as("fp_b"))
       .repartition(col("fp_b"))
       .sortWithinPartitions(col("fp"))
       .write.mode("append").partitionBy("fp_b").parquet(dataPath)
@@ -1249,9 +1339,13 @@ final class NoveltyGate(tableRoot: String,
     // one wins
     if (newPrefixChars.isEmpty) {
       val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
-      if (fs.exists(mp))
-        GateLayout.read(fs, mp).get("prefix_chars")
-          .foreach(w => pcCur = w.toInt)
+      val fromManifest =
+        if (fs.exists(mp))
+          GateLayout.read(fs, mp).get("prefix_chars").map(_.toInt)
+        else None
+      // directory ground truth first (see syncLayout) — the manifest
+      // can be one crash behind a widening compaction
+      dirWidth(fs).orElse(fromManifest).foreach(w => pcCur = w)
     }
     // self-tending width: when the largest bucket's data has outgrown
     // the configured threshold, this compaction widens the layout by
@@ -1270,13 +1364,18 @@ final class NoveltyGate(tableRoot: String,
     val pc = newPrefixChars.getOrElse(if (autoWiden) pcCur + 1 else pcCur)
     val fps = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "fp STRING, fp_b STRING"))
+        "fp STRING, owner BIGINT, fp_b STRING"))
       .parquet(dataPath)
-      .select(col("fp")).filter(col("fp").isNotNull).distinct()
+      .filter(col("fp").isNotNull)
+      // exact dedup preserving OWNERSHIP: min skips nulls, so an
+      // at-least-once duplicate keeps its owner and pre-owner legacy
+      // rows stay null
+      .groupBy(col("fp")).agg(min(col("owner")).as("owner"))
       .localCheckpoint() // pin: consumed by both rewrites, and the
                          // source dirs are about to be swapped away
     fps
-      .withColumn("fp_b", substring(col("fp"), 1, pc))
+      .select(col("fp"), col("owner"),
+        substring(col("fp"), 1, pc).as("fp_b"))
       .repartition(col("fp_b"))
       .sortWithinPartitions(col("fp"))
       .write.mode("overwrite").partitionBy("fp_b")
@@ -1299,17 +1398,8 @@ final class NoveltyGate(tableRoot: String,
         StructType.fromDDL("word_idx BIGINT, word BIGINT"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableRoot/bloom_tmp")
-    def swap(name: String): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$tableRoot/$name")
-      val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot/${name}_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$tableRoot/${name}_old")
-      fs.delete(old, true)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      fs.rename(tmp, cur)
-      fs.delete(old, true)
-    }
-    swap("data")
-    swap("bloom")
+    GateOps.swapGeneration(fs, tableRoot, "data")
+    GateOps.swapGeneration(fs, tableRoot, "bloom")
     words = rebuilt
     pcCur = pc
     // compaction rewrote every artifact at THIS gate's parameters —
@@ -1596,28 +1686,15 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val posHashes = hashes.filter(mightContain).toSeq
     def emptyKeys = spark.createDataFrame(new java.util.ArrayList[Row](),
       StructType.fromDDL("band INT, band_hash BIGINT"))
-    // per-band-key candidate truncation (cap on): rank a key's
-    // sharers by id and keep the bandKeyCap earliest-seen; the keys
-    // that LOST candidates flow out for per-doc shed reporting. The
-    // ranked subtree is cheap on the common (bucket-+-INSET-pruned)
-    // path; on the dup-heavy full-scan fallback it costs one
-    // band-keyed shuffle of the index — the shape the cap exists for.
+    // per-band-key candidate truncation (cap on): the shared
+    // GateOps.capPerKey earliest-seen rank, cheap on the common
+    // (bucket-+-INSET-pruned) path; on the dup-heavy full-scan
+    // fallback it costs one band-keyed shuffle of the index — the
+    // shape the cap exists for.
     def capPerKey(cand: DataFrame): (DataFrame, DataFrame) =
       if (bandKeyCap <= 0) (cand, emptyKeys)
-      else {
-        val ranked = cand
-          .select(col("id"), col("band"), col("band_hash")).distinct()
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("band"), col("band_hash"))
-              .orderBy(col("id"))))
-        (ranked.filter(col("rk") <= bandKeyCap).drop("rk"),
-          ranked.filter(col("rk") > bandKeyCap)
-            .select(col("band"), col("band_hash")).distinct()
-            // bounded: ≤ the batch's own band-key count — and
-            // consumed twice (shed report + verdict join)
-            .localCheckpoint(false))
-      }
+      else GateOps.capPerKey(cand, Seq("band", "band_hash"), "id",
+        bandKeyCap)
     val (crossScored, crossCapped): (DataFrame, DataFrame) =
       if (posHashes.isEmpty || !bandsExist) (emptyPairs(spark), emptyKeys)
       else {
@@ -1631,35 +1708,37 @@ final class NearDupGate(root: String, numHashes: Int = 32,
             idx0.filter(col("bh_b").isin(buckets: _*))
               .filter(col("band_hash").isin(posHashes: _*))
           } else idx0 // dup-heavy fallback: scan the index
+        // "earlier-seen" for the cross probe = IN THE INDEX AND NOT
+        // OF THIS BATCH, not smaller-id: an id guard (c.id < q.id)
+        // would encode arrival order as id order, which the file
+        // source does not promise — a later-arriving smaller-id doc
+        // would silently never match its earlier-seen larger-id
+        // near-dup. Excluding the batch's own ids keeps an
+        // at-least-once replay harmless (a replayed batch finds its
+        // own and its batchmates' bands in the index; the anti-join
+        // removes exactly those), and it runs BEFORE the per-key cap
+        // so replayed own rows never consume cap slots — otherwise
+        // the kept set, and hence the verdicts, would differ between
+        // the original run and its replay. Under id-ordered arrival
+        // the guards coincide, which is why the id-ordered oracle
+        // still replays these verdicts exactly.
+        val idxOthers = idx.join(batchSigs.select(col("id")),
+          Seq("id"), "left_anti")
         // on the fallback path, restrict to the batch's own keys
         // (broadcast semi-join) BEFORE ranking — otherwise the cap
         // would rank, and report shed for, every hot key in the whole
         // index rather than the ones this batch probes
         val (idxCand, capped) =
           if (bandKeyCap > 0 && posHashes.length > candCap)
-            capPerKey(idx.join(
+            capPerKey(idxOthers.join(
               bandKeys.select(col("band"), col("band_hash")).distinct(),
               Seq("band", "band_hash"), "left_semi"))
-          else capPerKey(idx)
+          else capPerKey(idxOthers)
         val pairs = maybeBroadcast(bandKeys).as("q").join(idxCand.as("c"),
             col("q.band") === col("c.band") &&
               col("q.band_hash") === col("c.band_hash"))
           .select(col("q.id").as("id"), col("c.id").as("cid"))
           .distinct()
-          // "earlier-seen" for the cross probe = IN THE INDEX AND NOT
-          // OF THIS BATCH, not smaller-id: an id guard (c.id < q.id)
-          // would encode arrival order as id order, which the file
-          // source does not promise — a later-arriving smaller-id doc
-          // would silently never match its earlier-seen larger-id
-          // near-dup. Excluding the batch's own ids instead keeps an
-          // at-least-once replay harmless the same way (a replayed
-          // batch finds its own and its batchmates' bands in the
-          // index; the anti-join removes exactly those, so verdicts
-          // reproduce bit-for-bit), and under id-ordered arrival the
-          // two guards coincide — which is why the id-ordered oracle
-          // still replays these verdicts exactly.
-          .join(batchSigs.select(col("id").as("cid")), Seq("cid"),
-            "left_anti")
           // pinned: consumed by the cid collect AND the scoring join,
           // and bounded by candCap·batch collisions in the common path
           .localCheckpoint()
@@ -1785,7 +1864,12 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .sortWithinPartitions(col("band_hash"))
       .write.mode("overwrite").partitionBy("bh_b")
       .parquet(s"$root/bands_tmp")
-    spark.read
+    // guarded like admit's sigs read: the bands-present/sigs-missing
+    // crash window must not wedge an auto-compaction fired from a
+    // replayed admit
+    val sigsExistC =
+      fs.exists(new org.apache.hadoop.fs.Path(sigsPath))
+    if (sigsExistC) spark.read
       .schema(StructType.fromDDL("id BIGINT, sig ARRAY<BIGINT>"))
       .parquet(sigsPath)
       .dropDuplicates("id")
@@ -1811,18 +1895,9 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .distinct()
       .coalesce(1).sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(s"$root/verdicts_tmp")
-    def swap(name: String): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
-      fs.delete(old, true)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      fs.rename(tmp, cur)
-      fs.delete(old, true)
-    }
-    swap("bands")
-    swap("sigs")
-    if (verdictsExist) swap("verdicts")
+    GateOps.swapGeneration(fs, root, "bands")
+    if (sigsExistC) GateOps.swapGeneration(fs, root, "sigs")
+    if (verdictsExist) GateOps.swapGeneration(fs, root, "verdicts")
   }
 }
 

@@ -783,17 +783,24 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   }
 
   def admit(batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    admitScored(batch, idCol, vecCol)
+    runAdmit(batch, idCol, vecCol, pin = false)
     ()
   }
 
+  /** Per-doc form for pipeline composition, returning the
+    * localCheckpointed verdicts it appended; plain [[admit]] skips
+    * the pin (the write is its only consumer). */
   def admitScored(batch: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String): DataFrame =
+    runAdmit(batch, idCol, vecCol, pin = true)
+
+  private def runAdmit(batch: DataFrame, idCol: String,
+      vecCol: String, pin: Boolean): DataFrame = {
     val spark = batch.sparkSession
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val priorThr = spark.conf.getOption(thrKey)
     spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
-    val verdicts = try admitInner(batch, idCol, vecCol)
+    val verdicts = try admitInner(batch, idCol, vecCol, pin)
     finally priorThr match {
       case Some(v) => spark.conf.set(thrKey, v)
       case None => spark.conf.unset(thrKey)
@@ -807,7 +814,7 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   }
 
   private def admitInner(batch: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, pin: Boolean): DataFrame = {
     val spark = batch.sparkSession
     val keysPath = s"$root/keys"
     val vecsPath = s"$root/vecs"
@@ -840,22 +847,12 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     // per-band-key candidate truncation, the NearDupGate discipline:
     // a sign-band key gets hot exactly like a MinHash band key (every
     // orthant-mate of a template embedding shares it), so the same
-    // earliest-seen-cap + per-doc shed reporting bounds the pair
-    // volume at batch·bands·cap
+    // shared earliest-seen-cap + per-doc shed reporting bounds the
+    // pair volume at batch·bands·cap
     def capPerKey(cand: DataFrame): (DataFrame, DataFrame) =
       if (bandKeyCap <= 0) (cand, emptyKeysDf)
-      else {
-        val ranked = cand
-          .select(col("id"), col("band"), col("bkey")).distinct()
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("band"), col("bkey"))
-              .orderBy(col("id"))))
-        (ranked.filter(col("rk") <= bandKeyCap).drop("rk"),
-          ranked.filter(col("rk") > bandKeyCap)
-            .select(col("band"), col("bkey")).distinct()
-            .localCheckpoint(false))
-      }
+      else GateOps.capPerKey(cand, Seq("band", "bkey"), "id",
+        bandKeyCap)
     val (cross, crossCapped): (DataFrame, DataFrame) =
       if (posKeys.isEmpty || !keysExist) (emptyPairs, emptyKeysDf)
       else {
@@ -869,14 +866,17 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
           .parquet(keysPath)
           .filter(col("band").isin(posBands: _*))
           .filter(col("bkey").isin(posBkeys: _*))
-        val (idxCand, capped) = capPerKey(idx)
+        // own-batch ids excluded BEFORE the per-key cap, so a
+        // replayed batch's own indexed keys never consume cap slots
+        // (NearDupGate's replay-determinism rule)
+        val idxOthers = idx.join(batchVecs.select(col("id")),
+          Seq("id"), "left_anti")
+        val (idxCand, capped) = capPerKey(idxOthers)
         (maybeBroadcast(batchKeys).as("q").join(idxCand.as("c"),
             col("q.band") === col("c.band") &&
               col("q.bkey") === col("c.bkey"))
           .select(col("q.id").as("id"), col("c.id").as("cid"))
-          .distinct()
-          .join(batchVecs.select(col("id").as("cid")), Seq("cid"),
-            "left_anti"),
+          .distinct(),
           capped)
       }
     val (selfCand, selfCapped) = capPerKey(batchKeys)
@@ -929,8 +929,8 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         (col("best_cos") >= minCosine).cast("int"))
       .select(col("id"), col("n_cands"), col("best_cos"),
         col("is_neardup"), col("n_capped_keys"))
-      .localCheckpoint()
-    verdicts.write.mode("append").parquet(s"$root/verdicts")
+    val pinned = if (pin) verdicts.localCheckpoint() else verdicts
+    pinned.write.mode("append").parquet(s"$root/verdicts")
     keys.foreach { case (b, bk) => seen += keyOf(b, bk) }
     if (keys.nonEmpty) {
       batchKeys
@@ -941,7 +941,7 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         .coalesce(1).sortWithinPartitions(col("id"))
         .write.mode("append").parquet(vecsPath)
     }
-    verdicts
+    pinned
   }
 
   /** Epoch maintenance (the [[graft.operators.NearDupGate.compact]]
@@ -959,7 +959,12 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       .repartition(col("band")).sortWithinPartitions(col("bkey"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$root/keys_tmp")
-    spark.read
+    // guarded like admit's vecs read: keys are appended before vecs,
+    // so a crash between the two first-ever appends must not wedge a
+    // later (auto-)compaction
+    val vecsExistC =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/vecs"))
+    if (vecsExistC) spark.read
       .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
       .parquet(s"$root/vecs")
       .dropDuplicates("id")
@@ -977,17 +982,8 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       .distinct()
       .coalesce(1).sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(s"$root/verdicts_tmp")
-    def swap(name: String): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
-      fs.delete(old, true)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      fs.rename(tmp, cur)
-      fs.delete(old, true)
-    }
-    swap("keys")
-    swap("vecs")
-    if (verdictsExist) swap("verdicts")
+    GateOps.swapGeneration(fs, root, "keys")
+    if (vecsExistC) GateOps.swapGeneration(fs, root, "vecs")
+    if (verdictsExist) GateOps.swapGeneration(fs, root, "verdicts")
   }
 }

@@ -860,9 +860,13 @@ object StreamingQueries {
     // measured answer to the uncapped row's cost: the 12M genuine
     // candidate pairs the exact semantics require collapse to ≤
     // batch·bands·cap. Caveat pinned here: capped "earliest-seen per
-    // key" composes per-probe (index kept-set + batch kept-set), so
-    // the global-rank oracle replays it exactly under single-batch or
-    // id-ordered arrival — the fixture's shape (one file, one batch).
+    // key" composes PER-PROBE (the index kept-set plus the batch
+    // kept-set — up to 2×cap for a doc whose key straddles the
+    // split), so the global-rank oracle replays it exactly only under
+    // SINGLE-BATCH arrival — the fixture's shape (one file, one
+    // batch). Under a multi-batch split the gate's verdicts remain
+    // deterministic and replay-stable; they are simply the per-probe
+    // composition rather than the global rank.
     "ev_stream_neardup_capped" -> QueryDef(
       (s, d) => {
         val out = freshDir(s, "stream_neardup_cap", d)
@@ -1238,7 +1242,11 @@ object StreamingQueries {
          |    CASE WHEN list_reduce(list_transform(range(1, 65),
          |      j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
          |    THEN 1 ELSE 0 END AS s
-         |  FROM emb e, hp),
+         |  FROM emb e, hp
+         |  -- the gate never indexes null vectors; without this guard
+         |  -- a NULL v would key (b, 0) via the ELSE branch and pair
+         |  -- with real all-negative-sign vectors
+         |  WHERE e.v IS NOT NULL),
          |ks AS (
          |  SELECT vec_id, CAST(i // 4 AS INTEGER) AS band,
          |    CAST(SUM(s * (1 << (i % 4))) AS INTEGER) AS bkey

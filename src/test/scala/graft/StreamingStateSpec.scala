@@ -468,6 +468,53 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("scored-gate verdicts are replay-stable after state committed") {
+    // the at-least-once window the curate pipeline lives in: gate
+    // state (bloom/table/index) committed, then the batch is replayed
+    // because a LATER write in the same foreachBatch turn failed —
+    // the replay must reproduce the original verdicts bit-for-bit,
+    // not flip first occurrences to "seen before"
+    val out = new java.io.File("target/test_replay_stable").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val ng = new graft.operators.NoveltyGate(s"$out/nov")
+    val b1 = Seq((10L, "alpha beta"), (11L, "alpha  beta"),
+      (12L, "gamma"), (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def novMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val first = novMap(ng.admitScored(b1, "doc_id", "text"))
+    assert(first === Map(10L -> 1, 11L -> 0, 12L -> 1, 13L -> 0))
+    // replay through the SAME gate and through a fresh (restarted)
+    // one: ownership is read from the table, so both reproduce
+    assert(novMap(ng.admitScored(b1, "doc_id", "text")) === first)
+    val ng2 = new graft.operators.NoveltyGate(s"$out/nov")
+    assert(novMap(ng2.admitScored(b1, "doc_id", "text")) === first)
+    // a later batch still verdicts correctly against the owned rows
+    val b2 = Seq((20L, "alpha beta"), (21L, "delta"))
+      .toDF("doc_id", "text")
+    assert(novMap(ng2.admitScored(b2, "doc_id", "text"))
+      === Map(20L -> 0, 21L -> 1))
+    // CAPPED near-dup replay under out-of-order arrival: the batch's
+    // own replayed ids must not consume cap slots (they are excluded
+    // BEFORE the per-key ranking), so the kept candidate set — and
+    // the verdicts — reproduce exactly
+    val nd = new graft.operators.NearDupGate(s"$out/nd", bandKeyCap = 2)
+    nd.admit((10L to 12L).map(i => (i, "tmpl alpha beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val small = Seq((1L, "tmpl alpha beta gamma"),
+      (2L, "tmpl alpha beta gamma")).toDF("doc_id", "text")
+    def vMap() = spark.read.parquet(s"$out/nd/verdicts").distinct()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getLong(4)))).toMap
+    nd.admit(small, "doc_id", "text")
+    val afterFirst = vMap()
+    nd.admit(small, "doc_id", "text") // the replay
+    assert(vMap() === afterFirst,
+      "replayed capped verdicts must dedup to the original rows")
+  }
+
   test("embedding near-dup gate flags across batches, restarts, and compaction") {
     val out = new java.io.File("target/test_embed_nd").getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
