@@ -1751,10 +1751,16 @@ final class NearDupGate(root: String, numHashes: Int = 32,
             .parquet(sigsPath)
           else spark.createDataFrame(new java.util.ArrayList[Row](),
             StructType.fromDDL("id BIGINT, sig ARRAY<BIGINT>"))
+        // dropDuplicates carries the at-least-once contract that the
+        // pair-level re-dedup used to: a replayed admit appends its
+        // sigs AGAIN, and a duplicated sig row would double every
+        // matching pair in the scoring join. Deduping HERE costs a
+        // shuffle of only the fetched candidate sigs instead of a
+        // full pass over the candidate-pair volume.
         val corpusSigs =
-          if (cids.length <= candCap)
+          (if (cids.length <= candCap)
             readSigs().filter(col("id").isin(cids.toSeq: _*))
-          else readSigs()
+          else readSigs()).dropDuplicates("id")
         (pairs
           .join(corpusSigs.toDF("cid", "csig"), "cid")
           .join(maybeBroadcast(batchSigs.toDF("id", "qsig")), "id")
@@ -1789,9 +1795,13 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       .select(col("id"), col("cid"),
         graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
           .as("n_eq"))
+    // cross (cid NOT of this batch, by the pre-cap anti-join) and
+    // internal (cid of this batch) are DISJOINT by construction, and
+    // each side is already pair-distinct — so the union needs no
+    // (id, cid) re-dedup pass before the per-doc rollup (dropping it
+    // removes one full hash aggregation over the candidate-pair
+    // volume, the plan's largest intermediate)
     val matches = crossScored.unionByName(internal)
-      .groupBy(col("id"), col("cid"))
-      .agg(first(col("n_eq")).as("n_eq")) // dedup multi-band hits
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_cands"), max(col("n_eq")).as("best_eq"))
     // shed REPORTING (never silent): n_capped_keys = how many of this

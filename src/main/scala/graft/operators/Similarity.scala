@@ -900,18 +900,21 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         .parquet(vecsPath)
       else spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+    // dropDuplicates carries the at-least-once contract (see
+    // NearDupGate): a replayed admit's re-appended vectors must not
+    // double every matching pair in the scoring join
     val corpusVecs =
-      if (cids.length <= candCap)
+      (if (cids.length <= candCap)
         readVecs().filter(col("id").isin(cids.toSeq: _*))
-      else readVecs()
+      else readVecs()).dropDuplicates("id")
     val crossScored = crossPinned
       .join(corpusVecs.toDF("cid", "cv"), "cid")
       .join(maybeBroadcast(batchVecs.toDF("id", "qv")), "id")
       .select(col("id"), col("cid"),
         Similarity.cosine(col("qv"), col("cv")).as("cos"))
+    // cross and internal are disjoint in cid (see NearDupGate) and
+    // each pair-distinct — no (id, cid) re-dedup needed
     val matches = crossScored.unionByName(internal)
-      .groupBy(col("id"), col("cid"))
-      .agg(first(col("cos")).as("cos"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("best_cos"))
     val nCapped = batchKeys
