@@ -1,0 +1,200 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{Dedup, EmbedNearDupGate, LmScore, NearDupGate,
+  NoveltyGate, TextAnalysis, TextClassify}
+
+/** The standing corpus-curation pipeline as a first-class API — the
+  * operator behind `ev_stream_curate`, for callers who want the
+  * composed five-gate topology over their own stream rather than the
+  * registry fixture: exact-novelty → near-dup → quality (Gopher ∧
+  * Naive Bayes) → decontamination → LM perplexity, chained in ONE
+  * foreachBatch with each stage seeing only the previous stage's
+  * survivors, so the two STATEFUL gates (fingerprint table, band
+  * index) index only curated documents.
+  *
+  * Division of labor:
+  *  - [[trainModels]] builds the shared reference artifacts once,
+  *    batch-side (NB count table + priors, bigram LM table, eval-set
+  *    13-gram index) — at 100 TB these are the periodically-retrained
+  *    models every ingest worker shares, localCheckpointed so each
+  *    micro-batch reuses them without recompute;
+  *  - [[curateBatch]] runs one micro-batch through the chain and
+  *    returns the per-doc verdict frame (stage columns NULL from the
+  *    stage after the one that dropped the doc; `kept` = survived all
+  *    five). Replay-stable end to end: the novelty gate's verdicts
+  *    derive from stored ownership, the near-dup gate excludes the
+  *    batch's own indexed rows, and stages 3-5 are stateless — so an
+  *    at-least-once retry appends byte-identical rows a read-side
+  *    distinct() absorbs;
+  *  - [[start]] wires a parquet document stream through the chain
+  *    into a `scored` verdict table (AvailableNow — swap the trigger
+  *    for continuous ingest).
+  */
+object Curation {
+
+  /** The shared reference models, trained once over a corpus. */
+  final case class Models(nbCounts: DataFrame, nbPriors: DataFrame,
+      lmTable: DataFrame, evalGrams: DataFrame)
+
+  /** Per-doc distinct 13-gram md5s (array_distinct — a per-row fold,
+    * matching the decontamination oracle's list_distinct). */
+  private def gramArr: org.apache.spark.sql.Column = when(
+    size(Dedup.tokens(col("text"))) >= 13,
+    array_distinct(
+      transform(Dedup.shingles(col("text"), 13), x => md5(x))))
+    .otherwise(array().cast("array<string>"))
+
+  private def lmToks(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 2)
+
+  /** Train the stage-3/4/5 reference artifacts over `corpus`
+    * (doc_id, text, lang): NB labeled-token counts + priors (label =
+    * lang == 'en'), the bigram LM table, and the eval slice's
+    * per-doc-distinct 13-gram index (NOT globally distinct — the
+    * contamination census counts (gram, eval-doc) pairs). */
+  def trainModels(corpus: DataFrame, evalFrom: Long = 400L,
+      evalUntil: Long = 500L): Models = {
+    def labTok(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    Models(
+      nbCounts = TextClassify.nbTrainCounts(labTok(corpus)),
+      nbPriors = corpus
+        .select(when(col("lang") === "en", 1).otherwise(0).as("y"))
+        .agg(sum("y").as("d1"), sum(lit(1) - col("y")).as("d0"))
+        .localCheckpoint(),
+      lmTable = LmScore.trainBigramTable(LmScore.bigrams(lmToks(corpus))),
+      evalGrams = corpus
+        .filter(col("doc_id") >= evalFrom && col("doc_id") < evalUntil)
+        .select(explode(gramArr).as("g"))
+        .localCheckpoint())
+  }
+
+  /** Run one micro-batch (doc_id, text) through the five-gate chain,
+    * mutating both gates' durable state, and return the per-doc
+    * verdict frame: (doc_id, is_novel, is_neardup, quality_kept,
+    * decontam_kept, lm_kept, kept). */
+  def curateBatch(batch: DataFrame, ngate: NoveltyGate,
+      ndgate: NearDupGate, models: Models, evalFrom: Long = 400L,
+      evalUntil: Long = 500L): DataFrame = {
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    // stage 1: exact novelty (first-wins per fingerprint, ownership-
+    // backed so a replay reproduces)
+    val nov = ngate.admitScored(b, "doc_id", "text")
+    val s1 = b.join(nov.filter(col("is_novel") === 1)
+      .select(col("id").as("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    // stage 2: near-dup vs earlier-curated docs only
+    val nd = ndgate.admitScored(s1, "doc_id", "text")
+    val s2 = s1.join(nd.filter(col("is_neardup") === 0)
+      .select(col("id").as("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    // stage 3: Gopher rules ∧ NB classifier
+    val rules = TextClassify
+      .gopherMetrics(s2, keyCols = Seq("doc_id"))
+      .select(col("doc_id"),
+        TextClassify.gopherPassCol.cast("int").as("gp"))
+    val pred = TextClassify.nbPredict(
+        s2.select(col("doc_id"), lit(0).as("y"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= ""),
+        models.nbCounts, models.nbPriors)
+      .select(col("doc_id"), col("pred"))
+    val q3 = rules.join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("gp") === 1 && coalesce(col("pred"), lit(0)) === 1)
+          .cast("int").as("quality_kept"))
+      .localCheckpoint()
+    val s3 = s2.join(q3.filter(col("quality_kept") === 1)
+      .select(col("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    // stage 4: decontamination (eval members themselves are excluded
+    // from a training corpus by definition)
+    val hits = s3
+      .select(col("doc_id"), explode(gramArr).as("g"))
+      .join(broadcast(models.evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val dec = s3.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (!(col("doc_id") >= evalFrom && col("doc_id") < evalUntil) &&
+          coalesce(col("n_shared"), lit(0L)) === 0)
+          .cast("int").as("decontam_kept"))
+      .localCheckpoint()
+    val s4 = s3.join(dec.filter(col("decontam_kept") === 1)
+      .select(col("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    // stage 5: LM perplexity filter under the shared table
+    val lmk = LmScore.scoreDocs(LmScore.bigrams(lmToks(s4)),
+        models.lmTable)
+      .select(col("doc_id"),
+        (expr("total_bits * 1000 div n_bigrams") < 12000)
+          .cast("int").as("lm_kept"))
+    b.select(col("doc_id"))
+      .join(nov.select(col("id").as("doc_id"), col("is_novel")),
+        Seq("doc_id"), "left")
+      .join(nd.select(col("id").as("doc_id"), col("is_neardup")),
+        Seq("doc_id"), "left")
+      .join(q3, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .join(s4.select(col("doc_id"), lit(1).as("reached_lm")),
+        Seq("doc_id"), "left")
+      .join(lmk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_novel"), col("is_neardup"),
+        col("quality_kept"), col("decontam_kept"),
+        // a doc that reached stage 5 but produced no bigram rows has
+        // no LM evidence → 0, never NULL
+        when(col("reached_lm") === 1,
+          coalesce(col("lm_kept"), lit(0))).as("lm_kept"))
+      .withColumn("kept", coalesce(
+        col("is_novel") === 1 && col("is_neardup") === 0 &&
+          col("quality_kept") === 1 &&
+          col("decontam_kept") === 1 && col("lm_kept") === 1,
+        lit(false)).cast("int"))
+  }
+
+  /** Wire a parquet document stream through the chain: per-batch
+    * verdicts append to `outDir/scored`, gate state lives under
+    * `outDir/nov` and `outDir/nd`. `models` are typically
+    * [[trainModels]] over the reference corpus. */
+  def start(spark: SparkSession, docsGlob: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      models: Models): StreamingQuery = {
+    val ngate = new NoveltyGate(s"$outDir/nov")
+    val ndgate = new NearDupGate(s"$outDir/nd")
+    spark.readStream.schema(schema).parquet(docsGlob)
+      .writeStream.queryName("graft_stream_curate")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          curateBatch(batch, ngate, ndgate, models)
+            .write.mode("append").parquet(s"$outDir/scored")
+      }
+      .start()
+  }
+
+  /** The embedding-side standing check, for callers running the
+    * vector twin of the text chain: one [[EmbedNearDupGate]] per
+    * stream, batches of (id, vector) admitted in arrival order. */
+  def startEmbedding(spark: SparkSession, vecsGlob: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      dim: Int, idCol: String, vecCol: String): StreamingQuery = {
+    val gate = new EmbedNearDupGate(outDir, dim)
+    spark.readStream.schema(schema).parquet(vecsGlob)
+      .writeStream.queryName("graft_stream_embed_nd")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) gate.admit(batch, idCol, vecCol)
+      }
+      .start()
+  }
+}

@@ -1213,19 +1213,10 @@ object StreamingQueries {
       (s, d) => {
         val out = freshDir(s, "stream_embed_nd", d)
         val fileSchema = s.read.parquet(d + "/embeddings.parquet").schema
-        val stream = s.readStream.schema(fileSchema)
-          .parquet(d + "/embeddings.parque*")
-        val gate = new graft.operators.EmbedNearDupGate(out, dim = 64,
-          bands = 4, rowBits = 4, minCosine = 0.5)
-        val q = stream.writeStream
-          .queryName("graft_stream_embed_nd")
-          .option("checkpointLocation", s"$out/_ckpt")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) gate.admit(batch, "vec_id", "embedding")
-          }
-          .start()
-        q.awaitTermination()
+        graft.streaming.Curation.startEmbedding(s,
+            d + "/embeddings.parque*", fileSchema, out,
+            dim = 64, idCol = "vec_id", vecCol = "embedding")
+          .awaitTermination()
         s.read.parquet(s"$out/verdicts").distinct()
           .select(col("id"), col("n_cands"), col("best_cos"),
             col("is_neardup"))
@@ -1295,127 +1286,17 @@ object StreamingQueries {
     "ev_stream_curate" -> QueryDef(
       (s, d) => {
         val out = freshDir(s, "stream_curate", d)
-        import graft.operators.{Dedup, LmScore, TextAnalysis, TextClassify}
-        val full = T.documents(s, d)
-        // reference models, trained once over the full corpus
-        def labTok(df: DataFrame): DataFrame = df
-          .select(col("doc_id"),
-            when(col("lang") === "en", 1).otherwise(0).as("y"),
-            explode(TextAnalysis.tokens(col("text"))).as("token"))
-          .filter(col("token") =!= "")
-        val nbCounts = TextClassify.nbTrainCounts(labTok(full))
-        val nbPriors = full
-          .select(when(col("lang") === "en", 1).otherwise(0).as("y"))
-          .agg(sum("y").as("d1"), sum(lit(1) - col("y")).as("d0"))
-          .localCheckpoint()
-        def lmToks(df: DataFrame): DataFrame = df
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 2)
-        val lmTable = LmScore.trainBigramTable(LmScore.bigrams(lmToks(full)))
-        def gramArr = when(
-          size(Dedup.tokens(col("text"))) >= 13,
-          array_distinct(
-            transform(Dedup.shingles(col("text"), 13), x => md5(x))))
-          .otherwise(array().cast("array<string>"))
-        val evalGrams = full
-          .filter(col("doc_id") >= 400 && col("doc_id") < 500)
-          .select(explode(gramArr).as("g"))
-          .localCheckpoint()
+        // the pipeline lives in streaming.Curation — this row wires
+        // the fixture stream through it and censuses the verdicts
+        val models = graft.streaming.Curation
+          .trainModels(T.documents(s, d))
         seedEmptyParquet(s, s"$out/scored",
           "doc_id BIGINT, is_novel INT, is_neardup INT, " +
             "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
-        // the two stateful gates, one instance each for the stream
-        val ngate = new graft.operators.NoveltyGate(s"$out/nov")
-        val ndgate = new graft.operators.NearDupGate(s"$out/nd")
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
-        val stream = s.readStream.schema(fileSchema)
-          .parquet(d + "/documents.parque*")
-        val q = stream.writeStream.queryName("graft_stream_curate")
-          .option("checkpointLocation", s"$out/_ckpt")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) {
-              val b = batch.select(col("doc_id"), col("text"))
-                .localCheckpoint()
-              // stage 1: exact novelty (first-wins per fingerprint)
-              val nov = ngate.admitScored(b, "doc_id", "text")
-              val s1 = b.join(nov.filter(col("is_novel") === 1)
-                .select(col("id").as("doc_id")), Seq("doc_id"))
-                .localCheckpoint()
-              // stage 2: near-dup vs earlier-curated docs only
-              val nd = ndgate.admitScored(s1, "doc_id", "text")
-              val s2 = s1.join(nd.filter(col("is_neardup") === 0)
-                .select(col("id").as("doc_id")), Seq("doc_id"))
-                .localCheckpoint()
-              // stage 3: Gopher rules ∧ NB classifier
-              val rules = TextClassify
-                .gopherMetrics(s2, keyCols = Seq("doc_id"))
-                .select(col("doc_id"),
-                  TextClassify.gopherPassCol.cast("int").as("gp"))
-              val pred = TextClassify.nbPredict(
-                  s2.select(col("doc_id"), lit(0).as("y"),
-                    explode(TextAnalysis.tokens(col("text"))).as("token"))
-                    .filter(col("token") =!= ""),
-                  nbCounts, nbPriors)
-                .select(col("doc_id"), col("pred"))
-              val q3 = rules.join(pred, Seq("doc_id"), "left")
-                .select(col("doc_id"),
-                  (col("gp") === 1 &&
-                    coalesce(col("pred"), lit(0)) === 1)
-                    .cast("int").as("quality_kept"))
-                .localCheckpoint()
-              val s3 = s2.join(q3.filter(col("quality_kept") === 1)
-                .select(col("doc_id")), Seq("doc_id"))
-                .localCheckpoint()
-              // stage 4: decontamination (eval members themselves are
-              // excluded from a training corpus by definition)
-              val hits = s3
-                .select(col("doc_id"), explode(gramArr).as("g"))
-                .join(broadcast(evalGrams), "g")
-                .groupBy(col("doc_id"))
-                .agg(count(lit(1)).as("n_shared"))
-              val dec = s3.select(col("doc_id"))
-                .join(hits, Seq("doc_id"), "left")
-                .select(col("doc_id"),
-                  (!(col("doc_id") >= 400 && col("doc_id") < 500) &&
-                    coalesce(col("n_shared"), lit(0L)) === 0)
-                    .cast("int").as("decontam_kept"))
-                .localCheckpoint()
-              val s4 = s3.join(dec.filter(col("decontam_kept") === 1)
-                .select(col("doc_id")), Seq("doc_id"))
-                .localCheckpoint()
-              // stage 5: LM perplexity filter under the shared table
-              val lmk = LmScore.scoreDocs(LmScore.bigrams(lmToks(s4)),
-                  lmTable)
-                .select(col("doc_id"),
-                  (expr("total_bits * 1000 div n_bigrams") < 12000)
-                    .cast("int").as("lm_kept"))
-              b.select(col("doc_id"))
-                .join(nov.select(col("id").as("doc_id"),
-                  col("is_novel")), Seq("doc_id"), "left")
-                .join(nd.select(col("id").as("doc_id"),
-                  col("is_neardup")), Seq("doc_id"), "left")
-                .join(q3, Seq("doc_id"), "left")
-                .join(dec, Seq("doc_id"), "left")
-                .join(s4.select(col("doc_id"), lit(1).as("reached_lm")),
-                  Seq("doc_id"), "left")
-                .join(lmk, Seq("doc_id"), "left")
-                .select(col("doc_id"), col("is_novel"), col("is_neardup"),
-                  col("quality_kept"), col("decontam_kept"),
-                  // a doc that reached stage 5 but produced no bigram
-                  // rows has no LM evidence → 0, never NULL
-                  when(col("reached_lm") === 1,
-                    coalesce(col("lm_kept"), lit(0))).as("lm_kept"))
-                .withColumn("kept", coalesce(
-                  col("is_novel") === 1 && col("is_neardup") === 0 &&
-                    col("quality_kept") === 1 &&
-                    col("decontam_kept") === 1 && col("lm_kept") === 1,
-                  lit(false)).cast("int"))
-                .write.mode("append").parquet(s"$out/scored")
-            }
-          }
-          .start()
-        q.awaitTermination()
+        graft.streaming.Curation.start(s, d + "/documents.parque*",
+            fileSchema, out, models)
+          .awaitTermination()
         s.read.parquet(s"$out/scored").distinct()
           .orderBy(col("doc_id"))
       },

@@ -468,6 +468,45 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("curate verdict columns respect the stage lattice") {
+    // structural invariants of the composed pipeline's per-doc output
+    // (cheap local guard for the big composed oracle): a verdict
+    // column is NULL iff the doc never reached that stage, and kept=1
+    // exactly when all five stages passed
+    val out = graft.streaming.StreamingQueries
+      .registry("ev_stream_curate")
+      .fn(SparkTest.session, "/root/testdata/sf0.001")
+      .cache()
+    assert(out.count() > 0)
+    def bad(cond: org.apache.spark.sql.Column, msg: String): Unit =
+      assert(out.filter(cond).isEmpty, msg)
+    bad(col("is_novel").isNull, "stage 1 verdicts every doc")
+    bad(col("is_novel") === 0 && col("is_neardup").isNotNull,
+      "a novelty drop must carry no stage-2 verdict")
+    bad(col("is_novel") === 1 && col("is_neardup").isNull,
+      "every novelty survivor must carry a stage-2 verdict")
+    bad(col("is_neardup") === 1 && col("quality_kept").isNotNull,
+      "a near-dup drop must carry no stage-3 verdict")
+    bad(col("is_neardup") === 0 && col("quality_kept").isNull,
+      "every near-dup survivor must carry a stage-3 verdict")
+    bad(col("quality_kept") === 0 && col("decontam_kept").isNotNull,
+      "a quality drop must carry no stage-4 verdict")
+    bad(col("quality_kept") === 1 && col("decontam_kept").isNull,
+      "every quality survivor must carry a stage-4 verdict")
+    bad(col("decontam_kept") === 0 && col("lm_kept").isNotNull,
+      "a decontam drop must carry no stage-5 verdict")
+    bad(col("decontam_kept") === 1 && col("lm_kept").isNull,
+      "every decontam survivor must carry a stage-5 verdict")
+    bad(col("kept").isNull, "kept is total")
+    bad(col("kept") === 1 && !(col("is_novel") === 1 &&
+      col("is_neardup") === 0 && col("quality_kept") === 1 &&
+      col("decontam_kept") === 1 && col("lm_kept") === 1),
+      "kept=1 must mean all five stages passed")
+    bad(col("kept") === 0 && col("lm_kept") === 1,
+      "an lm-kept doc passed everything and must be kept")
+    out.unpersist()
+  }
+
   test("scored-gate verdicts are replay-stable after state committed") {
     // the at-least-once window the curate pipeline lives in: gate
     // state (bloom/table/index) committed, then the batch is replayed
