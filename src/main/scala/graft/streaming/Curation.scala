@@ -166,9 +166,16 @@ object Curation {
     * [[trainModels]] over the reference corpus. */
   def start(spark: SparkSession, docsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
-      models: Models): StreamingQuery = {
-    val ngate = new NoveltyGate(s"$outDir/nov")
-    val ndgate = new NearDupGate(s"$outDir/nd")
+      models: Models, autoCompactEvery: Int = 16): StreamingQuery = {
+    // a PRODUCTION stream self-tends by default: every 16th batch the
+    // gates compact their per-batch file accumulation (verdicts, band
+    // buckets, fingerprint buckets) inside the admit turn — the
+    // fixture's single-batch runs never reach the threshold, so the
+    // oracle rows are unaffected
+    val ngate = new NoveltyGate(s"$outDir/nov",
+      autoCompactEvery = autoCompactEvery)
+    val ndgate = new NearDupGate(s"$outDir/nd",
+      autoCompactEvery = autoCompactEvery)
     spark.readStream.schema(schema).parquet(docsGlob)
       .writeStream.queryName("graft_stream_curate")
       .option("checkpointLocation", s"$outDir/_ckpt")
@@ -186,8 +193,10 @@ object Curation {
     * stream, batches of (id, vector) admitted in arrival order. */
   def startEmbedding(spark: SparkSession, vecsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
-      dim: Int, idCol: String, vecCol: String): StreamingQuery = {
-    val gate = new EmbedNearDupGate(outDir, dim)
+      dim: Int, idCol: String, vecCol: String,
+      autoCompactEvery: Int = 16): StreamingQuery = {
+    val gate = new EmbedNearDupGate(outDir, dim,
+      autoCompactEvery = autoCompactEvery)
     spark.readStream.schema(schema).parquet(vecsGlob)
       .writeStream.queryName("graft_stream_embed_nd")
       .option("checkpointLocation", s"$outDir/_ckpt")

@@ -56,7 +56,11 @@ object IncrementalIngest {
     // ONE gate per stream (driver-side foreachBatch closure): the
     // cached bloom loads once and folds per-batch deltas in memory
     val gate = if (noveltyGate)
-      Some(new graft.operators.NoveltyGate(s"$tableDir/novelty"))
+      // self-tending default: compact the fingerprint table's
+      // per-batch accumulation every 16th batch (inside the admit
+      // turn — never racing one)
+      Some(new graft.operators.NoveltyGate(s"$tableDir/novelty",
+        autoCompactEvery = 16))
     else None
     stream.writeStream
       .queryName("graft-incremental-ingest")
