@@ -468,6 +468,85 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 0))
   }
 
+  test("curation chain exercises every stage's population end to end") {
+    // the sf fixtures never survive stage 3 (nothing passes Gopher ∧
+    // NB there), so stages 4-5 run over empty populations in the
+    // oracle rows — this spec constructs docs that exercise EVERY
+    // stage outcome, including both decontamination drop reasons and
+    // an LM perplexity rejection, through the Curation API
+    val out = new java.io.File("target/test_curate_full").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val tT = "the quick brown fox jumps over the lazy dog and then " +
+      "runs back to the barn with a happy smile on its face while " +
+      "the farmer watches from the field and thinks about the " +
+      "harvest that will come with the autumn rain and the long " +
+      "days of work ahead for everyone there"
+    val t2 = "a small boat drifted across the quiet lake as morning " +
+      "light touched the water and birds called from the tall trees " +
+      "near the shore where an old man sat with his fishing rod " +
+      "waiting for the first catch of the day while soft wind moved " +
+      "the leaves and the world felt calm"
+    val t3 = "people walked through the busy market street looking " +
+      "at fresh fruit and bright cloth while sellers called out " +
+      "prices and children ran between the stalls carrying small " +
+      "bags of sweet bread that their mothers bought from the baker " +
+      "near the corner where music played all day and laughter " +
+      "filled the warm air"
+    val sEval = "children gathered near the old stone bridge to " +
+      "watch boats sail slowly down the river"
+    // reference corpus: three long en docs, the eval-slice sentence
+    // (id 460 ∈ [400, 500)), and one non-en doc (NB needs both
+    // classes)
+    val corpus = Seq((1L, tT, "en"), (2L, t2, "en"), (3L, t3, "en"),
+      (460L, sEval, "en"), (9L, "zz qq rr ss tt", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val models = graft.streaming.Curation.trainModels(corpus)
+    val ngate = new graft.operators.NoveltyGate(s"$out/nov")
+    val ndgate = new graft.operators.NearDupGate(s"$out/nd")
+    def run(batch: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Curation
+        .curateBatch(batch, ngate, ndgate, models)
+        .collect().map(r => r.getLong(0) -> (1 to 6).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getInt(i))).toList).toMap
+    // contaminated doc: the eval sentence verbatim + enough trained
+    // words to pass Gopher
+    val contaminated = sEval + " " + t2.split(" ").take(40).mkString(" ")
+    // perplexity reject: 20 trained tokens from each long doc,
+    // deterministically scrambled — token-level NB evidence stays
+    // en, but nearly every BIGRAM is unseen (20 bits each)
+    val scrambled = (tT.split(" ").take(20) ++ t2.split(" ").take(20)
+      ++ t3.split(" ").take(20)).reverse.mkString(" ")
+    val b1 = run(Seq(100L -> tT, 101L -> "tmpl alpha beta gamma",
+      300L -> contaminated).toDF("doc_id", "text"))
+    assert(b1(100L) === List(Some(1), Some(0), Some(1), Some(1),
+      Some(1), Some(1)), s"clean doc passes all five: ${b1(100L)}")
+    assert(b1(101L) === List(Some(1), Some(0), Some(0), None, None,
+      Some(0)), "short doc fails quality, later stages null")
+    assert(b1(300L) === List(Some(1), Some(0), Some(1), Some(0), None,
+      Some(0)), s"eval 13-gram overlap drops at stage 4: ${b1(300L)}")
+    val b2 = run(Seq(
+      110L -> "gamma beta alpha tmpl", // permutes the QUALITY-DROPPED
+                                       // doc 101 — stage 2 indexes
+                                       // survivors of stage 1, kept
+                                       // or not
+      111L -> tT,                      // cross-batch exact dup
+      450L -> t3,                      // clean text, eval-range id
+      600L -> scrambled                // unseen bigrams
+    ).toDF("doc_id", "text"))
+    assert(b2(110L) === List(Some(1), Some(1), None, None, None,
+      Some(0)), s"near-dup of a quality-dropped doc flags: ${b2(110L)}")
+    assert(b2(111L) === List(Some(0), None, None, None, None, Some(0)))
+    assert(b2(450L) === List(Some(1), Some(0), Some(1), Some(0), None,
+      Some(0)), s"eval-range id drops at stage 4: ${b2(450L)}")
+    assert(b2(600L) === List(Some(1), Some(0), Some(1), Some(1),
+      Some(0), Some(0)), s"unseen bigrams fail the LM: ${b2(600L)}")
+    // full-chain replay: re-running batch 2 reproduces every verdict
+    assert(run(Seq(110L -> "gamma beta alpha tmpl", 111L -> tT,
+      450L -> t3, 600L -> scrambled).toDF("doc_id", "text")) === b2)
+  }
+
   test("curate verdict columns respect the stage lattice") {
     // structural invariants of the composed pipeline's per-doc output
     // (cheap local guard for the big composed oracle): a verdict
