@@ -1660,9 +1660,17 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       initBloom(spark, bandsPath, bandsExist)
     }
     // consumed several times (hash collect, both probe sides, verdict
-    // base, appends) — pin the signatures once; bounded by the batch
-    val batchSigs = Dedup.spread(
-        batch.select(col(idCol).as("id"), col(textCol).as("t")))
+    // base, appends) — pin the signatures once; bounded by the batch.
+    // The id-keyed dedup REPLACES the round-robin parallelism shuffle
+    // (one exchange either way, hash-partitioned instead): a batch
+    // carrying the same id twice (upstream at-least-once duplication
+    // inside one batch) would otherwise double every pair in the
+    // scoring joins and emit two verdict rows for that id — and the
+    // exchange spreads the signature compute across cores exactly as
+    // the old spread() did
+    val batchSigs = batch
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .dropDuplicates("id")
       .select(col("id"), Dedup.minhashSignaturePortable(
         col("t"), numHashes, shingleSize).as("sig"))
       .localCheckpoint()
@@ -1754,13 +1762,17 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         // dropDuplicates carries the at-least-once contract that the
         // pair-level re-dedup used to: a replayed admit appends its
         // sigs AGAIN, and a duplicated sig row would double every
-        // matching pair in the scoring join. Deduping HERE costs a
-        // shuffle of only the fetched candidate sigs instead of a
-        // full pass over the candidate-pair volume.
+        // matching pair in the scoring join. The dedup is scoped to
+        // CANDIDATE rows on both branches (the over-cap fallback
+        // semi-joins against the collected pairs first) — never a
+        // full-corpus aggregation of signature arrays.
         val corpusSigs =
           (if (cids.length <= candCap)
             readSigs().filter(col("id").isin(cids.toSeq: _*))
-          else readSigs()).dropDuplicates("id")
+          else readSigs().join(
+            pairs.select(col("cid").as("id")).distinct(),
+            Seq("id"), "left_semi"))
+          .dropDuplicates("id")
         (pairs
           .join(corpusSigs.toDF("cid", "csig"), "cid")
           .join(maybeBroadcast(batchSigs.toDF("id", "qsig")), "id")

@@ -826,8 +826,12 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       syncLayout(spark)
       initSeen(spark, keysPath, keysExist)
     }
-    val batchVecs = Dedup.spread(
-        batch.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // id-keyed dedup replaces the parallelism shuffle (see
+    // NearDupGate): duplicate in-batch ids would double pairs and
+    // verdict rows
+    val batchVecs = batch
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .dropDuplicates("id")
       .localCheckpoint()
     // measured-count broadcast discipline (see NearDupGate: planner
     // stats on checkpointed survivor frames cannot be trusted)
@@ -902,11 +906,15 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
     // dropDuplicates carries the at-least-once contract (see
     // NearDupGate): a replayed admit's re-appended vectors must not
-    // double every matching pair in the scoring join
+    // double every matching pair in the scoring join; scoped to
+    // candidate rows on both branches
     val corpusVecs =
       (if (cids.length <= candCap)
         readVecs().filter(col("id").isin(cids.toSeq: _*))
-      else readVecs()).dropDuplicates("id")
+      else readVecs().join(
+        crossPinned.select(col("cid").as("id")).distinct(),
+        Seq("id"), "left_semi"))
+      .dropDuplicates("id")
     val crossScored = crossPinned
       .join(corpusVecs.toDF("cid", "cv"), "cid")
       .join(maybeBroadcast(batchVecs.toDF("id", "qv")), "id")

@@ -35,9 +35,13 @@ import graft.operators.{Dedup, EmbedNearDupGate, LmScore, NearDupGate,
   */
 object Curation {
 
-  /** The shared reference models, trained once over a corpus. */
+  /** The shared reference models, trained once over a corpus. The
+    * eval id window travels WITH the gram index it was built from —
+    * carrying it separately invited a silent mismatch where stage 4
+    * dropped the wrong id range. */
   final case class Models(nbCounts: DataFrame, nbPriors: DataFrame,
-      lmTable: DataFrame, evalGrams: DataFrame)
+      lmTable: DataFrame, evalGrams: DataFrame,
+      evalFrom: Long, evalUntil: Long)
 
   /** Per-doc distinct 13-gram md5s (array_distinct — a per-row fold,
     * matching the decontamination oracle's list_distinct). */
@@ -73,7 +77,8 @@ object Curation {
       evalGrams = corpus
         .filter(col("doc_id") >= evalFrom && col("doc_id") < evalUntil)
         .select(explode(gramArr).as("g"))
-        .localCheckpoint())
+        .localCheckpoint(),
+      evalFrom = evalFrom, evalUntil = evalUntil)
   }
 
   /** Run one micro-batch (doc_id, text) through the five-gate chain,
@@ -81,8 +86,7 @@ object Curation {
     * verdict frame: (doc_id, is_novel, is_neardup, quality_kept,
     * decontam_kept, lm_kept, kept). */
   def curateBatch(batch: DataFrame, ngate: NoveltyGate,
-      ndgate: NearDupGate, models: Models, evalFrom: Long = 400L,
-      evalUntil: Long = 500L): DataFrame = {
+      ndgate: NearDupGate, models: Models): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     // stage 1: exact novelty (first-wins per fingerprint, ownership-
     // backed so a replay reproduces)
@@ -124,7 +128,8 @@ object Curation {
     val dec = s3.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (!(col("doc_id") >= evalFrom && col("doc_id") < evalUntil) &&
+        (!(col("doc_id") >= models.evalFrom &&
+          col("doc_id") < models.evalUntil) &&
           coalesce(col("n_shared"), lit(0L)) === 0)
           .cast("int").as("decontam_kept"))
       .localCheckpoint()
@@ -166,7 +171,18 @@ object Curation {
     * [[trainModels]] over the reference corpus. */
   def start(spark: SparkSession, docsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
-      models: Models, autoCompactEvery: Int = 16): StreamingQuery = {
+      models: Models, autoCompactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // seed the verdict table with its zero-row schema so a stream
+    // that drains with no non-empty batch still leaves a readable
+    // scored path (the repo-wide empty-replay discipline)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+            "quality_kept INT, decontam_kept INT, lm_kept INT, " +
+            "kept INT"))
+      .write.mode("ignore").parquet(s"$outDir/scored")
     // a PRODUCTION stream self-tends by default: every 16th batch the
     // gates compact their per-batch file accumulation (verdicts, band
     // buckets, fingerprint buckets) inside the admit turn — the
@@ -179,7 +195,7 @@ object Curation {
     spark.readStream.schema(schema).parquet(docsGlob)
       .writeStream.queryName("graft_stream_curate")
       .option("checkpointLocation", s"$outDir/_ckpt")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           curateBatch(batch, ngate, ndgate, models)
@@ -194,13 +210,16 @@ object Curation {
   def startEmbedding(spark: SparkSession, vecsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       dim: Int, idCol: String, vecCol: String,
-      autoCompactEvery: Int = 16): StreamingQuery = {
-    val gate = new EmbedNearDupGate(outDir, dim,
-      autoCompactEvery = autoCompactEvery)
+      bands: Int = 4, rowBits: Int = 4, minCosine: Double = 0.5,
+      bandKeyCap: Int = 0, autoCompactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val gate = new EmbedNearDupGate(outDir, dim, bands = bands,
+      rowBits = rowBits, minCosine = minCosine,
+      bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
     spark.readStream.schema(schema).parquet(vecsGlob)
       .writeStream.queryName("graft_stream_embed_nd")
       .option("checkpointLocation", s"$outDir/_ckpt")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) gate.admit(batch, idCol, vecCol)
       }

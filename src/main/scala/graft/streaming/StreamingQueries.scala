@@ -1215,7 +1215,9 @@ object StreamingQueries {
         val fileSchema = s.read.parquet(d + "/embeddings.parquet").schema
         graft.streaming.Curation.startEmbedding(s,
             d + "/embeddings.parque*", fileSchema, out,
-            dim = 64, idCol = "vec_id", vecCol = "embedding")
+            dim = 64, idCol = "vec_id", vecCol = "embedding",
+            // pinned explicitly: the oracle replays THIS geometry
+            bands = 4, rowBits = 4, minCosine = 0.5)
           .awaitTermination()
         s.read.parquet(s"$out/verdicts").distinct()
           .select(col("id"), col("n_cands"), col("best_cos"),
