@@ -1665,11 +1665,17 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // (one exchange either way, hash-partitioned instead): a batch
     // carrying the same id twice (upstream at-least-once duplication
     // inside one batch) would otherwise double every pair in the
-    // scoring joins and emit two verdict rows for that id — and the
-    // exchange spreads the signature compute across cores exactly as
-    // the old spread() did
+    // scoring joins and emit two verdict rows for that id. The
+    // EXPLICIT width matters: a bare dropDuplicates lets AQE coalesce
+    // the small post-aggregation shuffle to ONE partition, and the
+    // checkpoint freezes that — every downstream probe-join OUTPUT
+    // then streams single-core (measured: the 5.9 s admit at 44 s).
+    // A user-specified repartition width is exempt from coalescing
+    // and already satisfies the aggregate's distribution, so the
+    // dedup adds no second exchange.
     val batchSigs = batch
       .select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .dropDuplicates("id")
       .select(col("id"), Dedup.minhashSignaturePortable(
         col("t"), numHashes, shingleSize).as("sig"))

@@ -827,10 +827,12 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       initSeen(spark, keysPath, keysExist)
     }
     // id-keyed dedup replaces the parallelism shuffle (see
-    // NearDupGate): duplicate in-batch ids would double pairs and
-    // verdict rows
+    // NearDupGate, incl. the explicit-width rule: a bare
+    // dropDuplicates AQE-coalesces to one partition and the
+    // checkpoint freezes it)
     val batchVecs = batch
       .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .dropDuplicates("id")
       .localCheckpoint()
     // measured-count broadcast discipline (see NearDupGate: planner
