@@ -586,6 +586,44 @@ class StreamingStateSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("near-dup gates reach the same verdicts through the dup-heavy fallback paths") {
+    // candCap forced tiny so BOTH overflow branches run: the
+    // possible-hash set exceeds the cap (index scanned instead of
+    // INSET-pruned) and the candidate-id set exceeds it (signatures
+    // fetched via the semi-join against collected pairs instead of
+    // an id INSET) — the 100 TB dup-heavy shapes, which must agree
+    // with the pruned path's verdicts exactly
+    val out = new java.io.File("target/test_fallback").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val nd = new graft.operators.NearDupGate(s"$out/nd", candCap = 2)
+    nd.admit((1L to 4L).map(i => (i, "tmpl alpha beta gamma delta"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    nd.admit(Seq((10L, "tmpl alpha beta gamma delta"),
+      (11L, "omega psi chi phi")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val v = spark.read.parquet(s"$out/nd/verdicts").distinct()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3)))).toMap
+    assert(v(10L) === ((4L, 1)),
+      s"fallback cross probe must find all 4 corpus candidates: ${v(10L)}")
+    assert(v(11L) === ((0L, 0)))
+    val en = new graft.operators.EmbedNearDupGate(s"$out/en", dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5, candCap = 2)
+    en.admit((1L to 4L).map(i => (i, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    en.admit(Seq((10L, Seq(0.99f, 0.05f, 0f, 0f)),
+      (11L, Seq(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val ve = spark.read.parquet(s"$out/en/verdicts").distinct()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3)))).toMap
+    assert(ve(10L) === ((4L, 1)),
+      s"embed fallback must score all 4 corpus candidates: ${ve(10L)}")
+    assert(ve(11L)._2 === 0)
+  }
+
   test("scored-gate verdicts are replay-stable after state committed") {
     // the at-least-once window the curate pipeline lives in: gate
     // state (bloom/table/index) committed, then the batch is replayed
