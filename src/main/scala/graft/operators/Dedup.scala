@@ -978,7 +978,7 @@ object Dedup {
   * directory names and the manifest written, so the validation holds
   * from the next open onward.
   */
-private[operators] object GateLayout {
+private[graft] object GateLayout {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   def write(fs: FileSystem, p: Path, kv: Seq[(String, String)]): Unit = {
@@ -990,8 +990,15 @@ private[operators] object GateLayout {
     try out.write(kv.map { case (key, v) => s"$key=$v" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    // overwrite-capable rename, NOT delete-then-rename: a crash
+    // between the delete and the rename would leave NO manifest, and
+    // the next open's adoption path would then write the reopening
+    // gate's constructor parameters as disk truth — a reopen with
+    // wrong geometry inside that window would silently disable
+    // exactly the fail-fast validation the manifest exists for
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def read(fs: FileSystem, p: Path): Map[String, String] = {
@@ -1037,6 +1044,51 @@ private[operators] object GateOps {
     fs.rename(tmp, cur)
     fs.delete(old, true)
   }
+
+  /** First-open counterpart of [[swapGeneration]] — between its
+    * rename(cur→old) and rename(tmp→cur) the live path exists at
+    * NEITHER location, and a gate reopened inside that crash window
+    * would otherwise see an empty table and silently re-admit
+    * everything (total dedup-state loss, the worst failure a standing
+    * gate has). The swap only runs after the `_tmp` generation is
+    * fully written, so a surviving `_tmp` beside a missing live dir
+    * IS the complete new generation: restore it. A surviving `_old`
+    * with neither (not reachable from swapGeneration's ordering, but
+    * cheap to honor) restores the old generation rather than none.
+    * Every gate calls this for each of its tables at first open,
+    * before any existence check — no-op in the no-crash case beyond
+    * clearing a stale `_old`. */
+  def recoverGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/${name}_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
+    if (!fs.exists(cur)) {
+      if (fs.exists(tmp)) fs.rename(tmp, cur)
+      else if (fs.exists(old)) fs.rename(old, cur)
+    }
+    // the old generation is only safe to clear once a live dir exists
+    if (fs.exists(cur)) fs.delete(old, true)
+  }
+
+  /** The verdict-table schema generation the near-dup gates stamp
+    * into their layout manifests. History: v1 = (id, n_cands,
+    * best_eq|best_cos, is_neardup); v2 added n_capped_keys (shed
+    * reporting). Readers are normalize-on-read BACKWARD compatible
+    * (older files' missing columns coalesce to their no-op values),
+    * so a lower-or-absent on-disk version is healed silently; a
+    * HIGHER one means the files were written by newer code and this
+    * reader would silently drop columns — the manifest check turns
+    * that into a fail-fast mixed-generation error. */
+  val verdictSchemaVersion: String = "2"
+
+  /** Broadcast-side row ceiling shared by the gate family's
+    * measured-count discipline (planner stats on checkpointed
+    * survivor frames cannot be trusted — see NearDupGate.admitInner).
+    * A dedicated constant, deliberately NOT a candidate-fetch knob
+    * like candCap: raising a fetch cap must never force-broadcast a
+    * multi-million-row frame and OOM the driver. */
+  val broadcastRowCap: Long = 100000L
 
   /** Per-band-key candidate truncation with shed reporting, shared by
     * the MinHash and embedding gates: rank each key's sharers by id,
@@ -1210,10 +1262,25 @@ final class NoveltyGate(tableRoot: String,
     // leave bloom bits with no data path yet) and an EXPLICIT schema
     // (a first batch of only null-text docs appends zero rows, and a
     // schema-inference read of the resulting empty directory throws).
-    val dataExists = {
-      val p = new org.apache.hadoop.fs.Path(dataPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val hfs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (words == null) {
+      // BEFORE any existence check: a restart inside compact's
+      // generation-swap crash window must restore the surviving
+      // generation, or this open would treat the table as empty and
+      // silently re-admit everything
+      GateOps.recoverGeneration(hfs, tableRoot, "data")
+      GateOps.recoverGeneration(hfs, tableRoot, "bloom")
+      syncLayout(spark)
+      words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
+      val occupied =
+        words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
+      if (occupied * 2 > bits) System.err.println(
+        s"[novelty-gate] bloom ${occupied * 100 / bits}% occupied for " +
+          s"$tableRoot — probes degrade to bucket scans; resize bits " +
+          s"($bits) to table capacity")
     }
+    val dataExists = hfs.exists(new org.apache.hadoop.fs.Path(dataPath))
     def readData() = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "fp STRING, fp_b STRING"))
@@ -1229,15 +1296,6 @@ final class NoveltyGate(tableRoot: String,
     val priorThr = spark.conf.getOption(thrKey)
     spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
     val novelCk = try {
-    if (words == null) {
-      syncLayout(spark)
-      words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
-      val occupied = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
-      if (occupied * 2 > bits) System.err.println(
-        s"[novelty-gate] bloom ${occupied * 100 / bits}% occupied for " +
-          s"$tableRoot — probes degrade to bucket scans; resize bits " +
-          s"($bits) to table capacity")
-    }
     val might = Dedup.bloomMight(col("fp"), words, bits, k)
     val pos = fps.filter(might).select(col("fp")).limit(posCap + 1)
       .collect().map(_.getString(0))
@@ -1331,6 +1389,11 @@ final class NoveltyGate(tableRoot: String,
     val bloomPath = s"$tableRoot/bloom"
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a fresh gate's documented resize path runs compact BEFORE any
+    // admit — it needs the same swap-crash-window recovery first open
+    // through admit gets
+    GateOps.recoverGeneration(fs, tableRoot, "data")
+    GateOps.recoverGeneration(fs, tableRoot, "bloom")
     if (!fs.exists(hp)) return
     // a fresh gate compacting an existing table (the documented
     // bits-resize path runs compact BEFORE any admit) must not
@@ -1526,16 +1589,28 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     * and fresh signatures would never agree); adopt manifest-less
     * tables. `bits`/`k` deliberately NOT pinned: the bitmap is
     * in-memory only, rebuilt from the bands table at construction
-    * through the CURRENT geometry, so resizing it is free here. */
+    * through the CURRENT geometry, so resizing it is free here.
+    *
+    * The VERDICT table's schema generation is pinned too
+    * ([[GateOps.verdictSchemaVersion]]): a pre-versioning manifest is
+    * healed in place (its v1 verdict files are the n_capped_keys-less
+    * shape the normalize-on-read path absorbs), while a HIGHER
+    * on-disk version — files written by a newer generation of this
+    * code — fails fast instead of this reader silently truncating
+    * columns it does not know. */
   private def syncLayout(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val expect = Seq("num_hashes" -> numHashes.toString,
-      "bands" -> bands.toString, "shingle_size" -> shingleSize.toString)
-    if (fs.exists(mp))
-      GateLayout.check(GateLayout.read(fs, mp), root, expect)
-    else GateLayout.write(fs, mp, expect)
+      "bands" -> bands.toString, "shingle_size" -> shingleSize.toString,
+      "verdict_schema" -> GateOps.verdictSchemaVersion)
+    if (fs.exists(mp)) {
+      val m = GateLayout.read(fs, mp)
+      GateLayout.check(m, root, expect)
+      if (!m.contains("verdict_schema"))
+        GateLayout.write(fs, mp, expect)
+    } else GateLayout.write(fs, mp, expect)
   }
 
   private def bhPosCol(bh: Column, i: Int): Column =
@@ -1643,6 +1718,17 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val sigsPath = s"$root/sigs"
     val hadoopFs = new org.apache.hadoop.fs.Path(bandsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (words == null) {
+      // BEFORE the existence checks: a restart inside compact's
+      // generation-swap crash window (live dir at neither cur nor
+      // _tmp) must restore the surviving generation, or the bloom
+      // would rebuild empty and every stored doc silently re-admit
+      Seq("bands", "sigs", "verdicts")
+        .foreach(GateOps.recoverGeneration(hadoopFs, root, _))
+      syncLayout(spark)
+      initBloom(spark, bandsPath,
+        hadoopFs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+    }
     val bandsExist =
       hadoopFs.exists(new org.apache.hadoop.fs.Path(bandsPath))
     // guarded independently of bandsExist: a crash between the
@@ -1655,10 +1741,6 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // heals.
     val sigsExist =
       hadoopFs.exists(new org.apache.hadoop.fs.Path(sigsPath))
-    if (words == null) {
-      syncLayout(spark)
-      initBloom(spark, bandsPath, bandsExist)
-    }
     // consumed several times (hash collect, both probe sides, verdict
     // base, appends) — pin the signatures once; bounded by the batch.
     // The id-keyed dedup REPLACES the round-robin parallelism shuffle
@@ -1690,7 +1772,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // (measured: 38 s vs 4.7 s for the identical admit). The count is
     // ~free on the checkpointed rows; a degenerate huge admit keeps
     // the shuffle-join plan instead of OOMing the driver.
-    val smallBatch = batchSigs.count() <= 100000
+    val smallBatch = batchSigs.count() <= GateOps.broadcastRowCap
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (smallBatch) broadcast(df) else df
     val batchBands = banded(batchSigs).filter(col("band_hash").isNotNull)
@@ -1881,6 +1963,10 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     val sigsPath = s"$root/sigs"
     val hp = new org.apache.hadoop.fs.Path(bandsPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manual compaction on a fresh gate needs the swap-crash-window
+    // recovery the admit-time first open gets
+    Seq("bands", "sigs", "verdicts")
+      .foreach(GateOps.recoverGeneration(fs, root, _))
     if (!fs.exists(hp)) return
     spark.read
       .schema(StructType.fromDDL(

@@ -750,17 +750,23 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
 
   /** Family-standard layout manifest (see [[graft.operators
     * .GateLayout]]): a dim/band/seed mismatch against stored keys +
-    * vectors is a silent false-negative factory — fail fast. */
+    * vectors is a silent false-negative factory — fail fast. The
+    * verdict schema generation is pinned and healed exactly as in
+    * [[graft.operators.NearDupGate]]'s syncLayout (same version
+    * history: v2 added n_capped_keys). */
   private def syncLayout(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val expect = Seq("dim" -> dim.toString, "bands" -> bands.toString,
-      "row_bits" -> rowBits.toString, "seed" -> seed.toString)
-    if (fs.exists(mp))
-      graft.operators.GateLayout
-        .check(graft.operators.GateLayout.read(fs, mp), root, expect)
-    else graft.operators.GateLayout.write(fs, mp, expect)
+      "row_bits" -> rowBits.toString, "seed" -> seed.toString,
+      "verdict_schema" -> GateOps.verdictSchemaVersion)
+    if (fs.exists(mp)) {
+      val m = graft.operators.GateLayout.read(fs, mp)
+      graft.operators.GateLayout.check(m, root, expect)
+      if (!m.contains("verdict_schema"))
+        graft.operators.GateLayout.write(fs, mp, expect)
+    } else graft.operators.GateLayout.write(fs, mp, expect)
   }
 
   private def keyOf(band: Int, bkey: Int): Long =
@@ -820,12 +826,19 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     val vecsPath = s"$root/vecs"
     val fs = new org.apache.hadoop.fs.Path(keysPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (seen == null) {
+      // BEFORE the existence checks: a restart inside compact's
+      // generation-swap crash window must restore the surviving
+      // generation, or the seen-key set would rebuild empty and
+      // every stored vector silently re-admit
+      Seq("keys", "vecs", "verdicts")
+        .foreach(GateOps.recoverGeneration(fs, root, _))
+      syncLayout(spark)
+      initSeen(spark, keysPath,
+        fs.exists(new org.apache.hadoop.fs.Path(keysPath)))
+    }
     val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
     val vecsExist = fs.exists(new org.apache.hadoop.fs.Path(vecsPath))
-    if (seen == null) {
-      syncLayout(spark)
-      initSeen(spark, keysPath, keysExist)
-    }
     // id-keyed dedup replaces the parallelism shuffle (see
     // NearDupGate, incl. the explicit-width rule: a bare
     // dropDuplicates AQE-coalesces to one partition and the
@@ -836,8 +849,12 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       .dropDuplicates("id")
       .localCheckpoint()
     // measured-count broadcast discipline (see NearDupGate: planner
-    // stats on checkpointed survivor frames cannot be trusted)
-    val smallBatch = batchVecs.count() <= candCap
+    // stats on checkpointed survivor frames cannot be trusted). The
+    // threshold is the family's dedicated broadcast-row constant, NOT
+    // candCap: candCap is a candidate-FETCH knob, and a deployment
+    // raising it to millions must not thereby force-broadcast a
+    // multi-million-row vector frame into the driver
+    val smallBatch = batchVecs.count() <= GateOps.broadcastRowCap
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (smallBatch) broadcast(df) else df
     val batchKeys = keyed(batchVecs).localCheckpoint()
@@ -964,6 +981,10 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manual compaction on a fresh gate needs the swap-crash-window
+    // recovery the admit-time first open gets
+    Seq("keys", "vecs", "verdicts")
+      .foreach(GateOps.recoverGeneration(fs, root, _))
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/keys"))) return
     spark.read
       .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))

@@ -43,6 +43,54 @@ object Curation {
       lmTable: DataFrame, evalGrams: DataFrame,
       evalFrom: Long, evalUntil: Long)
 
+  /** Persistence for the shared reference artifacts, so a production
+    * [[start]] runs against PRE-TRAINED models instead of paying the
+    * train cost in-stream: at 100 TB the NB/LM/eval-gram artifacts
+    * are retrained on a cadence by a separate batch job and every
+    * ingest worker [[Models.load]]s them — steady-state per-batch
+    * cost then contains zero model-build work. Each frame lands as
+    * one parquet dir (coalesce(1) — they are model-sized, and the
+    * single task guarantees a schema-bearing file even for an empty
+    * eval slice); the eval id window travels in a manifest beside
+    * them (the same `_layout` k=v protocol the gates use) so a
+    * loaded model can never pair the gram index with the wrong
+    * window. */
+  object Models {
+    def save(m: Models, dir: String): Unit = {
+      m.nbCounts.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/nb_counts")
+      m.nbPriors.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/nb_priors")
+      m.lmTable.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/lm_table")
+      m.evalGrams.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/eval_grams")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_layout")
+      val fs = p.getFileSystem(m.nbCounts.sparkSession
+        .sparkContext.hadoopConfiguration)
+      graft.operators.GateLayout.write(fs, p,
+        Seq("eval_from" -> m.evalFrom.toString,
+          "eval_until" -> m.evalUntil.toString))
+    }
+
+    /** Load persisted artifacts, localCheckpointed like
+      * [[trainModels]]'s output so every micro-batch reuses them
+      * without re-reading. Verdicts under a loaded model are
+      * bit-exactly those under the trained one (round-trip-pinned by
+      * spec): every column is integer/string-typed by construction,
+      * so the parquet round trip is lossless. */
+    def load(spark: SparkSession, dir: String): Models = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_layout")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = graft.operators.GateLayout.read(fs, p)
+      def rd(name: String): DataFrame =
+        spark.read.parquet(s"$dir/$name").localCheckpoint()
+      Models(rd("nb_counts"), rd("nb_priors"), rd("lm_table"),
+        rd("eval_grams"),
+        m("eval_from").toLong, m("eval_until").toLong)
+    }
+  }
+
   /** Per-doc distinct 13-gram md5s (array_distinct — a per-row fold,
     * matching the decontamination oracle's list_distinct). */
   private def gramArr: org.apache.spark.sql.Column = when(
@@ -87,7 +135,18 @@ object Curation {
     * decontam_kept, lm_kept, kept). */
   def curateBatch(batch: DataFrame, ngate: NoveltyGate,
       ndgate: NearDupGate, models: Models): DataFrame = {
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    // one row per doc_id before ANY stage (the NearDupGate batch-side
+    // pattern, same explicit-width rule — a bare dropDuplicates lets
+    // AQE coalesce to one partition and the checkpoint freezes it):
+    // an upstream at-least-once duplicate inside one batch would
+    // otherwise multiply rows through every stage join and double
+    // nbPredict's per-doc bit sums while the priors stay single,
+    // which can flip quality_kept for that doc vs batch semantics
+    val b = batch.select(col("doc_id"), col("text"))
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint()
     // stage 1: exact novelty (first-wins per fingerprint, ownership-
     // backed so a replay reproduces)
     val nov = ngate.admitScored(b, "doc_id", "text")
@@ -168,10 +227,20 @@ object Curation {
   /** Wire a parquet document stream through the chain: per-batch
     * verdicts append to `outDir/scored`, gate state lives under
     * `outDir/nov` and `outDir/nd`. `models` are typically
-    * [[trainModels]] over the reference corpus. */
+    * [[trainModels]] over the reference corpus.
+    *
+    * `bandKeyCap`/`candCap` pass straight through to the stage-2
+    * [[NearDupGate]] — the production entry point must be able to
+    * enable its own scale remedy (a hot band key otherwise makes
+    * stage 2's candidate-pair volume unbounded at 100 TB; with the
+    * cap on it is bounded at batch·bands·cap, shed reported in the
+    * gate's own verdicts table under `outDir/nd/verdicts`, matching
+    * [[startEmbedding]]'s knob). Defaults (0 / 100000) keep the
+    * exact oracle semantics the ev_stream_curate row replays. */
   def start(spark: SparkSession, docsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       models: Models, autoCompactEvery: Int = 16,
+      bandKeyCap: Int = 0, candCap: Int = 100000,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // seed the verdict table with its zero-row schema so a stream
     // that drains with no non-empty batch still leaves a readable
@@ -190,8 +259,8 @@ object Curation {
     // oracle rows are unaffected
     val ngate = new NoveltyGate(s"$outDir/nov",
       autoCompactEvery = autoCompactEvery)
-    val ndgate = new NearDupGate(s"$outDir/nd",
-      autoCompactEvery = autoCompactEvery)
+    val ndgate = new NearDupGate(s"$outDir/nd", candCap = candCap,
+      bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
     spark.readStream.schema(schema).parquet(docsGlob)
       .writeStream.queryName("graft_stream_curate")
       .option("checkpointLocation", s"$outDir/_ckpt")

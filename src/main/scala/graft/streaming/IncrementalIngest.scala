@@ -44,11 +44,24 @@ object IncrementalIngest {
     * whose MUTABLE envelope (scraped_at, url) moved, and a
     * downstream compaction can use the log to skip re-scoring
     * unchanged payloads.
-    */
+    *
+    * `curation = Some(models)` generalizes that to the COMPLETE
+    * five-gate chain ([[Curation.curateBatch]]: exact-novelty →
+    * near-dup → quality → decontam → LM perplexity) in the same
+    * flag-don't-drop posture: each record's crawl-invariant payload
+    * JSON is the document (id = the full-record hash, so the log
+    * keys line up with novelty_log's), the per-record verdict frame
+    * lands in `tableDir/curation_log` BEFORE the unify+merge, and
+    * the merge still processes the full batch. Gate state lives
+    * under `tableDir/curation/{nov,nd}` — self-tending like the
+    * novelty mode. The two modes are independent knobs (curation
+    * subsumes the novelty flag's information but keeps its own
+    * state, so enabling both is supported and simply redundant). */
   def start(spark: SparkSession, landingDir: String, tableDir: String,
       platform: String = "ibiza-spotlight",
       checkpoint: Option[String] = None,
-      noveltyGate: Boolean = false): StreamingQuery = {
+      noveltyGate: Boolean = false,
+      curation: Option[Curation.Models] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(rawSchema)
       .option("multiLine", true)
@@ -62,6 +75,14 @@ object IncrementalIngest {
       Some(new graft.operators.NoveltyGate(s"$tableDir/novelty",
         autoCompactEvery = 16))
     else None
+    // the composed-curation gates follow the same one-per-stream,
+    // driver-side, self-tending discipline
+    val curGates = curation.map { _ =>
+      (new graft.operators.NoveltyGate(s"$tableDir/curation/nov",
+          autoCompactEvery = 16),
+        new graft.operators.NearDupGate(s"$tableDir/curation/nd",
+          autoCompactEvery = 16))
+    }
     stream.writeStream
       .queryName("graft-incremental-ingest")
       .option("checkpointLocation",
@@ -75,9 +96,30 @@ object IncrementalIngest {
               xxhash64(to_json(struct(batch.columns.map(col): _*)))
                 .as("ingest_id"),
               to_json(struct(payloadCols.map(col): _*)).as("payload"))
+              // ingest_id hashes the FULL record incl. scraped_at, so
+              // two byte-identical raw rows in one landing file share
+              // it — without this dedup admitScored would emit two
+              // log rows for them and log-count accounting over-counts
+              .dropDuplicates("ingest_id")
             g.admitScored(prepared, "ingest_id", "payload")
               .withColumnRenamed("id", "ingest_id")
               .write.mode("append").parquet(s"$tableDir/novelty_log")
+          }
+          curation.foreach { models =>
+            val (cng, cnd) = curGates.get
+            val payloadCols = batch.columns.filterNot(_ == "scraped_at")
+            // id = full-record hash (novelty_log's key), document =
+            // the crawl-invariant payload JSON; dedup mirrors the
+            // novelty path's (byte-identical rows in one landing
+            // file would double-log)
+            val docs = batch.select(
+              xxhash64(to_json(struct(batch.columns.map(col): _*)))
+                .as("doc_id"),
+              to_json(struct(payloadCols.map(col): _*)).as("text"))
+              .dropDuplicates("doc_id")
+            Curation.curateBatch(docs, cng, cnd, models)
+              .withColumnRenamed("doc_id", "ingest_id")
+              .write.mode("append").parquet(s"$tableDir/curation_log")
           }
           // Month partition (the TableLayout key) must be STABLE per
           // event_id across re-scrapes, or the partition-pruned merge

@@ -1302,199 +1302,65 @@ object StreamingQueries {
         s.read.parquet(s"$out/scored").distinct()
           .orderBy(col("doc_id"))
       },
-      {
-        val coeffs = graft.operators.Dedup.portableCoeffs(32)
-          .zipWithIndex
-          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
-          .mkString(", ")
-        s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
-           |f AS (
-           |  SELECT doc_id,
-           |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
-           |  FROM documents),
-           |nov AS (
-           |  SELECT doc_id, CASE WHEN fp IS NOT NULL AND
-           |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
-           |    THEN 1 ELSE 0 END AS is_novel
-           |  FROM f),
-           |s1 AS (SELECT d.doc_id, d.text FROM documents d
-           |       JOIN nov ON nov.doc_id = d.doc_id AND nov.is_novel = 1),
-           |sh AS (
-           |  SELECT doc_id,
-           |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
-           |  FROM s1),
-           |vals AS (
-           |  SELECT doc_id, i,
-           |    list_min(list_transform(shingles,
-           |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
-           |           % 2147483647)) AS v
-           |  FROM sh, coeffs),
-           |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
-           |        FROM vals GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
-           |  FROM sig, range(0, 16) r(b)),
-           |cand AS (
-           |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
-           |  FROM bands q JOIN bands c
-           |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),
-           |eq AS (
-           |  SELECT cand.id,
-           |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
-           |      AS n_eq
-           |  FROM cand
-           |  JOIN sig s1 ON s1.doc_id = cand.id
-           |  JOIN sig s2 ON s2.doc_id = cand.cid),
-           |nda AS (SELECT id, MAX(n_eq) AS best_eq FROM eq GROUP BY id),
-           |nd AS (
-           |  SELECT s1.doc_id, CASE WHEN COALESCE(a.best_eq, 0) >= 16
-           |    THEN 1 ELSE 0 END AS is_neardup
-           |  FROM s1 LEFT JOIN nda a ON a.id = s1.doc_id),
-           |s2 AS (SELECT s1.doc_id, s1.text FROM s1
-           |       JOIN nd ON nd.doc_id = s1.doc_id AND nd.is_neardup = 0),
-           |docsy AS (
-           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           |    string_split_regex(trim(lower(text)), '\\s+') AS t
-           |  FROM documents),
-           |tk AS (
-           |  SELECT doc_id, y, token FROM (
-           |    SELECT doc_id, y, unnest(t) AS token FROM docsy)
-           |  WHERE token <> ''),
-           |counts AS (
-           |  SELECT token, CAST(SUM(y) AS BIGINT) AS n1,
-           |    CAST(SUM(1 - y) AS BIGINT) AS n0
-           |  FROM tk GROUP BY token),
-           |totals AS (
-           |  SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
-           |    CAST(SUM(n0) AS BIGINT) AS tn0, COUNT(*) AS v
-           |  FROM counts),
-           |priors AS (
-           |  SELECT CAST(SUM(y) AS BIGINT) AS d1,
-           |    CAST(SUM(1 - y) AS BIGINT) AS d0
-           |  FROM docsy),
-           |bsc AS (
-           |  SELECT t.doc_id,
-           |    length(bin((tt.tn1 + tt.v) // (COALESCE(c.n1, 0) + 1))) - 1
-           |      AS b1,
-           |    length(bin((tt.tn0 + tt.v) // (COALESCE(c.n0, 0) + 1))) - 1
-           |      AS b0
-           |  FROM tk t LEFT JOIN counts c USING (token) CROSS JOIN totals tt
-           |  WHERE t.doc_id IN (SELECT doc_id FROM s2)),
-           |sc AS (
-           |  SELECT doc_id, CAST(SUM(b1) AS BIGINT) AS bits1,
-           |    CAST(SUM(b0) AS BIGINT) AS bits0
-           |  FROM bsc GROUP BY 1),
-           |gw AS (
-           |  SELECT doc_id, list_filter(
-           |    COALESCE(string_split_regex(trim(lower(text)), '\\s+'), []),
-           |    x -> x <> '') AS w
-           |  FROM s2),
-           |m AS (
-           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
-           |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
-           |      AS BIGINT) AS sum_len,
-           |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-           |      AS BIGINT) AS n_alpha,
-           |    CAST(len(list_filter(w,
-           |      x -> contains(x, '#') OR contains(x, '...')))
-           |      AS BIGINT) AS n_sym,
-           |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
-           |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
-           |      AS stop_hits
-           |  FROM gw),
-           |q3 AS (
-           |  SELECT m.doc_id,
-           |    CASE WHEN m.n >= 50 AND m.n <= 100000
-           |      AND m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10
-           |      AND m.n_alpha * 5 >= m.n * 4 AND m.n_sym * 10 <= m.n
-           |      AND m.stop_hits >= 2
-           |      AND COALESCE(CASE WHEN sc.bits1
-           |            + (length(bin((p.d1 + p.d0) // p.d1)) - 1)
-           |          < sc.bits0 + (length(bin((p.d1 + p.d0) // p.d0)) - 1)
-           |        THEN 1 ELSE 0 END, 0) = 1
-           |      THEN 1 ELSE 0 END AS quality_kept
-           |  FROM m LEFT JOIN sc ON sc.doc_id = m.doc_id
-           |  CROSS JOIN priors p),
-           |s3 AS (SELECT s2.doc_id, s2.text FROM s2
-           |       JOIN q3 ON q3.doc_id = s2.doc_id AND q3.quality_kept = 1),
-           |tkg AS (
-           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-           |  FROM documents),
-           |g AS (
-           |  SELECT doc_id, unnest(list_distinct(
-           |    list_transform(range(1, len(w) - 11),
-           |      i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
-           |  FROM tkg),
-           |shd AS (
-           |  SELECT t.doc_id AS id, COUNT(*) AS n_shared
-           |  FROM g t JOIN g e ON t.g = e.g
-           |  WHERE t.doc_id IN (SELECT doc_id FROM s3)
-           |    AND e.doc_id >= 400 AND e.doc_id < 500
-           |  GROUP BY 1),
-           |dec AS (
-           |  SELECT s3.doc_id,
-           |    CASE WHEN s3.doc_id >= 400 AND s3.doc_id < 500 THEN 0
-           |         WHEN COALESCE(shd.n_shared, 0) > 0 THEN 0
-           |         ELSE 1 END AS decontam_kept
-           |  FROM s3 LEFT JOIN shd ON shd.id = s3.doc_id),
-           |s4 AS (SELECT s3.doc_id, s3.text FROM s3
-           |       JOIN dec ON dec.doc_id = s3.doc_id
-           |         AND dec.decontam_kept = 1),
-           |d0l AS (
-           |  SELECT doc_id,
-           |    string_split_regex(trim(lower(text)), '\\s+') AS t
-           |  FROM documents),
-           |bg AS (
-           |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
-           |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
-           |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
-           |    FROM d0l WHERE len(t) >= 2)
-           |  WHERE b.w1 <> '' AND b.w2 <> ''),
-           |nlm AS (
-           |  SELECT w1, w2, COUNT(*) AS n
-           |  FROM bg GROUP BY 1, 2),
-           |lm AS (
-           |  SELECT w1, w2, n,
-           |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
-           |  FROM nlm),
-           |costs AS (
-           |  SELECT bg.doc_id,
-           |    CASE WHEN lm.n IS NULL THEN 20
-           |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
-           |  FROM bg LEFT JOIN lm USING (w1, w2)
-           |  WHERE bg.doc_id IN (SELECT doc_id FROM s4)),
-           |lsc AS (
-           |  SELECT doc_id, COUNT(*) AS n_bigrams,
-           |    CAST(SUM(bits) AS BIGINT) AS total_bits
-           |  FROM costs GROUP BY 1),
-           |lmk AS (
-           |  SELECT s4.doc_id,
-           |    COALESCE(CASE WHEN lsc.total_bits * 1000 // lsc.n_bigrams
-           |      < 12000 THEN 1 ELSE 0 END, 0) AS lm_kept
-           |  FROM s4 LEFT JOIN lsc ON lsc.doc_id = s4.doc_id)
-           |SELECT d.doc_id,
-           |  CAST(nov.is_novel AS INTEGER) AS is_novel,
-           |  CAST(nd.is_neardup AS INTEGER) AS is_neardup,
-           |  CAST(q3.quality_kept AS INTEGER) AS quality_kept,
-           |  CAST(dec.decontam_kept AS INTEGER) AS decontam_kept,
-           |  CAST(lmk.lm_kept AS INTEGER) AS lm_kept,
-           |  CAST(CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
-           |    AND q3.quality_kept = 1 AND dec.decontam_kept = 1
-           |    AND lmk.lm_kept = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
-           |FROM documents d
-           |LEFT JOIN nov ON nov.doc_id = d.doc_id
-           |LEFT JOIN nd ON nd.doc_id = d.doc_id
-           |LEFT JOIN q3 ON q3.doc_id = d.doc_id
-           |LEFT JOIN dec ON dec.doc_id = d.doc_id
-           |LEFT JOIN lmk ON lmk.doc_id = d.doc_id
-           |ORDER BY d.doc_id""".stripMargin
-      }),
+      curateOracleSql()),
+
+    // Flag-don't-drop INGEST topology — the five-gate verdict chain
+    // composed into the keyed month-merge path (the
+    // IncrementalIngest.start(curation=...) production shape, staged
+    // over the documents fixture): per-doc verdicts land in a log
+    // BEFORE the merge, and the merge still processes the FULL batch
+    // — curation informs the corpus, it never censors the system of
+    // record. The result joins the verdict log against the ACTUAL
+    // merged table, so `merged` = 1 proves every doc (kept or not)
+    // reached the table; the oracle replays the curate chain plus
+    // that all-merged invariant.
+    "ev_stream_ingest_curated" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_ingest_curated", d)
+        val models = graft.streaming.Curation
+          .trainModels(T.documents(s, d))
+        val ngate = new graft.operators.NoveltyGate(s"$out/nov")
+        val ndgate = new graft.operators.NearDupGate(s"$out/nd")
+        seedEmptyParquet(s, s"$out/log",
+          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+            "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+        val q = stream.writeStream
+          .queryName("graft_stream_ingest_curated")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              // verdicts FIRST (flag-don't-drop), then the partition-
+              // pruned merge of the full batch (synthetic month key,
+              // the ev_stream_upsert layout)
+              graft.streaming.Curation
+                .curateBatch(batch, ngate, ndgate, models)
+                .write.mode("append").parquet(s"$out/log")
+              graft.operators.MergeOps.upsertParquetByMonth(
+                batch.sparkSession, s"$out/events",
+                batch.select(col("doc_id"),
+                  concat(lit("2025-0"),
+                    (col("doc_id") % 6 + 1).cast("string"))
+                    .as("start_month"),
+                  col("doc_id").as("updated_seq")),
+                Seq("doc_id"), "updated_seq")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/log").distinct()
+          .join(s.read.parquet(s"$out/events")
+            .select(col("doc_id"), lit(1).as("merged")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("is_novel"), col("is_neardup"),
+            col("quality_kept"), col("decontam_kept"), col("lm_kept"),
+            col("kept"), coalesce(col("merged"), lit(0)).as("merged"))
+          .orderBy(col("doc_id"))
+      },
+      curateOracleSql(",\n  CAST(1 AS INTEGER) AS merged")),
 
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
@@ -1553,4 +1419,201 @@ object StreamingQueries {
         |  CAST(SUM(win * n) AS BIGINT) AS win_checksum
         |FROM f""".stripMargin)
   )
+  /** The composed five-stage curation chain as ONE DuckDB SQL
+    * (shared by ev_stream_curate and ev_stream_ingest_curated —
+    * `extraSelect` splices extra output columns after `kept`). */
+  private def curateOracleSql(extraSelect: String = ""): String = {
+    val coeffs = graft.operators.Dedup.portableCoeffs(32)
+      .zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+      .mkString(", ")
+    s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |nov AS (
+       |  SELECT doc_id, CASE WHEN fp IS NOT NULL AND
+       |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |    THEN 1 ELSE 0 END AS is_novel
+       |  FROM f),
+       |s1 AS (SELECT d.doc_id, d.text FROM documents d
+       |       JOIN nov ON nov.doc_id = d.doc_id AND nov.is_novel = 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
+       |  FROM s1),
+       |vals AS (
+       |  SELECT doc_id, i,
+       |    list_min(list_transform(shingles,
+       |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
+       |           % 2147483647)) AS v
+       |  FROM sh, coeffs),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+       |        FROM vals GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
+       |  FROM sig, range(0, 16) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+       |  FROM bands q JOIN bands c
+       |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),
+       |eq AS (
+       |  SELECT cand.id,
+       |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
+       |      AS n_eq
+       |  FROM cand
+       |  JOIN sig s1 ON s1.doc_id = cand.id
+       |  JOIN sig s2 ON s2.doc_id = cand.cid),
+       |nda AS (SELECT id, MAX(n_eq) AS best_eq FROM eq GROUP BY id),
+       |nd AS (
+       |  SELECT s1.doc_id, CASE WHEN COALESCE(a.best_eq, 0) >= 16
+       |    THEN 1 ELSE 0 END AS is_neardup
+       |  FROM s1 LEFT JOIN nda a ON a.id = s1.doc_id),
+       |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+       |       JOIN nd ON nd.doc_id = s1.doc_id AND nd.is_neardup = 0),
+       |docsy AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, y, token FROM (
+       |    SELECT doc_id, y, unnest(t) AS token FROM docsy)
+       |  WHERE token <> ''),
+       |counts AS (
+       |  SELECT token, CAST(SUM(y) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - y) AS BIGINT) AS n0
+       |  FROM tk GROUP BY token),
+       |totals AS (
+       |  SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+       |    CAST(SUM(n0) AS BIGINT) AS tn0, COUNT(*) AS v
+       |  FROM counts),
+       |priors AS (
+       |  SELECT CAST(SUM(y) AS BIGINT) AS d1,
+       |    CAST(SUM(1 - y) AS BIGINT) AS d0
+       |  FROM docsy),
+       |bsc AS (
+       |  SELECT t.doc_id,
+       |    length(bin((tt.tn1 + tt.v) // (COALESCE(c.n1, 0) + 1))) - 1
+       |      AS b1,
+       |    length(bin((tt.tn0 + tt.v) // (COALESCE(c.n0, 0) + 1))) - 1
+       |      AS b0
+       |  FROM tk t LEFT JOIN counts c USING (token) CROSS JOIN totals tt
+       |  WHERE t.doc_id IN (SELECT doc_id FROM s2)),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(b1) AS BIGINT) AS bits1,
+       |    CAST(SUM(b0) AS BIGINT) AS bits0
+       |  FROM bsc GROUP BY 1),
+       |gw AS (
+       |  SELECT doc_id, list_filter(
+       |    COALESCE(string_split_regex(trim(lower(text)), '\\s+'), []),
+       |    x -> x <> '') AS w
+       |  FROM s2),
+       |m AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+       |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+       |      AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(w,
+       |      x -> contains(x, '#') OR contains(x, '...')))
+       |      AS BIGINT) AS n_sym,
+       |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+       |      AS stop_hits
+       |  FROM gw),
+       |q3 AS (
+       |  SELECT m.doc_id,
+       |    CASE WHEN m.n >= 50 AND m.n <= 100000
+       |      AND m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10
+       |      AND m.n_alpha * 5 >= m.n * 4 AND m.n_sym * 10 <= m.n
+       |      AND m.stop_hits >= 2
+       |      AND COALESCE(CASE WHEN sc.bits1
+       |            + (length(bin((p.d1 + p.d0) // p.d1)) - 1)
+       |          < sc.bits0 + (length(bin((p.d1 + p.d0) // p.d0)) - 1)
+       |        THEN 1 ELSE 0 END, 0) = 1
+       |      THEN 1 ELSE 0 END AS quality_kept
+       |  FROM m LEFT JOIN sc ON sc.doc_id = m.doc_id
+       |  CROSS JOIN priors p),
+       |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+       |       JOIN q3 ON q3.doc_id = s2.doc_id AND q3.quality_kept = 1),
+       |tkg AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(w) - 11),
+       |      i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+       |  FROM tkg),
+       |shd AS (
+       |  SELECT t.doc_id AS id, COUNT(*) AS n_shared
+       |  FROM g t JOIN g e ON t.g = e.g
+       |  WHERE t.doc_id IN (SELECT doc_id FROM s3)
+       |    AND e.doc_id >= 400 AND e.doc_id < 500
+       |  GROUP BY 1),
+       |dec AS (
+       |  SELECT s3.doc_id,
+       |    CASE WHEN s3.doc_id >= 400 AND s3.doc_id < 500 THEN 0
+       |         WHEN COALESCE(shd.n_shared, 0) > 0 THEN 0
+       |         ELSE 1 END AS decontam_kept
+       |  FROM s3 LEFT JOIN shd ON shd.id = s3.doc_id),
+       |s4 AS (SELECT s3.doc_id, s3.text FROM s3
+       |       JOIN dec ON dec.doc_id = s3.doc_id
+       |         AND dec.decontam_kept = 1),
+       |d0l AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+       |    FROM d0l WHERE len(t) >= 2)
+       |  WHERE b.w1 <> '' AND b.w2 <> ''),
+       |nlm AS (
+       |  SELECT w1, w2, COUNT(*) AS n
+       |  FROM bg GROUP BY 1, 2),
+       |lm AS (
+       |  SELECT w1, w2, n,
+       |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+       |  FROM nlm),
+       |costs AS (
+       |  SELECT bg.doc_id,
+       |    CASE WHEN lm.n IS NULL THEN 20
+       |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
+       |  FROM bg LEFT JOIN lm USING (w1, w2)
+       |  WHERE bg.doc_id IN (SELECT doc_id FROM s4)),
+       |lsc AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(bits) AS BIGINT) AS total_bits
+       |  FROM costs GROUP BY 1),
+       |lmk AS (
+       |  SELECT s4.doc_id,
+       |    COALESCE(CASE WHEN lsc.total_bits * 1000 // lsc.n_bigrams
+       |      < 12000 THEN 1 ELSE 0 END, 0) AS lm_kept
+       |  FROM s4 LEFT JOIN lsc ON lsc.doc_id = s4.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(nov.is_novel AS INTEGER) AS is_novel,
+       |  CAST(nd.is_neardup AS INTEGER) AS is_neardup,
+       |  CAST(q3.quality_kept AS INTEGER) AS quality_kept,
+       |  CAST(dec.decontam_kept AS INTEGER) AS decontam_kept,
+       |  CAST(lmk.lm_kept AS INTEGER) AS lm_kept,
+       |  CAST(CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
+       |    AND q3.quality_kept = 1 AND dec.decontam_kept = 1
+       |    AND lmk.lm_kept = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept$extraSelect
+       |FROM documents d
+       |LEFT JOIN nov ON nov.doc_id = d.doc_id
+       |LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |LEFT JOIN q3 ON q3.doc_id = d.doc_id
+       |LEFT JOIN dec ON dec.doc_id = d.doc_id
+       |LEFT JOIN lmk ON lmk.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
 }

@@ -268,6 +268,55 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
     assert(months === Array("start_month=2025-07", "start_month=2025-08"))
   }
 
+  test("streaming: curated ingest logs five-gate verdicts while the merge converges") {
+    // the COMPLETE production topology: the composed curation chain
+    // in flag-don't-drop mode ahead of the keyed month merge — every
+    // record verdict-logged, every record still merged
+    val dir = Files.createTempDirectory("graft_curated").toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    // both NB labels populated (an all-en corpus would zero the
+    // label-0 prior denominator)
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    Files.writeString(new java.io.File(s"$landing/crawl1.json").toPath,
+      """[{"title": "Curated Event One", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1",
+        |  "scraped_at": "2025-07-01T00:00:00"}]""".stripMargin)
+    IncrementalIngest.start(spark, landing, dir, curation = Some(models))
+      .awaitTermination(60000)
+    val log1 = spark.read.parquet(s"$dir/curation_log")
+    assert(log1.count() === 1 && log1.select("is_novel").head().getInt(0) === 1)
+    // crawl 2: the same payload re-scraped (scraped_at moved → new
+    // full-record id, SAME crawl-invariant document) + one new event;
+    // a fresh start() exercises the curation gates' restart path
+    Files.writeString(new java.io.File(s"$landing/crawl2.json").toPath,
+      """[{"title": "Curated Event One", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1",
+        |  "scraped_at": "2025-07-02T00:00:00"},
+        | {"title": "Curated Event Two", "time": "Saturday 16 August 2025",
+        |  "venue": "dc10", "url": "https://x.com/2",
+        |  "scraped_at": "2025-07-02T00:00:00"}]""".stripMargin)
+    IncrementalIngest.start(spark, landing, dir, curation = Some(models))
+      .awaitTermination(60000)
+    val log2 = spark.read.parquet(s"$dir/curation_log").distinct()
+    assert(log2.count() === 3, "one verdict row per landed record")
+    assert(log2.filter(col("is_novel") === 1).count() === 2,
+      "exactly the two distinct payloads flag novel")
+    // stage lattice holds in the ingest topology: a stage-1 drop
+    // leaves every later stage NULL
+    assert(log2.filter(col("is_novel") === 0 &&
+      col("is_neardup").isNotNull).isEmpty)
+    // verdict log + merged table AGREE on every doc: novel-verdict
+    // count == distinct payloads == merged rows, and flag-don't-drop
+    // means the re-crawl still reached the merge (both months exist)
+    assert(spark.read.parquet(s"$dir/events").count() === 2)
+    val months = new java.io.File(s"$dir/events").listFiles()
+      .map(_.getName).filter(_.startsWith("start_month=")).sorted
+    assert(months === Array("start_month=2025-07", "start_month=2025-08"))
+  }
+
   test("streaming: hourly rollup with watermark produces windowed counts") {
     val dir = Files.createTempDirectory("graft_roll").toFile.getAbsolutePath
     Tables.events(spark, "/root/testdata/sf0.001")

@@ -342,6 +342,75 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(v(3L) === 1)
   }
 
+  test("gates recover the generation-swap crash window at first open") {
+    // swapGeneration's one crash window: between rename(cur→old) and
+    // rename(tmp→cur) the live path exists at NEITHER location. The
+    // _tmp sibling is the fully-written NEW generation (swaps only
+    // run after the overwrite writes complete) — a reopened gate must
+    // restore it instead of treating the table as empty and silently
+    // re-admitting everything. Staged here for all three gates by
+    // renaming each live table to its _tmp sibling.
+    val out = new java.io.File("target/test_gate_swap_recover")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def crash(root: String, tables: Seq[String]): Unit =
+      tables.foreach(n => fs.rename(p(s"$root/$n"), p(s"$root/${n}_tmp")))
+    // novelty gate: the recovered fingerprint table must still
+    // remember batch 1 (doc 3 is a whitespace-variant duplicate)
+    val nroot = s"$out/nov"
+    new graft.operators.NoveltyGate(nroot)
+      .admit(Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"))
+    crash(nroot, Seq("data", "bloom"))
+    val nv = new graft.operators.NoveltyGate(nroot)
+      .admitScored(Seq((3L, "alpha  beta"), (4L, "delta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nv === Map(3L -> 0, 4L -> 1),
+      "recovered novelty gate must remember batch-1 fingerprints")
+    assert(!fs.exists(p(s"$nroot/data_tmp")) &&
+      !fs.exists(p(s"$nroot/data_old")), "recovery must leave one live generation")
+    // near-dup gate: the recovered band index + sigs must flag an
+    // identical-text arrival (n_eq = 32 ≥ minEq)
+    val ndroot = s"$out/nd"
+    val base = "the quick brown fox jumps over the lazy dog with many tokens"
+    new graft.operators.NearDupGate(ndroot)
+      .admit(Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    crash(ndroot, Seq("bands", "sigs", "verdicts"))
+    val ndv = new graft.operators.NearDupGate(ndroot)
+      .admitScored(Seq((2L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(ndv === Map(2L -> 1),
+      "recovered near-dup gate must flag against the restored index")
+    // embedding gate: the recovered keys + vecs must flag a parallel
+    // arrival through the rebuilt seen-key set
+    val eroot = s"$out/embed"
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("id", "v")
+    new graft.operators.EmbedNearDupGate(eroot, dim = 4,
+        bands = 2, rowBits = 2, minCosine = 0.5)
+      .admit(vecs(1L -> Seq(1f, 0f, 0f, 0f)), "id", "v")
+    crash(eroot, Seq("keys", "vecs", "verdicts"))
+    val ev = spark.read.parquet {
+      new graft.operators.EmbedNearDupGate(eroot, dim = 4,
+          bands = 2, rowBits = 2, minCosine = 0.5)
+        .admit(vecs(2L -> Seq(0.99f, 0.02f, 0f, 0f)), "id", "v")
+      s"$eroot/verdicts"
+    }.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(ev === Map(1L -> 0, 2L -> 1),
+      "recovered embedding gate must flag against the restored index")
+    // the _old-only variant (defensive: not reachable from
+    // swapGeneration's ordering) restores the old generation too
+    fs.rename(p(s"$nroot/data"), p(s"$nroot/data_old"))
+    val nv2 = new graft.operators.NoveltyGate(nroot)
+      .admitScored(Seq((5L, "gamma")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nv2 === Map(5L -> 0),
+      "an _old-only survivor must restore rather than start empty")
+  }
+
   test("streaming near-dup gate flags a near-duplicate arriving in a LATER batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -584,6 +653,193 @@ class StreamingStateSpec extends AnyFunSuite {
     bad(col("kept") === 0 && col("lm_kept") === 1,
       "an lm-kept doc passed everything and must be kept")
     out.unpersist()
+  }
+
+  test("Curation.start passes the band-key cap through to its stage-2 gate") {
+    // the text pipeline's production entry point must be able to
+    // enable its own stage-2 scale remedy: capped-curate verdicts
+    // must equal composing curateBatch with a capped NearDupGate by
+    // hand, and the cap must demonstrably fire inside the started
+    // pipeline (shed reported in the gate's own verdicts table)
+    val out = new java.io.File("target/test_curate_cap").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // a hot template family: 10 docs sharing 40 tokens with one
+    // unique token each — distinct exact fingerprints (all pass
+    // stage 1) but near-identical signatures, so band keys carry all
+    // 10 sharers and a cap of 2 must truncate
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // both NB labels must be populated (an all-en corpus would zero
+    // the label-0 prior denominator)
+    val docs = (1L to 10L)
+      .map(i => (i, s"$common unique$i", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").parquet(s"$out/src")
+    val models = graft.streaming.Curation.trainModels(docs)
+    val schema = spark.read.parquet(s"$out/src").schema
+    graft.streaming.Curation.start(spark, s"$out/src", schema,
+        s"$out/run", models, bandKeyCap = 2)
+      .awaitTermination()
+    val scored = spark.read.parquet(s"$out/run/scored").distinct()
+    // the knob reached the gate: its verdicts table reports shed
+    val gateV = spark.read.parquet(s"$out/run/nd/verdicts").distinct()
+    assert(gateV.filter(col("n_capped_keys") > 0).count() > 0,
+      "the started pipeline's stage-2 gate must report truncated keys")
+    // hand-composed capped chain reaches identical verdicts
+    val ng = new graft.operators.NoveltyGate(s"$out/manual/nov")
+    val nd = new graft.operators.NearDupGate(s"$out/manual/nd",
+      bandKeyCap = 2)
+    val manual = graft.streaming.Curation.curateBatch(
+      docs.select(col("doc_id"), col("text")), ng, nd, models)
+    assert(scored.exceptAll(manual).isEmpty &&
+      manual.exceptAll(scored).isEmpty,
+      "capped Curation.start must equal the capped-gate composition")
+    // and the cap is semantically live: stage-2 candidate counts in
+    // the capped run stay ≤ what an UNCAPPED gate sees for the same
+    // batch (strictly fewer for at least one doc on this fixture)
+    val ndFree = new graft.operators.NearDupGate(s"$out/free/nd")
+    val freeV = ndFree.admitScored(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val joined = gateV.select(col("id"), col("n_cands").as("capped_n"))
+      .join(freeV.select(col("id"), col("n_cands").as("free_n")), "id")
+    assert(joined.filter(col("capped_n") > col("free_n")).isEmpty)
+    assert(joined.filter(col("capped_n") < col("free_n")).count() > 0)
+  }
+
+  test("persisted curation models reproduce verdicts bit-exactly") {
+    // the production separation: models trained on a cadence by a
+    // batch job, loaded by every ingest worker — a loaded model must
+    // be indistinguishable from the trained one, down to every
+    // verdict bit, or steady-state ingest silently drifts from the
+    // training run's census
+    val out = new java.io.File("target/test_curate_models")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = graft.streaming.Curation.trainModels(corpus)
+    graft.streaming.Curation.Models.save(trained, s"$out/models")
+    val loaded = graft.streaming.Curation.Models
+      .load(spark, s"$out/models")
+    assert(loaded.evalFrom === trained.evalFrom &&
+      loaded.evalUntil === trained.evalUntil,
+      "the eval window must travel with the gram index")
+    val batch = corpus.select(col("doc_id"), col("text")).limit(120)
+    def run(tag: String, m: graft.streaming.Curation.Models) =
+      graft.streaming.Curation.curateBatch(batch,
+        new graft.operators.NoveltyGate(s"$out/$tag/nov"),
+        new graft.operators.NearDupGate(s"$out/$tag/nd"), m)
+    val a = run("trained", trained)
+    val b = run("loaded", loaded)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "loaded models must reproduce every verdict bit-exactly")
+  }
+
+  test("capped near-dup gate composes per-probe across a multi-batch split") {
+    // spec-freezes the documented multi-batch semantics of the cap
+    // (the ev_stream_neardup_capped row's single-batch oracle caveat):
+    // "earliest-seen per key" composes PER PROBE — the index kept-set
+    // (cap smallest stored ids) plus the self-probe kept-set (cap
+    // smallest in-batch ids) — so a doc whose hot key straddles the
+    // split sees at most 2×cap candidates, deterministically.
+    // Fixture: 15 identical-text docs (every band key carries every
+    // doc), cap=4, split 10/5.
+    val out = new java.io.File("target/test_cap_multibatch")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def docs(ids: Range) = ids.map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    def vMap() = spark.read.parquet(s"$out/nd/verdicts").distinct()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    val gate = new graft.operators.NearDupGate(s"$out/nd", bandKeyCap = 4)
+    gate.admitScored(docs(1 to 10), "doc_id", "text")
+    gate.admitScored(docs(11 to 15), "doc_id", "text")
+    // hand-computed: batch 1 is the global-rank shape (kept = ids
+    // 1..4; doc q sees kept ∩ {<q}); batch 2 composes per-probe:
+    // 4 from the index (ids 1..4, the stored earliest) + up to 4
+    // in-batch predecessors (ids 11..14) — doc 15 hits the 2×cap
+    // ceiling at 8. All 16 band keys exceed the cap on both probes,
+    // so every doc reports n_capped_keys = 16.
+    val expect = Map(
+      1L -> ((0L, 0L, 0, 16L)),
+      2L -> ((1L, 32L, 1, 16L)), 3L -> ((2L, 32L, 1, 16L)),
+      4L -> ((3L, 32L, 1, 16L)), 5L -> ((4L, 32L, 1, 16L)),
+      6L -> ((4L, 32L, 1, 16L)), 7L -> ((4L, 32L, 1, 16L)),
+      8L -> ((4L, 32L, 1, 16L)), 9L -> ((4L, 32L, 1, 16L)),
+      10L -> ((4L, 32L, 1, 16L)),
+      11L -> ((4L, 32L, 1, 16L)), 12L -> ((5L, 32L, 1, 16L)),
+      13L -> ((6L, 32L, 1, 16L)), 14L -> ((7L, 32L, 1, 16L)),
+      15L -> ((8L, 32L, 1, 16L)))
+    assert(vMap() === expect,
+      "multi-batch capped verdicts must match the per-probe composition")
+    // replay determinism with the cap on: a restarted gate re-admitting
+    // batch 2 finds its own ids indexed, the exclusion removes them
+    // BEFORE the cap ranks, so the kept sets — and every verdict —
+    // reproduce exactly
+    val replay = new graft.operators.NearDupGate(s"$out/nd", bandKeyCap = 4)
+    replay.admitScored(docs(11 to 15), "doc_id", "text")
+    assert(vMap() === expect,
+      "a replayed capped batch must reproduce its verdicts bit-for-bit")
+  }
+
+  test("verdict-table schema generation is manifest-pinned: heal older, reject newer") {
+    // the verdict tables evolved (v2 added n_capped_keys) behind a
+    // normalize-on-read path; the manifest entry makes the OTHER
+    // direction — files written by newer code, read by this one —
+    // fail fast instead of silently dropping columns
+    val out = new java.io.File("target/test_verdict_schema")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val root = s"$out/nd"
+    val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
+    new graft.operators.NearDupGate(root)
+      .admit(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    val m0 = graft.operators.GateLayout.read(fs, mp)
+    assert(m0.get("verdict_schema") === Some("2"))
+    // a pre-versioning generation (manifest without the entry) is
+    // ADOPTED and healed — its v1 files are what normalize-on-read
+    // already absorbs
+    graft.operators.GateLayout.write(fs, mp,
+      (m0 - "verdict_schema").toSeq)
+    val g2 = new graft.operators.NearDupGate(root)
+    g2.admit(Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(graft.operators.GateLayout.read(fs, mp)
+      .get("verdict_schema") === Some("2"), "reopen must heal the manifest")
+    // a HIGHER generation's files must not be silently column-dropped
+    graft.operators.GateLayout.write(fs, mp,
+      m0.updated("verdict_schema", "99").toSeq)
+    val err = intercept[IllegalStateException] {
+      new graft.operators.NearDupGate(root)
+        .admit(Seq((3L, "eta theta iota")).toDF("doc_id", "text"),
+          "doc_id", "text")
+    }
+    assert(err.getMessage.contains("verdict_schema"))
+    // same contract on the embedding gate
+    val eroot = s"$out/embed"
+    new graft.operators.EmbedNearDupGate(eroot, dim = 4,
+        bands = 2, rowBits = 2)
+      .admit(Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("id", "v"), "id", "v")
+    val emp = new org.apache.hadoop.fs.Path(s"$eroot/_layout")
+    val em0 = graft.operators.GateLayout.read(fs, emp)
+    assert(em0.get("verdict_schema") === Some("2"))
+    graft.operators.GateLayout.write(fs, emp,
+      em0.updated("verdict_schema", "99").toSeq)
+    val eerr = intercept[IllegalStateException] {
+      new graft.operators.EmbedNearDupGate(eroot, dim = 4,
+          bands = 2, rowBits = 2)
+        .admit(Seq((2L, Seq(0f, 1f, 0f, 0f))).toDF("id", "v"), "id", "v")
+    }
+    assert(eerr.getMessage.contains("verdict_schema"))
   }
 
   test("near-dup gates reach the same verdicts through the dup-heavy fallback paths") {
