@@ -1029,7 +1029,7 @@ private[graft] object GateLayout {
 
 /** Maintenance machinery shared by the standing-gate family (one
   * implementation — a fix here reaches every gate). */
-private[operators] object GateOps {
+private[graft] object GateOps {
   /** Crash-ordered generation swap: `<root>/<name>_tmp` replaces
     * `<root>/<name>`, keeping the old generation as `_old` until the
     * new one is in place — a crash mid-swap leaves either generation

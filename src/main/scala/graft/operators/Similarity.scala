@@ -747,35 +747,54 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   private var seen: scala.collection.mutable.Set[Long] = _
   // the family-standard maintenance clock (NoveltyGate protocol)
   private var admitsSinceCompact: Int = 0
+  // the LIVE row-bits width — compact(newRowBits) can widen it for a
+  // grown corpus (the sizing rule: rowBits ≈ log2(corpus /
+  // target-candidates-per-band)), and every subsequent key
+  // derivation must follow. Durable in the layout manifest, restored
+  // at first open (the NoveltyGate pcCur discipline): an
+  // in-memory-only width would reset to the constructor default on
+  // restart and silently mis-key every probe after a widening.
+  private var rbCur: Int = rowBits
 
   /** Family-standard layout manifest (see [[graft.operators
     * .GateLayout]]): a dim/band/seed mismatch against stored keys +
     * vectors is a silent false-negative factory — fail fast. The
     * verdict schema generation is pinned and healed exactly as in
     * [[graft.operators.NearDupGate]]'s syncLayout (same version
-    * history: v2 added n_capped_keys). */
+    * history: v2 added n_capped_keys). `row_bits` is LIVE maintenance
+    * state rather than a fail-fast parameter (the NoveltyGate
+    * prefix-width discipline): [[compact]] can widen it for a grown
+    * corpus, so first open restores the persisted width instead of
+    * rejecting it. */
+  private def layoutEntries: Seq[(String, String)] =
+    Seq("dim" -> dim.toString, "bands" -> bands.toString,
+      "row_bits" -> rbCur.toString, "seed" -> seed.toString,
+      "verdict_schema" -> GateOps.verdictSchemaVersion)
+
   private def syncLayout(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val expect = Seq("dim" -> dim.toString, "bands" -> bands.toString,
-      "row_bits" -> rowBits.toString, "seed" -> seed.toString,
-      "verdict_schema" -> GateOps.verdictSchemaVersion)
     if (fs.exists(mp)) {
       val m = graft.operators.GateLayout.read(fs, mp)
-      graft.operators.GateLayout.check(m, root, expect)
-      if (!m.contains("verdict_schema"))
-        graft.operators.GateLayout.write(fs, mp, expect)
-    } else graft.operators.GateLayout.write(fs, mp, expect)
+      m.get("row_bits").map(_.toInt).filter(_ != rbCur).foreach { rb =>
+        require(bands * rb <= 30,
+          s"persisted row_bits=$rb overflows the int keyspace")
+        rbCur = rb
+      }
+      graft.operators.GateLayout.check(m, root, layoutEntries)
+      if (!m.contains("verdict_schema") || !m.contains("row_bits"))
+        graft.operators.GateLayout.write(fs, mp, layoutEntries)
+    } else graft.operators.GateLayout.write(fs, mp, layoutEntries)
   }
 
   private def keyOf(band: Int, bkey: Int): Long =
-    band.toLong * (1L << rowBits) + bkey
+    band.toLong * (1L << rbCur) + bkey
 
   private def keyed(vecs: DataFrame): DataFrame = vecs
     .filter(col("v").isNotNull)
     .select(col("id"), posexplode(array(Similarity.signBandKeyCols(
-      col("v"), bands, rowBits, dim, seed): _*)).as(Seq("band", "bkey")))
+      col("v"), bands, rbCur, dim, seed): _*)).as(Seq("band", "bkey")))
 
   private def initSeen(spark: org.apache.spark.sql.SparkSession,
       keysPath: String, keysExist: Boolean): Unit = {
@@ -977,8 +996,23 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
   /** Epoch maintenance (the [[graft.operators.NearDupGate.compact]]
     * contract): dedup + one file per band partition / per table,
     * crash-ordered tmp/old swaps. The seen-key set needs no rebuild —
-    * deduplication cannot change the distinct key set. */
-  def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * deduplication cannot change the distinct key set.
+    *
+    * `newRowBits = Some(rb)` additionally WIDENS the band layout —
+    * the sizing rule's remedy for a grown corpus (candidates/vector ≈
+    * bands·corpus/2^rowBits, so raise rowBits as the corpus grows):
+    * the keys table is re-banded in full from the VECS table (the
+    * durable source of truth — bkey values change with the width, so
+    * a dedup rewrite cannot carry them over), the live width and
+    * manifest update, and the seen-key set rebuilds against the new
+    * keyspace. Post-widening the gate is indistinguishable from one
+    * constructed at the new width over the same corpus
+    * (spec-pinned). Same generation-swap crash ordering as every
+    * other compact; a restart mid-widening recovers whichever
+    * generation survived, and the manifest follows the swapped data
+    * (it is written only after the swaps land). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      newRowBits: Option[Int] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // manual compaction on a fresh gate needs the swap-crash-window
@@ -986,13 +1020,38 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     Seq("keys", "vecs", "verdicts")
       .foreach(GateOps.recoverGeneration(fs, root, _))
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/keys"))) return
-    spark.read
-      .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
-      .parquet(s"$root/keys")
-      .select(col("id"), col("bkey"), col("band")).distinct()
-      .repartition(col("band")).sortWithinPartitions(col("bkey"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$root/keys_tmp")
+    // a fresh gate compacting an existing table must not silently
+    // re-key at its constructor width — restore the live one first
+    if (seen == null) syncLayout(spark)
+    val widen = newRowBits.filter(_ != rbCur)
+    widen.foreach { rb =>
+      require(rb > 0 && bands * rb <= 30,
+        "band keyspace must stay int-sized")
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/vecs")),
+        "widening re-bands from the vecs table, which is missing")
+    }
+    widen match {
+      case Some(rb) =>
+        spark.read
+          .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+          .parquet(s"$root/vecs")
+          .dropDuplicates("id").filter(col("v").isNotNull)
+          .select(col("id"), posexplode(array(
+            Similarity.signBandKeyCols(col("v"), bands, rb, dim, seed)
+              : _*)).as(Seq("band", "bkey")))
+          .select(col("id"), col("bkey"), col("band"))
+          .repartition(col("band")).sortWithinPartitions(col("bkey"))
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$root/keys_tmp")
+      case None =>
+        spark.read
+          .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
+          .parquet(s"$root/keys")
+          .select(col("id"), col("bkey"), col("band")).distinct()
+          .repartition(col("band")).sortWithinPartitions(col("bkey"))
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$root/keys_tmp")
+    }
     // guarded like admit's vecs read: keys are appended before vecs,
     // so a crash between the two first-ever appends must not wedge a
     // later (auto-)compaction
@@ -1019,5 +1078,13 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     GateOps.swapGeneration(fs, root, "keys")
     if (vecsExistC) GateOps.swapGeneration(fs, root, "vecs")
     if (verdictsExist) GateOps.swapGeneration(fs, root, "verdicts")
+    widen.foreach { rb =>
+      rbCur = rb
+      graft.operators.GateLayout.write(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_layout"), layoutEntries)
+      // the keyspace changed — the exact seen-key set must rebuild
+      // against the re-banded table
+      initSeen(spark, s"$root/keys", keysExist = true)
+    }
   }
 }

@@ -147,16 +147,27 @@ object Curation {
         col("doc_id"))
       .dropDuplicates("doc_id")
       .localCheckpoint()
+    // measured-count broadcast discipline for every doc_id-keyed
+    // stage/assembly join (the gates' rule: planner stats on
+    // checkpointed survivor frames cannot be trusted — a join-shaped
+    // origin overestimates and silently degrades all six assembly
+    // joins to sort-merge). Every broadcast side below is bounded by
+    // the batch (verdict/id frames), so one measured count on the
+    // pinned batch gates them all.
+    val smallBatch =
+      b.count() <= graft.operators.GateOps.broadcastRowCap
+    def mb(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
     // stage 1: exact novelty (first-wins per fingerprint, ownership-
     // backed so a replay reproduces)
     val nov = ngate.admitScored(b, "doc_id", "text")
-    val s1 = b.join(nov.filter(col("is_novel") === 1)
-      .select(col("id").as("doc_id")), Seq("doc_id"))
+    val s1 = b.join(mb(nov.filter(col("is_novel") === 1)
+      .select(col("id").as("doc_id"))), Seq("doc_id"))
       .localCheckpoint()
     // stage 2: near-dup vs earlier-curated docs only
     val nd = ndgate.admitScored(s1, "doc_id", "text")
-    val s2 = s1.join(nd.filter(col("is_neardup") === 0)
-      .select(col("id").as("doc_id")), Seq("doc_id"))
+    val s2 = s1.join(mb(nd.filter(col("is_neardup") === 0)
+      .select(col("id").as("doc_id"))), Seq("doc_id"))
       .localCheckpoint()
     // stage 3: Gopher rules ∧ NB classifier
     val rules = TextClassify
@@ -169,13 +180,13 @@ object Curation {
           .filter(col("token") =!= ""),
         models.nbCounts, models.nbPriors)
       .select(col("doc_id"), col("pred"))
-    val q3 = rules.join(pred, Seq("doc_id"), "left")
+    val q3 = rules.join(mb(pred), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("gp") === 1 && coalesce(col("pred"), lit(0)) === 1)
           .cast("int").as("quality_kept"))
       .localCheckpoint()
-    val s3 = s2.join(q3.filter(col("quality_kept") === 1)
-      .select(col("doc_id")), Seq("doc_id"))
+    val s3 = s2.join(mb(q3.filter(col("quality_kept") === 1)
+      .select(col("doc_id"))), Seq("doc_id"))
       .localCheckpoint()
     // stage 4: decontamination (eval members themselves are excluded
     // from a training corpus by definition)
@@ -185,15 +196,15 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
     val dec = s3.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(mb(hits), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (!(col("doc_id") >= models.evalFrom &&
           col("doc_id") < models.evalUntil) &&
           coalesce(col("n_shared"), lit(0L)) === 0)
           .cast("int").as("decontam_kept"))
       .localCheckpoint()
-    val s4 = s3.join(dec.filter(col("decontam_kept") === 1)
-      .select(col("doc_id")), Seq("doc_id"))
+    val s4 = s3.join(mb(dec.filter(col("decontam_kept") === 1)
+      .select(col("doc_id"))), Seq("doc_id"))
       .localCheckpoint()
     // stage 5: LM perplexity filter under the shared table
     val lmk = LmScore.scoreDocs(LmScore.bigrams(lmToks(s4)),
@@ -202,15 +213,15 @@ object Curation {
         (expr("total_bits * 1000 div n_bigrams") < 12000)
           .cast("int").as("lm_kept"))
     b.select(col("doc_id"))
-      .join(nov.select(col("id").as("doc_id"), col("is_novel")),
+      .join(mb(nov.select(col("id").as("doc_id"), col("is_novel"))),
         Seq("doc_id"), "left")
-      .join(nd.select(col("id").as("doc_id"), col("is_neardup")),
+      .join(mb(nd.select(col("id").as("doc_id"), col("is_neardup"))),
         Seq("doc_id"), "left")
-      .join(q3, Seq("doc_id"), "left")
-      .join(dec, Seq("doc_id"), "left")
-      .join(s4.select(col("doc_id"), lit(1).as("reached_lm")),
+      .join(mb(q3), Seq("doc_id"), "left")
+      .join(mb(dec), Seq("doc_id"), "left")
+      .join(mb(s4.select(col("doc_id"), lit(1).as("reached_lm"))),
         Seq("doc_id"), "left")
-      .join(lmk, Seq("doc_id"), "left")
+      .join(mb(lmk), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_novel"), col("is_neardup"),
         col("quality_kept"), col("decontam_kept"),
         // a doc that reached stage 5 but produced no bigram rows has

@@ -36,7 +36,10 @@ import graft.operators.{Unify, V2Fixtures}
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
   *   merge | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
-  *   neardupcap | embedt | embedcap | spandedup
+  *   neardupcap | embedt | embedcap | curate | curatecap | spandedup
+  *   (`curate`/`curatecap` time ONE fixed 500-doc micro-batch through
+  *   the composed five-gate chain against a factor-scaled curated
+  *   corpus — the composition's cost curve, uncapped vs capped)
   *   (`funnelcap` clones ONE doc ×factor — the adversarial duplicate
   *   cluster — through degree-capped clustering; the `novelty`/
   *   `neardup` pairs measure each standing gate's unbucketed baseline
@@ -698,6 +701,53 @@ object ScaleProbe {
       (v.getLong(0), sec)
     }
 
+    // Composed-curation probe (`curate` uncapped / `curatecap`
+    // bandKeyCap=8): the gates have individual cost curves; this
+    // measures the COMPOSITION (whose planner traps — frozen AQE
+    // coalesce, join-shaped stat overestimates — were found by bench
+    // discipline, see BENCH_NOTES). Standing state is seeded with a
+    // factor-scaled curated corpus (near-dup replicas, the realistic
+    // skew); models train ONCE over the base corpus (the pre-trained
+    // shared artifacts, sec_train on record, outside the timed
+    // admit); the timed unit is ONE fixed 500-doc micro-batch through
+    // all five stages — half genuinely novel (reversed text), half
+    // near-dups of corpus docs — so the curve isolates how per-batch
+    // cost grows with corpus size, capped vs uncapped.
+    def runCurateAt(cap: Int)(factor: Int): (Long, Double) = {
+      val out = new java.io.File(
+        s"target/probe_curate$cap").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val corpus = replicate(factor, perturbText = true)
+      val ngate = new graft.operators.NoveltyGate(s"$out/nov")
+      val ndgate = new graft.operators.NearDupGate(s"$out/nd",
+        bits = 1 << 26, k = 12, bandKeyCap = cap)
+      ngate.admit(corpus)
+      ndgate.admit(corpus, "doc_id", "text")
+      lastTableRows = spark.read.parquet(s"$out/nd/bands").count()
+      val t1 = System.nanoTime()
+      val models = graft.streaming.Curation.trainModels(
+        graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang")))
+      lastTrainSec = (System.nanoTime() - t1) / 1e9
+      val batch = base.limit(250)
+        .select((col("doc_id") + 800000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+        .unionByName(base.limit(250)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .localCheckpoint()
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.streaming.Curation.curateBatch(batch, ngate, ndgate, models)
+        .write.mode("overwrite").parquet(s"$out/scored")
+      val sec = (System.nanoTime() - t0) / 1e9
+      lastCappedKeys = spark.read.parquet(s"$out/nd/verdicts")
+        .agg(coalesce(sum(col("n_capped_keys")), lit(0L))).head().getLong(0)
+      (spark.read.parquet(s"$out/scored").count(), sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -739,6 +789,8 @@ object ScaleProbe {
       case "neardupcap" => runHotKeyAt(8)
       case "embedt"    => runEmbedHotAt(0)
       case "embedcap"  => runEmbedHotAt(8)
+      case "curate"    => runCurateAt(0)
+      case "curatecap" => runCurateAt(8)
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -765,6 +817,8 @@ object ScaleProbe {
       case "neardupcap" => "neardup_hotkey_capped"
       case "embedt"    => "embed_neardup_hotkey_uncapped"
       case "embedcap"  => "embed_neardup_hotkey_capped"
+      case "curate"    => "curate_pipeline_uncapped"
+      case "curatecap" => "curate_pipeline_capped"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -780,7 +834,7 @@ object ScaleProbe {
       case "lm" | "nb" => "scored_docs"
       case "novelty" | "noveltyb" => "novel_appended"
       case "neardup" | "neardupb" | "neardupt" | "neardupcap" |
-           "embedt" | "embedcap" => "verdicts"
+           "embedt" | "embedcap" | "curate" | "curatecap" => "verdicts"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -808,6 +862,8 @@ object ScaleProbe {
         else if (probe == "neardupt" || probe == "neardupcap" ||
                  probe == "embedt" || probe == "embedcap")
           f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d"""
+        else if (probe == "curate" || probe == "curatecap")
+          f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d,"sec_train":$lastTrainSec%.2f"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""
         else ""

@@ -1017,6 +1017,55 @@ class StreamingStateSpec extends AnyFunSuite {
       s"doc $i must see cap=2 candidates with both keys reported"))
   }
 
+  test("embedding gate rowBits widening re-bands the corpus equivalently") {
+    // the sizing rule says raise rowBits with the corpus; widening
+    // through compact(newRowBits) must leave the gate
+    // indistinguishable from one CONSTRUCTED at the new width over
+    // the same corpus — same index, same seen-key set, same future
+    // verdicts — and the width must survive a restart via the
+    // manifest (constructor default ignored thereafter)
+    val out = new java.io.File("target/test_embed_widen").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("id", "v")
+    val b1 = vecs(1L -> Seq(1f, 0.2f, -0.3f, 0.5f),
+      2L -> Seq(-0.7f, 0.1f, 0.9f, -0.2f),
+      3L -> Seq(0.99f, 0.21f, -0.28f, 0.52f))
+    val b2 = vecs(4L -> Seq(1f, 0.19f, -0.31f, 0.51f),
+      5L -> Seq(0.1f, -0.9f, 0.2f, 0.7f))
+    val b3 = vecs(6L -> Seq(-0.69f, 0.12f, 0.88f, -0.19f))
+    val gw = new graft.operators.EmbedNearDupGate(s"$out/w", dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    gw.admit(b1, "id", "v")
+    gw.compact(spark, Some(8))
+    gw.admit(b2, "id", "v")
+    val gf = new graft.operators.EmbedNearDupGate(s"$out/f", dim = 4,
+      bands = 2, rowBits = 8, minCosine = 0.5)
+    gf.admit(b1, "id", "v")
+    gf.admit(b2, "id", "v")
+    def v(root: String, ids: Seq[Long]) =
+      spark.read.parquet(s"$root/verdicts").distinct()
+        .filter(col("id").isin(ids: _*)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(v(s"$out/w", Seq(4L, 5L)) === v(s"$out/f", Seq(4L, 5L)),
+      "post-widening verdicts must equal a fresh gate at the new width")
+    // the widened index genuinely flags: v4 is near-parallel to v1/v3
+    assert(v(s"$out/w", Seq(4L)).head._4 === 1)
+    // restart: the constructor still says rowBits=2; the manifest
+    // restores the widened width and behavior stays equivalent
+    val gr = new graft.operators.EmbedNearDupGate(s"$out/w", dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    gr.admit(b3, "id", "v")
+    gf.admit(b3, "id", "v")
+    assert(v(s"$out/w", Seq(6L)) === v(s"$out/f", Seq(6L)),
+      "a restarted gate must continue at the persisted width")
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$out/w/_layout"))
+      .get("row_bits") === Some("8"))
+  }
+
   test("curate composition: stateful gates chain across batches without interference") {
     // the ev_stream_curate topology's stateful prefix — novelty gate
     // feeding the near-dup gate, so the band index holds ONLY
