@@ -291,10 +291,11 @@ object Curation {
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       dim: Int, idCol: String, vecCol: String,
       bands: Int = 4, rowBits: Int = 4, minCosine: Double = 0.5,
-      bandKeyCap: Int = 0, autoCompactEvery: Int = 16,
+      bandKeyCap: Int = 0, candCap: Int = 100000,
+      autoCompactEvery: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val gate = new EmbedNearDupGate(outDir, dim, bands = bands,
-      rowBits = rowBits, minCosine = minCosine,
+      rowBits = rowBits, minCosine = minCosine, candCap = candCap,
       bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
     spark.readStream.schema(schema).parquet(vecsGlob)
       .writeStream.queryName("graft_stream_embed_nd")

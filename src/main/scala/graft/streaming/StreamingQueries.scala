@@ -1362,6 +1362,36 @@ object StreamingQueries {
       },
       curateOracleSql(",\n  CAST(1 AS INTEGER) AS merged")),
 
+    // The CAPPED curation pipeline — the production configuration of
+    // ev_stream_curate, with stage 2's per-band-key candidate cap on
+    // (8) through the `Curation.start` knob. This is the
+    // configuration a 100 TB deployment runs (per-batch stage-2 pair
+    // volume bounded at batch·bands·cap regardless of corpus skew —
+    // ScaleProbe curate/curatecap: uncapped linear in corpus size,
+    // capped flat), and the oracle pins its EXACT semantics
+    // cross-engine: the composed five-stage SQL with stage 2's
+    // candidates rank-capped per (band, slice) in id order — the
+    // ev_stream_neardup_capped CTE composed into the curate chain,
+    // same single-batch caveat (per-probe composition == global rank
+    // only under one-batch arrival, the fixture's shape; multi-batch
+    // composition is spec-frozen in StreamingStateSpec).
+    "ev_stream_curate_capped" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_curate_cap", d)
+        val models = graft.streaming.Curation
+          .trainModels(T.documents(s, d))
+        seedEmptyParquet(s, s"$out/scored",
+          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+            "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        graft.streaming.Curation.start(s, d + "/documents.parque*",
+            fileSchema, out, models, bandKeyCap = 8)
+          .awaitTermination()
+        s.read.parquet(s"$out/scored").distinct()
+          .orderBy(col("doc_id"))
+      },
+      curateOracleSql(bandKeyCap = 8)),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids
@@ -1420,13 +1450,37 @@ object StreamingQueries {
         |FROM f""".stripMargin)
   )
   /** The composed five-stage curation chain as ONE DuckDB SQL
-    * (shared by ev_stream_curate and ev_stream_ingest_curated —
-    * `extraSelect` splices extra output columns after `kept`). */
-  private def curateOracleSql(extraSelect: String = ""): String = {
+    * (shared by ev_stream_curate, ev_stream_ingest_curated and
+    * ev_stream_curate_capped — `extraSelect` splices extra output
+    * columns after `kept`; `bandKeyCap` > 0 swaps stage 2's
+    * candidate CTE for the rank-capped form the
+    * ev_stream_neardup_capped oracle pins, with the same
+    * single-batch global-rank == per-probe caveat). */
+  private def curateOracleSql(extraSelect: String = "",
+      bandKeyCap: Int = 0): String = {
     val coeffs = graft.operators.Dedup.portableCoeffs(32)
       .zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
       .mkString(", ")
+    val candCte =
+      if (bandKeyCap <= 0)
+        """cand AS (
+          |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+          |  FROM bands q JOIN bands c
+          |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),"""
+          .stripMargin
+      else
+        s"""ranked AS (
+          |  SELECT doc_id, b, sl,
+          |    ROW_NUMBER() OVER (PARTITION BY b, sl ORDER BY doc_id)
+          |      AS rk
+          |  FROM bands
+          |  WHERE sl[1] IS NOT NULL AND sl[2] IS NOT NULL),
+          |cand AS (
+          |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
+          |  FROM bands q JOIN ranked c
+          |    ON q.b = c.b AND q.sl = c.sl AND c.rk <= $bandKeyCap
+          |      AND c.doc_id < q.doc_id),""".stripMargin
     s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
        |f AS (
        |  SELECT doc_id,
@@ -1454,10 +1508,7 @@ object StreamingQueries {
        |bands AS (
        |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
        |  FROM sig, range(0, 16) r(b)),
-       |cand AS (
-       |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
-       |  FROM bands q JOIN bands c
-       |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),
+       |$candCte
        |eq AS (
        |  SELECT cand.id,
        |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
