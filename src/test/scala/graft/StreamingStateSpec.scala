@@ -842,6 +842,65 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(eerr.getMessage.contains("verdict_schema"))
   }
 
+  test("Curation.start over loaded models equals the trained-models stream") {
+    // the full production path: a batch job trains + saves, the
+    // ingest worker LOADS and streams — the scored table must be
+    // byte-identical to streaming under the in-memory trained models
+    val out = new java.io.File("target/test_curate_loaded").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    corpus.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/src")
+    val trained = graft.streaming.Curation.trainModels(corpus)
+    graft.streaming.Curation.Models.save(trained, s"$out/models")
+    val loaded = graft.streaming.Curation.Models
+      .load(spark, s"$out/models")
+    val schema = spark.read.parquet(s"$out/src").schema
+    graft.streaming.Curation.start(spark, s"$out/src", schema,
+      s"$out/a", trained).awaitTermination()
+    graft.streaming.Curation.start(spark, s"$out/src", schema,
+      s"$out/b", loaded).awaitTermination()
+    val a = spark.read.parquet(s"$out/a/scored").distinct()
+    val b = spark.read.parquet(s"$out/b/scored").distinct()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "a loaded-models stream must reproduce the trained-models stream")
+    assert(a.count() === corpus.count())
+  }
+
+  test("ingest runs the novelty flag and the curation chain independently") {
+    // the two flag-modes are independent knobs — enabling both must
+    // keep each log correct (curation subsumes the novelty flag's
+    // information but keeps its own state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_both")
+      .toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$landing/c1.json").toPath,
+      """[{"title": "Both Gates Event", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1",
+        |  "scraped_at": "2025-07-01T00:00:00"},
+        | {"title": "Both Gates Event", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1",
+        |  "scraped_at": "2025-07-02T00:00:00"}]""".stripMargin)
+    IncrementalIngest.start(spark, landing, dir,
+      noveltyGate = true, curation = Some(models)).awaitTermination(60000)
+    // same payload scraped twice in ONE batch: both logs see two
+    // records, flag exactly one novel, and the merge converges to one
+    val nlog = spark.read.parquet(s"$dir/novelty_log").distinct()
+    val clog = spark.read.parquet(s"$dir/curation_log").distinct()
+    assert(nlog.count() === 2 &&
+      nlog.filter(col("is_novel") === 1).count() === 1)
+    assert(clog.count() === 2 &&
+      clog.filter(col("is_novel") === 1).count() === 1)
+    assert(spark.read.parquet(s"$dir/events").count() === 1)
+  }
+
   test("near-dup gates reach the same verdicts through the dup-heavy fallback paths") {
     // candCap forced tiny so BOTH overflow branches run: the
     // possible-hash set exceeds the cap (index scanned instead of
