@@ -1224,50 +1224,34 @@ object StreamingQueries {
             col("is_neardup"))
           .orderBy(col("id"))
       },
-      s"""WITH hp(i, h) AS (VALUES ${graft.operators.Similarity
-            .hyperplaneSqlValues(16, 64)}),
-         |emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |dots AS (
-         |  SELECT e.vec_id, hp.i,
-         |    CASE WHEN list_reduce(list_transform(range(1, 65),
-         |      j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
-         |    THEN 1 ELSE 0 END AS s
-         |  FROM emb e, hp
-         |  -- the gate never indexes null vectors; without this guard
-         |  -- a NULL v would key (b, 0) via the ELSE branch and pair
-         |  -- with real all-negative-sign vectors
-         |  WHERE e.v IS NOT NULL),
-         |ks AS (
-         |  SELECT vec_id, CAST(i // 4 AS INTEGER) AS band,
-         |    CAST(SUM(s * (1 << (i % 4))) AS INTEGER) AS bkey
-         |  FROM dots GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS id, c.vec_id AS cid
-         |  FROM ks q JOIN ks c ON q.band = c.band AND q.bkey = c.bkey
-         |    AND c.vec_id < q.vec_id),
-         |cs AS (
-         |  SELECT cand.id,
-         |    list_reduce(list_transform(range(1, 65),
-         |      j -> x.v[j] * y.v[j]), (a, b) -> a + b)
-         |    / (sqrt(list_reduce(list_transform(x.v, t -> t * t),
-         |        (a, b) -> a + b))
-         |       * sqrt(list_reduce(list_transform(y.v, t -> t * t),
-         |         (a, b) -> a + b))) AS cosine
-         |  FROM cand JOIN emb x ON x.vec_id = cand.id
-         |  JOIN emb y ON y.vec_id = cand.cid),
-         |agg AS (SELECT id, COUNT(*) AS n_cands, MAX(cosine) AS best_cos
-         |        FROM cs GROUP BY id)
-         |SELECT e.vec_id AS id,
-         |  CAST(COALESCE(a.n_cands, 0) AS BIGINT) AS n_cands,
-         |  CAST(COALESCE(a.best_cos, -2.0) AS DOUBLE) AS best_cos,
-         |  CAST(COALESCE(a.best_cos, -2.0) >= 0.5 AS INTEGER)
-         |    AS is_neardup
-         |FROM (SELECT vec_id FROM embeddings) e
-         |LEFT JOIN agg a ON a.id = e.vec_id
-         |ORDER BY id""".stripMargin),
+      embedNearDupOracleSql()),
+
+    // The CAPPED embedding gate — the production configuration of
+    // the row above (bandKeyCap=8 through Curation.startEmbedding),
+    // completing the capped-oracle symmetry: every standing gate's
+    // 100 TB posture is now cross-engine exact. Per-band-key
+    // candidates rank-capped in vec_id order, shed REPORTED per doc
+    // as n_capped_keys; same single-batch caveat as the MinHash
+    // capped row (per-probe composition == global rank only under
+    // one-batch arrival — the fixture's shape; the multi-batch
+    // composition is spec-frozen in StreamingStateSpec for the
+    // MinHash twin, and the embedding gate shares the GateOps
+    // implementation).
+    "ev_stream_embed_neardup_capped" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_embed_nd_cap", d)
+        val fileSchema = s.read.parquet(d + "/embeddings.parquet").schema
+        graft.streaming.Curation.startEmbedding(s,
+            d + "/embeddings.parque*", fileSchema, out,
+            dim = 64, idCol = "vec_id", vecCol = "embedding",
+            bands = 4, rowBits = 4, minCosine = 0.5, bandKeyCap = 8)
+          .awaitTermination()
+        s.read.parquet(s"$out/verdicts").distinct()
+          .select(col("id"), col("n_cands"), col("best_cos"),
+            col("is_neardup"), col("n_capped_keys"))
+          .orderBy(col("id"))
+      },
+      embedNearDupOracleSql(bandKeyCap = 8)),
 
     // The COMPOSED standing ingest pipeline — all five gates chained
     // in ONE foreachBatch over one stream, the topology a real corpus
@@ -1290,8 +1274,7 @@ object StreamingQueries {
         val out = freshDir(s, "stream_curate", d)
         // the pipeline lives in streaming.Curation — this row wires
         // the fixture stream through it and censuses the verdicts
-        val models = graft.streaming.Curation
-          .trainModels(T.documents(s, d))
+        val models = sharedModels(s, d)
         seedEmptyParquet(s, s"$out/scored",
           "doc_id BIGINT, is_novel INT, is_neardup INT, " +
             "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
@@ -1317,8 +1300,7 @@ object StreamingQueries {
     "ev_stream_ingest_curated" -> QueryDef(
       (s, d) => {
         val out = freshDir(s, "stream_ingest_curated", d)
-        val models = graft.streaming.Curation
-          .trainModels(T.documents(s, d))
+        val models = sharedModels(s, d)
         val ngate = new graft.operators.NoveltyGate(s"$out/nov")
         val ndgate = new graft.operators.NearDupGate(s"$out/nd")
         seedEmptyParquet(s, s"$out/log",
@@ -1378,8 +1360,7 @@ object StreamingQueries {
     "ev_stream_curate_capped" -> QueryDef(
       (s, d) => {
         val out = freshDir(s, "stream_curate_cap", d)
-        val models = graft.streaming.Curation
-          .trainModels(T.documents(s, d))
+        val models = sharedModels(s, d)
         seedEmptyParquet(s, s"$out/scored",
           "doc_id BIGINT, is_novel INT, is_neardup INT, " +
             "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
@@ -1449,6 +1430,100 @@ object StreamingQueries {
         |  CAST(SUM(win * n) AS BIGINT) AS win_checksum
         |FROM f""".stripMargin)
   )
+  /** The embedding near-dup gate chain as DuckDB SQL, shared by the
+    * uncapped and capped rows: `bandKeyCap` > 0 swaps the candidate
+    * CTE for the rank-capped form (cap earliest vec_ids per
+    * (band, bkey)) and appends the per-doc n_capped_keys shed census
+    * — the ev_stream_neardup_capped discipline transplanted, same
+    * single-batch global-rank == per-probe caveat. */
+  private def embedNearDupOracleSql(bandKeyCap: Int = 0): String = {
+    val candCte =
+      if (bandKeyCap <= 0)
+        """cand AS (
+          |  SELECT DISTINCT q.vec_id AS id, c.vec_id AS cid
+          |  FROM ks q JOIN ks c ON q.band = c.band AND q.bkey = c.bkey
+          |    AND c.vec_id < q.vec_id),""".stripMargin
+      else
+        s"""ranked AS (
+          |  SELECT vec_id, band, bkey,
+          |    ROW_NUMBER() OVER (PARTITION BY band, bkey
+          |                       ORDER BY vec_id) AS rk,
+          |    COUNT(*) OVER (PARTITION BY band, bkey) AS ksize
+          |  FROM ks),
+          |cand AS (
+          |  SELECT DISTINCT q.vec_id AS id, c.vec_id AS cid
+          |  FROM ks q JOIN ranked c ON q.band = c.band
+          |    AND q.bkey = c.bkey AND c.rk <= $bandKeyCap
+          |    AND c.vec_id < q.vec_id),
+          |capk AS (
+          |  SELECT vec_id, COUNT(*) AS n_capped
+          |  FROM ranked WHERE ksize > $bandKeyCap
+          |  GROUP BY vec_id),""".stripMargin
+    val capSelect =
+      if (bandKeyCap <= 0) ""
+      else ",\n  CAST(COALESCE(k.n_capped, 0) AS BIGINT) AS n_capped_keys"
+    val capJoin =
+      if (bandKeyCap <= 0) ""
+      else "\nLEFT JOIN capk k ON k.vec_id = e.vec_id"
+    s"""WITH hp(i, h) AS (VALUES ${graft.operators.Similarity
+          .hyperplaneSqlValues(16, 64)}),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, hp.i,
+       |    CASE WHEN list_reduce(list_transform(range(1, 65),
+       |      j -> e.v[j] * hp.h[j]), (a, b) -> a + b) >= 0
+       |    THEN 1 ELSE 0 END AS s
+       |  FROM emb e, hp
+       |  -- the gate never indexes null vectors; without this guard
+       |  -- a NULL v would key (b, 0) via the ELSE branch and pair
+       |  -- with real all-negative-sign vectors
+       |  WHERE e.v IS NOT NULL),
+       |ks AS (
+       |  SELECT vec_id, CAST(i // 4 AS INTEGER) AS band,
+       |    CAST(SUM(s * (1 << (i % 4))) AS INTEGER) AS bkey
+       |  FROM dots GROUP BY 1, 2),
+       |$candCte
+       |cs AS (
+       |  SELECT cand.id,
+       |    list_reduce(list_transform(range(1, 65),
+       |      j -> x.v[j] * y.v[j]), (a, b) -> a + b)
+       |    / (sqrt(list_reduce(list_transform(x.v, t -> t * t),
+       |        (a, b) -> a + b))
+       |       * sqrt(list_reduce(list_transform(y.v, t -> t * t),
+       |         (a, b) -> a + b))) AS cosine
+       |  FROM cand JOIN emb x ON x.vec_id = cand.id
+       |  JOIN emb y ON y.vec_id = cand.cid),
+       |agg AS (SELECT id, COUNT(*) AS n_cands, MAX(cosine) AS best_cos
+       |        FROM cs GROUP BY id)
+       |SELECT e.vec_id AS id,
+       |  CAST(COALESCE(a.n_cands, 0) AS BIGINT) AS n_cands,
+       |  CAST(COALESCE(a.best_cos, -2.0) AS DOUBLE) AS best_cos,
+       |  CAST(COALESCE(a.best_cos, -2.0) >= 0.5 AS INTEGER)
+       |    AS is_neardup$capSelect
+       |FROM (SELECT vec_id FROM embeddings) e
+       |LEFT JOIN agg a ON a.id = e.vec_id$capJoin
+       |ORDER BY id""".stripMargin
+  }
+
+  /** The three curate-family rows train IDENTICAL reference models
+    * (same corpus, same eval window); this per-(session, dir) memo
+    * makes rows after the first reuse its artifacts — the production
+    * posture (models trained once on a cadence, shared by every
+    * worker; Curation.Models save/load is the durable form) and ~2 s
+    * per avoided rebuild in a whole-registry bench run. Safe to hold:
+    * the frames are localCheckpointed vocab-bounded tables, and the
+    * memo pins their references for the session's life. */
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.streaming.Curation.Models]()
+  private def sharedModels(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.streaming.Curation.Models =
+    modelMemo.computeIfAbsent(
+      System.identityHashCode(s).toString + ":" + d,
+      _ => graft.streaming.Curation.trainModels(T.documents(s, d)))
+
   /** The composed five-stage curation chain as ONE DuckDB SQL
     * (shared by ev_stream_curate, ev_stream_ingest_curated and
     * ev_stream_curate_capped — `extraSelect` splices extra output
