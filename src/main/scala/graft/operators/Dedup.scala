@@ -963,7 +963,14 @@ object Dedup {
   * `novel` can ever observe its own append (and in the common path
   * `novel` reads no table at all). A saturated bitmap (occupancy
   * > 50%) warns loudly at load: correctness is unaffected, but every
-  * batch degrades toward the fallback scan — resize `bits`.
+  * batch degrades toward the fallback scan — resize via
+  * `compact(newBits)`, or set `growBloomFactor` so compaction
+  * self-sizes the width to the table (k·n·2 ≤ bits). Like the bucket
+  * width, `bits` is LIVE state restored from the layout manifest at
+  * reopen (the persisted width wins over the constructor's — a
+  * smaller value would crash reading the delta file, a larger one
+  * would misposition every stored bit); `k` stays manifest-pinned
+  * fail-fast.
   */
 /** The tiny durable layout manifest both standing gates keep next to
   * their tables (`<root>/_layout`, k=v lines): the constructor
@@ -1115,9 +1122,13 @@ private[graft] object GateOps {
 final class NoveltyGate(tableRoot: String,
     bits: Int = Dedup.noveltyBloomBits, k: Int = Dedup.noveltyBloomK,
     prefixChars: Int = Dedup.fpPrefixChars, posCap: Int = 100000,
-    autoCompactEvery: Int = 0, widenBucketBytes: Long = 0L) {
+    autoCompactEvery: Int = 0, widenBucketBytes: Long = 0L,
+    growBloomFactor: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
+  require(growBloomFactor == 0 ||
+    (growBloomFactor >= 2 && Integer.bitCount(growBloomFactor) == 1),
+    "growBloomFactor must be 0 (off) or a power of two ≥ 2")
 
   private var words: Array[Long] = _
   // admits since the last compaction — the maintenance-policy clock.
@@ -1137,14 +1148,23 @@ final class NoveltyGate(tableRoot: String,
   // reset to the constructor default on process restart, silently
   // mis-bucketing every append after a widening compact.
   private var pcCur: Int = prefixChars
+  // the LIVE bloom width — like pcCur, bits is STATE-BEARING geometry
+  // (the delta files' word_idx space), so the persisted value wins at
+  // reopen: a smaller constructor `bits` would crash in
+  // readNoveltyBloom (stored word_idx past the array), a larger one
+  // would silently misposition every previously-set bit. The manifest
+  // restores it; [[compact]] (explicit newBits, or the
+  // growBloomFactor policy) is the resize path, rebuilding the file
+  // wholesale at the new width. `k` stays fail-fast: it is SEMANTIC
+  // shape (which salted positions mean what), not resizable state.
+  private var bitsCur: Int = bits
 
-  /** First-open handshake with the on-disk layout: validate bloom
-    * geometry against the manifest (fail fast — a smaller `bits` than
-    * the bloom file's crashes in readNoveltyBloom, a larger one
-    * silently mispositions bits), and restore the live bucket width a
-    * previous process' widening compact persisted. A manifest-less
-    * table is adopted by deriving the width from the fp_b= directory
-    * names. */
+  /** First-open handshake with the on-disk layout: fail fast on a
+    * `k` mismatch, restore the live bucket width and bloom width a
+    * previous process' compaction persisted (disk truth wins for
+    * state-bearing geometry — the pcCur/rbCur discipline). A
+    * manifest-less table is adopted by deriving the width from the
+    * fp_b= directory names. */
   private def syncLayout(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
@@ -1157,8 +1177,12 @@ final class NoveltyGate(tableRoot: String,
     val dw = dirWidth(fs)
     if (fs.exists(mp)) {
       val m = GateLayout.read(fs, mp)
-      GateLayout.check(m, tableRoot,
-        Seq("bits" -> bits.toString, "k" -> k.toString))
+      GateLayout.check(m, tableRoot, Seq("k" -> k.toString))
+      m.get("bits").map(_.toInt).filter(_ != bitsCur).foreach { b =>
+        require(b > 0 && Integer.bitCount(b) == 1,
+          s"persisted bits=$b is not a power of two")
+        bitsCur = b
+      }
       pcCur = dw.orElse(m.get("prefix_chars").map(_.toInt))
         .getOrElse(pcCur)
       if (dw.isDefined && m.get("prefix_chars") != dw.map(_.toString))
@@ -1185,7 +1209,7 @@ final class NoveltyGate(tableRoot: String,
   private def writeLayout(fs: org.apache.hadoop.fs.FileSystem): Unit =
     GateLayout.write(fs,
       new org.apache.hadoop.fs.Path(s"$tableRoot/_layout"),
-      Seq("bits" -> bits.toString, "k" -> k.toString,
+      Seq("bits" -> bitsCur.toString, "k" -> k.toString,
         "prefix_chars" -> pcCur.toString))
 
   def admit(batch: DataFrame): Unit = {
@@ -1272,13 +1296,13 @@ final class NoveltyGate(tableRoot: String,
       GateOps.recoverGeneration(hfs, tableRoot, "data")
       GateOps.recoverGeneration(hfs, tableRoot, "bloom")
       syncLayout(spark)
-      words = Dedup.readNoveltyBloom(spark, bloomPath, bits)
+      words = Dedup.readNoveltyBloom(spark, bloomPath, bitsCur)
       val occupied =
         words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
-      if (occupied * 2 > bits) System.err.println(
-        s"[novelty-gate] bloom ${occupied * 100 / bits}% occupied for " +
-          s"$tableRoot — probes degrade to bucket scans; resize bits " +
-          s"($bits) to table capacity")
+      if (occupied * 2 > bitsCur) System.err.println(
+        s"[novelty-gate] bloom ${occupied * 100 / bitsCur}% occupied " +
+          s"for $tableRoot — probes degrade to bucket scans; resize " +
+          s"via compact(newBits) or set growBloomFactor")
     }
     val dataExists = hfs.exists(new org.apache.hadoop.fs.Path(dataPath))
     def readData() = spark.read
@@ -1296,7 +1320,7 @@ final class NoveltyGate(tableRoot: String,
     val priorThr = spark.conf.getOption(thrKey)
     spark.conf.set(thrKey, Dedup.inPushdownLimit.toString)
     val novelCk = try {
-    val might = Dedup.bloomMight(col("fp"), words, bits, k)
+    val might = Dedup.bloomMight(col("fp"), words, bitsCur, k)
     val pos = fps.filter(might).select(col("fp")).limit(posCap + 1)
       .collect().map(_.getString(0))
     val novel: DataFrame =
@@ -1330,7 +1354,7 @@ final class NoveltyGate(tableRoot: String,
     val novelPinned = novel.localCheckpoint()
     val delta = novelPinned
       .select(posexplode(array((0 until k).map(i =>
-        Dedup.bloomPos(col("fp"), i, bits)): _*)).as(Seq("i", "pos")))
+        Dedup.bloomPos(col("fp"), i, bitsCur)): _*)).as(Seq("i", "pos")))
       .select((col("pos") / 64).cast("long").as("word_idx"),
         element_at(Dedup.bitMasksCol, (col("pos") % 64).cast("int") + 1)
           .as("m"))
@@ -1373,8 +1397,11 @@ final class NoveltyGate(tableRoot: String,
     * collapsing the append-only delta log to one file whose bits are
     * exactly the stored fingerprints' (a crash that left the bloom
     * behind the data heals here). Compaction is also the moment to
-    * RAISE prefixChars for a grown table: the many-directory write
-    * cost is paid once per epoch here instead of every batch.
+    * RAISE prefixChars for a grown table (the many-directory write
+    * cost is paid once per epoch here instead of every batch) and to
+    * RESIZE the bloom: explicit `newBits`, or the `growBloomFactor`
+    * policy, rebuilds the file wholesale at a width sized to the
+    * table and persists it in the manifest.
     *
     * Crash ordering: both rewrites land in `_tmp` siblings first,
     * then swap via rename with the old generation kept as `_old`
@@ -1384,31 +1411,42 @@ final class NoveltyGate(tableRoot: String,
     * continues without a reload.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      newPrefixChars: Option[Int] = None): Unit = {
+      newPrefixChars: Option[Int] = None,
+      newBits: Option[Int] = None): Unit = {
     val dataPath = s"$tableRoot/data"
     val bloomPath = s"$tableRoot/bloom"
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a fresh gate's documented resize path runs compact BEFORE any
-    // admit — it needs the same swap-crash-window recovery first open
-    // through admit gets
+    // manual compaction on a fresh gate needs the same
+    // swap-crash-window recovery first open through admit gets
     GateOps.recoverGeneration(fs, tableRoot, "data")
     GateOps.recoverGeneration(fs, tableRoot, "bloom")
     if (!fs.exists(hp)) return
-    // a fresh gate compacting an existing table (the documented
-    // bits-resize path runs compact BEFORE any admit) must not
-    // silently narrow a previously-widened layout back to its
-    // constructor default — absent an explicit width, the persisted
-    // one wins
+    // a fresh gate compacting an existing table must not silently
+    // narrow previously-widened live geometry (bucket width, bloom
+    // width) back to its constructor defaults — absent explicit
+    // parameters, the persisted values win
+    val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
+    val manifest =
+      if (fs.exists(mp)) GateLayout.read(fs, mp)
+      else Map.empty[String, String]
     if (newPrefixChars.isEmpty) {
-      val mp = new org.apache.hadoop.fs.Path(s"$tableRoot/_layout")
-      val fromManifest =
-        if (fs.exists(mp))
-          GateLayout.read(fs, mp).get("prefix_chars").map(_.toInt)
-        else None
       // directory ground truth first (see syncLayout) — the manifest
       // can be one crash behind a widening compaction
-      dirWidth(fs).orElse(fromManifest).foreach(w => pcCur = w)
+      dirWidth(fs).orElse(manifest.get("prefix_chars").map(_.toInt))
+        .foreach(w => pcCur = w)
+    }
+    if (words == null)
+      manifest.get("bits").map(_.toInt).foreach(b => bitsCur = b)
+    // bloom resize: explicit newBits wins; otherwise the
+    // growBloomFactor policy sizes the width to the table (occupied
+    // bits ≤ k·n, so k·n·2 ≤ bits keeps occupancy under ~50% — the
+    // probe-degradation threshold the load warning names), bounded
+    // at 2^28 (32 MB of driver bitmap)
+    newBits.foreach { b =>
+      require(b > 0 && Integer.bitCount(b) == 1,
+        "bits must be a power of two")
+      bitsCur = b
     }
     // self-tending width: when the largest bucket's data has outgrown
     // the configured threshold, this compaction widens the layout by
@@ -1436,6 +1474,12 @@ final class NoveltyGate(tableRoot: String,
       .groupBy(col("fp")).agg(min(col("owner")).as("owner"))
       .localCheckpoint() // pin: consumed by both rewrites, and the
                          // source dirs are about to be swapped away
+    if (newBits.isEmpty && growBloomFactor >= 2) {
+      val n = fps.count() // ~free on the pinned frame
+      while (k.toLong * n * 2 > bitsCur && bitsCur < (1 << 28))
+        bitsCur = math.min(bitsCur.toLong * growBloomFactor,
+          (1 << 28).toLong).toInt
+    }
     fps
       .select(col("fp"), col("owner"),
         substring(col("fp"), 1, pc).as("fp_b"))
@@ -1443,10 +1487,10 @@ final class NoveltyGate(tableRoot: String,
       .sortWithinPartitions(col("fp"))
       .write.mode("overwrite").partitionBy("fp_b")
       .parquet(s"$tableRoot/data_tmp")
-    val rebuilt = new Array[Long](bits / 64)
+    val rebuilt = new Array[Long](bitsCur / 64)
     fps
       .select(posexplode(array((0 until k).map(i =>
-        Dedup.bloomPos(col("fp"), i, bits)): _*)).as(Seq("i", "pos")))
+        Dedup.bloomPos(col("fp"), i, bitsCur)): _*)).as(Seq("i", "pos")))
       .select((col("pos") / 64).cast("long").as("word_idx"),
         element_at(Dedup.bitMasksCol, (col("pos") % 64).cast("int") + 1)
           .as("m"))

@@ -230,7 +230,7 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(widths2.forall(_ === 2), "no mixed-width partitions after restart")
   }
 
-  test("gate layout manifests fail fast on mismatched reopen parameters") {
+  test("gate layout manifests: shape fails fast, live geometry adopts, resizes, self-sizes") {
     val out = new java.io.File("target/test_gate_layout").getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,24 +238,55 @@ class StreamingStateSpec extends AnyFunSuite {
     val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
     val ng = new graft.operators.NoveltyGate(s"$out/nov")
     ng.admit(docs)
-    // reopening with smaller bits would crash inside readNoveltyBloom
-    // (stored word_idx past the array); larger bits would silently
-    // misposition previously-set positions — both must be caught at
-    // the manifest, not discovered downstream
-    val err = intercept[IllegalStateException] {
-      new graft.operators.NoveltyGate(s"$out/nov", bits = 1 << 20)
-        .admit(docs)
-    }
-    assert(err.getMessage.contains("bits"))
-    // the documented resize path: compact() on a gate constructed
-    // with the NEW bits rebuilds the bloom from data and refreshes
-    // the manifest, after which admits at the new size proceed
-    val resized = new graft.operators.NoveltyGate(s"$out/nov", bits = 1 << 20)
-    resized.compact(spark)
-    resized.admit(Seq((3L, "alpha beta"), (4L, "delta"))
+    // bits is LIVE state (r14, the bucket-width discipline): a reopen
+    // with a different constructor value ADOPTS the persisted width —
+    // a smaller value would crash reading the delta file, a larger
+    // one would misposition every stored bit, so disk truth wins and
+    // dedup stays exact
+    val adopted = new graft.operators.NoveltyGate(s"$out/nov",
+      bits = 1 << 20)
+    adopted.admit(Seq((3L, "alpha beta"), (4L, "delta"))
       .toDF("doc_id", "text"))
     assert(graft.operators.Dedup
-      .readBucketedFingerprints(spark, s"$out/nov").count() === 3)
+      .readBucketedFingerprints(spark, s"$out/nov").count() === 3,
+      "adopting gate must keep exact dedup against the stored bloom")
+    def novBits() = graft.operators.GateLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$out/nov/_layout"))("bits").toInt
+    assert(novBits() === graft.operators.Dedup.noveltyBloomBits)
+    // k stays SEMANTIC shape — mismatched reopens still fail fast
+    val errK = intercept[IllegalStateException] {
+      new graft.operators.NoveltyGate(s"$out/nov", k = 5).admit(docs)
+    }
+    assert(errK.getMessage.contains("k="))
+    // the explicit resize path: compact(newBits) rebuilds the bloom
+    // file wholesale at the new width and persists it; a default
+    // reopen then adopts it and dedup continues exact
+    adopted.compact(spark, newBits = Some(1 << 20))
+    assert(novBits() === (1 << 20))
+    val reopened = new graft.operators.NoveltyGate(s"$out/nov")
+    reopened.admit(Seq((5L, "delta"), (6L, "epsilon"))
+      .toDF("doc_id", "text"))
+    assert(graft.operators.Dedup
+      .readBucketedFingerprints(spark, s"$out/nov").count() === 4)
+    // self-sizing bloom: a tiny-bits gate under growBloomFactor grows
+    // at compaction until k·n·2 ≤ bits (occupancy stays under the
+    // probe-degradation threshold), and the grown width survives a
+    // restart with dedup intact
+    val groot = s"$out/grow"
+    new graft.operators.NoveltyGate(groot, bits = 1 << 10,
+        growBloomFactor = 4, autoCompactEvery = 1)
+      .admit((1 to 300).map(i => (i.toLong, s"grow doc $i text"))
+        .toDF("doc_id", "text"))
+    val gb = graft.operators.GateLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$groot/_layout"))("bits").toInt
+    // k=4, n=300 → k·n·2 = 2400 > 1024; one ×4 step lands at 4096
+    assert(gb === (1 << 12), s"expected self-sized bits 4096, got $gb")
+    val gv = new graft.operators.NoveltyGate(groot)
+      .admitScored(Seq((1000L, "grow doc 5 text"), (1001L, "brand new"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gv === Map(1000L -> 0, 1001L -> 1),
+      "restarted gate at the grown width must keep exact dedup")
     val nd = new graft.operators.NearDupGate(s"$out/nd")
     nd.admit(docs, "doc_id", "text")
     // a signature-shape mismatch vs stored sigs/bands is a silent
