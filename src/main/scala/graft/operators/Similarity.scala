@@ -727,6 +727,11 @@ object Similarity {
   * size rowBits to log2(corpus / target-candidates-per-band) — at the
   * 4-bit default every key is seen once the corpus passes a few
   * thousand vectors and per-batch cost grows with corpus/keyspace.
+  * The rule is AUTOMATED two ways: `compact(newRowBits)` widens the
+  * band layout explicitly (full re-band from the vecs table,
+  * manifest-persisted, restart-safe), and `targetKeyLoad` > 0 lets
+  * every compaction self-size — one bit per factor-of-two of excess
+  * per-key corpus load, within the int-keyspace bound.
   * Where raising rowBits is off the table (recall), `bandKeyCap` is
   * the bound: each key contributes at most its cap earliest-seen
   * sharers per probe, per-doc shed REPORTED in the verdicts'
@@ -737,10 +742,11 @@ object Similarity {
 final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     rowBits: Int = 4, minCosine: Double = 0.5, seed: Long = 7L,
     candCap: Int = 100000, autoCompactEvery: Int = 0,
-    bandKeyCap: Int = 0) {
+    bandKeyCap: Int = 0, targetKeyLoad: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(bands * rowBits <= 30, "band keyspace must stay int-sized")
+  require(targetKeyLoad >= 0, "targetKeyLoad must be >= 0")
 
   // exact driver memory of the seen (band, bkey) keys — keyspace is
   // bands·2^rowBits, so this is bounded by construction
@@ -1023,7 +1029,27 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     // a fresh gate compacting an existing table must not silently
     // re-key at its constructor width — restore the live one first
     if (seen == null) syncLayout(spark)
-    val widen = newRowBits.filter(_ != rbCur)
+    // self-sizing width (the scaladoc'd sizing rule automated, the
+    // novelty gate's growBloomFactor twin): expected candidates per
+    // arriving vector ≈ bands · corpus / 2^rowBits, so when the
+    // per-key corpus load exceeds targetKeyLoad, widen one bit at a
+    // time (each bit halves the load) within the int-keyspace bound
+    val policyBits =
+      if (newRowBits.isEmpty && targetKeyLoad > 0 &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/vecs"))) {
+        val n = spark.read
+          .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+          .parquet(s"$root/vecs")
+          .dropDuplicates("id").filter(col("v").isNotNull).count()
+        var rb = rbCur
+        // exact criterion (no integer-division floor): widen while
+        // corpus > target · 2^rb
+        while (n > targetKeyLoad.toLong * (1L << rb) &&
+            bands * (rb + 1) <= 30)
+          rb += 1
+        Some(rb).filter(_ != rbCur)
+      } else None
+    val widen = newRowBits.filter(_ != rbCur).orElse(policyBits)
     widen.foreach { rb =>
       require(rb > 0 && bands * rb <= 30,
         "band keyspace must stay int-sized")

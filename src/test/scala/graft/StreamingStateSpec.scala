@@ -1154,6 +1154,29 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(graft.operators.GateLayout.read(fs,
         new org.apache.hadoop.fs.Path(s"$out/w/_layout"))
       .get("row_bits") === Some("8"))
+    // self-sizing (targetKeyLoad, the growBloomFactor twin): 40
+    // vectors at rowBits=2 put 40/4 = 10 per key past a load target
+    // of 2 — compaction widens until load ≤ target (40/16 ≤ 2 needs
+    // rowBits ≥ ... 40/2^rb ≤ 2 → rb = 5, but bands=2 allows up to
+    // 15, so it lands exactly at 5) and the width persists
+    val sroot = s"$out/auto"
+    val sg = new graft.operators.EmbedNearDupGate(sroot, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5, targetKeyLoad = 2,
+      autoCompactEvery = 1)
+    sg.admit(vecs((1L to 40L).map(i => i -> Seq(
+      (if (i % 2 == 0) 1f else -1f) * (i.toFloat / 40f),
+      (if (i % 3 == 0) 1f else -1f) * 0.5f,
+      (if (i % 5 == 0) 1f else -1f) * 0.25f,
+      0.1f)): _*), "id", "v")
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$sroot/_layout"))
+      .get("row_bits") === Some("5"))
+    // and a default-constructor restart continues at the grown width
+    val sg2 = new graft.operators.EmbedNearDupGate(sroot, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    sg2.admit(vecs(100L -> Seq(0.5f, 0.5f, 0.25f, 0.1f)), "id", "v")
+    assert(spark.read.parquet(s"$sroot/verdicts").distinct()
+      .filter(col("id") === 100L).count() === 1)
   }
 
   test("curate composition: stateful gates chain across batches without interference") {
