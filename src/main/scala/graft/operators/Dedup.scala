@@ -1078,6 +1078,34 @@ private[graft] object GateOps {
     if (fs.exists(cur)) fs.delete(old, true)
   }
 
+  /** Single-value marker file INSIDE a table generation (name starts
+    * with `_` so parquet readers ignore it): geometry that must
+    * travel ATOMICALLY with the data it describes. The root-level
+    * manifest alone has a crash window on every resize — the
+    * generation swap lands, the process dies before the manifest
+    * refresh, and the reopened gate follows the stale width against
+    * already re-written data (silent mis-keying). A marker written
+    * into the `_tmp` generation BEFORE the swap rides the same
+    * rename, so data and width can never disagree; the manifest
+    * heals from it at the next open. */
+  def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      name: String, value: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
   /** The verdict-table schema generation the near-dup gates stamp
     * into their layout manifests. History: v1 = (id, n_cands,
     * best_eq|best_cos, is_neardup); v2 added n_capped_keys (shed
@@ -1175,20 +1203,32 @@ final class NoveltyGate(tableRoot: String,
     // stale manifest would mis-prefix every probe (silent dedup
     // decay) — so the on-disk layout wins and the manifest heals
     val dw = dirWidth(fs)
+    // the bloom generation's own _bits marker is ground truth (it
+    // rode the same rename as the data, so it can never be stale the
+    // way the root manifest can be after a crash mid-resize); the
+    // manifest is the fallback for pre-marker generations and heals
+    // from the marker
+    val markerBits = GateOps
+      .readMarker(fs, s"$tableRoot/bloom", "_bits").map(_.toInt)
     if (fs.exists(mp)) {
       val m = GateLayout.read(fs, mp)
       GateLayout.check(m, tableRoot, Seq("k" -> k.toString))
-      m.get("bits").map(_.toInt).filter(_ != bitsCur).foreach { b =>
-        require(b > 0 && Integer.bitCount(b) == 1,
-          s"persisted bits=$b is not a power of two")
-        bitsCur = b
-      }
+      markerBits.orElse(m.get("bits").map(_.toInt))
+        .filter(_ != bitsCur).foreach { b =>
+          require(b > 0 && Integer.bitCount(b) == 1,
+            s"persisted bits=$b is not a power of two")
+          bitsCur = b
+        }
       pcCur = dw.orElse(m.get("prefix_chars").map(_.toInt))
         .getOrElse(pcCur)
-      if (dw.isDefined && m.get("prefix_chars") != dw.map(_.toString))
+      if ((dw.isDefined && m.get("prefix_chars") != dw.map(_.toString)) ||
+          (markerBits.isDefined &&
+            m.get("bits") != markerBits.map(_.toString)))
         writeLayout(fs)
     } else {
       dw.foreach(w => pcCur = w)
+      markerBits.filter(b => b > 0 && Integer.bitCount(b) == 1)
+        .foreach(b => bitsCur = b)
       writeLayout(fs)
     }
   }
@@ -1437,7 +1477,16 @@ final class NoveltyGate(tableRoot: String,
         .foreach(w => pcCur = w)
     }
     if (words == null)
-      manifest.get("bits").map(_.toInt).foreach(b => bitsCur = b)
+      // marker ground truth first (see syncLayout), then manifest;
+      // both validated — a corrupt value must fail fast here, not be
+      // rebuilt into a freshly-written broken layout
+      GateOps.readMarker(fs, bloomPath, "_bits").map(_.toInt)
+        .orElse(manifest.get("bits").map(_.toInt))
+        .foreach { b =>
+          require(b > 0 && Integer.bitCount(b) == 1,
+            s"persisted bits=$b is not a power of two")
+          bitsCur = b
+        }
     // bloom resize: explicit newBits wins; otherwise the
     // growBloomFactor policy sizes the width to the table (occupied
     // bits ≤ k·n, so k·n·2 ≤ bits keeps occupancy under ~50% — the
@@ -1505,6 +1554,12 @@ final class NoveltyGate(tableRoot: String,
         StructType.fromDDL("word_idx BIGINT, word BIGINT"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableRoot/bloom_tmp")
+    // the width marker rides the generation swap (see
+    // GateOps.writeMarker): a crash between the swaps below and the
+    // manifest refresh must not leave the reopened gate reading the
+    // rebuilt file at a stale width
+    GateOps.writeMarker(fs, s"$tableRoot/bloom_tmp", "_bits",
+      bitsCur.toString)
     GateOps.swapGeneration(fs, tableRoot, "data")
     GateOps.swapGeneration(fs, tableRoot, "bloom")
     words = rebuilt

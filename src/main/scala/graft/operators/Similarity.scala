@@ -781,17 +781,36 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$root/_layout")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the keys generation's own _row_bits marker is ground truth: it
+    // rode the same rename as the re-banded data, so it can never be
+    // stale the way the root manifest can be after a crash between a
+    // widening compact's swap and its manifest refresh (following the
+    // stale manifest would silently mis-key every probe against the
+    // already re-banded table). Manifest = pre-marker fallback; heals.
+    val markerRb = GateOps.readMarker(fs, s"$root/keys", "_row_bits")
+      .map(_.toInt)
     if (fs.exists(mp)) {
       val m = graft.operators.GateLayout.read(fs, mp)
-      m.get("row_bits").map(_.toInt).filter(_ != rbCur).foreach { rb =>
-        require(bands * rb <= 30,
-          s"persisted row_bits=$rb overflows the int keyspace")
-        rbCur = rb
-      }
-      graft.operators.GateLayout.check(m, root, layoutEntries)
-      if (!m.contains("verdict_schema") || !m.contains("row_bits"))
+      markerRb.orElse(m.get("row_bits").map(_.toInt))
+        .filter(_ != rbCur).foreach { rb =>
+          require(rb > 0 && bands * rb <= 30,
+            s"persisted row_bits=$rb overflows the int keyspace")
+          rbCur = rb
+        }
+      // row_bits is LIVE state, restored above (marker over manifest)
+      // — never fail-fast-checked: in the resize crash window the
+      // manifest is legitimately one refresh behind the marker
+      graft.operators.GateLayout.check(m, root,
+        layoutEntries.filterNot(_._1 == "row_bits"))
+      if (!m.contains("verdict_schema") || !m.contains("row_bits") ||
+          (markerRb.isDefined &&
+            m.get("row_bits") != markerRb.map(_.toString)))
         graft.operators.GateLayout.write(fs, mp, layoutEntries)
-    } else graft.operators.GateLayout.write(fs, mp, layoutEntries)
+    } else {
+      markerRb.filter(rb => rb > 0 && bands * rb <= 30)
+        .foreach(rb => rbCur = rb)
+      graft.operators.GateLayout.write(fs, mp, layoutEntries)
+    }
   }
 
   private def keyOf(band: Int, bkey: Int): Long =
@@ -1015,8 +1034,11 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     * constructed at the new width over the same corpus
     * (spec-pinned). Same generation-swap crash ordering as every
     * other compact; a restart mid-widening recovers whichever
-    * generation survived, and the manifest follows the swapped data
-    * (it is written only after the swaps land). */
+    * generation survived, and the width can never disagree with the
+    * data: a `_row_bits` marker written INTO the new generation rides
+    * its rename, is ground truth at reopen, and heals the root
+    * manifest (which alone would have a stale window between the
+    * swap and its refresh). */
   def compact(spark: org.apache.spark.sql.SparkSession,
       newRowBits: Option[Int] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -1078,6 +1100,11 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
           .write.mode("overwrite").partitionBy("band")
           .parquet(s"$root/keys_tmp")
     }
+    // the width marker rides the generation swap (see
+    // GateOps.writeMarker): data and width can never disagree even if
+    // a crash lands between the swaps and the manifest refresh
+    GateOps.writeMarker(fs, s"$root/keys_tmp", "_row_bits",
+      widen.getOrElse(rbCur).toString)
     // guarded like admit's vecs read: keys are appended before vecs,
     // so a crash between the two first-ever appends must not wedge a
     // later (auto-)compaction

@@ -56,21 +56,33 @@ object Curation {
     * loaded model can never pair the gram index with the wrong
     * window. */
   object Models {
+    /** All five artifacts (four frames + the eval-window manifest)
+      * land in ONE `current_tmp` generation and swap in atomically
+      * (the gate family's GateOps machinery): a cadence retrain can
+      * never expose a TORN model set to a concurrently-loading
+      * worker — new counts with old priors, or a new gram index
+      * paired with the old eval window — which an in-place
+      * per-directory overwrite would. A load racing the swap itself
+      * fails loudly on the momentarily-missing dir (retry) rather
+      * than reading a mix; crash windows restore at the next
+      * [[load]]. */
     def save(m: Models, dir: String): Unit = {
+      val gen = s"$dir/current_tmp"
       m.nbCounts.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/nb_counts")
+        .parquet(s"$gen/nb_counts")
       m.nbPriors.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/nb_priors")
+        .parquet(s"$gen/nb_priors")
       m.lmTable.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/lm_table")
+        .parquet(s"$gen/lm_table")
       m.evalGrams.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/eval_grams")
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_layout")
-      val fs = p.getFileSystem(m.nbCounts.sparkSession
-        .sparkContext.hadoopConfiguration)
-      graft.operators.GateLayout.write(fs, p,
+        .parquet(s"$gen/eval_grams")
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        m.nbCounts.sparkSession.sparkContext.hadoopConfiguration)
+      graft.operators.GateLayout.write(fs,
+        new org.apache.hadoop.fs.Path(s"$gen/_layout"),
         Seq("eval_from" -> m.evalFrom.toString,
           "eval_until" -> m.evalUntil.toString))
+      graft.operators.GateOps.swapGeneration(fs, dir, "current")
     }
 
     /** Load persisted artifacts, localCheckpointed like
@@ -80,11 +92,13 @@ object Curation {
       * spec): every column is integer/string-typed by construction,
       * so the parquet round trip is lossless. */
     def load(spark: SparkSession, dir: String): Models = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_layout")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val m = graft.operators.GateLayout.read(fs, p)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.GateOps.recoverGeneration(fs, dir, "current")
+      val m = graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/current/_layout"))
       def rd(name: String): DataFrame =
-        spark.read.parquet(s"$dir/$name").localCheckpoint()
+        spark.read.parquet(s"$dir/current/$name").localCheckpoint()
       Models(rd("nb_counts"), rd("nb_priors"), rd("lm_table"),
         rd("eval_grams"),
         m("eval_from").toLong, m("eval_until").toLong)

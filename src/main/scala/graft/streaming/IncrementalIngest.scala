@@ -99,7 +99,13 @@ object IncrementalIngest {
               // ingest_id hashes the FULL record incl. scraped_at, so
               // two byte-identical raw rows in one landing file share
               // it — without this dedup admitScored would emit two
-              // log rows for them and log-count accounting over-counts
+              // log rows for them and log-count accounting over-counts.
+              // Explicit width first (the repo-wide rule): a bare
+              // dropDuplicates AQE-coalesces to one partition and
+              // serializes the whole admit on a large landing batch
+              .repartition(
+                batch.sparkSession.sparkContext.defaultParallelism,
+                col("ingest_id"))
               .dropDuplicates("ingest_id")
             g.admitScored(prepared, "ingest_id", "payload")
               .withColumnRenamed("id", "ingest_id")
@@ -109,14 +115,14 @@ object IncrementalIngest {
             val (cng, cnd) = curGates.get
             val payloadCols = batch.columns.filterNot(_ == "scraped_at")
             // id = full-record hash (novelty_log's key), document =
-            // the crawl-invariant payload JSON; dedup mirrors the
-            // novelty path's (byte-identical rows in one landing
-            // file would double-log)
+            // the crawl-invariant payload JSON. No dedup here:
+            // curateBatch itself repartitions by doc_id at explicit
+            // width and dedups — a second pass would just pay the
+            // shuffle twice
             val docs = batch.select(
               xxhash64(to_json(struct(batch.columns.map(col): _*)))
                 .as("doc_id"),
               to_json(struct(payloadCols.map(col): _*)).as("text"))
-              .dropDuplicates("doc_id")
             Curation.curateBatch(docs, cng, cnd, models)
               .withColumnRenamed("doc_id", "ingest_id")
               .write.mode("append").parquet(s"$tableDir/curation_log")

@@ -1519,10 +1519,19 @@ object StreamingQueries {
   private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
     String, graft.streaming.Curation.Models]()
   private def sharedModels(s: org.apache.spark.sql.SparkSession,
-      d: String): graft.streaming.Curation.Models =
-    modelMemo.computeIfAbsent(
-      System.identityHashCode(s).toString + ":" + d,
+      d: String): graft.streaming.Curation.Models = {
+    // keyed by the CONTEXT's applicationId — unique per app lifetime,
+    // unlike an identityHashCode, which a fresh session object can
+    // alias after the old one is GC'd (returning localCheckpointed
+    // frames of a DEAD context). The frames live and die with the
+    // SparkContext, and entries of previous applications are evicted
+    // on a new application's first touch, so the memo never grows
+    // past one application's dirs.
+    val app = s.sparkContext.applicationId
+    modelMemo.keySet.removeIf(k => !k.startsWith(app + ":"))
+    modelMemo.computeIfAbsent(app + ":" + d,
       _ => graft.streaming.Curation.trainModels(T.documents(s, d)))
+  }
 
   /** The composed five-stage curation chain as ONE DuckDB SQL
     * (shared by ev_stream_curate, ev_stream_ingest_curated and

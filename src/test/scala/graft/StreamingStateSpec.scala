@@ -287,6 +287,22 @@ class StreamingStateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(gv === Map(1000L -> 0, 1001L -> 1),
       "restarted gate at the grown width must keep exact dedup")
+    // the resize crash window: generation swap landed, process died
+    // BEFORE the manifest refresh — the _bits marker rode the swap
+    // and must win over the stale manifest (else the reopened gate
+    // reads the grown file at the old width and dedup state is lost)
+    val gmp = new org.apache.hadoop.fs.Path(s"$groot/_layout")
+    val gm = graft.operators.GateLayout.read(fs, gmp)
+    graft.operators.GateLayout.write(fs, gmp,
+      gm.updated("bits", (1 << 10).toString).toSeq)
+    val sv = new graft.operators.NoveltyGate(groot)
+      .admitScored(Seq((1002L, "grow doc 7 text"), (1003L, "newer still"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sv === Map(1002L -> 0, 1003L -> 1),
+      "the in-generation width marker must win over a stale manifest")
+    assert(graft.operators.GateLayout.read(fs, gmp)("bits").toInt
+      === (1 << 12), "the manifest must heal from the marker")
     val nd = new graft.operators.NearDupGate(s"$out/nd")
     nd.admit(docs, "doc_id", "text")
     // a signature-shape mismatch vs stored sigs/bands is a silent
@@ -1177,6 +1193,24 @@ class StreamingStateSpec extends AnyFunSuite {
     sg2.admit(vecs(100L -> Seq(0.5f, 0.5f, 0.25f, 0.1f)), "id", "v")
     assert(spark.read.parquet(s"$sroot/verdicts").distinct()
       .filter(col("id") === 100L).count() === 1)
+    // the widening crash window: swap landed, manifest refresh did
+    // not — the keys generation's _row_bits marker must win over the
+    // stale manifest and heal it (a stale-width reopen would mis-key
+    // every probe against the already re-banded table)
+    val smp = new org.apache.hadoop.fs.Path(s"$sroot/_layout")
+    val sm = graft.operators.GateLayout.read(fs, smp)
+    graft.operators.GateLayout.write(fs, smp,
+      sm.updated("row_bits", "2").toSeq)
+    val sg3 = new graft.operators.EmbedNearDupGate(sroot, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+    sg3.admit(vecs(101L -> Seq(0.5f, 0.5f, 0.25f, 0.1f)), "id", "v")
+    val v101 = spark.read.parquet(s"$sroot/verdicts").distinct()
+      .filter(col("id") === 101L)
+      .collect().map(r => r.getInt(3)).toSeq
+    assert(v101 === Seq(1),
+      "marker-restored width must flag the identical stored vector")
+    assert(graft.operators.GateLayout.read(fs, smp)("row_bits") === "5",
+      "the manifest must heal from the marker")
   }
 
   test("curate composition: stateful gates chain across batches without interference") {
