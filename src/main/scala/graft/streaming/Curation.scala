@@ -281,9 +281,14 @@ object Curation {
     // gates compact their per-batch file accumulation (verdicts, band
     // buckets, fingerprint buckets) inside the admit turn — the
     // fixture's single-batch runs never reach the threshold, so the
-    // oracle rows are unaffected
+    // oracle rows are unaffected. The novelty gate's PERFORMANCE
+    // geometry also self-sizes at those compactions (bloom grows to
+    // k·n·2 ≤ bits, buckets widen past 256 MB) — both are
+    // verdict-invariant, unlike the embedding gate's band width,
+    // which changes collision semantics and therefore stays opt-in
     val ngate = new NoveltyGate(s"$outDir/nov",
-      autoCompactEvery = autoCompactEvery)
+      autoCompactEvery = autoCompactEvery,
+      growBloomFactor = 2, widenBucketBytes = 256L << 20)
     val ndgate = new NearDupGate(s"$outDir/nd", candCap = candCap,
       bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
     spark.readStream.schema(schema).parquet(docsGlob)

@@ -71,15 +71,19 @@ object IncrementalIngest {
     val gate = if (noveltyGate)
       // self-tending default: compact the fingerprint table's
       // per-batch accumulation every 16th batch (inside the admit
-      // turn — never racing one)
+      // turn — never racing one), with the verdict-invariant
+      // performance geometry self-sizing at those compactions
+      // (bloom to k·n·2 ≤ bits, buckets widening past 256 MB)
       Some(new graft.operators.NoveltyGate(s"$tableDir/novelty",
-        autoCompactEvery = 16))
+        autoCompactEvery = 16, growBloomFactor = 2,
+        widenBucketBytes = 256L << 20))
     else None
     // the composed-curation gates follow the same one-per-stream,
     // driver-side, self-tending discipline
     val curGates = curation.map { _ =>
       (new graft.operators.NoveltyGate(s"$tableDir/curation/nov",
-          autoCompactEvery = 16),
+          autoCompactEvery = 16, growBloomFactor = 2,
+          widenBucketBytes = 256L << 20),
         new graft.operators.NearDupGate(s"$tableDir/curation/nd",
           autoCompactEvery = 16))
     }
