@@ -1125,6 +1125,19 @@ private[graft] object GateOps {
     * multi-million-row frame and OOM the driver. */
   val broadcastRowCap: Long = 100000L
 
+  /** The repo-wide explicit-width batch dedup (one implementation —
+    * the AQE rule lives here): a bare dropDuplicates lets AQE
+    * coalesce the small post-aggregation shuffle to ONE partition,
+    * and a following localCheckpoint freezes that width, so every
+    * downstream join output streams single-core (measured: a 6 s
+    * admit at 38-44 s). A user-specified repartition width is exempt
+    * from coalescing and already satisfies the aggregate's
+    * distribution, so the dedup adds no second exchange. */
+  def dedupAtWidth(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(key))
+      .dropDuplicates(key)
+
   /** Per-band-key candidate truncation with shed reporting, shared by
     * the MinHash and embedding gates: rank each key's sharers by id,
     * keep the `cap` earliest-seen, and emit the keys that LOST
@@ -1227,8 +1240,15 @@ final class NoveltyGate(tableRoot: String,
         writeLayout(fs)
     } else {
       dw.foreach(w => pcCur = w)
-      markerBits.filter(b => b > 0 && Integer.bitCount(b) == 1)
-        .foreach(b => bitsCur = b)
+      // same fail-fast as the manifest-present branch: silently
+      // dropping a corrupt marker here would stamp the constructor
+      // default into a fresh manifest and read the bloom at the
+      // wrong width
+      markerBits.foreach { b =>
+        require(b > 0 && Integer.bitCount(b) == 1,
+          s"persisted bits=$b is not a power of two")
+        bitsCur = b
+      }
       writeLayout(fs)
     }
   }
@@ -1854,10 +1874,8 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // A user-specified repartition width is exempt from coalescing
     // and already satisfies the aggregate's distribution, so the
     // dedup adds no second exchange.
-    val batchSigs = batch
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism, col("id"))
-      .dropDuplicates("id")
+    val batchSigs = GateOps.dedupAtWidth(batch
+        .select(col(idCol).as("id"), col(textCol).as("t")), "id")
       .select(col("id"), Dedup.minhashSignaturePortable(
         col("t"), numHashes, shingleSize).as("sig"))
       .localCheckpoint()

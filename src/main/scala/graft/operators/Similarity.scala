@@ -807,8 +807,14 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
             m.get("row_bits") != markerRb.map(_.toString)))
         graft.operators.GateLayout.write(fs, mp, layoutEntries)
     } else {
-      markerRb.filter(rb => rb > 0 && bands * rb <= 30)
-        .foreach(rb => rbCur = rb)
+      // fail-fast like the manifest-present branch — silently
+      // dropping a corrupt marker would stamp the constructor
+      // default into a fresh manifest and mis-key every probe
+      markerRb.foreach { rb =>
+        require(rb > 0 && bands * rb <= 30,
+          s"persisted row_bits=$rb overflows the int keyspace")
+        rbCur = rb
+      }
       graft.operators.GateLayout.write(fs, mp, layoutEntries)
     }
   }
@@ -883,14 +889,10 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     }
     val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
     val vecsExist = fs.exists(new org.apache.hadoop.fs.Path(vecsPath))
-    // id-keyed dedup replaces the parallelism shuffle (see
-    // NearDupGate, incl. the explicit-width rule: a bare
-    // dropDuplicates AQE-coalesces to one partition and the
-    // checkpoint freezes it)
-    val batchVecs = batch
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(spark.sparkContext.defaultParallelism, col("id"))
-      .dropDuplicates("id")
+    // id-keyed dedup replaces the parallelism shuffle — the shared
+    // explicit-width idiom (GateOps.dedupAtWidth has the AQE rule)
+    val batchVecs = GateOps.dedupAtWidth(batch
+        .select(col(idCol).as("id"), col(vecCol).as("v")), "id")
       .localCheckpoint()
     // measured-count broadcast discipline (see NearDupGate: planner
     // stats on checkpointed survivor frames cannot be trusted). The

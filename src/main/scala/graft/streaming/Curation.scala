@@ -68,6 +68,14 @@ object Curation {
       * [[load]]. */
     def save(m: Models, dir: String): Unit = {
       val gen = s"$dir/current_tmp"
+      val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        m.nbCounts.sparkSession.sparkContext.hadoopConfiguration)
+      // a crashed save's leftover tmp must be cleared WHOLESALE
+      // before rebuilding: the per-directory overwrites below would
+      // otherwise mix this save's artifacts into the leftover's, and
+      // recoverGeneration's promote-the-tmp contract assumes a tmp is
+      // always one complete generation
+      fs0.delete(new org.apache.hadoop.fs.Path(gen), true)
       m.nbCounts.coalesce(1).write.mode("overwrite")
         .parquet(s"$gen/nb_counts")
       m.nbPriors.coalesce(1).write.mode("overwrite")
@@ -95,10 +103,18 @@ object Curation {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.operators.GateOps.recoverGeneration(fs, dir, "current")
+      // legacy adoption (the gate family's manifest-less-table
+      // discipline): a model dir written by the pre-generation flat
+      // layout has its artifacts at the root — read them from there
+      // rather than stranding cadence-trained models until a retrain
+      val base =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/current")))
+          s"$dir/current"
+        else dir
       val m = graft.operators.GateLayout.read(fs,
-        new org.apache.hadoop.fs.Path(s"$dir/current/_layout"))
+        new org.apache.hadoop.fs.Path(s"$base/_layout"))
       def rd(name: String): DataFrame =
-        spark.read.parquet(s"$dir/current/$name").localCheckpoint()
+        spark.read.parquet(s"$base/$name").localCheckpoint()
       Models(rd("nb_counts"), rd("nb_priors"), rd("lm_table"),
         rd("eval_grams"),
         m("eval_from").toLong, m("eval_until").toLong)
@@ -149,17 +165,14 @@ object Curation {
     * decontam_kept, lm_kept, kept). */
   def curateBatch(batch: DataFrame, ngate: NoveltyGate,
       ndgate: NearDupGate, models: Models): DataFrame = {
-    // one row per doc_id before ANY stage (the NearDupGate batch-side
-    // pattern, same explicit-width rule — a bare dropDuplicates lets
-    // AQE coalesce to one partition and the checkpoint freezes it):
-    // an upstream at-least-once duplicate inside one batch would
-    // otherwise multiply rows through every stage join and double
-    // nbPredict's per-doc bit sums while the priors stay single,
-    // which can flip quality_kept for that doc vs batch semantics
-    val b = batch.select(col("doc_id"), col("text"))
-      .repartition(batch.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
-      .dropDuplicates("doc_id")
+    // one row per doc_id before ANY stage (the shared explicit-width
+    // idiom — GateOps.dedupAtWidth has the AQE rule): an upstream
+    // at-least-once duplicate inside one batch would otherwise
+    // multiply rows through every stage join and double nbPredict's
+    // per-doc bit sums while the priors stay single, which can flip
+    // quality_kept for that doc vs batch semantics
+    val b = graft.operators.GateOps.dedupAtWidth(
+        batch.select(col("doc_id"), col("text")), "doc_id")
       .localCheckpoint()
     // measured-count broadcast discipline for every doc_id-keyed
     // stage/assembly join (the gates' rule: planner stats on

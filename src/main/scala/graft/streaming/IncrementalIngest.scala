@@ -100,18 +100,15 @@ object IncrementalIngest {
               xxhash64(to_json(struct(batch.columns.map(col): _*)))
                 .as("ingest_id"),
               to_json(struct(payloadCols.map(col): _*)).as("payload"))
+            g.admitScored(
               // ingest_id hashes the FULL record incl. scraped_at, so
               // two byte-identical raw rows in one landing file share
               // it — without this dedup admitScored would emit two
-              // log rows for them and log-count accounting over-counts.
-              // Explicit width first (the repo-wide rule): a bare
-              // dropDuplicates AQE-coalesces to one partition and
-              // serializes the whole admit on a large landing batch
-              .repartition(
-                batch.sparkSession.sparkContext.defaultParallelism,
-                col("ingest_id"))
-              .dropDuplicates("ingest_id")
-            g.admitScored(prepared, "ingest_id", "payload")
+              // log rows for them and log-count accounting
+              // over-counts (shared explicit-width idiom:
+              // GateOps.dedupAtWidth has the AQE rule)
+              graft.operators.GateOps.dedupAtWidth(prepared, "ingest_id"),
+              "ingest_id", "payload")
               .withColumnRenamed("id", "ingest_id")
               .write.mode("append").parquet(s"$tableDir/novelty_log")
           }
