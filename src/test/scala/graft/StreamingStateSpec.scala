@@ -458,6 +458,55 @@ class StreamingStateSpec extends AnyFunSuite {
       "an _old-only survivor must restore rather than start empty")
   }
 
+  test("every generation-swap crash state recovers: stale tmp, stale old, missing live") {
+    // swapGeneration's full state machine, enumerated: (a) crash
+    // after the _tmp write but before any rename → live dir intact,
+    // stale _tmp beside it (must be ignored at open and cleanly
+    // overwritten by the next compact); (b) crash between the two
+    // renames → live at NEITHER location (covered per-gate by the
+    // first-open recovery test; re-asserted here in the enumeration);
+    // (c) crash after rename(tmp→cur) before delete(old) → live +
+    // stale _old (recovery clears the _old). All on the novelty gate,
+    // whose machinery is the family's shared implementation.
+    val out = new java.io.File("target/test_swap_states").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val root = s"$out/nov"
+    new graft.operators.NoveltyGate(root)
+      .admit(Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"))
+    def dup(): Int = new graft.operators.NoveltyGate(root)
+      .admitScored(Seq((99L, "alpha  beta")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(_.getInt(1)).sum // 0 iff remembered
+    // (a) stale _tmp beside a live dir: build one by copying the live
+    // dir, then reopen — the live generation must win, and a
+    // subsequent compact must land cleanly over the leftover
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$root/data"),
+      fs, p(s"$root/data_tmp"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(dup() === 0, "live generation must win over a stale _tmp")
+    val g2 = new graft.operators.NoveltyGate(root)
+    g2.compact(spark)
+    assert(!fs.exists(p(s"$root/data_tmp")) &&
+      !fs.exists(p(s"$root/data_old")),
+      "compact must consume/clear the stale siblings")
+    assert(dup() === 0, "dedup intact after compacting over a stale tmp")
+    // (c) live + stale _old (crash before the final delete): the
+    // next open clears it without touching the live generation
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$root/data"),
+      fs, p(s"$root/data_old"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(dup() === 0, "live generation must win over a stale _old")
+    assert(!fs.exists(p(s"$root/data_old")),
+      "first open must clear the stale _old beside a live dir")
+    // (b) live at neither location — the promoted _tmp is the truth
+    fs.rename(p(s"$root/data"), p(s"$root/data_tmp"))
+    assert(dup() === 0, "missing live dir must restore from _tmp")
+    assert(fs.exists(p(s"$root/data")) && !fs.exists(p(s"$root/data_tmp")))
+  }
+
   test("streaming near-dup gate flags a near-duplicate arriving in a LATER batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
