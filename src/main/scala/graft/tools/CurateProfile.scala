@@ -46,17 +46,21 @@ object CurateProfile {
       }
       val batch = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
-      val b = batch
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .dropDuplicates("doc_id").localCheckpoint()
+      val b = graft.operators.GateOps.dedupAtWidth(batch, "doc_id")
+        .localCheckpoint()
+      // measured-count broadcast discipline, mirroring curateBatch
+      val smallBatch =
+        b.count() <= graft.operators.GateOps.broadcastRowCap
+      def mb(df: DataFrame): DataFrame =
+        if (smallBatch) broadcast(df) else df
       lap("batch-pin")
       val nov = ngate.admitScored(b, "doc_id", "text")
-      val s1 = b.join(nov.filter(col("is_novel") === 1)
-        .select(col("id").as("doc_id")), Seq("doc_id")).localCheckpoint()
+      val s1 = b.join(mb(nov.filter(col("is_novel") === 1)
+        .select(col("id").as("doc_id"))), Seq("doc_id")).localCheckpoint()
       lap("novelty")
       val nd = ndgate.admitScored(s1, "doc_id", "text")
-      val s2 = s1.join(nd.filter(col("is_neardup") === 0)
-        .select(col("id").as("doc_id")), Seq("doc_id")).localCheckpoint()
+      val s2 = s1.join(mb(nd.filter(col("is_neardup") === 0)
+        .select(col("id").as("doc_id"))), Seq("doc_id")).localCheckpoint()
       lap("neardup")
       val rules = TextClassify.gopherMetrics(s2, keyCols = Seq("doc_id"))
         .select(col("doc_id"),
@@ -67,12 +71,12 @@ object CurateProfile {
             .filter(col("token") =!= ""),
           models.nbCounts, models.nbPriors)
         .select(col("doc_id"), col("pred"))
-      val q3 = rules.join(pred, Seq("doc_id"), "left")
+      val q3 = rules.join(mb(pred), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("gp") === 1 && coalesce(col("pred"), lit(0)) === 1)
             .cast("int").as("quality_kept")).localCheckpoint()
-      val s3 = s2.join(q3.filter(col("quality_kept") === 1)
-        .select(col("doc_id")), Seq("doc_id")).localCheckpoint()
+      val s3 = s2.join(mb(q3.filter(col("quality_kept") === 1)
+        .select(col("doc_id"))), Seq("doc_id")).localCheckpoint()
       lap("quality")
       def gramArr = when(
         size(graft.operators.Dedup.tokens(col("text"))) >= 13,
@@ -83,14 +87,14 @@ object CurateProfile {
         .join(broadcast(models.evalGrams), "g")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       val dec = s3.select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
+        .join(mb(hits), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (!(col("doc_id") >= models.evalFrom &&
             col("doc_id") < models.evalUntil) &&
             coalesce(col("n_shared"), lit(0L)) === 0)
             .cast("int").as("decontam_kept")).localCheckpoint()
-      val s4 = s3.join(dec.filter(col("decontam_kept") === 1)
-        .select(col("doc_id")), Seq("doc_id")).localCheckpoint()
+      val s4 = s3.join(mb(dec.filter(col("decontam_kept") === 1)
+        .select(col("doc_id"))), Seq("doc_id")).localCheckpoint()
       lap("decontam")
       def lmToks(df: DataFrame): DataFrame = df
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
