@@ -84,13 +84,11 @@ object Curation {
         .parquet(s"$gen/lm_table")
       m.evalGrams.coalesce(1).write.mode("overwrite")
         .parquet(s"$gen/eval_grams")
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-        m.nbCounts.sparkSession.sparkContext.hadoopConfiguration)
-      graft.operators.GateLayout.write(fs,
+      graft.operators.GateLayout.write(fs0,
         new org.apache.hadoop.fs.Path(s"$gen/_layout"),
         Seq("eval_from" -> m.evalFrom.toString,
           "eval_until" -> m.evalUntil.toString))
-      graft.operators.GateOps.swapGeneration(fs, dir, "current")
+      graft.operators.GateOps.swapGeneration(fs0, dir, "current")
     }
 
     /** Load persisted artifacts, localCheckpointed like

@@ -1528,6 +1528,10 @@ object StreamingQueries {
     // on a new application's first touch, so the memo never grows
     // past one application's dirs.
     val app = s.sparkContext.applicationId
+    // evicting every OTHER app's entries is safe: classic Spark
+    // allows one active SparkContext per JVM, so a different appId
+    // here always belongs to a STOPPED application whose
+    // checkpointed frames are already dead
     modelMemo.keySet.removeIf(k => !k.startsWith(app + ":"))
     modelMemo.computeIfAbsent(app + ":" + d,
       _ => graft.streaming.Curation.trainModels(T.documents(s, d)))

@@ -284,8 +284,9 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
       """[{"title": "Curated Event One", "time": "Friday 15 July 2025",
         |  "venue": "pacha", "url": "https://x.com/1",
         |  "scraped_at": "2025-07-01T00:00:00"}]""".stripMargin)
-    IncrementalIngest.start(spark, landing, dir, curation = Some(models))
-      .awaitTermination(60000)
+    assert(IncrementalIngest
+      .start(spark, landing, dir, curation = Some(models))
+      .awaitTermination(120000), "first curated drain must finish")
     val log1 = spark.read.parquet(s"$dir/curation_log")
     assert(log1.count() === 1 && log1.select("is_novel").head().getInt(0) === 1)
     // crawl 2: the same payload re-scraped (scraped_at moved → new
@@ -298,8 +299,9 @@ class ApiMultimodalStreamingSpec extends AnyFunSuite {
         | {"title": "Curated Event Two", "time": "Saturday 16 August 2025",
         |  "venue": "dc10", "url": "https://x.com/2",
         |  "scraped_at": "2025-07-02T00:00:00"}]""".stripMargin)
-    IncrementalIngest.start(spark, landing, dir, curation = Some(models))
-      .awaitTermination(60000)
+    assert(IncrementalIngest
+      .start(spark, landing, dir, curation = Some(models))
+      .awaitTermination(120000), "second curated drain must finish")
     val log2 = spark.read.parquet(s"$dir/curation_log").distinct()
     assert(log2.count() === 3, "one verdict row per landed record")
     assert(log2.filter(col("is_novel") === 1).count() === 2,

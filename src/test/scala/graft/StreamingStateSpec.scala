@@ -850,9 +850,17 @@ class StreamingStateSpec extends AnyFunSuite {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     def docs(ids: Range) = ids.map(i => (i.toLong, text))
       .toDF("doc_id", "text")
-    def vMap() = spark.read.parquet(s"$out/nd/verdicts").distinct()
-      .collect().map(r => r.getLong(0) ->
+    def vMap() = {
+      val rows = spark.read.parquet(s"$out/nd/verdicts").distinct()
+        .collect()
+      // one row per id BEFORE toMap — toMap would silently collapse a
+      // divergent replay's second row for the same id, masking the
+      // exact regression the replay assertion exists to catch
+      assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+        "verdict table must hold exactly one row per id")
+      rows.map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    }
     val gate = new graft.operators.NearDupGate(s"$out/nd", bandKeyCap = 4)
     gate.admitScored(docs(1 to 10), "doc_id", "text")
     gate.admitScored(docs(11 to 15), "doc_id", "text")
@@ -984,8 +992,9 @@ class StreamingStateSpec extends AnyFunSuite {
         | {"title": "Both Gates Event", "time": "Friday 15 July 2025",
         |  "venue": "pacha", "url": "https://x.com/1",
         |  "scraped_at": "2025-07-02T00:00:00"}]""".stripMargin)
-    IncrementalIngest.start(spark, landing, dir,
-      noveltyGate = true, curation = Some(models)).awaitTermination(60000)
+    assert(IncrementalIngest.start(spark, landing, dir,
+        noveltyGate = true, curation = Some(models))
+      .awaitTermination(120000), "dual-flag drain must finish")
     // same payload scraped twice in ONE batch: both logs see two
     // records, flag exactly one novel, and the merge converges to one
     val nlog = spark.read.parquet(s"$dir/novelty_log").distinct()
