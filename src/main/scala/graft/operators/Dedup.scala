@@ -1138,6 +1138,32 @@ private[graft] object GateOps {
         col(key))
       .dropDuplicates(key)
 
+  /** Pipeline-level log/verdict-sink compaction — the gate verdict
+    * tables' epoch maintenance applied to the sinks OUTSIDE the gates
+    * (Curation.start's `scored`, IncrementalIngest's `novelty_log` /
+    * `curation_log`), which otherwise accumulate one file set per
+    * batch forever at sustained ingest: read, distinct (absorbing
+    * at-least-once replays — a replayed batch appends byte-identical
+    * rows), rewrite as one `sortCol`-sorted file, crash-ordered
+    * generation swap. Same run-between-appends contract as the gates'
+    * compact (the per-batch cadence inside foreachBatch satisfies
+    * it); a crash mid-swap heals at the next [[recoverGeneration]] —
+    * callers recover the log at stream start for exactly that. No-op
+    * on a missing dir. */
+  def compactLog(spark: org.apache.spark.sql.SparkSession,
+      parent: String, name: String, sortCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(parent)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverGeneration(fs, parent, name)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$parent/$name")))
+      return
+    spark.read.parquet(s"$parent/$name")
+      .distinct()
+      .coalesce(1).sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(s"$parent/${name}_tmp")
+    swapGeneration(fs, parent, name)
+  }
+
   /** Per-band-key candidate truncation with shed reporting, shared by
     * the MinHash and embedding gates: rank each key's sharers by id,
     * keep the `cap` earliest-seen, and emit the keys that LOST
@@ -1170,6 +1196,12 @@ final class NoveltyGate(tableRoot: String,
   require(growBloomFactor == 0 ||
     (growBloomFactor >= 2 && Integer.bitCount(growBloomFactor) == 1),
     "growBloomFactor must be 0 (off) or a power of two ≥ 2")
+  // bloomPos masks with bits-1, so power-of-two was always the
+  // implicit contract; reopen/compact already enforce it against the
+  // persisted value — rejecting it HERE keeps a gate from creating a
+  // width it would brick itself on at the first restart
+  require(bits > 0 && Integer.bitCount(bits) == 1,
+    s"bits=$bits must be a power of two (bloom positions mask with bits-1)")
 
   private var words: Array[Long] = _
   // admits since the last compaction — the maintenance-policy clock.

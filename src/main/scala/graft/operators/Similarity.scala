@@ -1082,6 +1082,24 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     }
     widen match {
       case Some(rb) =>
+        // the widening re-band derives keys solely from the VECS
+        // table: an id sitting in the keys-appended-but-vecs-append-
+        // crashed window is dropped from the index here rather than
+        // healed (verdict-neutral — cosine scoring needs the vec
+        // anyway, so such an id could never have flagged a probe) —
+        // but the shrink must be OBSERVABLE, not silent
+        val orphaned = spark.read
+          .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
+          .parquet(s"$root/keys").select(col("id")).distinct()
+          .join(spark.read
+            .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+            .parquet(s"$root/vecs").select(col("id")).distinct(),
+            Seq("id"), "left_anti")
+          .count()
+        if (orphaned > 0) System.err.println(
+          s"[embed-gate] widening to rowBits=$rb drops $orphaned " +
+            s"key-table id(s) absent from vecs (keys-appended/" +
+            s"vecs-crashed window) for $root")
         spark.read
           .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
           .parquet(s"$root/vecs")

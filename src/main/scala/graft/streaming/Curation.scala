@@ -100,6 +100,21 @@ object Curation {
     def load(spark: SparkSession, dir: String): Models = {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // recoverGeneration's promote-the-tmp rule assumes a surviving
+      // _tmp is one COMPLETE generation — true for single-write gate
+      // compacts, not for save's five sequential writes. The _layout
+      // manifest is written last, so it doubles as the completion
+      // sentinel: a tmp without it is a torn first-save (crash before
+      // completion) and must be DELETED, not promoted — promoting it
+      // would install a set every subsequent load fails on until a
+      // retrain. (With a live `current` present the tmp is never
+      // promoted anyway; save's wholesale tmp delete clears it.)
+      val tornTmp = new org.apache.hadoop.fs.Path(s"$dir/current_tmp")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/current")) &&
+          fs.exists(tornTmp) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/current_tmp/_layout")))
+        fs.delete(tornTmp, true)
       graft.operators.GateOps.recoverGeneration(fs, dir, "current")
       // legacy adoption (the gate family's manifest-less-table
       // discipline): a model dir written by the pre-generation flat
@@ -278,6 +293,11 @@ object Curation {
       models: Models, autoCompactEvery: Int = 16,
       bandKeyCap: Int = 0, candCap: Int = 100000,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // a crash inside a previous run's scored-log compaction can leave
+    // the table mid-generation-swap — heal before seeding/appending
+    graft.operators.GateOps.recoverGeneration(
+      new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), outDir, "scored")
     // seed the verdict table with its zero-row schema so a stream
     // that drains with no non-empty batch still leaves a readable
     // scored path (the repo-wide empty-replay discipline)
@@ -302,31 +322,55 @@ object Curation {
       growBloomFactor = 2, widenBucketBytes = 256L << 20)
     val ndgate = new NearDupGate(s"$outDir/nd", candCap = candCap,
       bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
+    // the PIPELINE-LEVEL sink self-tends on the same cadence as the
+    // gates' state tables: without this the scored log accumulates
+    // one file set per batch forever at sustained ingest (the gate
+    // verdicts dirs compact inside autoCompactEvery; this is their
+    // counterpart for the sink the gates don't own). Driver-side
+    // counter, same one-per-stream discipline as the gates.
+    var batchesSinceCompact = 0
     spark.readStream.schema(schema).parquet(docsGlob)
       .writeStream.queryName("graft_stream_curate")
       .option("checkpointLocation", s"$outDir/_ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           curateBatch(batch, ngate, ndgate, models)
             .write.mode("append").parquet(s"$outDir/scored")
+          batchesSinceCompact += 1
+          if (autoCompactEvery > 0 &&
+              batchesSinceCompact >= autoCompactEvery) {
+            graft.operators.GateOps.compactLog(batch.sparkSession,
+              outDir, "scored", "doc_id")
+            batchesSinceCompact = 0
+          }
+        }
       }
       .start()
   }
 
   /** The embedding-side standing check, for callers running the
     * vector twin of the text chain: one [[EmbedNearDupGate]] per
-    * stream, batches of (id, vector) admitted in arrival order. */
+    * stream, batches of (id, vector) admitted in arrival order.
+    *
+    * `targetKeyLoad` > 0 opts into the gate's SELF-SIZING band width:
+    * each auto-compaction widens rowBits until per-key corpus load ≤
+    * target (manifest-persisted, restart-safe — the gate's own
+    * policy, here merely surfaced so a hands-off deployment doesn't
+    * have to subclass). Opt-in, unlike the novelty gate's self-sizing
+    * defaults, because a width change alters COLLISION semantics:
+    * `rowBits` then only seeds the width before the first resize. */
   def startEmbedding(spark: SparkSession, vecsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       dim: Int, idCol: String, vecCol: String,
       bands: Int = 4, rowBits: Int = 4, minCosine: Double = 0.5,
       bandKeyCap: Int = 0, candCap: Int = 100000,
-      autoCompactEvery: Int = 16,
+      autoCompactEvery: Int = 16, targetKeyLoad: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val gate = new EmbedNearDupGate(outDir, dim, bands = bands,
       rowBits = rowBits, minCosine = minCosine, candCap = candCap,
-      bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
+      bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery,
+      targetKeyLoad = targetKeyLoad)
     spark.readStream.schema(schema).parquet(vecsGlob)
       .writeStream.queryName("graft_stream_embed_nd")
       .option("checkpointLocation", s"$outDir/_ckpt")

@@ -56,37 +56,78 @@ object IncrementalIngest {
     * under `tableDir/curation/{nov,nd}` — self-tending like the
     * novelty mode. The two modes are independent knobs (curation
     * subsumes the novelty flag's information but keeps its own
-    * state, so enabling both is supported and simply redundant). */
+    * state, so enabling both is supported and simply redundant).
+    *
+    * `curationModelsDir` is the PRODUCTION form of the same knob: a
+    * [[Curation.Models.save]] directory maintained on a retrain
+    * cadence by a batch job, [[Curation.Models.load]]ed here at
+    * start — an ingest worker never constructs models in the driver
+    * by hand, and a cadence retrain swaps the generation atomically
+    * under concurrent loaders. Verdicts under a loaded dir equal
+    * verdicts under the in-memory models bit-exactly (spec-pinned).
+    * Supplying both prefers the explicit `curation` value.
+    *
+    * `bandKeyCap`/`candCap` pass straight through to the curation
+    * mode's stage-2 [[graft.operators.NearDupGate]] — the production
+    * ingest topology must be able to enable its own scale remedy,
+    * exactly as [[Curation.start]] can: uncapped, a hot band key
+    * makes per-batch stage-2 cost grow with corpus skew; capped, the
+    * pair volume is bounded at batch·bands·cap with shed reported in
+    * the gate's verdicts under `tableDir/curation/nd/verdicts`.
+    * Defaults (0 / 100000) preserve the exact oracle semantics the
+    * ev_stream_ingest_curated row replays.
+    *
+    * `autoCompactEvery` is the shared self-tending cadence: the
+    * gates' state tables compact themselves inside every N-th admit,
+    * and the PIPELINE-LEVEL logs (`novelty_log`, `curation_log`) —
+    * which otherwise accumulate one file set per batch forever at
+    * sustained ingest — compact on the same clock
+    * ([[graft.operators.GateOps.compactLog]]: distinct-absorbed
+    * replays, one sorted file, crash-ordered swap). */
   def start(spark: SparkSession, landingDir: String, tableDir: String,
       platform: String = "ibiza-spotlight",
       checkpoint: Option[String] = None,
       noveltyGate: Boolean = false,
-      curation: Option[Curation.Models] = None): StreamingQuery = {
+      curation: Option[Curation.Models] = None,
+      curationModelsDir: Option[String] = None,
+      bandKeyCap: Int = 0, candCap: Int = 100000,
+      autoCompactEvery: Int = 16): StreamingQuery = {
+    val curModels = curation.orElse(
+      curationModelsDir.map(Curation.Models.load(spark, _)))
     val stream = spark.readStream
       .schema(rawSchema)
       .option("multiLine", true)
       .json(landingDir)
+    // a crash inside a previous run's log compaction can leave either
+    // log mid-generation-swap — heal before any append
+    val tfs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("novelty_log", "curation_log").foreach(
+      graft.operators.GateOps.recoverGeneration(tfs, tableDir, _))
     // ONE gate per stream (driver-side foreachBatch closure): the
     // cached bloom loads once and folds per-batch deltas in memory
     val gate = if (noveltyGate)
       // self-tending default: compact the fingerprint table's
-      // per-batch accumulation every 16th batch (inside the admit
+      // per-batch accumulation every N-th batch (inside the admit
       // turn — never racing one), with the verdict-invariant
       // performance geometry self-sizing at those compactions
       // (bloom to k·n·2 ≤ bits, buckets widening past 256 MB)
       Some(new graft.operators.NoveltyGate(s"$tableDir/novelty",
-        autoCompactEvery = 16, growBloomFactor = 2,
+        autoCompactEvery = autoCompactEvery, growBloomFactor = 2,
         widenBucketBytes = 256L << 20))
     else None
     // the composed-curation gates follow the same one-per-stream,
     // driver-side, self-tending discipline
-    val curGates = curation.map { _ =>
+    val curGates = curModels.map { _ =>
       (new graft.operators.NoveltyGate(s"$tableDir/curation/nov",
-          autoCompactEvery = 16, growBloomFactor = 2,
+          autoCompactEvery = autoCompactEvery, growBloomFactor = 2,
           widenBucketBytes = 256L << 20),
         new graft.operators.NearDupGate(s"$tableDir/curation/nd",
-          autoCompactEvery = 16))
+          candCap = candCap, bandKeyCap = bandKeyCap,
+          autoCompactEvery = autoCompactEvery))
     }
+    // pipeline-level log cadence (the gates keep their own clocks)
+    var batchesSinceCompact = 0
     stream.writeStream
       .queryName("graft-incremental-ingest")
       .option("checkpointLocation",
@@ -112,7 +153,7 @@ object IncrementalIngest {
               .withColumnRenamed("id", "ingest_id")
               .write.mode("append").parquet(s"$tableDir/novelty_log")
           }
-          curation.foreach { models =>
+          curModels.foreach { models =>
             val (cng, cnd) = curGates.get
             val payloadCols = batch.columns.filterNot(_ == "scraped_at")
             // id = full-record hash (novelty_log's key), document =
@@ -159,6 +200,19 @@ object IncrementalIngest {
           // upsert-on-arrival, unified_scraper.py:622-642)
           MergeOps.upsertParquetByMonth(batch.sparkSession,
             s"$tableDir/events", unified, Seq("event_id"), "updated_at")
+          // the logs self-tend on the gates' cadence: one file set per
+          // batch otherwise accumulates forever at sustained ingest
+          batchesSinceCompact += 1
+          if (autoCompactEvery > 0 &&
+              batchesSinceCompact >= autoCompactEvery) {
+            if (gate.isDefined)
+              graft.operators.GateOps.compactLog(batch.sparkSession,
+                tableDir, "novelty_log", "ingest_id")
+            if (curModels.isDefined)
+              graft.operators.GateOps.compactLog(batch.sparkSession,
+                tableDir, "curation_log", "ingest_id")
+            batchesSinceCompact = 0
+          }
         }
       }
       .start()

@@ -1378,6 +1378,333 @@ class StreamingStateSpec extends AnyFunSuite {
       .readBucketedFingerprints(spark, s"$out/nov").count() === 6)
   }
 
+  test("ingest curation mode passes the cap knobs through to its stage-2 gate") {
+    // r14's last recurring knob gap: the PRODUCTION ingest topology
+    // must be able to enable the stage-2 cap whose flat ScaleProbe
+    // curve is the 100 TB posture — exactly as Curation.start can.
+    // Fixture: a hot template family (10 records sharing 40 title
+    // tokens with one unique token each — distinct exact fingerprints,
+    // near-identical MinHash signatures) lands in ONE batch; capped at
+    // 2 the gate must truncate and report shed, while the flag-don't-
+    // drop merge still lands every record.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingcap")
+      .toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val recs = (1 to 10).map { i =>
+      s"""{"title": "$common unique$i", "venue": "pacha",
+         |  "url": "https://x.com/$i",
+         |  "scraped_at": "2025-07-0${i % 9 + 1}T00:00:00"}""".stripMargin
+    }.mkString("[", ",\n", "]")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$landing/c1.json").toPath, recs)
+    assert(IncrementalIngest.start(spark, landing, s"$dir/cap",
+        curation = Some(models), bandKeyCap = 2)
+      .awaitTermination(180000), "capped ingest drain must finish")
+    // the knob reached the gate: shed reported in ITS verdicts table
+    val gateV = spark.read.parquet(s"$dir/cap/curation/nd/verdicts")
+      .distinct()
+    assert(gateV.filter(col("n_capped_keys") > 0).count() > 0,
+      "the ingest stage-2 gate must report truncated keys")
+    // flag-don't-drop held with the cap on: every record logged AND
+    // merged (cap changes candidate volume, never the merge census)
+    val clog = spark.read.parquet(s"$dir/cap/curation_log").distinct()
+    assert(clog.count() === 10)
+    assert(spark.read.parquet(s"$dir/cap/events").count() === 10)
+    // the cap is semantically live vs an UNCAPPED ingest of the same
+    // landing data: doc_ids (full-record hashes) agree across runs, so
+    // the two gates' verdicts join exactly — capped n_cands never
+    // exceeds free, and is strictly fewer for at least one record
+    assert(IncrementalIngest.start(spark, landing, s"$dir/free",
+        curation = Some(models))
+      .awaitTermination(180000), "uncapped ingest drain must finish")
+    val freeV = spark.read.parquet(s"$dir/free/curation/nd/verdicts")
+      .distinct()
+    val joined = gateV.select(col("id"), col("n_cands").as("capped_n"))
+      .join(freeV.select(col("id"), col("n_cands").as("free_n")), "id")
+    assert(joined.count() > 0, "verdict ids must line up across runs")
+    assert(joined.filter(col("capped_n") > col("free_n")).isEmpty)
+    assert(joined.filter(col("capped_n") < col("free_n")).count() > 0)
+    // and the verdict LOGS agree wherever the cap didn't change the
+    // outcome columns' structure: same ids, same stage-1 verdicts
+    val ids = clog.select(col("ingest_id"), col("is_novel"))
+    val fids = spark.read.parquet(s"$dir/free/curation_log").distinct()
+      .select(col("ingest_id"), col("is_novel"))
+    assert(ids.exceptAll(fids).isEmpty && fids.exceptAll(ids).isEmpty)
+  }
+
+  test("ingest over a loaded models dir equals ingest over in-memory models") {
+    // the production cadence path: a batch job trains + saves, the
+    // ingest worker passes curationModelsDir and never constructs
+    // models by hand — the curation log must be bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingmdl")
+      .toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val corpus = Seq(
+      (900L, "reference corpus tokens for the shared models", "en"),
+      (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+      .toDF("doc_id", "text", "lang")
+    val models = graft.streaming.Curation.trainModels(corpus)
+    graft.streaming.Curation.Models.save(models, s"$dir/models")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$landing/c1.json").toPath,
+      """[{"title": "Loaded Models Event", "time": "Friday 15 July 2025",
+        |  "venue": "pacha", "url": "https://x.com/1",
+        |  "scraped_at": "2025-07-01T00:00:00"},
+        | {"title": "Second Event", "time": "Saturday 16 July 2025",
+        |  "venue": "amnesia", "url": "https://x.com/2",
+        |  "scraped_at": "2025-07-01T00:00:00"}]""".stripMargin)
+    assert(IncrementalIngest.start(spark, landing, s"$dir/mem",
+        curation = Some(models))
+      .awaitTermination(180000), "in-memory drain must finish")
+    assert(IncrementalIngest.start(spark, landing, s"$dir/loaded",
+        curationModelsDir = Some(s"$dir/models"))
+      .awaitTermination(180000), "loaded-dir drain must finish")
+    val a = spark.read.parquet(s"$dir/mem/curation_log").distinct()
+    val b = spark.read.parquet(s"$dir/loaded/curation_log").distinct()
+    assert(a.count() === 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "a loaded-dir ingest must reproduce the in-memory verdicts")
+    assert(spark.read.parquet(s"$dir/loaded/events").count() ===
+      spark.read.parquet(s"$dir/mem/events").count())
+  }
+
+  test("pipeline-level logs compact on the gate cadence with verdicts unchanged") {
+    // the gates' state tables self-compact; the sinks OUTSIDE them
+    // (Curation.start's scored, ingest's novelty_log/curation_log)
+    // accumulate one file set per batch forever without this — the
+    // classic sustained-ingest small-files leak. Cadence=1 makes every
+    // drain compact; across three drains the logs must stay at ONE
+    // part file each with censuses identical to an uncompacted run.
+    def partFiles(p: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.startsWith("part-"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_logcmp")
+      .toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    def rec(i: Int): String =
+      s"""[{"title": "Compaction Event $i", "venue": "pacha",
+         |  "url": "https://x.com/$i",
+         |  "scraped_at": "2025-07-0${i}T00:00:00"}]""".stripMargin
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$landing/c$i.json").toPath, rec(i))
+      assert(IncrementalIngest.start(spark, landing, s"$dir/t",
+          noveltyGate = true, curation = Some(models),
+          autoCompactEvery = 1)
+        .awaitTermination(180000), s"drain $i must finish")
+    }
+    // three drains = three appended batches, compacted after each:
+    // one file per log, nothing lost, nothing duplicated
+    assert(partFiles(s"$dir/t/novelty_log") === 1)
+    assert(partFiles(s"$dir/t/curation_log") === 1)
+    val nlog = spark.read.parquet(s"$dir/t/novelty_log")
+    val clog = spark.read.parquet(s"$dir/t/curation_log")
+    assert(nlog.count() === 3 &&
+      nlog.filter(col("is_novel") === 1).count() === 3)
+    assert(clog.count() === 3 &&
+      clog.filter(col("is_novel") === 1).count() === 3)
+    // Curation.start's scored sink under the same cadence: two drains
+    // over a growing source dir end at one file with the full census
+    val docs1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "omega psi chi phi upsilon")).toDF("doc_id", "text")
+    docs1.write.mode("overwrite").parquet(s"$dir/src")
+    val schema = spark.read.parquet(s"$dir/src").schema
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+        s"$dir/cur", models, autoCompactEvery = 1)
+      .awaitTermination()
+    Seq((3L, "nu xi omicron pi rho")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/src")
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+        s"$dir/cur", models, autoCompactEvery = 1)
+      .awaitTermination()
+    assert(partFiles(s"$dir/cur/scored") === 1)
+    val scored = spark.read.parquet(s"$dir/cur/scored")
+    assert(scored.count() === 3, "compaction must not lose verdicts")
+    assert(scored.select("doc_id").distinct().count() === 3)
+    // verdicts unchanged vs the compaction-free reference run
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+        s"$dir/ref", models)
+      .awaitTermination()
+    val ref = spark.read.parquet(s"$dir/ref/scored").distinct()
+    assert(scored.exceptAll(ref).isEmpty && ref.exceptAll(scored).isEmpty,
+      "log compaction must never change a verdict")
+  }
+
+  test("capped embedding gate composes per-probe across a multi-batch split") {
+    // the EmbedNearDupGate twin of the MinHash multi-batch cap spec:
+    // "earliest-seen per key" composes PER PROBE — index kept-set
+    // (cap smallest stored ids) plus self-probe kept-set (cap
+    // smallest in-batch ids) — so a doc whose hot sign-band key
+    // straddles the split sees at most 2×cap candidates,
+    // deterministically. Fixture: 15 identical unit vectors (every
+    // band key carries every doc; cosine exactly 1.0 since the norm
+    // is exactly 1), cap=4, split 10/5, bands=2.
+    val out = new java.io.File("target/test_embed_cap_multibatch")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def vMap() = {
+      val rows = spark.read.parquet(s"$out/verdicts").distinct()
+        .collect()
+      assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+        "verdict table must hold exactly one row per id")
+      rows.map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4))))
+        .toMap
+    }
+    val gate = new graft.operators.EmbedNearDupGate(out, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5, bandKeyCap = 4)
+    gate.admitScored(vecs(1 to 10), "vec_id", "embedding")
+    gate.admitScored(vecs(11 to 15), "vec_id", "embedding")
+    // hand-computed: batch 1 is the global-rank shape (kept = ids
+    // 1..4; doc q sees kept ∩ {<q}); batch 2 composes per-probe: 4
+    // from the index (ids 1..4, the stored earliest) + up to 4
+    // in-batch predecessors (ids 11..14) — doc 15 hits the 2×cap
+    // ceiling at 8. Both band keys exceed the cap on every probe, so
+    // every doc reports n_capped_keys = 2; every candidate cosine is
+    // exactly 1.0 (novel docs carry the -2.0 sentinel).
+    val expect = Map(
+      1L -> ((0L, -2.0, 0, 2L)),
+      2L -> ((1L, 1.0, 1, 2L)), 3L -> ((2L, 1.0, 1, 2L)),
+      4L -> ((3L, 1.0, 1, 2L)), 5L -> ((4L, 1.0, 1, 2L)),
+      6L -> ((4L, 1.0, 1, 2L)), 7L -> ((4L, 1.0, 1, 2L)),
+      8L -> ((4L, 1.0, 1, 2L)), 9L -> ((4L, 1.0, 1, 2L)),
+      10L -> ((4L, 1.0, 1, 2L)),
+      11L -> ((4L, 1.0, 1, 2L)), 12L -> ((5L, 1.0, 1, 2L)),
+      13L -> ((6L, 1.0, 1, 2L)), 14L -> ((7L, 1.0, 1, 2L)),
+      15L -> ((8L, 1.0, 1, 2L)))
+    assert(vMap() === expect,
+      "multi-batch capped embed verdicts must match the per-probe composition")
+    // replay determinism with the cap on: a restarted gate
+    // re-admitting batch 2 finds its own ids indexed, the exclusion
+    // removes them BEFORE the cap ranks, so every verdict reproduces
+    val replay = new graft.operators.EmbedNearDupGate(out, dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5, bandKeyCap = 4)
+    replay.admitScored(vecs(11 to 15), "vec_id", "embedding")
+    assert(vMap() === expect,
+      "a replayed capped embed batch must reproduce its verdicts")
+  }
+
+  test("torn first-save models tmp is deleted, never promoted") {
+    // Models.save writes five artifacts into current_tmp before the
+    // swap; a crash mid-FIRST-save leaves a torn tmp beside NO live
+    // generation. The _layout manifest is written last — the
+    // completion sentinel — so load must DELETE a sentinel-less tmp
+    // instead of promoting a set every subsequent load fails on.
+    val out = new java.io.File("target/test_torn_models")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val corpus = Seq(
+      (900L, "reference corpus tokens for the shared models", "en"),
+      (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+      .toDF("doc_id", "text", "lang")
+    val models = graft.streaming.Curation.trainModels(corpus)
+    // simulate the crash window: two of five artifacts landed, no
+    // _layout sentinel
+    models.nbCounts.coalesce(1).write
+      .parquet(s"$out/models/current_tmp/nb_counts")
+    models.nbPriors.coalesce(1).write
+      .parquet(s"$out/models/current_tmp/nb_priors")
+    intercept[Exception] {
+      graft.streaming.Curation.Models.load(spark, s"$out/models")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/models/current_tmp")),
+      "a torn tmp must be deleted, not promoted to current")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/models/current")),
+      "nothing may be promoted from a torn first save")
+    // a retrain-save then succeeds and round-trips
+    graft.streaming.Curation.Models.save(models, s"$out/models")
+    val loaded = graft.streaming.Curation.Models
+      .load(spark, s"$out/models")
+    assert(loaded.evalFrom === models.evalFrom)
+    // a COMPLETE surviving tmp (crash between the last artifact write
+    // and the swap) is still promoted by recoverGeneration — delete
+    // current and rebuild the window with the sentinel present
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/models2"), true)
+    graft.streaming.Curation.Models.save(models, s"$out/models2")
+    val m2 = new org.apache.hadoop.fs.Path(s"$out/models2")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/models2/current"),
+      new org.apache.hadoop.fs.Path(s"$out/models2/current_tmp"))
+    val loaded2 = graft.streaming.Curation.Models
+      .load(spark, s"$out/models2")
+    assert(loaded2.evalUntil === models.evalUntil,
+      "a complete tmp (sentinel present) must still promote")
+  }
+
+  test("novelty gate rejects a non-power-of-two bloom width at creation") {
+    // bloomPos masks with bits-1 (power-of-two was always the
+    // implicit contract) and reopen/compact enforce it against the
+    // persisted value — creation must too, or a gate persists a width
+    // it bricks itself on at the first restart
+    val err = intercept[IllegalArgumentException] {
+      new graft.operators.NoveltyGate("target/test_badbits", bits = 1000)
+    }
+    assert(err.getMessage.contains("power of two"))
+  }
+
+  test("startEmbedding self-sizes band width under a load target") {
+    // the gate's targetKeyLoad policy surfaced through the streaming
+    // entry point: 40 vectors at rowBits=2 put per-key load past 2 —
+    // the in-stream auto-compaction must widen to rowBits=5
+    // (manifest-persisted) and the widened index must still flag a
+    // later-arriving near-identical vector (verdict semantics
+    // preserved across the re-band)
+    val out = new java.io.File("target/test_stream_selfsize")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val b1 = (1L to 40L).map(i => (i, Seq(
+      (if (i % 2 == 0) 1f else -1f) * (i.toFloat / 40f),
+      (if (i % 3 == 0) 1f else -1f) * 0.5f,
+      (if (i % 5 == 0) 1f else -1f) * 0.25f,
+      0.1f))).toDF("vec_id", "embedding")
+    b1.write.mode("overwrite").parquet(s"$out/src")
+    val schema = spark.read.parquet(s"$out/src").schema
+    graft.streaming.Curation.startEmbedding(spark, s"$out/src", schema,
+        s"$out/run", dim = 4, idCol = "vec_id", vecCol = "embedding",
+        bands = 2, rowBits = 2, minCosine = 0.5,
+        autoCompactEvery = 1, targetKeyLoad = 2)
+      .awaitTermination()
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$out/run/_layout"))
+      .get("row_bits") === Some("5"),
+      "the stream's auto-compaction must self-size the band width")
+    // second drain: a vector identical to stored id 40 must flag via
+    // the RE-BANDED persistent index
+    Seq((100L, Seq(1f, -0.5f, 0.25f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$out/src")
+    graft.streaming.Curation.startEmbedding(spark, s"$out/src", schema,
+        s"$out/run", dim = 4, idCol = "vec_id", vecCol = "embedding",
+        bands = 2, rowBits = 2, minCosine = 0.5,
+        autoCompactEvery = 1, targetKeyLoad = 2)
+      .awaitTermination()
+    val v100 = spark.read.parquet(s"$out/run/verdicts").distinct()
+      .filter(col("id") === 100L)
+    assert(v100.count() === 1 && v100.head().getInt(3) === 1,
+      "the widened index must flag a near-identical later arrival")
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
