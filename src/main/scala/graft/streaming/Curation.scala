@@ -349,6 +349,58 @@ object Curation {
       .start()
   }
 
+  /** The census a sustained-ingest operator actually watches, read
+    * from a [[start]] output directory: per-stage evaluated / kept /
+    * dropped counts over the scored verdict log (stage N's evaluated
+    * = docs whose stage-N verdict is non-NULL — the stage lattice
+    * means exactly the previous stage's survivors reached it), plus
+    * the stage-2 gate's total shed under a band-key cap (summed
+    * n_capped_keys from the gate's own verdicts — 0 when uncapped,
+    * so the column doubles as a cap-is-off check). Corpus growth is
+    * the `1_novelty` row's n_kept: stage-1 survivors are precisely
+    * what both stateful gates index per batch. Two single-pass
+    * aggregations (scored; nd verdicts) joined as broadcast scalars —
+    * report cost never scales past the log scan. distinct() on both
+    * reads absorbs at-least-once replay duplicates, matching the
+    * logs' own read discipline. */
+  def curationReport(spark: SparkSession, outDir: String): DataFrame = {
+    val scored = spark.read.parquet(s"$outDir/scored").distinct()
+    val agg = scored.agg(
+      count(lit(1)).as("n_all"),
+      coalesce(sum((col("is_novel") === 1).cast("long")), lit(0L))
+        .as("k1"),
+      count(col("is_neardup")).as("e2"),
+      coalesce(sum((col("is_neardup") === 0).cast("long")), lit(0L))
+        .as("k2"),
+      count(col("quality_kept")).as("e3"),
+      coalesce(sum((col("quality_kept") === 1).cast("long")), lit(0L))
+        .as("k3"),
+      count(col("decontam_kept")).as("e4"),
+      coalesce(sum((col("decontam_kept") === 1).cast("long")), lit(0L))
+        .as("k4"),
+      count(col("lm_kept")).as("e5"),
+      coalesce(sum((col("lm_kept") === 1).cast("long")), lit(0L))
+        .as("k5"),
+      coalesce(sum((col("kept") === 1).cast("long")), lit(0L))
+        .as("k6"))
+    val shed = spark.read.parquet(s"$outDir/nd/verdicts").distinct()
+      .agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed"))
+    agg.crossJoin(broadcast(shed))
+      .selectExpr(
+        """stack(6,
+          |  '1_novelty', n_all, k1, CAST(0 AS BIGINT),
+          |  '2_neardup', e2, k2, shed,
+          |  '3_quality', e3, k3, CAST(0 AS BIGINT),
+          |  '4_decontam', e4, k4, CAST(0 AS BIGINT),
+          |  '5_lm', e5, k5, CAST(0 AS BIGINT),
+          |  '6_overall', n_all, k6, CAST(0 AS BIGINT)
+          |) AS (stage, n_evaluated, n_kept, shed_keys)""".stripMargin)
+      .select(col("stage"), col("n_evaluated"), col("n_kept"),
+        (col("n_evaluated") - col("n_kept")).as("n_dropped"),
+        col("shed_keys"))
+      .orderBy(col("stage"))
+  }
+
   /** The embedding-side standing check, for callers running the
     * vector twin of the text chain: one [[EmbedNearDupGate]] per
     * stream, batches of (id, vector) admitted in arrival order.

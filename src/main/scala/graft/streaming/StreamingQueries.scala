@@ -1234,9 +1234,9 @@ object StreamingQueries {
     // as n_capped_keys; same single-batch caveat as the MinHash
     // capped row (per-probe composition == global rank only under
     // one-batch arrival — the fixture's shape; the multi-batch
-    // composition is spec-frozen in StreamingStateSpec for the
-    // MinHash twin, and the embedding gate shares the GateOps
-    // implementation).
+    // per-probe composition is spec-frozen for THIS gate in
+    // StreamingStateSpec "capped embedding gate composes per-probe
+    // across a multi-batch split", mirroring the MinHash twin's).
     "ev_stream_embed_neardup_capped" -> QueryDef(
       (s, d) => {
         val out = freshDir(s, "stream_embed_nd_cap", d)
@@ -1373,6 +1373,91 @@ object StreamingQueries {
       },
       curateOracleSql(bandKeyCap = 8)),
 
+    // The CAPPED ingest topology — ev_stream_ingest_curated's
+    // production configuration, with stage 2's per-band-key cap on
+    // (8) through the IncrementalIngest.start knob family this row's
+    // gates mirror: the five-gate verdict chain in flag-don't-drop
+    // posture (verdicts logged BEFORE the partition-pruned month
+    // merge, the FULL batch still merged) with per-batch stage-2 pair
+    // volume bounded at batch·bands·cap regardless of corpus skew.
+    // Completes the capped-oracle symmetry for the last composed
+    // pipeline: every production entry point's 100 TB posture is now
+    // cross-engine exact (rank-capped candidate CTE composed into the
+    // ingest oracle, all-merged invariant preserved; same
+    // single-batch caveat as every capped row — the multi-batch
+    // per-probe composition is spec-frozen for both gate families).
+    "ev_stream_ingest_curated_capped" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_ingest_curated_cap", d)
+        val models = sharedModels(s, d)
+        val ngate = new graft.operators.NoveltyGate(s"$out/nov")
+        val ndgate = new graft.operators.NearDupGate(s"$out/nd",
+          bandKeyCap = 8)
+        seedEmptyParquet(s, s"$out/log",
+          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+            "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        val stream = s.readStream.schema(fileSchema)
+          .parquet(d + "/documents.parque*")
+        val q = stream.writeStream
+          .queryName("graft_stream_ingest_curated_cap")
+          .option("checkpointLocation", s"$out/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.streaming.Curation
+                .curateBatch(batch, ngate, ndgate, models)
+                .write.mode("append").parquet(s"$out/log")
+              graft.operators.MergeOps.upsertParquetByMonth(
+                batch.sparkSession, s"$out/events",
+                batch.select(col("doc_id"),
+                  concat(lit("2025-0"),
+                    (col("doc_id") % 6 + 1).cast("string"))
+                    .as("start_month"),
+                  col("doc_id").as("updated_seq")),
+                Seq("doc_id"), "updated_seq")
+            }
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/log").distinct()
+          .join(s.read.parquet(s"$out/events")
+            .select(col("doc_id"), lit(1).as("merged")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("is_novel"), col("is_neardup"),
+            col("quality_kept"), col("decontam_kept"), col("lm_kept"),
+            col("kept"), coalesce(col("merged"), lit(0)).as("merged"))
+          .orderBy(col("doc_id"))
+      },
+      curateOracleSql(",\n  CAST(1 AS INTEGER) AS merged",
+        bandKeyCap = 8)),
+
+    // The curation CENSUS — the operability surface a sustained-
+    // ingest operator actually watches (Curation.curationReport over
+    // a started pipeline's output dir): per-stage evaluated/kept/
+    // dropped over the scored verdict log (stage N's evaluated =
+    // non-NULL stage-N verdicts — the stage lattice) plus the
+    // stage-2 gate's total shed under the production cap (summed
+    // n_capped_keys from the gate's own verdicts; the column doubles
+    // as a cap-is-off check). Corpus growth per batch is the
+    // 1_novelty row's n_kept — stage-1 survivors are exactly what
+    // both stateful gates index. The oracle re-derives the whole
+    // five-stage chain AND its per-stage aggregation cross-engine.
+    "ev_stream_curate_report" -> QueryDef(
+      (s, d) => {
+        val out = freshDir(s, "stream_curate_report", d)
+        val models = sharedModels(s, d)
+        seedEmptyParquet(s, s"$out/scored",
+          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+            "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
+        val fileSchema = s.read.parquet(d + "/documents.parquet").schema
+        graft.streaming.Curation.start(s, d + "/documents.parque*",
+            fileSchema, out, models, bandKeyCap = 8)
+          .awaitTermination()
+        graft.streaming.Curation.curationReport(s, out)
+      },
+      curateReportOracleSql(bandKeyCap = 8)),
+
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,
     // watermark tick, then the re-timestamped stragglers (odd ids
@@ -1435,7 +1520,8 @@ object StreamingQueries {
     * CTE for the rank-capped form (cap earliest vec_ids per
     * (band, bkey)) and appends the per-doc n_capped_keys shed census
     * — the ev_stream_neardup_capped discipline transplanted, same
-    * single-batch global-rank == per-probe caveat. */
+    * single-batch global-rank == per-probe caveat (the multi-batch
+    * composition is spec-frozen per gate in StreamingStateSpec). */
   private def embedNearDupOracleSql(bandKeyCap: Int = 0): String = {
     val candCte =
       if (bandKeyCap <= 0)
@@ -1538,14 +1624,93 @@ object StreamingQueries {
   }
 
   /** The composed five-stage curation chain as ONE DuckDB SQL
-    * (shared by ev_stream_curate, ev_stream_ingest_curated and
-    * ev_stream_curate_capped — `extraSelect` splices extra output
+    * (shared by ev_stream_curate, ev_stream_ingest_curated[_capped]
+    * and ev_stream_curate_capped — `extraSelect` splices extra output
     * columns after `kept`; `bandKeyCap` > 0 swaps stage 2's
     * candidate CTE for the rank-capped form the
     * ev_stream_neardup_capped oracle pins, with the same
     * single-batch global-rank == per-probe caveat). */
   private def curateOracleSql(extraSelect: String = "",
-      bandKeyCap: Int = 0): String = {
+      bandKeyCap: Int = 0): String =
+    s"""${curateChainCtes(bandKeyCap)}
+       |SELECT d.doc_id,
+       |  CAST(nov.is_novel AS INTEGER) AS is_novel,
+       |  CAST(nd.is_neardup AS INTEGER) AS is_neardup,
+       |  CAST(q3.quality_kept AS INTEGER) AS quality_kept,
+       |  CAST(dec.decontam_kept AS INTEGER) AS decontam_kept,
+       |  CAST(lmk.lm_kept AS INTEGER) AS lm_kept,
+       |  CAST(CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
+       |    AND q3.quality_kept = 1 AND dec.decontam_kept = 1
+       |    AND lmk.lm_kept = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept$extraSelect
+       |FROM documents d
+       |LEFT JOIN nov ON nov.doc_id = d.doc_id
+       |LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |LEFT JOIN q3 ON q3.doc_id = d.doc_id
+       |LEFT JOIN dec ON dec.doc_id = d.doc_id
+       |LEFT JOIN lmk ON lmk.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-stage census of the curate chain — the
+    * [[graft.streaming.Curation.curationReport]] oracle: the chain's
+    * per-doc verdicts re-derived as a CTE, then evaluated/kept/
+    * dropped per stage (stage N's evaluated = non-NULL stage-N
+    * verdicts — the stage lattice) plus the total stage-2 shed under
+    * the cap (summed capk; 0 when uncapped). */
+  private def curateReportOracleSql(bandKeyCap: Int): String = {
+    val shedCte =
+      if (bandKeyCap <= 0) "SELECT CAST(0 AS BIGINT) AS s"
+      else
+        "SELECT CAST(COALESCE(SUM(n_capped), 0) AS BIGINT) AS s FROM capk"
+    s"""${curateChainCtes(bandKeyCap)},
+       |v AS (
+       |  SELECT nov.is_novel, nd.is_neardup, q3.quality_kept,
+       |    dec.decontam_kept, lmk.lm_kept,
+       |    CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
+       |      AND q3.quality_kept = 1 AND dec.decontam_kept = 1
+       |      AND lmk.lm_kept = 1 THEN 1 ELSE 0 END AS kept
+       |  FROM documents d
+       |  LEFT JOIN nov ON nov.doc_id = d.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |  LEFT JOIN q3 ON q3.doc_id = d.doc_id
+       |  LEFT JOIN dec ON dec.doc_id = d.doc_id
+       |  LEFT JOIN lmk ON lmk.doc_id = d.doc_id),
+       |shed AS ($shedCte),
+       |r AS (
+       |  SELECT '1_novelty' AS stage, COUNT(*) AS n_evaluated,
+       |    SUM(CASE WHEN is_novel = 1 THEN 1 ELSE 0 END) AS n_kept,
+       |    CAST(0 AS BIGINT) AS shed_keys FROM v
+       |  UNION ALL
+       |  SELECT '2_neardup', COUNT(is_neardup),
+       |    SUM(CASE WHEN is_neardup = 0 THEN 1 ELSE 0 END),
+       |    (SELECT s FROM shed) FROM v
+       |  UNION ALL
+       |  SELECT '3_quality', COUNT(quality_kept),
+       |    SUM(CASE WHEN quality_kept = 1 THEN 1 ELSE 0 END),
+       |    CAST(0 AS BIGINT) FROM v
+       |  UNION ALL
+       |  SELECT '4_decontam', COUNT(decontam_kept),
+       |    SUM(CASE WHEN decontam_kept = 1 THEN 1 ELSE 0 END),
+       |    CAST(0 AS BIGINT) FROM v
+       |  UNION ALL
+       |  SELECT '5_lm', COUNT(lm_kept),
+       |    SUM(CASE WHEN lm_kept = 1 THEN 1 ELSE 0 END),
+       |    CAST(0 AS BIGINT) FROM v
+       |  UNION ALL
+       |  SELECT '6_overall', COUNT(*),
+       |    SUM(CASE WHEN kept = 1 THEN 1 ELSE 0 END),
+       |    CAST(0 AS BIGINT) FROM v)
+       |SELECT stage, CAST(n_evaluated AS BIGINT) AS n_evaluated,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(n_evaluated - n_kept AS BIGINT) AS n_dropped,
+       |  shed_keys
+       |FROM r ORDER BY stage""".stripMargin
+  }
+
+  /** The chain's shared CTE block: stage-1 novelty through the
+    * stage-5 LM verdict (`lmk`), with stage 2's candidate CTE in
+    * uncapped or rank-capped form (capped additionally defines the
+    * `capk` shed census the report oracle sums). */
+  private def curateChainCtes(bandKeyCap: Int): String = {
     val coeffs = graft.operators.Dedup.portableCoeffs(32)
       .zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
@@ -1561,14 +1726,19 @@ object StreamingQueries {
         s"""ranked AS (
           |  SELECT doc_id, b, sl,
           |    ROW_NUMBER() OVER (PARTITION BY b, sl ORDER BY doc_id)
-          |      AS rk
+          |      AS rk,
+          |    COUNT(*) OVER (PARTITION BY b, sl) AS ksize
           |  FROM bands
           |  WHERE sl[1] IS NOT NULL AND sl[2] IS NOT NULL),
           |cand AS (
           |  SELECT DISTINCT q.doc_id AS id, c.doc_id AS cid
           |  FROM bands q JOIN ranked c
           |    ON q.b = c.b AND q.sl = c.sl AND c.rk <= $bandKeyCap
-          |      AND c.doc_id < q.doc_id),""".stripMargin
+          |      AND c.doc_id < q.doc_id),
+          |capk AS (
+          |  SELECT doc_id, COUNT(*) AS n_capped
+          |  FROM ranked WHERE ksize > $bandKeyCap
+          |  GROUP BY doc_id),""".stripMargin
     s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
        |f AS (
        |  SELECT doc_id,
@@ -1736,23 +1906,7 @@ object StreamingQueries {
        |  SELECT s4.doc_id,
        |    COALESCE(CASE WHEN lsc.total_bits * 1000 // lsc.n_bigrams
        |      < 12000 THEN 1 ELSE 0 END, 0) AS lm_kept
-       |  FROM s4 LEFT JOIN lsc ON lsc.doc_id = s4.doc_id)
-       |SELECT d.doc_id,
-       |  CAST(nov.is_novel AS INTEGER) AS is_novel,
-       |  CAST(nd.is_neardup AS INTEGER) AS is_neardup,
-       |  CAST(q3.quality_kept AS INTEGER) AS quality_kept,
-       |  CAST(dec.decontam_kept AS INTEGER) AS decontam_kept,
-       |  CAST(lmk.lm_kept AS INTEGER) AS lm_kept,
-       |  CAST(CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
-       |    AND q3.quality_kept = 1 AND dec.decontam_kept = 1
-       |    AND lmk.lm_kept = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept$extraSelect
-       |FROM documents d
-       |LEFT JOIN nov ON nov.doc_id = d.doc_id
-       |LEFT JOIN nd ON nd.doc_id = d.doc_id
-       |LEFT JOIN q3 ON q3.doc_id = d.doc_id
-       |LEFT JOIN dec ON dec.doc_id = d.doc_id
-       |LEFT JOIN lmk ON lmk.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |  FROM s4 LEFT JOIN lsc ON lsc.doc_id = s4.doc_id)""".stripMargin
   }
 
 }
