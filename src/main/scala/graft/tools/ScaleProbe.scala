@@ -36,10 +36,14 @@ import graft.operators.{Unify, V2Fixtures}
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
   *   merge | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
-  *   neardupcap | embedt | embedcap | curate | curatecap | spandedup
+  *   neardupcap | embedt | embedcap | curate | curatecap |
+  *   ingest | ingestcap | ingestcapm | spandedup
   *   (`curate`/`curatecap` time ONE fixed 500-doc micro-batch through
   *   the composed five-gate chain against a factor-scaled curated
-  *   corpus — the composition's cost curve, uncapped vs capped)
+  *   corpus — the composition's cost curve, uncapped vs capped;
+  *   the `ingest*` trio adds the topology's two extra actions —
+  *   verdict-log write + month-pruned merge — against a factor-scaled
+  *   events table, months constant vs scaled with the corpus)
   *   (`funnelcap` clones ONE doc ×factor — the adversarial duplicate
   *   cluster — through degree-capped clustering; the `novelty`/
   *   `neardup` pairs measure each standing gate's unbucketed baseline
@@ -748,6 +752,82 @@ object ScaleProbe {
       (spark.read.parquet(s"$out/scored").count(), sec)
     }
 
+    // Composed-INGEST probe (`ingest` uncapped / `ingestcap` capped,
+    // months held constant; `ingestcapm` capped, months varied): the
+    // curate probe measures the five-gate chain alone; the ingest
+    // topology (ev_stream_ingest_curated / IncrementalIngest
+    // curation mode) adds two actions per batch — the verdict-log
+    // write and the partition-pruned month merge. Standing state: the
+    // factor-scaled curated corpus seeded into both gates AND a
+    // factor-scaled events table laid out by month. Months-CONSTANT
+    // keeps 6 months total, so each touched month partition grows
+    // with the corpus and the pruned merge rewrites corpus/6 rows per
+    // batch even though pruning holds — a linear merge term.
+    // Months-VARIED grows the month count with the corpus (6·factor)
+    // while the batch still touches a fixed 6 — the merge term stays
+    // flat. The knee, if any, is month-partition sizing, not the
+    // gates; sec_merge on record isolates it from the gate curve.
+    var lastMergeSec = -1.0
+    def runIngestAt(cap: Int, varyMonths: Boolean)(
+        factor: Int): (Long, Double) = {
+      val tag = s"$cap${if (varyMonths) "m" else ""}"
+      val out = new java.io.File(s"target/probe_ingest$tag")
+        .getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val corpus = replicate(factor, perturbText = true)
+        .localCheckpoint()
+      val ngate = new graft.operators.NoveltyGate(s"$out/nov")
+      val ndgate = new graft.operators.NearDupGate(s"$out/nd",
+        bits = 1 << 26, k = 12, bandKeyCap = cap)
+      ngate.admit(corpus)
+      ndgate.admit(corpus, "doc_id", "text")
+      lastTableRows = spark.read.parquet(s"$out/nd/bands").count()
+      def monthCol(nMonths: Int) =
+        concat(lit("m"), (col("doc_id") % nMonths).cast("string"))
+      val seedMonths = if (varyMonths) 6 * factor else 6
+      graft.operators.MergeOps.upsertParquetByMonth(spark,
+        s"$out/events",
+        corpus.select(col("doc_id"),
+          monthCol(seedMonths).as("start_month"),
+          col("doc_id").as("updated_seq")),
+        Seq("doc_id"), "updated_seq")
+      val t1 = System.nanoTime()
+      val models = graft.streaming.Curation.trainModels(
+        graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang")))
+      lastTrainSec = (System.nanoTime() - t1) / 1e9
+      // the curate probe's batch shape: half genuinely novel
+      // (reversed text), half near-dups of corpus docs
+      val batch = base.limit(250)
+        .select((col("doc_id") + 800000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+        .unionByName(base.limit(250)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .localCheckpoint()
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.streaming.Curation.curateBatch(batch, ngate, ndgate, models)
+        .write.mode("append").parquet(s"$out/log")
+      val tm = System.nanoTime()
+      // the batch always touches 6 months (a micro-batch carries a
+      // bounded month set regardless of table-wide month count)
+      graft.operators.MergeOps.upsertParquetByMonth(spark,
+        s"$out/events",
+        batch.select(col("doc_id"), monthCol(6).as("start_month"),
+          col("doc_id").as("updated_seq")),
+        Seq("doc_id"), "updated_seq")
+      val tEnd = System.nanoTime()
+      lastMergeSec = (tEnd - tm) / 1e9
+      val sec = (tEnd - t0) / 1e9
+      lastCappedKeys = spark.read.parquet(s"$out/nd/verdicts")
+        .agg(coalesce(sum(col("n_capped_keys")), lit(0L)))
+        .head().getLong(0)
+      (spark.read.parquet(s"$out/log").count(), sec)
+    }
+
     // Span-removal probe (etl_span_dedup): near-duplicate replicas
     // (unique " repN" tail per replica) mean every BODY 8-gram repeats
     // across replicas at factor >= 2, so duplicated span mass — the
@@ -791,6 +871,9 @@ object ScaleProbe {
       case "embedcap"  => runEmbedHotAt(8)
       case "curate"    => runCurateAt(0)
       case "curatecap" => runCurateAt(8)
+      case "ingest"    => runIngestAt(0, varyMonths = false)
+      case "ingestcap" => runIngestAt(8, varyMonths = false)
+      case "ingestcapm" => runIngestAt(8, varyMonths = true)
       case "spandedup" => runSpanDedupAt
       case _           => runAt
     }
@@ -819,6 +902,9 @@ object ScaleProbe {
       case "embedcap"  => "embed_neardup_hotkey_capped"
       case "curate"    => "curate_pipeline_uncapped"
       case "curatecap" => "curate_pipeline_capped"
+      case "ingest"    => "ingest_pipeline_uncapped"
+      case "ingestcap" => "ingest_pipeline_capped"
+      case "ingestcapm" => "ingest_pipeline_capped_monthscaled"
       case "spandedup" => "etl_span_dedup"
       case _           => "etl_unify_score"
     }
@@ -834,7 +920,8 @@ object ScaleProbe {
       case "lm" | "nb" => "scored_docs"
       case "novelty" | "noveltyb" => "novel_appended"
       case "neardup" | "neardupb" | "neardupt" | "neardupcap" |
-           "embedt" | "embedcap" | "curate" | "curatecap" => "verdicts"
+           "embedt" | "embedcap" | "curate" | "curatecap" |
+           "ingest" | "ingestcap" | "ingestcapm" => "verdicts"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -864,6 +951,8 @@ object ScaleProbe {
           f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d"""
         else if (probe == "curate" || probe == "curatecap")
           f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d,"sec_train":$lastTrainSec%.2f"""
+        else if (probe.startsWith("ingest"))
+          f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d,"sec_train":$lastTrainSec%.2f,"sec_merge":$lastMergeSec%.2f"""
         else if (probe == "spandedup")
           f""","words_cut":$lastWordsCut%d"""
         else ""
