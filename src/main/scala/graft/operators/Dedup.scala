@@ -1142,14 +1142,31 @@ private[graft] object GateOps {
     * tables' epoch maintenance applied to the sinks OUTSIDE the gates
     * (Curation.start's `scored`, IncrementalIngest's `novelty_log` /
     * `curation_log`), which otherwise accumulate one file set per
-    * batch forever at sustained ingest: read, distinct (absorbing
-    * at-least-once replays — a replayed batch appends byte-identical
-    * rows), rewrite as one `sortCol`-sorted file, crash-ordered
-    * generation swap. Same run-between-appends contract as the gates'
-    * compact (the per-batch cadence inside foreachBatch satisfies
-    * it); a crash mid-swap heals at the next [[recoverGeneration]] —
-    * callers recover the log at stream start for exactly that. No-op
-    * on a missing dir. */
+    * batch forever at sustained ingest: read, distinct, rewrite as
+    * one `sortCol`-sorted file, crash-ordered generation swap. Same
+    * run-between-appends contract as the gates' compact (the
+    * per-batch cadence inside foreachBatch satisfies it); a crash
+    * mid-swap heals at the next [[recoverGeneration]] — callers
+    * recover the log at stream start for exactly that. No-op on a
+    * missing dir.
+    *
+    * CONTRACT: the log is a SET of verdict rows — the read-side
+    * discipline everywhere is `.distinct()`, and compaction
+    * materializes exactly that view. distinct() therefore absorbs
+    * at-least-once replays AND byte-identical re-arrivals (a scored
+    * doc_id re-submitted in a later batch writes the same non-novel
+    * verdict row); arrival MULTIPLICITY is deliberately not
+    * preserved. The ingest logs key by the full-record hash
+    * (scraped_at included), so distinct crawls of the same payload
+    * stay distinct rows there.
+    *
+    * COST: like the gates' own compact, each tick rewrites the whole
+    * log (the wholesale-generation design that keeps reads one
+    * sorted file and listings O(1)), so per-tick cost grows with log
+    * size — `autoCompactEvery` is the amortization knob, and a
+    * deployment whose verdict history outgrows single-file rewrites
+    * should rotate the sink (e.g. date-partitioned log dirs, one
+    * compaction scope per partition) rather than lower the cadence. */
   def compactLog(spark: org.apache.spark.sql.SparkSession,
       parent: String, name: String, sortCol: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(parent)

@@ -1087,19 +1087,23 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         // crashed window is dropped from the index here rather than
         // healed (verdict-neutral — cosine scoring needs the vec
         // anyway, so such an id could never have flagged a probe) —
-        // but the shrink must be OBSERVABLE, not silent
-        val orphaned = spark.read
+        // but the shrink must be OBSERVABLE, not silent. Count
+        // compare, not an anti-join: vecs ids ⊆ keys ids by append
+        // order (keys land first), so the orphan count is the
+        // cardinality difference — one aggregate per table, on a
+        // path that already rescans both
+        val keyIds = spark.read
           .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
-          .parquet(s"$root/keys").select(col("id")).distinct()
-          .join(spark.read
-            .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
-            .parquet(s"$root/vecs").select(col("id")).distinct(),
-            Seq("id"), "left_anti")
-          .count()
-        if (orphaned > 0) System.err.println(
-          s"[embed-gate] widening to rowBits=$rb drops $orphaned " +
-            s"key-table id(s) absent from vecs (keys-appended/" +
-            s"vecs-crashed window) for $root")
+          .parquet(s"$root/keys")
+          .agg(count_distinct(col("id"))).head().getLong(0)
+        val vecIds = spark.read
+          .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+          .parquet(s"$root/vecs").filter(col("v").isNotNull)
+          .agg(count_distinct(col("id"))).head().getLong(0)
+        if (keyIds > vecIds) System.err.println(
+          s"[embed-gate] widening to rowBits=$rb drops " +
+            s"${keyIds - vecIds} key-table id(s) absent from vecs " +
+            s"(keys-appended/vecs-crashed window) for $root")
         spark.read
           .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
           .parquet(s"$root/vecs")

@@ -63,8 +63,11 @@ object Curation {
       * worker — new counts with old priors, or a new gram index
       * paired with the old eval window — which an in-place
       * per-directory overwrite would. A load racing the swap itself
-      * fails loudly on the momentarily-missing dir (retry) rather
-      * than reading a mix; crash windows restore at the next
+      * fails loudly rather than reading a mix: on the
+      * momentarily-missing dir, or on the gen_id pin [[load]]
+      * re-checks after its frame reads (each read re-resolves the
+      * path, so without the pin a mid-load swap could assemble a
+      * mixed set silently); crash windows restore at the next
       * [[load]]. */
     def save(m: Models, dir: String): Unit = {
       val gen = s"$dir/current_tmp"
@@ -87,7 +90,12 @@ object Curation {
       graft.operators.GateLayout.write(fs0,
         new org.apache.hadoop.fs.Path(s"$gen/_layout"),
         Seq("eval_from" -> m.evalFrom.toString,
-          "eval_until" -> m.evalUntil.toString))
+          "eval_until" -> m.evalUntil.toString,
+          // unique per save: load pins it before and after its four
+          // frame reads, so a retrain swap landing MID-LOAD (each
+          // read re-resolves $dir/current) is detected and fails
+          // loudly instead of assembling a mixed-generation model
+          "gen_id" -> java.util.UUID.randomUUID().toString))
       graft.operators.GateOps.swapGeneration(fs0, dir, "current")
     }
 
@@ -124,13 +132,27 @@ object Curation {
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/current")))
           s"$dir/current"
         else dir
-      val m = graft.operators.GateLayout.read(fs,
-        new org.apache.hadoop.fs.Path(s"$base/_layout"))
+      val mp = new org.apache.hadoop.fs.Path(s"$base/_layout")
+      val m = graft.operators.GateLayout.read(fs, mp)
       def rd(name: String): DataFrame =
         spark.read.parquet(s"$base/$name").localCheckpoint()
-      Models(rd("nb_counts"), rd("nb_priors"), rd("lm_table"),
-        rd("eval_grams"),
+      val loaded = Models(rd("nb_counts"), rd("nb_priors"),
+        rd("lm_table"), rd("eval_grams"),
         m("eval_from").toLong, m("eval_until").toLong)
+      // each rd() re-resolves $base at its own time, so a cadence
+      // retrain's generation swap landing between them would
+      // otherwise assemble a MIXED model set silently (or the swap's
+      // old-generation delete turns a read into a loud
+      // FileNotFoundException — acceptable; silence is not). The
+      // gen_id pin closes the silent path: unchanged across the
+      // reads ⇒ every frame came from one generation. Pre-gen_id
+      // dirs (legacy saves) skip the check.
+      val mAfter = graft.operators.GateLayout.read(fs, mp)
+      if (m.get("gen_id") != mAfter.get("gen_id"))
+        throw new IllegalStateException(
+          s"models at $dir were swapped by a concurrent save during " +
+            "load (gen_id moved) — retry the load")
+      loaded
     }
   }
 
@@ -383,7 +405,23 @@ object Curation {
         .as("k5"),
       coalesce(sum((col("kept") === 1).cast("long")), lit(0L))
         .as("k6"))
-    val shed = spark.read.parquet(s"$outDir/nd/verdicts").distinct()
+    // the gate creates its verdicts dir only at the first non-empty
+    // admit (and an all-null-text first batch leaves it schema-less),
+    // while scored is seeded from batch zero — guard + explicit
+    // schema so the report works on a drained-empty pipeline
+    val ndv = s"$outDir/nd/verdicts"
+    val ndvExists = new org.apache.hadoop.fs.Path(ndv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(ndv))
+    val shed =
+      (if (ndvExists)
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, n_cands BIGINT, best_eq BIGINT, " +
+              "is_neardup INT, n_capped_keys BIGINT"))
+          .parquet(ndv).distinct()
+      else spark.range(0)
+        .select(lit(0L).as("n_capped_keys")).limit(0))
       .agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed"))
     agg.crossJoin(broadcast(shed))
       .selectExpr(

@@ -62,8 +62,10 @@ object IncrementalIngest {
     * [[Curation.Models.save]] directory maintained on a retrain
     * cadence by a batch job, [[Curation.Models.load]]ed here at
     * start — an ingest worker never constructs models in the driver
-    * by hand, and a cadence retrain swaps the generation atomically
-    * under concurrent loaders. Verdicts under a loaded dir equal
+    * by hand; a cadence retrain swaps the generation atomically, and
+    * a load racing that swap fails LOUDLY (the gen_id pin re-checked
+    * after the frame reads — retry) instead of assembling a
+    * mixed-generation model set. Verdicts under a loaded dir equal
     * verdicts under the in-memory models bit-exactly (spec-pinned).
     * Supplying both prefers the explicit `curation` value.
     *

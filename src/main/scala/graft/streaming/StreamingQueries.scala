@@ -1447,9 +1447,8 @@ object StreamingQueries {
       (s, d) => {
         val out = freshDir(s, "stream_curate_report", d)
         val models = sharedModels(s, d)
-        seedEmptyParquet(s, s"$out/scored",
-          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
-            "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
+        // no seedEmptyParquet here: Curation.start seeds scored with
+        // the zero-row schema itself before any batch runs
         val fileSchema = s.read.parquet(d + "/documents.parquet").schema
         graft.streaming.Curation.start(s, d + "/documents.parque*",
             fileSchema, out, models, bandKeyCap = 8)
