@@ -385,8 +385,17 @@ object Curation {
     * report cost never scales past the log scan. distinct() on both
     * reads absorbs at-least-once replay duplicates, matching the
     * logs' own read discipline. */
-  def curationReport(spark: SparkSession, outDir: String): DataFrame = {
-    val scored = spark.read.parquet(s"$outDir/scored").distinct()
+  def curationReport(spark: SparkSession, outDir: String): DataFrame =
+    curationReportFrom(spark, s"$outDir/scored", s"$outDir/nd/verdicts")
+
+  /** [[curationReport]] for any verdict-log + gate layout — the
+    * ingest topology keeps its log and gate state under different
+    * roots ([[IncrementalIngest.start]]: `tableDir/curation_log`,
+    * `tableDir/curation/nd`), and the census only touches the shared
+    * verdict columns, so the same report reads both layouts. */
+  def curationReportFrom(spark: SparkSession, scoredPath: String,
+      ndVerdictsPath: String): DataFrame = {
+    val scored = spark.read.parquet(scoredPath).distinct()
     val agg = scored.agg(
       count(lit(1)).as("n_all"),
       coalesce(sum((col("is_novel") === 1).cast("long")), lit(0L))
@@ -409,7 +418,7 @@ object Curation {
     // admit (and an all-null-text first batch leaves it schema-less),
     // while scored is seeded from batch zero — guard + explicit
     // schema so the report works on a drained-empty pipeline
-    val ndv = s"$outDir/nd/verdicts"
+    val ndv = ndVerdictsPath
     val ndvExists = new org.apache.hadoop.fs.Path(ndv)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(ndv))

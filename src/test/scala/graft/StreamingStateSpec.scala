@@ -1435,6 +1435,19 @@ class StreamingStateSpec extends AnyFunSuite {
     val fids = spark.read.parquet(s"$dir/free/curation_log").distinct()
       .select(col("ingest_id"), col("is_novel"))
     assert(ids.exceptAll(fids).isEmpty && fids.exceptAll(ids).isEmpty)
+    // the census operator reads the INGEST layout too (log + gate
+    // state under different roots): stage-1 sees all 10 records and
+    // the capped run's shed surfaces in the 2_neardup row
+    val rep = graft.streaming.Curation.curationReportFrom(spark,
+        s"$dir/cap/curation_log", s"$dir/cap/curation/nd/verdicts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep.size === 6)
+    assert(rep("1_novelty")._1 === 10L)
+    assert(rep("1_novelty")._2 === 10L, "distinct payloads are all novel")
+    assert(rep("2_neardup")._4 > 0L,
+      "the capped ingest census must surface the shed")
+    assert(rep("6_overall")._1 === 10L)
   }
 
   test("ingest over a loaded models dir equals ingest over in-memory models") {
