@@ -1166,7 +1166,16 @@ private[graft] object GateOps {
     * size — `autoCompactEvery` is the amortization knob, and a
     * deployment whose verdict history outgrows single-file rewrites
     * should rotate the sink (e.g. date-partitioned log dirs, one
-    * compaction scope per partition) rather than lower the cadence. */
+    * compaction scope per partition) rather than lower the cadence.
+    *
+    * CONCURRENT READERS: the generation swap means an EXTERNAL read
+    * (monitoring census, ad-hoc query) that lists the dir as the
+    * swap lands can fail transiently — the path is briefly at
+    * neither location, and a pre-swap listing's files are deleted
+    * after it. Same contract as the gate state tables and any
+    * swap-compacted parquet store: retry the read. The pipeline's
+    * OWN reads never race it (compaction runs inside the
+    * foreachBatch turn, serialized with the appends). */
   def compactLog(spark: org.apache.spark.sql.SparkSession,
       parent: String, name: String, sortCol: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(parent)

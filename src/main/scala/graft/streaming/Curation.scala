@@ -112,17 +112,24 @@ object Curation {
       // _tmp is one COMPLETE generation — true for single-write gate
       // compacts, not for save's five sequential writes. The _layout
       // manifest is written last, so it doubles as the completion
-      // sentinel: a tmp without it is a torn first-save (crash before
-      // completion) and must be DELETED, not promoted — promoting it
-      // would install a set every subsequent load fails on until a
-      // retrain. (With a live `current` present the tmp is never
-      // promoted anyway; save's wholesale tmp delete clears it.)
-      val tornTmp = new org.apache.hadoop.fs.Path(s"$dir/current_tmp")
+      // sentinel: a tmp without it is either a torn first-save
+      // (crash before completion) or a FIRST SAVE STILL IN FLIGHT —
+      // indistinguishable from here, so the tmp must be neither
+      // promoted (installing a set every later load fails on) nor
+      // deleted (destroying the in-flight save's artifacts out from
+      // under it; the next save clears a genuinely dead tmp
+      // wholesale anyway). Fail loudly instead and let the caller
+      // retry after the save lands or a retrain runs. (With a live
+      // `current` present the sentinel-less tmp is inert: never
+      // promoted, cleared by the next save.)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/current")) &&
-          fs.exists(tornTmp) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/current_tmp")) &&
           !fs.exists(new org.apache.hadoop.fs.Path(
             s"$dir/current_tmp/_layout")))
-        fs.delete(tornTmp, true)
+        throw new IllegalStateException(
+          s"no complete model generation at $dir: current_tmp lacks " +
+            "its _layout completion sentinel (a first save is in " +
+            "flight or crashed) — retry after the save, or retrain")
       graft.operators.GateOps.recoverGeneration(fs, dir, "current")
       // legacy adoption (the gate family's manifest-less-table
       // discipline): a model dir written by the pre-generation flat
@@ -384,7 +391,9 @@ object Curation {
     * aggregations (scored; nd verdicts) joined as broadcast scalars —
     * report cost never scales past the log scan. distinct() on both
     * reads absorbs at-least-once replay duplicates, matching the
-    * logs' own read discipline. */
+    * logs' own read discipline. A census read that straddles the
+    * stream's own log-compaction swap can fail transiently (the
+    * GateOps.compactLog reader contract) — retry. */
   def curationReport(spark: SparkSession, outDir: String): DataFrame =
     curationReportFrom(spark, s"$outDir/scored", s"$outDir/nd/verdicts")
 
@@ -395,7 +404,23 @@ object Curation {
     * verdict columns, so the same report reads both layouts. */
   def curationReportFrom(spark: SparkSession, scoredPath: String,
       ndVerdictsPath: String): DataFrame = {
-    val scored = spark.read.parquet(scoredPath).distinct()
+    // the ingest layout only creates its log inside the non-empty-
+    // batch branch, so a pipeline that drained empty has NO log dir
+    // (unlike Curation.start's scored, seeded from batch zero) — a
+    // missing path reports the zero census, not PATH_NOT_FOUND. Only
+    // the verdict columns matter to the census, so the empty frame
+    // carries just those (the two layouts' id columns differ).
+    val sfs = new org.apache.hadoop.fs.Path(scoredPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scored =
+      (if (sfs.exists(new org.apache.hadoop.fs.Path(scoredPath)))
+        spark.read.parquet(scoredPath)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "is_novel INT, is_neardup INT, quality_kept INT, " +
+            "decontam_kept INT, lm_kept INT, kept INT")))
+      .distinct()
     val agg = scored.agg(
       count(lit(1)).as("n_all"),
       coalesce(sum((col("is_novel") === 1).cast("long")), lit(0L))

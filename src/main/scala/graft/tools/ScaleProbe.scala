@@ -717,13 +717,23 @@ object ScaleProbe {
     // all five stages — half genuinely novel (reversed text), half
     // near-dups of corpus docs — so the curve isolates how per-batch
     // cost grows with corpus size, capped vs uncapped.
-    def runCurateAt(cap: Int)(factor: Int): (Long, Double) = {
-      val out = new java.io.File(
-        s"target/probe_curate$cap").getAbsolutePath
+    // Shared setup for the curate/ingest probe families (one
+    // workload definition — the two curves must measure the SAME
+    // chain or a change to the batch shape or census would silently
+    // diverge them): wipe `out`, seed both gates with the
+    // factor-scaled near-dup corpus, record the band-table size,
+    // train the shared models (sec_train on record, outside every
+    // timed unit). Returns the seeded gates, the pinned corpus, and
+    // the models.
+    def curateProbeSetup(out: String, cap: Int, factor: Int)
+        : (graft.operators.NoveltyGate, graft.operators.NearDupGate,
+           org.apache.spark.sql.DataFrame,
+           graft.streaming.Curation.Models) = {
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(out), true)
       val corpus = replicate(factor, perturbText = true)
+        .localCheckpoint()
       val ngate = new graft.operators.NoveltyGate(s"$out/nov")
       val ndgate = new graft.operators.NearDupGate(s"$out/nd",
         bits = 1 << 26, k = 12, bandKeyCap = cap)
@@ -735,20 +745,33 @@ object ScaleProbe {
         graft.Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text"), col("lang")))
       lastTrainSec = (System.nanoTime() - t1) / 1e9
-      val batch = base.limit(250)
-        .select((col("doc_id") + 800000000L).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text"))
-        .unionByName(base.limit(250)
-          .select((col("doc_id") + 900000000L).as("doc_id"),
-            reverse(col("text")).as("text")))
-        .localCheckpoint()
+      (ngate, ndgate, corpus, models)
+    }
+    // the probe micro-batch: half genuinely novel (reversed text),
+    // half near-dups of corpus docs
+    def curateProbeBatch() = base.limit(250)
+      .select((col("doc_id") + 800000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      .unionByName(base.limit(250)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+      .localCheckpoint()
+    def recordShed(out: String): Unit =
+      lastCappedKeys = spark.read.parquet(s"$out/nd/verdicts")
+        .agg(coalesce(sum(col("n_capped_keys")), lit(0L)))
+        .head().getLong(0)
+
+    def runCurateAt(cap: Int)(factor: Int): (Long, Double) = {
+      val out = new java.io.File(
+        s"target/probe_curate$cap").getAbsolutePath
+      val (ngate, ndgate, _, models) = curateProbeSetup(out, cap, factor)
+      val batch = curateProbeBatch()
       System.gc()
       val t0 = System.nanoTime()
       graft.streaming.Curation.curateBatch(batch, ngate, ndgate, models)
         .write.mode("overwrite").parquet(s"$out/scored")
       val sec = (System.nanoTime() - t0) / 1e9
-      lastCappedKeys = spark.read.parquet(s"$out/nd/verdicts")
-        .agg(coalesce(sum(col("n_capped_keys")), lit(0L))).head().getLong(0)
+      recordShed(out)
       (spark.read.parquet(s"$out/scored").count(), sec)
     }
 
@@ -773,17 +796,8 @@ object ScaleProbe {
       val tag = s"$cap${if (varyMonths) "m" else ""}"
       val out = new java.io.File(s"target/probe_ingest$tag")
         .getAbsolutePath
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      val corpus = replicate(factor, perturbText = true)
-        .localCheckpoint()
-      val ngate = new graft.operators.NoveltyGate(s"$out/nov")
-      val ndgate = new graft.operators.NearDupGate(s"$out/nd",
-        bits = 1 << 26, k = 12, bandKeyCap = cap)
-      ngate.admit(corpus)
-      ndgate.admit(corpus, "doc_id", "text")
-      lastTableRows = spark.read.parquet(s"$out/nd/bands").count()
+      val (ngate, ndgate, corpus, models) =
+        curateProbeSetup(out, cap, factor)
       def monthCol(nMonths: Int) =
         concat(lit("m"), (col("doc_id") % nMonths).cast("string"))
       val seedMonths = if (varyMonths) 6 * factor else 6
@@ -793,20 +807,7 @@ object ScaleProbe {
           monthCol(seedMonths).as("start_month"),
           col("doc_id").as("updated_seq")),
         Seq("doc_id"), "updated_seq")
-      val t1 = System.nanoTime()
-      val models = graft.streaming.Curation.trainModels(
-        graft.Tables.documents(spark, sfDir)
-          .select(col("doc_id"), col("text"), col("lang")))
-      lastTrainSec = (System.nanoTime() - t1) / 1e9
-      // the curate probe's batch shape: half genuinely novel
-      // (reversed text), half near-dups of corpus docs
-      val batch = base.limit(250)
-        .select((col("doc_id") + 800000000L).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text"))
-        .unionByName(base.limit(250)
-          .select((col("doc_id") + 900000000L).as("doc_id"),
-            reverse(col("text")).as("text")))
-        .localCheckpoint()
+      val batch = curateProbeBatch()
       System.gc()
       val t0 = System.nanoTime()
       graft.streaming.Curation.curateBatch(batch, ngate, ndgate, models)
@@ -822,9 +823,7 @@ object ScaleProbe {
       val tEnd = System.nanoTime()
       lastMergeSec = (tEnd - tm) / 1e9
       val sec = (tEnd - t0) / 1e9
-      lastCappedKeys = spark.read.parquet(s"$out/nd/verdicts")
-        .agg(coalesce(sum(col("n_capped_keys")), lit(0L)))
-        .head().getLong(0)
+      recordShed(out)
       (spark.read.parquet(s"$out/log").count(), sec)
     }
 

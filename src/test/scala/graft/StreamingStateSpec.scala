@@ -1613,12 +1613,16 @@ class StreamingStateSpec extends AnyFunSuite {
       "a replayed capped embed batch must reproduce its verdicts")
   }
 
-  test("torn first-save models tmp is deleted, never promoted") {
+  test("torn first-save models tmp is never promoted and never destroyed") {
     // Models.save writes five artifacts into current_tmp before the
     // swap; a crash mid-FIRST-save leaves a torn tmp beside NO live
-    // generation. The _layout manifest is written last — the
-    // completion sentinel — so load must DELETE a sentinel-less tmp
-    // instead of promoting a set every subsequent load fails on.
+    // generation — and the same on-disk state is what a load sees
+    // while a first save is STILL IN FLIGHT. The _layout manifest is
+    // written last — the completion sentinel — so load must neither
+    // promote a sentinel-less tmp (installing a set every later load
+    // fails on) nor delete it (destroying an in-flight save's
+    // artifacts): it fails loudly and leaves the tmp for the next
+    // save's wholesale clear.
     val out = new java.io.File("target/test_torn_models")
       .getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -1635,16 +1639,17 @@ class StreamingStateSpec extends AnyFunSuite {
       .parquet(s"$out/models/current_tmp/nb_counts")
     models.nbPriors.coalesce(1).write
       .parquet(s"$out/models/current_tmp/nb_priors")
-    intercept[Exception] {
+    val torn = intercept[IllegalStateException] {
       graft.streaming.Curation.Models.load(spark, s"$out/models")
     }
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+    assert(torn.getMessage.contains("sentinel"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$out/models/current_tmp")),
-      "a torn tmp must be deleted, not promoted to current")
+      "a sentinel-less tmp must be left intact (a save may be in flight)")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$out/models/current")),
       "nothing may be promoted from a torn first save")
-    // a retrain-save then succeeds and round-trips
+    // a retrain-save then clears the dead tmp wholesale and round-trips
     graft.streaming.Curation.Models.save(models, s"$out/models")
     val loaded = graft.streaming.Curation.Models
       .load(spark, s"$out/models")
