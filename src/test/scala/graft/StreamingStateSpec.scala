@@ -1666,6 +1666,15 @@ class StreamingStateSpec extends AnyFunSuite {
       .load(spark, s"$out/models2")
     assert(loaded2.evalUntil === models.evalUntil,
       "a complete tmp (sentinel present) must still promote")
+    // the mid-load swap detector's premise: every save stamps a
+    // DISTINCT gen_id (load pins it before and re-checks it after
+    // the four frame reads — identical ids ⇒ one generation)
+    def genId(d: String) = graft.operators.GateLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$d/current/_layout"))("gen_id")
+    val g1 = genId(s"$out/models2")
+    graft.streaming.Curation.Models.save(models, s"$out/models2")
+    assert(genId(s"$out/models2") !== g1,
+      "a retrain save must stamp a fresh gen_id")
   }
 
   test("novelty gate rejects a non-power-of-two bloom width at creation") {
