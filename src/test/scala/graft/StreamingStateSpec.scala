@@ -1555,6 +1555,57 @@ class StreamingStateSpec extends AnyFunSuite {
       "log compaction must never change a verdict")
   }
 
+  test("pipeline logs heal the compaction-swap crash window at stream start") {
+    // compactLog's generation swap has the family's crash window
+    // (live dir at neither cur nor _tmp); both entry points recover
+    // their logs BEFORE seeding/appending, so a restart inside the
+    // window must lose no verdicts
+    val dir = java.nio.file.Files.createTempDirectory("graft_logheal")
+      .toFile.getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    // curate layout: drain one batch, simulate the crash (scored
+    // left at _tmp only), drain a second batch — the restart heals
+    Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "omega psi chi phi upsilon")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/src")
+    val schema = spark.read.parquet(s"$dir/src").schema
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+      s"$dir/cur", models).awaitTermination()
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/cur/scored"),
+      new org.apache.hadoop.fs.Path(s"$dir/cur/scored_tmp"))
+    Seq((3L, "nu xi omicron pi rho")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/src")
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+      s"$dir/cur", models).awaitTermination()
+    assert(spark.read.parquet(s"$dir/cur/scored").distinct()
+      .count() === 3, "the healed scored log must carry every verdict")
+    // ingest layout: same window on novelty_log
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$landing/c1.json").toPath,
+      """[{"title": "Heal Event One", "venue": "pacha",
+        |  "url": "https://x.com/1",
+        |  "scraped_at": "2025-07-01T00:00:00"}]""".stripMargin)
+    assert(IncrementalIngest.start(spark, landing, s"$dir/ing",
+      noveltyGate = true).awaitTermination(180000))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/ing/novelty_log"),
+      new org.apache.hadoop.fs.Path(s"$dir/ing/novelty_log_tmp"))
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$landing/c2.json").toPath,
+      """[{"title": "Heal Event Two", "venue": "amnesia",
+        |  "url": "https://x.com/2",
+        |  "scraped_at": "2025-07-02T00:00:00"}]""".stripMargin)
+    assert(IncrementalIngest.start(spark, landing, s"$dir/ing",
+      noveltyGate = true).awaitTermination(180000))
+    assert(spark.read.parquet(s"$dir/ing/novelty_log").distinct()
+      .count() === 2, "the healed novelty log must carry every record")
+  }
+
   test("capped embedding gate composes per-probe across a multi-batch split") {
     // the EmbedNearDupGate twin of the MinHash multi-batch cap spec:
     // "earliest-seen per key" composes PER PROBE — index kept-set
