@@ -1040,7 +1040,19 @@ private[graft] object GateOps {
   /** Crash-ordered generation swap: `<root>/<name>_tmp` replaces
     * `<root>/<name>`, keeping the old generation as `_old` until the
     * new one is in place — a crash mid-swap leaves either generation
-    * intact, never neither. */
+    * intact, never neither.
+    *
+    * The tmp rename's result is CHECKED, not assumed: a concurrent
+    * [[recoverGeneration]] can legitimately promote a COMPLETED tmp
+    * itself (Models.load racing the tail of a first Models.save —
+    * sentinel written, swap not yet run), in which case this swap
+    * finds its tmp gone after having retired `cur` to `_old`; an
+    * unchecked rename would then fall through to the final
+    * delete(old) and destroy the only surviving generation. Instead
+    * the retired generation is restored (the swap's OUTCOME holds
+    * either way: the tmp's content is installed at `cur` — by
+    * whichever mover won), and `_old` is only cleared once a live
+    * generation exists. */
   def swapGeneration(fs: org.apache.hadoop.fs.FileSystem,
       root: String, name: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
@@ -1048,8 +1060,19 @@ private[graft] object GateOps {
     val old = new org.apache.hadoop.fs.Path(s"$root/${name}_old")
     fs.delete(old, true)
     if (fs.exists(cur)) fs.rename(cur, old)
-    fs.rename(tmp, cur)
-    fs.delete(old, true)
+    // RawLocalFileSystem throws FileNotFoundException (copy-fallback)
+    // for a missing rename source rather than returning false — both
+    // shapes mean "tmp vanished"
+    val renamed =
+      try fs.exists(tmp) && fs.rename(tmp, cur)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!renamed && !fs.exists(cur)) {
+      if (fs.exists(old)) fs.rename(old, cur)
+      else throw new IllegalStateException(
+        s"swapGeneration($root/$name): tmp vanished mid-swap and no " +
+          "generation survives at cur/old — state loss")
+    }
+    if (fs.exists(cur)) fs.delete(old, true)
   }
 
   /** First-open counterpart of [[swapGeneration]] — between its

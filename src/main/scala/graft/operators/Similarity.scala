@@ -1058,13 +1058,21 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     // arriving vector ≈ bands · corpus / 2^rowBits, so when the
     // per-key corpus load exceeds targetKeyLoad, widen one bit at a
     // time (each bit halves the load) within the int-keyspace bound
+    // distinct non-null vec-id count — shared by the sizing policy
+    // and the widen diagnostic so neither pays a second vecs scan
+    var vecIdCount: Option[Long] = None
+    def distinctVecIds(): Long = {
+      if (vecIdCount.isEmpty)
+        vecIdCount = Some(spark.read
+          .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
+          .parquet(s"$root/vecs")
+          .dropDuplicates("id").filter(col("v").isNotNull).count())
+      vecIdCount.get
+    }
     val policyBits =
       if (newRowBits.isEmpty && targetKeyLoad > 0 &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$root/vecs"))) {
-        val n = spark.read
-          .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
-          .parquet(s"$root/vecs")
-          .dropDuplicates("id").filter(col("v").isNotNull).count()
+        val n = distinctVecIds()
         var rb = rbCur
         // exact criterion (no integer-division floor): widen while
         // corpus > target · 2^rb
@@ -1090,16 +1098,15 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         // but the shrink must be OBSERVABLE, not silent. Count
         // compare, not an anti-join: vecs ids ⊆ keys ids by append
         // order (keys land first), so the orphan count is the
-        // cardinality difference — one aggregate per table, on a
-        // path that already rescans both
+        // cardinality difference. The keys aggregate is the
+        // diagnostic's only extra job (widens are rare maintenance
+        // events); the vecs count reuses the policy's scan when the
+        // widen was policy-driven
         val keyIds = spark.read
           .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
           .parquet(s"$root/keys")
           .agg(count_distinct(col("id"))).head().getLong(0)
-        val vecIds = spark.read
-          .schema(StructType.fromDDL("id BIGINT, v ARRAY<FLOAT>"))
-          .parquet(s"$root/vecs").filter(col("v").isNotNull)
-          .agg(count_distinct(col("id"))).head().getLong(0)
+        val vecIds = distinctVecIds()
         if (keyIds > vecIds) System.err.println(
           s"[embed-gate] widening to rowBits=$rb drops " +
             s"${keyIds - vecIds} key-table id(s) absent from vecs " +

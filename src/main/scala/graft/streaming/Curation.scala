@@ -454,8 +454,10 @@ object Curation {
             "id BIGINT, n_cands BIGINT, best_eq BIGINT, " +
               "is_neardup INT, n_capped_keys BIGINT"))
           .parquet(ndv).distinct()
-      else spark.range(0)
-        .select(lit(0L).as("n_capped_keys")).limit(0))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "n_capped_keys BIGINT")))
       .agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed"))
     agg.crossJoin(broadcast(shed))
       .selectExpr(

@@ -1728,6 +1728,38 @@ class StreamingStateSpec extends AnyFunSuite {
       "a retrain save must stamp a fresh gen_id")
   }
 
+  test("swapGeneration survives its tmp being promoted by a concurrent recover") {
+    // the Models.load-racing-first-save interleaving: save completes
+    // its tmp (sentinel written), a concurrent load's recoverGeneration
+    // promotes it to `current`, THEN save's swapGeneration runs — it
+    // retires the promoted generation to _old, finds its tmp gone, and
+    // must RESTORE rather than fall through to delete(old) and destroy
+    // the only generation
+    val out = new java.io.File("target/test_swap_race").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/t_tmp"))
+    graft.operators.GateOps.writeMarker(fs, s"$out/t_tmp", "_m", "gen1")
+    // the concurrent recover wins the promotion
+    graft.operators.GateOps.recoverGeneration(fs, out, "t")
+    assert(graft.operators.GateOps
+      .readMarker(fs, s"$out/t", "_m") === Some("gen1"))
+    // the saver's swap then runs against its vanished tmp: the
+    // generation must survive at `t` and nothing may linger at _old
+    graft.operators.GateOps.swapGeneration(fs, out, "t")
+    assert(graft.operators.GateOps
+      .readMarker(fs, s"$out/t", "_m") === Some("gen1"),
+      "the promoted generation must survive the racing swap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/t_old")))
+    // pathological total loss (no tmp, no cur, no old) fails fast
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/t"), true)
+    val err = intercept[IllegalStateException] {
+      graft.operators.GateOps.swapGeneration(fs, out, "t")
+    }
+    assert(err.getMessage.contains("no generation survives"))
+  }
+
   test("novelty gate rejects a non-power-of-two bloom width at creation") {
     // bloomPos masks with bits-1 (power-of-two was always the
     // implicit contract) and reopen/compact enforce it against the
