@@ -1183,34 +1183,78 @@ private[graft] object GateOps {
     * (scraped_at included), so distinct crawls of the same payload
     * stay distinct rows there.
     *
-    * COST: like the gates' own compact, each tick rewrites the whole
-    * log (the wholesale-generation design that keeps reads one
-    * sorted file and listings O(1)), so per-tick cost grows with log
-    * size — `autoCompactEvery` is the amortization knob, and a
-    * deployment whose verdict history outgrows single-file rewrites
-    * should rotate the sink (e.g. date-partitioned log dirs, one
-    * compaction scope per partition) rather than lower the cadence.
+    * COST — two tiers on one knob. `maxMergeBytes <= 0` (default) is
+    * the WHOLESALE tier: each tick rewrites the whole log to exactly
+    * one sorted file (the gates' generation design), so per-tick
+    * cost grows with log size — right while the log is
+    * rewrite-sized. `maxMergeBytes > 0` is the INCREMENTAL tier for
+    * sustained ingest: only files below the threshold merge, merged
+    * epochs seal at the threshold and are never rewritten, so
+    * per-tick cost is bounded by threshold + recent appends
+    * regardless of stream age, at the price of one file per sealed
+    * epoch and cross-epoch duplicates surviving on disk (absorbed by
+    * the read discipline).
     *
-    * CONCURRENT READERS: the generation swap means an EXTERNAL read
-    * (monitoring census, ad-hoc query) that lists the dir as the
-    * swap lands can fail transiently — the path is briefly at
-    * neither location, and a pre-swap listing's files are deleted
-    * after it. Same contract as the gate state tables and any
-    * swap-compacted parquet store: retry the read. The pipeline's
-    * OWN reads never race it (compaction runs inside the
+    * CONCURRENT READERS: the wholesale tier's generation swap means
+    * an EXTERNAL read (monitoring census, ad-hoc query) that lists
+    * the dir as the swap lands can fail transiently — the path is
+    * briefly at neither location, and a pre-swap listing's files are
+    * deleted after it. Same contract as the gate state tables and
+    * any swap-compacted parquet store: retry the read. The
+    * incremental tier has NO missing-path window (merge-in before
+    * source delete); a straddling read can only see absorbed
+    * duplicates or a vanished-source listing retry. The pipeline's
+    * OWN reads never race either tier (compaction runs inside the
     * foreachBatch turn, serialized with the appends). */
   def compactLog(spark: org.apache.spark.sql.SparkSession,
-      parent: String, name: String, sortCol: String): Unit = {
+      parent: String, name: String, sortCol: String,
+      maxMergeBytes: Long = 0L): Unit = {
     val fs = new org.apache.hadoop.fs.Path(parent)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverGeneration(fs, parent, name)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$parent/$name")))
+    val dirPath = new org.apache.hadoop.fs.Path(s"$parent/$name")
+    if (!fs.exists(dirPath)) return
+    if (maxMergeBytes <= 0L) {
+      spark.read.parquet(s"$parent/$name")
+        .distinct()
+        .coalesce(1).sortWithinPartitions(col(sortCol))
+        .write.mode("overwrite").parquet(s"$parent/${name}_tmp")
+      swapGeneration(fs, parent, name)
       return
-    spark.read.parquet(s"$parent/$name")
+    }
+    // INCREMENTAL (LSM-style) tier for logs whose history outgrows
+    // wholesale rewrites: merge only the data files smaller than
+    // maxMergeBytes into one sorted epoch file — a merged file that
+    // crosses the threshold SEALS and is never rewritten again, so
+    // per-tick cost is bounded by threshold + the batches appended
+    // since the last tick, independent of stream age. Trade vs the
+    // wholesale tier: duplicates spanning SEALED epochs survive on
+    // disk (the read-side distinct() — every reader's documented
+    // discipline — still absorbs them), and the dir holds one file
+    // per sealed epoch instead of exactly one. Crash-ordering needs
+    // no generation swap (and therefore has NO reader-visible
+    // missing-path window): the merged epoch file is moved IN before
+    // the consumed sources are deleted — a crash between the two
+    // leaves duplicate rows, which the read discipline absorbs;
+    // rows are never lost.
+    val files = fs.listStatus(dirPath).filter(f => f.isFile && {
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    val small = files.filter(_.getLen < maxMergeBytes)
+    if (small.length <= 1) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/${name}_merge_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(small.map(_.getPath.toString): _*)
       .distinct()
       .coalesce(1).sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite").parquet(s"$parent/${name}_tmp")
-    swapGeneration(fs, parent, name)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dirPath,
+        s"epoch_${java.util.UUID.randomUUID()}.parquet")))
+    small.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
   }
 
   /** Per-band-key candidate truncation with shed reporting, shared by

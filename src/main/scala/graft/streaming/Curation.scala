@@ -316,11 +316,19 @@ object Curation {
     * cap on it is bounded at batch·bands·cap, shed reported in the
     * gate's own verdicts table under `outDir/nd/verdicts`, matching
     * [[startEmbedding]]'s knob). Defaults (0 / 100000) keep the
-    * exact oracle semantics the ev_stream_curate row replays. */
+    * exact oracle semantics the ev_stream_curate row replays.
+    *
+    * `logMergeBytes` > 0 switches the scored log's cadence
+    * compaction to the bounded INCREMENTAL tier
+    * ([[graft.operators.GateOps.compactLog]]): per-tick cost stops
+    * growing with stream age once merged epochs seal at the
+    * threshold — the sustained-ingest posture; 0 (default) keeps the
+    * wholesale one-sorted-file rewrite. */
   def start(spark: SparkSession, docsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       models: Models, autoCompactEvery: Int = 16,
       bandKeyCap: Int = 0, candCap: Int = 100000,
+      logMergeBytes: Long = 0L,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // a crash inside a previous run's scored-log compaction can leave
     // the table mid-generation-swap — heal before seeding/appending
@@ -370,7 +378,7 @@ object Curation {
           if (autoCompactEvery > 0 &&
               batchesSinceCompact >= autoCompactEvery) {
             graft.operators.GateOps.compactLog(batch.sparkSession,
-              outDir, "scored", "doc_id")
+              outDir, "scored", "doc_id", logMergeBytes)
             batchesSinceCompact = 0
           }
         }

@@ -85,7 +85,11 @@ object IncrementalIngest {
     * which otherwise accumulate one file set per batch forever at
     * sustained ingest — compact on the same clock
     * ([[graft.operators.GateOps.compactLog]]: distinct-absorbed
-    * replays, one sorted file, crash-ordered swap). */
+    * replays, one sorted file, crash-ordered swap). `logMergeBytes`
+    * > 0 switches the log compactions to compactLog's bounded
+    * INCREMENTAL tier (per-tick cost stops growing with stream age
+    * once merged epochs seal at the threshold); 0 keeps the
+    * wholesale rewrite. */
   def start(spark: SparkSession, landingDir: String, tableDir: String,
       platform: String = "ibiza-spotlight",
       checkpoint: Option[String] = None,
@@ -93,7 +97,8 @@ object IncrementalIngest {
       curation: Option[Curation.Models] = None,
       curationModelsDir: Option[String] = None,
       bandKeyCap: Int = 0, candCap: Int = 100000,
-      autoCompactEvery: Int = 16): StreamingQuery = {
+      autoCompactEvery: Int = 16,
+      logMergeBytes: Long = 0L): StreamingQuery = {
     val curModels = curation.orElse(
       curationModelsDir.map(Curation.Models.load(spark, _)))
     val stream = spark.readStream
@@ -209,10 +214,10 @@ object IncrementalIngest {
               batchesSinceCompact >= autoCompactEvery) {
             if (gate.isDefined)
               graft.operators.GateOps.compactLog(batch.sparkSession,
-                tableDir, "novelty_log", "ingest_id")
+                tableDir, "novelty_log", "ingest_id", logMergeBytes)
             if (curModels.isDefined)
               graft.operators.GateOps.compactLog(batch.sparkSession,
-                tableDir, "curation_log", "ingest_id")
+                tableDir, "curation_log", "ingest_id", logMergeBytes)
             batchesSinceCompact = 0
           }
         }

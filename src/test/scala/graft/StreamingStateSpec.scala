@@ -1606,6 +1606,86 @@ class StreamingStateSpec extends AnyFunSuite {
       .count() === 2, "the healed novelty log must carry every record")
   }
 
+  test("incremental log compaction bounds per-tick work: epochs seal, census holds") {
+    // the sustained-ingest tier of GateOps.compactLog: files below
+    // maxMergeBytes merge into one epoch file, a file at/above it is
+    // SEALED (never rewritten — per-tick cost stops growing with
+    // stream age), duplicates spanning the crash window or sealed
+    // epochs are absorbed by the read-side distinct, and no tick ever
+    // leaves the dir unreadable
+    val out = new java.io.File("target/test_inc_compact").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // low-compressibility rows so file size tracks row count
+    def fatRows(ids: Range) = ids.map { i =>
+      (i.toLong, (1 to 400).map(j => (i * 31 + j * 7) % 97).mkString(","))
+    }.toDF("doc_id", "text")
+    def logFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$out/log"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    def census() = spark.read.parquet(s"$out/log").distinct().count()
+    (1 to 3).foreach(b => fatRows(b * 10 until b * 10 + 3)
+      .coalesce(1).write.mode("append").parquet(s"$out/log"))
+    // tick 1 at a huge threshold: all loose files merge to ONE epoch
+    graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+      maxMergeBytes = 1L << 20)
+    val afterFirst = logFiles()
+    assert(afterFirst.count(_.getPath.getName.startsWith("epoch_")) === 1)
+    assert(census() === 9, "merge must not lose rows")
+    val sealedName = afterFirst
+      .find(_.getPath.getName.startsWith("epoch_")).get.getPath.getName
+    val sealedLen = afterFirst.find(
+      _.getPath.getName === sealedName).get.getLen
+    // tick 2 with threshold = sealed length: the epoch is NOT below
+    // it (sealed), the new loose files are (verified, not assumed)
+    fatRows(100 until 102).coalesce(1)
+      .write.mode("append").parquet(s"$out/log")
+    val loose = logFiles().filterNot(_.getPath.getName === sealedName)
+    assert(loose.forall(_.getLen < sealedLen),
+      "fixture invariant: loose single-batch files are smaller than the 9-row epoch")
+    graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+      maxMergeBytes = sealedLen)
+    assert(logFiles().exists(_.getPath.getName === sealedName),
+      "a sealed epoch must never be rewritten")
+    assert(census() === 11)
+    // crash window: epoch moved in, sources not yet deleted — rows
+    // exist BOTH inside an epoch and in loose source files; the
+    // duplicates are read-absorbed and the next huge-threshold tick
+    // converges everything back to one file
+    fatRows(100 until 102).coalesce(1)
+      .write.mode("append").parquet(s"$out/log")
+    assert(census() === 11, "duplicates from the crash window are read-absorbed")
+    graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+      maxMergeBytes = 1L << 20)
+    assert(logFiles().count(_.getPath.getName.startsWith("epoch_")) === 1)
+    assert(census() === 11)
+    // entry-point wiring: a capped-cadence Curation.start run with the
+    // knob on produces epoch files and the same verdicts as wholesale
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "omega psi chi phi upsilon")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/src")
+    val schema = spark.read.parquet(s"$out/src").schema
+    graft.streaming.Curation.start(spark, s"$out/src", schema,
+        s"$out/inc", models, autoCompactEvery = 1,
+        logMergeBytes = 1L << 20)
+      .awaitTermination()
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/inc/scored"))
+      .exists(_.getPath.getName.startsWith("epoch_")),
+      "the entry-point knob must reach the incremental tier")
+    graft.streaming.Curation.start(spark, s"$out/src", schema,
+        s"$out/ref", models)
+      .awaitTermination()
+    val a = spark.read.parquet(s"$out/inc/scored").distinct()
+    val b = spark.read.parquet(s"$out/ref/scored").distinct()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "incremental compaction must never change a verdict")
+  }
+
   test("capped embedding gate composes per-probe across a multi-batch split") {
     // the EmbedNearDupGate twin of the MinHash multi-batch cap spec:
     // "earliest-seen per key" composes PER PROBE — index kept-set
