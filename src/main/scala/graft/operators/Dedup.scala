@@ -1071,6 +1071,15 @@ private[graft] object GateOps {
       else throw new IllegalStateException(
         s"swapGeneration($root/$name): tmp vanished mid-swap and no " +
           "generation survives at cur/old — state loss")
+      // tmp STILL present after a false rename = a genuine rename
+      // failure, not the concurrent-recover interleaving (whose mover
+      // consumed the tmp) — the old generation is restored above, but
+      // swallowing this would silently abandon the completed new
+      // generation on every tick and nobody would find out
+      if (fs.exists(tmp)) throw new IllegalStateException(
+        s"swapGeneration($root/$name): rename(tmp, cur) failed with " +
+          "tmp still present — old generation restored, new one " +
+          "abandoned at _tmp; investigate the filesystem")
     }
     if (fs.exists(cur)) fs.delete(old, true)
   }
@@ -1214,6 +1223,14 @@ private[graft] object GateOps {
     recoverGeneration(fs, parent, name)
     val dirPath = new org.apache.hadoop.fs.Path(s"$parent/$name")
     if (!fs.exists(dirPath)) return
+    // either tier owns the other's leftover: a crash inside the
+    // incremental tier's write can strand ${name}_merge_tmp, which
+    // recoverGeneration knows nothing about — clear it here so a
+    // deployment that switches tiers (or crashed mid-merge) never
+    // leaks a full merged copy forever
+    val mergeTmp =
+      new org.apache.hadoop.fs.Path(s"$parent/${name}_merge_tmp")
+    fs.delete(mergeTmp, true)
     if (maxMergeBytes <= 0L) {
       spark.read.parquet(s"$parent/$name")
         .distinct()
@@ -1242,19 +1259,40 @@ private[graft] object GateOps {
       !n.startsWith("_") && !n.startsWith(".")
     })
     val small = files.filter(_.getLen < maxMergeBytes)
-    if (small.length <= 1) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$parent/${name}_merge_tmp")
-    fs.delete(tmp, true)
+    if (small.length <= 1) {
+      // a threshold at/below the per-batch append size makes every
+      // file "born sealed" and silently disables compaction — the
+      // exact accumulation pathology this exists to prevent. The
+      // misconfiguration must be LOUD: unmergeable file growth past
+      // any plausible cadence means the threshold, not the data.
+      if (files.length >= 64) System.err.println(
+        s"[compact-log] $parent/$name holds ${files.length} files " +
+          s"but none below maxMergeBytes=$maxMergeBytes — the " +
+          "threshold is at/below the per-batch append size and " +
+          "compaction is a no-op; raise it")
+      return
+    }
     spark.read.parquet(small.map(_.getPath.toString): _*)
       .distinct()
       .coalesce(1).sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(tmp).map(_.getPath)
+      .write.mode("overwrite").parquet(mergeTmp.toString)
+    // move-in is CHECKED before the destructive deletes (the
+    // swapGeneration lesson): a failed rename with the sources then
+    // deleted would be silent row loss — abort instead, leaving the
+    // sources intact (any epoch files already moved in are
+    // read-absorbed duplicates, the crash-window state)
+    fs.listStatus(mergeTmp).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
-      .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dirPath,
-        s"epoch_${java.util.UUID.randomUUID()}.parquet")))
+      .foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(dirPath,
+          s"epoch_${java.util.UUID.randomUUID()}.parquet")
+        if (!fs.rename(p, dst)) throw new IllegalStateException(
+          s"compactLog($parent/$name): failed to move merged epoch " +
+            s"$p into the log — sources left intact, aborting before " +
+            "any delete")
+      }
     small.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(tmp, true)
+    fs.delete(mergeTmp, true)
   }
 
   /** Per-band-key candidate truncation with shed reporting, shared by

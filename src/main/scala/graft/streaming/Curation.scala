@@ -163,6 +163,14 @@ object Curation {
     }
   }
 
+  /** Zero-row frame with the given DDL schema — the shared empty-
+    * seed/empty-placeholder construction (one definition; the seed
+    * and both census fallbacks use it). */
+  private def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   /** Per-doc distinct 13-gram md5s (array_distinct — a per-row fold,
     * matching the decontamination oracle's list_distinct). */
   private def gramArr: org.apache.spark.sql.Column = when(
@@ -338,12 +346,9 @@ object Curation {
     // seed the verdict table with its zero-row schema so a stream
     // that drains with no non-empty batch still leaves a readable
     // scored path (the repo-wide empty-replay discipline)
-    spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, is_novel INT, is_neardup INT, " +
-            "quality_kept INT, decontam_kept INT, lm_kept INT, " +
-            "kept INT"))
+    emptyFrame(spark,
+      "doc_id BIGINT, is_novel INT, is_neardup INT, " +
+        "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
       .write.mode("ignore").parquet(s"$outDir/scored")
     // a PRODUCTION stream self-tends by default: every 16th batch the
     // gates compact their per-batch file accumulation (verdicts, band
@@ -423,11 +428,9 @@ object Curation {
     val scored =
       (if (sfs.exists(new org.apache.hadoop.fs.Path(scoredPath)))
         spark.read.parquet(scoredPath)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "is_novel INT, is_neardup INT, quality_kept INT, " +
-            "decontam_kept INT, lm_kept INT, kept INT")))
+      else emptyFrame(spark,
+        "is_novel INT, is_neardup INT, quality_kept INT, " +
+          "decontam_kept INT, lm_kept INT, kept INT"))
       .distinct()
     val agg = scored.agg(
       count(lit(1)).as("n_all"),
@@ -462,10 +465,7 @@ object Curation {
             "id BIGINT, n_cands BIGINT, best_eq BIGINT, " +
               "is_neardup INT, n_capped_keys BIGINT"))
           .parquet(ndv).distinct()
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "n_capped_keys BIGINT")))
+      else emptyFrame(spark, "n_capped_keys BIGINT"))
       .agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed"))
     agg.crossJoin(broadcast(shed))
       .selectExpr(
