@@ -1067,7 +1067,24 @@ private[graft] object GateOps {
       try fs.exists(tmp) && fs.rename(tmp, cur)
       catch { case _: java.io.FileNotFoundException => false }
     if (!renamed && !fs.exists(cur)) {
-      if (fs.exists(old)) fs.rename(old, cur)
+      if (fs.exists(old)) {
+        // the restore is CHECKED like its two sibling branches: a
+        // false rename (or the FNF shape — a concurrent recover can
+        // consume _old too) that leaves cur STILL missing strands the
+        // only surviving generation at _old, and returning silently
+        // would let the caller read a missing table until the next
+        // recoverGeneration — the exact silent-outcome failure the
+        // other branches throw on
+        val restored =
+          try fs.rename(old, cur)
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!restored && !fs.exists(cur))
+          throw new IllegalStateException(
+            s"swapGeneration($root/$name): tmp vanished and the " +
+              "restore rename(old, cur) failed with cur still " +
+              "missing — sole surviving generation stranded at _old; " +
+              "recoverGeneration heals it, but the swap did not hold")
+      }
       else throw new IllegalStateException(
         s"swapGeneration($root/$name): tmp vanished mid-swap and no " +
           "generation survives at cur/old — state loss")
@@ -1185,12 +1202,20 @@ private[graft] object GateOps {
     * CONTRACT: the log is a SET of verdict rows — the read-side
     * discipline everywhere is `.distinct()`, and compaction
     * materializes exactly that view. distinct() therefore absorbs
-    * at-least-once replays AND byte-identical re-arrivals (a scored
-    * doc_id re-submitted in a later batch writes the same non-novel
-    * verdict row); arrival MULTIPLICITY is deliberately not
-    * preserved. The ingest logs key by the full-record hash
-    * (scraped_at included), so distinct crawls of the same payload
-    * stay distinct rows there.
+    * at-least-once replays (a replayed batch observes the same gate
+    * state — ownership-backed novelty, own-batch band exclusion — so
+    * it rewrites byte-identical rows) AND any re-arrival whose
+    * verdicts are unchanged; arrival MULTIPLICITY is deliberately
+    * not preserved. A doc_id re-SUBMITTED in a later batch is only
+    * byte-identical when the state it observes still produces the
+    * same verdicts — verdicts are arrival-time facts, so a re-arrival
+    * after the corpus evolved (e.g. a near-dup of the doc was indexed
+    * in between, or the doc's text changed) writes a genuinely
+    * DIFFERENT row, and both survive the distinct: log-derived
+    * censuses count EVALUATIONS, not distinct doc_ids (see
+    * Curation.curationReport). The ingest logs key by the
+    * full-record hash (scraped_at included), so distinct crawls of
+    * the same payload stay distinct rows there.
     *
     * COST — two tiers on one knob. `maxMergeBytes <= 0` (default) is
     * the WHOLESALE tier: each tick rewrites the whole log to exactly
@@ -1263,15 +1288,34 @@ private[graft] object GateOps {
       // a threshold at/below the per-batch append size makes every
       // file "born sealed" and silently disables compaction — the
       // exact accumulation pathology this exists to prevent. The
-      // misconfiguration must be LOUD: unmergeable file growth past
-      // any plausible cadence means the threshold, not the data.
-      if (files.length >= 64) System.err.println(
+      // misconfiguration must be LOUD, and EARLY: waiting for an
+      // absolute file count (64) hides the first ~63 batches of the
+      // pathology, so the no-op ticks also track GROWTH — the file
+      // count at the last no-op tick persists in a `_noop_files`
+      // marker (parquet readers ignore `_` names), and unmergeable
+      // growth of ≥8 files across consecutive zero-merge ticks fires
+      // the warning long before the absolute backstop. Any tick that
+      // actually merges clears the marker, so healthy cadences
+      // (occasional single-append ticks, sealed epochs accumulating
+      // over stream age) never trip it.
+      val prevNoop = readMarker(fs, dirPath.toString, "_noop_files")
+        .flatMap(_.toIntOption)
+      if (files.length >= 64 ||
+          prevNoop.exists(p => files.length - p >= 8)) System.err.println(
         s"[compact-log] $parent/$name holds ${files.length} files " +
-          s"but none below maxMergeBytes=$maxMergeBytes — the " +
-          "threshold is at/below the per-batch append size and " +
-          "compaction is a no-op; raise it")
+          s"(${prevNoop.fold("")(p => s"up from $p at the last " +
+            "zero-merge tick, ")}none below " +
+          s"maxMergeBytes=$maxMergeBytes) — the threshold is " +
+          "at/below the per-batch append size and compaction is a " +
+          "no-op; raise it")
+      writeMarker(fs, dirPath.toString, "_noop_files",
+        files.length.toString)
       return
     }
+    // this tick merges — clear the zero-merge growth tracker so the
+    // misconfiguration heuristic only ever sees CONSECUTIVE no-ops
+    fs.delete(
+      new org.apache.hadoop.fs.Path(dirPath, "_noop_files"), false)
     spark.read.parquet(small.map(_.getPath.toString): _*)
       .distinct()
       .coalesce(1).sortWithinPartitions(col(sortCol))

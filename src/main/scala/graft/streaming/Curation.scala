@@ -404,7 +404,18 @@ object Curation {
     * aggregations (scored; nd verdicts) joined as broadcast scalars —
     * report cost never scales past the log scan. distinct() on both
     * reads absorbs at-least-once replay duplicates, matching the
-    * logs' own read discipline. A census read that straddles the
+    * logs' own read discipline.
+    *
+    * COUNTING SEMANTICS under re-ingestion: n_evaluated counts
+    * EVALUATIONS (distinct verdict rows), not distinct doc_ids. A
+    * doc_id genuinely re-submitted in a later batch re-runs the
+    * chain, and because verdicts are arrival-time facts (the corpus
+    * the near-dup probe sees has evolved; the text may have changed)
+    * the re-evaluation can write a DIFFERENT verdict row — both rows
+    * survive the distinct and both count, which is the census a
+    * sustained-ingest operator wants (work done per stage), not a
+    * per-doc latest-verdict rollup. Re-arrivals whose verdicts are
+    * unchanged collapse to one row. A census read that straddles the
     * stream's own log-compaction swap can fail transiently (the
     * GateOps.compactLog reader contract) — retry. */
   def curationReport(spark: SparkSession, outDir: String): DataFrame =

@@ -1686,6 +1686,57 @@ class StreamingStateSpec extends AnyFunSuite {
       "incremental compaction must never change a verdict")
   }
 
+  test("incremental log tier warns early on a born-sealed threshold") {
+    // a maxMergeBytes at/below the per-batch append size makes every
+    // file "born sealed" and silently disables compaction; the
+    // diagnostic must fire on unmergeable GROWTH across consecutive
+    // zero-merge ticks (marker-tracked), not only at the 64-file
+    // absolute backstop — and a tick that actually merges must clear
+    // the tracker so healthy cadences never trip it
+    val out = new java.io.File("target/test_inc_noop_warn").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def append(n: Int): Unit = (1 to n).foreach(i =>
+      Seq((i.toLong, "x")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$out/log"))
+    def marker() = graft.operators.GateOps.readMarker(
+      fs, s"$out/log", "_noop_files")
+    def withStderr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val prior = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try body finally System.setErr(prior)
+      buf.toString("UTF-8")
+    }
+    append(3)
+    // first no-op tick: seeds the tracker, growth unknown → no warning
+    val first = withStderr {
+      graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+        maxMergeBytes = 1L)
+    }
+    assert(!first.contains("[compact-log]"),
+      "the seeding no-op tick has no growth evidence yet")
+    assert(marker().contains("3"), "no-op tick must persist the count")
+    // eight more born-sealed files: growth ≥ 8 across consecutive
+    // no-op ticks fires the warning well below the 64-file backstop
+    append(8)
+    val second = withStderr {
+      graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+        maxMergeBytes = 1L)
+    }
+    assert(second.contains("[compact-log]"),
+      s"growth of 8 unmergeable files must warn; stderr was: $second")
+    assert(marker().contains("11"))
+    assert(spark.read.parquet(s"$out/log").distinct().count() === 8,
+      "the marker must be invisible to parquet reads")
+    // a merging tick clears the tracker (consecutive-no-op semantics)
+    graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+      maxMergeBytes = 1L << 20)
+    assert(marker().isEmpty, "a merge must clear the growth tracker")
+    assert(spark.read.parquet(s"$out/log").distinct().count() === 8)
+  }
+
   test("capped embedding gate composes per-probe across a multi-batch split") {
     // the EmbedNearDupGate twin of the MinHash multi-batch cap spec:
     // "earliest-seen per key" composes PER PROBE — index kept-set
