@@ -1890,18 +1890,51 @@ final class NoveltyGate(tableRoot: String,
   * cap bounds per-batch pair volume at batch·bands·bandKeyCap
   * regardless of corpus skew; the ScaleProbe `neardupcap` pair
   * measures the flat-vs-linear curve against a hot-key corpus.
+  *
+  * `targetKeyLoad` (default 0 = off) is the SELF-SIZING form of the
+  * cap — the [[EmbedNearDupGate]]'s `targetKeyLoad` transplanted to
+  * the geometry this gate actually has. The embedding gate's policy
+  * WIDENS its band keyspace to spread load; a MinHash band key is a
+  * 64-bit content hash with no width to widen (collision IS the
+  * similarity signal), so the only load remedy is the cap, and the
+  * policy's job is to decide WHEN it must engage: each
+  * auto-compaction measures the hottest band key's stored-sharer
+  * count (one aggregation over the distinct rows the rewrite
+  * materializes anyway), and once any key's load exceeds the target
+  * the live cap engages AT the target. Until that moment the gate
+  * runs exact — a deployment states its per-key load budget once and
+  * keeps uncapped semantics for as long as the corpus earns them.
+  * Engagement is monotone (the corpus only grows; a later compaction
+  * never loosens an engaged cap) and DURABLE: the engaged value
+  * persists in the layout manifest as live maintenance state (the
+  * pcCur discipline — restored at first open, never fail-fast
+  * checked), so a restarted gate does not silently run uncapped
+  * until its next compaction. An explicit `bandKeyCap` > 0 seeds the
+  * live cap; the policy can only TIGHTEN it (min), mirroring how
+  * `rowBits` merely seeds the embedding gate's width. The
+  * StreamingStateSpec hot-key case pins convergence: under a
+  * sustained hot-key stream the live cap reaches the target by the
+  * first over-budget compaction and verdicts from then on equal a
+  * hand-capped gate's.
   */
 final class NearDupGate(root: String, numHashes: Int = 32,
     bands: Int = 16, shingleSize: Int = 1, minEq: Int = 16,
     bits: Int = 1 << 22, k: Int = Dedup.noveltyBloomK,
     candCap: Int = 100000, bandKeyCap: Int = 0,
-    autoCompactEvery: Int = 0) {
+    autoCompactEvery: Int = 0, targetKeyLoad: Int = 0) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(numHashes % bands == 0, "bands must divide numHashes")
+  require(targetKeyLoad >= 0, "targetKeyLoad must be >= 0")
 
   private var words: Array[Long] = _
   private val rows = numHashes / bands
+  // the LIVE per-band-key candidate cap — 0 = exact/uncapped. The
+  // targetKeyLoad policy can engage/tighten it at compactions, and
+  // like pcCur/rbCur it is state the NEXT process must restore (an
+  // in-memory-only cap would reset to the constructor seed on
+  // restart and silently run uncapped until the next compaction).
+  private var capCur: Int = bandKeyCap
   // maintenance-policy clock (the NoveltyGate protocol): each admit
   // appends one file per touched band bucket, one sigs file, and one
   // verdicts file, so listings degrade O(batches) between epochs —
@@ -1934,10 +1967,34 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     if (fs.exists(mp)) {
       val m = GateLayout.read(fs, mp)
       GateLayout.check(m, root, expect)
+      // band_key_cap is LIVE maintenance state (the pcCur/rbCur
+      // discipline), never fail-fast checked: a targetKeyLoad policy
+      // engagement in a previous process must survive the restart, or
+      // the gate silently runs uncapped until its next compaction.
+      // Tightest-wins against the constructor seed — an explicit
+      // bandKeyCap can only be tightened by the persisted policy
+      // value, never loosened by it.
+      m.get("band_key_cap").flatMap(_.toIntOption)
+        .filter(_ > 0).foreach { c =>
+          capCur = if (capCur > 0) math.min(capCur, c) else c
+        }
       if (!m.contains("verdict_schema"))
-        GateLayout.write(fs, mp, expect)
-    } else GateLayout.write(fs, mp, expect)
+        writeLayout(fs, mp)
+    } else writeLayout(fs, mp)
   }
+
+  /** Manifest refresh: the fail-fast geometry plus the live cap (only
+    * when engaged — an absent key means "uncapped", keeping old
+    * manifests and exact-mode gates byte-identical to before). */
+  private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
+      mp: org.apache.hadoop.fs.Path): Unit =
+    GateLayout.write(fs, mp,
+      Seq("num_hashes" -> numHashes.toString,
+        "bands" -> bands.toString,
+        "shingle_size" -> shingleSize.toString,
+        "verdict_schema" -> GateOps.verdictSchemaVersion) ++
+        (if (capCur > 0) Seq("band_key_cap" -> capCur.toString)
+         else Seq.empty))
 
   private def bhPosCol(bh: Column, i: Int): Column =
     xxhash64(lit(i), bh).bitwiseAND(lit((bits - 1).toLong))
@@ -2112,9 +2169,9 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // fallback it costs one band-keyed shuffle of the index — the
     // shape the cap exists for.
     def capPerKey(cand: DataFrame): (DataFrame, DataFrame) =
-      if (bandKeyCap <= 0) (cand, emptyKeys)
+      if (capCur <= 0) (cand, emptyKeys)
       else GateOps.capPerKey(cand, Seq("band", "band_hash"), "id",
-        bandKeyCap)
+        capCur)
     val (crossScored, crossCapped): (DataFrame, DataFrame) =
       if (posHashes.isEmpty || !bandsExist) (emptyPairs(spark), emptyKeys)
       else {
@@ -2149,7 +2206,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         // would rank, and report shed for, every hot key in the whole
         // index rather than the ones this batch probes
         val (idxCand, capped) =
-          if (bandKeyCap > 0 && posHashes.length > candCap)
+          if (capCur > 0 && posHashes.length > candCap)
             capPerKey(idxOthers.join(
               bandKeys.select(col("band"), col("band_hash")).distinct(),
               Seq("band", "band_hash"), "left_semi"))
@@ -2292,11 +2349,42 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     Seq("bands", "sigs", "verdicts")
       .foreach(GateOps.recoverGeneration(fs, root, _))
     if (!fs.exists(hp)) return
-    spark.read
+    // a MANUAL compact on a fresh gate object must restore the live
+    // cap (and run the fail-fast geometry check) the admit-time first
+    // open would have — otherwise the policy below could re-engage
+    // from the constructor seed instead of the persisted state
+    if (words == null) syncLayout(spark)
+    val distinctBands = spark.read
       .schema(StructType.fromDDL(
         "id BIGINT, band INT, band_hash BIGINT, bh_b BIGINT"))
       .parquet(bandsPath)
       .select(col("id"), col("band"), col("band_hash")).distinct()
+      // pinned: consumed by the rewrite AND (policy on) the hot-key
+      // load measurement, and the source dirs are about to be swapped
+      .localCheckpoint()
+    // targetKeyLoad policy (see the class scaladoc): measure the
+    // hottest band key's stored-sharer count on the distinct rows the
+    // rewrite materializes anyway; once it exceeds the target, the
+    // live cap engages AT the target — monotone (only ever tightens)
+    // and durable (manifest-persisted below). Skipped once the cap is
+    // already at/under the target: no further tightening is possible,
+    // so the aggregation would be pure cost.
+    if (targetKeyLoad > 0 && (capCur <= 0 || capCur > targetKeyLoad)) {
+      val maxLoad = distinctBands
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      if (maxLoad > targetKeyLoad) {
+        capCur = targetKeyLoad
+        System.err.println(
+          s"[neardup-gate] hottest band key holds $maxLoad sharers " +
+            s"(> targetKeyLoad=$targetKeyLoad) for $root — engaging " +
+            s"bandKeyCap=$capCur; shed is reported per-verdict in " +
+            "n_capped_keys")
+        writeLayout(fs, new org.apache.hadoop.fs.Path(s"$root/_layout"))
+      }
+    }
+    distinctBands
       .withColumn("bh_b", col("band_hash").bitwiseAND(lit(15L)))
       .repartition(col("bh_b"))
       .sortWithinPartitions(col("band_hash"))

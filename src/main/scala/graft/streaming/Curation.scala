@@ -326,6 +326,18 @@ object Curation {
     * [[startEmbedding]]'s knob). Defaults (0 / 100000) keep the
     * exact oracle semantics the ev_stream_curate row replays.
     *
+    * `targetKeyLoad` (default 64 — ON) is the gate's self-sizing cap
+    * policy and the PRODUCTION posture: the gate runs exact until an
+    * auto-compaction measures a band key hotter than the target, then
+    * engages `bandKeyCap = targetKeyLoad` (durable, monotone, shed
+    * reported — the gate scaladoc has the full contract). On by
+    * default because a sustained-ingest deployment that forgets the
+    * knob must inherit the bounded posture, not the scale-killer; the
+    * oracle fixtures are unaffected (single-batch runs never reach an
+    * auto-compaction, and the policy only engages past a measured
+    * hot key). Exact-at-any-cost semantics are the explicit opt-OUT:
+    * `targetKeyLoad = 0` with `bandKeyCap = 0`.
+    *
     * `logMergeBytes` > 0 switches the scored log's cadence
     * compaction to the bounded INCREMENTAL tier
     * ([[graft.operators.GateOps.compactLog]]): per-tick cost stops
@@ -336,7 +348,7 @@ object Curation {
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       models: Models, autoCompactEvery: Int = 16,
       bandKeyCap: Int = 0, candCap: Int = 100000,
-      logMergeBytes: Long = 0L,
+      logMergeBytes: Long = 0L, targetKeyLoad: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // a crash inside a previous run's scored-log compaction can leave
     // the table mid-generation-swap — heal before seeding/appending
@@ -363,7 +375,8 @@ object Curation {
       autoCompactEvery = autoCompactEvery,
       growBloomFactor = 2, widenBucketBytes = 256L << 20)
     val ndgate = new NearDupGate(s"$outDir/nd", candCap = candCap,
-      bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery)
+      bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery,
+      targetKeyLoad = targetKeyLoad)
     // the PIPELINE-LEVEL sink self-tends on the same cadence as the
     // gates' state tables: without this the scored log accumulates
     // one file set per batch forever at sustained ingest (the gate

@@ -77,7 +77,14 @@ object IncrementalIngest {
     * pair volume is bounded at batch·bands·cap with shed reported in
     * the gate's verdicts under `tableDir/curation/nd/verdicts`.
     * Defaults (0 / 100000) preserve the exact oracle semantics the
-    * ev_stream_ingest_curated row replays.
+    * ev_stream_ingest_curated row replays. `targetKeyLoad` (default
+    * 64 — ON, matching [[Curation.start]]) is the gate's self-sizing
+    * cap policy: exact until an auto-compaction measures a band key
+    * hotter than the target, then a durable, monotone, shed-reported
+    * cap engages at the target — the production posture a deployment
+    * inherits without touching a knob; `targetKeyLoad = 0` is the
+    * explicit exact-at-any-cost opt-out. Fixture runs never reach an
+    * auto-compaction, so the oracle rows are unaffected.
     *
     * `autoCompactEvery` is the shared self-tending cadence: the
     * gates' state tables compact themselves inside every N-th admit,
@@ -98,7 +105,8 @@ object IncrementalIngest {
       curationModelsDir: Option[String] = None,
       bandKeyCap: Int = 0, candCap: Int = 100000,
       autoCompactEvery: Int = 16,
-      logMergeBytes: Long = 0L): StreamingQuery = {
+      logMergeBytes: Long = 0L,
+      targetKeyLoad: Int = 64): StreamingQuery = {
     val curModels = curation.orElse(
       curationModelsDir.map(Curation.Models.load(spark, _)))
     val stream = spark.readStream
@@ -131,7 +139,8 @@ object IncrementalIngest {
           widenBucketBytes = 256L << 20),
         new graft.operators.NearDupGate(s"$tableDir/curation/nd",
           candCap = candCap, bandKeyCap = bandKeyCap,
-          autoCompactEvery = autoCompactEvery))
+          autoCompactEvery = autoCompactEvery,
+          targetKeyLoad = targetKeyLoad))
     }
     // pipeline-level log cadence (the gates keep their own clocks)
     var batchesSinceCompact = 0

@@ -1946,6 +1946,69 @@ class StreamingStateSpec extends AnyFunSuite {
       "the widened index must flag a near-identical later arrival")
   }
 
+  test("neardup gate self-sizes its cap under a hot-key stream") {
+    // the MinHash twin of the embedding gate's targetKeyLoad policy:
+    // a text band key cannot widen (it IS a 64-bit content hash —
+    // collision is the similarity signal), so the policy's remedy is
+    // to ENGAGE the per-key candidate cap at the target once an
+    // auto-compaction measures a hotter key. Contract pinned here:
+    // exact while under budget, engaged AT the target by the first
+    // over-budget compaction (converged — no further movement),
+    // verdicts from then on equal to a hand-capped gate over the same
+    // corpus, shed reported, manifest-durable across a restart, and
+    // never loosened by later compactions.
+    val out = new java.io.File("target/test_neardup_selfsize")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // identical texts: every doc shares every band key — the maximal
+    // hot-key shape the policy exists for
+    def docs(ids: Seq[Long]) = ids
+      .map(i => (i, "hot template text shared by every doc"))
+      .toDF("id", "text")
+    def layout() = graft.operators.GateLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$out/a/_layout"))
+    val g = new graft.operators.NearDupGate(s"$out/a",
+      autoCompactEvery = 1, targetKeyLoad = 4)
+    g.admitScored(docs(1L to 3L), "id", "text")
+    assert(layout().get("band_key_cap").isEmpty,
+      "an under-budget corpus (3 sharers ≤ 4) must stay exact")
+    g.admitScored(docs(11L to 14L), "id", "text")
+    assert(layout().get("band_key_cap") === Some("4"),
+      "the first over-budget compaction (7 sharers > 4) must engage " +
+        "the cap at the target")
+    val vA = g.admitScored(docs(21L to 22L), "id", "text")
+      .orderBy("id").collect().map(_.toSeq)
+    assert(vA.forall(_.last.asInstanceOf[Long] > 0L),
+      "shed under the engaged cap must be reported in n_capped_keys")
+    // post-engagement verdicts equal a gate hand-capped from birth:
+    // caps trim probe candidates, never what gets indexed, so the two
+    // gates hold identical corpora by batch 3
+    val h = new graft.operators.NearDupGate(s"$out/b",
+      bandKeyCap = 4, autoCompactEvery = 1)
+    h.admitScored(docs(1L to 3L), "id", "text")
+    h.admitScored(docs(11L to 14L), "id", "text")
+    val vB = h.admitScored(docs(21L to 22L), "id", "text")
+      .orderBy("id").collect().map(_.toSeq)
+    assert(vA.toSeq === vB.toSeq,
+      "a converged self-sized cap must verdict exactly like the " +
+        "hand-picked cap")
+    // restart durability: a fresh gate object with no explicit cap
+    // must restore the engaged value from the manifest BEFORE any
+    // compaction of its own
+    val g2 = new graft.operators.NearDupGate(s"$out/a",
+      targetKeyLoad = 4)
+    val v31 = g2.admitScored(docs(Seq(31L)), "id", "text").head()
+    assert(v31.getLong(4) > 0L,
+      "the restored cap must apply to the first post-restart admit")
+    assert(v31.getLong(1) === 4L,
+      "candidates under the restored cap = the 4 earliest-seen sharers")
+    // monotone: a further compaction never loosens the engaged cap
+    g2.compact(spark)
+    assert(layout().get("band_key_cap") === Some("4"))
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
