@@ -242,50 +242,71 @@ object MergeOps {
     val retiredRoot = new Path(dest.getParent, dest.getName + "_mretired")
 
     /** Crash recovery: a prior run that died between the two renames
-      * of some month left that month's only live copy under the
-      * retired root. Restore every such month BEFORE reading, or a
-      * merge would silently drop its history.
+      * of some partition left that partition's only live copy under
+      * the retired root. Restore every such partition BEFORE reading,
+      * or a merge would silently drop its history.
       */
     def recoverOrphans(): Unit = {
       if (fs.exists(retiredRoot)) {
-        fs.listStatus(retiredRoot).foreach { st =>
-          val live = new Path(dest, st.getPath.getName)
-          if (!fs.exists(live)) {
-            fs.mkdirs(dest)
-            if (!fs.rename(st.getPath, live))
-              throw new java.io.IOException(
-                s"found orphaned ${st.getPath} but could not restore it to $live")
-          }
-        }
+        restoreUnder(retiredRoot, dest)
         fs.delete(retiredRoot, true)
       }
       fs.delete(stagingRoot, true)
     }
 
-    /** Swap each named month from the staging root into the live
-      * table: retire live month, activate staged month (a month with
-      * nothing staged merged to empty — it is retired only). A crash
-      * mid-loop leaves every month fully old or fully new.
+    /** Restore every orphaned partition LEAF under `from` into `to`.
+      * A retired directory whose children are themselves partition
+      * directories (`col=value`) is an intermediate level — recurse,
+      * so a retired SHARDED month (month dir holding `shard=` subdirs,
+      * from a whole-month swap like reconcile's) restores
+      * shard-by-shard and never clobbers a month some of whose shards
+      * are already live again.
       */
-    def activate(partCol: String, months: Seq[String]): Unit = {
+    private def restoreUnder(from: Path, to: Path): Unit =
+      fs.listStatus(from).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.contains("=")) {
+          val live = new Path(to, st.getPath.getName)
+          val hasSubParts = fs.listStatus(st.getPath)
+            .exists(c => c.isDirectory && c.getPath.getName.contains("="))
+          if (hasSubParts) restoreUnder(st.getPath, live)
+          else if (!fs.exists(live)) {
+            fs.mkdirs(live.getParent)
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"found orphaned ${st.getPath} but could not restore it to $live")
+          }
+        }
+      }
+
+    /** Swap each named partition directory (a RELATIVE path under the
+      * table root — `month=M` for the month merge, `month=M/shard=NN`
+      * for the sharded one) from the staging root into the live table:
+      * retire live dir, activate staged dir (a partition with nothing
+      * staged merged to empty — it is retired only). A crash mid-loop
+      * leaves every partition fully old or fully new.
+      */
+    def activateDirs(dirs: Seq[String]): Unit = {
       fs.mkdirs(dest)
-      months.foreach { m =>
-        val dirName = partCol + "=" + m
-        val staged = new Path(stagingRoot, dirName)
-        val live = new Path(dest, dirName)
-        val retired = new Path(retiredRoot, dirName)
-        fs.mkdirs(retiredRoot)
+      dirs.foreach { rel =>
+        val staged = new Path(stagingRoot, rel)
+        val live = new Path(dest, rel)
+        val retired = new Path(retiredRoot, rel)
+        fs.mkdirs(retired.getParent)
         fs.delete(retired, true)
         if (fs.exists(live) && !fs.rename(live, retired))
           throw new java.io.IOException(s"could not retire $live")
+        fs.mkdirs(live.getParent)
         if (fs.exists(staged) && !fs.rename(staged, live))
           throw new java.io.IOException(
-            s"could not activate $staged as $live (old month at $retired)")
+            s"could not activate $staged as $live (old dir at $retired)")
         fs.delete(retired, true)
       }
       fs.delete(stagingRoot, true)
       fs.delete(retiredRoot, true)
     }
+
+    def activate(partCol: String, months: Seq[String]): Unit =
+      activateDirs(months.map(partCol + "=" + _))
   }
 
   def upsertParquetByMonth(spark: SparkSession, tablePath: String,
@@ -295,6 +316,14 @@ object MergeOps {
     val fs = swap.fs
     val dest = swap.dest
     swap.recoverOrphans()
+    // the mirror of the sharded merge's layout guard: a month-level
+    // rewrite of a sharded table would flatten its touched months and
+    // mix the two layouts under one root
+    shardLayout(fs, dest).foreach { case (sc, n) =>
+      throw new IllegalStateException(
+        s"$tablePath is hash-sharded ($sc, $n shards) — use " +
+          "upsertParquetByMonthShard with the manifest's geometry")
+    }
     // One row per touched month — bounded by partition count, not rows.
     val monthsRaw = incoming.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
@@ -322,6 +351,140 @@ object MergeOps {
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partCol).parquet(swap.stagingRoot.toString)
     swap.activate(partCol, months)
+  }
+
+  /** The sharded layout's key→shard assignment: a stable hash of the
+    * merge keys, mod the shard count, rendered as a non-numeric
+    * partition value (`s` prefix + zero-pad) so Spark's partition-type
+    * inference keeps it a string and lexicographic order = numeric
+    * order. Key-stable by construction — every version of a key lands
+    * in the same shard, so a shard-scoped merge always sees both the
+    * old and the new version of any key it touches.
+    */
+  def keyShard(keys: Seq[String], numShards: Int): Column = {
+    val w = math.max(2, (numShards - 1).toString.length)
+    concat(lit("s"), lpad(
+      pmod(xxhash64(keys.map(col): _*), lit(numShards.toLong))
+        .cast("string"), w, "0"))
+  }
+
+  /** The sharded table's manifest: (shardCol, numShards) if the table
+    * root carries a `_shard_layout`, None for the unsharded layout.
+    * Spark readers ignore `_`-prefixed files, so the manifest is
+    * invisible to queries over the table.
+    */
+  private def shardLayout(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Option[(String, Int)] = {
+    val mp = new org.apache.hadoop.fs.Path(dest, "_shard_layout")
+    if (!fs.exists(mp)) None
+    else {
+      val m = GateLayout.read(fs, mp)
+      Some((m("shard_col"), m("num_shards").toInt))
+    }
+  }
+
+  /** K1 at 100 TB, knee removed — the sub-month HASH-SHARDED keyed
+    * merge. [[upsertParquetByMonth]] bounds a batch's rewrite at the
+    * touched MONTHS, which holds until a single month outgrows its
+    * rewrite budget (at 100 TB a hot month is terabytes — the named
+    * analytic knee). This variant sub-partitions every month by a
+    * stable hash of the merge keys (`month=M/shard=sNN`,
+    * [[keyShard]]), so a batch rewrites only the (month, shard) pairs
+    * its keys actually occupy: the rewrite unit is month-volume ÷
+    * numShards regardless of how big the month grows. Size numShards
+    * to the deployment's rewrite budget (shards ≈ month bytes /
+    * budget) the same way a Bloom front sizes its bits to capacity.
+    *
+    * Reference semantics unchanged — this is the same latest-wins
+    * upsert-on-arrival (reference: my_scrapers/unified_scraper.py:622-642,
+    * database/etl_sqlite_to_mongo.py:129-164) at a finer rewrite
+    * granularity; MergeOpsSpec pins read-back equality with the
+    * unsharded path, and the k1_sharded_merge oracle row pins it
+    * against DuckDB.
+    *
+    * numShards is TABLE state, not a per-call knob: the key→shard map
+    * must match what's on disk or a key's old version survives in a
+    * shard the merge never reads. A `_shard_layout` manifest written
+    * at the table root records (numShards, shardCol, keys, partCol)
+    * and every call fails fast on a mismatch (the remedy is an
+    * explicit reshard: read + merge into a fresh root). A table built
+    * by the UNSHARDED merge is likewise refused — the two layouts must
+    * never mix under one root.
+    *
+    * Same per-partition staging/retire crash safety, idempotent-replay
+    * contract, key-stable-month contract ([[reconcileCrossMonthKeys]]
+    * closes month moves; a key's SHARD cannot move — it is derived
+    * from the keys), and single-writer/reader-exclusion caveats as the
+    * month merge. The touched-pairs collect is bounded by months ×
+    * shards present in the batch, not data volume.
+    */
+  def upsertParquetByMonthShard(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], recency: String,
+      partCol: String = "start_month", numShards: Int = 64,
+      shardCol: String = "kshard"): Unit = {
+    require(numShards > 0 && numShards <= 100000,
+      s"numShards must be in [1, 100000], got $numShards")
+    val swap = new MonthSwap(spark, tablePath)
+    val fs = swap.fs
+    val dest = swap.dest
+    swap.recoverOrphans()
+    val mp = new org.apache.hadoop.fs.Path(dest, "_shard_layout")
+    val expect = Seq("num_shards" -> numShards.toString,
+      "shard_col" -> shardCol, "shard_keys" -> keys.mkString(","),
+      "part_col" -> partCol)
+    if (fs.exists(mp)) GateLayout.check(GateLayout.read(fs, mp),
+      tablePath, expect)
+    else {
+      if (fs.exists(dest) && fs.listStatus(dest)
+          .exists(_.getPath.getName.startsWith(partCol + "=")))
+        throw new IllegalStateException(
+          s"$tablePath holds $partCol= partitions but no _shard_layout " +
+            "manifest — it was written by the unsharded month merge. " +
+            "Reshard explicitly (read + upsertParquetByMonthShard into " +
+            "a fresh root); the two layouts must never mix.")
+      fs.mkdirs(dest)
+      GateLayout.write(fs, mp, expect)
+    }
+    val inc = incoming.withColumn(shardCol, keyShard(keys, numShards))
+    // One row per touched (month, shard) pair — bounded by partition
+    // geometry, never data volume.
+    val touched = inc
+      .select(col(partCol).cast("string"), col(shardCol))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(!touched.exists(_._1 == null),
+      s"$partCol must be non-null for a partition-scoped merge — " +
+        "coalesce to a sentinel month (e.g. '0000-00') first")
+    touched.map(_._1).find(!_.matches("[A-Za-z0-9._-]+")).foreach(bad =>
+      throw new IllegalArgumentException(
+        s"partition value '$bad' needs path escaping — month values " +
+          "must be plain [A-Za-z0-9._-] strings"))
+    val pairs = touched.sorted.toSeq
+    if (pairs.isEmpty) return
+    // Pruned-by-construction read: the touched (month, shard) dirs
+    // are handed to the reader as explicit paths, so partition
+    // DISCOVERY is O(touched pairs) — a filter-after-read would make
+    // every batch list the whole table's shard directories, a
+    // metadata term that grows with table size and dwarfs a small
+    // batch's real work (measured: the `mergeshard` ScaleProbe curve
+    // was linear-in-volume under discovery, flat under direct paths).
+    // `basePath` keeps the partition columns in the schema.
+    val existingPaths = pairs.map { case (m, sh) =>
+      new org.apache.hadoop.fs.Path(dest, s"$partCol=$m/$shardCol=$sh")
+    }.filter(fs.exists).map(_.toString)
+    val merged =
+      if (existingPaths.nonEmpty) {
+        val existing = spark.read.option("basePath", tablePath)
+          .parquet(existingPaths: _*)
+          .withColumn(partCol, col(partCol).cast("string"))
+          .withColumn(shardCol, col(shardCol).cast("string"))
+        upsert(existing, inc, keys, recency)
+      } else inc
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol, shardCol)
+      .parquet(swap.stagingRoot.toString)
+    swap.activateDirs(pairs.map { case (m, sh) =>
+      s"$partCol=$m/$shardCol=$sh" })
   }
 
   /** Reconcile cross-month duplicate keys — the periodic pass that
@@ -400,8 +563,16 @@ object MergeOps {
       .map(c => col(s"_sl.$c") <=> col(s"_sk.$c")).reduce(_ && _)
     val keep = sl.join(sk, antiCond, "left_anti")
       .unionByName(sl.join(wn, keepCond, "left_semi"))
+    // A sharded table's months must be rewritten IN the sharded
+    // layout (the shard column rides along from partition discovery;
+    // a month-only partitionBy here would flatten the month and mix
+    // layouts under one root). The month-level swap is still correct:
+    // the staged month dir carries the shard subdirs wholesale, and a
+    // crash-orphaned sharded month restores shard-by-shard.
+    val writeParts = partCol +: shardLayout(swap.fs, swap.dest)
+      .map(_._1).toSeq
     keep.write.mode(SaveMode.Overwrite)
-      .partitionBy(partCol).parquet(swap.stagingRoot.toString)
+      .partitionBy(writeParts: _*).parquet(swap.stagingRoot.toString)
     swap.activate(partCol, staleMonths)
     staleMonths
   }
@@ -472,24 +643,43 @@ object MergeOps {
     swap.recoverOrphans()
     val fs = swap.fs
     if (!fs.exists(swap.dest)) return Nil
+    // in the sharded layout the rewrite unit is the SHARD, so the
+    // file-count threshold applies per shard dir — a month counts as
+    // fragmented when ANY of its shards exceeds the bound (a
+    // month-total threshold would flag every numShards-dir month
+    // forever and re-compact it on every sweep)
+    val shardColOpt = shardLayout(fs, swap.dest).map(_._1).toSeq
+    def over(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(dir)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerMonth
     val fragmented = fs.listStatus(swap.dest).toSeq
       .filter(_.getPath.getName.startsWith(partCol + "="))
       .filter { mdir =>
-        fs.listStatus(mdir.getPath)
-          .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerMonth
+        shardColOpt.headOption match {
+          case Some(sc) => fs.listStatus(mdir.getPath).exists(sd =>
+            sd.isDirectory && sd.getPath.getName.startsWith(sc + "=") &&
+              over(sd.getPath))
+          case None => over(mdir.getPath)
+        }
       }
       .map(_.getPath.getName.stripPrefix(partCol + "="))
       .sorted
     if (fragmented.isEmpty) return Nil
+    // a sharded table's months rewrite in the sharded layout (shard
+    // column from partition discovery; see reconcile's note) — the
+    // repartition includes the shard so each shard compacts to its
+    // own file(s) in parallel
     val slice = spark.read.parquet(tablePath)
       .filter(col(partCol).isin(fragmented: _*))
       .withColumn(partCol, col(partCol).cast("string"))
     slice
-      .repartition(col(partCol))
-      .sortWithinPartitions((col(partCol) +: keys.map(col)): _*)
+      .repartition((partCol +: shardColOpt).map(col): _*)
+      .sortWithinPartitions(
+        ((partCol +: shardColOpt).map(col) ++ keys.map(col)): _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partCol).parquet(swap.stagingRoot.toString)
+      .partitionBy((partCol +: shardColOpt): _*)
+      .parquet(swap.stagingRoot.toString)
     swap.activate(partCol, fragmented)
     fragmented
   }

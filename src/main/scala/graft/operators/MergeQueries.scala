@@ -38,7 +38,107 @@ object MergeQueries {
       }.sortBy(_._1)
   }
 
+  /** Sorted (relative path, length, mtime) of every data file under
+    * the table EXCEPT those inside a skipped dir prefix — the
+    * byte-identity fingerprint at (month, shard) granularity for the
+    * sharded merge's untouched-dirs proof.
+    */
+  private def censusExcept(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, skipPrefixes: Set[String]): Seq[(String, Long, Long)] = {
+    val qroot = fs.makeQualified(new org.apache.hadoop.fs.Path(table))
+    if (!fs.exists(qroot)) return Seq.empty
+    val it = fs.listFiles(qroot, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(qroot.toString + "/")
+      if (!skipPrefixes.exists(rel.startsWith))
+        buf += ((rel, f.getLen, f.getModificationTime))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
   val registry: Map[String, QueryDef] = Map(
+
+    // K1 at 100 TB — sub-month hash-sharded merge (the month merge's
+    // named analytic knee removed: a batch's rewrite unit is
+    // month ÷ numShards, so a month outgrowing its rewrite budget no
+    // longer outgrows the merge). Same fixture family as
+    // k1_partition_pruned, but the batch is confined to FIVE keys of
+    // one month, so only their shard dirs may change: the census
+    // (name+length+mtime over every file OUTSIDE the touched
+    // (month, shard) dirs) feeds untouched_unchanged, and
+    // sub_month_pruned pins that the touched month had MORE shards
+    // than the batch touched — a whole-month rewrite (the knee this
+    // layout removes) flips it. DuckDB recomputes latest-wins over
+    // the union, proving reference semantics are unchanged by the
+    // sharding.
+    "k1_sharded_merge" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/shard_upsert/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        def latestPerUser(df: DataFrame) = df
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
+              .as("start_month"))
+        val ev = T.events(s, d)
+        val base = latestPerUser(ev.filter(col("event_id") < 8000))
+        // %12==2 (not %6==2): the hot month 2025-03 holds every
+        // %6==2 user, so the %12==8 half of them is guaranteed to
+        // sit OUTSIDE the batch at every SF — the untouched-shard
+        // population that keeps sub_month_pruned non-vacuous even on
+        // the tiny fixtures
+        val batch = latestPerUser(ev.filter(col("event_id") >= 8000 &&
+          col("user_id") % 12 === 2 && col("user_id") < 30))
+        MergeOps.upsertParquetByMonthShard(s, table, base,
+          Seq("user_id"), "event_id", numShards = 16)
+        // the touched (month, shard) dirs, through the SAME key→shard
+        // expression the merge uses — bounded by the batch's keys
+        val touched = batch.select(concat(
+            lit("start_month="), col("start_month"), lit("/kshard="),
+            MergeOps.keyShard(Seq("user_id"), 16)))
+          .distinct().collect().map(_.getString(0)).toSet
+        val before = censusExcept(fs, table, touched)
+        MergeOps.upsertParquetByMonthShard(s, table, batch,
+          Seq("user_id"), "event_id", numShards = 16)
+        val after = censusExcept(fs, table, touched)
+        val untouched = before.nonEmpty && before == after
+        val hotMonthShards = fs.listStatus(new org.apache.hadoop.fs.Path(
+            table, "start_month=2025-03"))
+          .count(_.getPath.getName.startsWith("kshard="))
+        // vacuously true on an empty batch (the sf0.001 fixture has
+        // no event_id >= 8000 rows): nothing was rewritten at all
+        val subMonth = touched.isEmpty || touched.size < hotMonthShards
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"),
+            max(col("event_id")).as("max_eid"),
+            T.decSum(col("value")).as("total"))
+          .withColumn("untouched_unchanged", lit(untouched))
+          .withColumn("sub_month_pruned", lit(subMonth))
+          .orderBy(col("start_month"))
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id < 8000
+        |     OR (event_id >= 8000 AND user_id % 12 = 2 AND user_id < 30))
+        |SELECT '2025-0' || CAST(user_id % 6 + 1 AS VARCHAR) AS start_month,
+        |  COUNT(*) AS n,
+        |  MAX(event_id) AS max_eid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS untouched_unchanged,
+        |  TRUE AS sub_month_pruned
+        |FROM r WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // K1 at scale — partition-pruned month merge. An initial table
     // (latest row per user, event_id < 8000, month derived from the

@@ -34,7 +34,7 @@ import graft.operators.{Unify, V2Fixtures}
   *
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
-  *   merge | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
+  *   merge | mergeshard | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
   *   neardupcap | embedt | embedcap | curate | curatecap |
   *   ingest | ingestcap | ingestcapm | spandedup
@@ -243,6 +243,45 @@ object ScaleProbe {
       lastFullSec = (System.nanoTime() - t1) / 1e9
       fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
       (1000L, monthSec)
+    }
+
+    // Sharded-month-merge probe (`mergeshard`): the `merge` probe
+    // scales the NUMBER of months; this one scales ONE month's volume
+    // — the month layout's named knee (a month outgrowing its rewrite
+    // budget). The sharded table sizes numShards to volume (16·factor:
+    // constant target shard size, i.e. the deployment's per-rewrite
+    // budget — sized like a Bloom front sizes bits to capacity), so
+    // the timed 20-key batch rewrites ≤20 constant-size shards: FLAT
+    // in month volume. The comparison line is the unsharded month
+    // merge of the same batch, which rewrites the whole month: linear.
+    var lastMonthSec = -1.0
+    def runMergeShardAt(factor: Int): (Long, Double) = {
+      import graft.operators.MergeOps
+      val dirRoot = new java.io.File(
+        s"target/merge_shard_probe/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      val month = replicate(factor, perturbText = false)
+        .select(col("doc_id"), col("text"), lit(1).as("version"),
+          lit("2025-01").as("start_month"))
+      MergeOps.upsertParquetByMonthShard(spark, s"$dirRoot/sharded",
+        month, Seq("doc_id"), "version", numShards = 16 * factor)
+      month.write.partitionBy("start_month").parquet(s"$dirRoot/bymonth")
+      val batch = base.limit(20)
+        .select(col("doc_id"), col("text"), lit(2).as("version"),
+          lit("2025-01").as("start_month"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      MergeOps.upsertParquetByMonthShard(spark, s"$dirRoot/sharded",
+        batch, Seq("doc_id"), "version", numShards = 16 * factor)
+      val shardSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      MergeOps.upsertParquetByMonth(spark, s"$dirRoot/bymonth", batch,
+        Seq("doc_id"), "version")
+      lastMonthSec = (System.nanoTime() - t1) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (20L, shardSec)
     }
 
     // Prefix-filter similarity-join probe: near-duplicate replicas
@@ -853,6 +892,7 @@ object ScaleProbe {
       case "funnelcap" => runFunnelAdversarialAt
       case "asof"      => runAsofAt
       case "merge"     => runMergeAt
+      case "mergeshard" => runMergeShardAt
       case "bpe"       => runBpeAt
       case "ppjoin"    => runPpjoinAt
       case "ppjoinz"   => runPpjoinZipfAt
@@ -884,6 +924,7 @@ object ScaleProbe {
       case "funnelcap" => "dedup_funnel_capped"
       case "asof"      => "asof_hotkey"
       case "merge"     => "month_merge"
+      case "mergeshard" => "month_merge_sharded"
       case "bpe"       => "ta_subword_bpe"
       case "ppjoin"    => "dd_prefix_jaccard"
       case "ppjoinz"   => "dd_prefix_jaccard_zipf"
@@ -911,7 +952,7 @@ object ScaleProbe {
       case "minhash"   => "pairs"
       case "funnel" | "funnelcap" => "canonical"
       case "asof"      => "matched"
-      case "merge"     => "batch_rows"
+      case "merge" | "mergeshard" => "batch_rows"
       case "bpe"       => "tokens"
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
@@ -934,6 +975,8 @@ object ScaleProbe {
         else if (probe == "asof")
           f""","sec_naive":$lastNaiveSec%.2f"""
         else if (probe == "merge") f""","sec_full_rewrite":$lastFullSec%.2f"""
+        else if (probe == "mergeshard")
+          f""","sec_month_rewrite":$lastMonthSec%.2f"""
         else if (probe == "ppjoin" || probe == "ppjoinz")
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else if (probe == "rolling")

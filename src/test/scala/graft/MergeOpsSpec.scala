@@ -701,4 +701,180 @@ class MergeOpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.toLowerCase.contains("retraction"))
   }
+
+  // ---- sub-month hash-sharded merge ---------------------------------
+
+  /** The shard a key lands in under [[MergeOps.keyShard]] — computed
+    * through the same expression the merge uses, so the census below
+    * can name the touched dirs without re-deriving the hash. */
+  private def shardOf(key: String, numShards: Int): String =
+    Seq(key).toDF("event_id")
+      .select(MergeOps.keyShard(Seq("event_id"), numShards))
+      .head().getString(0)
+
+  /** Recursive (relative path, length, mtime) census of every file
+    * under the table whose path does NOT start with a skipped prefix —
+    * the byte-identity fingerprint at shard granularity. */
+  private def dirCensus(table: String,
+      skipPrefixes: Set[String]): Seq[(String, Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = fs.makeQualified(new org.apache.hadoop.fs.Path(table))
+    val it = fs.listFiles(qroot, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(qroot.toString + "/")
+      if (!skipPrefixes.exists(rel.startsWith))
+        buf += ((rel, f.getLen, f.getModificationTime))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  test("sharded month upsert: latest-wins equality with the unsharded " +
+      "path, untouched shards byte-identical") {
+    val dir = Files.createTempDirectory("graft_shupsert").toFile.getAbsolutePath
+    val base = monthDocs(Seq(
+      ("e1", "jan a", 1, "2025-01"), ("e2", "jan b", 1, "2025-01"),
+      ("e3", "jan c", 1, "2025-01"), ("e4", "feb a", 1, "2025-02"),
+      ("e5", "feb b", 1, "2025-02")))
+    val batch = monthDocs(Seq(
+      ("e2", "jan b v2", 2, "2025-01"), ("e6", "jan new", 1, "2025-01")))
+    MergeOps.upsertParquetByMonth(spark, s"$dir/flat", base,
+      Seq("event_id"), "version")
+    MergeOps.upsertParquetByMonth(spark, s"$dir/flat", batch,
+      Seq("event_id"), "version")
+    MergeOps.upsertParquetByMonthShard(spark, s"$dir/sh", base,
+      Seq("event_id"), "version", numShards = 8)
+    val touched = Set("e2", "e6")
+      .map(k => s"start_month=2025-01/kshard=${shardOf(k, 8)}")
+    val before = dirCensus(s"$dir/sh", touched)
+    assert(before.exists(_._1.startsWith("start_month=2025-01/")),
+      "fixture must leave at least one UNTOUCHED shard in the touched " +
+        "month, or the sub-month claim is vacuous")
+    MergeOps.upsertParquetByMonthShard(spark, s"$dir/sh", batch,
+      Seq("event_id"), "version", numShards = 8)
+    assert(dirCensus(s"$dir/sh", touched) === before,
+      "files outside the touched (month, shard) dirs were rewritten")
+    def state(t: String) = spark.read.parquet(t)
+      .select("event_id", "title", "version", "start_month")
+      .orderBy("event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSeq
+    assert(state(s"$dir/sh") === state(s"$dir/flat"),
+      "sharded read-back must equal the unsharded merge's state")
+  }
+
+  test("sharded upsert fails fast on shard-count drift and layout mixing") {
+    val dir = Files.createTempDirectory("graft_shguard").toFile.getAbsolutePath
+    val base = monthDocs(Seq(("e1", "jan", 1, "2025-01")))
+    MergeOps.upsertParquetByMonthShard(spark, s"$dir/sh", base,
+      Seq("event_id"), "version", numShards = 8)
+    val drift = intercept[IllegalStateException] {
+      MergeOps.upsertParquetByMonthShard(spark, s"$dir/sh", base,
+        Seq("event_id"), "version", numShards = 16)
+    }
+    assert(drift.getMessage.contains("num_shards"))
+    val mix = intercept[IllegalStateException] {
+      MergeOps.upsertParquetByMonth(spark, s"$dir/sh", base,
+        Seq("event_id"), "version")
+    }
+    assert(mix.getMessage.contains("sharded"))
+    MergeOps.upsertParquetByMonth(spark, s"$dir/flat", base,
+      Seq("event_id"), "version")
+    val adopt = intercept[IllegalStateException] {
+      MergeOps.upsertParquetByMonthShard(spark, s"$dir/flat", base,
+        Seq("event_id"), "version", numShards = 8)
+    }
+    assert(adopt.getMessage.contains("unsharded"))
+  }
+
+  test("sharded upsert restores a shard orphaned between the two renames") {
+    val dir = Files.createTempDirectory("graft_shcrash").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // e1/e9 hash to DIFFERENT shards of 4 (checked below) in the same month
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "jan a", 1, "2025-01"),
+        ("e9", "jan b", 1, "2025-01"))),
+      Seq("event_id"), "version", numShards = 4)
+    val (s1, s9) = (shardOf("e1", 4), shardOf("e9", 4))
+    assert(s1 !== s9, "fixture keys must occupy distinct shards")
+    // simulate a crash after the retire rename of e9's shard but
+    // before activation: the shard's only copy sits under _mretired
+    val rel = s"start_month=2025-01/kshard=$s9"
+    val retired = new org.apache.hadoop.fs.Path(s"${table}_mretired/$rel")
+    fs.mkdirs(retired.getParent)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$table/$rel"), retired))
+    // next merge (touching only e1's shard) must restore e9 first
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "jan a v2", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 4)
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "jan a v2", "e9" -> "jan b"))
+  }
+
+  test("cross-month reconcile preserves the sharded layout") {
+    val dir = Files.createTempDirectory("graft_shrec").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "jan a", 1, "2025-01"),
+        ("e2", "jan b", 1, "2025-01"))),
+      Seq("event_id"), "version", numShards = 4)
+    // e1 moves months without the old month in the batch → stale row
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "feb a v2", 2, "2025-02"))),
+      Seq("event_id"), "version", numShards = 4)
+    val months = MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version")
+    assert(months === Seq("2025-01"))
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title"),
+        r.getAs[String]("start_month"))).toSeq
+    assert(got === Seq(("e1", "feb a v2", "2025-02"),
+      ("e2", "jan b", "2025-01")))
+    // the rewritten month must still be SHARDED (subdirs, no flat files)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val jan = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/start_month=2025-01"))
+    assert(jan.exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("kshard=")))
+    assert(!jan.exists(_.getPath.getName.endsWith(".parquet")),
+      "reconcile flattened a sharded month")
+  }
+
+  test("compaction on a sharded table works per shard and converges") {
+    val dir = Files.createTempDirectory("graft_shcomp").toFile.getAbsolutePath
+    val table = s"$dir/events"
+    // 12 keys in one month over 2 shards, scattered across many input
+    // partitions so each shard dir lands several small files
+    val rows = (1 to 12).map(i => (s"e$i", s"t$i", 1, "2025-01"))
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(rows).repartition(12), Seq("event_id"), "version",
+      numShards = 2)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def shardFiles(): Map[String, Int] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$table/start_month=2025-01"))
+      .filter(_.getPath.getName.startsWith("kshard="))
+      .map(sd => sd.getPath.getName -> fs.listStatus(sd.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).toMap
+    assert(shardFiles().values.exists(_ > 2),
+      "fixture must fragment at least one shard, or the test is vacuous")
+    val before = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(_.getAs[String]("title")).toSeq
+    val compacted = MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 2)
+    assert(compacted === Seq("2025-01"))
+    assert(shardFiles().values.forall(_ <= 2),
+      "compaction must bound files per shard")
+    assert(spark.read.parquet(table).orderBy("event_id").collect()
+      .map(_.getAs[String]("title")).toSeq === before)
+    assert(MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 2) === Nil,
+      "a compacted sharded table must not re-compact on the next sweep")
+  }
 }
