@@ -36,7 +36,7 @@ import graft.operators.{Unify, V2Fixtures}
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
   *   merge | mergeshard | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
-  *   neardupcap | embedt | embedcap | curate | curatecap |
+  *   neardupcap | neardupauto | embedt | embedcap | curate | curatecap |
   *   ingest | ingestcap | ingestcapm | spandedup
   *   (`curate`/`curatecap` time ONE fixed 500-doc micro-batch through
   *   the composed five-gate chain against a factor-scaled curated
@@ -669,7 +669,8 @@ object ScaleProbe {
     // bandKeyCap=8) it is batch·bands·cap — flat, with the shed
     // reported in every verdict's n_capped_keys.
     var lastCappedKeys = -1L
-    def runHotKeyAt(cap: Int)(factor: Int): (Long, Double) = {
+    var lastEngagedCap = -1L
+    def runHotKeyAt(cap: Int, auto: Boolean = false)(factor: Int): (Long, Double) = {
       val out = new java.io.File(
         s"target/probe_neardup_hot$cap").getAbsolutePath
       val fs = new org.apache.hadoop.fs.Path(out)
@@ -690,7 +691,23 @@ object ScaleProbe {
         .repartition(col("bh_b"))
         .write.mode("overwrite").partitionBy("bh_b").parquet(s"$out/bands")
       lastTableRows = spark.read.parquet(s"$out/bands").count()
-      val gate = new graft.operators.NearDupGate(out, bandKeyCap = cap)
+      // auto mode (`neardupauto`): the cap arrives via the SELF-SIZING
+      // policy instead of the hand-picked knob — targetKeyLoad=cap,
+      // constructor cap 0 (exact). The un-timed compact is where the
+      // policy measures the hottest key and engages; the timed admit
+      // then runs under the engaged cap, so the curve is directly
+      // comparable to the hand-capped `neardupcap` line. The engaged
+      // width is read back from the layout manifest and reported.
+      val gate =
+        if (auto) new graft.operators.NearDupGate(out,
+          targetKeyLoad = cap)
+        else new graft.operators.NearDupGate(out, bandKeyCap = cap)
+      if (auto) {
+        gate.compact(spark)
+        lastEngagedCap = graft.operators.GateLayout.read(fs,
+            new org.apache.hadoop.fs.Path(s"$out/_layout"))
+          .get("band_key_cap").map(_.toLong).getOrElse(0L)
+      }
       System.gc()
       val t0 = System.nanoTime()
       gate.admit(templateDocs(200, 900000000L), "doc_id", "text")
@@ -906,6 +923,7 @@ object ScaleProbe {
       case "neardupb"  => runNeardupGateAt
       case "neardupt"  => runHotKeyAt(0)
       case "neardupcap" => runHotKeyAt(8)
+      case "neardupauto" => runHotKeyAt(8, auto = true)
       case "embedt"    => runEmbedHotAt(0)
       case "embedcap"  => runEmbedHotAt(8)
       case "curate"    => runCurateAt(0)
@@ -938,6 +956,7 @@ object ScaleProbe {
       case "neardupb"  => "ev_stream_neardup_gate"
       case "neardupt"  => "neardup_hotkey_uncapped"
       case "neardupcap" => "neardup_hotkey_capped"
+      case "neardupauto" => "neardup_hotkey_selfsized"
       case "embedt"    => "embed_neardup_hotkey_uncapped"
       case "embedcap"  => "embed_neardup_hotkey_capped"
       case "curate"    => "curate_pipeline_uncapped"
@@ -960,8 +979,8 @@ object ScaleProbe {
       case "lm" | "nb" => "scored_docs"
       case "novelty" | "noveltyb" => "novel_appended"
       case "neardup" | "neardupb" | "neardupt" | "neardupcap" |
-           "embedt" | "embedcap" | "curate" | "curatecap" |
-           "ingest" | "ingestcap" | "ingestcapm" => "verdicts"
+           "neardupauto" | "embedt" | "embedcap" | "curate" |
+           "curatecap" | "ingest" | "ingestcap" | "ingestcapm" => "verdicts"
       case "spandedup" => "docs"
       case _           => "rows"
     }
@@ -991,6 +1010,8 @@ object ScaleProbe {
         else if (probe == "neardupt" || probe == "neardupcap" ||
                  probe == "embedt" || probe == "embedcap")
           f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d"""
+        else if (probe == "neardupauto")
+          f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d,"engaged_cap":$lastEngagedCap%d"""
         else if (probe == "curate" || probe == "curatecap")
           f""","table_rows":$lastTableRows%d,"capped_keys_sum":$lastCappedKeys%d,"sec_train":$lastTrainSec%.2f"""
         else if (probe.startsWith("ingest"))
