@@ -214,7 +214,16 @@ object Curation {
     * verdict frame: (doc_id, is_novel, is_neardup, quality_kept,
     * decontam_kept, lm_kept, kept). */
   def curateBatch(batch: DataFrame, ngate: NoveltyGate,
-      ndgate: NearDupGate, models: Models): DataFrame = {
+      ndgate: NearDupGate, models: Models): DataFrame =
+    curateBatchWithShed(batch, ngate, ndgate, models)._1
+
+  /** [[curateBatch]] plus the tick's stage-2 shed as a one-row frame
+    * (summed `n_capped_keys` over this batch's near-dup verdicts —
+    * already pinned by the gate, so the extra aggregation re-reads
+    * nothing). The per-tick census [[start]] emits needs the shed
+    * without scanning the gate's whole verdict log. */
+  def curateBatchWithShed(batch: DataFrame, ngate: NoveltyGate,
+      ndgate: NearDupGate, models: Models): (DataFrame, DataFrame) = {
     // one row per doc_id before ANY stage (the shared explicit-width
     // idiom — GateOps.dedupAtWidth has the AQE rule): an upstream
     // at-least-once duplicate inside one batch would otherwise
@@ -289,7 +298,7 @@ object Curation {
       .select(col("doc_id"),
         (expr("total_bits * 1000 div n_bigrams") < 12000)
           .cast("int").as("lm_kept"))
-    b.select(col("doc_id"))
+    val verdicts = b.select(col("doc_id"))
       .join(mb(nov.select(col("id").as("doc_id"), col("is_novel"))),
         Seq("doc_id"), "left")
       .join(mb(nd.select(col("id").as("doc_id"), col("is_neardup"))),
@@ -310,6 +319,8 @@ object Curation {
           col("quality_kept") === 1 &&
           col("decontam_kept") === 1 && col("lm_kept") === 1,
         lit(false)).cast("int"))
+    (verdicts,
+      nd.agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed")))
   }
 
   /** Wire a parquet document stream through the chain: per-batch
@@ -355,6 +366,9 @@ object Curation {
     graft.operators.GateOps.recoverGeneration(
       new org.apache.hadoop.fs.Path(outDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration), outDir, "scored")
+    graft.operators.GateOps.recoverGeneration(
+      new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), outDir, "report")
     // seed the verdict table with its zero-row schema so a stream
     // that drains with no non-empty batch still leaves a readable
     // scored path (the repo-wide empty-replay discipline)
@@ -362,6 +376,12 @@ object Curation {
       "doc_id BIGINT, is_novel INT, is_neardup INT, " +
         "quality_kept INT, decontam_kept INT, lm_kept INT, kept INT")
       .write.mode("ignore").parquet(s"$outDir/scored")
+    // … and the standing per-tick census log beside it (same
+    // discipline; see the foreachBatch emit below)
+    emptyFrame(spark,
+      "stage STRING, n_evaluated BIGINT, n_kept BIGINT, " +
+        "n_dropped BIGINT, shed_keys BIGINT, batch_id BIGINT")
+      .write.mode("ignore").parquet(s"$outDir/report")
     // a PRODUCTION stream self-tends by default: every 16th batch the
     // gates compact their per-batch file accumulation (verdicts, band
     // buckets, fingerprint buckets) inside the admit turn — the
@@ -388,15 +408,42 @@ object Curation {
       .writeStream.queryName("graft_stream_curate")
       .option("checkpointLocation", s"$outDir/_ckpt")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          curateBatch(batch, ngate, ndgate, models)
-            .write.mode("append").parquet(s"$outDir/scored")
+          val (v, shed) = curateBatchWithShed(batch, ngate, ndgate,
+            models)
+          // pinned once: consumed by both the scored append and the
+          // tick census below — without the pin the census would
+          // re-run the whole five-gate assembly
+          val verdicts = v.localCheckpoint()
+          verdicts.write.mode("append").parquet(s"$outDir/scored")
+          // the STANDING census: the same per-stage arithmetic as the
+          // post-hoc [[curationReport]], over just this tick's
+          // verdicts, appended to a `report` log — a sustained-ingest
+          // operator watches the census as a stream instead of
+          // re-scanning the whole scored log per look. Replay-stable:
+          // a checkpoint retry re-runs the same batch to the same
+          // verdicts (curateBatch's contract) and the same batch_id,
+          // so the re-appended rows are byte-identical and the
+          // read-side distinct absorbs them — including a crash
+          // BETWEEN the scored append and this one. distinct() on the
+          // tick's own verdicts mirrors the post-hoc read discipline
+          // (a doc duplicated within one batch was already collapsed
+          // by curateBatch's dedupAtWidth, so it is a no-op here by
+          // construction, kept for the shared-arithmetic guarantee).
+          censusStages(verdicts.distinct(), shed)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/report")
           batchesSinceCompact += 1
           if (autoCompactEvery > 0 &&
               batchesSinceCompact >= autoCompactEvery) {
             graft.operators.GateOps.compactLog(batch.sparkSession,
               outDir, "scored", "doc_id", logMergeBytes)
+            // the census log accumulates one file set per tick like
+            // the scored log — same cadence, sorted by tick (6 rows
+            // per tick: always the wholesale tier, it is report-sized)
+            graft.operators.GateOps.compactLog(batch.sparkSession,
+              outDir, "report", "batch_id", 0L)
             batchesSinceCompact = 0
           }
         }
@@ -456,6 +503,48 @@ object Curation {
         "is_novel INT, is_neardup INT, quality_kept INT, " +
           "decontam_kept INT, lm_kept INT, kept INT"))
       .distinct()
+    // the gate creates its verdicts dir only at the first non-empty
+    // admit (and an all-null-text first batch leaves it schema-less),
+    // while scored is seeded from batch zero — guard + explicit
+    // schema so the report works on a drained-empty pipeline
+    val ndv = ndVerdictsPath
+    val ndvExists = new org.apache.hadoop.fs.Path(ndv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(ndv))
+    val shed =
+      (if (ndvExists)
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, n_cands BIGINT, best_eq BIGINT, " +
+              "is_neardup INT, n_capped_keys BIGINT"))
+          .parquet(ndv).distinct()
+      else emptyFrame(spark, "n_capped_keys BIGINT"))
+      .agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed"))
+    censusStages(scored, shed)
+  }
+
+  /** The standing per-tick census a [[start]] stream emits: one
+    * six-stage census block per non-empty batch, keyed by `batch_id`,
+    * read back with the log family's distinct() replay absorption.
+    *
+    * Sum property (spec-pinned): for a stream of distinct documents,
+    * summing n_evaluated / n_kept / n_dropped / shed_keys per stage
+    * across ticks equals the post-hoc [[curationReport]] exactly. The
+    * one divergence is DELIBERATE: a doc genuinely re-submitted in a
+    * later batch whose re-evaluation writes a byte-identical verdict
+    * row counts once in the post-hoc census (the scored log's
+    * distinct collapses it) but in BOTH ticks here — the per-tick log
+    * is the work-done record, and tick N's work happened regardless
+    * of whether tick M had the same outcome. */
+  def curationTicks(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/report").distinct()
+
+  /** The per-stage census arithmetic over a (deduplicated) verdict
+    * frame plus a one-row `shed` frame — shared by the post-hoc
+    * [[curationReport]] and the per-tick rows [[start]] emits into its
+    * standing `report` log. One aggregation pass, stacked into the
+    * six-stage lattice. */
+  private def censusStages(scored: DataFrame, shed: DataFrame): DataFrame = {
     val agg = scored.agg(
       count(lit(1)).as("n_all"),
       coalesce(sum((col("is_novel") === 1).cast("long")), lit(0L))
@@ -474,23 +563,6 @@ object Curation {
         .as("k5"),
       coalesce(sum((col("kept") === 1).cast("long")), lit(0L))
         .as("k6"))
-    // the gate creates its verdicts dir only at the first non-empty
-    // admit (and an all-null-text first batch leaves it schema-less),
-    // while scored is seeded from batch zero — guard + explicit
-    // schema so the report works on a drained-empty pipeline
-    val ndv = ndVerdictsPath
-    val ndvExists = new org.apache.hadoop.fs.Path(ndv)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(ndv))
-    val shed =
-      (if (ndvExists)
-        spark.read
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(
-            "id BIGINT, n_cands BIGINT, best_eq BIGINT, " +
-              "is_neardup INT, n_capped_keys BIGINT"))
-          .parquet(ndv).distinct()
-      else emptyFrame(spark, "n_capped_keys BIGINT"))
-      .agg(coalesce(sum(col("n_capped_keys")), lit(0L)).as("shed"))
     agg.crossJoin(broadcast(shed))
       .selectExpr(
         """stack(6,

@@ -1453,9 +1453,28 @@ object StreamingQueries {
         graft.streaming.Curation.start(s, d + "/documents.parque*",
             fileSchema, out, models, bandKeyCap = 8)
           .awaitTermination()
-        graft.streaming.Curation.curationReport(s, out)
+        // the post-hoc census, cross-checked in-row against the
+        // STANDING per-tick report log the stream emitted: per-stage
+        // tick sums must reproduce the post-hoc numbers exactly
+        // (distinct docs — the sum property), so the per-tick log is
+        // oracle-pinned by the same DuckDB recompute at no extra
+        // stream cost
+        val post = graft.streaming.Curation.curationReport(s, out)
+        val tick = graft.streaming.Curation.curationTicks(s, out)
+          .groupBy(col("stage")).agg(
+            sum("n_evaluated").as("te"), sum("n_kept").as("tk"),
+            sum("n_dropped").as("td"), sum("shed_keys").as("ts"))
+        post.join(broadcast(tick), Seq("stage"), "left")
+          .select(col("stage"), col("n_evaluated"), col("n_kept"),
+            col("n_dropped"), col("shed_keys"),
+            (col("te") <=> col("n_evaluated") &&
+              col("tk") <=> col("n_kept") &&
+              col("td") <=> col("n_dropped") &&
+              col("ts") <=> col("shed_keys")).as("ticks_match"))
+          .orderBy(col("stage"))
       },
-      curateReportOracleSql(bandKeyCap = 8)),
+      s"""SELECT *, TRUE AS ticks_match
+         |FROM (${curateReportOracleSql(bandKeyCap = 8)})""".stripMargin),
 
     // Watermark LATE-DATA DROP semantics, pinned deterministically via
     // the staged three-batch replay (stageLateBatches): on-time slice,

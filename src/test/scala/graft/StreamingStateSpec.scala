@@ -2009,6 +2009,55 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(layout().get("band_key_cap") === Some("4"))
   }
 
+  test("per-tick census rows sum to the post-hoc curation report") {
+    // the standing `report` log (one six-stage census block per
+    // non-empty batch) vs the post-hoc whole-log census: for distinct
+    // documents the per-stage sums across ticks must equal
+    // curationReport EXACTLY — same arithmetic (censusStages), two
+    // aggregation scopes. Cadence 1 so the report log's own
+    // compaction runs between ticks and provably loses nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ticks")
+      .toFile.getAbsolutePath
+    val models = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "omega psi chi phi upsilon"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/src")
+    val schema = spark.read.parquet(s"$dir/src").schema
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+        s"$dir/cur", models, autoCompactEvery = 1)
+      .awaitTermination()
+    Seq((3L, "nu xi omicron pi rho sigma"),
+      // near-identical to doc 1 (distinct doc_id AND text): lands in
+      // tick 2 as a near-dup drop, so the two ticks' censuses differ
+      // and the sum is non-trivial
+      (4L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/src")
+    graft.streaming.Curation.start(spark, s"$dir/src", schema,
+        s"$dir/cur", models, autoCompactEvery = 1)
+      .awaitTermination()
+    val ticks = graft.streaming.Curation.curationTicks(spark, s"$dir/cur")
+    assert(ticks.select("batch_id").distinct().count() === 2,
+      "two drains must leave two tick census blocks")
+    assert(ticks.count() === 12, "six stage rows per tick")
+    val summed = ticks.groupBy("stage").agg(
+      sum("n_evaluated").as("n_evaluated"), sum("n_kept").as("n_kept"),
+      sum("n_dropped").as("n_dropped"), sum("shed_keys").as("shed_keys"))
+    val post = graft.streaming.Curation.curationReport(spark, s"$dir/cur")
+    assert(summed.exceptAll(post).isEmpty && post.exceptAll(summed).isEmpty,
+      "per-tick census sums must equal the post-hoc report per stage")
+    // the fixture exercised the interesting census shape: tick 2's
+    // near-dup drop is visible in the summed lattice
+    val nd = post.filter(col("stage") === "2_neardup").head()
+    assert(nd.getAs[Long]("n_evaluated") === 4L &&
+      nd.getAs[Long]("n_kept") === 3L,
+      "doc 4 must have been evaluated at stage 2 and dropped as a near-dup")
+  }
+
   test("SQL function registration exposes py_round and minhash_sig") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT py_round(0.8074999999999999, 3) AS r").head().getDouble(0)
