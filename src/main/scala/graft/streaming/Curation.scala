@@ -163,6 +163,66 @@ object Curation {
     }
   }
 
+  /** The retrain-cadence pickup for a LIVE stream: holds the current
+    * [[Models]] generation and, once per batch ([[refresh]]), re-reads
+    * the save dir's manifest — one tiny k=v file — reloading only when
+    * the generation actually moved. This is what closes the cadence
+    * loop end-to-end: a batch retrain job [[Models.save]]s a new
+    * generation at any time (atomic swap); the in-flight micro-batch
+    * KEEPS the generation it started with (its verdicts stay
+    * internally consistent — a mid-batch model change would mix
+    * generations within one batch's verdicts); the NEXT batch's
+    * refresh sees the moved gen_id and picks the swap up.
+    *
+    * Failure posture: a refresh whose [[Models.load]] races the NEXT
+    * swap (the gen_id pin throws) or hits a transient read failure
+    * KEEPS the held generation — verdicts remain valid, just one
+    * cadence late — warns on stderr, and retries at the next batch. A
+    * standing ingest stream can therefore never be stalled or torn by
+    * a retrain. The constructor load is NOT softened: a stream that
+    * cannot load any complete generation at start must fail loudly,
+    * not run model-less.
+    *
+    * One redundant-reload edge is tolerated by design: if a swap lands
+    * between refresh's manifest read and load's own, load succeeds
+    * under the NEWER generation while heldGen records the older id —
+    * the next refresh re-loads the same generation once (idempotent)
+    * and re-synchronizes. */
+  final class ModelsHandle(spark: SparkSession, dir: String) {
+    private var held: Models = Models.load(spark, dir)
+    private var heldGen: Option[String] = readGen()
+
+    private def readGen(): Option[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mp = new org.apache.hadoop.fs.Path(s"$dir/current/_layout")
+      if (fs.exists(mp))
+        graft.operators.GateLayout.read(fs, mp).get("gen_id")
+      else None // legacy flat layout: no generations to track
+    }
+
+    /** The held models, re-checked against the dir's current
+      * generation — call once at the top of each micro-batch. */
+    def refresh(): Models = {
+      try {
+        val g = readGen()
+        if (g.isDefined && g != heldGen) {
+          held = Models.load(spark, dir)
+          heldGen = g
+          System.err.println(
+            s"[curation-models] picked up generation ${g.get} from $dir")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[curation-models] refresh against $dir failed " +
+              s"(${e.getMessage}) — keeping the held generation " +
+              "this batch, retrying next batch")
+      }
+      held
+    }
+  }
+
   /** Zero-row frame with the given DDL schema — the shared empty-
     * seed/empty-placeholder construction (one definition; the seed
     * and both census fallbacks use it). */

@@ -60,14 +60,21 @@ object IncrementalIngest {
     *
     * `curationModelsDir` is the PRODUCTION form of the same knob: a
     * [[Curation.Models.save]] directory maintained on a retrain
-    * cadence by a batch job, [[Curation.Models.load]]ed here at
-    * start — an ingest worker never constructs models in the driver
-    * by hand; a cadence retrain swaps the generation atomically, and
-    * a load racing that swap fails LOUDLY (the gen_id pin re-checked
-    * after the frame reads — retry) instead of assembling a
-    * mixed-generation model set. Verdicts under a loaded dir equal
-    * verdicts under the in-memory models bit-exactly (spec-pinned).
-    * Supplying both prefers the explicit `curation` value.
+    * cadence by a batch job — an ingest worker never constructs
+    * models in the driver by hand. The dir is loaded at start (fail
+    * loud if no complete generation exists) and then tracked LIVE
+    * through a [[Curation.ModelsHandle]]: each batch re-checks the
+    * dir's generation (one manifest read) and a mid-stream retrain
+    * swap is picked up at the NEXT batch, the in-flight batch keeping
+    * the generation it started with — verdicts are bit-stable per
+    * generation (spec-pinned), never mixed within a batch. A load
+    * racing a swap fails loudly inside Models.load (the gen_id pin);
+    * the handle then keeps the held generation and retries next
+    * batch, so a retrain can neither stall nor tear the stream.
+    * Verdicts under a loaded dir equal verdicts under the in-memory
+    * models bit-exactly (spec-pinned). Supplying both prefers the
+    * explicit `curation` value, which stays FIXED for the stream's
+    * lifetime.
     *
     * `bandKeyCap`/`candCap` pass straight through to the curation
     * mode's stage-2 [[graft.operators.NearDupGate]] — the production
@@ -106,9 +113,19 @@ object IncrementalIngest {
       bandKeyCap: Int = 0, candCap: Int = 100000,
       autoCompactEvery: Int = 16,
       logMergeBytes: Long = 0L,
-      targetKeyLoad: Int = 64): StreamingQuery = {
-    val curModels = curation.orElse(
-      curationModelsDir.map(Curation.Models.load(spark, _)))
+      targetKeyLoad: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // explicit models are FIXED for the stream's lifetime; a models
+    // DIR is the retrain-cadence form — a ModelsHandle re-checks the
+    // dir's generation once per batch (one manifest read) and picks a
+    // mid-stream retrain swap up at the NEXT batch, the in-flight
+    // batch keeping the generation it started with
+    // (Curation.ModelsHandle has the full contract)
+    val curModels: Option[() => Curation.Models] =
+      curation.map(m => () => m).orElse(curationModelsDir.map { d =>
+        val h = new Curation.ModelsHandle(spark, d)
+        () => h.refresh()
+      })
     val stream = spark.readStream
       .schema(rawSchema)
       .option("multiLine", true)
@@ -148,7 +165,7 @@ object IncrementalIngest {
       .queryName("graft-incremental-ingest")
       .option("checkpointLocation",
         checkpoint.getOrElse(s"$tableDir/_checkpoint"))
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           gate.foreach { g =>
@@ -169,7 +186,10 @@ object IncrementalIngest {
               .withColumnRenamed("id", "ingest_id")
               .write.mode("append").parquet(s"$tableDir/novelty_log")
           }
-          curModels.foreach { models =>
+          curModels.foreach { getModels =>
+            // per-batch generation check (no-op unless a retrain
+            // landed since the last batch)
+            val models = getModels()
             val (cng, cnd) = curGates.get
             val payloadCols = batch.columns.filterNot(_ == "scraped_at")
             // id = full-record hash (novelty_log's key), document =

@@ -2009,6 +2009,115 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(layout().get("band_key_cap") === Some("4"))
   }
 
+  test("a mid-stream model retrain is picked up at the next batch, " +
+      "verdicts bit-stable per generation") {
+    // the retrain cadence end-to-end: a LIVE ingest stream holds
+    // generation A; a batch job saves generation B while the stream
+    // runs; the batch in flight keeps A, the NEXT batch curates under
+    // B. Bit-stability is pinned against a reference lineage that
+    // drains the same files under FIXED per-drain models; the
+    // counterfactual lineage (file 2 still under A) must differ,
+    // proving the swap actually changed behavior mid-stream.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_swapmid")
+      .toFile.getAbsolutePath
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val modelsA = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    // generation B reverses the language labels: the NB stage's
+    // verdict flips for payload-shaped token streams, so the two
+    // generations are behaviorally distinct on the same input
+    val modelsB = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "de"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val mdir = s"$dir/models"
+    graft.streaming.Curation.Models.save(modelsA, mdir)
+    // Titles engineered so the MODEL stage decides the verdict: long
+    // enough (>50 words) with stopwords to PASS the gopher rules, and
+    // carrying generation A's en-labeled anchor tokens ("reference
+    // corpus tokens … shared models") so the NB stage keeps the doc
+    // under A and drops it under B (labels reversed) — the
+    // model-sensitive verdict the counterfactual assert needs. The
+    // two titles share only anchors/stopwords (unigram-minhash
+    // estimate well under the near-dup threshold), so record 2 is
+    // probed on its own merits rather than flagged against record 1.
+    val titles = Map(
+      1 -> ("the reference corpus tokens for the shared models and " +
+        "that nights of music have begun to shine with open air " +
+        "stages under warm island skies where dancers move and the " +
+        "crowd sings of joy to celebrate another season that will " +
+        "have grown with every sunrise over the bay and the harbour " +
+        "of the old town"),
+      2 -> ("the reference corpus tokens for the shared models and " +
+        "that winter brings of quiet have fallen to rest with closed " +
+        "doors rooms under cold northern lights where readers dwell " +
+        "and the library keeps of lore to preserve another volume " +
+        "that will have endured with every candle over the desk and " +
+        "the cellar of the old keep"))
+    def rec(i: Int): String =
+      s"""[{"title": "${titles(i)}",
+         |  "venue": "pacha", "url": "https://x.com/swap$i",
+         |  "scraped_at": "2025-07-0${i}T00:00:00"}]""".stripMargin
+    def clog(t: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(s"$t/curation_log").distinct()
+    def logCount(t: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$t/curation_log")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) clog(t).count() else 0L
+    }
+    def awaitRows(t: String, n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (logCount(t) < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out waiting for $n curation_log rows under $t")
+        Thread.sleep(200)
+      }
+    }
+    val live = s"$dir/live"
+    val q = IncrementalIngest.start(spark, landing, live,
+      curationModelsDir = Some(mdir),
+      trigger = Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$landing/a.json").toPath, rec(1))
+      awaitRows(live, 1)
+      // the stream is live and holds generation A — retrain lands NOW
+      graft.streaming.Curation.Models.save(modelsB, mdir)
+      // file 2 appears only after the save returned, so the batch
+      // that reads it starts after the swap and must refresh to B
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$landing/b.json").toPath, rec(2))
+      awaitRows(live, 2)
+    } finally {
+      q.stop(); q.awaitTermination()
+    }
+    // reference lineage: the same two files in the same order, fixed
+    // models per drain (A then B) — the live log must equal it
+    val refLanding = s"$dir/ref_landing"
+    new java.io.File(refLanding).mkdirs()
+    def drain(tableDir: String, m: graft.streaming.Curation.Models): Unit =
+      assert(IncrementalIngest.start(spark, refLanding, tableDir,
+        curation = Some(m)).awaitTermination(180000))
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$refLanding/a.json").toPath, rec(1))
+    drain(s"$dir/ref", modelsA)
+    drain(s"$dir/cf", modelsA)
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$refLanding/b.json").toPath, rec(2))
+    drain(s"$dir/ref", modelsB)
+    drain(s"$dir/cf", modelsA) // counterfactual: no retrain ever lands
+    val (lv, rf, cf) = (clog(live), clog(s"$dir/ref"), clog(s"$dir/cf"))
+    assert(lv.exceptAll(rf).isEmpty && rf.exceptAll(lv).isEmpty,
+      "live verdicts must be bit-stable per generation: batch 1 " +
+        "exactly generation A, batch 2 exactly generation B")
+    assert(!lv.exceptAll(cf).isEmpty || !cf.exceptAll(lv).isEmpty,
+      "the swapped-in generation must change batch 2's verdicts vs " +
+        "never-retrained — otherwise this spec is vacuous")
+  }
+
   test("per-tick census rows sum to the post-hoc curation report") {
     // the standing `report` log (one six-stage census block per
     // non-empty batch) vs the post-hoc whole-log census: for distinct
