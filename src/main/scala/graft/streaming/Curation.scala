@@ -189,8 +189,14 @@ object Curation {
     * the next refresh re-loads the same generation once (idempotent)
     * and re-synchronizes. */
   final class ModelsHandle(spark: SparkSession, dir: String) {
-    private var held: Models = Models.load(spark, dir)
+    // gen read BEFORE load (the same order refresh uses): a swap
+    // landing between the two then makes heldGen OLDER than the
+    // loaded generation, which the next refresh heals with one
+    // redundant reload. The inverted order would record a NEWER gen
+    // than what was loaded — a silent, unbounded pin to the stale
+    // generation until some third retrain moved the id again.
     private var heldGen: Option[String] = readGen()
+    private var held: Models = Models.load(spark, dir)
 
     private def readGen(): Option[String] = {
       val fs = new org.apache.hadoop.fs.Path(dir)

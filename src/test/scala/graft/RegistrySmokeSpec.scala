@@ -78,6 +78,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     val allowed = Set(
       // sink/merge/MV roundtrips: the WRITE is the operator under test
       "k1_latest_wins", "k1_partition_pruned", "k1_cross_month_reconcile",
+      "k1_sharded_merge",
       "k2_json_roundtrip", "k3_csv_roundtrip", "k4_markdown_roundtrip",
       "k6_retention_drop", "k7_scd2_census", "s1_json_roundtrip",
       "s2_calendar_roundtrip", "s3_staging_roundtrip", "s5_table_copy",

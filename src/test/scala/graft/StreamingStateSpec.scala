@@ -2066,7 +2066,12 @@ class StreamingStateSpec extends AnyFunSuite {
     def logCount(t: String): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$t/curation_log")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) clog(t).count() else 0L
+      // the poll can catch the log mid-creation (dir exists, no
+      // readable parquet yet) or mid-compaction-swap — any transient
+      // read failure just means "not there yet" to a poller
+      if (!fs.exists(p)) 0L
+      else try clog(t).count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
     }
     def awaitRows(t: String, n: Long): Unit = {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
