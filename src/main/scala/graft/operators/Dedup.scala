@@ -1303,13 +1303,21 @@ private[graft] object GateOps {
       if (files.length >= 64 ||
           prevNoop.exists(p => files.length - p >= 8)) System.err.println(
         s"[compact-log] $parent/$name holds ${files.length} files " +
-          s"(${prevNoop.fold("")(p => s"up from $p at the last " +
-            "zero-merge tick, ")}none below " +
+          s"(${prevNoop.fold("")(p => s"up from $p at the start of " +
+            "this zero-merge run, ")}none below " +
           s"maxMergeBytes=$maxMergeBytes) — the threshold is " +
           "at/below the per-batch append size and compaction is a " +
           "no-op; raise it")
-      writeMarker(fs, dirPath.toString, "_noop_files",
-        files.length.toString)
+      // the marker is the EARLIEST count of the current consecutive
+      // no-op run — written once and left alone until a merging tick
+      // clears it, so CUMULATIVE growth across the run trips the
+      // threshold. Rewriting it every no-op tick would reduce the
+      // check to adjacent-tick deltas: steady one-append-per-tick
+      // growth would never fire and the "early" warning would
+      // degenerate to the 64-file backstop.
+      if (prevNoop.isEmpty)
+        writeMarker(fs, dirPath.toString, "_noop_files",
+          files.length.toString)
       return
     }
     // this tick merges — clear the zero-merge growth tracker so the
@@ -1911,7 +1919,11 @@ final class NoveltyGate(tableRoot: String,
   * checked), so a restarted gate does not silently run uncapped
   * until its next compaction. An explicit `bandKeyCap` > 0 seeds the
   * live cap; the policy can only TIGHTEN it (min), mirroring how
-  * `rowBits` merely seeds the embedding gate's width. The
+  * `rowBits` merely seeds the embedding gate's width. The SEED is
+  * per-process semantics and is NOT written to the manifest — only
+  * policy engagements persist — so a later reopen with the
+  * documented exact opt-out (bandKeyCap=0, targetKeyLoad=0) really
+  * is exact unless an engagement is on record. The
   * StreamingStateSpec hot-key case pins convergence: under a
   * sustained hot-key stream the live cap reaches the target by the
   * first over-budget compaction and verdicts from then on equal a
@@ -1935,6 +1947,14 @@ final class NearDupGate(root: String, numHashes: Int = 32,
   // in-memory-only cap would reset to the constructor seed on
   // restart and silently run uncapped until the next compaction).
   private var capCur: Int = bandKeyCap
+  // whether the live cap is POLICY state (engaged by targetKeyLoad
+  // here, or restored from a manifest a previous engagement wrote) as
+  // opposed to a constructor seed. Only policy state persists to the
+  // manifest: a one-off explicit bandKeyCap is this process's
+  // semantics, not the table's — persisting it would make the
+  // documented exact opt-out (bandKeyCap=0, targetKeyLoad=0)
+  // silently inherit the seed forever via tightest-wins restore.
+  private var capEngaged: Boolean = false
   // maintenance-policy clock (the NoveltyGate protocol): each admit
   // appends one file per touched band bucket, one sigs file, and one
   // verdicts file, so listings degrade O(batches) between epochs —
@@ -1977,15 +1997,22 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       m.get("band_key_cap").flatMap(_.toIntOption)
         .filter(_ > 0).foreach { c =>
           capCur = if (capCur > 0) math.min(capCur, c) else c
+          // a persisted cap exists only because a policy engagement
+          // wrote it — restore it AS policy state so later manifest
+          // refreshes keep carrying it
+          capEngaged = true
         }
       if (!m.contains("verdict_schema"))
         writeLayout(fs, mp)
     } else writeLayout(fs, mp)
   }
 
-  /** Manifest refresh: the fail-fast geometry plus the live cap (only
-    * when engaged — an absent key means "uncapped", keeping old
-    * manifests and exact-mode gates byte-identical to before). */
+  /** Manifest refresh: the fail-fast geometry plus the live cap —
+    * persisted ONLY when it is policy state (a targetKeyLoad
+    * engagement, now or in a prior process), never the constructor
+    * seed: an absent key means "no engagement on record", so exact-
+    * mode reopens stay exact and a one-off explicit bandKeyCap does
+    * not become irreversible table state. */
   private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
       mp: org.apache.hadoop.fs.Path): Unit =
     GateLayout.write(fs, mp,
@@ -1993,7 +2020,8 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         "bands" -> bands.toString,
         "shingle_size" -> shingleSize.toString,
         "verdict_schema" -> GateOps.verdictSchemaVersion) ++
-        (if (capCur > 0) Seq("band_key_cap" -> capCur.toString)
+        (if (capEngaged && capCur > 0)
+           Seq("band_key_cap" -> capCur.toString)
          else Seq.empty))
 
   private def bhPosCol(bh: Column, i: Int): Column =
@@ -2376,6 +2404,7 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
       if (maxLoad > targetKeyLoad) {
         capCur = targetKeyLoad
+        capEngaged = true
         System.err.println(
           s"[neardup-gate] hottest band key holds $maxLoad sharers " +
             s"(> targetKeyLoad=$targetKeyLoad) for $root — engaging " +

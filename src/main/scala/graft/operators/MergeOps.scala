@@ -240,27 +240,64 @@ object MergeOps {
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingRoot = new Path(dest.getParent, dest.getName + "_mstaging")
     val retiredRoot = new Path(dest.getParent, dest.getName + "_mretired")
+    /** The swap-UNIT manifest: activateDirs records the relative dirs
+      * it is about to swap (one per line, written crash-safely BEFORE
+      * the first rename) so recovery restores at exactly the
+      * granularity the swap ran at. Without it, recovery had to guess
+      * from directory shape — and guessed wrong for a MONTH-level swap
+      * of a SHARDED table: a crash after `staged→live` but before the
+      * retired dir's delete left both copies of the month on disk, and
+      * shape-based recovery recursed into the retired month's shard
+      * subdirs, "restoring" any shard absent from the new month (e.g.
+      * one whose only key a reconcile had deliberately dropped) —
+      * resurrecting deleted rows and breaking the fully-old-or-fully-
+      * new contract.
+      */
+    private val unitsMarker = new Path(retiredRoot, "_swap_units")
 
     /** Crash recovery: a prior run that died between the two renames
       * of some partition left that partition's only live copy under
       * the retired root. Restore every such partition BEFORE reading,
       * or a merge would silently drop its history.
+      *
+      * Granularity matches the crashed swap's own units (the
+      * `_swap_units` marker): a retired unit whose LIVE counterpart
+      * exists is a completed swap — its retired copy is discarded,
+      * never mined for subdirectories. A retired unit with no live
+      * counterpart is restored wholesale.
       */
     def recoverOrphans(): Unit = {
       if (fs.exists(retiredRoot)) {
-        restoreUnder(retiredRoot, dest)
+        if (fs.exists(unitsMarker)) {
+          val in = fs.open(unitsMarker)
+          val units =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty).toList
+            finally in.close()
+          units.foreach { rel =>
+            val retired = new Path(retiredRoot, rel)
+            val live = new Path(dest, rel)
+            if (fs.exists(retired) && !fs.exists(live)) {
+              fs.mkdirs(live.getParent)
+              if (!fs.rename(retired, live))
+                throw new java.io.IOException(
+                  s"found orphaned $retired but could not restore it to $live")
+            }
+          }
+        } else
+          // pre-marker on-disk state (or a crash before the marker's
+          // atomic rename landed — in which case no unit was swapped
+          // yet and there is nothing under the root to restore)
+          restoreUnder(retiredRoot, dest)
         fs.delete(retiredRoot, true)
       }
       fs.delete(stagingRoot, true)
     }
 
-    /** Restore every orphaned partition LEAF under `from` into `to`.
-      * A retired directory whose children are themselves partition
-      * directories (`col=value`) is an intermediate level — recurse,
-      * so a retired SHARDED month (month dir holding `shard=` subdirs,
-      * from a whole-month swap like reconcile's) restores
-      * shard-by-shard and never clobbers a month some of whose shards
-      * are already live again.
+    /** Shape-guessing fallback for a retired root with no swap-unit
+      * marker (pre-marker crashes only — every current writer records
+      * its units). Restores each orphaned partition LEAF under `from`
+      * into `to`, recursing through intermediate `col=value` levels.
       */
     private def restoreUnder(from: Path, to: Path): Unit =
       fs.listStatus(from).foreach { st =>
@@ -287,6 +324,18 @@ object MergeOps {
       */
     def activateDirs(dirs: Seq[String]): Unit = {
       fs.mkdirs(dest)
+      // record the swap units BEFORE the first rename (write-then-
+      // atomic-rename, same crash discipline as GateLayout.write —
+      // raw lines, since the rel paths themselves contain '=') so a
+      // crash at ANY later point recovers at this swap's granularity
+      fs.mkdirs(retiredRoot)
+      val tmp = new Path(retiredRoot, "_swap_units_tmp")
+      val out = fs.create(tmp, true)
+      try out.write(dirs.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, unitsMarker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       dirs.foreach { rel =>
         val staged = new Path(stagingRoot, rel)
         val live = new Path(dest, rel)
@@ -567,8 +616,10 @@ object MergeOps {
     // layout (the shard column rides along from partition discovery;
     // a month-only partitionBy here would flatten the month and mix
     // layouts under one root). The month-level swap is still correct:
-    // the staged month dir carries the shard subdirs wholesale, and a
-    // crash-orphaned sharded month restores shard-by-shard.
+    // the staged month dir carries the shard subdirs wholesale, and
+    // the swap-unit marker makes recovery month-granular too — a
+    // crashed swap restores or discards the WHOLE retired month,
+    // never mining it for shards this pass deliberately dropped.
     val writeParts = partCol +: shardLayout(swap.fs, swap.dest)
       .map(_._1).toSeq
     keep.write.mode(SaveMode.Overwrite)

@@ -877,4 +877,101 @@ class MergeOpsSpec extends AnyFunSuite {
       maxFilesPerMonth = 2) === Nil,
       "a compacted sharded table must not re-compact on the next sweep")
   }
+
+  test("recovery after a COMPLETED month swap discards the retired " +
+      "sharded month instead of resurrecting its dropped shards") {
+    // The granularity trap: reconcile swaps a sharded table at MONTH
+    // granularity. A crash after `staged→live` but before the retired
+    // dir's delete leaves BOTH copies of the month on disk. Recovery
+    // must treat the unit the swap ran at — the recorded `_swap_units`
+    // line — as the restore unit: the live month exists, so the swap
+    // COMPLETED and the retired copy is garbage. Shape-based recovery
+    // used to recurse into the retired month's shard subdirs and
+    // "restore" the shard reconcile had deliberately dropped (its only
+    // key's stale cross-month duplicate), resurrecting deleted rows.
+    val dir = Files.createTempDirectory("graft_shswapdone").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (s1, s2) = (shardOf("e1", 4), shardOf("e2", 4))
+    assert(s1 !== s2, "fixture keys must occupy distinct shards")
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "jan a", 1, "2025-01"),
+        ("e2", "jan b", 1, "2025-01"))),
+      Seq("event_id"), "version", numShards = 4)
+    // e1 moves months without the old month in the batch → its stale
+    // row is the ONLY occupant of 2025-01's shard s1
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "feb a v2", 2, "2025-02"))),
+      Seq("event_id"), "version", numShards = 4)
+    // snapshot the pre-reconcile month (what the retire rename would
+    // have moved aside), then reconcile for real
+    val oldCopy = new org.apache.hadoop.fs.Path(s"$dir/old_jan")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$table/start_month=2025-01"),
+      fs, oldCopy, false, conf)
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Seq("2025-01"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$table/start_month=2025-01/kshard=$s1")),
+      "fixture must actually drop the moved key's shard from the " +
+        "rewritten month, or the resurrection claim is vacuous")
+    // fabricate the crash leftovers: retired root holding the OLD
+    // month, the swap-unit marker reconcile's activate would have
+    // written, and the live (new) month already in place
+    val retiredRoot = new org.apache.hadoop.fs.Path(s"${table}_mretired")
+    fs.mkdirs(retiredRoot)
+    assert(fs.rename(oldCopy,
+      new org.apache.hadoop.fs.Path(retiredRoot, "start_month=2025-01")))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(retiredRoot, "_swap_units"), true)
+    try out.write("start_month=2025-01".getBytes("UTF-8"))
+    finally out.close()
+    // any table op runs recovery first; a clean-table reconcile is the
+    // smallest. The retired month must be DISCARDED, not mined.
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+    val got = spark.read.parquet(table).orderBy("event_id", "version")
+      .collect().map(r => (r.getAs[String]("event_id"),
+        r.getAs[String]("title"))).toSeq
+    assert(got === Seq("e1" -> "feb a v2", "e2" -> "jan b"),
+      "recovery resurrected the dropped shard's stale row")
+    assert(!fs.exists(retiredRoot) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        s"$table/start_month=2025-01/kshard=$s1")))
+  }
+
+  test("recovery restores a marker-listed unit whose live dir is gone") {
+    // the complementary half of the unit-marker contract: a crash
+    // BETWEEN retire and activate leaves the unit's only copy under
+    // the retired root — the marker path must restore it wholesale
+    val dir = Files.createTempDirectory("graft_mrkrestore").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"),
+        ("e2", "feb", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    val retiredRoot = new org.apache.hadoop.fs.Path(s"${table}_mretired")
+    fs.mkdirs(retiredRoot)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(table, "start_month=2025-02"),
+      new org.apache.hadoop.fs.Path(retiredRoot, "start_month=2025-02")))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(retiredRoot, "_swap_units"), true)
+    try out.write("start_month=2025-02".getBytes("UTF-8"))
+    finally out.close()
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title")))
+      .toSeq
+    assert(got === Seq("e1" -> "jan", "e2" -> "feb"),
+      "marker-listed orphan was not restored")
+    assert(!fs.exists(retiredRoot))
+  }
 }

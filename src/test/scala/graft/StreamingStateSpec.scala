@@ -1718,23 +1718,35 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(!first.contains("[compact-log]"),
       "the seeding no-op tick has no growth evidence yet")
     assert(marker().contains("3"), "no-op tick must persist the count")
-    // eight more born-sealed files: growth ≥ 8 across consecutive
-    // no-op ticks fires the warning well below the 64-file backstop
-    append(8)
+    // steady growth BELOW the per-tick threshold: the baseline is the
+    // run's EARLIEST count (never rewritten on later no-op ticks), so
+    // cumulative growth across the run trips the warning — an
+    // adjacent-tick delta check would sleep through 4-file ticks
+    // forever and degenerate to the 64-file backstop
+    append(4)
     val second = withStderr {
       graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
         maxMergeBytes = 1L)
     }
-    assert(second.contains("[compact-log]"),
-      s"growth of 8 unmergeable files must warn; stderr was: $second")
-    assert(marker().contains("11"))
-    assert(spark.read.parquet(s"$out/log").distinct().count() === 8,
+    assert(!second.contains("[compact-log]"),
+      "4 files over the baseline is still under the growth threshold")
+    assert(marker().contains("3"),
+      "later no-op ticks must NOT overwrite the run's baseline")
+    append(4)
+    val third = withStderr {
+      graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
+        maxMergeBytes = 1L)
+    }
+    assert(third.contains("[compact-log]"),
+      s"cumulative growth of 8 (3→11) must warn; stderr was: $third")
+    assert(marker().contains("3"))
+    assert(spark.read.parquet(s"$out/log").distinct().count() === 4,
       "the marker must be invisible to parquet reads")
     // a merging tick clears the tracker (consecutive-no-op semantics)
     graft.operators.GateOps.compactLog(spark, out, "log", "doc_id",
       maxMergeBytes = 1L << 20)
     assert(marker().isEmpty, "a merge must clear the growth tracker")
-    assert(spark.read.parquet(s"$out/log").distinct().count() === 8)
+    assert(spark.read.parquet(s"$out/log").distinct().count() === 4)
   }
 
   test("capped embedding gate composes per-probe across a multi-batch split") {
@@ -2007,6 +2019,40 @@ class StreamingStateSpec extends AnyFunSuite {
     // monotone: a further compaction never loosens the engaged cap
     g2.compact(spark)
     assert(layout().get("band_key_cap") === Some("4"))
+  }
+
+  test("an explicit bandKeyCap seed is per-process, never table state") {
+    // only POLICY engagements persist to the manifest. A one-off
+    // explicit cap used to be written at first open, making the
+    // documented exact opt-out (bandKeyCap=0, targetKeyLoad=0)
+    // silently inherit it forever via tightest-wins restore, with no
+    // way to loosen short of deleting the manifest.
+    val out = new java.io.File("target/test_neardup_seedcap")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def docs(ids: Seq[Long]) = ids
+      .map(i => (i, "hot template text shared by every doc"))
+      .toDF("id", "text")
+    def layout() = graft.operators.GateLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$out/_layout"))
+    val seeded = new graft.operators.NearDupGate(out, bandKeyCap = 2,
+      autoCompactEvery = 1)
+    val vs = seeded.admitScored(docs(1L to 5L), "id", "text")
+    assert(vs.filter(col("n_capped_keys") > 0L).count() > 0,
+      "fixture must be hot enough for the seeded cap to shed, or the " +
+        "opt-out claim below is vacuous")
+    assert(layout().get("band_key_cap").isEmpty,
+      "a constructor seed must not reach the manifest — even through " +
+        "an auto-compaction's refresh")
+    // the documented exact opt-out really is exact on reopen
+    val exact = new graft.operators.NearDupGate(out)
+    val v = exact.admitScored(docs(Seq(21L)), "id", "text").head()
+    assert(v.getLong(4) === 0L,
+      "an exact reopen inherited the previous process's seed cap")
+    assert(v.getLong(1) === 5L,
+      "the exact reopen must see ALL 5 stored sharers as candidates")
   }
 
   test("a mid-stream model retrain is picked up at the next batch, " +
