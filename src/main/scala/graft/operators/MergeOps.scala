@@ -267,6 +267,11 @@ object MergeOps {
       * counterpart is restored wholesale.
       */
     def recoverOrphans(): Unit = {
+      // a crashed RESHARD first: its commit point is a whole-root
+      // swap, and a crash between its two renames leaves the live
+      // root ABSENT — every later table op must restore it before
+      // doing anything else, or the table reads as empty
+      MergeOps.recoverReshard(fs, dest)
       if (fs.exists(retiredRoot)) {
         if (fs.exists(unitsMarker)) {
           val in = fs.open(unitsMarker)
@@ -455,10 +460,15 @@ object MergeOps {
     * must match what's on disk or a key's old version survives in a
     * shard the merge never reads. A `_shard_layout` manifest written
     * at the table root records (numShards, shardCol, keys, partCol)
-    * and every call fails fast on a mismatch (the remedy is an
-    * explicit reshard: read + merge into a fresh root). A table built
-    * by the UNSHARDED merge is likewise refused — the two layouts must
-    * never mix under one root.
+    * and every call fails fast on a mismatch (the remedy is
+    * [[reshard]], the explicit crash-safe full-rewrite operator). A
+    * table built by the UNSHARDED merge is likewise refused — the two
+    * layouts must never mix under one root ([[reshard]] with explicit
+    * keys adopts such a table). Each merge also measures the mean
+    * touched-shard size against `shardRewriteBudgetBytes` and warns
+    * loudly when the geometry has outgrown its rewrite budget
+    * (shards ≈ month bytes / budget), so a drifting deployment learns
+    * BEFORE merges go linear rather than from a latency graph.
     *
     * Same per-partition staging/retire crash safety, idempotent-replay
     * contract, key-stable-month contract ([[reconcileCrossMonthKeys]]
@@ -470,7 +480,8 @@ object MergeOps {
   def upsertParquetByMonthShard(spark: SparkSession, tablePath: String,
       incoming: DataFrame, keys: Seq[String], recency: String,
       partCol: String = "start_month", numShards: Int = 64,
-      shardCol: String = "kshard"): Unit = {
+      shardCol: String = "kshard",
+      shardRewriteBudgetBytes: Long = 4L << 30): Unit = {
     require(numShards > 0 && numShards <= 100000,
       s"numShards must be in [1, 100000], got $numShards")
     val swap = new MonthSwap(spark, tablePath)
@@ -489,8 +500,8 @@ object MergeOps {
         throw new IllegalStateException(
           s"$tablePath holds $partCol= partitions but no _shard_layout " +
             "manifest — it was written by the unsharded month merge. " +
-            "Reshard explicitly (read + upsertParquetByMonthShard into " +
-            "a fresh root); the two layouts must never mix.")
+            "Adopt it explicitly via MergeOps.reshard(newNumShards, " +
+            "keys); the two layouts must never mix.")
       fs.mkdirs(dest)
       GateLayout.write(fs, mp, expect)
     }
@@ -532,8 +543,141 @@ object MergeOps {
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partCol, shardCol)
       .parquet(swap.stagingRoot.toString)
+    // numShards sizing diagnostic — geometry is static TABLE state a
+    // deployment must guess up front, so the merge (which already
+    // opened exactly the touched dirs) measures what the guess costs:
+    // the mean touched-shard rewrite unit in bytes. Past the stated
+    // budget the remedy is [[reshard]]; the warning states the sizing
+    // rule (shards ≈ month bytes / budget) so the operator can compute
+    // the new count from numbers already in hand. O(touched) listings
+    // only — never a table walk.
+    if (shardRewriteBudgetBytes > 0 && existingPaths.nonEmpty) {
+      val meanBytes = existingPaths.map(p =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(_.isFile).map(_.getLen).sum).sum / existingPaths.length
+      if (meanBytes > shardRewriteBudgetBytes) System.err.println(
+        s"[month-shard-merge] mean touched shard holds $meanBytes " +
+          s"bytes (> shardRewriteBudgetBytes=$shardRewriteBudgetBytes) " +
+          s"for $tablePath — every batch rewrites shards this size; " +
+          "grow the geometry with MergeOps.reshard(newNumShards ≈ " +
+          "month bytes / budget)")
+    }
     swap.activateDirs(pairs.map { case (m, sh) =>
       s"$partCol=$m/$shardCol=$sh" })
+  }
+
+  /** Recovery half of [[reshard]]'s whole-root commit protocol, run by
+    * every table entry point (via MonthSwap.recoverOrphans) BEFORE
+    * reading: a crash between reshard's two renames leaves the
+    * table's only copy under `_rretired` — restore it; any other
+    * leftover sibling state is an uncommitted staging root or an
+    * already-superseded retired root — discard it.
+    */
+  private def recoverReshard(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rStaging = new Path(dest.getParent, dest.getName + "_rstaging")
+    val rRetired = new Path(dest.getParent, dest.getName + "_rretired")
+    if (fs.exists(rRetired) && !fs.exists(dest)) {
+      if (!fs.rename(rRetired, dest))
+        throw new java.io.IOException(
+          s"crashed reshard left the table's only copy at $rRetired " +
+            s"but it could not be restored to $dest")
+    }
+    fs.delete(rRetired, true)
+    fs.delete(rStaging, true)
+  }
+
+  /** Grow (or shrink) a sharded table's geometry — the explicit
+    * operator the sharded merge's fail-fast names as its remedy: at
+    * 100 TB shard counts must grow as months grow (shards ≈ month
+    * bytes / rewrite budget), and `numShards` is table state the
+    * merge refuses to drift from. Every key's shard assignment
+    * changes, so this is honestly a FULL-TABLE rewrite: one
+    * distributed job shuffles the table once on the new
+    * (month, shard) key (each pair lands in one task → one file per
+    * dir, rows key-sorted for row-group-stats locality), staged as a
+    * complete sibling root carrying the NEW `_shard_layout` manifest.
+    *
+    * Commit is a whole-root two-rename swap (live → `_rretired`,
+    * staged → live), so geometry and manifest change ATOMICALLY — a
+    * month-at-a-time reshard would leave a crash window where months
+    * of BOTH geometries share one root and one manifest, exactly the
+    * mixed-layout state every entry point fail-fasts on. Crash at any
+    * point: before the first rename the table is untouched (staging
+    * discarded on the next call); between the renames the table's
+    * only copy sits at `_rretired` and every entry point restores it
+    * first ([[recoverReshard]] — apply-or-retry, rerun the reshard);
+    * after the second the swap is complete (`_rretired` is swept).
+    * Same single-writer / reader-exclusion contract as the merge —
+    * between the renames a concurrent reader sees NO table, and the
+    * staging write transiently doubles the table's disk footprint.
+    *
+    * Also ADOPTS an unsharded month table into the sharded layout
+    * (pass the merge `keys` — there is no manifest to read them
+    * from), closing the month merge's documented migration path.
+    * Returns true when a rewrite happened, false for the no-op
+    * (already at `newNumShards`).
+    */
+  def reshard(spark: SparkSession, tablePath: String, newNumShards: Int,
+      keys: Seq[String] = Nil, partCol: String = "start_month",
+      shardCol: String = "kshard"): Boolean = {
+    require(newNumShards > 0 && newNumShards <= 100000,
+      s"newNumShards must be in [1, 100000], got $newNumShards")
+    val swap = new MonthSwap(spark, tablePath)
+    val fs = swap.fs
+    val dest = swap.dest
+    swap.recoverOrphans()
+    require(fs.exists(dest), s"no table at $tablePath")
+    val mp = new org.apache.hadoop.fs.Path(dest, "_shard_layout")
+    val (useKeys, usePart, useShard, oldN) = shardLayout(fs, dest) match {
+      case Some((sc, n)) =>
+        val m = GateLayout.read(fs, mp)
+        val mKeys = m("shard_keys").split(",").toSeq
+        require(keys.isEmpty || keys == mKeys,
+          s"keys ${keys.mkString(",")} differ from the manifest's " +
+            s"${m("shard_keys")} — the key set cannot change in a reshard")
+        (mKeys, m.getOrElse("part_col", partCol), sc, n)
+      case None =>
+        require(keys.nonEmpty,
+          s"$tablePath has no _shard_layout manifest (unsharded " +
+            "layout) — pass the merge keys to adopt it into the " +
+            "sharded layout")
+        require(fs.listStatus(dest)
+            .exists(_.getPath.getName.startsWith(partCol + "=")),
+          s"$tablePath holds no $partCol= partitions")
+        (keys, partCol, shardCol, -1)
+    }
+    if (oldN == newNumShards) return false
+    val rStaging = new org.apache.hadoop.fs.Path(
+      dest.getParent, dest.getName + "_rstaging")
+    val rRetired = new org.apache.hadoop.fs.Path(
+      dest.getParent, dest.getName + "_rretired")
+    val t0 = spark.read.parquet(tablePath)
+      .withColumn(usePart, col(usePart).cast("string"))
+    val t = (if (oldN > 0) t0.drop(useShard) else t0)
+      .withColumn(useShard, keyShard(useKeys, newNumShards))
+    t.repartition(col(usePart), col(useShard))
+      .sortWithinPartitions(
+        ((usePart +: useShard +: useKeys).map(col)): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(usePart, useShard).parquet(rStaging.toString)
+    GateLayout.write(fs, new org.apache.hadoop.fs.Path(
+        rStaging, "_shard_layout"),
+      Seq("num_shards" -> newNumShards.toString,
+        "shard_col" -> useShard, "shard_keys" -> useKeys.mkString(","),
+        "part_col" -> usePart))
+    // the whole-root commit: two renames, recoverReshard's contract
+    if (!fs.rename(dest, rRetired))
+      throw new java.io.IOException(
+        s"could not retire $dest for reshard (staged root intact at " +
+          s"$rStaging — the table is unchanged)")
+    if (!fs.rename(rStaging, dest))
+      throw new java.io.IOException(
+        s"could not activate $rStaging as $dest — the table's only " +
+          s"copy sits at $rRetired and the next table op restores it")
+    fs.delete(rRetired, true)
+    true
   }
 
   /** Reconcile cross-month duplicate keys — the periodic pass that

@@ -1680,7 +1680,7 @@ object StreamingQueries {
       else
         "SELECT CAST(COALESCE(SUM(n_capped), 0) AS BIGINT) AS s FROM capk"
     s"""${curateChainCtes(bandKeyCap)},
-       |v AS (
+       |v AS MATERIALIZED (
        |  SELECT nov.is_novel, nd.is_neardup, q3.quality_kept,
        |    dec.decontam_kept, lmk.lm_kept,
        |    CASE WHEN nov.is_novel = 1 AND nd.is_neardup = 0
@@ -1741,7 +1741,7 @@ object StreamingQueries {
           |    ON q.b = c.b AND q.sl = c.sl AND c.doc_id < q.doc_id),"""
           .stripMargin
       else
-        s"""ranked AS (
+        s"""ranked AS MATERIALIZED (
           |  SELECT doc_id, b, sl,
           |    ROW_NUMBER() OVER (PARTITION BY b, sl ORDER BY doc_id)
           |      AS rk,
@@ -1758,56 +1758,56 @@ object StreamingQueries {
           |  FROM ranked WHERE ksize > $bandKeyCap
           |  GROUP BY doc_id),""".stripMargin
     s"""WITH coeffs(i, a, b) AS (VALUES $coeffs),
-       |f AS (
+       |f AS MATERIALIZED (
        |  SELECT doc_id,
        |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
        |  FROM documents),
-       |nov AS (
+       |nov AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN fp IS NOT NULL AND
        |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
        |    THEN 1 ELSE 0 END AS is_novel
        |  FROM f),
-       |s1 AS (SELECT d.doc_id, d.text FROM documents d
+       |s1 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
        |       JOIN nov ON nov.doc_id = d.doc_id AND nov.is_novel = 1),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct(string_split_regex(trim(text), '\\s+')) AS shingles
        |  FROM s1),
-       |vals AS (
+       |vals AS MATERIALIZED (
        |  SELECT doc_id, i,
        |    list_min(list_transform(shingles,
        |      s -> (CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) * a + b)
        |           % 2147483647)) AS v
        |  FROM sh, coeffs),
-       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig
+       |sig AS MATERIALIZED (SELECT doc_id, list(v ORDER BY i) AS sig
        |        FROM vals GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS sl
        |  FROM sig, range(0, 16) r(b)),
        |$candCte
-       |eq AS (
+       |eq AS MATERIALIZED (
        |  SELECT cand.id,
        |    len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))
        |      AS n_eq
        |  FROM cand
        |  JOIN sig s1 ON s1.doc_id = cand.id
        |  JOIN sig s2 ON s2.doc_id = cand.cid),
-       |nda AS (SELECT id, MAX(n_eq) AS best_eq FROM eq GROUP BY id),
-       |nd AS (
+       |nda AS MATERIALIZED (SELECT id, MAX(n_eq) AS best_eq FROM eq GROUP BY id),
+       |nd AS MATERIALIZED (
        |  SELECT s1.doc_id, CASE WHEN COALESCE(a.best_eq, 0) >= 16
        |    THEN 1 ELSE 0 END AS is_neardup
        |  FROM s1 LEFT JOIN nda a ON a.id = s1.doc_id),
-       |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+       |s2 AS MATERIALIZED (SELECT s1.doc_id, s1.text FROM s1
        |       JOIN nd ON nd.doc_id = s1.doc_id AND nd.is_neardup = 0),
-       |docsy AS (
+       |docsy AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
        |    string_split_regex(trim(lower(text)), '\\s+') AS t
        |  FROM documents),
-       |tk AS (
+       |tk AS MATERIALIZED (
        |  SELECT doc_id, y, token FROM (
        |    SELECT doc_id, y, unnest(t) AS token FROM docsy)
        |  WHERE token <> ''),
-       |counts AS (
+       |counts AS MATERIALIZED (
        |  SELECT token, CAST(SUM(y) AS BIGINT) AS n1,
        |    CAST(SUM(1 - y) AS BIGINT) AS n0
        |  FROM tk GROUP BY token),
@@ -1819,7 +1819,7 @@ object StreamingQueries {
        |  SELECT CAST(SUM(y) AS BIGINT) AS d1,
        |    CAST(SUM(1 - y) AS BIGINT) AS d0
        |  FROM docsy),
-       |bsc AS (
+       |bsc AS MATERIALIZED (
        |  SELECT t.doc_id,
        |    length(bin((tt.tn1 + tt.v) // (COALESCE(c.n1, 0) + 1))) - 1
        |      AS b1,
@@ -1827,7 +1827,7 @@ object StreamingQueries {
        |      AS b0
        |  FROM tk t LEFT JOIN counts c USING (token) CROSS JOIN totals tt
        |  WHERE t.doc_id IN (SELECT doc_id FROM s2)),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT doc_id, CAST(SUM(b1) AS BIGINT) AS bits1,
        |    CAST(SUM(b0) AS BIGINT) AS bits0
        |  FROM bsc GROUP BY 1),
@@ -1855,7 +1855,7 @@ object StreamingQueries {
        |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
        |      AS stop_hits
        |  FROM gw),
-       |q3 AS (
+       |q3 AS MATERIALIZED (
        |  SELECT m.doc_id,
        |    CASE WHEN m.n >= 50 AND m.n <= 100000
        |      AND m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10
@@ -1884,7 +1884,7 @@ object StreamingQueries {
        |  WHERE t.doc_id IN (SELECT doc_id FROM s3)
        |    AND e.doc_id >= 400 AND e.doc_id < 500
        |  GROUP BY 1),
-       |dec AS (
+       |dec AS MATERIALIZED (
        |  SELECT s3.doc_id,
        |    CASE WHEN s3.doc_id >= 400 AND s3.doc_id < 500 THEN 0
        |         WHEN COALESCE(shd.n_shared, 0) > 0 THEN 0
@@ -1910,17 +1910,17 @@ object StreamingQueries {
        |  SELECT w1, w2, n,
        |    CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
        |  FROM nlm),
-       |costs AS (
+       |costs AS MATERIALIZED (
        |  SELECT bg.doc_id,
        |    CASE WHEN lm.n IS NULL THEN 20
        |         ELSE length(bin(lm.c1 // lm.n)) - 1 END AS bits
        |  FROM bg LEFT JOIN lm USING (w1, w2)
        |  WHERE bg.doc_id IN (SELECT doc_id FROM s4)),
-       |lsc AS (
+       |lsc AS MATERIALIZED (
        |  SELECT doc_id, COUNT(*) AS n_bigrams,
        |    CAST(SUM(bits) AS BIGINT) AS total_bits
        |  FROM costs GROUP BY 1),
-       |lmk AS (
+       |lmk AS MATERIALIZED (
        |  SELECT s4.doc_id,
        |    COALESCE(CASE WHEN lsc.total_bits * 1000 // lsc.n_bigrams
        |      < 12000 THEN 1 ELSE 0 END, 0) AS lm_kept

@@ -284,6 +284,51 @@ object ScaleProbe {
       (20L, shardSec)
     }
 
+    // Reshard probe (`reshard`): the drifted deployment the sizing
+    // warning exists for — ONE month's volume scales with factor but
+    // the table was built at a FIXED numShards=2 (the guess that
+    // stopped fitting), so the timed 20-key merge rewrites month/2
+    // bytes: linear in month volume. MergeOps.reshard to 16·factor
+    // (the budget-sized geometry the mergeshard probe builds
+    // directly) and the SAME-SIZE batch merges at constant shard
+    // size again: flat. sec = the post-reshard merge; extras carry
+    // the drifted pre-reshard merge (the linear term the operator
+    // removes) and the reshard's own one-off full-rewrite cost.
+    var lastDriftedSec = -1.0
+    var lastReshardSec = -1.0
+    def runReshardAt(factor: Int): (Long, Double) = {
+      import graft.operators.MergeOps
+      val dirRoot = new java.io.File(
+        s"target/reshard_probe/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      val month = replicate(factor, perturbText = false)
+        .select(col("doc_id"), col("text"), lit(1).as("version"),
+          lit("2025-01").as("start_month"))
+      MergeOps.upsertParquetByMonthShard(spark, s"$dirRoot/t",
+        month, Seq("doc_id"), "version", numShards = 2)
+      def batch(v: Int) = base.limit(20)
+        .select(col("doc_id"), col("text"), lit(v).as("version"),
+          lit("2025-01").as("start_month"))
+        .localCheckpoint()
+      val b2 = batch(2)
+      val t0 = System.nanoTime()
+      MergeOps.upsertParquetByMonthShard(spark, s"$dirRoot/t",
+        b2, Seq("doc_id"), "version", numShards = 2)
+      lastDriftedSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      MergeOps.reshard(spark, s"$dirRoot/t", 16 * factor)
+      lastReshardSec = (System.nanoTime() - t1) / 1e9
+      val b3 = batch(3)
+      val t2 = System.nanoTime()
+      MergeOps.upsertParquetByMonthShard(spark, s"$dirRoot/t",
+        b3, Seq("doc_id"), "version", numShards = 16 * factor)
+      val sec = (System.nanoTime() - t2) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (20L, sec)
+    }
+
     // Prefix-filter similarity-join probe: near-duplicate replicas
     // (each replica appends a RARE " repN" token, so clones cluster
     // across replicas — quadratic true-pair growth, same wall as the
@@ -910,6 +955,7 @@ object ScaleProbe {
       case "asof"      => runAsofAt
       case "merge"     => runMergeAt
       case "mergeshard" => runMergeShardAt
+      case "reshard"   => runReshardAt
       case "bpe"       => runBpeAt
       case "ppjoin"    => runPpjoinAt
       case "ppjoinz"   => runPpjoinZipfAt
@@ -943,6 +989,7 @@ object ScaleProbe {
       case "asof"      => "asof_hotkey"
       case "merge"     => "month_merge"
       case "mergeshard" => "month_merge_sharded"
+      case "reshard"   => "merge_after_reshard"
       case "bpe"       => "ta_subword_bpe"
       case "ppjoin"    => "dd_prefix_jaccard"
       case "ppjoinz"   => "dd_prefix_jaccard_zipf"
@@ -971,7 +1018,7 @@ object ScaleProbe {
       case "minhash"   => "pairs"
       case "funnel" | "funnelcap" => "canonical"
       case "asof"      => "matched"
-      case "merge" | "mergeshard" => "batch_rows"
+      case "merge" | "mergeshard" | "reshard" => "batch_rows"
       case "bpe"       => "tokens"
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
@@ -996,6 +1043,8 @@ object ScaleProbe {
         else if (probe == "merge") f""","sec_full_rewrite":$lastFullSec%.2f"""
         else if (probe == "mergeshard")
           f""","sec_month_rewrite":$lastMonthSec%.2f"""
+        else if (probe == "reshard")
+          f""","sec_drifted_merge":$lastDriftedSec%.2f,"sec_reshard":$lastReshardSec%.2f"""
         else if (probe == "ppjoin" || probe == "ppjoinz")
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else if (probe == "rolling")

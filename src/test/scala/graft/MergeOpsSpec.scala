@@ -878,6 +878,158 @@ class MergeOpsSpec extends AnyFunSuite {
       "a compacted sharded table must not re-compact on the next sweep")
   }
 
+  test("reshard rewrites the geometry atomically: manifest + dirs " +
+      "change together, rows identical, old-geometry merges refused") {
+    val dir = Files.createTempDirectory("graft_reshard").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = (1 to 24).map(i => (s"e$i", s"t$i", 1, "2025-01")) ++
+      (1 to 6).map(i => (s"f$i", s"u$i", 1, "2025-02"))
+    MergeOps.upsertParquetByMonthShard(spark, table, monthDocs(rows),
+      Seq("event_id"), "version", numShards = 4)
+    def state() = spark.read.parquet(table)
+      .select("event_id", "title", "version", "start_month")
+      .orderBy("event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSeq
+    val before = state()
+    assert(MergeOps.reshard(spark, table, 12))
+    assert(state() === before, "reshard must not change a single row")
+    val m = graft.operators.GateLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
+    assert(m("num_shards") === "12" && m("shard_keys") === "event_id")
+    // at least one shard value outside the old geometry's range
+    // proves the dirs really carry the new assignment (24 keys over
+    // 12 shards — deterministic under the fixed hash)
+    val shardVals = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$table/start_month=2025-01"))
+      .filter(_.getPath.getName.startsWith("kshard="))
+      .map(_.getPath.getName.stripPrefix("kshard=s").toInt).toSeq
+    assert(shardVals.exists(_ >= 4), "no dir outside the old range")
+    // operational continuity: merges at the NEW geometry work, the
+    // OLD geometry fails fast
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "t1 v2", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 12)
+    assert(spark.read.parquet(table)
+      .filter($"event_id" === "e1").head().getAs[String]("title")
+      === "t1 v2")
+    intercept[IllegalStateException] {
+      MergeOps.upsertParquetByMonthShard(spark, table,
+        monthDocs(Seq(("e2", "x", 2, "2025-01"))),
+        Seq("event_id"), "version", numShards = 4)
+    }
+    assert(!MergeOps.reshard(spark, table, 12),
+      "reshard to the current count must be a no-op")
+  }
+
+  test("reshard crash between its two renames: the table's only copy " +
+      "is restored by the next op, retry converges") {
+    val dir = Files.createTempDirectory("graft_rscrash").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs((1 to 8).map(i => (s"e$i", s"t$i", 1, "2025-01"))),
+      Seq("event_id"), "version", numShards = 2)
+    val before = spark.read.parquet(table).orderBy("event_id")
+      .collect().map(_.getAs[String]("title")).toSeq
+    // reproduce the exact state of a reshard killed between
+    // rename(dest, _rretired) and rename(_rstaging, dest): run the
+    // real reshard, then swap its OUTPUT back into the crash shape
+    assert(MergeOps.reshard(spark, table, 8))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(s"${table}_rstaging")))
+    // the pre-reshard table under _rretired: rebuild it (geometry 2)
+    MergeOps.upsertParquetByMonthShard(spark, s"${table}_rebuild",
+      monthDocs((1 to 8).map(i => (s"e$i", s"t$i", 1, "2025-01"))),
+      Seq("event_id"), "version", numShards = 2)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${table}_rebuild"),
+      new org.apache.hadoop.fs.Path(s"${table}_rretired")))
+    // the documented reader hazard: the table is ABSENT in the window
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table)))
+    // any table op restores the pre-reshard table first
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+    assert(spark.read.parquet(table).orderBy("event_id")
+      .collect().map(_.getAs[String]("title")).toSeq === before)
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
+      .apply("num_shards") === "2",
+      "restored table must still carry the OLD geometry")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${table}_rstaging"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(s"${table}_rretired")),
+      "recovery must sweep both reshard siblings")
+    // apply-or-retry: rerunning the reshard completes it
+    assert(MergeOps.reshard(spark, table, 8))
+    assert(spark.read.parquet(table).orderBy("event_id")
+      .collect().map(_.getAs[String]("title")).toSeq === before)
+  }
+
+  test("reshard adopts an unsharded month table (explicit keys)") {
+    val dir = Files.createTempDirectory("graft_rsadopt").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"),
+        ("e2", "feb", 1, "2025-02"))),
+      Seq("event_id"), "version")
+    intercept[IllegalArgumentException] {
+      MergeOps.reshard(spark, table, 4) // no manifest, no keys
+    }
+    assert(MergeOps.reshard(spark, table, 4, keys = Seq("event_id")))
+    // the sharded merge now accepts it; the month merge refuses it
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "jan v2", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 4)
+    intercept[IllegalStateException] {
+      MergeOps.upsertParquetByMonth(spark, table,
+        monthDocs(Seq(("e2", "x", 2, "2025-02"))),
+        Seq("event_id"), "version")
+    }
+    val got = spark.read.parquet(table).orderBy("event_id").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[String]("title")))
+      .toSeq
+    assert(got === Seq("e1" -> "jan v2", "e2" -> "feb"))
+  }
+
+  test("sharded merge warns when the mean touched shard outgrows its " +
+      "rewrite budget, naming reshard as the remedy") {
+    val dir = Files.createTempDirectory("graft_shbudget").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    def withStderr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val prior = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try body finally System.setErr(prior)
+      buf.toString("UTF-8")
+    }
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs((1 to 8).map(i => (s"e$i", s"t$i", 1, "2025-01"))),
+      Seq("event_id"), "version", numShards = 2)
+    // touched shards hold real parquet files (KBs) — a 1-byte budget
+    // must warn, the default (4 GiB) must not
+    val warned = withStderr {
+      MergeOps.upsertParquetByMonthShard(spark, table,
+        monthDocs(Seq(("e1", "t1 v2", 2, "2025-01"))),
+        Seq("event_id"), "version", numShards = 2,
+        shardRewriteBudgetBytes = 1L)
+    }
+    assert(warned.contains("[month-shard-merge]") &&
+      warned.contains("reshard"), s"expected sizing warning: $warned")
+    val quiet = withStderr {
+      MergeOps.upsertParquetByMonthShard(spark, table,
+        monthDocs(Seq(("e1", "t1 v3", 3, "2025-01"))),
+        Seq("event_id"), "version", numShards = 2)
+    }
+    assert(!quiet.contains("[month-shard-merge]"),
+      "toy-scale shards must not trip the default budget")
+  }
+
   test("recovery after a COMPLETED month swap discards the retired " +
       "sharded month instead of resurrecting its dropped shards") {
     // The granularity trap: reconcile swaps a sharded table at MONTH
