@@ -742,7 +742,8 @@ object Similarity {
 final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
     rowBits: Int = 4, minCosine: Double = 0.5, seed: Long = 7L,
     candCap: Int = 100000, autoCompactEvery: Int = 0,
-    bandKeyCap: Int = 0, targetKeyLoad: Int = 0) {
+    bandKeyCap: Int = 0, targetKeyLoad: Int = 0,
+    keyLoadWarnBudget: Int = 4096) {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.StructType
   require(bands * rowBits <= 30, "band keyspace must stay int-sized")
@@ -1123,10 +1124,40 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
           .write.mode("overwrite").partitionBy("band")
           .parquet(s"$root/keys_tmp")
       case None =>
-        spark.read
+        val distinctKeys = spark.read
           .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
           .parquet(s"$root/keys")
           .select(col("id"), col("bkey"), col("band")).distinct()
+          // pinned: consumed by the rewrite AND (remedies off) the
+          // hot-key load diagnostic, and the source dirs are about to
+          // be swapped (the NearDupGate distinctBands pattern)
+          .localCheckpoint()
+        // Loud-misconfiguration diagnostic (the _noop_files
+        // discipline): this gate's self-sizing DEFAULTS OFF for a
+        // documented semantic reason (a width change alters collision
+        // semantics — Curation.startEmbedding), so a hands-off
+        // deployment inherits unbounded per-key load SILENTLY as the
+        // corpus grows. When both load remedies are off, each
+        // compaction measures the hottest (band, bkey) stored-id
+        // count on the distinct rows the rewrite materializes anyway
+        // and warns past the budget, naming the remedies — the gate
+        // stays exact, but the growth is on record long before probe
+        // latency says so.
+        if (targetKeyLoad == 0 && bandKeyCap <= 0 &&
+            keyLoadWarnBudget > 0) {
+          val maxLoad = distinctKeys
+            .groupBy(col("band"), col("bkey"))
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+          if (maxLoad > keyLoadWarnBudget) System.err.println(
+            s"[embed-gate] hottest sign-band key holds $maxLoad " +
+              s"stored ids (> keyLoadWarnBudget=$keyLoadWarnBudget) " +
+              s"for $root and both load remedies are off — every " +
+              "probe colliding with it scores that many candidates; " +
+              "set targetKeyLoad (self-sizing width), bandKeyCap " +
+              "(bounded candidates), or raise rowBits")
+        }
+        distinctKeys
           .repartition(col("band")).sortWithinPartitions(col("bkey"))
           .write.mode("overwrite").partitionBy("band")
           .parquet(s"$root/keys_tmp")

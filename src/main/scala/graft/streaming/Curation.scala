@@ -426,7 +426,20 @@ object Curation {
       models: Models, autoCompactEvery: Int = 16,
       bandKeyCap: Int = 0, candCap: Int = 100000,
       logMergeBytes: Long = 0L, targetKeyLoad: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      modelsDir: Option[String] = None): StreamingQuery = {
+    // retrain-cadence parity with IncrementalIngest.start: explicit
+    // `models` are FIXED for the stream's lifetime; a modelsDir opts
+    // into per-batch generation re-checks through a [[ModelsHandle]]
+    // (one manifest read per batch; a mid-stream retrain save is
+    // picked up at the NEXT batch, the in-flight batch keeping the
+    // generation it started with — no mixed-generation verdicts).
+    // When both are passed, the dir wins (models is then the cold-
+    // start fallback a caller can keep for signature stability).
+    val resolveModels: () => Models = modelsDir match {
+      case Some(d) => val h = new ModelsHandle(spark, d); () => h.refresh()
+      case None => () => models
+    }
     // a crash inside a previous run's scored-log compaction can leave
     // the table mid-generation-swap — heal before seeding/appending
     graft.operators.GateOps.recoverGeneration(
@@ -477,7 +490,7 @@ object Curation {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val (v, shed) = curateBatchWithShed(batch, ngate, ndgate,
-            models)
+            resolveModels())
           // pinned once: consumed by both the scored append and the
           // tick census below — without the pin the census would
           // re-run the whole five-gate assembly
@@ -655,7 +668,14 @@ object Curation {
     * policy, here merely surfaced so a hands-off deployment doesn't
     * have to subclass). Opt-in, unlike the novelty gate's self-sizing
     * defaults, because a width change alters COLLISION semantics:
-    * `rowBits` then only seeds the width before the first resize. */
+    * `rowBits` then only seeds the width before the first resize.
+    *
+    * The hands-off default is NOT silent about what opting out costs:
+    * with both load remedies off, the gate's own compactions measure
+    * the hottest sign-band key and warn loudly past its
+    * keyLoadWarnBudget (EmbedNearDupGate's diagnostic), so unbounded
+    * per-key growth is on record long before probe latency reports
+    * it. */
   def startEmbedding(spark: SparkSession, vecsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       dim: Int, idCol: String, vecCol: String,

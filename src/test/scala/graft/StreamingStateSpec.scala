@@ -1749,6 +1749,54 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/log").distinct().count() === 4)
   }
 
+  test("embed gate with both load remedies off warns loudly on a hot " +
+      "key at compaction; any remedy silences it") {
+    // startEmbedding's hands-off default keeps self-sizing OFF for a
+    // documented semantic reason (width changes alter collision
+    // semantics) — but that must not mean unbounded per-key load
+    // grows silently: with targetKeyLoad=0 and bandKeyCap=0, each
+    // compaction measures the hottest (band, bkey) stored-id count
+    // and warns past keyLoadWarnBudget, naming the remedies.
+    val out = new java.io.File("target/test_embed_loadwarn")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def withStderr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val prior = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try body finally System.setErr(prior)
+      buf.toString("UTF-8")
+    }
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // identical vectors: every sign-band key carries every doc
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val bare = new graft.operators.EmbedNearDupGate(s"$out/bare",
+      dim = 4, bands = 2, rowBits = 2, minCosine = 0.5,
+      keyLoadWarnBudget = 4)
+    bare.admit(vecs(1 to 6), "vec_id", "embedding")
+    val warned = withStderr { bare.compact(spark) }
+    assert(warned.contains("[embed-gate] hottest sign-band key") &&
+      warned.contains("targetKeyLoad"),
+      s"6 sharers over budget 4 with remedies off must warn: $warned")
+    // a capped gate over the same corpus is bounded — no warning
+    val capped = new graft.operators.EmbedNearDupGate(s"$out/capped",
+      dim = 4, bands = 2, rowBits = 2, minCosine = 0.5,
+      bandKeyCap = 4, keyLoadWarnBudget = 4)
+    capped.admit(vecs(1 to 6), "vec_id", "embedding")
+    val quiet = withStderr { capped.compact(spark) }
+    assert(!quiet.contains("[embed-gate] hottest"),
+      s"a remedy is on — the diagnostic must stay silent: $quiet")
+    // under budget with remedies off: silent too
+    val small = new graft.operators.EmbedNearDupGate(s"$out/small",
+      dim = 4, bands = 2, rowBits = 2, minCosine = 0.5,
+      keyLoadWarnBudget = 4)
+    small.admit(vecs(1 to 3), "vec_id", "embedding")
+    val quiet2 = withStderr { small.compact(spark) }
+    assert(!quiet2.contains("[embed-gate] hottest"))
+  }
+
   test("capped embedding gate composes per-probe across a multi-batch split") {
     // the EmbedNearDupGate twin of the MinHash multi-batch cap spec:
     // "earliest-seen per key" composes PER PROBE — index kept-set
@@ -2167,6 +2215,99 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(!lv.exceptAll(cf).isEmpty || !cf.exceptAll(lv).isEmpty,
       "the swapped-in generation must change batch 2's verdicts vs " +
         "never-retrained — otherwise this spec is vacuous")
+  }
+
+  test("Curation.start modelsDir: a live curate stream picks up a " +
+      "retrain at the next batch, verdicts bit-stable per generation") {
+    // retrain-cadence PARITY with IncrementalIngest.start (the spec
+    // above): Curation.start's modelsDir opts the curate entry point
+    // into the same per-batch ModelsHandle re-check. Same
+    // interleaving contract, same bit-stability proof against fixed-
+    // model reference drains, same counterfactual non-vacuity check.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_curswap")
+      .toFile.getAbsolutePath
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    val modelsA = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    val modelsB = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "de"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val mdir = s"$dir/models"
+    graft.streaming.Curation.Models.save(modelsA, mdir)
+    // the ingest spec's model-sensitive fixtures verbatim: pass the
+    // gopher rules, NB keeps under A / drops under B, minhash
+    // estimate between the two well under the near-dup threshold
+    val texts = Map(
+      1L -> ("the reference corpus tokens for the shared models and " +
+        "that nights of music have begun to shine with open air " +
+        "stages under warm island skies where dancers move and the " +
+        "crowd sings of joy to celebrate another season that will " +
+        "have grown with every sunrise over the bay and the harbour " +
+        "of the old town"),
+      2L -> ("the reference corpus tokens for the shared models and " +
+        "that winter brings of quiet have fallen to rest with closed " +
+        "doors rooms under cold northern lights where readers dwell " +
+        "and the library keeps of lore to preserve another volume " +
+        "that will have endured with every candle over the desk and " +
+        "the cellar of the old keep"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def writeDoc(id: Long): Unit =
+      Seq((id, texts(id))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+    def scored(t: String) = spark.read.parquet(s"$t/scored").distinct()
+    def scoredCount(t: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$t/scored")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else try scored(t).count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    }
+    def awaitRows(t: String, n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (scoredCount(t) < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out waiting for $n scored rows under $t")
+        Thread.sleep(200)
+      }
+    }
+    val live = s"$dir/live"
+    val q = graft.streaming.Curation.start(spark, src, schema, live,
+      modelsA, modelsDir = Some(mdir),
+      trigger = Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      writeDoc(1L)
+      awaitRows(live, 1)
+      graft.streaming.Curation.Models.save(modelsB, mdir)
+      writeDoc(2L)
+      awaitRows(live, 2)
+    } finally {
+      q.stop(); q.awaitTermination()
+    }
+    // fixed-model reference drains over the same files in the same
+    // order (AvailableNow): ref = A then B, cf = A then A
+    val refSrc = s"$dir/ref_src"; new java.io.File(refSrc).mkdirs()
+    def drain(out: String, m: graft.streaming.Curation.Models): Unit =
+      assert(graft.streaming.Curation.start(spark, refSrc, schema,
+        out, m).awaitTermination(180000))
+    Seq((1L, texts(1L))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(refSrc)
+    drain(s"$dir/ref", modelsA)
+    drain(s"$dir/cf", modelsA)
+    Seq((2L, texts(2L))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(refSrc)
+    drain(s"$dir/ref", modelsB)
+    drain(s"$dir/cf", modelsA) // counterfactual: no retrain
+    val (lv, rf, cf) = (scored(live), scored(s"$dir/ref"),
+      scored(s"$dir/cf"))
+    assert(lv.exceptAll(rf).isEmpty && rf.exceptAll(lv).isEmpty,
+      "live curate verdicts must be bit-stable per generation")
+    assert(!lv.exceptAll(cf).isEmpty || !cf.exceptAll(lv).isEmpty,
+      "generation B must change batch 2's verdicts vs never-retrained")
   }
 
   test("per-tick census rows sum to the post-hoc curation report") {
