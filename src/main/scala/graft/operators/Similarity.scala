@@ -1124,14 +1124,20 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
           .write.mode("overwrite").partitionBy("band")
           .parquet(s"$root/keys_tmp")
       case None =>
-        val distinctKeys = spark.read
+        val distinctKeysPlan = spark.read
           .schema(StructType.fromDDL("id BIGINT, bkey INT, band INT"))
           .parquet(s"$root/keys")
           .select(col("id"), col("bkey"), col("band")).distinct()
-          // pinned: consumed by the rewrite AND (remedies off) the
-          // hot-key load diagnostic, and the source dirs are about to
-          // be swapped (the NearDupGate distinctBands pattern)
-          .localCheckpoint()
+        // pinned ONLY when the diagnostic below will actually consume
+        // it a second time (remedies off, budget on) — with a remedy
+        // engaged the keys_tmp write is the sole consumer and an
+        // eager checkpoint would be a pure extra pass per compaction
+        // (the admit path's conditional-pin idiom)
+        val diagOn = targetKeyLoad == 0 && bandKeyCap <= 0 &&
+          keyLoadWarnBudget > 0
+        val distinctKeys =
+          if (diagOn) distinctKeysPlan.localCheckpoint()
+          else distinctKeysPlan
         // Loud-misconfiguration diagnostic (the _noop_files
         // discipline): this gate's self-sizing DEFAULTS OFF for a
         // documented semantic reason (a width change alters collision
@@ -1143,8 +1149,7 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
         // and warns past the budget, naming the remedies — the gate
         // stays exact, but the growth is on record long before probe
         // latency says so.
-        if (targetKeyLoad == 0 && bandKeyCap <= 0 &&
-            keyLoadWarnBudget > 0) {
+        if (diagOn) {
           val maxLoad = distinctKeys
             .groupBy(col("band"), col("bkey"))
             .agg(count(lit(1)).as("n"))

@@ -434,10 +434,25 @@ object Curation {
     // (one manifest read per batch; a mid-stream retrain save is
     // picked up at the NEXT batch, the in-flight batch keeping the
     // generation it started with — no mixed-generation verdicts).
-    // When both are passed, the dir wins (models is then the cold-
-    // start fallback a caller can keep for signature stability).
+    // `models` here is REQUIRED (unlike the ingest entry point's
+    // Option), so the two compose rather than compete: batches run on
+    // `models` until the dir's FIRST save lands, and on the dir's
+    // current generation from then on. The handle is built lazily —
+    // building it eagerly would Models.load an unpopulated dir and
+    // crash the stream at start(), exactly the cold-start window the
+    // fallback exists for. Emptiness is checked explicitly rather
+    // than caught: a POPULATED dir that fails to load is a real error
+    // and must stay loud, not silently curate on stale models.
     val resolveModels: () => Models = modelsDir match {
-      case Some(d) => val h = new ModelsHandle(spark, d); () => h.refresh()
+      case Some(d) =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var h: Option[ModelsHandle] = None
+        () => {
+          if (h.isEmpty && dfs.exists(dp) && dfs.listStatus(dp).nonEmpty)
+            h = Some(new ModelsHandle(spark, d))
+          h.map(_.refresh()).getOrElse(models)
+        }
       case None => () => models
     }
     // a crash inside a previous run's scored-log compaction can leave
@@ -672,21 +687,25 @@ object Curation {
     *
     * The hands-off default is NOT silent about what opting out costs:
     * with both load remedies off, the gate's own compactions measure
-    * the hottest sign-band key and warn loudly past its
-    * keyLoadWarnBudget (EmbedNearDupGate's diagnostic), so unbounded
-    * per-key growth is on record long before probe latency reports
-    * it. */
+    * the hottest sign-band key and warn loudly past
+    * `keyLoadWarnBudget` (EmbedNearDupGate's diagnostic — exposed
+    * here so an operator can lower the budget for an earlier warning
+    * or pass 0 to acknowledge-and-silence a legitimately hot exact
+    * index), so unbounded per-key growth is on record long before
+    * probe latency reports it. */
   def startEmbedding(spark: SparkSession, vecsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       dim: Int, idCol: String, vecCol: String,
       bands: Int = 4, rowBits: Int = 4, minCosine: Double = 0.5,
       bandKeyCap: Int = 0, candCap: Int = 100000,
       autoCompactEvery: Int = 16, targetKeyLoad: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      keyLoadWarnBudget: Int = 4096): StreamingQuery = {
     val gate = new EmbedNearDupGate(outDir, dim, bands = bands,
       rowBits = rowBits, minCosine = minCosine, candCap = candCap,
       bandKeyCap = bandKeyCap, autoCompactEvery = autoCompactEvery,
-      targetKeyLoad = targetKeyLoad)
+      targetKeyLoad = targetKeyLoad,
+      keyLoadWarnBudget = keyLoadWarnBudget)
     spark.readStream.schema(schema).parquet(vecsGlob)
       .writeStream.queryName("graft_stream_embed_nd")
       .option("checkpointLocation", s"$outDir/_ckpt")

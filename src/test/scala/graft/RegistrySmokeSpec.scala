@@ -79,6 +79,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // sink/merge/MV roundtrips: the WRITE is the operator under test
       "k1_latest_wins", "k1_partition_pruned", "k1_cross_month_reconcile",
       "k1_sharded_merge",
+      // builds + merges + RESHARDS an on-disk table (two geometry
+      // generations) before the read-back aggregate
+      "k1_reshard",
       "k2_json_roundtrip", "k3_csv_roundtrip", "k4_markdown_roundtrip",
       "k6_retention_drop", "k7_scd2_census", "s1_json_roundtrip",
       "s2_calendar_roundtrip", "s3_staging_roundtrip", "s5_table_copy",

@@ -2224,6 +2224,10 @@ class StreamingStateSpec extends AnyFunSuite {
     // into the same per-batch ModelsHandle re-check. Same
     // interleaving contract, same bit-stability proof against fixed-
     // model reference drains, same counterfactual non-vacuity check.
+    // PLUS the cold-start contract the required `models` param buys:
+    // the dir starts EMPTY here, so batch 1 must run on the explicit
+    // models (an eager ModelsHandle would crash at start()), and the
+    // dir's FIRST save is what batch 2 picks up.
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_curswap")
       .toFile.getAbsolutePath
@@ -2236,8 +2240,7 @@ class StreamingStateSpec extends AnyFunSuite {
       Seq((900L, "reference corpus tokens for the shared models", "de"),
         (901L, "andere referenz woerter fuer das geteilte modell", "en"))
         .toDF("doc_id", "text", "lang"))
-    val mdir = s"$dir/models"
-    graft.streaming.Curation.Models.save(modelsA, mdir)
+    val mdir = s"$dir/models" // deliberately NOT pre-populated
     // the ingest spec's model-sensitive fixtures verbatim: pass the
     // gopher rules, NB keeps under A / drops under B, minhash
     // estimate between the two well under the near-dup threshold
