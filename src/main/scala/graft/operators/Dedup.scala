@@ -1947,14 +1947,16 @@ final class NearDupGate(root: String, numHashes: Int = 32,
   // in-memory-only cap would reset to the constructor seed on
   // restart and silently run uncapped until the next compaction).
   private var capCur: Int = bandKeyCap
-  // whether the live cap is POLICY state (engaged by targetKeyLoad
-  // here, or restored from a manifest a previous engagement wrote) as
-  // opposed to a constructor seed. Only policy state persists to the
-  // manifest: a one-off explicit bandKeyCap is this process's
-  // semantics, not the table's — persisting it would make the
-  // documented exact opt-out (bandKeyCap=0, targetKeyLoad=0)
-  // silently inherit the seed forever via tightest-wins restore.
-  private var capEngaged: Boolean = false
+  // the cap's POLICY state (0 = none on record): what targetKeyLoad
+  // engagements wrote — this value and ONLY this value persists to
+  // the manifest. It is tracked separately from capCur because capCur
+  // is min(constructor seed, policy): persisting capCur would let a
+  // one-off explicit bandKeyCap TIGHTEN the durable policy (open with
+  // seed 8 on a policy-64 table, manifest rewritten to 8), making the
+  // seed irreversible table state — the exact opt-out
+  // (bandKeyCap=0, targetKeyLoad=0) would then inherit the seed
+  // forever via tightest-wins restore.
+  private var capPolicy: Int = 0
   // maintenance-policy clock (the NoveltyGate protocol): each admit
   // appends one file per touched band bucket, one sigs file, and one
   // verdicts file, so listings degrade O(batches) between epochs —
@@ -1996,11 +1998,12 @@ final class NearDupGate(root: String, numHashes: Int = 32,
       // value, never loosened by it.
       m.get("band_key_cap").flatMap(_.toIntOption)
         .filter(_ > 0).foreach { c =>
+          // the LIVE cap tightest-wins against the constructor seed;
+          // the POLICY state is the manifest's own value, carried
+          // forward unchanged by later refreshes (a seed may tighten
+          // this process's behavior, never the table's record)
           capCur = if (capCur > 0) math.min(capCur, c) else c
-          // a persisted cap exists only because a policy engagement
-          // wrote it — restore it AS policy state so later manifest
-          // refreshes keep carrying it
-          capEngaged = true
+          capPolicy = c
         }
       if (!m.contains("verdict_schema"))
         writeLayout(fs, mp)
@@ -2020,8 +2023,8 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         "bands" -> bands.toString,
         "shingle_size" -> shingleSize.toString,
         "verdict_schema" -> GateOps.verdictSchemaVersion) ++
-        (if (capEngaged && capCur > 0)
-           Seq("band_key_cap" -> capCur.toString)
+        (if (capPolicy > 0)
+           Seq("band_key_cap" -> capPolicy.toString)
          else Seq.empty))
 
   private def bhPosCol(bh: Column, i: Int): Column =
@@ -2404,7 +2407,12 @@ final class NearDupGate(root: String, numHashes: Int = 32,
         .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
       if (maxLoad > targetKeyLoad) {
         capCur = targetKeyLoad
-        capEngaged = true
+        // monotone policy tightening: a later engagement never
+        // loosens what an earlier one (possibly another process's,
+        // restored above) put on record
+        capPolicy =
+          if (capPolicy > 0) math.min(capPolicy, targetKeyLoad)
+          else targetKeyLoad
         System.err.println(
           s"[neardup-gate] hottest band key holds $maxLoad sharers " +
             s"(> targetKeyLoad=$targetKeyLoad) for $root — engaging " +

@@ -440,16 +440,27 @@ object Curation {
     // current generation from then on. The handle is built lazily —
     // building it eagerly would Models.load an unpopulated dir and
     // crash the stream at start(), exactly the cold-start window the
-    // fallback exists for. Emptiness is checked explicitly rather
-    // than caught: a POPULATED dir that fails to load is a real error
-    // and must stay loud, not silently curate on stale models.
+    // fallback exists for. The gate is "a COMPLETE generation
+    // exists" — the `_layout` completion sentinel at any of the
+    // three layouts Models.load accepts — NOT mere non-emptiness: a
+    // first save IN FLIGHT (artifacts landing under current_tmp
+    // before its sentinel) or a torn first save makes the dir
+    // non-empty but unloadable, and building the handle then would
+    // kill the live stream in exactly the window the fallback covers.
+    // A dir whose sentinel IS present but fails to load stays loud: a
+    // complete-looking generation that cannot load is a real error,
+    // not a cold start.
     val resolveModels: () => Models = modelsDir match {
       case Some(d) =>
-        val dp = new org.apache.hadoop.fs.Path(d)
-        val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dfs = new org.apache.hadoop.fs.Path(d)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def complete(): Boolean = Seq(
+          s"$d/current/_layout", s"$d/current_tmp/_layout",
+          s"$d/_layout").exists(p =>
+          dfs.exists(new org.apache.hadoop.fs.Path(p)))
         var h: Option[ModelsHandle] = None
         () => {
-          if (h.isEmpty && dfs.exists(dp) && dfs.listStatus(dp).nonEmpty)
+          if (h.isEmpty && complete())
             h = Some(new ModelsHandle(spark, d))
           h.map(_.refresh()).getOrElse(models)
         }

@@ -34,7 +34,7 @@ import graft.operators.{Unify, V2Fixtures}
   *
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
-  *   merge | mergeshard | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
+  *   merge | mergeshard | reshard | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
   *   neardupcap | neardupauto | embedt | embedcap | curate | curatecap |
   *   ingest | ingestcap | ingestcapm | spandedup

@@ -2069,6 +2069,46 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(layout().get("band_key_cap") === Some("4"))
   }
 
+  test("a restored policy cap is carried forward AT its manifest " +
+      "value — a tighter seed narrows the process, never the table") {
+    // the other half of the seed/policy separation: a manifest
+    // refresh from a process opened with an explicit TIGHTER seed
+    // (live cap = min(seed, policy)) must persist the POLICY value,
+    // not the min — otherwise the one-off seed tightens durable table
+    // state and the exact opt-out inherits it forever. The refresh
+    // trigger here is the pre-versioning-manifest heal path (the only
+    // writeLayout call a seeded, policy-off reopen ever makes).
+    val out = new java.io.File("target/test_neardup_polcarry")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def docs(ids: Seq[Long]) = ids
+      .map(i => (i, "hot template text shared by every doc"))
+      .toDF("id", "text")
+    val mp = new org.apache.hadoop.fs.Path(s"$out/_layout")
+    def layout() = graft.operators.GateLayout.read(fs, mp)
+    val g = new graft.operators.NearDupGate(out,
+      autoCompactEvery = 1, targetKeyLoad = 4)
+    g.admitScored(docs(1L to 5L), "id", "text")
+    assert(layout().get("band_key_cap") === Some("4"),
+      "fixture must engage the policy at 4 first")
+    // simulate a pre-versioning manifest so the next open's heal path
+    // refreshes it (syncLayout rewrites when verdict_schema is absent)
+    graft.operators.GateLayout.write(fs, mp,
+      (layout() - "verdict_schema").toSeq)
+    val seeded = new graft.operators.NearDupGate(out, bandKeyCap = 2)
+    seeded.compact(spark) // first table touch → syncLayout → heal
+    assert(layout().get("band_key_cap") === Some("4"),
+      "the heal refresh persisted min(seed, policy) — the one-off " +
+        "seed must never tighten the durable policy")
+    // and the exact opt-out restores the policy, not the seed
+    val exact = new graft.operators.NearDupGate(out)
+    val v = exact.admitScored(docs(Seq(21L)), "id", "text").head()
+    assert(v.getLong(1) === 4L,
+      "exact reopen must run under the restored policy cap of 4")
+  }
+
   test("an explicit bandKeyCap seed is per-process, never table state") {
     // only POLICY engagements persist to the manifest. A one-off
     // explicit cap used to be written at first open, making the
