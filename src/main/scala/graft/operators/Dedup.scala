@@ -1291,10 +1291,11 @@ private[graft] object GateOps {
       // misconfiguration must be LOUD, and EARLY: waiting for an
       // absolute file count (64) hides the first ~63 batches of the
       // pathology, so the no-op ticks also track GROWTH — the file
-      // count at the last no-op tick persists in a `_noop_files`
-      // marker (parquet readers ignore `_` names), and unmergeable
-      // growth of ≥8 files across consecutive zero-merge ticks fires
-      // the warning long before the absolute backstop. Any tick that
+      // count at the START of the current consecutive no-op run
+      // persists in a `_noop_files` marker (parquet readers ignore
+      // `_` names; later no-op ticks leave it alone), and CUMULATIVE
+      // unmergeable growth of ≥8 files across the run fires the
+      // warning long before the absolute backstop. Any tick that
       // actually merges clears the marker, so healthy cadences
       // (occasional single-append ticks, sealed epochs accumulating
       // over stream age) never trip it.

@@ -447,9 +447,11 @@ object Curation {
     // before its sentinel) or a torn first save makes the dir
     // non-empty but unloadable, and building the handle then would
     // kill the live stream in exactly the window the fallback covers.
-    // A dir whose sentinel IS present but fails to load stays loud: a
-    // complete-looking generation that cannot load is a real error,
-    // not a cold start.
+    // A dir whose sentinel IS present but fails to load (a swap race,
+    // a torn store) degrades the batch to the explicit models WITH a
+    // per-batch stderr warning — a live stream prefers
+    // degraded-but-loud over death, matching refresh()'s own failure
+    // posture.
     val resolveModels: () => Models = modelsDir match {
       case Some(d) =>
         val dfs = new org.apache.hadoop.fs.Path(d)
@@ -461,19 +463,32 @@ object Curation {
         var h: Option[ModelsHandle] = None
         () => {
           if (h.isEmpty && complete())
-            h = Some(new ModelsHandle(spark, d))
+            // failure-tolerant like refresh() itself: the handle's
+            // eager constructor load can race the first save's
+            // sentinel-to-swap window (or the NEXT save's swap) and
+            // throw — that must degrade this batch to the explicit
+            // models and retry next batch, not escape foreachBatch
+            // and kill the live stream. Loud on stderr every batch it
+            // persists, so a permanently-unloadable dir cannot hide.
+            h =
+              try Some(new ModelsHandle(spark, d))
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[curation] models dir $d looks complete but did " +
+                    s"not load (${e.getMessage}) — this batch runs " +
+                    "on the explicit models; retrying next batch")
+                None
+              }
           h.map(_.refresh()).getOrElse(models)
         }
       case None => () => models
     }
     // a crash inside a previous run's scored-log compaction can leave
     // the table mid-generation-swap — heal before seeding/appending
-    graft.operators.GateOps.recoverGeneration(
-      new org.apache.hadoop.fs.Path(outDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration), outDir, "scored")
-    graft.operators.GateOps.recoverGeneration(
-      new org.apache.hadoop.fs.Path(outDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration), outDir, "report")
+    val tfs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.operators.GateOps.recoverGeneration(tfs, outDir, "scored")
+    graft.operators.GateOps.recoverGeneration(tfs, outDir, "report")
     // seed the verdict table with its zero-row schema so a stream
     // that drains with no non-empty batch still leaves a readable
     // scored path (the repo-wide empty-replay discipline)
@@ -514,7 +529,28 @@ object Curation {
       .option("checkpointLocation", s"$outDir/_ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // Replay idempotence under a LIVE models dir: a crash after
+        // this body completed but before Spark committed the batch's
+        // offsets replays the batch — and if a retrain landed in the
+        // restart window, the replay would re-curate under the NEW
+        // generation and append verdict/census rows that differ from
+        // the first run's (read-side distinct() keeps both, breaking
+        // the census sum property). Spark replays only the LAST
+        // in-flight batch, so ONE marker suffices: the body is
+        // skipped when `_last_commit` already records this batchId
+        // (the first run fully committed — gate state, scored, and
+        // census all landed before the marker did). Residual window:
+        // a crash BETWEEN the appends and the marker write replays a
+        // torn batch; same-generation replays stay byte-identical
+        // (absorbed as before), and only a retrain landing in that
+        // exact window can still produce conflicting rows — the
+        // narrow, documented remainder of a non-transactional log. A
+        // reused outDir under a FRESH checkpoint restarts batchIds at
+        // 0 ≠ the marker, so nothing is wrongly skipped.
+        val committed = graft.operators.GateOps
+          .readMarker(tfs, outDir, "_last_commit")
+          .flatMap(_.toLongOption).contains(batchId)
+        if (!batch.isEmpty && !committed) {
           val (v, shed) = curateBatchWithShed(batch, ngate, ndgate,
             resolveModels())
           // pinned once: consumed by both the scored append and the
@@ -539,6 +575,10 @@ object Curation {
           censusStages(verdicts.distinct(), shed)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$outDir/report")
+          // commit point for the replay guard above — written only
+          // after BOTH appends landed
+          graft.operators.GateOps.writeMarker(tfs, outDir,
+            "_last_commit", batchId.toString)
           batchesSinceCompact += 1
           if (autoCompactEvery > 0 &&
               batchesSinceCompact >= autoCompactEvery) {

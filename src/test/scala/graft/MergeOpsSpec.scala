@@ -1001,13 +1001,7 @@ class MergeOpsSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_shbudget").toFile
       .getAbsolutePath
     val table = s"$dir/events"
-    def withStderr(body: => Unit): String = {
-      val buf = new java.io.ByteArrayOutputStream()
-      val prior = System.err
-      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
-      try body finally System.setErr(prior)
-      buf.toString("UTF-8")
-    }
+    import graft.TestIO.withStderr
     MergeOps.upsertParquetByMonthShard(spark, table,
       monthDocs((1 to 8).map(i => (s"e$i", s"t$i", 1, "2025-01"))),
       Seq("event_id"), "version", numShards = 2)

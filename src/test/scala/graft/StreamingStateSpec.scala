@@ -1702,13 +1702,7 @@ class StreamingStateSpec extends AnyFunSuite {
         .coalesce(1).write.mode("append").parquet(s"$out/log"))
     def marker() = graft.operators.GateOps.readMarker(
       fs, s"$out/log", "_noop_files")
-    def withStderr(body: => Unit): String = {
-      val buf = new java.io.ByteArrayOutputStream()
-      val prior = System.err
-      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
-      try body finally System.setErr(prior)
-      buf.toString("UTF-8")
-    }
+    import graft.TestIO.withStderr
     append(3)
     // first no-op tick: seeds the tracker, growth unknown → no warning
     val first = withStderr {
@@ -1761,13 +1755,7 @@ class StreamingStateSpec extends AnyFunSuite {
       .getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def withStderr(body: => Unit): String = {
-      val buf = new java.io.ByteArrayOutputStream()
-      val prior = System.err
-      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
-      try body finally System.setErr(prior)
-      buf.toString("UTF-8")
-    }
+    import graft.TestIO.withStderr
     def vecs(ids: Range) = ids.map(i => (i.toLong, Seq(1f, 0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
     // identical vectors: every sign-band key carries every doc
