@@ -166,8 +166,21 @@ object IncrementalIngest {
       .option("checkpointLocation",
         checkpoint.getOrElse(s"$tableDir/_checkpoint"))
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay idempotence under a LIVE models dir (Curation.start's
+        // _last_commit discipline, same rationale there): a replayed
+        // fully-committed batch must not re-curate under a newer
+        // generation and append conflicting curation_log rows. Spark
+        // replays only the last in-flight batch, so one marker
+        // suffices; a reused tableDir under a fresh checkpoint
+        // restarts batchIds ≠ marker, so nothing is wrongly skipped.
+        // The merge's own replay was already idempotent (latest-wins
+        // re-merge of an applied month is a no-op) — the guard closes
+        // the LOG appends, which were only same-generation-idempotent.
+        val committed = graft.operators.GateOps
+          .readMarker(tfs, tableDir, "_last_commit")
+          .flatMap(_.toLongOption).contains(batchId)
+        if (!batch.isEmpty && !committed) {
           gate.foreach { g =>
             val payloadCols = batch.columns.filterNot(_ == "scraped_at")
             val prepared = batch.select(
@@ -236,6 +249,10 @@ object IncrementalIngest {
           // upsert-on-arrival, unified_scraper.py:622-642)
           MergeOps.upsertParquetByMonth(batch.sparkSession,
             s"$tableDir/events", unified, Seq("event_id"), "updated_at")
+          // commit point for the replay guard above — written only
+          // after every append and the merge landed
+          graft.operators.GateOps.writeMarker(tfs, tableDir,
+            "_last_commit", batchId.toString)
           // the logs self-tend on the gates' cadence: one file set per
           // batch otherwise accumulates forever at sustained ingest
           batchesSinceCompact += 1
