@@ -2341,6 +2341,63 @@ class StreamingStateSpec extends AnyFunSuite {
       "generation B must change batch 2's verdicts vs never-retrained")
   }
 
+  test("a replayed committed batch is a no-op even when a retrain " +
+      "landed in the restart window") {
+    // the _last_commit guard end-to-end, against Spark's REAL replay
+    // machinery: drain one batch (generation A), then fabricate the
+    // crash state Spark replays from — offsets/0 committed,
+    // commits/0 deleted — and land generation B while "down". The
+    // restarted stream re-executes batch 0; without the guard it
+    // would re-curate under B and append verdict rows differing from
+    // the first run's (the A-vs-B fixture provably flips verdicts),
+    // which distinct() keeps forever. With it, the replay is a no-op.
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+      .toFile.getAbsolutePath
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    val modelsA = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "en"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "de"))
+        .toDF("doc_id", "text", "lang"))
+    val modelsB = graft.streaming.Curation.trainModels(
+      Seq((900L, "reference corpus tokens for the shared models", "de"),
+        (901L, "andere referenz woerter fuer das geteilte modell", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val mdir = s"$dir/models"
+    graft.streaming.Curation.Models.save(modelsA, mdir)
+    val text = "the reference corpus tokens for the shared models " +
+      "and that nights of music have begun to shine with open air " +
+      "stages under warm island skies where dancers move and the " +
+      "crowd sings of joy to celebrate another season that will " +
+      "have grown with every sunrise over the bay and the harbour " +
+      "of the old town"
+    Seq((1L, text)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val out = s"$dir/out"
+    assert(graft.streaming.Curation.start(spark, src, schema, out,
+      modelsA, modelsDir = Some(mdir)).awaitTermination(180000))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = spark.read.parquet(s"$out/scored").distinct()
+      .collect().toSeq
+    assert(first.size === 1)
+    assert(graft.operators.GateOps
+      .readMarker(fs, out, "_last_commit") === Some("0"))
+    // fabricate the replay state and land the retrain while "down"
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$out/_ckpt/commits/0"), false),
+      "fixture must find the batch's commit-log entry to delete")
+    graft.streaming.Curation.Models.save(modelsB, mdir)
+    assert(graft.streaming.Curation.start(spark, src, schema, out,
+      modelsA, modelsDir = Some(mdir)).awaitTermination(180000))
+    val after = spark.read.parquet(s"$out/scored").distinct()
+      .collect().toSeq
+    assert(after === first,
+      "a replayed committed batch re-curated (under generation B) — " +
+        "the _last_commit guard must make it a no-op")
+  }
+
   test("per-tick census rows sum to the post-hoc curation report") {
     // the standing `report` log (one six-stage census block per
     // non-empty batch) vs the post-hoc whole-log census: for distinct
