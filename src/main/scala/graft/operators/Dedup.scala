@@ -1144,6 +1144,33 @@ private[graft] object GateOps {
     try out.write(value.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The stable query id from a Structured Streaming checkpoint's
+    * `metadata` file — the identity that distinguishes "same
+    * checkpoint, genuine replay" from "fresh checkpoint over a reused
+    * output dir, batchIds restarting at 0". A replay-idempotence
+    * marker keyed on the bare batchId wrongly skips the new stream's
+    * batch 0 whenever the previous run's last batch was 0 (the
+    * AvailableNow common case); pairing the marker with this id makes
+    * a fresh checkpoint never match. None (missing/unreadable
+    * metadata) must disable the guard on the safe side — callers pair
+    * it with a per-process random id so nothing cross-process ever
+    * matches. */
+  def checkpointQueryId(fs: org.apache.hadoop.fs.FileSystem,
+      ckptDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckptDir/metadata")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .map(_.group(1))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def readMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       name: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
@@ -2397,28 +2424,38 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // targetKeyLoad policy (see the class scaladoc): measure the
     // hottest band key's stored-sharer count on the distinct rows the
     // rewrite materializes anyway; once it exceeds the target, the
-    // live cap engages AT the target — monotone (only ever tightens)
-    // and durable (manifest-persisted below). Skipped once the cap is
-    // already at/under the target: no further tightening is possible,
-    // so the aggregation would be pure cost.
-    if (targetKeyLoad > 0 && (capCur <= 0 || capCur > targetKeyLoad)) {
+    // cap engages AT the target — monotone (only ever tightens) and
+    // durable (manifest-persisted below). The skip condition is the
+    // POLICY state, not the live cap: a process whose constructor
+    // seed is tighter than the target still behaves capped locally,
+    // but the TABLE has no engagement on record — skipping the
+    // measurement then would leave a genuinely hot table policy-less
+    // forever, and a later exact reopen (seed gone, nothing
+    // persisted) would run uncapped against it. Once the policy is
+    // at/under the target no further tightening is possible and the
+    // aggregation really is pure cost.
+    if (targetKeyLoad > 0 &&
+        (capPolicy <= 0 || capPolicy > targetKeyLoad)) {
       val maxLoad = distinctBands
         .groupBy(col("band"), col("band_hash"))
         .agg(count(lit(1)).as("n"))
         .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
       if (maxLoad > targetKeyLoad) {
-        capCur = targetKeyLoad
         // monotone policy tightening: a later engagement never
         // loosens what an earlier one (possibly another process's,
-        // restored above) put on record
+        // restored above) put on record. The live cap stays
+        // tightest-wins against the seed.
         capPolicy =
           if (capPolicy > 0) math.min(capPolicy, targetKeyLoad)
+          else targetKeyLoad
+        capCur =
+          if (capCur > 0) math.min(capCur, targetKeyLoad)
           else targetKeyLoad
         System.err.println(
           s"[neardup-gate] hottest band key holds $maxLoad sharers " +
             s"(> targetKeyLoad=$targetKeyLoad) for $root — engaging " +
-            s"bandKeyCap=$capCur; shed is reported per-verdict in " +
-            "n_capped_keys")
+            s"bandKeyCap=$capPolicy (live cap $capCur); shed is " +
+            "reported per-verdict in n_capped_keys")
         writeLayout(fs, new org.apache.hadoop.fs.Path(s"$root/_layout"))
       }
     }

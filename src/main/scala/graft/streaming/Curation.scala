@@ -524,6 +524,17 @@ object Curation {
     // counterpart for the sink the gates don't own). Driver-side
     // counter, same one-per-stream discipline as the gates.
     var batchesSinceCompact = 0
+    // checkpoint identity for the replay guard, resolved lazily (the
+    // metadata file exists by the first batch) and cached; the random
+    // fallback can never match a persisted marker cross-process
+    var ckptIdCache: Option[String] = None
+    def ckptId(): String = {
+      if (ckptIdCache.isEmpty)
+        ckptIdCache = Some(graft.operators.GateOps
+          .checkpointQueryId(tfs, s"$outDir/_ckpt")
+          .getOrElse(java.util.UUID.randomUUID().toString))
+      ckptIdCache.get
+    }
     spark.readStream.schema(schema).parquet(docsGlob)
       .writeStream.queryName("graft_stream_curate")
       .option("checkpointLocation", s"$outDir/_ckpt")
@@ -544,12 +555,20 @@ object Curation {
         // torn batch; same-generation replays stay byte-identical
         // (absorbed as before), and only a retrain landing in that
         // exact window can still produce conflicting rows — the
-        // narrow, documented remainder of a non-transactional log. A
-        // reused outDir under a FRESH checkpoint restarts batchIds at
-        // 0 ≠ the marker, so nothing is wrongly skipped.
+        // narrow, documented remainder of a non-transactional log.
+        // The marker pairs the batchId with the CHECKPOINT's stable
+        // query id: a reused outDir under a FRESH checkpoint restarts
+        // batchIds at 0, which a bare-batchId marker would wrongly
+        // match whenever the prior run's last batch was 0 (the
+        // AvailableNow common case) — silently dropping the new
+        // stream's first batch. A fresh checkpoint has a fresh id, so
+        // it never matches; an unreadable metadata file degrades to a
+        // per-process random id, i.e. the guard turns off on the safe
+        // (re-run) side.
+        val commitKey = s"${ckptId()}:$batchId"
         val committed = graft.operators.GateOps
           .readMarker(tfs, outDir, "_last_commit")
-          .flatMap(_.toLongOption).contains(batchId)
+          .contains(commitKey)
         if (!batch.isEmpty && !committed) {
           val (v, shed) = curateBatchWithShed(batch, ngate, ndgate,
             resolveModels())
@@ -578,7 +597,7 @@ object Curation {
           // commit point for the replay guard above — written only
           // after BOTH appends landed
           graft.operators.GateOps.writeMarker(tfs, outDir,
-            "_last_commit", batchId.toString)
+            "_last_commit", commitKey)
           batchesSinceCompact += 1
           if (autoCompactEvery > 0 &&
               batchesSinceCompact >= autoCompactEvery) {

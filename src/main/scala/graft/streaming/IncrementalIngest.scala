@@ -161,6 +161,17 @@ object IncrementalIngest {
     }
     // pipeline-level log cadence (the gates keep their own clocks)
     var batchesSinceCompact = 0
+    // checkpoint identity for the replay guard (Curation.start's
+    // discipline): lazy, cached, random fallback never matches
+    val ckptDir = checkpoint.getOrElse(s"$tableDir/_checkpoint")
+    var ckptIdCache: Option[String] = None
+    def ckptId(): String = {
+      if (ckptIdCache.isEmpty)
+        ckptIdCache = Some(graft.operators.GateOps
+          .checkpointQueryId(tfs, ckptDir)
+          .getOrElse(java.util.UUID.randomUUID().toString))
+      ckptIdCache.get
+    }
     stream.writeStream
       .queryName("graft-incremental-ingest")
       .option("checkpointLocation",
@@ -172,14 +183,19 @@ object IncrementalIngest {
         // fully-committed batch must not re-curate under a newer
         // generation and append conflicting curation_log rows. Spark
         // replays only the last in-flight batch, so one marker
-        // suffices; a reused tableDir under a fresh checkpoint
-        // restarts batchIds ≠ marker, so nothing is wrongly skipped.
-        // The merge's own replay was already idempotent (latest-wins
-        // re-merge of an applied month is a no-op) — the guard closes
-        // the LOG appends, which were only same-generation-idempotent.
+        // suffices. The marker pairs the batchId with the
+        // checkpoint's stable query id (GateOps.checkpointQueryId):
+        // a reused tableDir under a FRESH checkpoint restarts
+        // batchIds at 0, which a bare-batchId marker would wrongly
+        // match whenever the prior run's last batch was 0 — silently
+        // dropping the new stream's first batch. The merge's own
+        // replay was already idempotent (latest-wins re-merge of an
+        // applied month is a no-op) — the guard closes the LOG
+        // appends, which were only same-generation-idempotent.
+        val commitKey = s"${ckptId()}:$batchId"
         val committed = graft.operators.GateOps
           .readMarker(tfs, tableDir, "_last_commit")
-          .flatMap(_.toLongOption).contains(batchId)
+          .contains(commitKey)
         if (!batch.isEmpty && !committed) {
           gate.foreach { g =>
             val payloadCols = batch.columns.filterNot(_ == "scraped_at")
@@ -252,7 +268,7 @@ object IncrementalIngest {
           // commit point for the replay guard above — written only
           // after every append and the merge landed
           graft.operators.GateOps.writeMarker(tfs, tableDir,
-            "_last_commit", batchId.toString)
+            "_last_commit", commitKey)
           // the logs self-tend on the gates' cadence: one file set per
           // batch otherwise accumulates forever at sustained ingest
           batchesSinceCompact += 1

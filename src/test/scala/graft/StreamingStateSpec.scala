@@ -2095,6 +2095,24 @@ class StreamingStateSpec extends AnyFunSuite {
     val v = exact.admitScored(docs(Seq(21L)), "id", "text").head()
     assert(v.getLong(1) === 4L,
       "exact reopen must run under the restored policy cap of 4")
+    // A seed TIGHTER than the target must not suppress the policy
+    // measurement: the live cap is already under budget, but the
+    // TABLE has no engagement on record — a hot corpus must still
+    // engage (and persist) the policy at the target, or a later
+    // exact reopen runs uncapped against it.
+    val out2 = s"${out}_seeded"
+    fs.delete(new org.apache.hadoop.fs.Path(out2), true)
+    val tightSeed = new graft.operators.NearDupGate(out2,
+      bandKeyCap = 2, targetKeyLoad = 4, autoCompactEvery = 1)
+    tightSeed.admitScored(docs(1L to 5L), "id", "text")
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$out2/_layout"))
+      .get("band_key_cap") === Some("4"),
+      "a tighter seed suppressed the policy engagement")
+    val exact2 = new graft.operators.NearDupGate(out2)
+    assert(exact2.admitScored(docs(Seq(21L)), "id", "text")
+      .head().getLong(1) === 4L,
+      "the engaged policy must bound an exact reopen at 4")
   }
 
   test("an explicit bandKeyCap seed is per-process, never table state") {
@@ -2382,8 +2400,13 @@ class StreamingStateSpec extends AnyFunSuite {
     val first = spark.read.parquet(s"$out/scored").distinct()
       .collect().toSeq
     assert(first.size === 1)
-    assert(graft.operators.GateOps
-      .readMarker(fs, out, "_last_commit") === Some("0"))
+    // marker = "<checkpoint query id>:<batchId>" — bound to the
+    // checkpoint's identity, not the bare batch number
+    val marker0 = graft.operators.GateOps
+      .readMarker(fs, out, "_last_commit")
+    assert(marker0.exists(_.endsWith(":0")) &&
+      marker0 === graft.operators.GateOps
+        .checkpointQueryId(fs, s"$out/_ckpt").map(_ + ":0"))
     // fabricate the replay state and land the retrain while "down"
     assert(fs.delete(
       new org.apache.hadoop.fs.Path(s"$out/_ckpt/commits/0"), false),
@@ -2396,6 +2419,18 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(after === first,
       "a replayed committed batch re-curated (under generation B) — " +
         "the _last_commit guard must make it a no-op")
+    // the dangerous converse: a FRESH checkpoint over the reused
+    // outDir is a deliberate re-ingest whose first batch is ALSO
+    // batchId 0 — the stale marker must NOT match it (checkpoint
+    // identity differs), or the batch is silently dropped with its
+    // offsets committed. Reprocessing under the now-current
+    // generation B writes a verdict row differing from A's.
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$out/_ckpt"), true))
+    assert(graft.streaming.Curation.start(spark, src, schema, out,
+      modelsA, modelsDir = Some(mdir)).awaitTermination(180000))
+    assert(spark.read.parquet(s"$out/scored").distinct().count() === 2,
+      "a fresh checkpoint's batch 0 was wrongly skipped by the " +
+        "previous run's marker")
   }
 
   test("per-tick census rows sum to the post-hoc curation report") {
