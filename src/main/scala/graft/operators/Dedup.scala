@@ -1171,6 +1171,54 @@ private[graft] object GateOps {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Memoizing resolver for a replay guard's checkpoint identity.
+    * Resolves the FileSystem from the CHECKPOINT path itself (a
+    * caller-supplied checkpoint may live on a different filesystem
+    * than the output dir — resolving with the output dir's fs throws
+    * Wrong-FS and would silently disable the guard), caches only a
+    * SUCCESSFUL read (a transient metadata-read failure degrades just
+    * that batch and retries at the next, instead of pinning a random
+    * id for the stream's lifetime), and warns once per resolver when
+    * degraded — the codebase's degraded-but-loud posture. The
+    * fallback id is stable within the resolver so one run's markers
+    * stay self-consistent, and random so nothing cross-process ever
+    * matches (the safe, re-run side). */
+  def commitIdentity(conf: org.apache.hadoop.conf.Configuration,
+      ckptDir: String): () => String = {
+    var cached: Option[String] = None
+    val fallback = java.util.UUID.randomUUID().toString
+    var warned = false
+    () => {
+      if (cached.isEmpty) {
+        cached =
+          try checkpointQueryId(new org.apache.hadoop.fs.Path(ckptDir)
+            .getFileSystem(conf), ckptDir)
+          catch { case scala.util.control.NonFatal(_) => None }
+        if (cached.isEmpty && !warned) {
+          warned = true
+          System.err.println(
+            s"[commit-guard] could not read the checkpoint query id " +
+              s"at $ckptDir/metadata — replay idempotence degraded " +
+              "to per-process for now (a post-crash replay will " +
+              "re-run rather than skip); retrying per batch")
+        }
+      }
+      cached.getOrElse(fallback)
+    }
+  }
+
+  /** Whether a persisted `_last_commit` marker proves THIS batch
+    * already fully committed. Matches the identity-paired form, plus
+    * the legacy bare-batchId form for exactly the upgrade window —
+    * but only for batchId > 0: a legacy "0" is ambiguous between a
+    * genuine replay and a FRESH checkpoint's first batch over a
+    * reused dir (the silent-drop bug the identity pairing fixed), so
+    * it errs on the re-run side. */
+  def replayCommitted(marker: Option[String], commitKey: String,
+      batchId: Long): Boolean =
+    marker.contains(commitKey) ||
+      (batchId > 0 && marker.contains(batchId.toString))
+
   def readMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       name: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name")

@@ -524,20 +524,14 @@ object Curation {
     // counterpart for the sink the gates don't own). Driver-side
     // counter, same one-per-stream discipline as the gates.
     var batchesSinceCompact = 0
-    // checkpoint identity for the replay guard, resolved lazily (the
-    // metadata file exists by the first batch) and cached; the random
-    // fallback can never match a persisted marker cross-process
-    var ckptIdCache: Option[String] = None
-    def ckptId(): String = {
-      if (ckptIdCache.isEmpty)
-        ckptIdCache = Some(graft.operators.GateOps
-          .checkpointQueryId(tfs, s"$outDir/_ckpt")
-          .getOrElse(java.util.UUID.randomUUID().toString))
-      ckptIdCache.get
-    }
+    // checkpoint identity for the replay guard (shared resolver:
+    // checkpoint-side fs, success-only caching, loud degradation)
+    val ckptDir = s"$outDir/_ckpt"
+    val ckptId = graft.operators.GateOps.commitIdentity(
+      spark.sparkContext.hadoopConfiguration, ckptDir)
     spark.readStream.schema(schema).parquet(docsGlob)
       .writeStream.queryName("graft_stream_curate")
-      .option("checkpointLocation", s"$outDir/_ckpt")
+      .option("checkpointLocation", ckptDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Replay idempotence under a LIVE models dir: a crash after
@@ -566,9 +560,9 @@ object Curation {
         // per-process random id, i.e. the guard turns off on the safe
         // (re-run) side.
         val commitKey = s"${ckptId()}:$batchId"
-        val committed = graft.operators.GateOps
-          .readMarker(tfs, outDir, "_last_commit")
-          .contains(commitKey)
+        val committed = graft.operators.GateOps.replayCommitted(
+          graft.operators.GateOps.readMarker(tfs, outDir,
+            "_last_commit"), commitKey, batchId)
         if (!batch.isEmpty && !committed) {
           val (v, shed) = curateBatchWithShed(batch, ngate, ndgate,
             resolveModels())

@@ -161,21 +161,16 @@ object IncrementalIngest {
     }
     // pipeline-level log cadence (the gates keep their own clocks)
     var batchesSinceCompact = 0
-    // checkpoint identity for the replay guard (Curation.start's
-    // discipline): lazy, cached, random fallback never matches
+    // checkpoint identity for the replay guard (shared resolver:
+    // checkpoint-side fs — an explicit checkpoint may live on a
+    // DIFFERENT filesystem than tableDir — success-only caching,
+    // loud degradation)
     val ckptDir = checkpoint.getOrElse(s"$tableDir/_checkpoint")
-    var ckptIdCache: Option[String] = None
-    def ckptId(): String = {
-      if (ckptIdCache.isEmpty)
-        ckptIdCache = Some(graft.operators.GateOps
-          .checkpointQueryId(tfs, ckptDir)
-          .getOrElse(java.util.UUID.randomUUID().toString))
-      ckptIdCache.get
-    }
+    val ckptId = graft.operators.GateOps.commitIdentity(
+      spark.sparkContext.hadoopConfiguration, ckptDir)
     stream.writeStream
       .queryName("graft-incremental-ingest")
-      .option("checkpointLocation",
-        checkpoint.getOrElse(s"$tableDir/_checkpoint"))
+      .option("checkpointLocation", ckptDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // replay idempotence under a LIVE models dir (Curation.start's
@@ -193,9 +188,9 @@ object IncrementalIngest {
         // applied month is a no-op) — the guard closes the LOG
         // appends, which were only same-generation-idempotent.
         val commitKey = s"${ckptId()}:$batchId"
-        val committed = graft.operators.GateOps
-          .readMarker(tfs, tableDir, "_last_commit")
-          .contains(commitKey)
+        val committed = graft.operators.GateOps.replayCommitted(
+          graft.operators.GateOps.readMarker(tfs, tableDir,
+            "_last_commit"), commitKey, batchId)
         if (!batch.isEmpty && !committed) {
           gate.foreach { g =>
             val payloadCols = batch.columns.filterNot(_ == "scraped_at")
