@@ -595,8 +595,11 @@ object MergeOps {
     * merge refuses to drift from. Every key's shard assignment
     * changes, so this is honestly a FULL-TABLE rewrite: one
     * distributed job shuffles the table once on the new
-    * (month, shard) key (each pair lands in one task → one file per
-    * dir, rows key-sorted for row-group-stats locality), staged as a
+    * (month, shard) key (each pair lands in one task — write
+    * parallelism is min(shuffle partitions, months×newNumShards),
+    * which the geometry makes plentiful at scale by construction —
+    * rows key-sorted for row-group-stats locality, files bounded at
+    * `maxRecordsPerFile` like compactMonths' rewrite), staged as a
     * complete sibling root carrying the NEW `_shard_layout` manifest.
     *
     * Commit is a whole-root two-rename swap (live → `_rretired`,
@@ -621,7 +624,8 @@ object MergeOps {
     */
   def reshard(spark: SparkSession, tablePath: String, newNumShards: Int,
       keys: Seq[String] = Nil, partCol: String = "start_month",
-      shardCol: String = "kshard"): Boolean = {
+      shardCol: String = "kshard",
+      maxRecordsPerFile: Long = 5000000L): Boolean = {
     require(newNumShards > 0 && newNumShards <= 100000,
       s"newNumShards must be in [1, 100000], got $newNumShards")
     val swap = new MonthSwap(spark, tablePath)
@@ -661,6 +665,7 @@ object MergeOps {
       .sortWithinPartitions(
         ((usePart +: useShard +: useKeys).map(col)): _*)
       .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(usePart, useShard).parquet(rStaging.toString)
     GateLayout.write(fs, new org.apache.hadoop.fs.Path(
         rStaging, "_shard_layout"),
