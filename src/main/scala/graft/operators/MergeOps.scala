@@ -811,6 +811,11 @@ object MergeOps {
       s"cutoff '$cutoffMonth' must be a plain partition value")
     val dest = new Path(tablePath)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retention bypasses MonthSwap, so it must run the reshard
+    // recovery itself: a crashed reshard leaves the table's only copy
+    // at _rretired, and without the restore this pass would read
+    // "no table" and silently expire NOTHING while believing it ran
+    recoverReshard(fs, dest)
     val dropRoot = new Path(dest.getParent, dest.getName + "_mdropped")
     fs.delete(dropRoot, true) // sweep a prior crash's committed drops
     if (!fs.exists(dest)) return Nil

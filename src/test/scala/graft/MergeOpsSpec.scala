@@ -969,6 +969,33 @@ class MergeOpsSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("title")).toSeq === before)
   }
 
+  test("retention restores a crashed reshard before deciding what " +
+      "to expire") {
+    // dropMonthsBefore bypasses MonthSwap, so it carries its own
+    // recoverReshard call: with the table's only copy at _rretired
+    // (the between-renames crash window) it must restore FIRST and
+    // then expire normally — not read "no table" and silently expire
+    // nothing while its caller believes retention ran.
+    val dir = Files.createTempDirectory("graft_rsdrop").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e1", "jan", 1, "2025-01"),
+        ("e2", "mar", 1, "2025-03"))),
+      Seq("event_id"), "version")
+    // crash shape: the whole live root renamed aside, nothing staged
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(s"${table}_rretired")))
+    assert(MergeOps.dropMonthsBefore(spark, table, "2025-02")
+      === Seq("2025-01"))
+    val got = spark.read.parquet(table).collect()
+      .map(_.getAs[String]("event_id")).toSeq
+    assert(got === Seq("e2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${table}_rretired")))
+  }
+
   test("reshard adopts an unsharded month table (explicit keys)") {
     val dir = Files.createTempDirectory("graft_rsadopt").toFile
       .getAbsolutePath
