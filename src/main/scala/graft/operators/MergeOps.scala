@@ -809,13 +809,19 @@ object MergeOps {
     import org.apache.hadoop.fs.Path
     require(cutoffMonth.matches("[A-Za-z0-9._-]+"),
       s"cutoff '$cutoffMonth' must be a plain partition value")
-    val dest = new Path(tablePath)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // retention bypasses MonthSwap, so it must run the reshard
-    // recovery itself: a crashed reshard leaves the table's only copy
-    // at _rretired, and without the restore this pass would read
-    // "no table" and silently expire NOTHING while believing it ran
-    recoverReshard(fs, dest)
+    // FULL crash recovery before deciding what to expire — both a
+    // crashed reshard (table's only copy at _rretired: without the
+    // restore this pass reads "no table" and silently expires
+    // nothing) and a crashed month swap (a month's only copy at
+    // _mretired: invisible to the listing below, it would survive a
+    // "successful" retention and RESURRECT at the next merge's
+    // recovery — strictly-older-than-cutoff data reappearing after a
+    // compliance pass reported it expired). recoverOrphans never
+    // touches _mdropped, so committed drops stay dropped.
+    val swap = new MonthSwap(spark, tablePath)
+    swap.recoverOrphans()
+    val dest = swap.dest
+    val fs = swap.fs
     val dropRoot = new Path(dest.getParent, dest.getName + "_mdropped")
     fs.delete(dropRoot, true) // sweep a prior crash's committed drops
     if (!fs.exists(dest)) return Nil
@@ -854,9 +860,25 @@ object MergeOps {
     // month-total threshold would flag every numShards-dir month
     // forever and re-compact it on every sweep)
     val shardColOpt = shardLayout(fs, swap.dest).map(_._1).toSeq
-    def over(dir: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(dir)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerMonth
+    // "fragmented" must account for what this pass's OWN rewrite can
+    // produce, or it never converges: the rewrite emits
+    // ceil(rows/maxRecordsPerFile) files per dir, so a dir holding
+    // more rows than maxFilesPerMonth·maxRecordsPerFile legitimately
+    // carries more than maxFilesPerMonth files FOREVER — flagging on
+    // the file bound alone re-rewrites such a dir on every sweep with
+    // zero progress (reshard's maxRecordsPerFile-bounded output made
+    // this reachable). The row count is read only for dirs already
+    // over the file bound, and it is a parquet FOOTER aggregate (no
+    // data scan).
+    def over(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val n = fs.listStatus(dir)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      n > maxFilesPerMonth && {
+        val rows = spark.read.parquet(dir.toString).count()
+        n > math.max(maxFilesPerMonth.toLong,
+          (rows + maxRecordsPerFile - 1) / maxRecordsPerFile)
+      }
+    }
     val fragmented = fs.listStatus(swap.dest).toSeq
       .filter(_.getPath.getName.startsWith(partCol + "="))
       .filter { mdir =>

@@ -994,6 +994,25 @@ class MergeOpsSpec extends AnyFunSuite {
       .map(_.getAs[String]("event_id")).toSeq
     assert(got === Seq("e2"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${table}_rretired")))
+    // …and the MONTH-swap crash shape: an expirable month whose only
+    // copy sits under _mretired must be restored and THEN expired —
+    // not skipped by the listing and resurrected by the next merge
+    // after retention reported success
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(Seq(("e0", "dec", 1, "2024-12"))),
+      Seq("event_id"), "version")
+    val retired = new org.apache.hadoop.fs.Path(s"${table}_mretired")
+    fs.mkdirs(retired)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(table, "start_month=2024-12"),
+      new org.apache.hadoop.fs.Path(retired, "start_month=2024-12")))
+    assert(MergeOps.dropMonthsBefore(spark, table, "2025-02")
+      === Seq("2024-12"))
+    // nothing resurrects at the next table op
+    assert(MergeOps.reconcileCrossMonthKeys(spark, table,
+      Seq("event_id"), "version") === Nil)
+    assert(spark.read.parquet(table).collect()
+      .map(_.getAs[String]("event_id")).toSeq === Seq("e2"))
   }
 
   test("reshard adopts an unsharded month table (explicit keys)") {
@@ -1049,6 +1068,39 @@ class MergeOpsSpec extends AnyFunSuite {
     }
     assert(!quiet.contains("[month-shard-merge]"),
       "toy-scale shards must not trip the default budget")
+  }
+
+  test("compaction converges on a dir legitimately holding more " +
+      "files than maxFilesPerMonth") {
+    // a dir with rows > maxFilesPerMonth·maxRecordsPerFile can never
+    // fit under the file bound — its own rewrite reproduces
+    // ceil(rows/maxRecordsPerFile) files. The fragmented test must
+    // account for that, or every sweep re-rewrites the dir forever
+    // with zero progress.
+    val dir = Files.createTempDirectory("graft_compconv").toFile
+      .getAbsolutePath
+    val table = s"$dir/events"
+    val rows = (1 to 6).map(i => (s"e$i", s"t$i", 1, "2025-01"))
+    // six 1-row files in the month
+    MergeOps.upsertParquetByMonth(spark, table,
+      monthDocs(rows).repartition(6), Seq("event_id"), "version")
+    val before = spark.read.parquet(table).orderBy("event_id")
+      .collect().map(_.getAs[String]("title")).toSeq
+    // 6 rows at 2 rows/file → 3 files, above maxFilesPerMonth=1: the
+    // first sweep makes real progress (6 → 3 files)…
+    assert(MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 1, maxRecordsPerFile = 2L) === Seq("2025-01"))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$table/start_month=2025-01"))
+      .count(_.getPath.getName.endsWith(".parquet")) === 3)
+    // …and the second sweep recognizes the converged state
+    assert(MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 1, maxRecordsPerFile = 2L) === Nil,
+      "compaction re-flagged a dir its own rewrite cannot shrink")
+    assert(spark.read.parquet(table).orderBy("event_id")
+      .collect().map(_.getAs[String]("title")).toSeq === before)
   }
 
   test("recovery after a COMPLETED month swap discards the retired " +
