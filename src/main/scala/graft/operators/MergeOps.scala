@@ -867,17 +867,27 @@ object MergeOps {
     // carries more than maxFilesPerMonth files FOREVER — flagging on
     // the file bound alone re-rewrites such a dir on every sweep with
     // zero progress (reshard's maxRecordsPerFile-bounded output made
-    // this reachable). The row count is read only for dirs already
-    // over the file bound, and it is a parquet FOOTER aggregate (no
-    // data scan).
+    // this reachable). maxRecordsPerFile ≤ 0 is Spark's own
+    // "unlimited" sentinel: the rewrite then emits one file per dir,
+    // so the plain file bound is already convergence-correct. Row
+    // counts are read only for dirs already over the file bound, and
+    // DRIVER-SIDE from the parquet footers — no Spark job per dir per
+    // sweep just to re-learn a permanently-over-bound dir converged.
+    def dirRows(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+              st, spark.sparkContext.hadoopConfiguration))
+          try r.getRecordCount finally r.close()
+        }.sum
     def over(dir: org.apache.hadoop.fs.Path): Boolean = {
       val n = fs.listStatus(dir)
         .count(_.getPath.getName.endsWith(".parquet"))
-      n > maxFilesPerMonth && {
-        val rows = spark.read.parquet(dir.toString).count()
+      n > maxFilesPerMonth && (maxRecordsPerFile <= 0L ||
         n > math.max(maxFilesPerMonth.toLong,
-          (rows + maxRecordsPerFile - 1) / maxRecordsPerFile)
-      }
+          (dirRows(dir) + maxRecordsPerFile - 1) / maxRecordsPerFile))
     }
     val fragmented = fs.listStatus(swap.dest).toSeq
       .filter(_.getPath.getName.startsWith(partCol + "="))

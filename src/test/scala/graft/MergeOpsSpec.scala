@@ -971,11 +971,13 @@ class MergeOpsSpec extends AnyFunSuite {
 
   test("retention restores a crashed reshard before deciding what " +
       "to expire") {
-    // dropMonthsBefore bypasses MonthSwap, so it carries its own
-    // recoverReshard call: with the table's only copy at _rretired
-    // (the between-renames crash window) it must restore FIRST and
-    // then expire normally — not read "no table" and silently expire
-    // nothing while its caller believes retention ran.
+    // dropMonthsBefore runs the FULL MonthSwap recovery (reshard root
+    // restore + retired-month restore) before deciding what to
+    // expire: with the table's only copy at _rretired (the
+    // between-renames crash window) it must restore FIRST and then
+    // expire normally — not read "no table" and silently expire
+    // nothing while its caller believes retention ran. recoverOrphans
+    // never touches _mdropped, so committed drops stay dropped.
     val dir = Files.createTempDirectory("graft_rsdrop").toFile
       .getAbsolutePath
     val table = s"$dir/events"
@@ -1006,6 +1008,14 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(fs.rename(
       new org.apache.hadoop.fs.Path(table, "start_month=2024-12"),
       new org.apache.hadoop.fs.Path(retired, "start_month=2024-12")))
+    // real crash fidelity: every current writer records its swap
+    // units BEFORE the first rename, so the retired root a real
+    // crash leaves always carries the marker — recovery must take
+    // the marker path here, not the legacy shape-guessing fallback
+    val uout = fs.create(
+      new org.apache.hadoop.fs.Path(retired, "_swap_units"), true)
+    try uout.write("start_month=2024-12".getBytes("UTF-8"))
+    finally uout.close()
     assert(MergeOps.dropMonthsBefore(spark, table, "2025-02")
       === Seq("2024-12"))
     // nothing resurrects at the next table op
