@@ -1136,12 +1136,29 @@ private[graft] object GateOps {
     * already re-written data (silent mis-keying). A marker written
     * into the `_tmp` generation BEFORE the swap rides the same
     * rename, so data and width can never disagree; the manifest
-    * heals from it at the next open. */
+    * heals from it at the next open.
+    *
+    * Written write-tmp-then-rename, NOT overwrite-in-place: markers
+    * like `_last_commit` gate replay idempotence, and a torn
+    * overwrite could leave a prefix of the intended value — UUIDs
+    * may start with digits, so a torn "<uuid>:<batch>" can read as a
+    * bare all-digit legacy marker and wrongly match a FUTURE batchId
+    * (silent batch drop). With the rename discipline a crash leaves
+    * either the old marker, no marker, or the complete new one —
+    * every case on the re-run (safe) side. */
   def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       name: String, value: String): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.wtmp")
+    val out = fs.create(tmp, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
+    // rename-over-existing is not portable (HDFS refuses, local
+    // overwrites) — delete first; the between-window has NO marker,
+    // which every reader treats as "re-run / re-measure"
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"could not commit marker $dst from its staged write")
   }
 
   /** The stable query id from a Structured Streaming checkpoint's
@@ -1165,7 +1182,14 @@ private[graft] object GateOps {
         val s =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+        // anchored to the object's FIRST key being "id" — Spark's
+        // StreamMetadata is exactly {"id":"<uuid>"}; an unanchored
+        // scan would silently return the wrong field if the format
+        // ever gained an earlier id-like key, where this returns
+        // None and the guard degrades loudly to the re-run side
+        // (format dependency pinned by StreamingStateSpec's marker
+        // cross-check against the live metadata file)
+        "^\\s*\\{\\s*\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
           .map(_.group(1))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1210,14 +1234,47 @@ private[graft] object GateOps {
   /** Whether a persisted `_last_commit` marker proves THIS batch
     * already fully committed. Matches the identity-paired form, plus
     * the legacy bare-batchId form for exactly the upgrade window —
-    * but only for batchId > 0: a legacy "0" is ambiguous between a
+    * but only for batchId > 0 (a legacy "0" is ambiguous between a
     * genuine replay and a FRESH checkpoint's first batch over a
-    * reused dir (the silent-drop bug the identity pairing fixed), so
-    * it errs on the re-run side. */
+    * reused dir — the silent-drop bug the identity pairing fixed)
+    * AND only when `legacyGenuine` holds. The bare form can only
+    * have been written by pre-identity code, so it is genuine only
+    * for a same-stream in-place upgrade; callers pass
+    * [[legacyMarkerGenuine]] (marker postdates the checkpoint's
+    * metadata), which also closes the residual batchId>0 collision:
+    * a new stream whose batches 0..N-1 were all empty never
+    * overwrites a stale legacy "N", and its first nonempty batch N
+    * would otherwise be silently dropped. Evaluated lazily — the
+    * common paths (identity match, no marker) never pay the stat.
+    * The default keeps the pure three-argument form for tests. */
   def replayCommitted(marker: Option[String], commitKey: String,
-      batchId: Long): Boolean =
+      batchId: Long, legacyGenuine: => Boolean = true): Boolean =
     marker.contains(commitKey) ||
-      (batchId > 0 && marker.contains(batchId.toString))
+      (batchId > 0 && marker.contains(batchId.toString) &&
+        legacyGenuine)
+
+  /** Whether a legacy bare-batchId `_last_commit` marker can be
+    * GENUINE for the stream at `ckptDir`: only if the marker file
+    * was modified at-or-after the checkpoint's `metadata` file was —
+    * i.e. written while THIS stream existed (the in-place-upgrade
+    * window legacy matching exists for). A marker predating the
+    * checkpoint belongs to an earlier stream over a reused output
+    * dir and must never match. Missing/unreadable either side →
+    * false (the re-run side). Filesystems resolved from each path's
+    * own scheme — the checkpoint may live elsewhere than the
+    * output dir. */
+  def legacyMarkerGenuine(conf: org.apache.hadoop.conf.Configuration,
+      markerDir: String, markerName: String,
+      ckptDir: String): Boolean =
+    try {
+      val mp = new org.apache.hadoop.fs.Path(s"$markerDir/$markerName")
+      val cp = new org.apache.hadoop.fs.Path(s"$ckptDir/metadata")
+      val mfs = mp.getFileSystem(conf)
+      val cfs = cp.getFileSystem(conf)
+      mfs.exists(mp) && cfs.exists(cp) &&
+        mfs.getFileStatus(mp).getModificationTime >=
+          cfs.getFileStatus(cp).getModificationTime
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   def readMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       name: String): Option[String] = {

@@ -873,21 +873,49 @@ object MergeOps {
     // counts are read only for dirs already over the file bound, and
     // DRIVER-SIDE from the parquet footers — no Spark job per dir per
     // sweep just to re-learn a permanently-over-bound dir converged.
-    def dirRows(dir: org.apache.hadoop.fs.Path): Long =
-      fs.listStatus(dir)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
-              st, spark.sparkContext.hadoopConfiguration))
-          try r.getRecordCount finally r.close()
-        }.sum
+    // A PERMANENTLY-over-bound dir would otherwise pay those O(files)
+    // sequential footer opens on EVERY sweep forever (the converged
+    // case is exactly the one nothing ever rewrites), so the verdict
+    // is cached in a `_compact_converged` marker fingerprinted on the
+    // dir's file listing and this sweep's thresholds — any merge,
+    // rewrite, or threshold change alters the fingerprint and the
+    // footers are re-read; an unchanged converged dir costs one
+    // marker read per sweep. The footer loop itself also
+    // short-circuits once the running ceil(rows/maxRecordsPerFile)
+    // reaches the file count (no rewrite can go below that).
+    def convergedFp(
+        files: Seq[org.apache.hadoop.fs.FileStatus]): String = {
+      val listing = files.map(f =>
+        s"${f.getPath.getName}:${f.getLen}").sorted.mkString(",")
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(listing.getBytes("UTF-8"))
+        .take(16).map("%02x".format(_)).mkString
+      s"v1:$maxFilesPerMonth:$maxRecordsPerFile:$h"
+    }
     def over(dir: org.apache.hadoop.fs.Path): Boolean = {
-      val n = fs.listStatus(dir)
-        .count(_.getPath.getName.endsWith(".parquet"))
-      n > maxFilesPerMonth && (maxRecordsPerFile <= 0L ||
-        n > math.max(maxFilesPerMonth.toLong,
-          (dirRows(dir) + maxRecordsPerFile - 1) / maxRecordsPerFile))
+      val files = fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val n = files.size
+      if (n <= maxFilesPerMonth) return false
+      if (maxRecordsPerFile <= 0L) return true
+      val fp = convergedFp(files)
+      if (GateOps.readMarker(fs, dir.toString, "_compact_converged")
+            .contains(fp)) return false
+      var rows = 0L
+      var i = 0
+      var converged = false
+      while (i < n && !converged) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+            files(i), spark.sparkContext.hadoopConfiguration))
+        rows += (try r.getRecordCount finally r.close())
+        if ((rows + maxRecordsPerFile - 1) / maxRecordsPerFile >= n)
+          converged = true
+        i += 1
+      }
+      if (converged)
+        GateOps.writeMarker(fs, dir.toString, "_compact_converged", fp)
+      !converged
     }
     val fragmented = fs.listStatus(swap.dest).toSeq
       .filter(_.getPath.getName.startsWith(partCol + "="))

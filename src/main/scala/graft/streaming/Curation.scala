@@ -562,7 +562,13 @@ object Curation {
         val commitKey = s"${ckptId()}:$batchId"
         val committed = graft.operators.GateOps.replayCommitted(
           graft.operators.GateOps.readMarker(tfs, outDir,
-            "_last_commit"), commitKey, batchId)
+            "_last_commit"), commitKey, batchId,
+          // legacy bare-batchId markers match only when written
+          // during THIS stream's lifetime (in-place upgrade), never
+          // a stale marker under a fresh checkpoint
+          graft.operators.GateOps.legacyMarkerGenuine(
+            batch.sparkSession.sparkContext.hadoopConfiguration,
+            outDir, "_last_commit", ckptDir))
         if (!batch.isEmpty && !committed) {
           val (v, shed) = curateBatchWithShed(batch, ngate, ndgate,
             resolveModels())

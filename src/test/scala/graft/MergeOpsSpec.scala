@@ -1111,6 +1111,26 @@ class MergeOpsSpec extends AnyFunSuite {
       "compaction re-flagged a dir its own rewrite cannot shrink")
     assert(spark.read.parquet(table).orderBy("event_id")
       .collect().map(_.getAs[String]("title")).toSeq === before)
+    // the converged verdict is cached: the sweep left a fingerprinted
+    // marker so the NEXT sweep costs one marker read, not O(files)
+    // footer opens, on a dir nothing will ever rewrite
+    val mdir = s"$table/start_month=2025-01"
+    assert(graft.operators.GateOps
+      .readMarker(fs, mdir, "_compact_converged").isDefined,
+      "a converged-forever dir must cache its verdict in a marker")
+    assert(MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 1, maxRecordsPerFile = 2L) === Nil)
+    // …but the cache must never suppress real work: the fingerprint
+    // carries the thresholds, so a sweep under a LARGER
+    // maxRecordsPerFile (6 rows now fit one file) re-evaluates and
+    // compacts 3 → 1
+    assert(MergeOps.compactMonths(spark, table, Seq("event_id"),
+      maxFilesPerMonth = 1, maxRecordsPerFile = 6L) === Seq("2025-01"),
+      "a stale converged marker suppressed a now-possible compaction")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(mdir))
+      .count(_.getPath.getName.endsWith(".parquet")) === 1)
+    assert(spark.read.parquet(table).orderBy("event_id")
+      .collect().map(_.getAs[String]("title")).toSeq === before)
   }
 
   test("recovery after a COMPLETED month swap discards the retired " +

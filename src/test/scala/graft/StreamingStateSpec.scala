@@ -1939,6 +1939,65 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no generation survives"))
   }
 
+  test("markers commit atomically and legacy bare-batchId markers " +
+      "match only when written during the live checkpoint's lifetime") {
+    val out = new java.io.File("target/test_marker_atomic")
+      .getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(out), true)
+    fs.mkdirs(p(out))
+    // a crashed prior staged write (garbage .wtmp) must not poison
+    // the next commit, and the stage file must not outlive the rename
+    val garbage = fs.create(p(s"$out/_last_commit.wtmp"), true)
+    try garbage.write("torn".getBytes("UTF-8")) finally garbage.close()
+    graft.operators.GateOps.writeMarker(fs, out, "_last_commit",
+      "11111111-2222-3333-4444-555555555555:7")
+    assert(graft.operators.GateOps.readMarker(fs, out, "_last_commit")
+      === Some("11111111-2222-3333-4444-555555555555:7"))
+    assert(!fs.exists(p(s"$out/_last_commit.wtmp")),
+      "the staged write must be renamed away, not left behind")
+    // overwrite of an existing marker lands the new value whole
+    graft.operators.GateOps.writeMarker(fs, out, "_last_commit", "8")
+    assert(graft.operators.GateOps.readMarker(fs, out, "_last_commit")
+      === Some("8"))
+    // legacy genuineness: the bare "8" above can only be honored when
+    // it was written AFTER the checkpoint's metadata (in-place
+    // upgrade); a marker predating the checkpoint is an earlier
+    // stream's leftover over a reused dir and must re-run
+    val ckpt = s"$out/_ckpt"
+    fs.mkdirs(p(ckpt))
+    val md = fs.create(p(s"$ckpt/metadata"), true)
+    try md.write(
+      """{"id":"aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"}"""
+        .getBytes("UTF-8")) finally md.close()
+    val now = System.currentTimeMillis()
+    fs.setTimes(p(s"$ckpt/metadata"), now, now)
+    fs.setTimes(p(s"$out/_last_commit"), now - 60000L, now - 60000L)
+    val marker = graft.operators.GateOps
+      .readMarker(fs, out, "_last_commit")
+    assert(!graft.operators.GateOps.replayCommitted(marker, "q:8", 8,
+        graft.operators.GateOps.legacyMarkerGenuine(conf, out,
+          "_last_commit", ckpt)),
+      "a stale legacy marker predating the checkpoint matched a " +
+        "future batch — that batch would be silently dropped")
+    fs.setTimes(p(s"$out/_last_commit"), now + 60000L, now + 60000L)
+    assert(graft.operators.GateOps.replayCommitted(marker, "q:8", 8,
+        graft.operators.GateOps.legacyMarkerGenuine(conf, out,
+          "_last_commit", ckpt)),
+      "a genuine same-stream legacy marker (upgrade window) must " +
+        "still be honored")
+    // identity-paired matches never consult the legacy check
+    assert(graft.operators.GateOps.replayCommitted(Some("q:9"), "q:9",
+      9, sys.error("identity match must not evaluate legacy check")))
+    // a missing checkpoint metadata file disables legacy matching on
+    // the safe (re-run) side
+    assert(fs.delete(p(s"$ckpt/metadata"), false))
+    assert(!graft.operators.GateOps.legacyMarkerGenuine(conf, out,
+      "_last_commit", ckpt))
+  }
+
   test("novelty gate rejects a non-power-of-two bloom width at creation") {
     // bloomPos masks with bits-1 (power-of-two was always the
     // implicit contract) and reopen/compact enforce it against the
