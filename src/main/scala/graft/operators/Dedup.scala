@@ -1152,13 +1152,12 @@ private[graft] object GateOps {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.wtmp")
     val out = fs.create(tmp, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
-    // rename-over-existing is not portable (HDFS refuses, local
-    // overwrites) — delete first; the between-window has NO marker,
-    // which every reader treats as "re-run / re-measure"
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"could not commit marker $dst from its staged write")
+    // overwrite-capable atomic rename (GateLayout.write's discipline)
+    // — not delete-then-rename, whose between-window would leave NO
+    // marker for a concurrent reader
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The stable query id from a Structured Streaming checkpoint's

@@ -267,10 +267,14 @@ object MergeOps {
       * counterpart is restored wholesale.
       */
     def recoverOrphans(): Unit = {
-      // a crashed RESHARD first: its commit point is a whole-root
-      // swap, and a crash between its two renames leaves the live
-      // root ABSENT — every later table op must restore it before
-      // doing anything else, or the table reads as empty
+      // a live ONLINE reshard first: its sentinel marks the migration
+      // as the table's sole writer — every other writer entry point
+      // fails fast here, before reading or touching anything
+      MergeOps.assertNoOnlineReshard(fs, dest)
+      // a crashed offline RESHARD next: its commit point is a
+      // whole-root swap, and a crash between its two renames leaves
+      // the live root ABSENT — every later table op must restore it
+      // before doing anything else, or the table reads as empty
       MergeOps.recoverReshard(fs, dest)
       if (fs.exists(retiredRoot)) {
         if (fs.exists(unitsMarker)) {
@@ -682,6 +686,371 @@ object MergeOps {
         s"could not activate $rStaging as $dest — the table's only " +
           s"copy sits at $rRetired and the next table op restores it")
     fs.delete(rRetired, true)
+    true
+  }
+
+  // ----- ONLINE reshard: generation-pointer commit ------------------
+  // [[reshard]]'s whole-root two-rename swap has two honest costs at
+  // 100 TB: between the renames a concurrent reader sees NO table,
+  // and the staged sibling transiently doubles the table's disk
+  // footprint for the hours the rewrite takes. [[reshardOnline]]
+  // removes both with a generation indirection that exists only for
+  // the migration's duration: months migrate one at a time between
+  // two generation roots, every migrated month commits by writing the
+  // NEXT version of a tiny generation manifest (staged-then-renamed
+  // to a fresh versioned name, so readers listing manifests always
+  // see a complete set and resolve the max version — no torn or
+  // absent pointer is ever observable), and the superseded source
+  // month is deleted one commit LATER (a one-version grace), capping
+  // the transient disk overhead at ~2 months instead of the table.
+
+  private val rGenManifestPrefix = "_gen_manifest_"
+  private val rOnlineSentinel = "_reshard_online"
+
+  /** The migration's reader-visible pointer state: `version` is the
+    * manifest's monotonically increasing commit number, `months` maps
+    * each month value to (generation dir name, its numShards). */
+  private case class GenManifest(version: Long,
+      globals: Map[String, String], months: Map[String, (String, Int)])
+
+  private def writeGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, m: GenManifest): Unit = {
+    import org.apache.hadoop.fs.Path
+    val name = f"$rGenManifestPrefix${m.version}%09d"
+    val tmp = new Path(dest, name + ".wtmp")
+    val out = fs.create(tmp, true)
+    try out.write((
+      m.globals.toSeq.sorted.map { case (k, v) => s"g\t$k\t$v" } ++
+        m.months.toSeq.sorted.map { case (mo, (g, n)) =>
+          s"m\t$mo\t$g\t$n" }).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // dst is a NEVER-BEFORE-USED versioned name — plain rename, no
+    // overwrite semantics needed, and the commit is the rename itself
+    if (!fs.rename(tmp, new Path(dest, name)))
+      throw new java.io.IOException(
+        s"could not commit generation manifest $name under $dest")
+    // sweep superseded versions (readers that already RESOLVED an
+    // older version keep their open file handles; new resolutions
+    // take the max that remains)
+    fs.listStatus(dest).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(rGenManifestPrefix) && !n.endsWith(".wtmp") &&
+          n.stripPrefix(rGenManifestPrefix).forall(_.isDigit) &&
+          n.stripPrefix(rGenManifestPrefix).toLong < m.version)
+        fs.delete(p, false)
+    }
+  }
+
+  private def readGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Option[GenManifest] = {
+    if (!fs.exists(dest)) return None
+    val names = fs.listStatus(dest).map(_.getPath.getName)
+      .filter(n => n.startsWith(rGenManifestPrefix) &&
+        !n.endsWith(".wtmp") &&
+        n.stripPrefix(rGenManifestPrefix).nonEmpty &&
+        n.stripPrefix(rGenManifestPrefix).forall(_.isDigit))
+    if (names.isEmpty) return None
+    val name = names.maxBy(_.stripPrefix(rGenManifestPrefix).toLong)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dest, name))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val globals = lines.collect {
+      case l if l.startsWith("g\t") =>
+        val Array(_, k, v) = l.split("\t", 3); k -> v
+    }.toMap
+    val months = lines.collect {
+      case l if l.startsWith("m\t") =>
+        val Array(_, mo, g, n) = l.split("\t", 4); mo -> ((g, n.toInt))
+    }.toMap
+    Some(GenManifest(
+      name.stripPrefix(rGenManifestPrefix).toLong, globals, months))
+  }
+
+  /** Fail-fast writer exclusion while an online reshard is live —
+    * called by every writer entry point (via MonthSwap's recovery):
+    * the migration owns the writer role for its duration, exactly the
+    * single-writer contract the merges already assume, made loud. */
+  private[operators] def assertNoOnlineReshard(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(dest, rOnlineSentinel))
+        || readGenManifest(fs, dest).nonEmpty)
+      throw new IllegalStateException(
+        s"$dest has an online reshard in progress — writers are " +
+          "excluded until it completes; resume it with " +
+          "MergeOps.reshardOnline(same target); readers stay live " +
+          "through MergeOps.readMonthTable")
+
+  /** Read a month-partitioned table in ANY of its states — flat
+    * layout (plain parquet read) or mid-online-reshard (assemble the
+    * month list from the generation manifest plus the actual
+    * directories, preferring each month's manifest-mapped location).
+    * This is the reader the migration keeps live: at every commit
+    * point the resolved view is a complete, consistent table. Cheap
+    * in the steady state (one root listing to learn "flat"). */
+  def readMonthTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val man = readGenManifest(fs, dest)
+    val sentinelPath = new Path(dest, rOnlineSentinel)
+    val sentinel =
+      if (fs.exists(sentinelPath)) Some(GateLayout.read(fs, sentinelPath))
+      else None
+    if (man.isEmpty && sentinel.isEmpty)
+      return spark.read.parquet(tablePath)
+    val globals = man.map(_.globals).orElse(sentinel).get
+    val partCol = globals("part_col")
+    val shardCol = globals("shard_col")
+    val genNames = Seq(globals.get("target_gen"), globals.get("src_gen"))
+      .flatten.distinct
+    def monthsUnder(root: Path): Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith(partCol + "=")).toSeq
+        .map(_.stripPrefix(partCol + "="))
+    // every month anywhere, each resolved to ONE location: the
+    // manifest's mapping when that dir exists (post-commit the source
+    // copy may linger one grace step — the manifest disambiguates),
+    // else the table root (exit arrivals / enter stragglers), else
+    // target-then-source generation
+    val atRoot = monthsUnder(dest).toSet
+    val atGen = genNames.map(g =>
+      g -> monthsUnder(new Path(dest, g)).toSet).toMap
+    val allMonths = atRoot ++ atGen.values.flatten
+    val picks: Map[String, String] = allMonths.map { mo =>
+      val mapped = man.flatMap(_.months.get(mo)).map(_._1)
+        .filter(g => atGen.getOrElse(g, Set.empty).contains(mo))
+      val loc = mapped.orElse(if (atRoot.contains(mo)) Some("") else None)
+        .orElse(genNames.find(g =>
+          atGen.getOrElse(g, Set.empty).contains(mo)))
+      mo -> loc.get
+    }.toMap
+    val groups = picks.groupBy(_._2).toSeq.sortBy(_._1)
+    if (groups.isEmpty) return spark.read.parquet(tablePath)
+    groups.map { case (g, ms) =>
+      val base = if (g.isEmpty) dest else new Path(dest, g)
+      val paths = ms.keys.toSeq.sorted
+        .map(mo => new Path(base, s"$partCol=$mo").toString)
+      spark.read.option("basePath", base.toString).parquet(paths: _*)
+        .withColumn(partCol, col(partCol).cast("string"))
+        .withColumn(shardCol, col(shardCol).cast("string"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Availability-safe geometry change — [[reshard]] with its two
+    * operational costs removed: readers never observe an absent (or
+    * partial) table, and transient disk overhead is capped at ~2
+    * months instead of a full second table copy.
+    *
+    * Protocol, three phases:
+    *
+    *  1. ENTER (metadata-only, O(months) renames, seconds): a
+    *     `_reshard_online` sentinel records the migration (its
+    *     presence fail-fasts every writer entry point — the
+    *     single-writer contract made loud); the live months are
+    *     renamed into a source generation dir and generation manifest
+    *     v1 maps every month to it at the old geometry.
+    *  2. MIGRATE (the hours-long part at 100 TB — readers live
+    *     throughout): months move one at a time — rewrite the month
+    *     into the target generation on the new (shard) key (one
+    *     shuffle whose write parallelism is newNumShards tasks,
+    *     key-sorted, file-bounded like the offline rewrite), then
+    *     commit by writing manifest v+1 mapping the month to the
+    *     target generation. The commit is an atomic rename to a fresh
+    *     versioned name: a reader resolving the manifest set sees
+    *     version v or v+1, both complete consistent views. The
+    *     superseded source month is deleted one commit LATER (a
+    *     one-version grace for readers that resolved v just before
+    *     the commit), so peak extra disk is the in-flight month plus
+    *     the grace month. Months migrate sequentially by design —
+    *     that is the disk cap, and it makes the operator
+    *     interruptible/resumable at month granularity.
+    *  3. EXIT (metadata-only, O(months) renames): months are renamed
+    *     back to the table root, the root `_shard_layout` is written
+    *     at the new geometry, manifests are swept and the sentinel is
+    *     removed LAST. The table ends in the ordinary flat sharded
+    *     layout — identical on-disk contract to [[reshard]]'s result,
+    *     so no read path changes survive the operation.
+    *
+    * Crash at any point: re-running `reshardOnline` with the same
+    * target resumes from the recorded state (sentinel + manifest
+    * reconstruct the phase; unreferenced target-generation month dirs
+    * are rewritten, already-committed months are not repeated, a
+    * crashed exit completes). [[readMonthTable]] reads every
+    * intermediate state correctly, including mid-crash ones. Other
+    * writers are excluded for the whole migration (fail fast naming
+    * the remedy) — interleave merges by running migrations in
+    * maintenance windows, or accept the offline [[reshard]] if writer
+    * latency matters more than reader availability.
+    *
+    * Requires an already-sharded table (adopt an unsharded one via
+    * the offline [[reshard]] first — a half-adopted root would show
+    * readers months at two partition depths, which Spark's partition
+    * discovery rejects). `hook(phase, month)` is test instrumentation
+    * for crash injection and liveness probes at the protocol's commit
+    * points; production callers leave the default no-op. Returns true
+    * when a migration ran (or resumed), false for the no-op. */
+  def reshardOnline(spark: SparkSession, tablePath: String,
+      newNumShards: Int, maxRecordsPerFile: Long = 5000000L,
+      hook: (String, String) => Unit = (_, _) => ()): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(newNumShards > 0 && newNumShards <= 100000,
+      s"newNumShards must be in [1, 100000], got $newNumShards")
+    val dest = new Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinelPath = new Path(dest, rOnlineSentinel)
+    val resuming = fs.exists(sentinelPath)
+    var man = readGenManifest(fs, dest)
+
+    val globals: Map[String, String] =
+      if (resuming) {
+        val g = GateLayout.read(fs, sentinelPath)
+        require(g("target_shards").toInt == newNumShards,
+          s"a crashed online reshard targeting ${g("target_shards")} " +
+            s"shards is recorded at $tablePath — resume with that " +
+            s"target (got $newNumShards); geometry cannot change " +
+            "mid-migration")
+        g
+      } else {
+        require(man.isEmpty,
+          s"$tablePath has a generation manifest but no sentinel — " +
+            "unreachable by the protocol's ordering; inspect manually")
+        // fresh run: ordinary flat-table validation and recovery first
+        val swap = new MonthSwap(spark, tablePath)
+        swap.recoverOrphans()
+        require(fs.exists(dest), s"no table at $tablePath")
+        val layout = shardLayout(fs, dest).getOrElse(throw
+          new IllegalArgumentException(
+            s"$tablePath has no _shard_layout manifest — online " +
+              "reshard requires a sharded table; adopt an unsharded " +
+              "one via the offline MergeOps.reshard first"))
+        if (layout._2 == newNumShards) return false
+        val m = GateLayout.read(fs, new Path(dest, "_shard_layout"))
+        val g = Map(
+          "part_col" -> m.getOrElse("part_col", "start_month"),
+          "shard_col" -> layout._1,
+          "shard_keys" -> m("shard_keys"),
+          "src_shards" -> layout._2.toString,
+          "target_shards" -> newNumShards.toString,
+          "src_gen" -> "gen-000001",
+          "target_gen" -> "gen-000002")
+        GateLayout.write(fs, sentinelPath, g.toSeq.sorted)
+        g
+      }
+    val partCol = globals("part_col")
+    val shardCol = globals("shard_col")
+    val keys = globals("shard_keys").split(",").toSeq
+    val srcGen = globals("src_gen")
+    val tgtGen = globals("target_gen")
+    val srcRoot = new Path(dest, srcGen)
+    val tgtRoot = new Path(dest, tgtGen)
+    val rootLayoutPath = new Path(dest, "_shard_layout")
+
+    // a sentinel with NO manifest is either a crashed ENTER or a
+    // crashed tail of EXIT (manifests swept, sentinel not yet) — the
+    // root _shard_layout disambiguates: at the target geometry the
+    // exit completed and only the sweep remains
+    if (man.isEmpty && fs.exists(rootLayoutPath) &&
+        GateLayout.read(fs, rootLayoutPath)
+          .get("num_shards").contains(newNumShards.toString)) {
+      fs.delete(srcRoot, true)
+      fs.delete(tgtRoot, true)
+      fs.delete(sentinelPath, false)
+      return true
+    }
+
+    // ---- ENTER (idempotent: completes a crashed one) ----
+    if (man.isEmpty) {
+      fs.mkdirs(srcRoot)
+      GateLayout.write(fs, new Path(srcRoot, "_shard_layout"), Seq(
+        "num_shards" -> globals("src_shards"),
+        "shard_col" -> shardCol,
+        "shard_keys" -> globals("shard_keys"),
+        "part_col" -> partCol))
+      fs.listStatus(dest).map(_.getPath)
+        .filter(_.getName.startsWith(partCol + "=")).foreach { mdir =>
+          if (!fs.rename(mdir, new Path(srcRoot, mdir.getName)))
+            throw new java.io.IOException(
+              s"could not stage $mdir into $srcRoot for online reshard")
+        }
+      fs.delete(rootLayoutPath, false)
+      hook("enter_staged", "")
+      val months = fs.listStatus(srcRoot).map(_.getPath.getName)
+        .filter(_.startsWith(partCol + "="))
+        .map(_.stripPrefix(partCol + "=")).toSeq
+      man = Some(GenManifest(1L, globals - "src_shards",
+        months.map(_ -> ((srcGen, globals("src_shards").toInt))).toMap))
+      writeGenManifest(fs, dest, man.get)
+      hook("enter_done", "")
+    }
+
+    // ---- MIGRATE ----
+    fs.mkdirs(tgtRoot)
+    if (!fs.exists(new Path(tgtRoot, "_shard_layout")))
+      GateLayout.write(fs, new Path(tgtRoot, "_shard_layout"), Seq(
+        "num_shards" -> newNumShards.toString,
+        "shard_col" -> shardCol,
+        "shard_keys" -> globals("shard_keys"),
+        "part_col" -> partCol))
+    // resume sweep: a source month the manifest already maps to the
+    // target is grace/crash residue — its live copy is the target's
+    for ((mo, (g, _)) <- man.get.months if g == tgtGen)
+      fs.delete(new Path(srcRoot, s"$partCol=$mo"), true)
+    var pendingDelete: Option[Path] = None
+    val toMigrate = man.get.months.collect {
+      case (mo, (g, _)) if g == srcGen => mo }.toSeq.sorted
+    for (mo <- toMigrate) {
+      val srcDir = new Path(srcRoot, s"$partCol=$mo")
+      val tgtDir = new Path(tgtRoot, s"$partCol=$mo")
+      // an unreferenced target month dir is a crashed rewrite — redo
+      fs.delete(tgtDir, true)
+      spark.read.option("basePath", srcRoot.toString)
+        .parquet(srcDir.toString)
+        .drop(partCol, shardCol)
+        .withColumn(shardCol, keyShard(keys, newNumShards))
+        .repartition(col(shardCol))
+        .sortWithinPartitions((shardCol +: keys).map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(shardCol)
+        .parquet(tgtDir.toString)
+      hook("month_staged", mo)
+      man = man.map(m => m.copy(version = m.version + 1,
+        months = m.months + (mo -> ((tgtGen, newNumShards)))))
+      writeGenManifest(fs, dest, man.get)
+      hook("month_committed", mo)
+      pendingDelete.foreach(fs.delete(_, true))
+      pendingDelete = Some(srcDir)
+    }
+
+    // ---- EXIT ----
+    hook("exit_begin", "")
+    pendingDelete.foreach(fs.delete(_, true))
+    fs.delete(srcRoot, true)
+    if (fs.exists(tgtRoot))
+      fs.listStatus(tgtRoot).map(_.getPath)
+        .filter(_.getName.startsWith(partCol + "=")).foreach { mdir =>
+          val live = new Path(dest, mdir.getName)
+          if (!fs.exists(live) && !fs.rename(mdir, live))
+            throw new java.io.IOException(
+              s"could not restore $mdir to $live completing the " +
+                "online reshard")
+        }
+    GateLayout.write(fs, rootLayoutPath, Seq(
+      "num_shards" -> newNumShards.toString,
+      "shard_col" -> shardCol,
+      "shard_keys" -> globals("shard_keys"),
+      "part_col" -> partCol))
+    fs.delete(tgtRoot, true)
+    fs.listStatus(dest).map(_.getPath).foreach { p =>
+      if (p.getName.startsWith(rGenManifestPrefix))
+        fs.delete(p, false)
+    }
+    fs.delete(sentinelPath, false)
+    hook("exit_done", "")
     true
   }
 

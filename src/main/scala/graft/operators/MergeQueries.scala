@@ -229,6 +229,106 @@ object MergeQueries {
         |FROM r WHERE rn = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // K1 geometry maintenance, availability-safe — the ONLINE reshard
+    // (generation-pointer commit). Same fixture and end-state oracle
+    // as k1_reshard, but the migration is month-incremental and the
+    // row PROVES the operator's defining property in-band:
+    // live_reads_ok resolves and fingerprints the table through
+    // MergeOps.readMonthTable at EVERY protocol commit point (enter,
+    // each month's staged+committed, exit) and requires the full
+    // multiset every time — the offline reshard's reader-absent
+    // commit window cannot pass this probe. flat_again pins that the
+    // exit leaves the ordinary flat layout (no migration scaffolding
+    // survives), so the operator composes with every other table op.
+    "k1_reshard_online" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/reshard_online/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        def latestPerUser(df: DataFrame) = df
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
+              .as("start_month"))
+        val ev = T.events(s, d)
+        val base = latestPerUser(ev.filter(col("event_id") < 8000))
+        val batch1 = latestPerUser(ev.filter(col("event_id") >= 8000 &&
+          col("user_id") % 12 === 2 && col("user_id") < 30))
+        val batch2 = latestPerUser(ev.filter(col("event_id") >= 8000 &&
+          col("user_id") % 12 === 8 && col("user_id") < 30))
+        MergeOps.upsertParquetByMonthShard(s, table, base,
+          Seq("user_id"), "event_id", numShards = 4)
+        MergeOps.upsertParquetByMonthShard(s, table, batch1,
+          Seq("user_id"), "event_id", numShards = 4)
+        def fpOf(df: DataFrame) = df
+          .select(xxhash64(col("user_id"), col("event_id"),
+            col("value").cast("string"),
+            col("start_month").cast("string"))
+            .cast("decimal(38,0)").as("h"))
+          .agg(coalesce(sum(col("h")), lit(0)).as("f"), count(lit(1)).as("n"))
+          .head()
+        val pre = fpOf(s.read.parquet(table))
+        var liveOk = true
+        var probes = 0
+        MergeOps.reshardOnline(s, table, 12, hook = (_, _) => {
+          probes += 1
+          liveOk &&= fpOf(MergeOps.readMonthTable(s, table)) == pre
+        })
+        val post = fpOf(s.read.parquet(table))
+        val rowsIdentical = pre == post && pre.getLong(1) > 0L
+        // 6 months: enter(2) + 6×(staged+committed) + exit(2) = 16
+        val liveReadsOk = liveOk && probes == 16
+        val manifestUpdated = graft.operators.GateLayout.read(fs,
+            new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
+          .get("num_shards").contains("12")
+        val newGeometry = fs.listStatus(
+            new org.apache.hadoop.fs.Path(table)).toSeq
+          .filter(_.getPath.getName.startsWith("start_month="))
+          .flatMap(m => fs.listStatus(m.getPath).toSeq)
+          .map(_.getPath.getName).filter(_.startsWith("kshard=s"))
+          .exists(_.stripPrefix("kshard=s").toInt >= 4)
+        val flatAgain = fs.listStatus(
+            new org.apache.hadoop.fs.Path(table))
+          .map(_.getPath.getName)
+          .forall(n => n.startsWith("start_month=") || n == "_shard_layout")
+        MergeOps.upsertParquetByMonthShard(s, table, batch2,
+          Seq("user_id"), "event_id", numShards = 12)
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"),
+            max(col("event_id")).as("max_eid"),
+            T.decSum(col("value")).as("total"))
+          .withColumn("rows_identical", lit(rowsIdentical))
+          .withColumn("live_reads_ok", lit(liveReadsOk))
+          .withColumn("manifest_updated", lit(manifestUpdated))
+          .withColumn("new_geometry", lit(newGeometry))
+          .withColumn("flat_again", lit(flatAgain))
+          .orderBy(col("start_month"))
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id < 8000
+        |     OR (event_id >= 8000 AND user_id % 12 IN (2, 8)
+        |         AND user_id < 30))
+        |SELECT '2025-0' || CAST(user_id % 6 + 1 AS VARCHAR) AS start_month,
+        |  COUNT(*) AS n,
+        |  MAX(event_id) AS max_eid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS rows_identical,
+        |  TRUE AS live_reads_ok,
+        |  TRUE AS manifest_updated,
+        |  TRUE AS new_geometry,
+        |  TRUE AS flat_again
+        |FROM r WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // K1 at scale — partition-pruned month merge. An initial table
     // (latest row per user, event_id < 8000, month derived from the
     // user key so partition values are key-stable) absorbs a batch

@@ -925,6 +925,130 @@ class MergeOpsSpec extends AnyFunSuite {
       "reshard to the current count must be a no-op")
   }
 
+  private def onlineFixture(dir: String): String = {
+    val table = s"$dir/events"
+    val rows = (1 to 24).map(i => (s"e$i", s"t$i", 1, "2025-01")) ++
+      (1 to 6).map(i => (s"f$i", s"u$i", 1, "2025-02"))
+    MergeOps.upsertParquetByMonthShard(spark, table, monthDocs(rows),
+      Seq("event_id"), "version", numShards = 4)
+    table
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+    .select("event_id", "title", "version", "start_month")
+    .collect()
+    .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+      r.getString(3))).toSeq.sorted
+
+  test("online reshard: identical result to the offline operator, " +
+      "readers live and correct at EVERY protocol phase") {
+    val dir = Files.createTempDirectory("graft_rsonline").toFile
+      .getAbsolutePath
+    val table = onlineFixture(s"$dir/on")
+    val twin = onlineFixture(s"$dir/off")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = rowsOf(spark.read.parquet(table))
+    // the reader-liveness probe: at every commit point of the
+    // protocol a fresh resolve-and-read must succeed and return the
+    // complete table — this is the property the offline reshard
+    // cannot offer (its commit window has NO table)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(MergeOps.reshardOnline(spark, table, 12,
+      hook = (phase, mo) => {
+        phases += phase
+        assert(rowsOf(MergeOps.readMonthTable(spark, table)) === before,
+          s"reader saw a wrong/partial table at phase $phase ($mo)")
+      }))
+    assert(phases.toSeq === Seq("enter_staged", "enter_done",
+      "month_staged", "month_committed", "month_staged",
+      "month_committed", "exit_begin", "exit_done"))
+    // the end state is the ordinary FLAT sharded layout — byte-for
+    // -byte the offline reshard's contract: plain reads work, no
+    // migration scaffolding survives
+    assert(rowsOf(spark.read.parquet(table)) === before)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName)
+      .forall(n => n.startsWith("start_month=") || n == "_shard_layout"),
+      "migration scaffolding must not survive the exit")
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
+      .get("num_shards").contains("12"))
+    // geometry identical to the offline operator's (same hash, same
+    // shard assignment): shard dir sets match per month
+    assert(MergeOps.reshard(spark, twin, 12))
+    def shardDirs(t: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(t)).toSeq
+      .filter(_.getPath.getName.startsWith("start_month="))
+      .flatMap(m => fs.listStatus(m.getPath).toSeq
+        .filter(_.getPath.getName.startsWith("kshard="))
+        .map(s => m.getPath.getName + "/" + s.getPath.getName))
+      .sorted
+    assert(shardDirs(table) === shardDirs(twin),
+      "online and offline reshard must produce the same geometry")
+    // operational continuity: merges at the new geometry work
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "t1 v2", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 12)
+    assert(spark.read.parquet(table)
+      .filter($"event_id" === "e1").head().getAs[String]("title")
+      === "t1 v2")
+    // no-op at the current geometry
+    assert(!MergeOps.reshardOnline(spark, table, 12))
+  }
+
+  test("online reshard crash at each phase: reader correct in the " +
+      "crash state, writers fail fast, resume converges") {
+    // one crash per protocol phase: mid-enter, mid-month (staged but
+    // uncommitted), post-pointer (committed, source not yet swept,
+    // incl. the grace-delete path on the second month), and mid-exit
+    val crashes = Seq(("enter_staged", 1), ("month_staged", 1),
+      ("month_committed", 1), ("month_committed", 2), ("exit_begin", 1))
+    for ((phase, nth) <- crashes) {
+      val dir = Files.createTempDirectory(s"graft_rsoc_$phase$nth")
+        .toFile.getAbsolutePath
+      val table = onlineFixture(dir)
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = rowsOf(spark.read.parquet(table))
+      var seen = 0
+      val boom = intercept[RuntimeException] {
+        MergeOps.reshardOnline(spark, table, 12, hook = (p, _) => {
+          if (p == phase) { seen += 1
+            if (seen == nth) sys.error(s"injected crash at $phase#$nth") }
+        })
+      }
+      assert(boom.getMessage.contains("injected"))
+      // the crash state is fully readable…
+      assert(rowsOf(MergeOps.readMonthTable(spark, table)) === before,
+        s"reader wrong after crash at $phase#$nth")
+      // …and exclusively owned: every writer entry point fails fast
+      // naming the remedy
+      val excl = intercept[IllegalStateException] {
+        MergeOps.upsertParquetByMonthShard(spark, table,
+          monthDocs(Seq(("e1", "x", 2, "2025-01"))),
+          Seq("event_id"), "version", numShards = 4)
+      }
+      assert(excl.getMessage.contains("reshardOnline"))
+      // a resume must carry the recorded target — geometry cannot
+      // change mid-migration
+      val wrong = intercept[IllegalArgumentException] {
+        MergeOps.reshardOnline(spark, table, 8)
+      }
+      assert(wrong.getMessage.contains("cannot change"))
+      // resume with the recorded target converges to the flat result
+      assert(MergeOps.reshardOnline(spark, table, 12),
+        s"resume after $phase#$nth crash did no work")
+      assert(rowsOf(spark.read.parquet(table)) === before,
+        s"resume after $phase#$nth crash lost or changed rows")
+      assert(graft.operators.GateLayout.read(fs,
+          new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
+        .get("num_shards").contains("12"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$table/_reshard_online")))
+    }
+  }
+
   test("reshard crash between its two renames: the table's only copy " +
       "is restored by the next op, retry converges") {
     val dir = Files.createTempDirectory("graft_rscrash").toFile
