@@ -1207,4 +1207,38 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
       initSeen(spark, s"$root/keys", keysExist = true)
     }
   }
+
+  /** Width migration as a NAMED maintenance contract — re-derive the
+    * whole band index at `newRowBits` from the stored vectors, inside
+    * the same crash-safe generation swap every compaction uses (the
+    * re-banded `keys_tmp` carries its `_row_bits` marker through the
+    * rename, so data and width can never disagree; a fresh open
+    * restores the migrated width from the marker/manifest and the
+    * constructor's `rowBits` only seeds a table that has never
+    * resized).
+    *
+    * COLLISION-SEMANTICS CONTRACT (the reason self-sizing was
+    * historically opt-in, now carried here where the migration
+    * actually happens): the band width is part of the gate's
+    * candidate-recall definition — widening by one bit halves the
+    * expected per-key load and with it the chance that two
+    * merely-similar vectors share a band. What the migration
+    * GUARANTEES: (1) committed verdicts are append-only history and
+    * never flip; (2) no stored vector loses index presence — keys are
+    * re-derived from the full vectors, so identical (and
+    * sign-identical-per-band) arrivals still collide at any width;
+    * (3) the migration is atomic-or-absent under crash. What it does
+    * NOT guarantee: post-migration probes score the new width's
+    * candidate sets, so a borderline pair that would have collided at
+    * the old width may verdict novel at the new one — the standard
+    * LSH recall/cost dial, moved deliberately. Deployments pinning
+    * exact oracle replay must keep `targetKeyLoad = 0` and never call
+    * this. */
+  def regenerateAtWidth(spark: org.apache.spark.sql.SparkSession,
+      newRowBits: Int): Unit = {
+    require(newRowBits > 0 && bands * newRowBits <= 30,
+      s"rowBits=$newRowBits overflows the int band keyspace " +
+        s"(bands=$bands)")
+    compact(spark, Some(newRowBits))
+  }
 }

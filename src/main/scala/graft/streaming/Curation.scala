@@ -747,28 +747,27 @@ object Curation {
     * vector twin of the text chain: one [[EmbedNearDupGate]] per
     * stream, batches of (id, vector) admitted in arrival order.
     *
-    * `targetKeyLoad` > 0 opts into the gate's SELF-SIZING band width:
-    * each auto-compaction widens rowBits until per-key corpus load ≤
-    * target (manifest-persisted, restart-safe — the gate's own
-    * policy, here merely surfaced so a hands-off deployment doesn't
-    * have to subclass). Opt-in, unlike the novelty gate's self-sizing
-    * defaults, because a width change alters COLLISION semantics:
-    * `rowBits` then only seeds the width before the first resize.
-    *
-    * The hands-off default is NOT silent about what opting out costs:
-    * with both load remedies off, the gate's own compactions measure
-    * the hottest sign-band key and warn loudly past
-    * `keyLoadWarnBudget` (EmbedNearDupGate's diagnostic — exposed
-    * here so an operator can lower the budget for an earlier warning
-    * or pass 0 to acknowledge-and-silence a legitimately hot exact
-    * index), so unbounded per-key growth is on record long before
-    * probe latency reports it. */
+    * `targetKeyLoad` (default 64 — ON, parity with [[start]]'s text
+    * gate) engages the gate's SELF-SIZING band width: each
+    * auto-compaction widens rowBits until per-key corpus load ≤
+    * target, through [[graft.operators.EmbedNearDupGate
+    * .regenerateAtWidth]]'s crash-safe generation-swap migration
+    * (manifest-persisted, restart-safe; `rowBits` then only seeds the
+    * width before the first resize). The migration's
+    * collision-semantics contract — what a width change does and does
+    * not preserve — lives on `regenerateAtWidth` itself. Pass
+    * `targetKeyLoad = 0` to opt out (exact fixed-width semantics, the
+    * oracle rows' configuration); the opted-out gate is still not
+    * silent about growth: its compactions measure the hottest
+    * sign-band key and warn loudly past `keyLoadWarnBudget`
+    * (lower it for an earlier warning, 0 to acknowledge-and-silence
+    * a legitimately hot exact index). */
   def startEmbedding(spark: SparkSession, vecsGlob: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       dim: Int, idCol: String, vecCol: String,
       bands: Int = 4, rowBits: Int = 4, minCosine: Double = 0.5,
       bandKeyCap: Int = 0, candCap: Int = 100000,
-      autoCompactEvery: Int = 16, targetKeyLoad: Int = 0,
+      autoCompactEvery: Int = 16, targetKeyLoad: Int = 64,
       trigger: Trigger = Trigger.AvailableNow(),
       keyLoadWarnBudget: Int = 4096): StreamingQuery = {
     val gate = new EmbedNearDupGate(outDir, dim, bands = bands,

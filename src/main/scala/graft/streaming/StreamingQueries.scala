@@ -1217,7 +1217,10 @@ object StreamingQueries {
             d + "/embeddings.parque*", fileSchema, out,
             dim = 64, idCol = "vec_id", vecCol = "embedding",
             // pinned explicitly: the oracle replays THIS geometry
-            bands = 4, rowBits = 4, minCosine = 0.5)
+            // (targetKeyLoad=0 opts out of the now-default-ON
+            // self-sizing width — the exact fixed-width anchor)
+            bands = 4, rowBits = 4, minCosine = 0.5,
+            targetKeyLoad = 0)
           .awaitTermination()
         s.read.parquet(s"$out/verdicts").distinct()
           .select(col("id"), col("n_cands"), col("best_cos"),
@@ -1244,7 +1247,10 @@ object StreamingQueries {
         graft.streaming.Curation.startEmbedding(s,
             d + "/embeddings.parque*", fileSchema, out,
             dim = 64, idCol = "vec_id", vecCol = "embedding",
-            bands = 4, rowBits = 4, minCosine = 0.5, bandKeyCap = 8)
+            // targetKeyLoad=0: the cap is THIS row's load remedy and
+            // the oracle replays the fixed 4-bit geometry
+            bands = 4, rowBits = 4, minCosine = 0.5, bandKeyCap = 8,
+            targetKeyLoad = 0)
           .awaitTermination()
         s.read.parquet(s"$out/verdicts").distinct()
           .select(col("id"), col("n_cands"), col("best_cos"),

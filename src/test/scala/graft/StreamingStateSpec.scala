@@ -1745,12 +1745,13 @@ class StreamingStateSpec extends AnyFunSuite {
 
   test("embed gate with both load remedies off warns loudly on a hot " +
       "key at compaction; any remedy silences it") {
-    // startEmbedding's hands-off default keeps self-sizing OFF for a
-    // documented semantic reason (width changes alter collision
-    // semantics) — but that must not mean unbounded per-key load
-    // grows silently: with targetKeyLoad=0 and bandKeyCap=0, each
-    // compaction measures the hottest (band, bkey) stored-id count
-    // and warns past keyLoadWarnBudget, naming the remedies.
+    // a deployment that opts OUT of self-sizing (targetKeyLoad=0 —
+    // the gate constructor's default and the exact-oracle anchors'
+    // configuration; regenerateAtWidth's scaladoc carries the
+    // collision-semantics contract) must not inherit unbounded
+    // per-key load silently: with targetKeyLoad=0 and bandKeyCap=0,
+    // each compaction measures the hottest (band, bkey) stored-id
+    // count and warns past keyLoadWarnBudget, naming the remedies.
     val out = new java.io.File("target/test_embed_loadwarn")
       .getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -2051,6 +2052,71 @@ class StreamingStateSpec extends AnyFunSuite {
       .filter(col("id") === 100L)
     assert(v100.count() === 1 && v100.head().getInt(3) === 1,
       "the widened index must flag a near-identical later arrival")
+  }
+
+  test("regenerateAtWidth migrates a live stream's band index: no " +
+      "committed verdict flips, stored vectors keep index presence") {
+    // the named width-migration contract, driven through the
+    // streaming entry point: stream under width 2, migrate to 5
+    // between drains, stream on. Already-committed verdicts are
+    // append-only history (bit-identical after the migration), and a
+    // post-migration arrival near-identical to a PRE-migration stored
+    // vector must still flag — the re-band derives keys from the full
+    // vectors, so no stored doc loses index presence at any width.
+    val out = new java.io.File("target/test_regen_width")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val b1 = (1L to 12L).map(i => (i, Seq(
+      (if (i % 2 == 0) 1f else -1f) * (i.toFloat / 12f),
+      (if (i % 3 == 0) 1f else -1f) * 0.5f,
+      0.25f, 0.1f))).toDF("vec_id", "embedding")
+    b1.write.mode("overwrite").parquet(s"$out/src")
+    val schema = spark.read.parquet(s"$out/src").schema
+    def drain(): Unit =
+      graft.streaming.Curation.startEmbedding(spark, s"$out/src",
+          schema, s"$out/run", dim = 4, idCol = "vec_id",
+          vecCol = "embedding", bands = 2, rowBits = 2,
+          minCosine = 0.5, targetKeyLoad = 0)
+        .awaitTermination()
+    drain()
+    val committed = spark.read.parquet(s"$out/run/verdicts")
+      .distinct().orderBy("id").collect().toSeq
+    assert(committed.size === 12)
+    // the migration: same gate parameters, new width — crash-safe
+    // generation swap inside (the _row_bits marker rides the rename)
+    new graft.operators.EmbedNearDupGate(s"$out/run", dim = 4,
+      bands = 2, rowBits = 2, minCosine = 0.5)
+      .regenerateAtWidth(spark, 5)
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$out/run/_layout"))
+      .get("row_bits") === Some("5"))
+    assert(graft.operators.GateOps.readMarker(fs, s"$out/run/keys",
+      "_row_bits") === Some("5"),
+      "the width marker must ride the re-banded generation")
+    assert(spark.read.parquet(s"$out/run/verdicts").distinct()
+      .orderBy("id").collect().toSeq === committed,
+      "a width migration must not flip a committed verdict")
+    // stream on: a near-identical twin of stored id 12 must flag
+    // through the RE-BANDED index (the reopened gate restores width 5
+    // from the manifest — rowBits=2 below only seeds a fresh table),
+    // and a far vector stays novel (every stored vector has third
+    // component +0.25, so cosine with (0,0,-1,0) is at most ~-0.2 —
+    // well under the 0.5 threshold)
+    Seq((100L, Seq(1f, 0.5f, 0.25f, 0.1f)),
+      (101L, Seq(0f, 0f, -1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$out/src")
+    drain()
+    val after = spark.read.parquet(s"$out/run/verdicts").distinct()
+    assert(after.filter(col("id") === 100L).head().getInt(3) === 1,
+      "a stored vector lost index presence across the migration")
+    assert(after.filter(col("id") === 101L).head().getInt(3) === 0,
+      "a far vector must stay novel")
+    assert(after.filter(col("id") < 100L).orderBy("id")
+      .collect().toSeq === committed,
+      "streaming on after the migration must not rewrite history")
   }
 
   test("neardup gate self-sizes its cap under a hot-key stream") {
