@@ -16,8 +16,19 @@ therefore (a) compares Arrow column TYPE FAMILIES per column and
 (b) tags Decimal cells so a decimal-vs-int value never compares
 equal — an uncast aggregate in an oracle's final SELECT now FAILS
 locally exactly like it fails on the driver (r7: a13_hll_distinct).
+
+WALL-TIME TRIPWIRE: the r15/r16 empty-artifact failure mode was a
+SILENT oracle-side time blowup (DuckDB CTE inlining grew the gate to
+~14 min and the driver's budget was exceeded without a word — root
+cause note in BENCH_NOTES.md "Oracle gate wall-time budget"). Every
+run now times each oracle query and the gate total, writes them to
+<outDir>/check_timing.json, and warns loudly past the budgets
+(defaults: 120 s gate total, 10 s per query; override with
+GRAFT_ORACLE_BUDGET_S / GRAFT_ORACLE_QUERY_BUDGET_S) naming the
+offending queries — a creeping oracle now trips HERE, rounds before
+it can starve the driver's gate.
 """
-import json, sys, math, decimal
+import json, os, sys, math, decimal, time
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -84,18 +95,23 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
 
+    t_gate = time.monotonic()
+    oracle_s = {}
     n_pass = n_fail = 0
     for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
         spark_tbl = ds.dataset(str(out_dir / name), format="parquet").to_table()
         if name not in oracle:
             print(f"{name:28s} ROWS-ONLY  rows={spark_tbl.num_rows}")
             continue
+        t_q = time.monotonic()
         try:
             duck_tbl = con.execute(oracle[name]).arrow()
         except Exception as e:
+            oracle_s[name] = round(time.monotonic() - t_q, 3)
             print(f"{name:28s} ORACLE-ERR {e}")
             n_fail += 1
             continue
+        oracle_s[name] = round(time.monotonic() - t_q, 3)
         sc, sr = rows_of(spark_tbl)
         dc, dr = rows_of(duck_tbl)
         sf, df_ = schema_families(spark_tbl), schema_families(duck_tbl)
@@ -120,7 +136,37 @@ def main():
         else:
             n_pass += 1
             print(f"{name:28s} PASS rows={len(sr)}")
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    total_s = round(time.monotonic() - t_gate, 3)
+    budget_total = float(os.environ.get("GRAFT_ORACLE_BUDGET_S", "120"))
+    budget_query = float(os.environ.get("GRAFT_ORACLE_QUERY_BUDGET_S", "10"))
+    slow = sorted((s, q) for q, s in oracle_s.items() if s > budget_query)
+    timing = {
+        "gate_total_s": total_s,
+        "oracle_total_s": round(sum(oracle_s.values()), 3),
+        "budget_total_s": budget_total,
+        "budget_query_s": budget_query,
+        "over_query_budget": [q for _, q in reversed(slow)],
+        "oracle_s": dict(sorted(oracle_s.items(),
+                                key=lambda kv: -kv[1])),
+    }
+    (out_dir / "check_timing.json").write_text(
+        json.dumps(timing, indent=1))
+    if slow:
+        worst = ", ".join(f"{q}={s:.1f}s" for s, q in reversed(slow[-5:]))
+        print(f"[oracle-tripwire] {len(slow)} oracle quer"
+              f"{'y' if len(slow) == 1 else 'ies'} over the "
+              f"{budget_query:g}s per-query budget: {worst} — DuckDB "
+              "inlines non-recursive CTEs (two refs/level = 2^k "
+              "blowup); MATERIALIZE any CTE referenced more than once "
+              "(BENCH_NOTES.md 'Oracle gate wall-time budget')")
+    if total_s > budget_total:
+        print(f"[oracle-tripwire] gate total {total_s:.1f}s exceeds "
+              f"the {budget_total:g}s budget — the r15/r16 silent-"
+              "starvation mode; trim the slowest oracles "
+              "(check_timing.json has the per-query ranking) before "
+              "the driver's gate starves again")
+    print(f"\n{n_pass} pass / {n_fail} fail  "
+          f"(gate {total_s:.1f}s, oracle {timing['oracle_total_s']:.1f}s)")
     sys.exit(1 if n_fail else 0)
 
 
