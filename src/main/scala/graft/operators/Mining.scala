@@ -291,18 +291,39 @@ object Mining {
   }
 
   /** 2-D Pareto frontier (skyline): points with no other point at
-    * (x <=, y >=) with one strict — minimize x, maximize y. Two-phase
-    * so the global sort never sees the full input: phase 1 computes
-    * bucket-local frontiers in PARALLEL windows partitioned by an
-    * x-range bucket (a point dominated inside its bucket is dominated
-    * globally — same-bucket dominators have x <= by the sort), phase 2
-    * runs the global running-max window over local survivors only
-    * (frontier-sized, not input-sized). Survival rule both phases:
-    * ordered by (x asc, y desc), keep a point iff its y strictly
-    * exceeds every earlier point's y.
+    * (x <=, y >=) with one strict — minimize x, maximize y. Two-phase,
+    * and NO task ever holds O(survivors) rows — the r17 adversarial
+    * bound (diagonal data where y rises with x puts every distinct
+    * point on the frontier, so a "global window over survivors" pass
+    * is O(input) in one task) is closed by making phase 2 distributed:
+    *
+    *  - Phase 1: bucket-local frontiers in PARALLEL windows
+    *    partitioned by an x-range bucket (a point dominated inside
+    *    its bucket is dominated globally — same-bucket dominators
+    *    have x <= by the sort). Survival rule: ordered by (x asc,
+    *    y desc), keep a point iff its y strictly exceeds every
+    *    earlier point's y.
+    *  - Phase 2: every point in an EARLIER bucket has strictly
+    *    smaller x (buckets are x-range slices), so cross-bucket
+    *    domination of p reduces to "some earlier non-empty bucket's
+    *    max y >= p.y". That prefix max is computed over the
+    *    per-bucket census — ONE row per non-empty bucket, and the
+    *    bucket max is always attained by a phase-1 survivor (the
+    *    x-earliest max-y point has no earlier same-bucket y >= it) —
+    *    in two bounded window levels: within super-buckets of
+    *    `superBuckets` consecutive buckets (partitioned, <=
+    *    superBuckets rows per task), then a single-partition window
+    *    over the super-bucket rows. Super rows are bounded by
+    *    x-range / (bucketWidth * superBuckets) — with the defaults,
+    *    <= ~9e6 even if x spans the full Long range — so the one
+    *    unpartitioned window in the plan is arithmetic-bounded
+    *    census data, never point data. Survivors then filter
+    *    against the joined prefix max IN PLACE, reusing the bx
+    *    hash partitioning phase 1 already established.
     */
   def skyline2d(points: DataFrame, xCol: String, yCol: String,
-      bucketWidth: Long = 1000000L): DataFrame = {
+      bucketWidth: Long = 1000000L, superBuckets: Long = 1L << 20)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = points.select(col(xCol).as("x"), col(yCol).as("y")).distinct()
     val localW = Window.partitionBy(col("bx"))
@@ -311,10 +332,30 @@ object Mining {
     val local = p.withColumn("bx", expr(s"x div $bucketWidth"))
       .withColumn("pm", max(col("y")).over(localW))
       .filter(col("pm").isNull || col("y") > col("pm"))
-    val globalW = Window.orderBy(col("x").asc, col("y").desc)
+      .select(col("bx"), col("x"), col("y"))
+    // Per-bucket census: (bucket, max y among its survivors) — equal
+    // to the bucket's overall max y (see scaladoc), one row per
+    // non-empty bucket.
+    val census = local.groupBy(col("bx")).agg(max(col("y")).as("by"))
+      .withColumn("sb", expr(s"bx div $superBuckets"))
+    val innerW = Window.partitionBy(col("sb")).orderBy(col("bx").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    local.withColumn("gm", max(col("y")).over(globalW))
-      .filter(col("gm").isNull || col("y") > col("gm"))
+    val superW = Window.orderBy(col("sb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superPrefix = census.groupBy(col("sb")).agg(max(col("by")).as("sby"))
+      .withColumn("spm", max(col("sby")).over(superW))
+      .select(col("sb"), col("spm"))
+    // greatest() ignores nulls (null only when BOTH sides are null =
+    // the x-least bucket), matching "no earlier bucket" semantics.
+    // No broadcast hint on superPrefix: it is usually a handful of
+    // rows (AQE will broadcast it), but its arithmetic bound is ~9e6
+    // rows — census-sized joins are cheap either way.
+    val prefix = census
+      .withColumn("ipm", max(col("by")).over(innerW))
+      .join(superPrefix, "sb")
+      .select(col("bx"), greatest(col("ipm"), col("spm")).as("gpm"))
+    local.join(prefix, "bx")
+      .filter(col("gpm").isNull || col("y") > col("gpm"))
       .select(col("x"), col("y"))
   }
 
@@ -580,9 +621,11 @@ object MiningQueries {
          |  END AS clustering_x1e6""".stripMargin),
 
     // 2-D skyline (min price cents, max discount basis points) over
-    // lineitem — bucketed local frontiers in parallel, global pass
-    // over survivors only. Oracle: brute-force NOT EXISTS dominance (a
-    // different formulation — window tie-handling bugs turn it red).
+    // lineitem — bucketed local frontiers in parallel, cross-bucket
+    // pass distributed via the per-bucket census prefix max (no
+    // O(survivors) task exists). Oracle: brute-force NOT EXISTS
+    // dominance (a different formulation — window tie-handling bugs
+    // turn it red).
     "a19_skyline" -> QueryDef(
       (s, d) => Mining.skyline2d(
           T.lineitem(s, d).select(

@@ -170,6 +170,38 @@ class MiningSpec extends AnyFunSuite {
     assert(got === Set((1L, 5L), (2L, 7L), (4L, 9L)))
   }
 
+  test("skyline2d anti-correlated worst case: full frontier, bounded tasks") {
+    // Every distinct point is on the frontier (x=i, y=i: paying more
+    // x always buys strictly more y, so nothing dominates anything) —
+    // the case where a "global window over survivors" phase would see
+    // all N rows in one task. bucketWidth=1 forces one bucket per
+    // point and superBuckets=4 forces the census prefix through BOTH
+    // window levels (inner per-super partitions of <=4 rows, the top
+    // window over N/4 super rows); the plan's only unpartitioned
+    // window runs over census rows, never points.
+    val n = 257
+    val pts = (0 until n).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val got = Mining.skyline2d(pts, "x", "y",
+        bucketWidth = 1L, superBuckets = 4L)
+      .as[(Long, Long)].collect().toSet
+    assert(got.size === n)
+    assert(got === (0 until n).map(i => (i.toLong, i.toLong)).toSet)
+  }
+
+  test("skyline2d cross-super-bucket domination and census ties") {
+    // The dominator sits in super-bucket 0 while victims live in
+    // later super-buckets (superBuckets=2, bucketWidth=1): proves the
+    // top-level prefix carries across super boundaries. y-ties across
+    // buckets must be dominated (earlier bucket => strictly smaller
+    // x, so y >= suffices).
+    val pts = Seq((0L, 9L), (1L, 9L), (3L, 9L), (5L, 8L), (6L, 10L),
+      (7L, 10L)).toDF("x", "y")
+    val got = Mining.skyline2d(pts, "x", "y",
+        bucketWidth = 1L, superBuckets = 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 9L), (6L, 10L)))
+  }
+
   test("gap-fill forward fill: leading gap stays 0, interior gap carries") {
     // series with a hole at day 2 and nothing before day 1
     import org.apache.spark.sql.expressions.Window
