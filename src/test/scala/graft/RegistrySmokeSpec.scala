@@ -82,6 +82,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // builds + merges + RESHARDS an on-disk table (two geometry
       // generations) before the read-back aggregate
       "k1_reshard",
+      // same, via the generation-pointer protocol: month-by-month
+      // migration with mid-flight readMonthTable fingerprint probes —
+      // every probe IS the reader-liveness property under test
+      "k1_reshard_online",
       "k2_json_roundtrip", "k3_csv_roundtrip", "k4_markdown_roundtrip",
       "k6_retention_drop", "k7_scd2_census", "s1_json_roundtrip",
       "s2_calendar_roundtrip", "s3_staging_roundtrip", "s5_table_copy",
