@@ -570,6 +570,100 @@ object PipelineQueries {
          |SELECT query_id, corpus_id, cosine FROM r WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // IVF-PQ k-NN join (Jégou et al., TPAMI'11 — the 100 TB ANN
+    // memory path): candidates are scored in the COMPRESSED domain
+    // (per corpus row: m=8 LUT lookups, never a 64-dim dot; the
+    // encoded table is ~(4·dim)/m× smaller than the float corpus and
+    // is all the candidate scan reads), then the ADC shortlist
+    // reranks with exact cosine over full vectors joined back for
+    // shortlist ids only. Oracle replays cell assignment, PQ encode
+    // (strict-less argmin per sub-space), the per-query LUT, the
+    // ORDERED ADC fold (list ORDER BY j — addition order is the bit
+    // contract), shortlist, and rerank from the same pinned literals.
+    "sim_knn_join_ivfpq" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinIvfPq(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3, IvfCentroids.pinned,
+            PqCodebooks.pinned, nprobe = 2, shortlist = 9)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm FROM cen),
+         |pq(j, cc, pc) AS (VALUES ${PqCodebooks.sqlValues}),
+         |pqn AS (
+         |  SELECT j, cc, pc, list_reduce(list_transform(pc, x -> x * x),
+         |    (a, b) -> a + b) AS pnorm FROM pq),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+         |    (a, b) -> a + b)) AS nrm FROM emb),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id, j, cc FROM (
+         |    SELECT e.vec_id, p.j, p.cc, row_number() OVER (
+         |      PARTITION BY e.vec_id, p.j
+         |      ORDER BY p.pnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${PqCodebooks.dsub + 1}),
+         |          t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+         |        (a, b) -> a + b), p.cc) AS rn
+         |    FROM emb e, pqn p WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |lut AS (
+         |  SELECT e.vec_id, p.j, p.cc, list_reduce(
+         |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
+         |      t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+         |    (a, b) -> a + b) AS d
+         |  FROM emb e, pq p WHERE e.vec_id % 50 = 0),
+         |adc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list(l.d ORDER BY l.j), (a, b) -> a + b)
+         |      / (any_value(cv.nrm) * any_value(qv.nrm)) AS adc_cosine
+         |  FROM qprobe q JOIN assign c ON c.cell = q.cell
+         |  JOIN codes cd ON cd.vec_id = c.vec_id
+         |  JOIN lut l ON l.vec_id = q.vec_id AND l.j = cd.j
+         |    AND l.cc = cd.cc
+         |  JOIN n cv ON cv.vec_id = c.vec_id
+         |  JOIN n qv ON qv.vec_id = q.vec_id
+         |  GROUP BY q.vec_id, c.vec_id),
+         |short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_cosine DESC, corpus_id DESC) AS rn
+         |    FROM adc) WHERE rn <= 9),
+         |rr AS (
+         |  SELECT s.query_id, s.corpus_id,
+         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      t -> cv.v[t] * qv.v[t]), (a, b) -> a + b)
+         |      / (cv.nrm * qv.nrm) AS cosine
+         |  FROM short s JOIN n cv ON cv.vec_id = s.corpus_id
+         |  JOIN n qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, corpus_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn FROM rr)
+         |WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     // IVF join at a DECLARED recall target (>= 0.9): the recall curve
     // at nprobe 1..nlist vs the exact join, the smallest qualifying
     // nprobe chosen IN-PLAN (broadcast 1-row pick, construction

@@ -137,16 +137,34 @@ object Similarity {
   def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int, iters: Int = 5,
       sampleSize: Int = 10000): Seq[Seq[Double]] = {
-    val sample: Array[Array[Double]] = embeddings
+    val sample = vecSample(embeddings, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty, "cannot train IVF centroids on empty input")
+    lloydIters(sample, nlist, iters, dim)
+  }
+
+  /** Bounded hash-ordered driver-side vector sample — the shared
+    * front of both quantizer trainers (deterministic: xxhash64 order
+    * with id tiebreak, so the same table always yields the same
+    * sample regardless of layout).
+    */
+  private def vecSample(embeddings: DataFrame, idCol: String,
+      vecCol: String, sampleSize: Int): Array[Array[Double]] =
+    embeddings
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleSize)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "cannot train IVF centroids on empty input")
-    var centroids: Array[Array[Double]] = sample.take(nlist).map(_.clone())
+
+  /** Lloyd's k-means over a driver-side sample, init = first k sample
+    * vectors, empty cells keep their centroid. Extracted verbatim
+    * from [[trainIvfCentroids]] so the PQ sub-space trainer reuses
+    * the identical loop (per-centroid norms hoisted — they were ~half
+    * the inner loop's FLOPs).
+    */
+  private def lloydIters(sample: Array[Array[Double]], k: Int,
+      iters: Int, dim: Int): Seq[Seq[Double]] = {
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      // per-centroid squared norms depend only on the centroid — hoist
-      // them out of the per-sample loop (they were ~half its FLOPs)
       val cNorms = centroids.map { c =>
         var cn = 0.0; var p = 0
         while (p < dim) { cn += c(p) * c(p); p += 1 }
@@ -176,6 +194,131 @@ object Similarity {
       }.toArray
     }
     centroids.map(_.toSeq).toSeq
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11 — public
+    * literature): the vector splits into `m` contiguous sub-spaces of
+    * dim/m dimensions and each sub-space trains its own
+    * `ksub`-centroid codebook with the SAME bounded hash-ordered
+    * driver sample and Lloyd loop as [[trainIvfCentroids]]. Returns
+    * codebooks(j)(c) = centroid c of sub-space j.
+    */
+  def trainPqCodebooks(embeddings: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int, iters: Int = 5,
+      sampleSize: Int = 10000): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split evenly into m=$m sub-spaces")
+    val dsub = dim / m
+    val sample = vecSample(embeddings, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty, "cannot train PQ codebooks on empty input")
+    (0 until m).map { j =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloydIters(sub, ksub, iters, dsub)
+    }
+  }
+
+  /** PQ codes: array<int> of length m (0-based codes), code_j =
+    * argmin over the sub-space codebook of |c|² − 2·(sub_j·c), index
+    * tiebreak — the declarative struct-sort [[ivfProbes]] uses, NOT
+    * [[ivfAssignment]]'s when-fold: the fold duplicates its
+    * accumulator per step, which is fine at nlist=4 but builds a
+    * ~2^ksub expression tree at ksub=16 (Catalyst analysis hangs).
+    * array_sort on (d, i) structs matches the strict-less first-index
+    * argmin exactly. Pure per-row expression arithmetic: at 100 TB
+    * the encoded corpus (cell + m small codes + one norm) is written
+    * ONCE and is ~(4·dim)/m× smaller than the float corpus — the
+    * table an ADC scan keeps hot.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      val sub = slice(vec, j * dsub + 1, dsub)
+      val ds = book.zipWithIndex.map { case (c, ci) =>
+        val cNorm = c.map(x => x * x).sum
+        struct((lit(cNorm) - lit(2.0) * dotConst(sub, c)).as("d"),
+          lit(ci).as("i"))
+      }
+      element_at(array_sort(array(ds: _*)), 1).getField("i")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: array<double> of length m·ksub with
+    * lut[j·ksub + c] = sub_j · codebook(j)(c). Computed ONCE per
+    * query on the broadcast side; scoring a corpus row is then m
+    * array lookups instead of a dim-long dot product.
+    */
+  def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.flatMap { case (book, j) =>
+      val sub = slice(vec, j * dsub + 1, dsub)
+      book.map(c => dotConst(sub, c))
+    }: _*)
+  }
+
+  /** ADC approximate dot product: Σ_j lut[j·ksub + codes_j], folded
+    * in sub-space order from 0.0 — bit-identical to an ordered
+    * list_reduce over the same lookups (the oracle's formulation).
+    */
+  def adcDot(lut: Column, codes: Column, m: Int, ksub: Int): Column =
+    (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+      acc + element_at(lut,
+        (lit(j * ksub) + element_at(codes, j + 1) + lit(1)).cast("int"))
+    }
+
+  /** IVF-PQ k-NN join (Jégou et al., TPAMI'11) — the 100 TB ANN
+    * memory path. The candidate scan reads only the COMPRESSED corpus
+    * (cell, m codes, exact norm — no full vectors): queries broadcast
+    * with their per-query ADC lookup table, candidate cosine is
+    * approximated as adcDot/(|c|·|q|) inside the probed cells, and
+    * the per-query `shortlist` (ADC order) is reranked with exact
+    * cosine by joining full vectors back for shortlist ids only. At
+    * scale the compressed table (written once via [[pqEncode]],
+    * partitioned by cell) stays hot while the float table is read at
+    * shortlist/|corpus| selectivity. Codes quantize the RAW vector —
+    * residual-vs-centroid encoding is the production refinement,
+    * omitted here so the DuckDB oracle replays the exact arithmetic
+    * term for term.
+    */
+  def knnJoinIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+      .withColumn("_cell", ivfAssignment(col("_cv"), centroids))
+      .withColumn("_codes", pqEncode(col("_cv"), codebooks))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+      .withColumn("_lut", pqLut(col("_qv"), codebooks))
+      .withColumn("_cell",
+        explode(ivfProbes(col("_qv"), centroids, nprobe)))
+    val adc = c.select(col("_cell"), col("corpus_id"), col("_codes"),
+        col("_cn"))
+      .join(broadcast(q.select(col("_cell"), col("query_id"),
+        col("_lut"), col("_qn"))), "_cell")
+      .select(col("query_id"), col("corpus_id"),
+        (adcDot(col("_lut"), col("_codes"), m, ksub) /
+          (col("_cn") * col("_qn"))).as("adc_cosine"))
+    val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
+      Seq("adc_cosine", "corpus_id"), descending = true, shortlist)
+    val reranked = cand.select(col("query_id"), col("corpus_id"))
+      .join(c.select(col("corpus_id"), col("_cv"), col("_cn")),
+        "corpus_id")
+      .join(broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .withColumn("_qn", norm(col("_qv")))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(reranked, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
   }
 
   /** Attach the IVF cell assignment — the materialization step

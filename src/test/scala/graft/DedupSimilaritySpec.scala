@@ -600,6 +600,120 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode matches a driver-side brute-force encoder bit for bit") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4, iters = 3, sampleSize = 120)
+    assert(books.length === 4)
+    assert(books.forall(b => b.length === 4 && b.forall(_.length === 4)))
+    val got = vecs.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // brute force with the SAME arithmetic shape (cnorm - 2*dot, dot
+    // folded from 0.0 in index order, strict-less argmin)
+    val byId = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    byId.foreach { case (id, v) =>
+      val want = (0 until 4).map { j =>
+        val sub = v.slice(j * 4, (j + 1) * 4)
+        var best = -1; var bestD = Double.MaxValue
+        books(j).zipWithIndex.foreach { case (c, ci) =>
+          val cn = c.map(x => x * x).sum
+          var d = 0.0
+          sub.indices.foreach(p => d += sub(p).toDouble * c(p))
+          val dist = cn - 2.0 * d
+          if (dist < bestD) { bestD = dist; best = ci }
+        }
+        best
+      }
+      assert(got(id) === want, s"codes diverge for vec $id")
+    }
+  }
+
+  test("ADC dot is exact on codebook-aligned vectors, approximate else") {
+    val rng = new scala.util.Random(23)
+    val trained = Similarity.trainPqCodebooks(
+      (0 until 80).map(i => (i.toLong,
+        Array.fill(16)(rng.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 16, m = 4, ksub = 4, iters = 3,
+      sampleSize = 80)
+    // snap centroids to float-representable values: the corpus column
+    // is float, so only then can a stored vector EQUAL its centroids
+    val books = trained.map(_.map(_.map(x => x.toFloat.toDouble)))
+    // a corpus vector whose sub-vectors ARE codebook centroids has
+    // zero quantization error: ADC dot == the true dot up to fold
+    // grouping (the LUT entries are the same sub-dot products the
+    // exact path sums in one longer fold)
+    val aligned = books.map(_.head).flatten.map(_.toFloat).toArray
+    val q = Array.fill(16)(rng.nextGaussian().toFloat)
+    val df = Seq((1L, aligned, q)).toDF("id", "cv", "qv")
+    val r = df.select(
+        Similarity.adcDot(
+          Similarity.pqLut(col("qv"), books),
+          Similarity.pqEncode(col("cv"), books), 4, 4).as("adc"),
+        Similarity.dot(col("cv"), col("qv")).as("exact"))
+      .head()
+    // both sides sum the same 4 sub-dot products; fold grouping
+    // differs (per-sub LUT entries vs one 16-term fold), so allow
+    // only rounding-grain slack
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+      s"adc ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+  }
+
+  test("IVF-PQ knn join: probed cells only, exact reranked cosines") {
+    val rng = new scala.util.Random(41)
+    val all = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", dim = 16, nlist = 4, iters = 3, sampleSize = 400)
+    val books = Similarity.trainPqCodebooks(corpus, "vec_id",
+      "embedding", dim = 16, m = 4, ksub = 8, iters = 3,
+      sampleSize = 400)
+    val got = Similarity.knnJoinIvfPq(corpus, queries, "vec_id",
+        "embedding", k = 3, cents, books, nprobe = 2, shortlist = 12)
+      .collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length === 3))
+    // the returned cosine is the EXACT cosine (rerank contract), not
+    // the ADC approximation
+    val vecById = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    got.foreach { r =>
+      val (q, c) = (vecById(r.getLong(0)), vecById(r.getLong(1)))
+      val exact = q.zip(c).map { case (a, b) => a * b }.sum /
+        (math.sqrt(q.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+      assert(math.abs(r.getDouble(2) - exact) < 1e-9)
+    }
+    // every returned corpus row lives in one of its query's nprobe
+    // cells (the partition-pruning contract)
+    val cellOf = corpus.select(col("vec_id"),
+        Similarity.ivfAssignment(col("embedding"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probesOf = queries.select(col("vec_id"),
+        Similarity.ivfProbes(col("embedding"), cents, 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    got.foreach { r =>
+      assert(probesOf(r.getLong(0)).contains(cellOf(r.getLong(1))))
+    }
+    // recall floor vs exact: PQ+rerank inside 2-of-4 probed cells on
+    // gaussian data — generous bound, regression tripwire only
+    val exactPairs = Similarity.knnJoinExact(corpus, queries,
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((gotPairs & exactPairs).size * 10 >= exactPairs.size * 3,
+      s"recall ${(gotPairs & exactPairs).size}/${exactPairs.size}")
+  }
+
   test("multi-probe LSH knn join dominates single-probe recall") {
     val rng = new scala.util.Random(31)
     val all = (0 until 400).map(i =>
