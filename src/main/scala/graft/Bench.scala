@@ -129,6 +129,19 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] stream prelap failed: ${e.getMessage}")
     }
+    // The curate family's machinery (model training, five-gate
+    // assembly, census codegen) is NOT touched by the micro-stream
+    // above, and its one-off JIT is the largest residual: the first
+    // post-prelap sf0.1 sweep still printed ev_stream_curate_capped
+    // at 34.2 s vs 11.6-14.4 isolated steady laps. One discarded
+    // curate lap at sf0.001 warms the same generated classes (codegen
+    // cache keys on plan structure, not input path — same plan at any
+    // sf) for ~a tenth of a target-SF lap's cost.
+    try SparkEntry.queries.get("ev_stream_curate_capped").foreach {
+      fn => fn(spark, "/root/testdata/sf0.001").count()
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] curate prelap failed: ${e.getMessage}")
+    }
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -190,6 +190,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "grouped top-k fell back to a window sort")
   }
 
+  test("IVF-PQ candidate scan reads codes, not vectors; queries broadcast") {
+    // The operator's scale contract: ADC candidate scoring runs over
+    // the COMPRESSED corpus. Structurally: the broadcast side is the
+    // (exploded) query side, no cartesian product, and the shortlist
+    // reduction runs through GroupedTopK. The full-vector column may
+    // appear only on the RERANK branch (shortlist-selectivity reads).
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try SparkEntry.registry("sim_knn_join_ivfpq").fn(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bjoins = executed.collectWithSubqueries {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bjoins.nonEmpty, "ADC join must broadcast the query side")
+    // the ADC join is the one keyed on _cell: its STREAMED (corpus)
+    // side must not carry the full vector column — only codes + norm
+    val adcJoins = bjoins.filter(_.leftKeys.exists(
+      _.references.exists(_.name == "_cell")))
+    assert(adcJoins.nonEmpty, "no join keyed on _cell found")
+    adcJoins.foreach { j =>
+      val streamedCols = j.left.output.map(_.name)
+      assert(!streamedCols.contains("_cv"),
+        s"full vectors on the ADC scan side: $streamedCols")
+      assert(streamedCols.contains("_codes"), streamedCols.mkString(","))
+    }
+    assert(executed.collectWithSubqueries {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "cartesian product in the IVF-PQ join")
+    assert(executed.toString.contains("GroupedTopK"),
+      "shortlist/top-k fell back from GroupedTopK")
+  }
+
   test("decontamination broadcasts the eval side, never doc x doc") {
     val p = plan("etl_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
