@@ -729,43 +729,63 @@ object MergeOps {
     if (!fs.rename(tmp, new Path(dest, name)))
       throw new java.io.IOException(
         s"could not commit generation manifest $name under $dest")
-    // sweep superseded versions (readers that already RESOLVED an
-    // older version keep their open file handles; new resolutions
-    // take the max that remains)
+    // sweep superseded versions with a ONE-VERSION grace, the same
+    // grace the month dirs get: a reader that listed the manifest set
+    // just before this commit resolved version-1 and may open it a
+    // beat later — deleting it here would turn that read into a
+    // FileNotFound inside the commit window, exactly the error the
+    // pointer protocol exists to prevent. version-1 survives until
+    // the NEXT commit — and month M's superseded source dir outlives
+    // its mapping change by the same one commit, so every manifest a
+    // reader can resolve maps every month to a dir that still exists.
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith(rGenManifestPrefix) && !n.endsWith(".wtmp") &&
           n.stripPrefix(rGenManifestPrefix).forall(_.isDigit) &&
-          n.stripPrefix(rGenManifestPrefix).toLong < m.version)
+          n.stripPrefix(rGenManifestPrefix).toLong < m.version - 1)
         fs.delete(p, false)
     }
   }
 
   private def readGenManifest(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path): Option[GenManifest] = {
-    if (!fs.exists(dest)) return None
-    val names = fs.listStatus(dest).map(_.getPath.getName)
-      .filter(n => n.startsWith(rGenManifestPrefix) &&
-        !n.endsWith(".wtmp") &&
-        n.stripPrefix(rGenManifestPrefix).nonEmpty &&
-        n.stripPrefix(rGenManifestPrefix).forall(_.isDigit))
-    if (names.isEmpty) return None
-    val name = names.maxBy(_.stripPrefix(rGenManifestPrefix).toLong)
-    val in = fs.open(new org.apache.hadoop.fs.Path(dest, name))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    val globals = lines.collect {
-      case l if l.startsWith("g\t") =>
-        val Array(_, k, v) = l.split("\t", 3); k -> v
-    }.toMap
-    val months = lines.collect {
-      case l if l.startsWith("m\t") =>
-        val Array(_, mo, g, n) = l.split("\t", 4); mo -> ((g, n.toInt))
-    }.toMap
-    Some(GenManifest(
-      name.stripPrefix(rGenManifestPrefix).toLong, globals, months))
+    // belt-and-braces beside the write-side grace: losing a
+    // list-then-open race (the resolved version swept between our
+    // listing and our open) means the state ADVANCED — re-list and
+    // resolve the newer max rather than surfacing FileNotFound
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (!fs.exists(dest)) return None
+      val names = fs.listStatus(dest).map(_.getPath.getName)
+        .filter(n => n.startsWith(rGenManifestPrefix) &&
+          !n.endsWith(".wtmp") &&
+          n.stripPrefix(rGenManifestPrefix).nonEmpty &&
+          n.stripPrefix(rGenManifestPrefix).forall(_.isDigit))
+      if (names.isEmpty) return None
+      val name = names.maxBy(_.stripPrefix(rGenManifestPrefix).toLong)
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(dest, name))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        val globals = lines.collect {
+          case l if l.startsWith("g\t") =>
+            val Array(_, k, v) = l.split("\t", 3); k -> v
+        }.toMap
+        val months = lines.collect {
+          case l if l.startsWith("m\t") =>
+            val Array(_, mo, g, n) = l.split("\t", 4); mo -> ((g, n.toInt))
+        }.toMap
+        return Some(GenManifest(
+          name.stripPrefix(rGenManifestPrefix).toLong, globals, months))
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempts >= 5) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Fail-fast writer exclusion while an online reshard is live —

@@ -997,6 +997,57 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(!MergeOps.reshardOnline(spark, table, 12))
   }
 
+  test("online reshard: superseded manifests get the month-dir grace, " +
+      "and every grace manifest maps months to dirs that exist") {
+    // The race this pins: a reader lists the manifest set just before
+    // commit v+1, resolves v, and opens it a beat later. If the
+    // commit swept v immediately the read dies FileNotFound inside
+    // the commit window — the exact error class the pointer protocol
+    // exists to prevent. So (a) version v-1 must survive commit v,
+    // and (b) everything v-1 maps must still be on disk (the month
+    // grace and the manifest grace must be ALIGNED — a surviving
+    // pointer into a deleted month dir would be the same bug).
+    val dir = Files.createTempDirectory("graft_rsgrace").toFile
+      .getAbsolutePath
+    val table = onlineFixture(dir)
+    val destP = new org.apache.hadoop.fs.Path(table)
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifests(): Seq[(Long, String)] = fs.listStatus(destP)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_gen_manifest_") && !n.endsWith(".wtmp"))
+      .map(n => n.stripPrefix("_gen_manifest_").toLong -> n).toSeq
+      .sortBy(_._1)
+    def monthDirsOf(name: String): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(destP, name))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.startsWith("m\t")).map { l =>
+        val Array(_, mo, g, _) = l.split("\t", 4)
+        s"$g/start_month=$mo"
+      }
+    }
+    MergeOps.reshardOnline(spark, table, 12, hook = (phase, mo) => {
+      if (phase == "month_committed") {
+        val ms = manifests()
+        val vmax = ms.last._1
+        if (vmax >= 2) {
+          assert(ms.map(_._1).contains(vmax - 1),
+            s"commit $vmax swept version ${vmax - 1} without grace " +
+              s"(present: ${ms.map(_._1).mkString(",")})")
+          // the grace manifest's view must be fully backed on disk
+          monthDirsOf(ms.init.last._2).foreach { rel =>
+            assert(fs.exists(new org.apache.hadoop.fs.Path(destP, rel)),
+              s"grace manifest v${vmax - 1} maps a missing dir: $rel")
+          }
+        }
+        // no unbounded accumulation: at most the live + grace pair
+        assert(ms.size <= 2, s"manifest sweep fell behind: $ms")
+      }
+    })
+    // terminal state still sweeps EVERYTHING
+    assert(manifests().isEmpty, "exit must sweep all manifests")
+  }
+
   test("online reshard crash at each phase: reader correct in the " +
       "crash state, writers fail fast, resume converges") {
     // one crash per protocol phase: mid-enter, mid-month (staged but
