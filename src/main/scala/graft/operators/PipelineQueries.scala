@@ -664,6 +664,111 @@ object PipelineQueries {
          |WHERE rn <= 3
          |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
 
+    // Residual-encoded IVF-PQ (TPAMI'11 §IV — the production form):
+    // codes quantize v − centroid(cell), so each codebook models the
+    // low-variance within-cell displacement; ADC reconstructs
+    // dot(q,v) ≈ dot(q, centroid(cell)) + Σ_j lut[code_j], the
+    // centroid term one lookup into the query's precomputed
+    // centroid-dot array. Oracle replays the residual subtraction,
+    // encode, and the PREPENDED ADC fold (list_prepend(qc, ...) —
+    // matching Spark's fold-from-qc order bit for bit).
+    "sim_knn_join_ivfpq_res" -> QueryDef(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        Similarity.knnJoinIvfPqResidual(
+            emb.filter(col("vec_id") % 50 =!= 0),
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3, IvfCentroids.pinned,
+            PqCodebooks.residualPinned, nprobe = 2, shortlist = 9)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm FROM cen),
+         |pq(j, cc, pc) AS (VALUES ${PqCodebooks.sqlValuesResidual}),
+         |pqn AS (
+         |  SELECT j, cc, pc, list_reduce(list_transform(pc, x -> x * x),
+         |    (a, b) -> a + b) AS pnorm FROM pq),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+         |    (a, b) -> a + b)) AS nrm FROM emb),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+         |res AS (
+         |  SELECT a.vec_id, a.cell,
+         |    list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      t -> e.v[t] - cen.c[t]) AS r
+         |  FROM assign a JOIN emb e ON e.vec_id = a.vec_id
+         |  JOIN cen ON cen.i = a.cell),
+         |codes AS (
+         |  SELECT vec_id, cell, j, cc FROM (
+         |    SELECT r.vec_id, r.cell, p.j, p.cc, row_number() OVER (
+         |      PARTITION BY r.vec_id, p.j
+         |      ORDER BY p.pnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${PqCodebooks.dsub + 1}),
+         |          t -> r.r[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+         |        (a, b) -> a + b), p.cc) AS rn
+         |    FROM res r, pqn p) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |qc AS (
+         |  SELECT e.vec_id, cen.i AS cell, list_reduce(
+         |    list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      t -> e.v[t] * cen.c[t]), (a, b) -> a + b) AS qdotc
+         |  FROM emb e, cen WHERE e.vec_id % 50 = 0),
+         |lut AS (
+         |  SELECT e.vec_id, p.j, p.cc, list_reduce(
+         |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
+         |      t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+         |    (a, b) -> a + b) AS d
+         |  FROM emb e, pq p WHERE e.vec_id % 50 = 0),
+         |adc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    list_reduce(list_prepend(any_value(qc.qdotc),
+         |      list(l.d ORDER BY l.j)), (a, b) -> a + b)
+         |      / (any_value(cv.nrm) * any_value(qv.nrm)) AS adc_cosine
+         |  FROM qprobe q JOIN assign c ON c.cell = q.cell
+         |  JOIN qc ON qc.vec_id = q.vec_id AND qc.cell = c.cell
+         |  JOIN codes cd ON cd.vec_id = c.vec_id
+         |  JOIN lut l ON l.vec_id = q.vec_id AND l.j = cd.j
+         |    AND l.cc = cd.cc
+         |  JOIN n cv ON cv.vec_id = c.vec_id
+         |  JOIN n qv ON qv.vec_id = q.vec_id
+         |  GROUP BY q.vec_id, c.vec_id),
+         |short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_cosine DESC, corpus_id DESC) AS rn
+         |    FROM adc) WHERE rn <= 9),
+         |rr AS (
+         |  SELECT s.query_id, s.corpus_id,
+         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |      t -> cv.v[t] * qv.v[t]), (a, b) -> a + b)
+         |      / (cv.nrm * qv.nrm) AS cosine
+         |  FROM short s JOIN n cv ON cv.vec_id = s.corpus_id
+         |  JOIN n qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, corpus_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, corpus_id DESC) AS rn FROM rr)
+         |WHERE rn <= 3
+         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+
     // IVF join at a DECLARED recall target (>= 0.9): the recall curve
     // at nprobe 1..nlist vs the exact join, the smallest qualifying
     // nprobe chosen IN-PLAN (broadcast 1-row pick, construction

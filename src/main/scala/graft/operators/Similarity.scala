@@ -257,15 +257,120 @@ object Similarity {
     }: _*)
   }
 
-  /** ADC approximate dot product: Σ_j lut[j·ksub + codes_j], folded
-    * in sub-space order from 0.0 — bit-identical to an ordered
-    * list_reduce over the same lookups (the oracle's formulation).
+  /** ADC approximate dot product: init + Σ_j lut[j·ksub + codes_j],
+    * folded in sub-space order — bit-identical to an ordered
+    * list_reduce over list_prepend(init, lookups) (the oracle's
+    * formulation). `init` is 0.0 for raw-vector codes and the
+    * query·centroid term for residual codes.
     */
-  def adcDot(lut: Column, codes: Column, m: Int, ksub: Int): Column =
-    (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+  def adcDot(lut: Column, codes: Column, m: Int, ksub: Int,
+      init: Column = lit(0.0)): Column =
+    (0 until m).foldLeft(init) { (acc, j) =>
       acc + element_at(lut,
         (lit(j * ksub) + element_at(codes, j + 1) + lit(1)).cast("int"))
     }
+
+  /** The residual a corpus vector leaves against its assigned coarse
+    * centroid, as a double array: residual = v − centroid(cell).
+    * The column every residual-PQ code is computed over.
+    */
+  def residualCol(vec: Column, centroids: Seq[Seq[Double]],
+      cell: Column): Column =
+    zip_with(vec,
+      element_at(typedLit(centroids), (cell + lit(1)).cast("int")),
+      (a, b) => a.cast("double") - b)
+
+  /** Residual-PQ codebooks — the production IVF-PQ form (Jégou et
+    * al., TPAMI'11 §IV): sub-space codebooks are trained on v −
+    * centroid(cell) instead of the raw vector, so each codebook
+    * models the (much lower-variance) within-cell displacement and
+    * the same ksub spends its precision where the data actually
+    * varies. Same bounded hash-ordered driver sample; assignment uses
+    * the identical cnorm − 2·dot argmin as [[ivfAssignment]].
+    */
+  def trainPqResidualCodebooks(embeddings: DataFrame, idCol: String,
+      vecCol: String, dim: Int, centroids: Seq[Seq[Double]], m: Int,
+      ksub: Int, iters: Int = 5, sampleSize: Int = 10000)
+      : Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split evenly into m=$m sub-spaces")
+    val dsub = dim / m
+    val cents = centroids.map(_.toArray).toArray
+    val cNorms = cents.map(c => c.map(x => x * x).sum)
+    val sample = vecSample(embeddings, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty,
+      "cannot train residual PQ codebooks on empty input")
+    val residuals = sample.map { v =>
+      var best = -1; var bestD = Double.MaxValue
+      cents.indices.foreach { i =>
+        var d = 0.0
+        v.indices.foreach(p => d += v(p) * cents(i)(p))
+        val dist = cNorms(i) - 2.0 * d
+        if (dist < bestD) { bestD = dist; best = i }
+      }
+      v.indices.map(p => v(p) - cents(best)(p)).toArray
+    }
+    (0 until m).map { j =>
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloydIters(sub, ksub, iters, dsub)
+    }
+  }
+
+  /** Residual-encoded IVF-PQ k-NN join — [[knnJoinIvfPq]] with the
+    * TPAMI'11 §IV refinement wired in: corpus codes quantize the
+    * RESIDUAL v − centroid(cell), and ADC reconstructs dot(q, v) ≈
+    * dot(q, centroid(cell)) + Σ_j lut[code_j]. The centroid term is
+    * per (query, probed cell) — one lookup into the query's
+    * precomputed centroid-dot array, paid once per candidate row —
+    * and the LUT is the same m·ksub table shape as the raw form.
+    * Everything else (compressed-corpus candidate scan, broadcast
+    * queries, GroupedTopK shortlist, exact rerank) is identical.
+    */
+  def knnJoinIvfPqResidual(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Seq[Double]], resBooks: Seq[Seq[Seq[Double]]],
+      nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val m = resBooks.length
+    val ksub = resBooks.head.length
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+      .withColumn("_cell", ivfAssignment(col("_cv"), centroids))
+      .withColumn("_codes", pqEncode(
+        residualCol(col("_cv"), centroids, col("_cell")), resBooks))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+      .withColumn("_lut", pqLut(col("_qv"), resBooks))
+      .withColumn("_qc",
+        array(centroids.map(cen => dotConst(col("_qv"), cen)): _*))
+      .withColumn("_cell",
+        explode(ivfProbes(col("_qv"), centroids, nprobe)))
+    val adc = c.select(col("_cell"), col("corpus_id"), col("_codes"),
+        col("_cn"))
+      .join(broadcast(q.select(col("_cell"), col("query_id"),
+        col("_lut"), col("_qc"), col("_qn"))), "_cell")
+      .select(col("query_id"), col("corpus_id"),
+        (adcDot(col("_lut"), col("_codes"), m, ksub,
+          init = element_at(col("_qc"), (col("_cell") + lit(1))
+            .cast("int"))) /
+          (col("_cn") * col("_qn"))).as("adc_cosine"))
+    val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
+      Seq("adc_cosine", "corpus_id"), descending = true, shortlist)
+    val reranked = cand.select(col("query_id"), col("corpus_id"))
+      .join(c.select(col("corpus_id"), col("_cv"), col("_cn")),
+        "corpus_id")
+      .join(broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .withColumn("_qn", norm(col("_qv")))), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+    graft.plans.GroupedTopK.combined(reranked, Seq("query_id"),
+      Seq("cosine", "corpus_id"), descending = true, k)
+  }
 
   /** IVF-PQ k-NN join (Jégou et al., TPAMI'11) — the 100 TB ANN
     * memory path. The candidate scan reads only the COMPRESSED corpus

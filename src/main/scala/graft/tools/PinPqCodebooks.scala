@@ -41,12 +41,18 @@ object PinPqCodebooks {
     val books = Similarity.trainPqCodebooks(
       emb, "vec_id", "embedding", dim = dim, m = m, ksub = ksub,
       iters = 2)
-    val rows = books.map { book =>
+    val resBooks = Similarity.trainPqResidualCodebooks(
+      emb, "vec_id", "embedding", dim = dim,
+      centroids = graft.operators.IvfCentroids.pinned, m = m,
+      ksub = ksub, iters = 2)
+    def render(bs: Seq[Seq[Seq[Double]]]): String = bs.map { book =>
       "    Seq(\n" + book
         .map(c => "      Seq(" + c.grouped(4).map(_.mkString(", "))
           .mkString(",\n        ") + ")")
         .mkString(",\n") + ")"
     }.mkString(",\n")
+    val rows = render(books)
+    val resRows = render(resBooks)
     val src =
       s"""package graft.operators
          |
@@ -65,18 +71,29 @@ object PinPqCodebooks {
          |  val ksub: Int = $ksub
          |  val dsub: Int = ${dim / m}
          |
-         |  /** pinned(j)(c) = centroid c of sub-space j. */
+         |  /** pinned(j)(c) = centroid c of sub-space j (raw-vector codes). */
          |  val pinned: Seq[Seq[Seq[Double]]] = Seq(
          |$rows)
+         |
+         |  /** Residual-trained books (v − IvfCentroids.pinned(cell)) for
+         |    * the residual-encoded row — TPAMI'11 §IV form.
+         |    */
+         |  val residualPinned: Seq[Seq[Seq[Double]]] = Seq(
+         |$resRows)
+         |
+         |  private def values(bs: Seq[Seq[Seq[Double]]]): String =
+         |    bs.zipWithIndex.flatMap {
+         |      case (book, j) => book.zipWithIndex.map { case (c, cc) =>
+         |        s"($$j, $$cc, [$${c.mkString(", ")}])"
+         |      }
+         |    }.mkString(", ")
          |
          |  /** DuckDB `VALUES (j, cc, [d0, ...])` rows mirroring
          |    * `IvfCentroids.sqlValues`.
          |    */
-         |  def sqlValues: String = pinned.zipWithIndex.flatMap {
-         |    case (book, j) => book.zipWithIndex.map { case (c, cc) =>
-         |      s"($$j, $$cc, [$${c.mkString(", ")}])"
-         |    }
-         |  }.mkString(", ")
+         |  def sqlValues: String = values(pinned)
+         |
+         |  def sqlValuesResidual: String = values(residualPinned)
          |}
          |""".stripMargin
     Files.write(Paths.get(out), src.getBytes(StandardCharsets.UTF_8))

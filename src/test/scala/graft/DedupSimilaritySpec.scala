@@ -714,6 +714,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"recall ${(gotPairs & exactPairs).size}/${exactPairs.size}")
   }
 
+  test("residual IVF-PQ: same join contract, tighter quantization") {
+    val rng = new scala.util.Random(53)
+    // CLUSTERED corpus — the regime residual encoding exists for:
+    // within-cell displacement has far lower variance than the raw
+    // vectors, so the same ksub models it with less error
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 3))
+    val all = (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", dim = 16, nlist = 4, iters = 4, sampleSize = 400)
+    val raw = Similarity.trainPqCodebooks(corpus, "vec_id",
+      "embedding", dim = 16, m = 4, ksub = 4, iters = 4,
+      sampleSize = 400)
+    val res = Similarity.trainPqResidualCodebooks(corpus, "vec_id",
+      "embedding", dim = 16, centroids = cents, m = 4, ksub = 4,
+      iters = 4, sampleSize = 400)
+    // quantization error census: mean |adc − exact| over all
+    // (query, corpus-in-probed-cell) pairs, residual vs raw — the
+    // claim the §IV form makes, measured on the data shaped for it
+    def adcErr(books: Seq[Seq[Seq[Double]]], residual: Boolean) = {
+      val c = corpus.select(col("vec_id").as("cid"),
+          col("embedding").as("_cv"))
+        .withColumn("_cell", Similarity.ivfAssignment(col("_cv"), cents))
+        .withColumn("_codes", Similarity.pqEncode(
+          if (residual)
+            Similarity.residualCol(col("_cv"), cents, col("_cell"))
+          else col("_cv"), books))
+      val q = queries.select(col("vec_id").as("qid"),
+          col("embedding").as("_qv"))
+        .withColumn("_lut", Similarity.pqLut(col("_qv"), books))
+        .withColumn("_qc", array(cents.map(cn =>
+          Similarity.dotConst(col("_qv"), cn)): _*))
+      c.crossJoin(q).select(
+          abs(Similarity.adcDot(col("_lut"), col("_codes"), 4, 4,
+            init = if (residual)
+              element_at(col("_qc"), (col("_cell") + lit(1)).cast("int"))
+            else lit(0.0)) -
+            Similarity.dot(col("_cv"), col("_qv"))).as("err"))
+        .agg(avg(col("err"))).head().getDouble(0)
+    }
+    val eRaw = adcErr(raw, residual = false)
+    val eRes = adcErr(res, residual = true)
+    assert(eRes < eRaw,
+      f"residual ADC error $eRes%.4f not below raw $eRaw%.4f")
+    // join contract identical to the raw form: k rows per query,
+    // returned cosines are EXACT (rerank), pairs within probed cells
+    val got = Similarity.knnJoinIvfPqResidual(corpus, queries,
+        "vec_id", "embedding", k = 3, cents, res, nprobe = 2,
+        shortlist = 12)
+      .collect()
+    assert(got.groupBy(_.getLong(0)).values.forall(_.length === 3))
+    val vecById = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    got.foreach { r =>
+      val (q, c) = (vecById(r.getLong(0)), vecById(r.getLong(1)))
+      val exact = q.zip(c).map { case (a, b) => a * b }.sum /
+        (math.sqrt(q.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+      assert(math.abs(r.getDouble(2) - exact) < 1e-9)
+    }
+  }
+
   test("multi-probe LSH knn join dominates single-probe recall") {
     val rng = new scala.util.Random(31)
     val all = (0 until 400).map(i =>
