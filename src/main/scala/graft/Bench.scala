@@ -86,11 +86,11 @@ object Bench {
     * stream_prelap_sec so a reader can see what the timed rows were
     * spared.
     */
-  private def streamPrelap(spark: SparkSession): Double = {
+  private def streamPrelap(spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
+    val rootDir = java.nio.file.Files.createTempDirectory("bench_sprelap")
+    val root = rootDir.toString
     try {
-      val root = java.nio.file.Files
-        .createTempDirectory("bench_sprelap").toString
       spark.range(0L, 256L, 1L, 2)
         .selectExpr("id", "cast(id as string) as s")
         .write.parquet(s"$root/src")
@@ -134,14 +134,32 @@ object Bench {
     // above, and its one-off JIT is the largest residual: the first
     // post-prelap sf0.1 sweep still printed ev_stream_curate_capped
     // at 34.2 s vs 11.6-14.4 isolated steady laps. One discarded
-    // curate lap at sf0.001 warms the same generated classes (codegen
-    // cache keys on plan structure, not input path — same plan at any
-    // sf) for ~a tenth of a target-SF lap's cost.
-    try SparkEntry.queries.get("ev_stream_curate_capped").foreach {
-      fn => fn(spark, "/root/testdata/sf0.001").count()
+    // curate lap at the smallest SF dir available warms the same
+    // generated classes (codegen cache keys on plan structure, not
+    // input path — same plan at any sf) for ~a tenth of a target-SF
+    // lap's cost; on a layout without the sibling sf0.001 dir the lap
+    // falls back to the target SF — a costlier pre-lap, never a
+    // silently-skipped one.
+    try {
+      val small = new java.io.File(
+        new java.io.File(sfDir).getParentFile, "sf0.001")
+      val lapDir = if (small.isDirectory) small.getAbsolutePath else sfDir
+      SparkEntry.queries.get("ev_stream_curate_capped").foreach {
+        fn => fn(spark, lapDir).count()
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] curate prelap failed: ${e.getMessage}")
     }
+    // the micro-stream's scratch tree (source parquet, checkpoint,
+    // two sink tables) has served its purpose — don't let bench runs
+    // accumulate debris across rounds
+    try {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(rootDir.toFile)
+    } catch { case NonFatal(_) => () }
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -205,7 +223,7 @@ object Bench {
     // JIT pre-lap for the streaming engine itself (see streamPrelap's
     // scaladoc) — then a teardown so the lap's debris can't leak into
     // the first timed row.
-    val streamPrelapSec = streamPrelap(spark)
+    val streamPrelapSec = streamPrelap(spark, sfDir)
     teardownStreams(spark)
     val streamResults = streaming.map { case (name, fn) =>
       val (t, ok) = timeOnce(spark, sfDir, fn, name)

@@ -1270,8 +1270,17 @@ private[graft] object GateOps {
       val cp = new org.apache.hadoop.fs.Path(s"$ckptDir/metadata")
       val mfs = mp.getFileSystem(conf)
       val cfs = cp.getFileSystem(conf)
+      // STRICTLY after, not at-or-after: mtime granularity can be a
+      // full second on object stores, so a stale marker and a fresh
+      // checkpoint created within one quantum would tie — and a tie
+      // must land on the re-run (safe) side, like every other
+      // ambiguity in this guard. Cross-store clock skew can still
+      // defeat the comparison in principle; the in-place-upgrade
+      // window this match exists for spans one deploy, after which
+      // the new-format marker overwrites the legacy one and this
+      // path never runs again.
       mfs.exists(mp) && cfs.exists(cp) &&
-        mfs.getFileStatus(mp).getModificationTime >=
+        mfs.getFileStatus(mp).getModificationTime >
           cfs.getFileStatus(cp).getModificationTime
     } catch { case scala.util.control.NonFatal(_) => false }
 

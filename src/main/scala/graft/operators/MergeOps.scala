@@ -835,19 +835,41 @@ object MergeOps {
     // manifest's mapping when that dir exists (post-commit the source
     // copy may linger one grace step — the manifest disambiguates),
     // else the table root (exit arrivals / enter stragglers), else
-    // target-then-source generation
-    val atRoot = monthsUnder(dest).toSet
-    val atGen = genNames.map(g =>
-      g -> monthsUnder(new Path(dest, g)).toSet).toMap
-    val allMonths = atRoot ++ atGen.values.flatten
-    val picks: Map[String, String] = allMonths.map { mo =>
-      val mapped = man.flatMap(_.months.get(mo)).map(_._1)
-        .filter(g => atGen.getOrElse(g, Set.empty).contains(mo))
-      val loc = mapped.orElse(if (atRoot.contains(mo)) Some("") else None)
-        .orElse(genNames.find(g =>
-          atGen.getOrElse(g, Set.empty).contains(mo)))
-      mo -> loc.get
-    }.toMap
+    // target-then-source generation.
+    //
+    // RETRY-UNTIL-STABLE: ENTER/EXIT rename whole month dirs between
+    // the root and a generation dir, and this resolver takes its
+    // snapshots sequentially — a month whose rename lands BETWEEN the
+    // root listing and the generation listing can be absent from (or
+    // present at a stale location in) one pass's view. A month dir is
+    // renamed at most once per protocol phase, so two consecutive
+    // passes that AGREE were not raced: re-list until the resolved
+    // picks are identical twice in a row (steady state pays one extra
+    // listing; ENTER/EXIT are metadata-only seconds, so convergence
+    // is immediate in practice).
+    def resolveOnce(): Map[String, String] = {
+      val atRoot = monthsUnder(dest).toSet
+      val atGen = genNames.map(g =>
+        g -> monthsUnder(new Path(dest, g)).toSet).toMap
+      val allMonths = atRoot ++ atGen.values.flatten
+      allMonths.map { mo =>
+        val mapped = man.flatMap(_.months.get(mo)).map(_._1)
+          .filter(g => atGen.getOrElse(g, Set.empty).contains(mo))
+        val loc = mapped
+          .orElse(if (atRoot.contains(mo)) Some("") else None)
+          .orElse(genNames.find(g =>
+            atGen.getOrElse(g, Set.empty).contains(mo)))
+        mo -> loc.get
+      }.toMap
+    }
+    var picks = resolveOnce()
+    var prev: Map[String, String] = null
+    var tries = 0
+    while (picks != prev && tries < 8) {
+      prev = picks
+      picks = resolveOnce()
+      tries += 1
+    }
     val groups = picks.groupBy(_._2).toSeq.sortBy(_._1)
     if (groups.isEmpty) return spark.read.parquet(tablePath)
     groups.map { case (g, ms) =>

@@ -324,6 +324,10 @@ object Mining {
   def skyline2d(points: DataFrame, xCol: String, yCol: String,
       bucketWidth: Long = 1000000L, superBuckets: Long = 1L << 20)
       : DataFrame = {
+    // div 0 yields NULL keys (silently empty frontier); negative
+    // widths invert the bucket order the dominance argument rests on
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(superBuckets > 0, s"superBuckets must be > 0, got $superBuckets")
     import org.apache.spark.sql.expressions.Window
     val p = points.select(col(xCol).as("x"), col(yCol).as("y")).distinct()
     val localW = Window.partitionBy(col("bx"))

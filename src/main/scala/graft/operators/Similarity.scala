@@ -1387,11 +1387,12 @@ final class EmbedNearDupGate(root: String, dim: Int, bands: Int = 4,
           if (diagOn) distinctKeysPlan.localCheckpoint()
           else distinctKeysPlan
         // Loud-misconfiguration diagnostic (the _noop_files
-        // discipline): this gate's self-sizing DEFAULTS OFF for a
-        // documented semantic reason (a width change alters collision
-        // semantics — Curation.startEmbedding), so a hands-off
-        // deployment inherits unbounded per-key load SILENTLY as the
-        // corpus grows. When both load remedies are off, each
+        // discipline): Curation.startEmbedding now defaults
+        // self-sizing ON, so this path guards deployments that
+        // EXPLICITLY opted out (targetKeyLoad=0, no bandKeyCap — e.g.
+        // the exact fixed-width oracle anchors) and would otherwise
+        // inherit unbounded per-key load silently as the corpus
+        // grows. When both load remedies are off, each
         // compaction measures the hottest (band, bkey) stored-id
         // count on the distinct rows the rewrite materializes anyway
         // and warns past the budget, naming the remedies — the gate

@@ -87,10 +87,16 @@ object OperatorIndex {
   def main(args: Array[String]): Unit = {
     val root = Paths.get(if (args.nonEmpty) args(0) else ".")
     val srcRoot = root.resolve("src/main/scala")
-    val files: Seq[Path] = Files.walk(srcRoot).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq.sortBy(_.toString)
-    // name -> (relative file, 1-based line) of the registry literal
+    val walk = Files.walk(srcRoot)
+    val files: Seq[Path] =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
+    // name -> (relative file, 1-based line) of the registry literal;
+    // the match requires the QueryDef constructor on the same line so
+    // a comment or doc MENTION of a row name can never shadow the
+    // real definition site
     val sites: Map[String, (String, Int)] = {
       val wanted = graft.SparkEntry.registry.keySet
       val found = scala.collection.mutable.Map[String, (String, Int)]()
@@ -99,7 +105,7 @@ object OperatorIndex {
         val lines = Files.readAllLines(f).asScala
         for ((line, i) <- lines.zipWithIndex) {
           for (n <- wanted if !found.contains(n)
-               && line.contains("\"" + n + "\" ->")) {
+               && line.contains("\"" + n + "\" -> QueryDef")) {
             found(n) = (rel, i + 1)
           }
         }

@@ -1989,6 +1989,13 @@ class StreamingStateSpec extends AnyFunSuite {
           "_last_commit", ckpt)),
       "a genuine same-stream legacy marker (upgrade window) must " +
         "still be honored")
+    // an mtime TIE (marker and checkpoint created within one mtime
+    // granularity quantum — whole seconds on some object stores) is
+    // ambiguous and must land on the re-run (safe) side
+    fs.setTimes(p(s"$out/_last_commit"), now, now)
+    assert(!graft.operators.GateOps.legacyMarkerGenuine(conf, out,
+        "_last_commit", ckpt),
+      "an mtime tie must not count as genuine")
     // identity-paired matches never consult the legacy check
     assert(graft.operators.GateOps.replayCommitted(Some("q:9"), "q:9",
       9, sys.error("identity match must not evaluate legacy check")))
