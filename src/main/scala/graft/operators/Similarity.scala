@@ -317,6 +317,99 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ join at a DECLARED recall target — the shortlist dial
+    * turned automatically, the PQ counterpart of
+    * [[knnJoinIvfAtRecall]]'s nprobe dial (a user needs "give me
+    * ≥0.9", not a number to stare at). The calibration economy
+    * differs from the nprobe sweep and is much cheaper: the ADC
+    * ranking is computed ONCE at the LARGEST candidate shortlist and
+    * every smaller shortlist's reranked top-k derives from rank
+    * prefixes of that one table — no re-scoring per curve point. The
+    * candidate set (≤ |queries|·max(shortlists) rows) is exact-scored
+    * once and localCheckpointed (two consumers: the curve and the
+    * returned pairs), the exact top-k baseline once (as in the nprobe
+    * sweep). Picks the SMALLEST shortlist whose measured recall
+    * reaches targetX100/100 (fallback: the largest), returning its
+    * pairs with the chosen shortlist and measured recall ×1000
+    * (integer-exact) on every row. At 100 TB the calibration runs on
+    * a query sample and the chosen shortlist is reused by the fleet.
+    */
+  def knnJoinIvfPqAtRecall(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nprobe: Int = 2, shortlists: Seq[Int] = Seq.empty,
+      targetX100: Int = 90): DataFrame = {
+    require(targetX100 >= 1 && targetX100 <= 100,
+      s"targetX100 in [1,100], got $targetX100")
+    val ss = (if (shortlists.nonEmpty) shortlists
+      else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
+    require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
+    val sMax = ss.last
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+      .withColumn("_cell", ivfAssignment(col("_cv"), centroids))
+      .withColumn("_codes", pqEncode(col("_cv"), codebooks))
+      .withColumn("_cn", norm(col("_cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+      .withColumn("_lut", pqLut(col("_qv"), codebooks))
+      .withColumn("_cell",
+        explode(ivfProbes(col("_qv"), centroids, nprobe)))
+    val adc = c.select(col("_cell"), col("corpus_id"), col("_codes"),
+        col("_cn"))
+      .join(broadcast(q.select(col("_cell"), col("query_id"),
+        col("_lut"), col("_qn"))), "_cell")
+      .select(col("query_id"), col("corpus_id"),
+        (adcDot(col("_lut"), col("_codes"), m, ksub) /
+          (col("_cn") * col("_qn"))).as("adc_cosine"))
+    // rank within the top-sMax candidates only (GroupedTopK bounds
+    // the window's input to |queries|·sMax rows before it runs)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("corpus_id").desc)
+    val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
+        Seq("adc_cosine", "corpus_id"), descending = true, sMax)
+      .withColumn("adc_rank", row_number().over(rankW))
+    // exact cosine ONCE per surviving candidate; every curve point
+    // reads this bounded artifact
+    val scored = cand.select(col("query_id"), col("corpus_id"),
+        col("adc_rank"))
+      .join(c.select(col("corpus_id"), col("_cv"), col("_cn")),
+        "corpus_id")
+      .join(broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .withColumn("_qn", norm(col("_qv")))), "query_id")
+      .select(col("query_id"), col("corpus_id"), col("adc_rank"),
+        (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+          .as("cosine"))
+      .localCheckpoint()
+    val exact = knnJoinExact(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint()
+    val exactN = exact.agg(count(lit(1)).as("_n_exact"))
+    val curve = scored.withColumn("s",
+        explode(array(ss.map(lit(_)): _*)))
+      .filter(col("adc_rank") <= col("s"))
+    val topk = graft.plans.GroupedTopK.combined(curve,
+      Seq("s", "query_id"), Seq("cosine", "corpus_id"),
+      descending = true, k)
+    val hits = topk.join(exact, Seq("query_id", "corpus_id"))
+      .groupBy(col("s")).agg(count(lit(1)).as("_hits"))
+    val chosen = hits.crossJoin(broadcast(exactN))
+      .filter(col("_hits") * 100 >=
+        lit(targetX100.toLong) * col("_n_exact"))
+      .agg(coalesce(min(col("s")), lit(sMax)).as("_chosen"))
+    topk.join(broadcast(chosen), col("s") === col("_chosen"))
+      .join(broadcast(hits), "s")
+      .crossJoin(broadcast(exactN))
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("s").cast("int").as("shortlist"),
+        expr("_hits * 1000 div _n_exact").as("recall_x1000"))
+  }
+
   /** Residual-encoded IVF-PQ k-NN join — [[knnJoinIvfPq]] with the
     * TPAMI'11 §IV refinement wired in: corpus codes quantize the
     * RESIDUAL v − centroid(cell), and ADC reconstructs dot(q, v) ≈

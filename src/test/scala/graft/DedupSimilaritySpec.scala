@@ -781,6 +781,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ recall-target join: smallest qualifying shortlist, exact cosines") {
+    val rng = new scala.util.Random(61)
+    val all = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", dim = 16, nlist = 4, iters = 3, sampleSize = 400)
+    val books = Similarity.trainPqCodebooks(corpus, "vec_id",
+      "embedding", dim = 16, m = 4, ksub = 8, iters = 3,
+      sampleSize = 400)
+    // a LOW target must pick the smallest shortlist that clears it;
+    // an unreachable target must fall back to the largest
+    val low = Similarity.knnJoinIvfPqAtRecall(corpus, queries,
+        "vec_id", "embedding", k = 3, cents, books, nprobe = 4,
+        shortlists = Seq(3, 6, 12), targetX100 = 1)
+      .collect()
+    assert(low.nonEmpty)
+    val lowS = low.map(_.getInt(3)).distinct
+    assert(lowS.length === 1 && lowS.head === 3,
+      s"target=1% must choose the smallest shortlist, got $lowS")
+    val hi = Similarity.knnJoinIvfPqAtRecall(corpus, queries,
+        "vec_id", "embedding", k = 3, cents, books, nprobe = 4,
+        shortlists = Seq(3, 6, 12), targetX100 = 100)
+      .collect()
+    // with nprobe=nlist every cell is probed; shortlist 12 >> k means
+    // the reranked top-k ~always equals exact — but if the measured
+    // curve never reaches 100% the FALLBACK (largest) must be chosen;
+    // either way the chosen shortlist is consistent across rows
+    assert(hi.map(_.getInt(3)).distinct.length === 1)
+    // k rows per query at the chosen config, recall consistent on
+    // every row, cosines exact
+    assert(hi.groupBy(_.getLong(0)).values.forall(_.length === 3))
+    assert(hi.map(_.getLong(4)).distinct.length === 1)
+    val vecById = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    hi.foreach { r =>
+      val (q, c) = (vecById(r.getLong(0)), vecById(r.getLong(1)))
+      val exact = q.zip(c).map { case (a, b) => a * b }.sum /
+        (math.sqrt(q.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+      assert(math.abs(r.getDouble(2) - exact) < 1e-9)
+    }
+    // the recall the row reports is the recall the pairs realize
+    val exactPairs = Similarity.knnJoinExact(corpus, queries,
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hiPairs = hi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reported = hi.head.getLong(4)
+    val realized = (hiPairs & exactPairs).size * 1000L / exactPairs.size
+    assert(reported === realized,
+      s"reported recall_x1000 $reported != realized $realized")
+  }
+
   test("multi-probe LSH knn join dominates single-probe recall") {
     val rng = new scala.util.Random(31)
     val all = (0 until 400).map(i =>

@@ -197,32 +197,35 @@ class PlanAuditSpec extends AnyFunSuite {
     // reduction runs through GroupedTopK. The full-vector column may
     // appear only on the RERANK branch (shortlist-selectivity reads).
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val executed =
-      try SparkEntry.registry("sim_knn_join_ivfpq").fn(spark, sf)
-        .queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", prior)
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    val bjoins = executed.collectWithSubqueries {
-      case b: BroadcastHashJoinExec => b
+    for (row <- Seq("sim_knn_join_ivfpq", "sim_knn_join_ivfpq_res")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val executed =
+        try SparkEntry.registry(row).fn(spark, sf)
+          .queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val bjoins = executed.collectWithSubqueries {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bjoins.nonEmpty, s"$row: ADC join must broadcast queries")
+      // the ADC join is the one keyed on _cell: its STREAMED (corpus)
+      // side must not carry the full vector column — only codes + norm
+      val adcJoins = bjoins.filter(_.leftKeys.exists(
+        _.references.exists(_.name == "_cell")))
+      assert(adcJoins.nonEmpty, s"$row: no join keyed on _cell found")
+      adcJoins.foreach { j =>
+        val streamedCols = j.left.output.map(_.name)
+        assert(!streamedCols.contains("_cv"),
+          s"$row: full vectors on the ADC scan side: $streamedCols")
+        assert(streamedCols.contains("_codes"),
+          s"$row: " + streamedCols.mkString(","))
+      }
+      assert(executed.collectWithSubqueries {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"$row: cartesian product in the IVF-PQ join")
+      assert(executed.toString.contains("GroupedTopK"),
+        s"$row: shortlist/top-k fell back from GroupedTopK")
     }
-    assert(bjoins.nonEmpty, "ADC join must broadcast the query side")
-    // the ADC join is the one keyed on _cell: its STREAMED (corpus)
-    // side must not carry the full vector column — only codes + norm
-    val adcJoins = bjoins.filter(_.leftKeys.exists(
-      _.references.exists(_.name == "_cell")))
-    assert(adcJoins.nonEmpty, "no join keyed on _cell found")
-    adcJoins.foreach { j =>
-      val streamedCols = j.left.output.map(_.name)
-      assert(!streamedCols.contains("_cv"),
-        s"full vectors on the ADC scan side: $streamedCols")
-      assert(streamedCols.contains("_codes"), streamedCols.mkString(","))
-    }
-    assert(executed.collectWithSubqueries {
-      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-    }.isEmpty, "cartesian product in the IVF-PQ join")
-    assert(executed.toString.contains("GroupedTopK"),
-      "shortlist/top-k fell back from GroupedTopK")
   }
 
   test("decontamination broadcasts the eval side, never doc x doc") {

@@ -107,6 +107,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // recall-curve + exact-pair checkpoint: bounded queries×k×nlist
       // artifacts each read twice (Similarity.knnJoinIvfAtRecall)
       "sim_knn_join_recall90",
+      // same discipline for the PQ shortlist dial: the exact-scored
+      // candidate table (<= queries×maxShortlist) and the exact pairs
+      // are checkpointed, each feeding curve + returned pairs
+      "sim_knn_join_pq_recall90",
       "dd_embedding_neardup",
       "ta_bigram_lm", "ta_lm_quality_filter", "ta_tfidf_topk",
       // NB count-table checkpoint (PipelineQueries ta_nb_classifier)
