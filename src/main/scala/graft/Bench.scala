@@ -88,9 +88,13 @@ object Bench {
     */
   private def streamPrelap(spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
-    val rootDir = java.nio.file.Files.createTempDirectory("bench_sprelap")
-    val root = rootDir.toString
+    // nullable: tmp-dir creation itself can fail (full/unwritable
+    // java.io.tmpdir) and the prelap is an optimization, never a
+    // prerequisite — every failure mode logs and lets the sweep run
+    var rootDir: java.nio.file.Path = null
     try {
+      rootDir = java.nio.file.Files.createTempDirectory("bench_sprelap")
+      val root = rootDir.toString
       spark.range(0L, 256L, 1L, 2)
         .selectExpr("id", "cast(id as string) as s")
         .write.parquet(s"$root/src")
@@ -158,7 +162,7 @@ object Bench {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
         f.delete(); ()
       }
-      rm(rootDir.toFile)
+      if (rootDir != null) rm(rootDir.toFile)
     } catch { case NonFatal(_) => () }
     (System.nanoTime() - t0) / 1e9
   }

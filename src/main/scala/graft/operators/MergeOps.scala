@@ -870,6 +870,12 @@ object MergeOps {
       picks = resolveOnce()
       tries += 1
     }
+    if (picks != prev) System.err.println(
+      s"[readMonthTable] month resolution did not stabilize after " +
+        s"$tries passes for $tablePath — proceeding with the latest " +
+        "view; a concurrent read may still hit a mid-rename path " +
+        "(listing churn this sustained usually means something other " +
+        "than ENTER/EXIT is renaming month dirs)")
     val groups = picks.groupBy(_._2).toSeq.sortBy(_._1)
     if (groups.isEmpty) return spark.read.parquet(tablePath)
     groups.map { case (g, ms) =>

@@ -777,10 +777,11 @@ object PipelineQueries {
          |  FROM hits, nex WHERE hits * 100 >= 90 * n_exact)
          |SELECT t.query_id, t.corpus_id, t.cosine,
          |  CAST(t.s AS INT) AS shortlist,
-         |  CAST(h.hits * 1000 // nex.n_exact AS BIGINT) AS recall_x1000
+         |  CAST(COALESCE(h.hits, 0) * 1000 // nex.n_exact AS BIGINT)
+         |    AS recall_x1000
          |FROM topk t
          |JOIN chosen ch ON t.s = ch.s
-         |JOIN hits h ON h.s = t.s, nex
+         |LEFT JOIN hits h ON h.s = t.s, nex
          |ORDER BY t.query_id, t.cosine DESC, t.corpus_id""".stripMargin),
 
     // Residual-encoded IVF-PQ (TPAMI'11 §IV — the production form):
@@ -967,10 +968,11 @@ object PipelineQueries {
          |  FROM hits, nex WHERE hits * 100 >= 90 * n_exact)
          |SELECT i.query_id, i.corpus_id, i.cosine,
          |  CAST(i.np AS INT) AS nprobe,
-         |  CAST(h.hits * 1000 // nex.n_exact AS BIGINT) AS recall_x1000
+         |  CAST(COALESCE(h.hits, 0) * 1000 // nex.n_exact AS BIGINT)
+         |    AS recall_x1000
          |FROM ivfk i
          |JOIN chosen ch ON i.np = ch.np
-         |JOIN hits h ON h.np = i.np, nex
+         |LEFT JOIN hits h ON h.np = i.np, nex
          |ORDER BY i.query_id, i.cosine DESC, i.corpus_id""".stripMargin),
 
     // Projection-prefilter rerank k-NN join (Similarity.knnJoinRerank)

@@ -341,6 +341,9 @@ object Similarity {
       targetX100: Int = 90): DataFrame = {
     require(targetX100 >= 1 && targetX100 <= 100,
       s"targetX100 in [1,100], got $targetX100")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty")
     val ss = (if (shortlists.nonEmpty) shortlists
       else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
     require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
@@ -352,9 +355,10 @@ object Similarity {
       .withColumn("_cell", ivfAssignment(col("_cv"), centroids))
       .withColumn("_codes", pqEncode(col("_cv"), codebooks))
       .withColumn("_cn", norm(col("_cv")))
-    val q = queries
+    val qBase = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("_qn", norm(col("_qv")))
+    val q = qBase
       .withColumn("_lut", pqLut(col("_qv"), codebooks))
       .withColumn("_cell",
         explode(ivfProbes(col("_qv"), centroids, nprobe)))
@@ -379,9 +383,7 @@ object Similarity {
         col("adc_rank"))
       .join(c.select(col("corpus_id"), col("_cv"), col("_cn")),
         "corpus_id")
-      .join(broadcast(queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-        .withColumn("_qn", norm(col("_qv")))), "query_id")
+      .join(broadcast(qBase), "query_id")
       .select(col("query_id"), col("corpus_id"), col("adc_rank"),
         (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
           .as("cosine"))
@@ -402,8 +404,12 @@ object Similarity {
       .filter(col("_hits") * 100 >=
         lit(targetX100.toLong) * col("_n_exact"))
       .agg(coalesce(min(col("s")), lit(sMax)).as("_chosen"))
+    // LEFT join + coalesce — same zero-hit fallback contract as
+    // [[knnJoinIvfAtRecall]]: best-effort pairs with recall 0, never
+    // a silently empty result
     topk.join(broadcast(chosen), col("s") === col("_chosen"))
-      .join(broadcast(hits), "s")
+      .join(broadcast(hits), Seq("s"), "left")
+      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
       .crossJoin(broadcast(exactN))
       .select(col("query_id"), col("corpus_id"), col("cosine"),
         col("s").cast("int").as("shortlist"),
@@ -425,6 +431,9 @@ object Similarity {
       centroids: Seq[Seq[Double]], resBooks: Seq[Seq[Seq[Double]]],
       nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(resBooks.nonEmpty && resBooks.forall(_.nonEmpty),
+      "resBooks must be non-empty")
     val m = resBooks.length
     val ksub = resBooks.head.length
     val c = corpus
@@ -484,6 +493,9 @@ object Similarity {
       codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 2,
       shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty")
     val m = codebooks.length
     val ksub = codebooks.head.length
     val c = corpus
@@ -665,8 +677,15 @@ object Similarity {
     val chosen = hits.crossJoin(broadcast(exactN))
       .filter(col("_hits") * 100 >= lit(targetX100.toLong) * col("_n_exact"))
       .agg(coalesce(min(col("nprobe")), lit(nlist)).as("_chosen"))
+    // LEFT join + coalesce: a chosen config with ZERO exact-topk hits
+    // (possible only on the fallback path — adversarial vectors where
+    // even exhaustive probing retrieves none of the true top-k) has
+    // no row in `hits`; an inner join would silently return an EMPTY
+    // result instead of the documented best-effort pairs with
+    // recall_x1000 = 0
     curve.join(broadcast(chosen), col("nprobe") === col("_chosen"))
-      .join(broadcast(hits), "nprobe")
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
       .crossJoin(broadcast(exactN))
       .select(col("query_id"), col("corpus_id"), col("cosine"),
         col("nprobe"),
