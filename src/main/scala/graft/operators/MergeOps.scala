@@ -485,9 +485,180 @@ object MergeOps {
       incoming: DataFrame, keys: Seq[String], recency: String,
       partCol: String = "start_month", numShards: Int = 64,
       shardCol: String = "kshard",
-      shardRewriteBudgetBytes: Long = 4L << 30): Unit = {
+      shardRewriteBudgetBytes: Long = 4L << 30,
+      hook: (String, String) => Unit = (_, _) => ()): Unit = {
+    import org.apache.hadoop.fs.Path
     require(numShards > 0 && numShards <= 100000,
       s"numShards must be in [1, 100000], got $numShards")
+    val dest = new Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinelPath = new Path(dest, rOnlineSentinel)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      require(rounds <= 20,
+        s"merge routing for $tablePath did not stabilize after $rounds " +
+          "rounds — the online-reshard state is churning faster than " +
+          "the protocol allows; inspect the generation manifests")
+      val man = readGenManifest(fs, dest)
+      if (man.isEmpty) {
+        if (fs.exists(sentinelPath))
+          // ENTER in flight (months being staged into the source
+          // generation, manifest v1 not yet committed) or the tail of
+          // a completed EXIT (manifests swept, sentinel not yet) —
+          // both are metadata-only windows measured in seconds, and
+          // neither exposes a manifest to route through. Retryable by
+          // contract; resuming the migration also clears it.
+          throw new IllegalStateException(
+            s"$tablePath is inside an online-reshard metadata window " +
+              "(enter/exit) — retry the merge shortly, or resume the " +
+              "migration with MergeOps.reshardOnline(same target)")
+        upsertShardFlat(spark, tablePath, incoming, keys, recency,
+          partCol, numShards, shardCol, shardRewriteBudgetBytes)
+        done = true
+      } else if (man.get.globals.get("closing").contains("true")) {
+        throw new IllegalStateException(
+          s"$tablePath is inside an online-reshard metadata window " +
+            "(enter/exit) — retry the merge shortly, or resume the " +
+            "migration with MergeOps.reshardOnline(same target)")
+      } else {
+        // MIGRATE phase — the hours-long part at 100 TB: route each
+        // month of the batch to its manifest-mapped generation and
+        // geometry, then commit the merge as a manifest version.
+        // false = the migration exited (or began exiting) while this
+        // batch was writing — loop and re-resolve from scratch (the
+        // re-applied merge is idempotent latest-wins).
+        done = upsertShardRouted(spark, dest, fs, incoming, keys,
+          recency, numShards, shardRewriteBudgetBytes, man.get, hook)
+      }
+    }
+  }
+
+  /** The MIGRATE-phase merge: batches keep landing while
+    * [[reshardOnline]] rewrites months — the writer-liveness half of
+    * the availability contract (readers: [[readMonthTable]]).
+    *
+    * Protocol, optimistic-concurrency shape:
+    *  1. Route each incoming month to its CURRENT location — the
+    *     manifest's (generation, shards) entry; a month the manifest
+    *     has never seen (a new month arriving mid-migration) routes
+    *     to the TARGET generation at the target geometry, so the
+    *     migration never has to chase it.
+    *  2. Physically merge each routed group via the ordinary
+    *     flat-table machinery against the generation root (same
+    *     staging/retire crash safety, scoped to the generation dir).
+    *  3. Commit by CAS-writing the next manifest version with every
+    *     merged month's `seq` bumped — the signal the migration's own
+    *     commit checks to detect a merge that landed after it staged
+    *     a month's rewrite. Before committing, REVALIDATE the
+    *     routing: any month whose mapping moved (the migration
+    *     committed it to the target mid-write) is re-merged at its
+    *     new location — the superseded write sits in a dir the
+    *     migration is about to delete, and the re-applied latest-wins
+    *     merge is idempotent, so no torn state is reachable. Routing
+    *     moves are monotone (src → target → flat), bounding the redo
+    *     loop by construction.
+    *
+    * A merge is DURABLE only once its seq-bump commit lands (the CAS
+    * is the linearization point): a crash after the physical write
+    * but before the commit can lose those rows to a concurrently
+    * committing migration month — but the batch was never
+    * acknowledged, so the caller's apply-or-retry contract (re-run
+    * the batch; idempotent) already covers it, exactly as it covers a
+    * crash mid-swap on the flat path.
+    *
+    * The caller's declared `numShards` must equal the source or the
+    * target geometry — per-month truth comes from the manifest, but a
+    * declaration matching NEITHER generation is the same caller bug
+    * the flat path fail-fasts on. */
+  private def upsertShardRouted(spark: SparkSession,
+      dest: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      incoming: DataFrame, keys: Seq[String], recency: String,
+      callerShards: Int, shardRewriteBudgetBytes: Long,
+      man0: GenManifest, hook: (String, String) => Unit): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val g = man0.globals
+    val partCol = g("part_col")
+    require(keys == g("shard_keys").split(",").toSeq,
+      s"keys ${keys.mkString(",")} differ from the migration manifest's " +
+        s"${g("shard_keys")} for $dest")
+    val sentinel = GateLayout.read(fs, new Path(dest, rOnlineSentinel))
+    val srcShards = sentinel("src_shards").toInt
+    val tgtShards = g("target_shards").toInt
+    require(callerShards == srcShards || callerShards == tgtShards,
+      s"numShards=$callerShards matches neither the source " +
+        s"($srcShards) nor the target ($tgtShards) geometry of the " +
+        s"online reshard in progress at $dest")
+    val srcGen = g("src_gen")
+    val tgtGen = g("target_gen")
+    val monthsRaw = incoming.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    require(!monthsRaw.contains(null),
+      s"$partCol must be non-null for a partition-scoped merge — " +
+        "coalesce to a sentinel month (e.g. '0000-00') first")
+    monthsRaw.find(!_.matches("[A-Za-z0-9._-]+")).foreach(bad =>
+      throw new IllegalArgumentException(
+        s"partition value '$bad' needs path escaping — month values " +
+          "must be plain [A-Za-z0-9._-] strings"))
+    val months = monthsRaw.sorted.toSeq
+    if (months.isEmpty) return true
+    def route(man: GenManifest, mo: String): (String, Int) =
+      man.months.get(mo).map(e => (e.gen, e.shards))
+        .getOrElse((tgtGen, tgtShards))
+    var routing = months.map(mo => mo -> route(man0, mo)).toMap
+    var toWrite = months.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"routed merge for $dest did not converge after $attempts " +
+          "revalidation rounds — inspect the generation manifests")
+      for ((genName, ms) <- toWrite.groupBy(mo => routing(mo)._1)) {
+        val n = routing(ms.head)._2
+        val slice = incoming.filter(
+          col(partCol).cast("string").isin(ms.toSeq: _*))
+        upsertShardFlat(spark, new Path(dest, genName).toString, slice,
+          keys, recency, partCol, n, g("shard_col"),
+          shardRewriteBudgetBytes)
+      }
+      if (toWrite.nonEmpty)
+        hook("routed_written", toWrite.toSeq.sorted.mkString(","))
+      // commit: revalidate the routing on FRESH state, then CAS
+      val cur = readGenManifest(fs, dest) match {
+        case None => return false // migration exited — redo flat
+        case Some(c) => c
+      }
+      if (cur.globals.get("closing").contains("true")) return false
+      val moved = months.filter(mo => route(cur, mo) != routing(mo))
+      if (moved.nonEmpty) {
+        routing ++= moved.map(mo => mo -> route(cur, mo))
+        toWrite = moved.toSet
+      } else {
+        val next = cur.copy(version = cur.version + 1,
+          months = cur.months ++ months.map { mo =>
+            val (gn, n) = routing(mo)
+            mo -> MonthEntry(gn, n,
+              cur.months.get(mo).map(_.seq).getOrElse(0L) + 1L)
+          })
+        if (tryCommitGenManifest(fs, dest, next)) {
+          hook("routed_committed", months.mkString(","))
+          return true
+        }
+        toWrite = Set.empty // CAS lost: revalidate only, no rewrites
+      }
+    }
+    false // unreachable
+  }
+
+  /** The flat-layout sharded merge core — [[upsertParquetByMonthShard]]
+    * body when no online reshard is in flight, and the per-generation
+    * workhorse of the routed path (called against a generation root,
+    * whose `_shard_layout` the migration maintains). */
+  private def upsertShardFlat(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], recency: String,
+      partCol: String, numShards: Int, shardCol: String,
+      shardRewriteBudgetBytes: Long): Unit = {
     val swap = new MonthSwap(spark, tablePath)
     val fs = swap.fs
     val dest = swap.dest
@@ -707,25 +878,53 @@ object MergeOps {
   private val rGenManifestPrefix = "_gen_manifest_"
   private val rOnlineSentinel = "_reshard_online"
 
+  /** One month's pointer state inside the generation manifest: which
+    * generation dir currently holds it, at what shard count, and a
+    * per-month merge sequence number (`seq`) — bumped by every routed
+    * merge that lands in the month, so the migration can detect a
+    * merge that arrived after it staged the month's rewrite and redo
+    * the rewrite instead of silently dropping the merged rows. */
+  private case class MonthEntry(gen: String, shards: Int, seq: Long)
+
   /** The migration's reader-visible pointer state: `version` is the
     * manifest's monotonically increasing commit number, `months` maps
-    * each month value to (generation dir name, its numShards). */
+    * each month value to its [[MonthEntry]]. A `closing -> true`
+    * global marks the EXIT barrier: routed merges observing it fail
+    * fast (retryable, seconds) while the metadata renames complete. */
   private case class GenManifest(version: Long,
-      globals: Map[String, String], months: Map[String, (String, Int)])
+      globals: Map[String, String], months: Map[String, MonthEntry])
 
-  private def writeGenManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path, m: GenManifest): Unit = {
+  /** CAS-commit manifest `m` AT version `m.version`: atomically claim
+    * the version via create-exclusive on a `.claim` sibling — two
+    * committers (the migration and a routed merge) can race to the
+    * same next version, and exactly one may win — then stage + rename
+    * the manifest itself. Returns false when the version was already
+    * claimed: re-read the manifest and retry on fresh state. The
+    * claim is the linearization point; the rename only publishes a
+    * version this committer already owns. (create-exclusive is atomic
+    * on HDFS; on a raw local FS the exists+create pair has a
+    * theoretical check-then-act window that a single-driver
+    * deployment — the shape this repo runs — never exercises.) */
+  private def tryCommitGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, m: GenManifest): Boolean = {
     import org.apache.hadoop.fs.Path
     val name = f"$rGenManifestPrefix${m.version}%09d"
+    val claim = new Path(dest, name + ".claim")
+    if (fs.exists(claim)) return false
+    try fs.create(claim, false).close()
+    catch {
+      case e: java.io.IOException =>
+        if (fs.exists(claim)) return false else throw e
+    }
     val tmp = new Path(dest, name + ".wtmp")
     val out = fs.create(tmp, true)
     try out.write((
       m.globals.toSeq.sorted.map { case (k, v) => s"g\t$k\t$v" } ++
-        m.months.toSeq.sorted.map { case (mo, (g, n)) =>
-          s"m\t$mo\t$g\t$n" }).mkString("\n").getBytes("UTF-8"))
+        m.months.toSeq.sortBy(_._1).map { case (mo, e) =>
+          s"m\t$mo\t${e.gen}\t${e.shards}\t${e.seq}" })
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // dst is a NEVER-BEFORE-USED versioned name — plain rename, no
-    // overwrite semantics needed, and the commit is the rename itself
+    // the claim guarantees dst is OURS — plain rename publishes it
     if (!fs.rename(tmp, new Path(dest, name)))
       throw new java.io.IOException(
         s"could not commit generation manifest $name under $dest")
@@ -738,13 +937,27 @@ object MergeOps {
     // the NEXT commit — and month M's superseded source dir outlives
     // its mapping change by the same one commit, so every manifest a
     // reader can resolve maps every month to a dir that still exists.
+    // CLAIM files keep a LONGER (four-version) grace: a claim guards
+    // its version number against a committer acting on a stale read —
+    // sweeping it with the manifest would let a committer whose
+    // read-validate-claim window straddled one commit re-claim a
+    // version that already existed. Four commits cannot complete
+    // inside another committer's read-to-claim window.
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(rGenManifestPrefix) && !n.endsWith(".wtmp") &&
-          n.stripPrefix(rGenManifestPrefix).forall(_.isDigit) &&
-          n.stripPrefix(rGenManifestPrefix).toLong < m.version - 1)
-        fs.delete(p, false)
+      if (n.startsWith(rGenManifestPrefix)) {
+        val core = n.stripPrefix(rGenManifestPrefix)
+        if (core.nonEmpty && core.forall(_.isDigit) &&
+            core.toLong < m.version - 1)
+          fs.delete(p, false)
+        else if (core.endsWith(".claim")) {
+          val v = core.stripSuffix(".claim")
+          if (v.nonEmpty && v.forall(_.isDigit) && v.toLong < m.version - 4)
+            fs.delete(p, false)
+        }
+      }
     }
+    true
   }
 
   private def readGenManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -776,7 +989,14 @@ object MergeOps {
         }.toMap
         val months = lines.collect {
           case l if l.startsWith("m\t") =>
-            val Array(_, mo, g, n) = l.split("\t", 4); mo -> ((g, n.toInt))
+            // 5-token current form (…\tshards\tseq); the 4-token form
+            // predates routed merges and reads as seq = 0
+            l.split("\t") match {
+              case Array(_, mo, g, n, q) => mo -> MonthEntry(g, n.toInt, q.toLong)
+              case Array(_, mo, g, n) => mo -> MonthEntry(g, n.toInt, 0L)
+              case other => throw new java.io.IOException(
+                s"malformed generation-manifest month line '$l' in $name")
+            }
         }.toMap
         return Some(GenManifest(
           name.stripPrefix(rGenManifestPrefix).toLong, globals, months))
@@ -788,20 +1008,25 @@ object MergeOps {
     None // unreachable
   }
 
-  /** Fail-fast writer exclusion while an online reshard is live —
-    * called by every writer entry point (via MonthSwap's recovery):
-    * the migration owns the writer role for its duration, exactly the
-    * single-writer contract the merges already assume, made loud. */
+  /** Fail-fast exclusion while an online reshard is live — called by
+    * every MAINTENANCE writer entry point (via MonthSwap's recovery):
+    * reconcile / compact / retention / offline reshard own whole-table
+    * geometry and wait out the migration. The keyed MERGE is exempt —
+    * [[upsertParquetByMonthShard]] routes through the generation
+    * manifest and keeps landing batches for the migration's whole
+    * duration (upsert-on-arrival never pauses for a geometry change;
+    * reference contract: my_scrapers/unified_scraper.py:622-642). */
   private[operators] def assertNoOnlineReshard(
       fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(new org.apache.hadoop.fs.Path(dest, rOnlineSentinel))
         || readGenManifest(fs, dest).nonEmpty)
       throw new IllegalStateException(
-        s"$dest has an online reshard in progress — writers are " +
-          "excluded until it completes; resume it with " +
-          "MergeOps.reshardOnline(same target); readers stay live " +
-          "through MergeOps.readMonthTable")
+        s"$dest has an online reshard in progress — maintenance " +
+          "writers are excluded until it completes (keyed merges stay " +
+          "live via upsertParquetByMonthShard's manifest routing); " +
+          "resume it with MergeOps.reshardOnline(same target); " +
+          "readers stay live through MergeOps.readMonthTable")
 
   /** Read a month-partitioned table in ANY of its states — flat
     * layout (plain parquet read) or mid-online-reshard (assemble the
@@ -853,7 +1078,7 @@ object MergeOps {
         g -> monthsUnder(new Path(dest, g)).toSet).toMap
       val allMonths = atRoot ++ atGen.values.flatten
       allMonths.map { mo =>
-        val mapped = man.flatMap(_.months.get(mo)).map(_._1)
+        val mapped = man.flatMap(_.months.get(mo)).map(_.gen)
           .filter(g => atGen.getOrElse(g, Set.empty).contains(mo))
         val loc = mapped
           .orElse(if (atRoot.contains(mo)) Some("") else None)
@@ -1004,8 +1229,7 @@ object MergeOps {
     if (man.isEmpty && fs.exists(rootLayoutPath) &&
         GateLayout.read(fs, rootLayoutPath)
           .get("num_shards").contains(newNumShards.toString)) {
-      fs.delete(srcRoot, true)
-      fs.delete(tgtRoot, true)
+      sweepGenerationResidue(fs, dest, srcGen, tgtGen)
       fs.delete(sentinelPath, false)
       return true
     }
@@ -1030,8 +1254,12 @@ object MergeOps {
         .filter(_.startsWith(partCol + "="))
         .map(_.stripPrefix(partCol + "=")).toSeq
       man = Some(GenManifest(1L, globals - "src_shards",
-        months.map(_ -> ((srcGen, globals("src_shards").toInt))).toMap))
-      writeGenManifest(fs, dest, man.get)
+        months.map(_ -> MonthEntry(srcGen,
+          globals("src_shards").toInt, 0L)).toMap))
+      require(tryCommitGenManifest(fs, dest, man.get),
+        s"manifest v1 for $tablePath was already claimed — another " +
+          "migration is racing this one; online reshard is single-" +
+          "migration by contract")
       hook("enter_done", "")
     }
 
@@ -1043,41 +1271,91 @@ object MergeOps {
         "shard_col" -> shardCol,
         "shard_keys" -> globals("shard_keys"),
         "part_col" -> partCol))
+    // a routed merge that crashed mid-swap left a generation month's
+    // only live copy under that generation's retired root — restore
+    // it BEFORE staging reads, exactly the flat-table discipline
+    new MonthSwap(spark, srcRoot.toString).recoverOrphans()
+    new MonthSwap(spark, tgtRoot.toString).recoverOrphans()
     // resume sweep: a source month the manifest already maps to the
-    // target is grace/crash residue — its live copy is the target's
-    for ((mo, (g, _)) <- man.get.months if g == tgtGen)
+    // target is grace/crash residue — its live copy is the target's.
+    // Re-read first: routed merges may have advanced the manifest
+    // (new months, seq bumps) since this run's last look.
+    man = readGenManifest(fs, dest)
+    for ((mo, e) <- man.get.months if e.gen == tgtGen)
       fs.delete(new Path(srcRoot, s"$partCol=$mo"), true)
     var pendingDelete: Option[Path] = None
     val toMigrate = man.get.months.collect {
-      case (mo, (g, _)) if g == srcGen => mo }.toSeq.sorted
+      case (mo, e) if e.gen == srcGen => mo }.toSeq.sorted
     for (mo <- toMigrate) {
       val srcDir = new Path(srcRoot, s"$partCol=$mo")
       val tgtDir = new Path(tgtRoot, s"$partCol=$mo")
-      // an unreferenced target month dir is a crashed rewrite — redo
-      fs.delete(tgtDir, true)
-      spark.read.option("basePath", srcRoot.toString)
-        .parquet(srcDir.toString)
-        .drop(partCol, shardCol)
-        .withColumn(shardCol, keyShard(keys, newNumShards))
-        .repartition(col(shardCol))
-        .sortWithinPartitions((shardCol +: keys).map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy(shardCol)
-        .parquet(tgtDir.toString)
+      def restage(): Unit = {
+        // an unreferenced target month dir is a crashed or
+        // merge-superseded rewrite — redo it wholesale
+        fs.delete(tgtDir, true)
+        spark.read.option("basePath", srcRoot.toString)
+          .parquet(srcDir.toString)
+          .drop(partCol, shardCol)
+          .withColumn(shardCol, keyShard(keys, newNumShards))
+          .repartition(col(shardCol))
+          .sortWithinPartitions((shardCol +: keys).map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy(shardCol)
+          .parquet(tgtDir.toString)
+      }
+      var seqAtStage = readGenManifest(fs, dest).get.months(mo).seq
+      restage()
       hook("month_staged", mo)
-      man = man.map(m => m.copy(version = m.version + 1,
-        months = m.months + (mo -> ((tgtGen, newNumShards)))))
-      writeGenManifest(fs, dest, man.get)
+      // commit loop: the staged rewrite is valid only if NO routed
+      // merge landed in the source month after the stage read it —
+      // the month's manifest `seq` is that signal. CAS the pointer
+      // flip; on a lost race (a merge committed the next version
+      // first) re-read and re-check rather than overwrite.
+      var committed = false
+      while (!committed) {
+        val cur = readGenManifest(fs, dest).get
+        val e = cur.months(mo)
+        if (e.gen == tgtGen) committed = true // already flipped (resume)
+        else if (e.seq != seqAtStage) {
+          seqAtStage = e.seq
+          restage()
+          hook("month_staged", mo)
+        } else {
+          val next = cur.copy(version = cur.version + 1,
+            months = cur.months +
+              (mo -> MonthEntry(tgtGen, newNumShards, e.seq)))
+          committed = tryCommitGenManifest(fs, dest, next)
+        }
+      }
       hook("month_committed", mo)
       pendingDelete.foreach(fs.delete(_, true))
       pendingDelete = Some(srcDir)
     }
 
     // ---- EXIT ----
+    // Commit the CLOSING barrier version first: a routed merge that
+    // resolves it fails fast retryable (the exit is metadata-only,
+    // seconds), and one that already wrote data revalidates at its
+    // own commit, sees the barrier, and reports retryable without
+    // committing — so no merge can land durably between the barrier
+    // and the sweep. Merges committed BEFORE the barrier are inside
+    // the month dirs the renames below carry to the root.
+    var closing = false
+    while (!closing) {
+      val cur = readGenManifest(fs, dest).get
+      if (cur.globals.get("closing").contains("true")) closing = true
+      else closing = tryCommitGenManifest(fs, dest, cur.copy(
+        version = cur.version + 1,
+        globals = cur.globals + ("closing" -> "true")))
+    }
     hook("exit_begin", "")
     pendingDelete.foreach(fs.delete(_, true))
     fs.delete(srcRoot, true)
+    // a routed merge that crashed mid-swap into a TARGET month left
+    // its only copy under the target's retired root — restore before
+    // renaming months out, or the month would exit incomplete
+    new MonthSwap(spark, tgtRoot.toString).recoverOrphans()
     if (fs.exists(tgtRoot))
       fs.listStatus(tgtRoot).map(_.getPath)
         .filter(_.getName.startsWith(partCol + "=")).foreach { mdir =>
@@ -1092,15 +1370,26 @@ object MergeOps {
       "shard_col" -> shardCol,
       "shard_keys" -> globals("shard_keys"),
       "part_col" -> partCol))
-    fs.delete(tgtRoot, true)
-    fs.listStatus(dest).map(_.getPath).foreach { p =>
-      if (p.getName.startsWith(rGenManifestPrefix))
-        fs.delete(p, false)
-    }
+    sweepGenerationResidue(fs, dest, srcGen, tgtGen)
     fs.delete(sentinelPath, false)
     hook("exit_done", "")
     true
   }
+
+  /** EXIT's terminal sweep: generation roots, their merge-swap
+    * staging/retired siblings (a routed merge's MonthSwap lives at
+    * `<gen>_mstaging` / `<gen>_mretired` INSIDE the table root — left
+    * behind they would surface as phantom rows to a flat parquet
+    * read), and every manifest + claim file. */
+  private def sweepGenerationResidue(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, srcGen: String,
+      tgtGen: String): Unit =
+    fs.listStatus(dest).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(srcGen) || n.startsWith(tgtGen) ||
+          n.startsWith(rGenManifestPrefix))
+        fs.delete(p, true)
+    }
 
   /** Reconcile cross-month duplicate keys — the periodic pass that
     * closes [[upsertParquetByMonth]]'s documented gap: a key whose

@@ -274,9 +274,18 @@ object MergeQueries {
         val pre = fpOf(s.read.parquet(table))
         var liveOk = true
         var probes = 0
-        MergeOps.reshardOnline(s, table, 12, hook = (_, _) => {
+        // fingerprint at FOUR representative commit points (enter
+        // done, first month staged + committed, exit done) — the full
+        // 16-point sweep lives in MergeOpsSpec's online spec; probing
+        // all 16 here tripled the row's cost for no extra property
+        // (each probe is a full-table read). The hook COUNT still
+        // pins that every commit point fired.
+        val probeAt = Set("enter_done", "exit_done")
+        MergeOps.reshardOnline(s, table, 12, hook = (p, mo) => {
           probes += 1
-          liveOk &&= fpOf(MergeOps.readMonthTable(s, table)) == pre
+          if (probeAt(p) || (mo == "2025-01" &&
+              (p == "month_staged" || p == "month_committed")))
+            liveOk &&= fpOf(MergeOps.readMonthTable(s, table)) == pre
         })
         val post = fpOf(s.read.parquet(table))
         val rowsIdentical = pre == post && pre.getLong(1) > 0L
@@ -327,6 +336,128 @@ object MergeQueries {
         |  TRUE AS new_geometry,
         |  TRUE AS flat_again
         |FROM r WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // K1 writer liveness DURING the online reshard — the other half
+    // of the availability contract (k1_reshard_online proved readers;
+    // this row proves WRITERS): keyed merges keep landing while the
+    // migration rewrites months, routed per month through the
+    // generation manifest to the month's CURRENT generation and
+    // geometry, each committed as a manifest version with the month's
+    // merge `seq` bumped. Three batches land mid-flight, one per
+    // routing case: INTO the month being migrated between its staging
+    // and its commit (the migration must observe the seq bump and
+    // REDO the rewrite — redo_proved pins the restage, the exact
+    // silent-loss window the seq counter exists for), into an
+    // already-COMMITTED month (routes to the target generation at the
+    // new geometry), and into a month the table has NEVER seen (enters
+    // the manifest target-mapped, exits to the root with the rest).
+    // The DuckDB oracle recomputes global latest-wins over ALL the
+    // batches — geometry migration and concurrent ingest must
+    // commute. Reference contract preserved: upsert-on-arrival never
+    // pauses (my_scrapers/unified_scraper.py:622-642); the offline
+    // reshard (and r18's reshardOnline, which excluded every writer
+    // for the migration's duration) turns a geometry change into an
+    // ingest outage — this row fails on any such exclusion.
+    "k1_reshard_live_merge" -> QueryDef(
+      (s, d) => {
+        val table = new java.io.File("target/reshard_live/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        def latestPerUser(df: DataFrame) = df
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"),
+            concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
+              .as("start_month"))
+        val ev = T.events(s, d)
+        val base = latestPerUser(ev.filter(col("event_id") < 8000))
+        // both live batches hit the hot month 2025-03 (user%6==2);
+        // keys under 30 keep them small at every SF
+        val hot = "2025-03"
+        val bA = latestPerUser(ev.filter(col("event_id") >= 8000 &&
+          col("user_id") % 12 === 2 && col("user_id") < 30))
+        val bB = latestPerUser(ev.filter(col("event_id") >= 8000 &&
+          col("user_id") % 12 === 8 && col("user_id") < 30))
+        // the never-seen month: fresh keys (+1e6 — the sharded layout
+        // is key-stable per month, so new-month rows need new keys)
+        val bNew = latestPerUser(ev.filter(col("event_id") >= 8000 &&
+            col("user_id") % 12 === 5 && col("user_id") < 30))
+          .withColumn("user_id", col("user_id") + 1000000L)
+          .withColumn("start_month", lit("2025-09"))
+        MergeOps.upsertParquetByMonthShard(s, table, base,
+          Seq("user_id"), "event_id", numShards = 4)
+        val aEmpty = bA.isEmpty // sf0.001 has no event_id >= 8000 rows
+        var aDone, bDone = false
+        var staged = 0
+        var mergedLive = true
+        MergeOps.reshardOnline(s, table, 12, hook = (p, mo) => {
+          if (p == "month_staged" && mo == hot) staged += 1
+          if (p == "month_staged" && mo == hot && !aDone) {
+            aDone = true
+            mergedLive &&= fs.exists(
+              new org.apache.hadoop.fs.Path(table, "_reshard_online"))
+            MergeOps.upsertParquetByMonthShard(s, table, bA,
+              Seq("user_id"), "event_id", numShards = 4)
+          }
+          if (p == "month_committed" && mo == hot && !bDone) {
+            bDone = true
+            MergeOps.upsertParquetByMonthShard(s, table,
+              bB.unionByName(bNew),
+              Seq("user_id"), "event_id", numShards = 12)
+          }
+        })
+        // the raced month must have been staged twice — initial +
+        // redo after bA's seq bump (vacuous on the empty-batch SF:
+        // an empty merge commits nothing, so nothing needs redoing)
+        val redoProved = aEmpty || staged == 2
+        val flatAgain = fs.listStatus(
+            new org.apache.hadoop.fs.Path(table))
+          .map(_.getPath.getName)
+          .forall(n => n.startsWith("start_month=") || n == "_shard_layout")
+        s.read.parquet(table)
+          .groupBy(col("start_month").cast("string").as("start_month"))
+          .agg(count(lit(1)).as("n"),
+            max(col("event_id")).as("max_eid"),
+            T.decSum(col("value")).as("total"))
+          .withColumn("merged_live", lit(mergedLive))
+          .withColumn("redo_proved", lit(redoProved))
+          .withColumn("flat_again", lit(flatAgain))
+          .orderBy(col("start_month"))
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id < 8000
+        |     OR (event_id >= 8000 AND user_id % 12 IN (2, 8)
+        |         AND user_id < 30)),
+        |n0 AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_id >= 8000 AND user_id % 12 = 5 AND user_id < 30),
+        |allr AS (
+        |  SELECT '2025-0' || CAST(user_id % 6 + 1 AS VARCHAR)
+        |      AS start_month,
+        |    event_id, value
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT '2025-09' AS start_month, event_id, value
+        |  FROM n0 WHERE rn = 1)
+        |SELECT start_month,
+        |  COUNT(*) AS n,
+        |  MAX(event_id) AS max_eid,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS merged_live,
+        |  TRUE AS redo_proved,
+        |  TRUE AS flat_again
+        |FROM allr
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // K1 at scale — partition-pruned month merge. An initial table

@@ -1014,7 +1014,8 @@ class MergeOpsSpec extends AnyFunSuite {
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def manifests(): Seq[(Long, String)] = fs.listStatus(destP)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("_gen_manifest_") && !n.endsWith(".wtmp"))
+      .filter(n => n.startsWith("_gen_manifest_") && !n.endsWith(".wtmp") &&
+        !n.endsWith(".claim"))
       .map(n => n.stripPrefix("_gen_manifest_").toLong -> n).toSeq
       .sortBy(_._1)
     def monthDirsOf(name: String): Seq[String] = {
@@ -1073,24 +1074,52 @@ class MergeOpsSpec extends AnyFunSuite {
       // the crash state is fully readable…
       assert(rowsOf(MergeOps.readMonthTable(spark, table)) === before,
         s"reader wrong after crash at $phase#$nth")
-      // …and exclusively owned: every writer entry point fails fast
-      // naming the remedy
+      // …maintenance writers are excluded, fail fast naming the remedy…
       val excl = intercept[IllegalStateException] {
-        MergeOps.upsertParquetByMonthShard(spark, table,
-          monthDocs(Seq(("e1", "x", 2, "2025-01"))),
-          Seq("event_id"), "version", numShards = 4)
+        MergeOps.reconcileCrossMonthKeys(spark, table,
+          Seq("event_id"), "version")
       }
       assert(excl.getMessage.contains("reshardOnline"))
+      // …and the keyed MERGE stays live through manifest routing in
+      // every crash state that has a routable manifest (the MIGRATE
+      // phase — the hours-long part at scale). ENTER and EXIT crash
+      // states are metadata windows: the merge fails fast RETRYABLE
+      // there, and the window is bounded by a resume.
+      val metadataWindow = phase == "enter_staged" || phase == "exit_begin"
+      val expected =
+        if (metadataWindow) {
+          val w = intercept[IllegalStateException] {
+            MergeOps.upsertParquetByMonthShard(spark, table,
+              monthDocs(Seq(("e1", "mid-crash", 2, "2025-01"))),
+              Seq("event_id"), "version", numShards = 4)
+          }
+          assert(w.getMessage.contains("metadata window") &&
+            w.getMessage.contains("reshardOnline"),
+            s"merge in $phase#$nth crash state: wrong failure shape")
+          before
+        } else {
+          MergeOps.upsertParquetByMonthShard(spark, table,
+            monthDocs(Seq(("e1", "mid-crash", 2, "2025-01"))),
+            Seq("event_id"), "version", numShards = 4)
+          assert(rowsOf(MergeOps.readMonthTable(spark, table))
+              .contains(("e1", "mid-crash", 2, "2025-01")),
+            s"routed merge invisible to readers after $phase#$nth crash")
+          before.map {
+            case ("e1", _, _, m) => ("e1", "mid-crash", 2, m)
+            case r => r
+          }
+        }
       // a resume must carry the recorded target — geometry cannot
       // change mid-migration
       val wrong = intercept[IllegalArgumentException] {
         MergeOps.reshardOnline(spark, table, 8)
       }
       assert(wrong.getMessage.contains("cannot change"))
-      // resume with the recorded target converges to the flat result
+      // resume with the recorded target converges to the flat result,
+      // CARRYING any merge that committed in the crash state
       assert(MergeOps.reshardOnline(spark, table, 12),
         s"resume after $phase#$nth crash did no work")
-      assert(rowsOf(spark.read.parquet(table)) === before,
+      assert(rowsOf(spark.read.parquet(table)) === expected,
         s"resume after $phase#$nth crash lost or changed rows")
       assert(graft.operators.GateLayout.read(fs,
           new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
@@ -1098,6 +1127,125 @@ class MergeOpsSpec extends AnyFunSuite {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
         s"$table/_reshard_online")))
     }
+  }
+
+  test("merges keep landing DURING an online reshard: manifest-routed " +
+      "per month, migration redoes a raced month, end state equals " +
+      "merge-then-offline-reshard") {
+    val dir = Files.createTempDirectory("graft_rslive").toFile
+      .getAbsolutePath
+    val table = onlineFixture(s"$dir/on")
+    val twin = onlineFixture(s"$dir/off")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the four live batches, each exercising a distinct routing case:
+    //  A  source-mapped month, lands BETWEEN the month's staging and
+    //     its commit → the migration must detect the seq bump and
+    //     redo the rewrite (the silent-loss case the seq exists for)
+    //  B  source-mapped month not yet staged (ordinary src routing)
+    //  C  already-COMMITTED month → routes to the target generation
+    //     at the target geometry
+    //  D  month the table has never seen → enters the manifest mapped
+    //     to the target generation, exits to the root with the rest
+    val mergeA = Seq(("e1", "live A", 2, "2025-01"))
+    val mergeB = Seq(("f1", "live B", 2, "2025-02"))
+    val mergeC = Seq(("e2", "live C", 2, "2025-01"))
+    val mergeD = Seq(("g1", "live D", 1, "2025-03"))
+    var aDone, cDone = false
+    val staged01 = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(MergeOps.reshardOnline(spark, table, 12, hook = (p, mo) => {
+      if (p == "month_staged" && mo == "2025-01") staged01 += mo
+      if (p == "month_staged" && mo == "2025-01" && !aDone) {
+        aDone = true
+        // old-geometry caller declaration (4) is accepted mid-flight
+        MergeOps.upsertParquetByMonthShard(spark, table,
+          monthDocs(mergeA), Seq("event_id"), "version", numShards = 4)
+      }
+      if (p == "month_committed" && mo == "2025-01" && !cDone) {
+        cDone = true
+        // new-geometry caller declaration (12) likewise
+        MergeOps.upsertParquetByMonthShard(spark, table,
+          monthDocs(mergeC ++ mergeD ++ mergeB),
+          Seq("event_id"), "version", numShards = 12)
+        // maintenance stays excluded even while merges flow
+        val excl = intercept[IllegalStateException] {
+          MergeOps.reconcileCrossMonthKeys(spark, table,
+            Seq("event_id"), "version")
+        }
+        assert(excl.getMessage.contains("maintenance"))
+      }
+    }))
+    // the raced month must have been staged TWICE (initial + redo
+    // after mergeA's seq bump) — one staging would have lost mergeA
+    assert(staged01.size === 2,
+      s"migration did not redo the merged month (staged ${staged01.size}×)")
+    // end state: flat layout at the new geometry, scaffolding gone
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName)
+      .forall(n => n.startsWith("start_month=") || n == "_shard_layout"),
+      "migration scaffolding must not survive the exit")
+    assert(graft.operators.GateLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$table/_shard_layout"))
+      .get("num_shards").contains("12"))
+    // equality with the sequential reference: same merges applied to
+    // the twin BEFORE an offline reshard — geometry change plus
+    // concurrent ingest must commute
+    for (b <- Seq(mergeA, mergeB, mergeC, mergeD))
+      MergeOps.upsertParquetByMonthShard(spark, twin, monthDocs(b),
+        Seq("event_id"), "version", numShards = 4)
+    assert(MergeOps.reshard(spark, twin, 12))
+    assert(rowsOf(spark.read.parquet(table))
+      === rowsOf(spark.read.parquet(twin)),
+      "online-with-live-merges and merge-then-reshard diverged")
+    // post-migration merges work at the new geometry
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("g1", "live D v2", 2, "2025-03"))),
+      Seq("event_id"), "version", numShards = 12)
+    assert(spark.read.parquet(table)
+      .filter($"event_id" === "g1").head().getAs[String]("title")
+      === "live D v2")
+  }
+
+  test("routed merge crash AFTER the data write but BEFORE its " +
+      "manifest commit: the batch is unacknowledged, loses no " +
+      "acknowledged data, and a retry lands it") {
+    // The durability boundary made explicit: a routed merge is
+    // durable only once its seq-bump CAS commits. Crash between the
+    // physical write and that commit → the migration (which staged
+    // the month before the write and sees no seq change) may commit
+    // its pre-merge rewrite, discarding the unacknowledged rows. The
+    // caller's contract is apply-or-retry — identical to a crash
+    // mid-swap on the flat path — and the retried batch lands.
+    val dir = Files.createTempDirectory("graft_rsmc").toFile
+      .getAbsolutePath
+    val table = onlineFixture(dir)
+    val before = rowsOf(spark.read.parquet(table))
+    var injected = false
+    assert(MergeOps.reshardOnline(spark, table, 12, hook = (p, mo) => {
+      if (p == "month_staged" && mo == "2025-01" && !injected) {
+        injected = true
+        val boom = intercept[RuntimeException] {
+          MergeOps.upsertParquetByMonthShard(spark, table,
+            monthDocs(Seq(("e1", "ghost", 2, "2025-01"))),
+            Seq("event_id"), "version", numShards = 4,
+            hook = (mp, _) =>
+              if (mp == "routed_written") sys.error("crash pre-commit"))
+        }
+        assert(boom.getMessage.contains("crash pre-commit"))
+      }
+    }))
+    // the unacknowledged write must NOT have survived as a phantom —
+    // the migration committed the pre-merge state it staged
+    assert(rowsOf(spark.read.parquet(table)) === before,
+      "unacknowledged merge leaked into the committed migration")
+    // the retry (the caller's contract) lands on the flat table
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "ghost", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 12)
+    assert(rowsOf(spark.read.parquet(table)) === before.map {
+      case ("e1", _, _, m) => ("e1", "ghost", 2, m)
+      case r => r
+    })
   }
 
   test("reshard crash between its two renames: the table's only copy " +

@@ -86,6 +86,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // migration with mid-flight readMonthTable fingerprint probes —
       // every probe IS the reader-liveness property under test
       "k1_reshard_online",
+      // same protocol with three merges injected mid-migration — the
+      // merges ARE the writer-liveness property under test
+      "k1_reshard_live_merge",
       "k2_json_roundtrip", "k3_csv_roundtrip", "k4_markdown_roundtrip",
       "k6_retention_drop", "k7_scd2_census", "s1_json_roundtrip",
       "s2_calendar_roundtrip", "s3_staging_roundtrip", "s5_table_copy",
