@@ -73,6 +73,89 @@ object PipelineQueries {
       |           FROM reach GROUP BY n)
       |""".stripMargin
 
+  /** The `sim_knn_join_ivfpq` oracle — the full quantization pipeline
+    * (pinned centroids/codebooks → cell assignment → PQ encode →
+    * per-query LUT → ordered ADC fold → shortlist → exact rerank)
+    * replayed in DuckDB. Shared VERBATIM by `sim_index_probe`: the
+    * same SQL passing for both rows is the proof that the persisted
+    * index ([[AnnIndex]]) answers bit-identically to the inline join.
+    * `extraCols` appends constant proof columns to the final SELECT.
+    */
+  private def ivfPqOracle(extraCols: String): String =
+    s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+       |cn AS (
+       |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+       |    (a, b) -> a + b) AS cnorm FROM cen),
+       |pq(j, cc, pc) AS (VALUES ${PqCodebooks.sqlValues}),
+       |pqn AS (
+       |  SELECT j, cc, pc, list_reduce(list_transform(pc, x -> x * x),
+       |    (a, b) -> a + b) AS pnorm FROM pq),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+       |    (a, b) -> a + b)) AS nrm FROM emb),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+       |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, j, cc FROM (
+       |    SELECT e.vec_id, p.j, p.cc, row_number() OVER (
+       |      PARTITION BY e.vec_id, p.j
+       |      ORDER BY p.pnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${PqCodebooks.dsub + 1}),
+       |          t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+       |        (a, b) -> a + b), p.cc) AS rn
+       |    FROM emb e, pqn p WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+       |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+       |lut AS (
+       |  SELECT e.vec_id, p.j, p.cc, list_reduce(
+       |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
+       |      t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+       |    (a, b) -> a + b) AS d
+       |  FROM emb e, pq p WHERE e.vec_id % 50 = 0),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    list_reduce(list(l.d ORDER BY l.j), (a, b) -> a + b)
+       |      / (any_value(cv.nrm) * any_value(qv.nrm)) AS adc_cosine
+       |  FROM qprobe q JOIN assign c ON c.cell = q.cell
+       |  JOIN codes cd ON cd.vec_id = c.vec_id
+       |  JOIN lut l ON l.vec_id = q.vec_id AND l.j = cd.j
+       |    AND l.cc = cd.cc
+       |  JOIN n cv ON cv.vec_id = c.vec_id
+       |  JOIN n qv ON qv.vec_id = q.vec_id
+       |  GROUP BY q.vec_id, c.vec_id),
+       |short AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_cosine DESC, corpus_id DESC) AS rn
+       |    FROM adc) WHERE rn <= 9),
+       |rr AS (
+       |  SELECT s.query_id, s.corpus_id,
+       |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |      t -> cv.v[t] * qv.v[t]), (a, b) -> a + b)
+       |      / (cv.nrm * qv.nrm) AS cosine
+       |  FROM short s JOIN n cv ON cv.vec_id = s.corpus_id
+       |  JOIN n qv ON qv.vec_id = s.query_id)
+       |SELECT query_id, corpus_id, cosine$extraCols FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, corpus_id DESC) AS rn FROM rr)
+       |WHERE rn <= 3
+       |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin
+
   val registry: Map[String, QueryDef] = Map(
 
     // The engine's central capability, benched at scale: raw
@@ -590,79 +673,101 @@ object PipelineQueries {
             PqCodebooks.pinned, nprobe = 2, shortlist = 9)
           .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
       },
+      ivfPqOracle("")),
+
+    // Persisted IVF-PQ index, BUILD + incremental APPEND (the
+    // build-once / probe-many lifecycle — at 100 TB the inline joins'
+    // per-call corpus encode dominates every query; AnnIndex
+    // materializes codes+cells once and appends encode only the new
+    // batch). The row builds from one corpus slab, appends the other,
+    // and returns the maintenance census: per (component, cell)
+    // vector counts. The oracle recomputes both components' cell
+    // assignments from the pinned centroids — a build that dropped,
+    // duplicated, or re-binned a vector, or an append that leaked
+    // into the base, shifts a count. (The no-re-encode FILE census
+    // lives in AnnIndexSpec; a query result can't carry mtimes.)
+    "sim_index_build" -> QueryDef(
+      (s, d) => {
+        val dir = new java.io.File("target/ann_index_build/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/idx").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+        val emb = T.embeddings(s, d)
+        AnnIndex.build(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
+          "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+        AnnIndex.append(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
+          "vec_id", "embedding")
+        AnnIndex.census(s, dir)
+          .orderBy(col("component"), col("cell"))
+      },
       s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
          |cn AS (
          |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
          |    (a, b) -> a + b) AS cnorm FROM cen),
-         |pq(j, cc, pc) AS (VALUES ${PqCodebooks.sqlValues}),
-         |pqn AS (
-         |  SELECT j, cc, pc, list_reduce(list_transform(pc, x -> x * x),
-         |    (a, b) -> a + b) AS pnorm FROM pq),
          |emb AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
-         |    (a, b) -> a + b)) AS nrm FROM emb),
          |assign AS (
          |  SELECT vec_id, i AS cell FROM (
          |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY cn.cnorm - 2.0 * list_reduce(
          |        list_transform(range(1, ${IvfCentroids.dim + 1}),
          |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
-         |codes AS (
-         |  SELECT vec_id, j, cc FROM (
-         |    SELECT e.vec_id, p.j, p.cc, row_number() OVER (
-         |      PARTITION BY e.vec_id, p.j
-         |      ORDER BY p.pnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${PqCodebooks.dsub + 1}),
-         |          t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
-         |        (a, b) -> a + b), p.cc) AS rn
-         |    FROM emb e, pqn p WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
-         |qprobe AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
-         |      PARTITION BY e.vec_id
-         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-         |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
-         |lut AS (
-         |  SELECT e.vec_id, p.j, p.cc, list_reduce(
-         |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
-         |      t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
-         |    (a, b) -> a + b) AS d
-         |  FROM emb e, pq p WHERE e.vec_id % 50 = 0),
-         |adc AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-         |    list_reduce(list(l.d ORDER BY l.j), (a, b) -> a + b)
-         |      / (any_value(cv.nrm) * any_value(qv.nrm)) AS adc_cosine
-         |  FROM qprobe q JOIN assign c ON c.cell = q.cell
-         |  JOIN codes cd ON cd.vec_id = c.vec_id
-         |  JOIN lut l ON l.vec_id = q.vec_id AND l.j = cd.j
-         |    AND l.cc = cd.cc
-         |  JOIN n cv ON cv.vec_id = c.vec_id
-         |  JOIN n qv ON qv.vec_id = q.vec_id
-         |  GROUP BY q.vec_id, c.vec_id),
-         |short AS (
-         |  SELECT query_id, corpus_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adc_cosine DESC, corpus_id DESC) AS rn
-         |    FROM adc) WHERE rn <= 9),
-         |rr AS (
-         |  SELECT s.query_id, s.corpus_id,
-         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |      t -> cv.v[t] * qv.v[t]), (a, b) -> a + b)
-         |      / (cv.nrm * qv.nrm) AS cosine
-         |  FROM short s JOIN n cv ON cv.vec_id = s.corpus_id
-         |  JOIN n qv ON qv.vec_id = s.query_id)
-         |SELECT query_id, corpus_id, cosine FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, corpus_id DESC) AS rn FROM rr)
-         |WHERE rn <= 3
-         |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin),
+         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1)
+         |SELECT CASE WHEN vec_id % 7 <> 3 THEN 'base'
+         |            ELSE 'delta-000001' END AS component,
+         |  CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors
+         |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Persisted-index PROBE: k-NN answered FROM the artifact (base +
+    // committed deltas, partition-pruned to the probed cells, ADC in
+    // the compressed domain, exact rerank) — the oracle is the SAME
+    // full-quantization-pipeline SQL as sim_knn_join_ivfpq, so a pass
+    // IS the probe-equals-inline-join proof over build ∪ append. The
+    // in-row booleans pin the incremental posture the file census in
+    // AnnIndexSpec proves byte-exactly: the append committed one
+    // delta and left every base file untouched.
+    "sim_index_probe" -> QueryDef(
+      (s, d) => {
+        val dir = new java.io.File("target/ann_index_probe/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/idx").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+        val emb = T.embeddings(s, d)
+        AnnIndex.build(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
+          "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+        def baseCensus() = {
+          val it = fs.listFiles(
+            new org.apache.hadoop.fs.Path(dir, "base"), true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long)]
+          while (it.hasNext) {
+            val f = it.next()
+            buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+          }
+          buf.sortBy(_._1).toSeq
+        }
+        val before = baseCensus()
+        AnnIndex.append(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
+          "vec_id", "embedding")
+        val baseUntouched = before.nonEmpty && baseCensus() == before
+        val deltaCommitted = fs.exists(
+          new org.apache.hadoop.fs.Path(dir, "delta-000001"))
+        AnnIndex.probe(s, dir, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 9)
+          .withColumn("base_untouched", lit(baseUntouched))
+          .withColumn("delta_committed", lit(deltaCommitted))
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      ivfPqOracle(
+        ", TRUE AS base_untouched, TRUE AS delta_committed")),
 
     // IVF-PQ at a DECLARED recall target (>= 0.9): the shortlist dial
     // turned automatically — ONE ADC ranking at the largest shortlist,

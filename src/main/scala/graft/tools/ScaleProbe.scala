@@ -34,7 +34,8 @@ import graft.operators.{Unify, V2Fixtures}
   *
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
-  *   merge | mergeshard | reshard | bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
+  *   merge | mergeshard | reshard | reshardonline | annprobe |
+  *   bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
   *   neardupcap | neardupauto | embedt | embedcap | curate | curatecap |
   *   ingest | ingestcap | ingestcapm | spandedup
@@ -327,6 +328,91 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t2) / 1e9
       fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
       (20L, sec)
+    }
+
+    // Online-reshard probe (`reshardonline`): month volume scales
+    // with factor (4 fixed months, 2→8 shards), and the sweep records
+    // the two costs the generation-pointer protocol trades: total
+    // migration time (expected LINEAR in month volume — each month is
+    // one shuffle+rewrite) and the mid-migration readMonthTable
+    // overhead vs the flat read after exit (expected FLAT — the
+    // resolver adds O(months) directory listings and one manifest
+    // read, never a data term).
+    var lastReadMidSec = -1.0
+    var lastReadFlatSec = -1.0
+    def runReshardOnlineAt(factor: Int): (Long, Double) = {
+      import graft.operators.MergeOps
+      val dirRoot = new java.io.File(
+        s"target/rsonline_probe/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      val t = s"$dirRoot/t"
+      val months = replicate(factor, perturbText = false)
+        .select(col("doc_id"), col("text"), lit(1).as("version"),
+          concat(lit("2025-0"), (col("doc_id") % 4 + 1).cast("string"))
+            .as("start_month"))
+      MergeOps.upsertParquetByMonthShard(spark, t, months,
+        Seq("doc_id"), "version", numShards = 2)
+      var readMid = -1.0
+      val t0 = System.nanoTime()
+      MergeOps.reshardOnline(spark, t, 8, hook = (p, _) => {
+        if (p == "month_committed" && readMid < 0) {
+          val r0 = System.nanoTime()
+          MergeOps.readMonthTable(spark, t)
+            .agg(count(lit(1))).head()
+          readMid = (System.nanoTime() - r0) / 1e9
+        }
+      })
+      val sec = (System.nanoTime() - t0) / 1e9 - math.max(readMid, 0.0)
+      lastReadMidSec = readMid
+      val r1 = System.nanoTime()
+      MergeOps.readMonthTable(spark, t).agg(count(lit(1))).head()
+      lastReadFlatSec = (System.nanoTime() - r1) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (4L, sec)
+    }
+
+    // Persisted-ANN probe (`annprobe`): the corpus scales with factor
+    // but the probe workload is FIXED (20 queries, k=3, nprobe=2,
+    // shortlist=32). Per factor the sweep records the index BUILD
+    // (one-off, linear — it pays the encode the inline join pays per
+    // call), the PROBE from the artifact, and the INLINE join over
+    // the same corpus. The curve the build/probe split exists for:
+    // inline grows with the corpus (per-call re-encode), probe grows
+    // only with the pruned compressed scan.
+    var lastBuildSec = -1.0
+    var lastInlineSec = -1.0
+    var lastAnnCorpusRows = -1L
+    def runAnnProbeAt(factor: Int): (Long, Double) = {
+      import graft.operators.{AnnIndex, IvfCentroids, PqCodebooks, Similarity}
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      if (lastAnnCorpusRows < 0) lastAnnCorpusRows = emb.count()
+      val corpus = (0 until factor).map(i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      val queries = emb.filter(col("vec_id") % 50 === 0).limit(20)
+        .localCheckpoint()
+      val dirRoot = new java.io.File(
+        s"target/annprobe/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      val t0 = System.nanoTime()
+      AnnIndex.build(spark, s"$dirRoot/idx", corpus, "vec_id",
+        "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+      lastBuildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = AnnIndex.probe(spark, s"$dirRoot/idx", queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, shortlist = 32).count()
+      val probeSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      Similarity.knnJoinIvfPq(corpus, queries, "vec_id", "embedding",
+        k = 3, IvfCentroids.pinned, PqCodebooks.pinned, nprobe = 2,
+        shortlist = 32).count()
+      lastInlineSec = (System.nanoTime() - t2) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (n, probeSec)
     }
 
     // Prefix-filter similarity-join probe: near-duplicate replicas
@@ -956,6 +1042,8 @@ object ScaleProbe {
       case "merge"     => runMergeAt
       case "mergeshard" => runMergeShardAt
       case "reshard"   => runReshardAt
+      case "reshardonline" => runReshardOnlineAt
+      case "annprobe"  => runAnnProbeAt
       case "bpe"       => runBpeAt
       case "ppjoin"    => runPpjoinAt
       case "ppjoinz"   => runPpjoinZipfAt
@@ -990,6 +1078,8 @@ object ScaleProbe {
       case "merge"     => "month_merge"
       case "mergeshard" => "month_merge_sharded"
       case "reshard"   => "merge_after_reshard"
+      case "reshardonline" => "reshard_online"
+      case "annprobe"  => "ann_index_probe"
       case "bpe"       => "ta_subword_bpe"
       case "ppjoin"    => "dd_prefix_jaccard"
       case "ppjoinz"   => "dd_prefix_jaccard_zipf"
@@ -1019,6 +1109,8 @@ object ScaleProbe {
       case "funnel" | "funnelcap" => "canonical"
       case "asof"      => "matched"
       case "merge" | "mergeshard" | "reshard" => "batch_rows"
+      case "reshardonline" => "months"
+      case "annprobe"  => "pairs"
       case "bpe"       => "tokens"
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
@@ -1045,6 +1137,10 @@ object ScaleProbe {
           f""","sec_month_rewrite":$lastMonthSec%.2f"""
         else if (probe == "reshard")
           f""","sec_drifted_merge":$lastDriftedSec%.2f,"sec_reshard":$lastReshardSec%.2f"""
+        else if (probe == "reshardonline")
+          f""","sec_read_mid":$lastReadMidSec%.2f,"sec_read_flat":$lastReadFlatSec%.2f"""
+        else if (probe == "annprobe")
+          f""","sec_build":$lastBuildSec%.2f,"sec_inline":$lastInlineSec%.2f"""
         else if (probe == "ppjoin" || probe == "ppjoinz")
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else if (probe == "rolling")
@@ -1071,6 +1167,7 @@ object ScaleProbe {
       val inRows =
         if (probe == "funnelcap") baseRows + f
         else if (probe == "ppjoinz") 5000L * f
+        else if (probe == "annprobe") lastAnnCorpusRows * f
         else baseRows * f
       f"""{"factor":$f%d,"input_rows":$inRows%d,"$unit%s":$n%d,"sec":$sec%.2f$extra%s}"""
     }

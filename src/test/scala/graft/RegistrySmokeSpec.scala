@@ -106,6 +106,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // (TextAnalysis), corpus fingerprint table (Dedup incremental)
       "j_bloom_prefilter", "a22_heavy_hitters",
       "sim_ann_ivf", "sim_ann_lsh", "sim_cosine_fast",
+      // persisted-index lifecycle: the build/append WRITES and the
+      // probe's bounded probed-cell collect (≤ nlist) are the
+      // operators under test
+      "sim_index_build", "sim_index_probe",
       "sim_ivf_nprobe_sweep", "sim_recall_report",
       // recall-curve + exact-pair checkpoint: bounded queries×k×nlist
       // artifacts each read twice (Similarity.knnJoinIvfAtRecall)
