@@ -331,16 +331,47 @@ object Similarity {
     * sweep). Picks the SMALLEST shortlist whose measured recall
     * reaches targetX100/100 (fallback: the largest), returning its
     * pairs with the chosen shortlist and measured recall ×1000
-    * (integer-exact) on every row. At 100 TB the calibration runs on
-    * a query sample and the chosen shortlist is reused by the fleet.
+    * (integer-exact) on every row.
+    *
+    * `sampleQueries > 0` is the 100 TB posture made EXECUTABLE (not
+    * advice in a doc comment): the whole calibration — exact ground
+    * truth included, the O(|corpus|·|queries|) term — runs on a
+    * seeded deterministic query subset (hash-ordered with id
+    * tiebreak, the same sampling contract as the quantizer trainers),
+    * the dial read off it is applied to ALL queries through the plain
+    * [[knnJoinIvfPq]], and every returned row carries the
+    * sample-measured recall. The dial choice is the in-plan
+    * calibration itself run on the sample — one code path, so the
+    * sample-chosen dial cannot drift from the full-set rule (the
+    * property the spec pins). 0 (default) keeps the original
+    * calibrate-on-everything shape.
     */
   def knnJoinIvfPqAtRecall(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       nprobe: Int = 2, shortlists: Seq[Int] = Seq.empty,
-      targetX100: Int = 90): DataFrame = {
+      targetX100: Int = 90, sampleQueries: Int = 0): DataFrame = {
     require(targetX100 >= 1 && targetX100 <= 100,
       s"targetX100 in [1,100], got $targetX100")
+    if (sampleQueries > 0) {
+      val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleQueries)
+      val dial = knnJoinIvfPqAtRecall(corpus, qs, idCol, vecCol, k,
+          centroids, codebooks, nprobe, shortlists, targetX100, 0)
+        .select(col("shortlist"), col("recall_x1000"))
+        .limit(1).collect()
+      // an empty calibration (no candidates for any sampled query)
+      // falls back to the largest shortlist with recall 0 — the same
+      // best-effort contract as the in-plan fallback path
+      val (chosenS, recall) = dial.headOption
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .getOrElse(((if (shortlists.nonEmpty) shortlists
+          else Seq(k, 2 * k, 4 * k, 8 * k)).max, 0L))
+      return knnJoinIvfPq(corpus, queries, idCol, vecCol, k,
+          centroids, codebooks, nprobe, chosenS)
+        .withColumn("shortlist", lit(chosenS).cast("int"))
+        .withColumn("recall_x1000", lit(recall))
+    }
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "codebooks must be non-empty")
@@ -656,13 +687,35 @@ object Similarity {
     * nprobe is reused by the fleet; scoring all nlist curve points
     * costs nlist × the probed fraction ≈ one exhaustive pass, paid at
     * calibration time only.
+    *
+    * `sampleQueries > 0` makes that posture executable (mirror of
+    * [[knnJoinIvfPqAtRecall]]'s knob): calibration — the exact ground
+    * truth and the nprobe sweep — runs on a seeded hash-ordered query
+    * subset, the chosen nprobe is applied to ALL queries through the
+    * plain [[knnJoinIvf]], and rows carry the sample-measured recall.
+    * One code path chooses the dial in both modes.
     */
   def knnJoinIvfAtRecall(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, centroids: Seq[Seq[Double]],
-      targetX100: Int = 90): DataFrame = {
+      targetX100: Int = 90, sampleQueries: Int = 0): DataFrame = {
     require(targetX100 >= 1 && targetX100 <= 100,
       s"targetX100 in [1,100], got $targetX100")
     val nlist = centroids.length
+    if (sampleQueries > 0) {
+      val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleQueries)
+      val dial = knnJoinIvfAtRecall(corpus, qs, idCol, vecCol, k,
+          centroids, targetX100, 0)
+        .select(col("nprobe"), col("recall_x1000"))
+        .limit(1).collect()
+      val (chosenNp, recall) = dial.headOption
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .getOrElse((nlist, 0L))
+      return knnJoinIvf(corpus, queries, idCol, vecCol, k, centroids,
+          chosenNp)
+        .withColumn("nprobe", lit(chosenNp))
+        .withColumn("recall_x1000", lit(recall))
+    }
     val exact = knnJoinExact(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("corpus_id"))
       .localCheckpoint()

@@ -837,6 +837,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"reported recall_x1000 $reported != realized $realized")
   }
 
+  test("sampleQueries: calibration on a seeded query subset chooses " +
+      "the dial, pairs cover ALL queries — both recall-target joins") {
+    // the 100 TB posture made executable: exact ground truth (the
+    // O(|corpus|·|queries|) calibration term) runs on the sample; the
+    // dial applies fleet-wide. On this fixture the sample-chosen dial
+    // must equal the full-set choice — same rule, same code path.
+    val rng = new scala.util.Random(61)
+    val all = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 50 =!= 0)
+    val queries = all.filter($"vec_id" % 50 === 0) // 8 queries
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", dim = 16, nlist = 4, iters = 3, sampleSize = 400)
+    val books = Similarity.trainPqCodebooks(corpus, "vec_id",
+      "embedding", dim = 16, m = 4, ksub = 8, iters = 3,
+      sampleSize = 400)
+    // PQ shortlist dial. With the sample covering the whole query set
+    // the calibration input is IDENTICAL, so the one-code-path claim
+    // is pinned exactly: same dial, same reported recall.
+    val full = Similarity.knnJoinIvfPqAtRecall(corpus, queries,
+        "vec_id", "embedding", k = 3, cents, books, nprobe = 4,
+        shortlists = Seq(3, 6, 12), targetX100 = 1).collect()
+    val sampledAll = Similarity.knnJoinIvfPqAtRecall(corpus, queries,
+        "vec_id", "embedding", k = 3, cents, books, nprobe = 4,
+        shortlists = Seq(3, 6, 12), targetX100 = 1,
+        sampleQueries = 100).collect()
+    assert(sampledAll.map(_.getInt(3)).distinct.toSeq ===
+      full.map(_.getInt(3)).distinct.toSeq,
+      "sample-covering-all dial differs from the full-set choice")
+    assert(sampledAll.map(_.getLong(4)).distinct.toSeq ===
+      full.map(_.getLong(4)).distinct.toSeq,
+      "sample-covering-all recall differs from the full-set measure")
+    // a PROPER subset: the dial still comes from the declared rule
+    // (one of the offered shortlists), the PAIRS cover every query,
+    // and the sample-measured recall rides on every row
+    val sampled = Similarity.knnJoinIvfPqAtRecall(corpus, queries,
+        "vec_id", "embedding", k = 3, cents, books, nprobe = 4,
+        shortlists = Seq(3, 6, 12), targetX100 = 1,
+        sampleQueries = 4).collect()
+    assert(Seq(3, 6, 12).contains(sampled.head.getInt(3)))
+    assert(sampled.map(_.getLong(0)).distinct.length ===
+      queries.count().toInt)
+    assert(sampled.groupBy(_.getLong(0)).values.forall(_.length === 3))
+    assert(sampled.map(_.getLong(4)).distinct.length === 1)
+    // IVF nprobe dial, same contract
+    val fullIvf = Similarity.knnJoinIvfAtRecall(corpus, queries,
+      "vec_id", "embedding", k = 3, cents, targetX100 = 1).collect()
+    val sampledIvfAll = Similarity.knnJoinIvfAtRecall(corpus, queries,
+      "vec_id", "embedding", k = 3, cents, targetX100 = 1,
+      sampleQueries = 100).collect()
+    assert(sampledIvfAll.map(_.getInt(3)).distinct.toSeq ===
+      fullIvf.map(_.getInt(3)).distinct.toSeq,
+      "sample-covering-all nprobe differs from the full-set choice")
+    val sampledIvf = Similarity.knnJoinIvfAtRecall(corpus, queries,
+      "vec_id", "embedding", k = 3, cents, targetX100 = 1,
+      sampleQueries = 4).collect()
+    assert((1 to 4).contains(sampledIvf.head.getInt(3)))
+    assert(sampledIvf.map(_.getLong(0)).distinct.length ===
+      queries.count().toInt)
+  }
+
   test("multi-probe LSH knn join dominates single-probe recall") {
     val rng = new scala.util.Random(31)
     val all = (0 until 400).map(i =>
