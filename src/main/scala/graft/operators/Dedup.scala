@@ -1274,7 +1274,14 @@ private[graft] object GateOps {
       // full second on object stores, so a stale marker and a fresh
       // checkpoint created within one quantum would tie — and a tie
       // must land on the re-run (safe) side, like every other
-      // ambiguity in this guard. Cross-store clock skew can still
+      // ambiguity in this guard. The trade is explicit: a GENUINE
+      // legacy marker that ties the checkpoint within one quantum is
+      // treated as stale, so its already-committed batch re-runs —
+      // on a non-idempotent sink (plain parquet append) that is a
+      // DUPLICATE append. Possible duplication beats possible data
+      // loss, and the window is one mtime quantum inside a one-deploy
+      // upgrade path (StreamingStateSpec pins both sides).
+      // Cross-store clock skew can still
       // defeat the comparison in principle; the in-place-upgrade
       // window this match exists for spans one deploy, after which
       // the new-format marker overwrites the legacy one and this

@@ -583,7 +583,13 @@ object MergeOps {
     require(keys == g("shard_keys").split(",").toSeq,
       s"keys ${keys.mkString(",")} differ from the migration manifest's " +
         s"${g("shard_keys")} for $dest")
-    val sentinel = GateLayout.read(fs, new Path(dest, rOnlineSentinel))
+    // the sentinel can vanish between the caller's manifest read and
+    // here (EXIT completed and swept everything) — that is just the
+    // state moving on: re-resolve from the top rather than surfacing
+    // a FileNotFound from inside the protocol
+    val sentinel =
+      try GateLayout.read(fs, new Path(dest, rOnlineSentinel))
+      catch { case _: java.io.FileNotFoundException => return false }
     val srcShards = sentinel("src_shards").toInt
     val tgtShards = g("target_shards").toInt
     require(callerShards == srcShards || callerShards == tgtShards,
