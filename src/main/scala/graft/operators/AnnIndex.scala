@@ -67,21 +67,34 @@ object AnnIndex {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Restore a build that crashed between its two commit renames (the
-    * index's only copy sits at `_retired`) and sweep uncommitted
-    * staging — run by every entry point before reading or writing. */
+  /** Crash recovery, split by caller class so READS never take
+    * destructive actions that could race a concurrent writer:
+    *
+    *  - readers (probe/census) only RESTORE a build that crashed
+    *    between its two commit renames (the index's only copy sits at
+    *    `_retired` and nothing is readable without the rename);
+    *    staging and delta-staging debris is invisible to reads
+    *    ([[deltaDirs]] matches committed names only) and is left for
+    *    the next writer to sweep — a reader deleting it could destroy
+    *    an in-flight append's staged files in a concurrent
+    *    deployment.
+    *  - writers (build/append, single-writer contract) additionally
+    *    sweep uncommitted staging debris.
+    */
   private def recover(fs: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path): Unit = {
+      dest: org.apache.hadoop.fs.Path, sweep: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = new Path(dest.getParent, dest.getName + "_staging")
     val retired = new Path(dest.getParent, dest.getName + "_retired")
     if (!fs.exists(dest) && fs.exists(retired) && !fs.rename(retired, dest))
       throw new java.io.IOException(
         s"found orphaned $retired but could not restore it to $dest")
-    fs.delete(retired, true)
-    fs.delete(staging, true)
-    if (fs.exists(dest))
-      fs.delete(new Path(dest, deltaStaging), true)
+    if (sweep) {
+      fs.delete(retired, true)
+      fs.delete(staging, true)
+      if (fs.exists(dest))
+        fs.delete(new Path(dest, deltaStaging), true)
+    }
   }
 
   /** Encode a corpus slice with the index's quantizer:
@@ -113,7 +126,7 @@ object AnnIndex {
       s"codebooks cover ${codebooks.length}·$dsub dims, corpus has $dim")
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest)
+    recover(fs, dest, sweep = true)
     val staging = new Path(dest.getParent, dest.getName + "_staging")
     val retired = new Path(dest.getParent, dest.getName + "_retired")
     encoded(corpus, idCol, vecCol, centroids, codebooks)
@@ -122,6 +135,16 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(new Path(staging, "base").toString)
+    // a 0-row corpus writes a partitionless parquet dir that every
+    // later read of the index would die on (schema inference finds
+    // nothing) — refuse to commit an unreadable artifact, and leave
+    // the live index (if any) untouched
+    if (!hasCellDirs(fs, new Path(staging, "base"))) {
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"refusing to build an ANN index from an EMPTY corpus at " +
+          s"$indexPath — the artifact would be unreadable")
+    }
     GateLayout.write(fs, new Path(staging, layoutName), Seq(
       "id_col" -> idCol, "vec_col" -> vecCol,
       "dim" -> dim.toString,
@@ -154,6 +177,15 @@ object AnnIndex {
       .filter(n => n.startsWith(deltaPrefix) &&
         n.stripPrefix(deltaPrefix).forall(_.isDigit)).sorted.toSeq
 
+  /** Whether a staged component actually holds data: a 0-row
+    * partitioned write leaves no `cell=` dirs, and committing such a
+    * dir would make every later read of the index die on schema
+    * inference. */
+  private def hasCellDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+
   /** Incrementally add a batch: encode ONLY the batch with the
     * persisted quantizer and commit it as the next delta directory —
     * one atomic rename; the base and every prior delta are never
@@ -165,7 +197,7 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest)
+    recover(fs, dest, sweep = true)
     val m = readLayout(fs, dest)
     require(m("id_col") == idCol && m("vec_col") == vecCol,
       s"index at $indexPath was built on (${m("id_col")}, " +
@@ -178,6 +210,13 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(staging.toString)
+    // an empty batch (routine: a day with no new rows) stages nothing
+    // — committing the empty dir would brick every later read on
+    // schema inference, so the append is a clean no-op instead
+    if (!hasCellDirs(fs, staging)) {
+      fs.delete(staging, true)
+      return
+    }
     var n = deltaDirs(fs, dest).lastOption
       .map(_.stripPrefix(deltaPrefix).toLong + 1).getOrElse(1L)
     var committed = false
@@ -220,7 +259,7 @@ object AnnIndex {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest)
+    recover(fs, dest, sweep = false)
     val lay = readLayout(fs, dest)
     val centroids = parseVecs(lay("centroids"))
     val codebooks = parseBooks(lay("codebooks"))
@@ -238,16 +277,23 @@ object AnnIndex {
     // partition-pruned reads of nprobe/nlist of the table
     val cells = q.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (cells.isEmpty)
+    if (cells.isEmpty) {
+      // corpus_id's type comes from the INDEX (a footer-only read),
+      // not the query side — an empty batch must not flip the result
+      // schema when query and corpus id types differ
+      val corpusIdType = spark.read
+        .parquet(new Path(dest, "base").toString)
+        .schema("corpus_id").dataType
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("query_id",
             queries.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("corpus_id",
-            queries.schema(idCol).dataType),
+            corpusIdType),
           org.apache.spark.sql.types.StructField("cosine",
             org.apache.spark.sql.types.DoubleType))))
+    }
     val codesSide = readCells(spark, dest, deltas, cells,
         Seq("cell", "corpus_id", "codes", "cn"))
       .withColumnRenamed("cell", "_cell")
@@ -280,7 +326,7 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest)
+    recover(fs, dest, sweep = false)
     readLayout(fs, dest) // fail fast on a missing/torn index
     val deltas = deltaDirs(fs, dest)
     ("base" +: deltas).map { d =>

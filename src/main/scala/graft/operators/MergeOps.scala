@@ -509,7 +509,11 @@ object MergeOps {
           // a completed EXIT (manifests swept, sentinel not yet) —
           // both are metadata-only windows measured in seconds, and
           // neither exposes a manifest to route through. Retryable by
-          // contract; resuming the migration also clears it.
+          // contract, and the refusal is AMBIGUOUS, not negative: a
+          // batch refused at its commit may already have rows in a
+          // generation month the exit carries to the root — re-run
+          // the SAME batch (idempotent latest-wins), never an altered
+          // one. Resuming the migration also clears the window.
           throw new IllegalStateException(
             s"$tablePath is inside an online-reshard metadata window " +
               "(enter/exit) — retry the merge shortly, or resume the " +
@@ -900,65 +904,99 @@ object MergeOps {
   private case class GenManifest(version: Long,
       globals: Map[String, String], months: Map[String, MonthEntry])
 
-  /** CAS-commit manifest `m` AT version `m.version`: atomically claim
-    * the version via create-exclusive on a `.claim` sibling — two
-    * committers (the migration and a routed merge) can race to the
-    * same next version, and exactly one may win — then stage + rename
-    * the manifest itself. Returns false when the version was already
-    * claimed: re-read the manifest and retry on fresh state. The
-    * claim is the linearization point; the rename only publishes a
-    * version this committer already owns. (create-exclusive is atomic
-    * on HDFS; on a raw local FS the exists+create pair has a
-    * theoretical check-then-act window that a single-driver
-    * deployment — the shape this repo runs — never exercises.) */
+  /** CAS-commit manifest `m` AT version `m.version`. Returns false on
+    * any lost race — re-read the manifest and retry on fresh state.
+    *
+    * Protocol (two committer classes can race: the migration and
+    * routed merges):
+    *
+    *  1. STALENESS CHECK — the version number must be fresh. Every
+    *     version ever used leaves a trace until EXIT: the live
+    *     manifest, a one-version-grace predecessor, or a zero-byte
+    *     `.spent` tombstone written when a superseded manifest's
+    *     content is swept. A committer whose read went stale by ANY
+    *     number of commits (arbitrarily long GC pause included) finds
+    *     its target version's trace and retries — the
+    *     acknowledged-but-invisible stale publish is structurally
+    *     unreachable, not improbable.
+    *  2. CLAIM — create-exclusive a `.claim` sibling CARRYING the
+    *     full manifest content. An existing claim is a committer
+    *     mid-publish (microseconds) or a crashed one (forever):
+    *     delete it and retry — a crashed owner would otherwise wedge
+    *     the version number permanently (nothing else ever sweeps an
+    *     orphan whose version is still next-in-line), and a LIVE
+    *     owner's subsequent rename simply fails and re-verifies.
+    *  3. PUBLISH — rename claim → final (the versioned name), then
+    *     VERIFY the published bytes are ours: step 2's delete-on-
+    *     sight means a racer can have deleted our claim and re-
+    *     created the path with its own content, so exactly one
+    *     committer's rename+readback both succeed; the other sees
+    *     foreign bytes (or a failed rename) and retries. A crash
+    *     mid-claim-write leaves a torn claim that only step 2's
+    *     delete ever touches — torn bytes can never publish.
+    *
+    * (create-exclusive is atomic on HDFS; on a raw local FS the
+    * exists+create pair has a theoretical check-then-act window that
+    * a single-driver deployment — the shape this repo runs — never
+    * exercises.) */
   private def tryCommitGenManifest(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path, m: GenManifest): Boolean = {
     import org.apache.hadoop.fs.Path
     val name = f"$rGenManifestPrefix${m.version}%09d"
+    val finalP = new Path(dest, name)
+    val spentP = new Path(dest, name + ".spent")
     val claim = new Path(dest, name + ".claim")
-    if (fs.exists(claim)) return false
-    try fs.create(claim, false).close()
-    catch {
-      case e: java.io.IOException =>
-        if (fs.exists(claim)) return false else throw e
-    }
-    val tmp = new Path(dest, name + ".wtmp")
-    val out = fs.create(tmp, true)
-    try out.write((
+    // 1. staleness: this version number was already used (live file,
+    // grace predecessor, or tombstone) → the caller's read is stale
+    if (fs.exists(finalP) || fs.exists(spentP)) return false
+    // 2. claim: an existing one is mid-publish or crashed — unwedge
+    if (fs.exists(claim)) { fs.delete(claim, false); return false }
+    val content = (
       m.globals.toSeq.sorted.map { case (k, v) => s"g\t$k\t$v" } ++
         m.months.toSeq.sortBy(_._1).map { case (mo, e) =>
-          s"m\t$mo\t${e.gen}\t${e.shards}\t${e.seq}" })
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // the claim guarantees dst is OURS — plain rename publishes it
-    if (!fs.rename(tmp, new Path(dest, name)))
-      throw new java.io.IOException(
-        s"could not commit generation manifest $name under $dest")
-    // sweep superseded versions with a ONE-VERSION grace, the same
-    // grace the month dirs get: a reader that listed the manifest set
-    // just before this commit resolved version-1 and may open it a
-    // beat later — deleting it here would turn that read into a
-    // FileNotFound inside the commit window, exactly the error the
-    // pointer protocol exists to prevent. version-1 survives until
-    // the NEXT commit — and month M's superseded source dir outlives
-    // its mapping change by the same one commit, so every manifest a
-    // reader can resolve maps every month to a dir that still exists.
-    // CLAIM files keep a LONGER (four-version) grace: a claim guards
-    // its version number against a committer acting on a stale read —
-    // sweeping it with the manifest would let a committer whose
-    // read-validate-claim window straddled one commit re-claim a
-    // version that already existed. Four commits cannot complete
-    // inside another committer's read-to-claim window.
+          s"m\t$mo\t${e.gen}\t${e.shards}\t${e.seq}" }).mkString("\n")
+    try {
+      val out = fs.create(claim, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(claim) || fs.exists(finalP)) return false
+        else throw e
+    }
+    // 3. publish + verify-ours
+    val renamed = fs.rename(claim, finalP)
+    val published = renamed && (try {
+      val in = fs.open(finalP)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      got == content
+    } catch { case _: java.io.IOException => false })
+    if (!published) {
+      if (!renamed) fs.delete(claim, false)
+      return false
+    }
+    // Sweep superseded versions with a ONE-VERSION content grace (a
+    // reader that listed just before this commit resolved version-1
+    // and may open it a beat later — month M's superseded source dir
+    // outlives its mapping change by the same one commit, so every
+    // manifest a reader can resolve maps every month to a dir that
+    // still exists), leaving a `.spent` tombstone for step 1's
+    // staleness check. Tombstone BEFORE delete — a crash between the
+    // two must never lose the version's trace. Tombstones are
+    // zero-byte, bounded by the migration's commit count, and EXIT
+    // sweeps them all.
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith(rGenManifestPrefix)) {
         val core = n.stripPrefix(rGenManifestPrefix)
         if (core.nonEmpty && core.forall(_.isDigit) &&
-            core.toLong < m.version - 1)
+            core.toLong < m.version - 1) {
+          try fs.create(new Path(dest, n + ".spent"), true).close()
+          catch { case _: java.io.IOException => () }
           fs.delete(p, false)
-        else if (core.endsWith(".claim")) {
+        } else if (core.endsWith(".claim")) {
           val v = core.stripSuffix(".claim")
-          if (v.nonEmpty && v.forall(_.isDigit) && v.toLong < m.version - 4)
+          if (v.nonEmpty && v.forall(_.isDigit) && v.toLong < m.version)
             fs.delete(p, false)
         }
       }
@@ -1262,10 +1300,19 @@ object MergeOps {
       man = Some(GenManifest(1L, globals - "src_shards",
         months.map(_ -> MonthEntry(srcGen,
           globals("src_shards").toInt, 0L)).toMap))
-      require(tryCommitGenManifest(fs, dest, man.get),
-        s"manifest v1 for $tablePath was already claimed — another " +
-          "migration is racing this one; online reshard is single-" +
-          "migration by contract")
+      // loop: the first attempt can return false while unwedging a
+      // crashed prior ENTER's orphaned claim; a bounded retry budget
+      // still fails loud on a genuinely racing second migration
+      var entered = false
+      var enterTries = 0
+      while (!entered && enterTries < 5) {
+        enterTries += 1
+        entered = tryCommitGenManifest(fs, dest, man.get)
+      }
+      require(entered,
+        s"manifest v1 for $tablePath could not be committed after " +
+          s"$enterTries attempts — another migration is racing this " +
+          "one; online reshard is single-migration by contract")
       hook("enter_done", "")
     }
 
@@ -1343,10 +1390,17 @@ object MergeOps {
     // Commit the CLOSING barrier version first: a routed merge that
     // resolves it fails fast retryable (the exit is metadata-only,
     // seconds), and one that already wrote data revalidates at its
-    // own commit, sees the barrier, and reports retryable without
-    // committing — so no merge can land durably between the barrier
-    // and the sweep. Merges committed BEFORE the barrier are inside
-    // the month dirs the renames below carry to the root.
+    // own commit, sees the barrier, and reports retryable WITHOUT
+    // committing — no merge is ACKNOWLEDGED between the barrier and
+    // the sweep. The refusal is ambiguous, not negative: rows such a
+    // merge already wrote into a target-generation month are carried
+    // to the root by the renames below even though the batch was
+    // reported unapplied — the standard in-doubt-commit outcome, and
+    // exactly why the retry contract requires re-running the SAME
+    // batch (idempotent latest-wins absorbs the duplicate); a caller
+    // that alters or reroutes a refused batch instead of retrying it
+    // breaks that contract. Merges committed BEFORE the barrier are
+    // inside the month dirs the renames carry to the root.
     var closing = false
     while (!closing) {
       val cur = readGenManifest(fs, dest).get

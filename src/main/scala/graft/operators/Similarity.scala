@@ -353,11 +353,21 @@ object Similarity {
       targetX100: Int = 90, sampleQueries: Int = 0): DataFrame = {
     require(targetX100 >= 1 && targetX100 <= 100,
       s"targetX100 in [1,100], got $targetX100")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty")
+    // the ladder (and its validation) is computed ONCE, above the
+    // sample branch — the sample path's fallback must use the same
+    // rule as the in-plan path or the two could silently drift
+    val ss = (if (shortlists.nonEmpty) shortlists
+      else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
+    require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
+    val sMax = ss.last
     if (sampleQueries > 0) {
       val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
         .limit(sampleQueries)
       val dial = knnJoinIvfPqAtRecall(corpus, qs, idCol, vecCol, k,
-          centroids, codebooks, nprobe, shortlists, targetX100, 0)
+          centroids, codebooks, nprobe, ss, targetX100, 0)
         .select(col("shortlist"), col("recall_x1000"))
         .limit(1).collect()
       // an empty calibration (no candidates for any sampled query)
@@ -365,20 +375,12 @@ object Similarity {
       // best-effort contract as the in-plan fallback path
       val (chosenS, recall) = dial.headOption
         .map(r => (r.getInt(0), r.getLong(1)))
-        .getOrElse(((if (shortlists.nonEmpty) shortlists
-          else Seq(k, 2 * k, 4 * k, 8 * k)).max, 0L))
+        .getOrElse((sMax, 0L))
       return knnJoinIvfPq(corpus, queries, idCol, vecCol, k,
           centroids, codebooks, nprobe, chosenS)
         .withColumn("shortlist", lit(chosenS).cast("int"))
         .withColumn("recall_x1000", lit(recall))
     }
-    require(centroids.nonEmpty, "centroids must be non-empty")
-    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-      "codebooks must be non-empty")
-    val ss = (if (shortlists.nonEmpty) shortlists
-      else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
-    require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
-    val sMax = ss.last
     val m = codebooks.length
     val ksub = codebooks.head.length
     val c = corpus

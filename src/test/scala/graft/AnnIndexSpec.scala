@@ -135,8 +135,43 @@ class AnnIndexSpec extends AnyFunSuite {
     val after = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
       "embedding", k = 3, nprobe = 2, shortlist = 12))
     assert(after === expect, "uncommitted delta rows leaked into a probe")
+    // probes are non-destructive (a reader must never delete what
+    // could be a live writer's staging) — the stray dir survives the
+    // probe, invisible; the next WRITER sweeps it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_delta_staging")),
+      "a probe must not destructively sweep writer staging")
+    AnnIndex.append(spark, dir, corpus.filter($"vec_id" < 0),
+      "vec_id", "embedding")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_delta_staging")),
-      "stray delta staging must be swept")
+      "the next writer must sweep stray delta staging")
+  }
+
+  test("empty append is a clean no-op; empty build refuses to commit " +
+      "an unreadable artifact") {
+    val dir = Files.createTempDirectory("graft_ann_empty").toFile
+      .getAbsolutePath + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a 0-row corpus must not produce an index that bricks every read
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, dir, corpus.filter($"vec_id" < 0),
+        "vec_id", "embedding", cents, books)
+    }
+    assert(e.getMessage.contains("EMPTY corpus"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // a routine no-new-rows day: append(empty) commits nothing and
+    // the index stays fully readable
+    AnnIndex.build(spark, dir, corpus, "vec_id", "embedding",
+      cents, books)
+    val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12))
+    AnnIndex.append(spark, dir, corpus.filter($"vec_id" < 0),
+      "vec_id", "embedding")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("delta-")) === 0,
+      "empty append must not commit a delta")
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect)
   }
 
   test("append fails fast on a column-contract mismatch; probe fails " +

@@ -1014,8 +1014,8 @@ class MergeOpsSpec extends AnyFunSuite {
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def manifests(): Seq[(Long, String)] = fs.listStatus(destP)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("_gen_manifest_") && !n.endsWith(".wtmp") &&
-        !n.endsWith(".claim"))
+      .filter(n => n.startsWith("_gen_manifest_") &&
+        n.stripPrefix("_gen_manifest_").forall(_.isDigit))
       .map(n => n.stripPrefix("_gen_manifest_").toLong -> n).toSeq
       .sortBy(_._1)
     def monthDirsOf(name: String): Seq[String] = {
@@ -1127,6 +1127,46 @@ class MergeOpsSpec extends AnyFunSuite {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
         s"$table/_reshard_online")))
     }
+  }
+
+  test("an orphaned manifest claim (crash between claim-create and " +
+      "publish) cannot wedge the table: commits unwedge it and " +
+      "resume converges") {
+    val dir = Files.createTempDirectory("graft_rsclaim").toFile
+      .getAbsolutePath
+    val table = onlineFixture(dir)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = rowsOf(spark.read.parquet(table))
+    // crash mid-migration, then simulate a committer that died
+    // between creating its claim for the NEXT version and publishing
+    // it (a torn, partially-written claim — the worst shape)
+    intercept[RuntimeException] {
+      MergeOps.reshardOnline(spark, table, 12, hook = (p, _) =>
+        if (p == "month_staged") sys.error("injected"))
+    }
+    val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_gen_manifest_") &&
+        n.stripPrefix("_gen_manifest_").forall(_.isDigit))
+      .map(_.stripPrefix("_gen_manifest_").toLong).max
+    val orphan = new org.apache.hadoop.fs.Path(table,
+      f"_gen_manifest_${vmax + 1}%09d.claim")
+    val out = fs.create(orphan, true)
+    out.write("g\ttorn".getBytes("UTF-8")); out.close()
+    // a routed merge targeting vmax+1 must unwedge and commit
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "unwedged", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 4)
+    assert(rowsOf(MergeOps.readMonthTable(spark, table))
+      .contains(("e1", "unwedged", 2, "2025-01")))
+    // and the resume converges to the flat target geometry
+    assert(MergeOps.reshardOnline(spark, table, 12))
+    assert(rowsOf(spark.read.parquet(table)) === before.map {
+      case ("e1", _, _, m) => ("e1", "unwedged", 2, m)
+      case r => r
+    })
+    assert(!fs.exists(orphan), "exit must sweep the orphan claim")
   }
 
   test("merges keep landing DURING an online reshard: manifest-routed " +
