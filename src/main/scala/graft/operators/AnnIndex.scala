@@ -319,6 +319,48 @@ object AnnIndex {
       Seq("cosine", "corpus_id"), descending = true, k)
   }
 
+  /** Fold every committed delta into a fresh base — the periodic
+    * floor-sweep that bounds a probe's component count (each probe
+    * unions base + N deltas; sustained daily appends would otherwise
+    * grow N without limit, and each component is a separate parquet
+    * read). No vector is RE-ENCODED: the stored (cell, codes, cn,
+    * vec) rows are carried as-is through one repartition-by-cell
+    * rewrite — compaction cost is I/O-shaped, never quantization
+    * work. Commits with the same whole-index two-rename swap as
+    * [[build]] (a crash leaves either the old layout — base plus
+    * deltas — or the new single base, never a mix), and the layout's
+    * quantizer rides along unchanged so probe results are identical
+    * before and after. Returns the number of deltas folded. */
+  def compact(spark: SparkSession, indexPath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(indexPath)
+    val fs = fsOf(spark, dest)
+    recover(fs, dest, sweep = true)
+    val lay = readLayout(fs, dest)
+    val deltas = deltaDirs(fs, dest)
+    if (deltas.isEmpty) return 0
+    val staging = new Path(dest.getParent, dest.getName + "_staging")
+    val retired = new Path(dest.getParent, dest.getName + "_retired")
+    ("base" +: deltas).map(d =>
+        spark.read.parquet(new Path(dest, d).toString))
+      .reduce(_ unionByName _)
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("corpus_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(new Path(staging, "base").toString)
+    GateLayout.write(fs, new Path(staging, layoutName), lay.toSeq.sorted)
+    fs.delete(retired, true)
+    if (!fs.rename(dest, retired))
+      throw new java.io.IOException(s"could not retire $dest for compact")
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(
+        s"could not activate $staging as $dest (old index at $retired)")
+    fs.delete(retired, true)
+    deltas.size
+  }
+
   /** Maintenance census: (dir, cell, rows) per index component plus
     * the layout geometry — the observability row a maintained artifact
     * owes its operators. Bounded by components × nlist. */

@@ -723,6 +723,57 @@ object PipelineQueries {
          |  CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors
          |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // Persisted-index COMPACT: the floor-sweep that bounds a probe's
+    // component count — build one slab, append the other, fold. The
+    // census must show ONE component ('base') carrying the union's
+    // per-cell counts (the oracle recomputes them from the pinned
+    // centroids over the full corpus slice), with the fold count and
+    // the second compact's no-op pinned in-row: a compact that
+    // dropped rows, re-binned a vector (it must carry stored cells,
+    // never re-encode), left a delta behind, or kept folding on an
+    // already-compact index shifts a column.
+    "sim_index_compact" -> QueryDef(
+      (s, d) => {
+        val dir = new java.io.File("target/ann_index_compact/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/idx").getAbsolutePath
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+        val emb = T.embeddings(s, d)
+        AnnIndex.build(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
+          "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+        AnnIndex.append(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
+          "vec_id", "embedding")
+        val folded = AnnIndex.compact(s, dir)
+        val again = AnnIndex.compact(s, dir)
+        AnnIndex.census(s, dir)
+          .withColumn("n_folded", lit(folded.toLong))
+          .withColumn("recompact_noop", lit(again == 0))
+          .orderBy(col("component"), col("cell"))
+      },
+      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+         |cn AS (
+         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+         |    (a, b) -> a + b) AS cnorm FROM cen),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1)
+         |SELECT 'base' AS component, CAST(cell AS INT) AS cell,
+         |  COUNT(*) AS n_vectors,
+         |  CAST(1 AS BIGINT) AS n_folded,
+         |  TRUE AS recompact_noop
+         |FROM assign GROUP BY 2 ORDER BY 1, 2""".stripMargin),
+
     // Persisted-index PROBE: k-NN answered FROM the artifact (base +
     // committed deltas, partition-pruned to the probed cells, ADC in
     // the compressed domain, exact rerank) — the oracle is the SAME

@@ -146,6 +146,47 @@ class AnnIndexSpec extends AnyFunSuite {
       "the next writer must sweep stray delta staging")
   }
 
+  test("compact folds deltas into one base without re-encoding: " +
+      "probe identical, components bounded, appends continue") {
+    val dir = Files.createTempDirectory("graft_ann_cp").toFile
+      .getAbsolutePath + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AnnIndex.build(spark, dir, corpus.filter($"vec_id" % 7 =!= 3),
+      "vec_id", "embedding", cents, books)
+    AnnIndex.append(spark, dir,
+      corpus.filter($"vec_id" % 7 === 3 && $"vec_id" % 2 === 0),
+      "vec_id", "embedding")
+    AnnIndex.append(spark, dir,
+      corpus.filter($"vec_id" % 7 === 3 && $"vec_id" % 2 =!= 0),
+      "vec_id", "embedding")
+    val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12))
+    assert(AnnIndex.compact(spark, dir) === 2)
+    def components() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => n == "base" || n.startsWith("delta-")).sorted.toSeq
+    assert(components() === Seq("base"),
+      "compact must fold every delta into the base")
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect,
+      "compaction changed probe results")
+    // idempotent on an already-compact index
+    assert(AnnIndex.compact(spark, dir) === 0)
+    // the lifecycle continues: post-compact appends restart the
+    // delta chain and probes see them
+    AnnIndex.append(spark, dir,
+      corpus.filter($"vec_id" === 1L)
+        .withColumn("vec_id", lit(777777L)), "vec_id", "embedding")
+    assert(components() === Seq("base", "delta-000001"))
+    val withNew = AnnIndex.probe(spark, dir,
+      corpus.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, nprobe = 2, shortlist = 12)
+    assert(withNew.collect().exists(_.getLong(1) === 777777L),
+      "a probe must see vectors appended after a compact " +
+        "(777777 clones query 1's vector — cosine 1.0)")
+  }
+
   test("empty append is a clean no-op; empty build refuses to commit " +
       "an unreadable artifact") {
     val dir = Files.createTempDirectory("graft_ann_empty").toFile
