@@ -263,7 +263,15 @@ object Bench {
     // query, excluded from the re-run, so the stall published
     // unadjudicated); every re-run is bracketed by teardown so the
     // re-measure is honest regardless of what ran before it.
-    val contended = calFirst > 2 * calLast || calLast > 2 * calFirst
+    // Ratio alone false-positives on an idle machine: r19 recorded
+    // 0.62 -> 1.55 (both sub-2 s — the first lap landed FASTER than
+    // the ~1 s idle floor, which no amount of machine load produces).
+    // Genuine contention inflates a calibration lap well past idle
+    // (r10: 20.18 s, r18: 12.97 s), so the flag requires BOTH a >2x
+    // disagreement AND at least one lap over an absolute 3 s floor
+    // (3x this container's idle; see BENCH_NOTES calibration notes).
+    val contended = (calFirst > 2 * calLast || calLast > 2 * calFirst) &&
+      math.max(calFirst, calLast) > 3.0
     val allFns = SparkEntry.queries
     val rehealed: Map[String, Double] =
       if (!contended) Map.empty
