@@ -220,9 +220,12 @@ object Bench {
     val (streaming, batch) = SparkEntry.queries.toSeq.sortBy(_._1)
       .partition { case (n, _) => isStreaming(n) }
     // Batch queries: timed twice; "queries"/"value" record the FIRST
-    // run (single-run semantics, comparable across rounds),
-    // "queries_warm" records the min of the two (plan cost without
-    // parquet-footer/codegen cold cost).
+    // run (single-run semantics — except on a CONTENDED run, where
+    // the worst decile's first laps are re-measured post-sweep and
+    // published as min(first, retry) with the originals under
+    // cold_retry; see the heal block below), "queries_warm" records
+    // the min of the two (plan cost without parquet-footer/codegen
+    // cold cost).
     val batchResults = batch.map { case (name, fn) =>
       val (cold, okCold) = timeOnce(spark, sfDir, fn, name)
       val (warm, okWarm) =
@@ -331,7 +334,11 @@ object Bench {
     // a truncated capture must still contain the total (r3 lost it when
     // the per-query map came after "value").
     // Metric semantics: "queries"/"value" are SINGLE-RUN (cold) times —
-    // like-for-like with rounds 1-5, which timed each query once. The
+    // like-for-like with rounds 1-5, which timed each query once —
+    // EXCEPT rows healed on a contended run, which publish
+    // min(first, post-sweep retry) and list their original first-lap
+    // time under cold_retry (r18 ask: the committed artifact must be
+    // adjudication-grade without BENCH_NOTES cross-references). The
     // min-of-runs warm times ride along under queries_warm/warm_slow/
     // total_warm so plan-cost comparisons stay published without
     // redefining the headline.

@@ -45,6 +45,18 @@ import org.apache.spark.sql.functions._
   * call), after it a fully committed delta. Probes therefore see every
   * append all-or-nothing.
   *
+  * Concurrency contract, per operation class: APPEND is
+  * reader-concurrent (the delta rename is atomic and probes resolve
+  * committed deltas only) — the steady-state pairing of daily appends
+  * with continuous probes needs no coordination. BUILD and COMPACT are
+  * full-swap MAINTENANCE ops under the same reader-exclusion contract
+  * as the merge family's swaps ([[MergeOps.reshard]]'s precedent):
+  * between their two renames a concurrent reader sees no index, an
+  * in-flight probe planned against the pre-swap component list can
+  * fail mid-scan, and a reader's crash-recovery restore can collide
+  * with the swap (a loud rename failure, never silent corruption) —
+  * schedule them against each other, or probe through a snapshot.
+  *
   * Contract: `append` is for NEW ids (the same key-stability contract
   * the month merge declares) — re-appending an existing id leaves both
   * rows visible; route updates through a rebuild, or dedup downstream.
@@ -68,7 +80,9 @@ object AnnIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Crash recovery, split by caller class so READS never take
-    * destructive actions that could race a concurrent writer:
+    * destructive actions that could race a concurrent APPEND (the one
+    * writer class readers legitimately overlap — see the concurrency
+    * contract above):
     *
     *  - readers (probe/census) only RESTORE a build that crashed
     *    between its two commit renames (the index's only copy sits at
@@ -76,10 +90,12 @@ object AnnIndex {
     *    staging and delta-staging debris is invisible to reads
     *    ([[deltaDirs]] matches committed names only) and is left for
     *    the next writer to sweep — a reader deleting it could destroy
-    *    an in-flight append's staged files in a concurrent
-    *    deployment.
-    *  - writers (build/append, single-writer contract) additionally
-    *    sweep uncommitted staging debris.
+    *    an in-flight append's staged files. The restore itself can
+    *    only fire when `dest` is absent, a state APPEND never
+    *    produces; against a LIVE build/compact swap it is the
+    *    documented out-of-contract overlap and fails the swap loudly.
+    *  - writers (build/append/compact, single-writer contract)
+    *    additionally sweep uncommitted staging debris.
     */
   private def recover(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path, sweep: Boolean): Unit = {
@@ -356,7 +372,12 @@ object AnnIndex {
       throw new java.io.IOException(s"could not retire $dest for compact")
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(
-        s"could not activate $staging as $dest (old index at $retired)")
+        s"could not activate $staging as $dest — usually a concurrent " +
+          "reader's crash-recovery restored the old index mid-swap " +
+          "(build/compact exclude readers by contract); the old index " +
+          s"is live again, the compacted rewrite remains at $staging " +
+          "for the next writer to sweep, and re-running compact " +
+          "converges")
     fs.delete(retired, true)
     deltas.size
   }

@@ -963,8 +963,25 @@ object MergeOps {
         if (fs.exists(claim) || fs.exists(finalP)) return false
         else throw e
     }
-    // 3. publish + verify-ours
-    val renamed = fs.rename(claim, finalP)
+    // 3. publish + verify-ours. The rename must be NO-CLOBBER
+    // (FileContext's default, Rename.NONE): FileSystem.rename on a
+    // raw local FS is POSIX rename(2), which silently REPLACES an
+    // existing destination — committer A publishes, committer B
+    // (whose staleness check predated A's publish and whose claim
+    // check postdated it, the claim having been renamed away) would
+    // clobber A's already-acknowledged version with its own bytes
+    // and BOTH would verify-ours successfully at different instants.
+    // With no-clobber semantics the second rename fails instead.
+    val renamed = try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf).rename(claim, finalP)
+      true
+    } catch {
+      // lost the race (dst exists / claim deleted by a racer) — and
+      // any other IO failure is also safely "not published": the
+      // verify below is what acknowledges, never the rename alone
+      case _: java.io.IOException => false
+    }
     val published = renamed && (try {
       val in = fs.open(finalP)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -991,9 +1008,15 @@ object MergeOps {
         val core = n.stripPrefix(rGenManifestPrefix)
         if (core.nonEmpty && core.forall(_.isDigit) &&
             core.toLong < m.version - 1) {
-          try fs.create(new Path(dest, n + ".spent"), true).close()
-          catch { case _: java.io.IOException => () }
-          fs.delete(p, false)
+          // tombstone-then-delete, and the delete is CONDITIONAL on
+          // the tombstone landing: sweeping content after a failed
+          // tombstone write would erase the version's staleness
+          // trace — the exact lost-update hole the tombstones close.
+          // A version left un-swept is retried at the next commit.
+          val spentOk =
+            try { fs.create(new Path(dest, n + ".spent"), true).close(); true }
+            catch { case _: java.io.IOException => false }
+          if (spentOk) fs.delete(p, false)
         } else if (core.endsWith(".claim")) {
           val v = core.stripSuffix(".claim")
           if (v.nonEmpty && v.forall(_.isDigit) && v.toLong < m.version)

@@ -156,6 +156,51 @@ object PipelineQueries {
        |WHERE rn <= 3
        |ORDER BY query_id, cosine DESC, corpus_id""".stripMargin
 
+  /** Shared fixture of the persisted-index rows: fresh index under
+    * `root` for this sf dir, BUILT from the `%7 != 3` corpus slab and
+    * APPENDED with the `%7 == 3` slab (pinned quantizer). One place
+    * owns the slab split — the build/compact censuses and the probe
+    * row must exercise the same incremental shape or their oracles
+    * drift. Returns the index path. */
+  private def annIndexFixture(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): String = {
+    val dir = new java.io.File(root + "/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/idx").getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+    val emb = T.embeddings(s, d)
+    AnnIndex.build(s, dir,
+      emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+    AnnIndex.append(s, dir,
+      emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
+      "vec_id", "embedding")
+    dir
+  }
+
+  /** The corpus-side IVF cell assignment replayed in DuckDB from the
+    * pinned centroids (strict-less argmin, index tiebreak) — the
+    * shared prefix of both index-census oracles; `finalSelect` reads
+    * from the `assign(vec_id, cell)` CTE. */
+  private def ivfAssignCensusOracle(finalSelect: String): String =
+    s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+       |cn AS (
+       |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+       |    (a, b) -> a + b) AS cnorm FROM cen),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+       |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1)
+       |$finalSelect""".stripMargin
+
   val registry: Map[String, QueryDef] = Map(
 
     // The engine's central capability, benched at scale: raw
@@ -688,40 +733,15 @@ object PipelineQueries {
     // lives in AnnIndexSpec; a query result can't carry mtimes.)
     "sim_index_build" -> QueryDef(
       (s, d) => {
-        val dir = new java.io.File("target/ann_index_build/" +
-          d.replaceAll("[^A-Za-z0-9.]", "_") + "/idx").getAbsolutePath
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
-        val emb = T.embeddings(s, d)
-        AnnIndex.build(s, dir,
-          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
-          "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
-        AnnIndex.append(s, dir,
-          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
-          "vec_id", "embedding")
+        val dir = annIndexFixture(s, d, "target/ann_index_build")
         AnnIndex.census(s, dir)
           .orderBy(col("component"), col("cell"))
       },
-      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
-         |cn AS (
-         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
-         |    (a, b) -> a + b) AS cnorm FROM cen),
-         |emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |assign AS (
-         |  SELECT vec_id, i AS cell FROM (
-         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1)
-         |SELECT CASE WHEN vec_id % 7 <> 3 THEN 'base'
-         |            ELSE 'delta-000001' END AS component,
-         |  CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors
-         |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      ivfAssignCensusOracle(
+        """SELECT CASE WHEN vec_id % 7 <> 3 THEN 'base'
+          |            ELSE 'delta-000001' END AS component,
+          |  CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors
+          |FROM assign GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Persisted-index COMPACT: the floor-sweep that bounds a probe's
     // component count — build one slab, append the other, fold. The
@@ -734,18 +754,7 @@ object PipelineQueries {
     // already-compact index shifts a column.
     "sim_index_compact" -> QueryDef(
       (s, d) => {
-        val dir = new java.io.File("target/ann_index_compact/" +
-          d.replaceAll("[^A-Za-z0-9.]", "_") + "/idx").getAbsolutePath
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
-        val emb = T.embeddings(s, d)
-        AnnIndex.build(s, dir,
-          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
-          "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
-        AnnIndex.append(s, dir,
-          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
-          "vec_id", "embedding")
+        val dir = annIndexFixture(s, d, "target/ann_index_compact")
         val folded = AnnIndex.compact(s, dir)
         val again = AnnIndex.compact(s, dir)
         AnnIndex.census(s, dir)
@@ -753,26 +762,12 @@ object PipelineQueries {
           .withColumn("recompact_noop", lit(again == 0))
           .orderBy(col("component"), col("cell"))
       },
-      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
-         |cn AS (
-         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
-         |    (a, b) -> a + b) AS cnorm FROM cen),
-         |emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |assign AS (
-         |  SELECT vec_id, i AS cell FROM (
-         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1)
-         |SELECT 'base' AS component, CAST(cell AS INT) AS cell,
-         |  COUNT(*) AS n_vectors,
-         |  CAST(1 AS BIGINT) AS n_folded,
-         |  TRUE AS recompact_noop
-         |FROM assign GROUP BY 2 ORDER BY 1, 2""".stripMargin),
+      ivfAssignCensusOracle(
+        """SELECT 'base' AS component, CAST(cell AS INT) AS cell,
+          |  COUNT(*) AS n_vectors,
+          |  CAST(1 AS BIGINT) AS n_folded,
+          |  TRUE AS recompact_noop
+          |FROM assign GROUP BY 2 ORDER BY 1, 2""".stripMargin)),
 
     // Persisted-index PROBE: k-NN answered FROM the artifact (base +
     // committed deltas, partition-pruned to the probed cells, ADC in
