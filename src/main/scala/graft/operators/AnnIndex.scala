@@ -335,6 +335,92 @@ object AnnIndex {
       Seq("cosine", "corpus_id"), descending = true, k)
   }
 
+  /** [[probe]] at a DECLARED recall target — the persisted index at
+    * feature parity with [[Similarity.knnJoinIvfPqAtRecall]]: the
+    * shortlist dial is calibrated against an exact baseline and the
+    * smallest qualifying shortlist's pairs are returned with the
+    * measured recall ×1000 on every row. The calibration core is
+    * SHARED with the inline join ([[Similarity.ivfPqAtRecallCore]] —
+    * one rule, two data sources), with the index's stored codes and
+    * vectors injected where the inline join would re-encode: the ADC
+    * ranking and the rerank read partition-pruned probed cells; only
+    * the exact baseline (inherently all-corpus) reads every cell's
+    * vectors. `sampleQueries > 0` runs that whole calibration on a
+    * seeded hash-ordered query subset and applies the dial to all
+    * queries through the plain [[probe]] — the same executable
+    * at-scale posture as the inline knob. */
+  def probeAtRecall(spark: SparkSession, indexPath: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2, shortlists: Seq[Int] = Seq.empty,
+      targetX100: Int = 90, sampleQueries: Int = 0): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(targetX100 >= 1 && targetX100 <= 100,
+      s"targetX100 in [1,100], got $targetX100")
+    val dest = new Path(indexPath)
+    val fs = fsOf(spark, dest)
+    recover(fs, dest, sweep = false)
+    val lay = readLayout(fs, dest)
+    val centroids = parseVecs(lay("centroids"))
+    val codebooks = parseBooks(lay("codebooks"))
+    val deltas = deltaDirs(fs, dest)
+    val ss = (if (shortlists.nonEmpty) shortlists
+      else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
+    require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
+    if (sampleQueries > 0) {
+      val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleQueries)
+      val dial = probeAtRecall(spark, indexPath, qs, idCol, vecCol, k,
+          nprobe, ss, targetX100, 0)
+        .select(col("shortlist"), col("recall_x1000"))
+        .limit(1).collect()
+      val (chosenS, recall) = dial.headOption
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .getOrElse((ss.last, 0L))
+      return probe(spark, indexPath, queries, idCol, vecCol, k,
+          nprobe, chosenS)
+        .withColumn("shortlist", lit(chosenS).cast("int"))
+        .withColumn("recall_x1000", lit(recall))
+    }
+    val cells = queries.select(explode(
+        Similarity.ivfProbes(col(vecCol), centroids, nprobe)).as("_c"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (cells.isEmpty) {
+      val corpusIdType = spark.read
+        .parquet(new Path(dest, "base").toString)
+        .schema("corpus_id").dataType
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", queries.schema(idCol).dataType),
+          StructField("corpus_id", corpusIdType),
+          StructField("cosine", DoubleType),
+          StructField("shortlist", IntegerType),
+          StructField("recall_x1000", LongType))))
+    }
+    val codesSide = readCells(spark, dest, deltas, cells,
+        Seq("cell", "corpus_id", "codes", "cn"))
+      .withColumnRenamed("cell", "_cell")
+      .withColumnRenamed("codes", "_codes")
+      .withColumnRenamed("cn", "_cn")
+    val vecSide = readCells(spark, dest, deltas, cells,
+        Seq("corpus_id", "vec", "cn"))
+      .withColumnRenamed("vec", "_cv")
+      .withColumnRenamed("cn", "_cn")
+    // the exact baseline is inherently all-corpus: every cell's
+    // stored vectors, renamed back to the caller's column contract
+    val fullVecs = readCells(spark, dest, deltas,
+        centroids.indices.toSeq, Seq("corpus_id", "vec"))
+      .withColumnRenamed("corpus_id", idCol)
+      .withColumnRenamed("vec", vecCol)
+    val exactPairs = Similarity.knnJoinExact(fullVecs, queries,
+        idCol, vecCol, k)
+      .select(col("query_id"), col("corpus_id"))
+    Similarity.ivfPqAtRecallCore(codesSide, vecSide, exactPairs,
+      queries, idCol, vecCol, k, centroids, codebooks, nprobe, ss,
+      targetX100)
+  }
+
   /** Fold every committed delta into a fresh base — the periodic
     * floor-sweep that bounds a probe's component count (each probe
     * unions base + N deltas; sustained daily appends would otherwise

@@ -201,6 +201,117 @@ object PipelineQueries {
        |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1)
        |$finalSelect""".stripMargin
 
+  /** The `sim_knn_join_pq_recall90` oracle — ADC ranking at the
+    * largest shortlist, rank-prefix curve, smallest qualifying
+    * shortlist, pairs + measured recall — shared VERBATIM by
+    * `sim_index_probe_recall90`: the same SQL passing for both rows
+    * proves the persisted index's recall dial is bit-identical to
+    * the inline join's. */
+  private def pqRecall90Oracle: String =
+    s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
+       |cn AS (
+       |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
+       |    (a, b) -> a + b) AS cnorm FROM cen),
+       |pq(j, cc, pc) AS (VALUES ${PqCodebooks.sqlValues}),
+       |pqn AS (
+       |  SELECT j, cc, pc, list_reduce(list_transform(pc, x -> x * x),
+       |    (a, b) -> a + b) AS pnorm FROM pq),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
+       |    (a, b) -> a + b)) AS nrm FROM emb),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+       |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, j, cc FROM (
+       |    SELECT e.vec_id, p.j, p.cc, row_number() OVER (
+       |      PARTITION BY e.vec_id, p.j
+       |      ORDER BY p.pnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${PqCodebooks.dsub + 1}),
+       |          t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+       |        (a, b) -> a + b), p.cc) AS rn
+       |    FROM emb e, pqn p WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY cn.cnorm - 2.0 * list_reduce(
+       |        list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
+       |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+       |lut AS (
+       |  SELECT e.vec_id, p.j, p.cc, list_reduce(
+       |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
+       |      t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
+       |    (a, b) -> a + b) AS d
+       |  FROM emb e, pq p WHERE e.vec_id % 50 = 0),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    list_reduce(list(l.d ORDER BY l.j), (a, b) -> a + b)
+       |      / (any_value(cv.nrm) * any_value(qv.nrm)) AS adc_cosine
+       |  FROM qprobe q JOIN assign c ON c.cell = q.cell
+       |  JOIN codes cd ON cd.vec_id = c.vec_id
+       |  JOIN lut l ON l.vec_id = q.vec_id AND l.j = cd.j
+       |    AND l.cc = cd.cc
+       |  JOIN n cv ON cv.vec_id = c.vec_id
+       |  JOIN n qv ON qv.vec_id = q.vec_id
+       |  GROUP BY q.vec_id, c.vec_id),
+       |cand AS (
+       |  SELECT query_id, corpus_id, rn AS adc_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_cosine DESC, corpus_id DESC) AS rn
+       |    FROM adc) WHERE rn <= 24),
+       |scored AS (
+       |  SELECT s.query_id, s.corpus_id, s.adc_rank,
+       |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |      t -> cv.v[t] * qv.v[t]), (a, b) -> a + b)
+       |      / (cv.nrm * qv.nrm) AS cosine
+       |  FROM cand s JOIN n cv ON cv.vec_id = s.corpus_id
+       |  JOIN n qv ON qv.vec_id = s.query_id),
+       |sx(s) AS (VALUES (3), (6), (12), (24)),
+       |topk AS (
+       |  SELECT s, query_id, corpus_id, cosine FROM (
+       |    SELECT sx.s, sc.*, ROW_NUMBER() OVER (
+       |      PARTITION BY sx.s, sc.query_id
+       |      ORDER BY sc.cosine DESC, sc.corpus_id DESC) AS rn2
+       |    FROM sx, scored sc WHERE sc.adc_rank <= sx.s)
+       |  WHERE rn2 <= 3),
+       |scoredx AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
+       |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
+       |      / (c.nrm * q.nrm) AS cosine
+       |  FROM n c, n q
+       |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
+       |exactk AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id DESC) AS rn
+       |    FROM scoredx) WHERE rn <= 3),
+       |nex AS (SELECT COUNT(*) AS n_exact FROM exactk),
+       |hits AS (
+       |  SELECT s, COUNT(*) AS hits
+       |  FROM topk JOIN exactk USING (query_id, corpus_id) GROUP BY s),
+       |chosen AS (
+       |  SELECT COALESCE(MIN(s), 24) AS s
+       |  FROM hits, nex WHERE hits * 100 >= 90 * n_exact)
+       |SELECT t.query_id, t.corpus_id, t.cosine,
+       |  CAST(t.s AS INT) AS shortlist,
+       |  CAST(COALESCE(h.hits, 0) * 1000 // nex.n_exact AS BIGINT)
+       |    AS recall_x1000
+       |FROM topk t
+       |JOIN chosen ch ON t.s = ch.s
+       |LEFT JOIN hits h ON h.s = t.s, nex
+       |ORDER BY t.query_id, t.cosine DESC, t.corpus_id""".stripMargin
+
   val registry: Map[String, QueryDef] = Map(
 
     // The engine's central capability, benched at scale: raw
@@ -831,109 +942,26 @@ object PipelineQueries {
             shortlists = Seq(3, 6, 12, 24), targetX100 = 90)
           .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
       },
-      s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
-         |cn AS (
-         |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
-         |    (a, b) -> a + b) AS cnorm FROM cen),
-         |pq(j, cc, pc) AS (VALUES ${PqCodebooks.sqlValues}),
-         |pqn AS (
-         |  SELECT j, cc, pc, list_reduce(list_transform(pc, x -> x * x),
-         |    (a, b) -> a + b) AS pnorm FROM pq),
-         |emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
-         |    (a, b) -> a + b)) AS nrm FROM emb),
-         |assign AS (
-         |  SELECT vec_id, i AS cell FROM (
-         |    SELECT e.vec_id, cn.i, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-         |    FROM emb e, cn WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
-         |codes AS (
-         |  SELECT vec_id, j, cc FROM (
-         |    SELECT e.vec_id, p.j, p.cc, row_number() OVER (
-         |      PARTITION BY e.vec_id, p.j
-         |      ORDER BY p.pnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${PqCodebooks.dsub + 1}),
-         |          t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
-         |        (a, b) -> a + b), p.cc) AS rn
-         |    FROM emb e, pqn p WHERE e.vec_id % 50 <> 0) WHERE rn = 1),
-         |qprobe AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, cn.i AS cell, row_number() OVER (
-         |      PARTITION BY e.vec_id
-         |      ORDER BY cn.cnorm - 2.0 * list_reduce(
-         |        list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-         |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
-         |lut AS (
-         |  SELECT e.vec_id, p.j, p.cc, list_reduce(
-         |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
-         |      t -> e.v[p.j * ${PqCodebooks.dsub} + t] * p.pc[t]),
-         |    (a, b) -> a + b) AS d
-         |  FROM emb e, pq p WHERE e.vec_id % 50 = 0),
-         |adc AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-         |    list_reduce(list(l.d ORDER BY l.j), (a, b) -> a + b)
-         |      / (any_value(cv.nrm) * any_value(qv.nrm)) AS adc_cosine
-         |  FROM qprobe q JOIN assign c ON c.cell = q.cell
-         |  JOIN codes cd ON cd.vec_id = c.vec_id
-         |  JOIN lut l ON l.vec_id = q.vec_id AND l.j = cd.j
-         |    AND l.cc = cd.cc
-         |  JOIN n cv ON cv.vec_id = c.vec_id
-         |  JOIN n qv ON qv.vec_id = q.vec_id
-         |  GROUP BY q.vec_id, c.vec_id),
-         |cand AS (
-         |  SELECT query_id, corpus_id, rn AS adc_rank FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adc_cosine DESC, corpus_id DESC) AS rn
-         |    FROM adc) WHERE rn <= 24),
-         |scored AS (
-         |  SELECT s.query_id, s.corpus_id, s.adc_rank,
-         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |      t -> cv.v[t] * qv.v[t]), (a, b) -> a + b)
-         |      / (cv.nrm * qv.nrm) AS cosine
-         |  FROM cand s JOIN n cv ON cv.vec_id = s.corpus_id
-         |  JOIN n qv ON qv.vec_id = s.query_id),
-         |sx(s) AS (VALUES (3), (6), (12), (24)),
-         |topk AS (
-         |  SELECT s, query_id, corpus_id, cosine FROM (
-         |    SELECT sx.s, sc.*, ROW_NUMBER() OVER (
-         |      PARTITION BY sx.s, sc.query_id
-         |      ORDER BY sc.cosine DESC, sc.corpus_id DESC) AS rn2
-         |    FROM sx, scored sc WHERE sc.adc_rank <= sx.s)
-         |  WHERE rn2 <= 3),
-         |scoredx AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-         |    list_reduce(list_transform(range(1, ${IvfCentroids.dim + 1}),
-         |      j -> c.v[j] * q.v[j]), (a, b) -> a + b)
-         |      / (c.nrm * q.nrm) AS cosine
-         |  FROM n c, n q
-         |  WHERE c.vec_id % 50 <> 0 AND q.vec_id % 50 = 0),
-         |exactk AS (
-         |  SELECT query_id, corpus_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, corpus_id DESC) AS rn
-         |    FROM scoredx) WHERE rn <= 3),
-         |nex AS (SELECT COUNT(*) AS n_exact FROM exactk),
-         |hits AS (
-         |  SELECT s, COUNT(*) AS hits
-         |  FROM topk JOIN exactk USING (query_id, corpus_id) GROUP BY s),
-         |chosen AS (
-         |  SELECT COALESCE(MIN(s), 24) AS s
-         |  FROM hits, nex WHERE hits * 100 >= 90 * n_exact)
-         |SELECT t.query_id, t.corpus_id, t.cosine,
-         |  CAST(t.s AS INT) AS shortlist,
-         |  CAST(COALESCE(h.hits, 0) * 1000 // nex.n_exact AS BIGINT)
-         |    AS recall_x1000
-         |FROM topk t
-         |JOIN chosen ch ON t.s = ch.s
-         |LEFT JOIN hits h ON h.s = t.s, nex
-         |ORDER BY t.query_id, t.cosine DESC, t.corpus_id""".stripMargin),
+      pqRecall90Oracle),
+
+    // Persisted-index probe at a DECLARED recall target — feature
+    // parity between the artifact and the inline joins' last knob:
+    // the shortlist dial calibrates against the exact baseline (both
+    // read FROM the index — codes/vectors for the pruned scans, all
+    // cells' vectors for the baseline) through the SAME core as the
+    // inline join (Similarity.ivfPqAtRecallCore), so this row shares
+    // sim_knn_join_pq_recall90's oracle VERBATIM: the shared pass is
+    // the bit-identity proof over build ∪ append.
+    "sim_index_probe_recall90" -> QueryDef(
+      (s, d) => {
+        val dir = annIndexFixture(s, d, "target/ann_index_recall")
+        AnnIndex.probeAtRecall(s, dir,
+            T.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 3, nprobe = 2,
+            shortlists = Seq(3, 6, 12, 24), targetX100 = 90)
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      pqRecall90Oracle),
 
     // Residual-encoded IVF-PQ (TPAMI'11 §IV — the production form):
     // codes quantize v − centroid(cell), so each codebook models the

@@ -381,13 +381,37 @@ object Similarity {
         .withColumn("shortlist", lit(chosenS).cast("int"))
         .withColumn("recall_x1000", lit(recall))
     }
-    val m = codebooks.length
-    val ksub = codebooks.head.length
     val c = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
       .withColumn("_cell", ivfAssignment(col("_cv"), centroids))
       .withColumn("_codes", pqEncode(col("_cv"), codebooks))
       .withColumn("_cn", norm(col("_cv")))
+    ivfPqAtRecallCore(
+      c.select(col("_cell"), col("corpus_id"), col("_codes"), col("_cn")),
+      c.select(col("corpus_id"), col("_cv"), col("_cn")),
+      knnJoinExact(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("corpus_id")),
+      queries, idCol, vecCol, k, centroids, codebooks, nprobe, ss,
+      targetX100)
+  }
+
+  /** The shortlist-dial calibration shared by the inline
+    * [[knnJoinIvfPqAtRecall]] and the persisted index's
+    * [[AnnIndex.probeAtRecall]] — the encoded corpus, the rerank
+    * vectors, and the exact baseline are INJECTED so the two callers
+    * cannot drift: inline passes a freshly encoded corpus, the index
+    * passes partition-pruned reads of its stored codes/vectors.
+    * `codesSide` = (_cell, corpus_id, _codes, _cn); `vecSide` =
+    * (corpus_id, _cv, _cn); `exactPairs` = the exact top-k
+    * (query_id, corpus_id) baseline over the same corpus. */
+  private[operators] def ivfPqAtRecallCore(codesSide: DataFrame,
+      vecSide: DataFrame, exactPairs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nprobe: Int, ss: Seq[Int], targetX100: Int): DataFrame = {
+    val sMax = ss.last
+    val m = codebooks.length
+    val ksub = codebooks.head.length
     val qBase = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("_qn", norm(col("_qv")))
@@ -395,8 +419,7 @@ object Similarity {
       .withColumn("_lut", pqLut(col("_qv"), codebooks))
       .withColumn("_cell",
         explode(ivfProbes(col("_qv"), centroids, nprobe)))
-    val adc = c.select(col("_cell"), col("corpus_id"), col("_codes"),
-        col("_cn"))
+    val adc = codesSide
       .join(broadcast(q.select(col("_cell"), col("query_id"),
         col("_lut"), col("_qn"))), "_cell")
       .select(col("query_id"), col("corpus_id"),
@@ -414,16 +437,13 @@ object Similarity {
     // reads this bounded artifact
     val scored = cand.select(col("query_id"), col("corpus_id"),
         col("adc_rank"))
-      .join(c.select(col("corpus_id"), col("_cv"), col("_cn")),
-        "corpus_id")
+      .join(vecSide, "corpus_id")
       .join(broadcast(qBase), "query_id")
       .select(col("query_id"), col("corpus_id"), col("adc_rank"),
         (dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
           .as("cosine"))
       .localCheckpoint()
-    val exact = knnJoinExact(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("corpus_id"))
-      .localCheckpoint()
+    val exact = exactPairs.localCheckpoint()
     val exactN = exact.agg(count(lit(1)).as("_n_exact"))
     val curve = scored.withColumn("s",
         explode(array(ss.map(lit(_)): _*)))

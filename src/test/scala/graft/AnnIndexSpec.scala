@@ -146,6 +146,39 @@ class AnnIndexSpec extends AnyFunSuite {
       "the next writer must sweep stray delta staging")
   }
 
+  test("probeAtRecall: dial and pairs bit-identical to the inline " +
+      "recall join over the same corpus; sample mode applies the " +
+      "dial to all queries") {
+    val dir = Files.createTempDirectory("graft_ann_rc").toFile
+      .getAbsolutePath + "/idx"
+    // split build/append so the calibration also covers the
+    // incremental layout (base + one delta)
+    AnnIndex.build(spark, dir, corpus.filter($"vec_id" % 7 =!= 3),
+      "vec_id", "embedding", cents, books)
+    AnnIndex.append(spark, dir, corpus.filter($"vec_id" % 7 === 3),
+      "vec_id", "embedding")
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4)))
+      .toSeq.sortBy(t => (t._1, -t._3, t._2))
+    val fromIndex = full(AnnIndex.probeAtRecall(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4,
+      shortlists = Seq(3, 6, 12), targetX100 = 50))
+    val inline = full(Similarity.knnJoinIvfPqAtRecall(corpus, queries,
+      "vec_id", "embedding", k = 3, cents, books, nprobe = 4,
+      shortlists = Seq(3, 6, 12), targetX100 = 50))
+    assert(fromIndex === inline,
+      "persisted-index recall dial diverged from the inline join")
+    // sample mode: dial from the seeded subset, pairs cover all
+    // queries, reported recall constant
+    val sampled = full(AnnIndex.probeAtRecall(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4,
+      shortlists = Seq(3, 6, 12), targetX100 = 50, sampleQueries = 4))
+    assert(Seq(3, 6, 12).contains(sampled.head._4))
+    assert(sampled.map(_._1).distinct.length === queries.count().toInt)
+    assert(sampled.map(_._5).distinct.length === 1)
+  }
+
   test("compact folds deltas into one base without re-encoding: " +
       "probe identical, components bounded, appends continue") {
     val dir = Files.createTempDirectory("graft_ann_cp").toFile

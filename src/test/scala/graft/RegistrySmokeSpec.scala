@@ -110,6 +110,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // probe's bounded probed-cell collect (≤ nlist) are the
       // operators under test
       "sim_index_build", "sim_index_probe", "sim_index_compact",
+      "sim_index_probe_recall90",
       "sim_ivf_nprobe_sweep", "sim_recall_report",
       // recall-curve + exact-pair checkpoint: bounded queries×k×nlist
       // artifacts each read twice (Similarity.knnJoinIvfAtRecall)
