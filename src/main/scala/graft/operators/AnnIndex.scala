@@ -254,12 +254,37 @@ object AnnIndex {
     * never deserializes `vec`, the rerank never reads `codes`). */
   private def readCells(spark: SparkSession,
       dest: org.apache.hadoop.fs.Path, deltas: Seq[String],
-      cells: Seq[Int], cols: Seq[String]): DataFrame =
+      cells: Option[Seq[Int]], cols: Seq[String]): DataFrame =
     ("base" +: deltas).map { d =>
-      spark.read.parquet(new org.apache.hadoop.fs.Path(dest, d).toString)
-        .filter(col("cell").isin(cells: _*))
+      val all = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(dest, d).toString)
+      // None = a deliberately UNPRUNED read (the exact baseline is
+      // inherently all-corpus) — stated here instead of a no-op
+      // isin over every cell id
+      cells.fold(all)(cs => all.filter(col("cell").isin(cs: _*)))
         .select(cols.map(col): _*)
     }.reduce(_ unionByName _)
+
+  /** The empty-result schema both probes share when no cell is
+    * probed: query_id typed from the query side, corpus_id from the
+    * INDEX (footer-only read — an empty batch must not flip the
+    * result schema when the two id types differ), plus the caller's
+    * extra columns. */
+  private def emptyProbeResult(spark: SparkSession,
+      dest: org.apache.hadoop.fs.Path, queries: DataFrame,
+      idCol: String,
+      extra: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val corpusIdType = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(dest, "base").toString)
+      .schema("corpus_id").dataType
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", queries.schema(idCol).dataType),
+        StructField("corpus_id", corpusIdType),
+        StructField("cosine", DoubleType)) ++ extra))
+  }
 
   /** Answer an IVF-PQ k-NN join FROM the index — identical semantics
     * (and bit-identical results) to [[Similarity.knnJoinIvfPq]] over
@@ -293,24 +318,9 @@ object AnnIndex {
     // partition-pruned reads of nprobe/nlist of the table
     val cells = q.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (cells.isEmpty) {
-      // corpus_id's type comes from the INDEX (a footer-only read),
-      // not the query side — an empty batch must not flip the result
-      // schema when query and corpus id types differ
-      val corpusIdType = spark.read
-        .parquet(new Path(dest, "base").toString)
-        .schema("corpus_id").dataType
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id",
-            queries.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("corpus_id",
-            corpusIdType),
-          org.apache.spark.sql.types.StructField("cosine",
-            org.apache.spark.sql.types.DoubleType))))
-    }
-    val codesSide = readCells(spark, dest, deltas, cells,
+    if (cells.isEmpty)
+      return emptyProbeResult(spark, dest, queries, idCol, Seq.empty)
+    val codesSide = readCells(spark, dest, deltas, Some(cells),
         Seq("cell", "corpus_id", "codes", "cn"))
       .withColumnRenamed("cell", "_cell")
     val adc = codesSide
@@ -321,7 +331,7 @@ object AnnIndex {
           (col("cn") * col("_qn"))).as("adc_cosine"))
     val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
       Seq("adc_cosine", "corpus_id"), descending = true, shortlist)
-    val vecSide = readCells(spark, dest, deltas, cells,
+    val vecSide = readCells(spark, dest, deltas, Some(cells),
       Seq("corpus_id", "vec", "cn"))
     val reranked = cand.select(col("query_id"), col("corpus_id"))
       .join(vecSide, "corpus_id")
@@ -356,6 +366,22 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     require(targetX100 >= 1 && targetX100 <= 100,
       s"targetX100 in [1,100], got $targetX100")
+    val ss = (if (shortlists.nonEmpty) shortlists
+      else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
+    require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
+    // sample branch FIRST: it needs only the ladder — the recursive
+    // calibration and the final probe each do their own layout read,
+    // so parsing the quantizer here would be dead work
+    if (sampleQueries > 0) {
+      val (chosenS, recall) = Similarity.sampleDial(queries, idCol,
+        sampleQueries, "shortlist", ss.last,
+        qs => probeAtRecall(spark, indexPath, qs, idCol, vecCol, k,
+          nprobe, ss, targetX100, 0))
+      return probe(spark, indexPath, queries, idCol, vecCol, k,
+          nprobe, chosenS)
+        .withColumn("shortlist", lit(chosenS).cast("int"))
+        .withColumn("recall_x1000", lit(recall))
+    }
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
     recover(fs, dest, sweep = false)
@@ -363,54 +389,28 @@ object AnnIndex {
     val centroids = parseVecs(lay("centroids"))
     val codebooks = parseBooks(lay("codebooks"))
     val deltas = deltaDirs(fs, dest)
-    val ss = (if (shortlists.nonEmpty) shortlists
-      else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
-    require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
-    if (sampleQueries > 0) {
-      val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(sampleQueries)
-      val dial = probeAtRecall(spark, indexPath, qs, idCol, vecCol, k,
-          nprobe, ss, targetX100, 0)
-        .select(col("shortlist"), col("recall_x1000"))
-        .limit(1).collect()
-      val (chosenS, recall) = dial.headOption
-        .map(r => (r.getInt(0), r.getLong(1)))
-        .getOrElse((ss.last, 0L))
-      return probe(spark, indexPath, queries, idCol, vecCol, k,
-          nprobe, chosenS)
-        .withColumn("shortlist", lit(chosenS).cast("int"))
-        .withColumn("recall_x1000", lit(recall))
-    }
     val cells = queries.select(explode(
         Similarity.ivfProbes(col(vecCol), centroids, nprobe)).as("_c"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (cells.isEmpty) {
-      val corpusIdType = spark.read
-        .parquet(new Path(dest, "base").toString)
-        .schema("corpus_id").dataType
       import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("query_id", queries.schema(idCol).dataType),
-          StructField("corpus_id", corpusIdType),
-          StructField("cosine", DoubleType),
-          StructField("shortlist", IntegerType),
-          StructField("recall_x1000", LongType))))
+      return emptyProbeResult(spark, dest, queries, idCol, Seq(
+        StructField("shortlist", IntegerType),
+        StructField("recall_x1000", LongType)))
     }
-    val codesSide = readCells(spark, dest, deltas, cells,
+    val codesSide = readCells(spark, dest, deltas, Some(cells),
         Seq("cell", "corpus_id", "codes", "cn"))
       .withColumnRenamed("cell", "_cell")
       .withColumnRenamed("codes", "_codes")
       .withColumnRenamed("cn", "_cn")
-    val vecSide = readCells(spark, dest, deltas, cells,
+    val vecSide = readCells(spark, dest, deltas, Some(cells),
         Seq("corpus_id", "vec", "cn"))
       .withColumnRenamed("vec", "_cv")
       .withColumnRenamed("cn", "_cn")
     // the exact baseline is inherently all-corpus: every cell's
     // stored vectors, renamed back to the caller's column contract
-    val fullVecs = readCells(spark, dest, deltas,
-        centroids.indices.toSeq, Seq("corpus_id", "vec"))
+    val fullVecs = readCells(spark, dest, deltas, None,
+        Seq("corpus_id", "vec"))
       .withColumnRenamed("corpus_id", idCol)
       .withColumnRenamed("vec", vecCol)
     val exactPairs = Similarity.knnJoinExact(fullVecs, queries,

@@ -364,18 +364,10 @@ object Similarity {
     require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")
     val sMax = ss.last
     if (sampleQueries > 0) {
-      val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(sampleQueries)
-      val dial = knnJoinIvfPqAtRecall(corpus, qs, idCol, vecCol, k,
-          centroids, codebooks, nprobe, ss, targetX100, 0)
-        .select(col("shortlist"), col("recall_x1000"))
-        .limit(1).collect()
-      // an empty calibration (no candidates for any sampled query)
-      // falls back to the largest shortlist with recall 0 — the same
-      // best-effort contract as the in-plan fallback path
-      val (chosenS, recall) = dial.headOption
-        .map(r => (r.getInt(0), r.getLong(1)))
-        .getOrElse((sMax, 0L))
+      val (chosenS, recall) = sampleDial(queries, idCol, sampleQueries,
+        "shortlist", sMax,
+        qs => knnJoinIvfPqAtRecall(corpus, qs, idCol, vecCol, k,
+          centroids, codebooks, nprobe, ss, targetX100, 0))
       return knnJoinIvfPq(corpus, queries, idCol, vecCol, k,
           centroids, codebooks, nprobe, chosenS)
         .withColumn("shortlist", lit(chosenS).cast("int"))
@@ -393,6 +385,24 @@ object Similarity {
         .select(col("query_id"), col("corpus_id")),
       queries, idCol, vecCol, k, centroids, codebooks, nprobe, ss,
       targetX100)
+  }
+
+  /** The sample-mode dial choice shared by every recall-target join
+    * (inline IVF, inline IVF-PQ, and the persisted index's probe):
+    * seeded hash-ordered query subset, calibrate on it via the
+    * caller's own in-plan path, read the dial + measured recall off
+    * one row, fall back to the most exhaustive config with recall 0
+    * when the calibration returns nothing. One implementation so the
+    * sampling contract cannot drift between callers. */
+  private[operators] def sampleDial(queries: DataFrame, idCol: String,
+      sampleQueries: Int, dialCol: String, fallback: Int,
+      calibrate: DataFrame => DataFrame): (Int, Long) = {
+    val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleQueries)
+    calibrate(qs).select(col(dialCol), col("recall_x1000"))
+      .limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .getOrElse((fallback, 0L))
   }
 
   /** The shortlist-dial calibration shared by the inline
@@ -724,15 +734,10 @@ object Similarity {
       s"targetX100 in [1,100], got $targetX100")
     val nlist = centroids.length
     if (sampleQueries > 0) {
-      val qs = queries.orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(sampleQueries)
-      val dial = knnJoinIvfAtRecall(corpus, qs, idCol, vecCol, k,
-          centroids, targetX100, 0)
-        .select(col("nprobe"), col("recall_x1000"))
-        .limit(1).collect()
-      val (chosenNp, recall) = dial.headOption
-        .map(r => (r.getInt(0), r.getLong(1)))
-        .getOrElse((nlist, 0L))
+      val (chosenNp, recall) = sampleDial(queries, idCol, sampleQueries,
+        "nprobe", nlist,
+        qs => knnJoinIvfAtRecall(corpus, qs, idCol, vecCol, k,
+          centroids, targetX100, 0))
       return knnJoinIvf(corpus, queries, idCol, vecCol, k, centroids,
           chosenNp)
         .withColumn("nprobe", lit(chosenNp))
