@@ -13,18 +13,27 @@ import org.apache.spark.sql.functions._
   * of the beyond-reference training-data-pipeline family, same public
   * literature as the inline joins: Jégou, Douze & Schmid, TPAMI'11.)
   *
-  * On-disk layout at `indexPath`:
+  * On-disk layout at `indexPath` — GENERATIONS under a versioned
+  * pointer, so maintenance never takes the index offline:
   * {{{
-  *   _ann_layout                  GateLayout manifest: geometry (dim,
+  *   ptr-NNNNNNNNN                versioned pointer files; the HIGHEST
+  *                                version names the live generation.
+  *                                Readers resolve the max; publishes
+  *                                keep the superseded version as a
+  *                                one-version grace (below)
+  *   gen-NNNNNN/                  one complete, immutable-once-
+  *                                published index generation:
+  *     _ann_layout                GateLayout manifest: geometry (dim,
   *                                nlist, m, ksub, id/vec cols) AND the
   *                                trained quantizer itself (centroids +
   *                                codebooks, exact-round-trip doubles) —
   *                                the index is self-contained; probes
   *                                and appends never re-train
-  *   base/cell=N/part….parquet    (corpus_id, codes, cn, vec) — the
+  *     base/cell=N/part….parquet  (corpus_id, codes, cn, vec) — the
   *                                built corpus, partitioned by coarse
   *                                cell so probes prune to nprobe/nlist
-  *   delta-000001/cell=N/...      append batches, one dir per commit
+  *     delta-000001/cell=N/...    append batches, one dir per commit,
+  *                                landing in the CURRENT generation
   * }}}
   *
   * Scale shape: the ADC candidate scan reads only (corpus_id, codes,
@@ -35,37 +44,59 @@ import org.apache.spark.sql.functions._
   * codes stay hot, floats are touched at shortlist selectivity). No
   * step ever re-encodes a stored vector.
   *
-  * Crash safety: a BUILD stages the whole index at a sibling
-  * `_staging` root and commits with the two-rename swap ([[
-  * MergeOps.upsertParquet]]'s discipline — recovery restores an
-  * orphaned `_retired` copy before any read). An APPEND stages its
-  * delta under `_delta_staging` inside the root and commits with ONE
-  * atomic directory rename to the next `delta-NNNNNN` name — a crash
-  * before the rename leaves invisible staging (swept on the next
-  * call), after it a fully committed delta. Probes therefore see every
-  * append all-or-nothing.
+  * READER LIVENESS (the month table's availability contract, applied
+  * to the index): probes resolve the pointer once and scan that
+  * generation's immutable files, so BUILD and COMPACT — which stage a
+  * complete NEW generation and commit by publishing the next pointer
+  * version — never blank a probe. The publish sweeps with a
+  * ONE-VERSION GRACE: the superseded pointer and its generation
+  * survive until the NEXT publish, so a reader that resolved the
+  * pointer just before a commit still finds every file it planned
+  * against (maintenance publishes are hours apart; two publishes
+  * inside one probe's runtime is the same out-of-contract overlap
+  * [[MergeOps.readMonthTable]] documents for its month-dir grace).
+  * Readers take NO destructive action, ever — there is no torn state
+  * for them to repair: a build/compact crash before its pointer
+  * publish leaves only an unreferenced generation dir that the next
+  * WRITER sweeps, with the old generation still live throughout.
   *
-  * Concurrency contract, per operation class: APPEND is
-  * reader-concurrent (the delta rename is atomic and probes resolve
-  * committed deltas only) — the steady-state pairing of daily appends
-  * with continuous probes needs no coordination. BUILD and COMPACT are
-  * full-swap MAINTENANCE ops under the same reader-exclusion contract
-  * as the merge family's swaps ([[MergeOps.reshard]]'s precedent):
-  * between their two renames a concurrent reader sees no index, an
-  * in-flight probe planned against the pre-swap component list can
-  * fail mid-scan, and a reader's crash-recovery restore can collide
-  * with the swap (a loud rename failure, never silent corruption) —
-  * schedule them against each other, or probe through a snapshot.
+  * Concurrency contract: WRITERS (build/append/compact) are strictly
+  * SINGLE-WRITER — schedule them against each other (the reference
+  * deployment shape: one maintenance driver). Readers are live
+  * against every writer: appends commit with one atomic rename that
+  * probes see all-or-nothing, build/compact swap generations behind
+  * the pointer as above. (No CAS machinery is needed on the pointer —
+  * that exists in [[MergeOps]] because two committer CLASSES race
+  * there; here versions are strictly writer-ordered.)
   *
-  * Contract: `append` is for NEW ids (the same key-stability contract
-  * the month merge declares) — re-appending an existing id leaves both
-  * rows visible; route updates through a rebuild, or dedup downstream.
+  * LATEST-WINS updates: `append` re-accepts an existing corpus_id as
+  * an UPDATE. Every component carries an implicit commit number (base
+  * = 0, delta-NNNNNN = N) and probes keep only each id's highest-
+  * commit row among the SCANNED components before ranking; [[compact]]
+  * folds the dedup permanently. Ids must be unique WITHIN one build
+  * corpus / append batch (fail-fast checked — the same key-uniqueness
+  * contract the month merge's latest-wins rests on). Caveat, stated
+  * not hidden: an update whose new vector lands in a DIFFERENT coarse
+  * cell leaves the superseded row as a shadow in the old cell — a
+  * probe whose nprobe covers the old cell but not the new one can
+  * still return it (the probe dedups over what it scans). Compact
+  * removes shadows globally; probe at nprobe=nlist when staleness
+  * must be zero between compacts.
   */
 object AnnIndex {
 
   private val layoutName = "_ann_layout"
   private val deltaPrefix = "delta-"
   private val deltaStaging = "_delta_staging"
+  private val genPrefix = "gen-"
+  private val ptrPrefix = "ptr-"
+
+  /** No-op default for the maintenance hooks — [[build]]/[[compact]]
+    * fire it at "staged" (new generation fully written, old still
+    * live), "published" (pointer committed — readers now resolve the
+    * new generation), and "swept" (grace applied): the commit points
+    * the liveness row probes from. */
+  val noHook: String => Unit = _ => ()
 
   private def serVecs(vs: Seq[Seq[Double]]): String =
     vs.map(_.map(_.toString).mkString(",")).mkString(";")
@@ -79,38 +110,130 @@ object AnnIndex {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Crash recovery, split by caller class so READS never take
-    * destructive actions that could race a concurrent APPEND (the one
-    * writer class readers legitimately overlap — see the concurrency
-    * contract above):
-    *
-    *  - readers (probe/census) only RESTORE a build that crashed
-    *    between its two commit renames (the index's only copy sits at
-    *    `_retired` and nothing is readable without the rename);
-    *    staging and delta-staging debris is invisible to reads
-    *    ([[deltaDirs]] matches committed names only) and is left for
-    *    the next writer to sweep — a reader deleting it could destroy
-    *    an in-flight append's staged files. The restore itself can
-    *    only fire when `dest` is absent, a state APPEND never
-    *    produces; against a LIVE build/compact swap it is the
-    *    documented out-of-contract overlap and fails the swap loudly.
-    *  - writers (build/append/compact, single-writer contract)
-    *    additionally sweep uncommitted staging debris.
-    */
-  private def recover(fs: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path, sweep: Boolean): Unit = {
-    import org.apache.hadoop.fs.Path
-    val staging = new Path(dest.getParent, dest.getName + "_staging")
-    val retired = new Path(dest.getParent, dest.getName + "_retired")
-    if (!fs.exists(dest) && fs.exists(retired) && !fs.rename(retired, dest))
-      throw new java.io.IOException(
-        s"found orphaned $retired but could not restore it to $dest")
-    if (sweep) {
-      fs.delete(retired, true)
-      fs.delete(staging, true)
-      if (fs.exists(dest))
-        fs.delete(new Path(dest, deltaStaging), true)
+  // ------------------------------------------------------------------
+  // generation pointer
+  // ------------------------------------------------------------------
+
+  private def ptrVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dest)) Nil
+    else fs.listStatus(dest).map(_.getPath.getName)
+      .filter(n => n.startsWith(ptrPrefix) &&
+        n.stripPrefix(ptrPrefix).nonEmpty &&
+        n.stripPrefix(ptrPrefix).forall(_.isDigit))
+      .map(_.stripPrefix(ptrPrefix).toLong).sorted.toSeq
+
+  private def ptrPath(dest: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(dest, f"$ptrPrefix$v%09d")
+
+  /** Resolve the live generation: the highest pointer version's
+    * payload. Belt-and-braces beside the write-side grace: losing the
+    * list-then-open race (our resolved pointer swept between listing
+    * and open — the state advanced by TWO publishes) re-lists and
+    * resolves the newer max rather than surfacing FileNotFound. */
+  private def resolveGen(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val vs = ptrVersions(fs, dest)
+      if (vs.isEmpty) return None
+      val v = vs.max
+      try {
+        val m = GateLayout.read(fs, ptrPath(dest, v))
+        return Some((v, m("gen")))
+      } catch {
+        case _: java.io.IOException => // advanced — re-list
+      }
     }
+    throw new java.io.IOException(
+      s"pointer resolution did not stabilize after $attempts attempts " +
+        s"at $dest — more than one maintenance publish per read is " +
+        "out of the single-writer contract")
+  }
+
+  /** The live generation's directory name (e.g. "gen-000002") — for
+    * callers that census the index's FILES (specs, registry rows);
+    * query callers never need it. Fails fast on a missing index. */
+  def currentGeneration(spark: SparkSession, indexPath: String): String = {
+    val dest = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, dest)
+    resolveGen(fs, dest).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ANN index at $indexPath (no pointer)"))
+  }
+
+  /** Writer-side sweep, run at writer entry and after each publish:
+    * keep the TOP TWO pointer versions (the live one + the one-version
+    * reader grace), delete every other pointer, every generation dir
+    * no surviving pointer references (superseded generations past
+    * grace, and the partial stagings of crashed builds/compacts —
+    * readers never look at an unreferenced generation, so sweeping it
+    * can strand no one), pointer-write temp debris, and append staging
+    * inside surviving generations. Writers only — the single-writer
+    * contract is what makes deleting an unreferenced generation safe
+    * (no other writer can be mid-stage in it). */
+  private def sweep(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(dest)) return
+    val vs = ptrVersions(fs, dest)
+    val keep = vs.sorted.takeRight(2).toSet
+    val kept = keep.toSeq.sorted.flatMap { v =>
+      try Some(GateLayout.read(fs, ptrPath(dest, v))("gen"))
+      catch { case _: java.io.IOException => None }
+    }.toSet
+    fs.listStatus(dest).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(ptrPrefix)) {
+        val core = n.stripPrefix(ptrPrefix)
+        if (core.nonEmpty && core.forall(_.isDigit)) {
+          if (!keep.contains(core.toLong)) fs.delete(p, false)
+        } else fs.delete(p, true) // _tmp debris of a crashed publish
+      } else if (n.startsWith(genPrefix)) {
+        if (!kept.contains(n)) fs.delete(p, true)
+        else fs.delete(new Path(p, deltaStaging), true)
+      }
+    }
+  }
+
+  /** Commit a staged generation: publish the next pointer version
+    * (GateLayout's temp-write + atomic rename — readers can never see
+    * a torn pointer), then apply the grace sweep. */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, gen: String,
+      hook: String => Unit): Unit = {
+    val v = ptrVersions(fs, dest).lastOption.getOrElse(0L) + 1
+    GateLayout.write(fs, ptrPath(dest, v), Seq("gen" -> gen))
+    hook("published")
+    sweep(fs, dest)
+    hook("swept")
+  }
+
+  private def nextGenName(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): String = {
+    val n = if (!fs.exists(dest)) 0L
+      else fs.listStatus(dest).map(_.getPath.getName)
+        .filter(g => g.startsWith(genPrefix) &&
+          g.stripPrefix(genPrefix).forall(_.isDigit))
+        .map(_.stripPrefix(genPrefix).toLong)
+        .foldLeft(0L)(math.max)
+    f"$genPrefix${n + 1}%06d"
+  }
+
+  /** Fail fast on duplicate ids within one component — latest-wins
+    * resolution is BY COMMIT NUMBER, so two rows of one id at the same
+    * commit would tie undecidably. One aggregate over the batch: the
+    * same key-uniqueness fail-fast the month merge applies to its
+    * batches. */
+  private def requireUniqueIds(df: DataFrame, idCol: String,
+      what: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$what has ${r.getLong(0)} rows but only ${r.getLong(1)} " +
+        s"distinct $idCol values — ids must be unique within one " +
+        "batch (re-append an id in a LATER batch to update it)")
   }
 
   /** Encode a corpus slice with the index's quantizer:
@@ -124,14 +247,18 @@ object AnnIndex {
       .withColumn("codes", Similarity.pqEncode(col("vec"), codebooks))
       .withColumn("cn", Similarity.norm(col("vec")))
 
-  /** Build (or rebuild) the index: encode the full corpus once, stage
-    * the complete index as a sibling root, swap it in. The quantizer
-    * (trained by the caller via [[Similarity.trainIvfCentroids]] /
+  /** Build (or rebuild) the index: encode the full corpus once into a
+    * fresh generation, commit by publishing the pointer — probes stay
+    * live on the old generation until the instant of the publish and
+    * resolve the new one after it. The quantizer (trained by the
+    * caller via [[Similarity.trainIvfCentroids]] /
     * [[Similarity.trainPqCodebooks]], or pinned) is persisted in the
-    * layout — the index answers probes with no other input. */
+    * layout — the index answers probes with no other input. `hook`
+    * fires at "staged" / "published" / "swept" (see [[noHook]]). */
   def build(spark: SparkSession, indexPath: String, corpus: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+      codebooks: Seq[Seq[Seq[Double]]],
+      hook: String => Unit = noHook): Unit = {
     import org.apache.hadoop.fs.Path
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
@@ -142,26 +269,28 @@ object AnnIndex {
       s"codebooks cover ${codebooks.length}·$dsub dims, corpus has $dim")
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest, sweep = true)
-    val staging = new Path(dest.getParent, dest.getName + "_staging")
-    val retired = new Path(dest.getParent, dest.getName + "_retired")
+    sweep(fs, dest)
+    requireUniqueIds(corpus, idCol, s"build corpus for $indexPath")
+    val gen = nextGenName(fs, dest)
+    val genPath = new Path(dest, gen)
     encoded(corpus, idCol, vecCol, centroids, codebooks)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("corpus_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
-      .parquet(new Path(staging, "base").toString)
+      .parquet(new Path(genPath, "base").toString)
     // a 0-row corpus writes a partitionless parquet dir that every
-    // later read of the index would die on (schema inference finds
-    // nothing) — refuse to commit an unreadable artifact, and leave
-    // the live index (if any) untouched
-    if (!hasCellDirs(fs, new Path(staging, "base"))) {
-      fs.delete(staging, true)
+    // later read of the generation would die on (schema inference
+    // finds nothing) — refuse to publish an unreadable generation,
+    // and leave the live one (if any) untouched
+    if (!hasCellDirs(fs, new Path(genPath, "base"))) {
+      fs.delete(genPath, true)
+      if (ptrVersions(fs, dest).isEmpty) fs.delete(dest, true)
       throw new IllegalArgumentException(
         s"refusing to build an ANN index from an EMPTY corpus at " +
           s"$indexPath — the artifact would be unreadable")
     }
-    GateLayout.write(fs, new Path(staging, layoutName), Seq(
+    GateLayout.write(fs, new Path(genPath, layoutName), Seq(
       "id_col" -> idCol, "vec_col" -> vecCol,
       "dim" -> dim.toString,
       "nlist" -> centroids.length.toString,
@@ -170,26 +299,32 @@ object AnnIndex {
       "metric" -> "cosine",
       "centroids" -> serVecs(centroids),
       "codebooks" -> serBooks(codebooks)))
-    fs.delete(retired, true)
-    if (fs.exists(dest) && !fs.rename(dest, retired))
-      throw new java.io.IOException(s"could not retire $dest")
-    if (!fs.rename(staging, dest))
-      throw new java.io.IOException(
-        s"could not activate $staging as $dest (old index at $retired)")
-    fs.delete(retired, true)
+    hook("staged")
+    publish(fs, dest, gen, hook)
   }
 
   private def readLayout(fs: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(dest, layoutName)
-    require(fs.exists(p), s"no ANN index at $dest (missing $layoutName)")
+      genPath: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(genPath, layoutName)
+    require(fs.exists(p),
+      s"no ANN index generation at $genPath (missing $layoutName)")
     GateLayout.read(fs, p)
   }
 
+  /** Resolve the live generation for a READ — fail fast when the
+    * index does not exist. */
+  private def liveGen(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    resolveGen(fs, dest) match {
+      case Some((_, g)) => new org.apache.hadoop.fs.Path(dest, g)
+      case None => throw new IllegalArgumentException(
+        s"no ANN index at $dest (no pointer)")
+    }
+
   private def deltaDirs(fs: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path): Seq[String] =
-    if (!fs.exists(dest)) Nil
-    else fs.listStatus(dest).map(_.getPath.getName)
+      genPath: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(genPath)) Nil
+    else fs.listStatus(genPath).map(_.getPath.getName)
       .filter(n => n.startsWith(deltaPrefix) &&
         n.stripPrefix(deltaPrefix).forall(_.isDigit)).sorted.toSeq
 
@@ -203,22 +338,28 @@ object AnnIndex {
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
 
   /** Incrementally add a batch: encode ONLY the batch with the
-    * persisted quantizer and commit it as the next delta directory —
-    * one atomic rename; the base and every prior delta are never
-    * opened, let alone rewritten (the property the spec pins with a
-    * file census). Cell geometry is frozen at build time — the
-    * standard IVF posture; re-train + rebuild when drift matters. */
+    * persisted quantizer and commit it as the next delta directory of
+    * the LIVE generation — one atomic rename; the base and every prior
+    * delta are never opened, let alone rewritten (the property the
+    * spec pins with a file census). A batch may RE-APPEND existing ids
+    * to update them: the delta's commit number outranks every earlier
+    * component, and probes/compact resolve latest-wins (see the object
+    * doc for the cross-cell shadow caveat). Cell geometry is frozen at
+    * build time — the standard IVF posture; re-train + rebuild when
+    * drift matters. */
   def append(spark: SparkSession, indexPath: String, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest, sweep = true)
-    val m = readLayout(fs, dest)
+    sweep(fs, dest)
+    val genPath = liveGen(fs, dest)
+    val m = readLayout(fs, genPath)
     require(m("id_col") == idCol && m("vec_col") == vecCol,
       s"index at $indexPath was built on (${m("id_col")}, " +
         s"${m("vec_col")}), append offered ($idCol, $vecCol)")
-    val staging = new Path(dest, deltaStaging)
+    requireUniqueIds(batch, idCol, s"append batch for $indexPath")
+    val staging = new Path(genPath, deltaStaging)
     encoded(batch, idCol, vecCol,
         parseVecs(m("centroids")), parseBooks(m("codebooks")))
       .repartition(col("cell"))
@@ -233,37 +374,52 @@ object AnnIndex {
       fs.delete(staging, true)
       return
     }
-    var n = deltaDirs(fs, dest).lastOption
+    // the rename IS the commit; writers are strictly single-writer
+    // (object doc), so the next delta name cannot be contended — a
+    // failed rename is a contract violation or an IO fault, loud
+    // either way
+    val n = deltaDirs(fs, genPath).lastOption
       .map(_.stripPrefix(deltaPrefix).toLong + 1).getOrElse(1L)
-    var committed = false
-    while (!committed) {
-      // rename = the commit; a taken name (concurrent append) retries
-      // at the next number — create-free CAS on the directory name
-      val target = new Path(dest, f"$deltaPrefix$n%06d")
-      if (fs.exists(target)) n += 1
-      else if (fs.rename(staging, target)) committed = true
-      else if (fs.exists(target)) n += 1
-      else throw new java.io.IOException(
-        s"could not commit delta $target for $indexPath")
-    }
+    val target = new Path(genPath, f"$deltaPrefix$n%06d")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"could not commit delta $target for $indexPath — appends " +
+          "are single-writer; a concurrent writer violates the contract")
   }
 
-  /** The persisted-index read: base + every committed delta, pruned to
-    * `cells` (partition pruning — the scan unit the whole layout
-    * exists for), with only `cols` read (column pruning: the ADC pass
-    * never deserializes `vec`, the rerank never reads `codes`). */
+  private def commitOf(component: String): Long =
+    if (component == "base") 0L
+    else component.stripPrefix(deltaPrefix).toLong
+
+  /** The persisted-index read: base + every committed delta of the
+    * live generation, pruned to `cells` (partition pruning — the scan
+    * unit the whole layout exists for), with only `cols` read (column
+    * pruning: the ADC pass never deserializes `vec`, the rerank never
+    * reads `codes`), then resolved LATEST-WINS: each component is
+    * stamped with its commit number and only each corpus_id's
+    * highest-commit row among the scanned components survives. The
+    * dedup runs only when deltas exist (a fresh or compacted index
+    * pays nothing) and is the spill-safe windowed top-k — corpus_id
+    * cardinality is the scan's, unbounded, so the heap operator's
+    * keys×k memory contract does not apply; the sort's input is the
+    * already-pruned scan, which is the bound that matters. */
   private def readCells(spark: SparkSession,
-      dest: org.apache.hadoop.fs.Path, deltas: Seq[String],
-      cells: Option[Seq[Int]], cols: Seq[String]): DataFrame =
-    ("base" +: deltas).map { d =>
+      genPath: org.apache.hadoop.fs.Path, deltas: Seq[String],
+      cells: Option[Seq[Int]], cols: Seq[String]): DataFrame = {
+    val unioned = ("base" +: deltas).map { d =>
       val all = spark.read
-        .parquet(new org.apache.hadoop.fs.Path(dest, d).toString)
+        .parquet(new org.apache.hadoop.fs.Path(genPath, d).toString)
       // None = a deliberately UNPRUNED read (the exact baseline is
       // inherently all-corpus) — stated here instead of a no-op
       // isin over every cell id
       cells.fold(all)(cs => all.filter(col("cell").isin(cs: _*)))
         .select(cols.map(col): _*)
+        .withColumn("_icommit", lit(commitOf(d)))
     }.reduce(_ unionByName _)
+    if (deltas.isEmpty) unioned.drop("_icommit")
+    else graft.plans.GroupedTopK.windowed(unioned, Seq("corpus_id"),
+      Seq("_icommit"), descending = true, 1).drop("_icommit")
+  }
 
   /** The empty-result schema both probes share when no cell is
     * probed: query_id typed from the query side, corpus_id from the
@@ -271,12 +427,12 @@ object AnnIndex {
     * result schema when the two id types differ), plus the caller's
     * extra columns. */
   private def emptyProbeResult(spark: SparkSession,
-      dest: org.apache.hadoop.fs.Path, queries: DataFrame,
+      genPath: org.apache.hadoop.fs.Path, queries: DataFrame,
       idCol: String,
       extra: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     import org.apache.spark.sql.types._
     val corpusIdType = spark.read
-      .parquet(new org.apache.hadoop.fs.Path(dest, "base").toString)
+      .parquet(new org.apache.hadoop.fs.Path(genPath, "base").toString)
       .schema("corpus_id").dataType
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -292,21 +448,33 @@ object AnnIndex {
     * and PQ encode replaced by reads of the persisted artifact. The
     * probed-cell set is collected once (bounded by nlist, never by
     * data) and pushed into the parquet scans as a partition filter.
-    */
+    *
+    * `broadcastQueries` states the BOUNDED-QUERY-BATCH assumption the
+    * default leans on: the query side is shipped to every task twice
+    * (the LUT side at |queries|·nprobe rows of m·ksub doubles, the
+    * rerank side at |queries| raw vectors) — the right plan for the
+    * deployment shape (a bounded probe batch against a huge corpus).
+    * Pass `false` when the query set itself is table-sized: both
+    * joins become shuffle joins, trading the executor-memory bound
+    * for an exchange (note the ADC join's key `_cell` has ≤ nlist
+    * distinct values — the shuffle path leans on AQE skew splitting
+    * and is the escape hatch, not the fast path). */
   def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 2,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50, broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.hadoop.fs.Path
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest, sweep = false)
-    val lay = readLayout(fs, dest)
+    val genPath = liveGen(fs, dest)
+    val lay = readLayout(fs, genPath)
     val centroids = parseVecs(lay("centroids"))
     val codebooks = parseBooks(lay("codebooks"))
     val m = codebooks.length
     val ksub = codebooks.head.length
-    val deltas = deltaDirs(fs, dest)
+    val deltas = deltaDirs(fs, genPath)
+    def side(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("_qn", Similarity.norm(col("_qv")))
@@ -319,23 +487,23 @@ object AnnIndex {
     val cells = q.select(col("_cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (cells.isEmpty)
-      return emptyProbeResult(spark, dest, queries, idCol, Seq.empty)
-    val codesSide = readCells(spark, dest, deltas, Some(cells),
+      return emptyProbeResult(spark, genPath, queries, idCol, Seq.empty)
+    val codesSide = readCells(spark, genPath, deltas, Some(cells),
         Seq("cell", "corpus_id", "codes", "cn"))
       .withColumnRenamed("cell", "_cell")
     val adc = codesSide
-      .join(broadcast(q.select(col("_cell"), col("query_id"),
+      .join(side(q.select(col("_cell"), col("query_id"),
         col("_lut"), col("_qn"))), "_cell")
       .select(col("query_id"), col("corpus_id"),
         (Similarity.adcDot(col("_lut"), col("codes"), m, ksub) /
           (col("cn") * col("_qn"))).as("adc_cosine"))
     val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
       Seq("adc_cosine", "corpus_id"), descending = true, shortlist)
-    val vecSide = readCells(spark, dest, deltas, Some(cells),
+    val vecSide = readCells(spark, genPath, deltas, Some(cells),
       Seq("corpus_id", "vec", "cn"))
     val reranked = cand.select(col("query_id"), col("corpus_id"))
       .join(vecSide, "corpus_id")
-      .join(broadcast(queries
+      .join(side(queries
         .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
         .withColumn("_qn", Similarity.norm(col("_qv")))), "query_id")
       .select(col("query_id"), col("corpus_id"),
@@ -355,8 +523,10 @@ object AnnIndex {
     * vectors injected where the inline join would re-encode: the ADC
     * ranking and the rerank read partition-pruned probed cells; only
     * the exact baseline (inherently all-corpus) reads every cell's
-    * vectors. `sampleQueries > 0` runs that whole calibration on a
-    * seeded hash-ordered query subset and applies the dial to all
+    * vectors. Every injected side is latest-wins resolved first, so
+    * the dial calibrates against the same updated corpus the probe
+    * answers from. `sampleQueries > 0` runs that whole calibration on
+    * a seeded hash-ordered query subset and applies the dial to all
     * queries through the plain [[probe]] — the same executable
     * at-scale posture as the inline knob. */
   def probeAtRecall(spark: SparkSession, indexPath: String,
@@ -384,32 +554,32 @@ object AnnIndex {
     }
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest, sweep = false)
-    val lay = readLayout(fs, dest)
+    val genPath = liveGen(fs, dest)
+    val lay = readLayout(fs, genPath)
     val centroids = parseVecs(lay("centroids"))
     val codebooks = parseBooks(lay("codebooks"))
-    val deltas = deltaDirs(fs, dest)
+    val deltas = deltaDirs(fs, genPath)
     val cells = queries.select(explode(
         Similarity.ivfProbes(col(vecCol), centroids, nprobe)).as("_c"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (cells.isEmpty) {
       import org.apache.spark.sql.types._
-      return emptyProbeResult(spark, dest, queries, idCol, Seq(
+      return emptyProbeResult(spark, genPath, queries, idCol, Seq(
         StructField("shortlist", IntegerType),
         StructField("recall_x1000", LongType)))
     }
-    val codesSide = readCells(spark, dest, deltas, Some(cells),
+    val codesSide = readCells(spark, genPath, deltas, Some(cells),
         Seq("cell", "corpus_id", "codes", "cn"))
       .withColumnRenamed("cell", "_cell")
       .withColumnRenamed("codes", "_codes")
       .withColumnRenamed("cn", "_cn")
-    val vecSide = readCells(spark, dest, deltas, Some(cells),
+    val vecSide = readCells(spark, genPath, deltas, Some(cells),
         Seq("corpus_id", "vec", "cn"))
       .withColumnRenamed("vec", "_cv")
       .withColumnRenamed("cn", "_cn")
     // the exact baseline is inherently all-corpus: every cell's
     // stored vectors, renamed back to the caller's column contract
-    val fullVecs = readCells(spark, dest, deltas, None,
+    val fullVecs = readCells(spark, genPath, deltas, None,
         Seq("corpus_id", "vec"))
       .withColumnRenamed("corpus_id", idCol)
       .withColumnRenamed("vec", vecCol)
@@ -425,61 +595,66 @@ object AnnIndex {
     * floor-sweep that bounds a probe's component count (each probe
     * unions base + N deltas; sustained daily appends would otherwise
     * grow N without limit, and each component is a separate parquet
-    * read). No vector is RE-ENCODED: the stored (cell, codes, cn,
-    * vec) rows are carried as-is through one repartition-by-cell
-    * rewrite — compaction cost is I/O-shaped, never quantization
-    * work. Commits with the same whole-index two-rename swap as
-    * [[build]] (a crash leaves either the old layout — base plus
-    * deltas — or the new single base, never a mix), and the layout's
-    * quantizer rides along unchanged so probe results are identical
-    * before and after. Returns the number of deltas folded. */
-  def compact(spark: SparkSession, indexPath: String): Int = {
+    * read) AND makes latest-wins permanent: each corpus_id keeps only
+    * its highest-commit row, resolved GLOBALLY (all cells — this is
+    * where cross-cell update shadows die). No vector is RE-ENCODED:
+    * the stored (cell, codes, cn, vec) rows are carried as-is through
+    * one dedup + repartition-by-cell rewrite — compaction cost is
+    * shuffle-I/O-shaped, never quantization work. Commits by staging
+    * a complete NEW generation and publishing the pointer ([[build]]'s
+    * discipline — probes stay live on the old generation throughout;
+    * a crash leaves the old generation live and an unreferenced
+    * staging for the next writer's sweep). The layout's quantizer
+    * rides along unchanged so probe results are identical before and
+    * after (bar shadows resolved). `hook` fires at "staged" /
+    * "published" / "swept". Returns the number of deltas folded. */
+  def compact(spark: SparkSession, indexPath: String,
+      hook: String => Unit = noHook): Int = {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest, sweep = true)
-    val lay = readLayout(fs, dest)
-    val deltas = deltaDirs(fs, dest)
+    sweep(fs, dest)
+    val genPath = liveGen(fs, dest)
+    val lay = readLayout(fs, genPath)
+    val deltas = deltaDirs(fs, genPath)
     if (deltas.isEmpty) return 0
-    val staging = new Path(dest.getParent, dest.getName + "_staging")
-    val retired = new Path(dest.getParent, dest.getName + "_retired")
-    ("base" +: deltas).map(d =>
-        spark.read.parquet(new Path(dest, d).toString))
+    val gen = nextGenName(fs, dest)
+    val newGenPath = new Path(dest, gen)
+    val unioned = ("base" +: deltas).map(d =>
+        spark.read.parquet(new Path(genPath, d).toString)
+          .withColumn("_icommit", lit(commitOf(d))))
       .reduce(_ unionByName _)
+    graft.plans.GroupedTopK.windowed(unioned, Seq("corpus_id"),
+        Seq("_icommit"), descending = true, 1)
+      .drop("_icommit")
       .withColumn("cell", col("cell").cast("int"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("corpus_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
-      .parquet(new Path(staging, "base").toString)
-    GateLayout.write(fs, new Path(staging, layoutName), lay.toSeq.sorted)
-    fs.delete(retired, true)
-    if (!fs.rename(dest, retired))
-      throw new java.io.IOException(s"could not retire $dest for compact")
-    if (!fs.rename(staging, dest))
-      throw new java.io.IOException(
-        s"could not activate $staging as $dest — usually a concurrent " +
-          "reader's crash-recovery restored the old index mid-swap " +
-          "(build/compact exclude readers by contract); the old index " +
-          s"is live again, the compacted rewrite remains at $staging " +
-          "for the next writer to sweep, and re-running compact " +
-          "converges")
-    fs.delete(retired, true)
+      .parquet(new Path(newGenPath, "base").toString)
+    GateLayout.write(fs, new Path(newGenPath, layoutName),
+      lay.toSeq.sorted)
+    hook("staged")
+    publish(fs, dest, gen, hook)
     deltas.size
   }
 
-  /** Maintenance census: (dir, cell, rows) per index component plus
-    * the layout geometry — the observability row a maintained artifact
-    * owes its operators. Bounded by components × nlist. */
+  /** Maintenance census: (dir, cell, rows) per component of the live
+    * generation plus the layout geometry — the observability row a
+    * maintained artifact owes its operators. Counts are PHYSICAL (a
+    * superseded update shadow counts until compact folds it — the
+    * census describes storage, probes describe results). Bounded by
+    * components × nlist. */
   def census(spark: SparkSession, indexPath: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
-    recover(fs, dest, sweep = false)
-    readLayout(fs, dest) // fail fast on a missing/torn index
-    val deltas = deltaDirs(fs, dest)
+    val genPath = liveGen(fs, dest)
+    readLayout(fs, genPath) // fail fast on a missing/torn index
+    val deltas = deltaDirs(fs, genPath)
     ("base" +: deltas).map { d =>
-      spark.read.parquet(new Path(dest, d).toString)
+      spark.read.parquet(new Path(genPath, d).toString)
         .groupBy(col("cell").cast("int").as("cell"))
         .agg(count(lit(1)).as("n_vectors"))
         .withColumn("component", lit(d))

@@ -8,7 +8,9 @@ import java.nio.file.Files
 
 /** The persisted IVF-PQ index lifecycle: build-once/probe-many
   * equality with the inline join, incremental append that provably
-  * re-encodes nothing, and the crash windows of both commits. */
+  * re-encodes nothing, reader liveness through build/compact
+  * generation swaps, latest-wins id updates, and the crash windows
+  * of every commit. */
 class AnnIndexSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTest.session
@@ -30,6 +32,12 @@ class AnnIndexSpec extends AnyFunSuite {
   private def rowsOf(df: org.apache.spark.sql.DataFrame) = df
     .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     .toSeq.sortBy(t => (t._1, -t._3, t._2))
+
+  private def fsFor(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genOf(dir: String): String =
+    AnnIndex.currentGeneration(spark, dir)
 
   private def census(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[(String, Long, Long)] = {
@@ -66,12 +74,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rowsOf(again) === rowsOf(inline5))
   }
 
+  test("probe with broadcastQueries=false (the table-sized-query " +
+      "escape hatch) returns the same rows as the broadcast default") {
+    val dir = Files.createTempDirectory("graft_ann_bq").toFile
+      .getAbsolutePath + "/idx"
+    AnnIndex.build(spark, dir, corpus, "vec_id", "embedding",
+      cents, books)
+    AnnIndex.append(spark, dir,
+      corpus.filter($"vec_id" === 1L)
+        .withColumn("vec_id", lit(888888L)), "vec_id", "embedding")
+    val bc = AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)
+    val sh = AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12,
+      broadcastQueries = false)
+    assert(rowsOf(bc) === rowsOf(sh),
+      "shuffle-join probe diverged from the broadcast probe")
+  }
+
   test("append encodes ONLY the batch: base and prior deltas are " +
       "byte-identical, probes see the union") {
     val dir = Files.createTempDirectory("graft_ann_app").toFile
       .getAbsolutePath + "/idx"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(dir)
     val slabA = corpus.filter($"vec_id" % 7 =!= 3)
     val slabB = corpus.filter($"vec_id" % 7 === 3 &&
       $"vec_id" % 2 === 0)
@@ -79,17 +104,21 @@ class AnnIndexSpec extends AnyFunSuite {
       $"vec_id" % 2 =!= 0)
     AnnIndex.build(spark, dir, slabA, "vec_id", "embedding",
       cents, books)
-    val base0 = census(fs, s"$dir/base")
+    val gen = genOf(dir)
+    val base0 = census(fs, s"$dir/$gen/base")
     AnnIndex.append(spark, dir, slabB, "vec_id", "embedding")
     // the no-re-encode proof: every base file untouched (a rewrite
     // changes task-UUID names, lengths, mtimes), one delta committed
-    assert(base0.nonEmpty && census(fs, s"$dir/base") === base0,
+    // into the SAME generation (appends never swap generations)
+    assert(genOf(dir) === gen, "append must not publish a generation")
+    assert(base0.nonEmpty && census(fs, s"$dir/$gen/base") === base0,
       "append rewrote base files — the full corpus was re-encoded")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/delta-000001")))
-    val delta1 = census(fs, s"$dir/delta-000001")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/$gen/delta-000001")))
+    val delta1 = census(fs, s"$dir/$gen/delta-000001")
     AnnIndex.append(spark, dir, slabC, "vec_id", "embedding")
-    assert(census(fs, s"$dir/base") === base0)
-    assert(census(fs, s"$dir/delta-000001") === delta1,
+    assert(census(fs, s"$dir/$gen/base") === base0)
+    assert(census(fs, s"$dir/$gen/delta-000001") === delta1,
       "second append touched the first delta")
     // probe over base+deltas == inline over the full corpus: the
     // incremental path loses nothing and double-counts nothing
@@ -100,50 +129,168 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rowsOf(fromIndex) === rowsOf(inline))
   }
 
-  test("build swap crash: the index's only copy at _retired is " +
-      "restored by the next probe; stray delta staging is swept and " +
-      "never visible") {
-    val dir = Files.createTempDirectory("graft_ann_cr").toFile
+  test("re-appending an id is a latest-wins UPDATE: probes return it " +
+      "exactly once with the new vector; compact folds the shadow " +
+      "permanently") {
+    val dir = Files.createTempDirectory("graft_ann_upd").toFile
       .getAbsolutePath + "/idx"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    AnnIndex.build(spark, dir, corpus, "vec_id", "embedding",
+    AnnIndex.build(spark, dir, corpus.filter($"vec_id" % 7 =!= 3),
+      "vec_id", "embedding", cents, books)
+    AnnIndex.append(spark, dir, corpus.filter($"vec_id" % 7 === 3),
+      "vec_id", "embedding")
+    // the update: every %11==0 corpus id re-appended with a REVERSED
+    // vector (bit-exact transform, deterministic new cell)
+    val updated = corpus.withColumn("embedding",
+      when($"vec_id" % 11 === 0, reverse($"embedding"))
+        .otherwise($"embedding"))
+    AnnIndex.append(spark, dir,
+      updated.filter($"vec_id" % 11 === 0), "vec_id", "embedding")
+    // nprobe = nlist scans every cell — no cross-cell shadow can
+    // hide, so the probe must equal the inline join over the UPDATED
+    // corpus, each id exactly once
+    val fromIndex = AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 4, shortlist = 12)
+    val inline = Similarity.knnJoinIvfPq(updated, queries, "vec_id",
+      "embedding", k = 3, cents, books, nprobe = 4, shortlist = 12)
+    assert(rowsOf(fromIndex) === rowsOf(inline),
+      "latest-wins probe diverged from the inline join over the " +
+        "updated corpus")
+    // physical shadows exist pre-compact (census counts storage) ...
+    val preRows = AnnIndex.census(spark, dir)
+      .agg(sum($"n_vectors")).head().getLong(0)
+    val distinctIds = corpus.count()
+    assert(preRows > distinctIds,
+      "expected superseded shadows in storage before compact")
+    // ... and compact folds them: one base, one row per id, probe
+    // unchanged
+    assert(AnnIndex.compact(spark, dir) === 2)
+    val postRows = AnnIndex.census(spark, dir)
+      .agg(sum($"n_vectors")).head().getLong(0)
+    assert(postRows === distinctIds,
+      "compact must fold updates to exactly one row per id")
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 4, shortlist = 12)) ===
+      rowsOf(inline), "compaction changed latest-wins probe results")
+  }
+
+  test("duplicate ids within one build corpus or append batch fail " +
+      "fast (latest-wins resolves BETWEEN commits, not within one)") {
+    val dir = Files.createTempDirectory("graft_ann_dup").toFile
+      .getAbsolutePath + "/idx"
+    val dupes = corpus.limit(10)
+      .unionByName(corpus.limit(3))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, dir, dupes, "vec_id", "embedding",
+        cents, books)
+    }
+    assert(e.getMessage.contains("unique within one"))
+    AnnIndex.build(spark, dir, corpus.limit(50), "vec_id", "embedding",
       cents, books)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, dupes, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("unique within one"))
+  }
+
+  test("probes stay LIVE through build and compact: a probe fired at " +
+      "every maintenance commit point returns full results, and the " +
+      "superseded generation survives exactly one publish (grace)") {
+    val dir = Files.createTempDirectory("graft_ann_live").toFile
+      .getAbsolutePath + "/idx"
+    val fs = fsFor(dir)
+    AnnIndex.build(spark, dir, corpus.filter($"vec_id" % 7 =!= 3),
+      "vec_id", "embedding", cents, books)
+    val gen1 = genOf(dir)
+    AnnIndex.append(spark, dir, corpus.filter($"vec_id" % 7 === 3),
+      "vec_id", "embedding")
     val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
       "embedding", k = 3, nprobe = 2, shortlist = 12))
-    // crash window between build's two renames: only copy at _retired
-    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + "_retired")))
-    val healed = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+    // COMPACT preserves probe results, so continuity == equality at
+    // every hook point: staged (old gen live), published (new gen
+    // live), swept (grace applied)
+    var points = Seq.empty[String]
+    AnnIndex.compact(spark, dir, hook = p => {
+      points :+= p
+      assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect,
+        s"probe at compact commit point '$p' diverged or blanked")
+    })
+    assert(points === Seq("staged", "published", "swept"))
+    val gen2 = genOf(dir)
+    assert(gen2 !== gen1)
+    // one-version grace: the superseded generation is still on disk
+    // for a reader that resolved the pointer just before the publish
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$gen1")),
+      "superseded generation must survive one publish (reader grace)")
+    // REBUILD over the same corpus + quantizer: same invariant
+    AnnIndex.build(spark, dir, corpus, "vec_id", "embedding",
+      cents, books, hook = p => {
+        assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+          "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect,
+          s"probe at build commit point '$p' diverged or blanked")
+      })
+    // the second publish retires gen1 past grace; gen2 is the new grace
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$gen1")),
+      "a generation two publishes old must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$gen2")))
+  }
+
+  test("crash debris is invisible to probes and swept by the next " +
+      "writer: a staged-but-unpublished generation, a crashed " +
+      "append's staging, and pointer temp files") {
+    val dir = Files.createTempDirectory("graft_ann_cr").toFile
+      .getAbsolutePath + "/idx"
+    val fs = fsFor(dir)
+    AnnIndex.build(spark, dir, corpus, "vec_id", "embedding",
+      cents, books)
+    val gen = genOf(dir)
+    val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
       "embedding", k = 3, nprobe = 2, shortlist = 12))
-    assert(healed === expect, "orphaned index not restored")
-    // a crashed append: staged delta written but never renamed —
-    // swept by the next op, and its rows never surface
-    val stray = corpus.filter($"vec_id" === 1L)
+    // 1. a build/compact that crashed after staging, before publish:
+    // a complete-looking generation dir no pointer references
+    val strayGen = new org.apache.hadoop.fs.Path(s"$dir/gen-000099")
+    corpus.filter($"vec_id" === 1L)
       .withColumn("vec_id", lit(999999L))
-    intercept[RuntimeException] {
-      // simulate by staging manually: write, then "crash" = no rename
-      stray.select(col("vec_id").as("corpus_id"),
-          col("embedding").as("vec"))
-        .withColumn("cell", Similarity.ivfAssignment(col("vec"), cents))
-        .withColumn("codes", Similarity.pqEncode(col("vec"), books))
-        .withColumn("cn", Similarity.norm(col("vec")))
-        .write.partitionBy("cell")
-        .parquet(s"$dir/_delta_staging")
-      sys.error("crash before delta rename")
-    }
-    val after = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
-      "embedding", k = 3, nprobe = 2, shortlist = 12))
-    assert(after === expect, "uncommitted delta rows leaked into a probe")
-    // probes are non-destructive (a reader must never delete what
-    // could be a live writer's staging) — the stray dir survives the
-    // probe, invisible; the next WRITER sweeps it
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_delta_staging")),
-      "a probe must not destructively sweep writer staging")
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").as("vec"))
+      .withColumn("cell", Similarity.ivfAssignment(col("vec"), cents))
+      .withColumn("codes", Similarity.pqEncode(col("vec"), books))
+      .withColumn("cn", Similarity.norm(col("vec")))
+      .write.partitionBy("cell")
+      .parquet(new org.apache.hadoop.fs.Path(strayGen, "base").toString)
+    // 2. a crashed append: staged delta written but never renamed
+    corpus.filter($"vec_id" === 2L)
+      .withColumn("vec_id", lit(999998L))
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").as("vec"))
+      .withColumn("cell", Similarity.ivfAssignment(col("vec"), cents))
+      .withColumn("codes", Similarity.pqEncode(col("vec"), books))
+      .withColumn("cn", Similarity.norm(col("vec")))
+      .write.partitionBy("cell")
+      .parquet(s"$dir/$gen/_delta_staging")
+    // 3. a crashed pointer publish: torn temp beside the pointer
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/ptr-000000042_tmp")
+    val out = fs.create(tmp, true)
+    out.write("gen=gen-000099".getBytes("UTF-8")); out.close()
+    // probes: all three invisible, results unchanged, and the reader
+    // takes NO destructive action (a reader must never delete what
+    // could be a live writer's staging)
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect,
+      "crash debris leaked into a probe")
+    assert(fs.exists(strayGen) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$gen/_delta_staging")) &&
+      fs.exists(tmp), "a probe must not destructively sweep debris")
+    // the next writer sweeps all of it
     AnnIndex.append(spark, dir, corpus.filter($"vec_id" < 0),
       "vec_id", "embedding")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_delta_staging")),
-      "the next writer must sweep stray delta staging")
+    assert(!fs.exists(strayGen), "writer must sweep unreferenced gens")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/$gen/_delta_staging")),
+      "writer must sweep stray delta staging")
+    assert(!fs.exists(tmp), "writer must sweep pointer temp debris")
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect)
   }
 
   test("probeAtRecall: dial and pairs bit-identical to the inline " +
@@ -183,8 +330,7 @@ class AnnIndexSpec extends AnyFunSuite {
       "probe identical, components bounded, appends continue") {
     val dir = Files.createTempDirectory("graft_ann_cp").toFile
       .getAbsolutePath + "/idx"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(dir)
     AnnIndex.build(spark, dir, corpus.filter($"vec_id" % 7 =!= 3),
       "vec_id", "embedding", cents, books)
     AnnIndex.append(spark, dir,
@@ -196,7 +342,8 @@ class AnnIndexSpec extends AnyFunSuite {
     val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
       "embedding", k = 3, nprobe = 2, shortlist = 12))
     assert(AnnIndex.compact(spark, dir) === 2)
-    def components() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    def components() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/${genOf(dir)}"))
       .map(_.getPath.getName)
       .filter(n => n == "base" || n.startsWith("delta-")).sorted.toSeq
     assert(components() === Seq("base"),
@@ -224,8 +371,7 @@ class AnnIndexSpec extends AnyFunSuite {
       "an unreadable artifact") {
     val dir = Files.createTempDirectory("graft_ann_empty").toFile
       .getAbsolutePath + "/idx"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(dir)
     // a 0-row corpus must not produce an index that bricks every read
     val e = intercept[IllegalArgumentException] {
       AnnIndex.build(spark, dir, corpus.filter($"vec_id" < 0),
@@ -233,15 +379,24 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("EMPTY corpus"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
-    // a routine no-new-rows day: append(empty) commits nothing and
-    // the index stays fully readable
+    // an empty REBUILD must leave the live index untouched
     AnnIndex.build(spark, dir, corpus, "vec_id", "embedding",
       cents, books)
     val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
       "embedding", k = 3, nprobe = 2, shortlist = 12))
+    intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, dir, corpus.filter($"vec_id" < 0),
+        "vec_id", "embedding", cents, books)
+    }
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect,
+      "a refused empty rebuild must leave the live index intact")
+    // a routine no-new-rows day: append(empty) commits nothing and
+    // the index stays fully readable
     AnnIndex.append(spark, dir, corpus.filter($"vec_id" < 0),
       "vec_id", "embedding")
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    assert(fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/${genOf(dir)}"))
       .map(_.getPath.getName).count(_.startsWith("delta-")) === 0,
       "empty append must not commit a delta")
     assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
