@@ -6,11 +6,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator queries over documents/embeddings —
-  * MinHash LSH, SimHash, ANN LSH, language ID, fingerprints. These are
-  * not expressible as plain DuckDB SQL (seeded permutation families,
-  * LSH hyperplanes), so they register without oracle SQL (rows-only
-  * check); their semantics are verified in DedupSpec/SimilaritySpec
-  * against hand-built near-duplicate corpora.
+  * MinHash LSH, SimHash, ANN (inline and persisted-index), language
+  * ID, fingerprints. Every row registers WITH oracle SQL: the seeded
+  * families (permutations, hyperplanes, quantizers) are replayed in
+  * DuckDB from the same pinned literals / integer-hash arithmetic, so
+  * the driver's hash gate covers the full pipeline — semantics are
+  * additionally pinned in DedupSimilaritySpec against hand-built
+  * near-duplicate corpora.
   */
 object PipelineQueries {
 
@@ -81,7 +83,14 @@ object PipelineQueries {
     * index ([[AnnIndex]]) answers bit-identically to the inline join.
     * `extraCols` appends constant proof columns to the final SELECT.
     */
-  private def ivfPqOracle(extraCols: String): String =
+  /** `embExpr` swaps the raw embedding for a transformed one (the
+    * latest-wins update row reverses a slice of the corpus — queries
+    * must stay guarded to `vec_id % 50 <> 0` inside the expression);
+    * `nprobe` widens the query-side probe set (the update row scans
+    * every cell so no cross-cell shadow can mask the dedup under
+    * test). Defaults reproduce the original oracle byte-for-byte. */
+  private def ivfPqOracle(extraCols: String,
+      embExpr: String = "embedding", nprobe: Int = 2): String =
     s"""WITH cen(i, c) AS (VALUES ${IvfCentroids.sqlValues}),
        |cn AS (
        |  SELECT i, c, list_reduce(list_transform(c, x -> x * x),
@@ -92,7 +101,7 @@ object PipelineQueries {
        |    (a, b) -> a + b) AS pnorm FROM pq),
        |emb AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    list_transform($embExpr, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, t -> t * t),
@@ -120,7 +129,7 @@ object PipelineQueries {
        |      ORDER BY cn.cnorm - 2.0 * list_reduce(
        |        list_transform(range(1, ${IvfCentroids.dim + 1}),
        |          j -> e.v[j] * cn.c[j]), (a, b) -> a + b), cn.i) AS rn
-       |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+       |    FROM emb e, cn WHERE e.vec_id % 50 = 0) WHERE rn <= $nprobe),
        |lut AS (
        |  SELECT e.vec_id, p.j, p.cc, list_reduce(
        |    list_transform(range(1, ${PqCodebooks.dsub + 1}),
@@ -899,9 +908,10 @@ object PipelineQueries {
         AnnIndex.build(s, dir,
           emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
           "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+        val gen = AnnIndex.currentGeneration(s, dir)
         def baseCensus() = {
           val it = fs.listFiles(
-            new org.apache.hadoop.fs.Path(dir, "base"), true)
+            new org.apache.hadoop.fs.Path(dir, s"$gen/base"), true)
           val buf = scala.collection.mutable.ArrayBuffer
             .empty[(String, Long, Long)]
           while (it.hasNext) {
@@ -914,9 +924,11 @@ object PipelineQueries {
         AnnIndex.append(s, dir,
           emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),
           "vec_id", "embedding")
-        val baseUntouched = before.nonEmpty && baseCensus() == before
+        // the delta lands in the SAME generation (appends never swap)
+        val baseUntouched = before.nonEmpty && baseCensus() == before &&
+          AnnIndex.currentGeneration(s, dir) == gen
         val deltaCommitted = fs.exists(
-          new org.apache.hadoop.fs.Path(dir, "delta-000001"))
+          new org.apache.hadoop.fs.Path(dir, s"$gen/delta-000001"))
         AnnIndex.probe(s, dir, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", k = 3, nprobe = 2, shortlist = 9)
           .withColumn("base_untouched", lit(baseUntouched))
@@ -925,6 +937,101 @@ object PipelineQueries {
       },
       ivfPqOracle(
         ", TRUE AS base_untouched, TRUE AS delta_committed")),
+
+    // Persisted-index READER LIVENESS: probes keep answering — with
+    // FULL, identical results — while build and compact run. Both
+    // maintenance ops stage a complete new generation and commit by
+    // publishing a versioned pointer (one-version reader grace), the
+    // month table's availability contract applied to the index; this
+    // row fires a fingerprint probe from a hook at EVERY maintenance
+    // commit point (staged / published / swept, compact then full
+    // rebuild — 6 points) and pins that each returned the same pairs
+    // as before the op (compact preserves results by contract; the
+    // rebuild covers the same corpus + quantizer). The final probe's
+    // pairs are oracle-replayed — the same SQL as sim_index_probe.
+    // r19's build/compact blanked probes between their two renames;
+    // reference contract analog: the read API serves during ETL
+    // (database/api_server.py:252-295).
+    "sim_index_probe_live" -> QueryDef(
+      (s, d) => {
+        val dir = annIndexFixture(s, d, "target/ann_index_live")
+        val emb = T.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        def fp() = AnnIndex.probe(s, dir, qs, "vec_id", "embedding",
+            k = 3, nprobe = 2, shortlist = 9)
+          .select(xxhash64(col("query_id"), col("corpus_id"),
+            col("cosine").cast("string"))
+            .cast("decimal(38,0)").as("h"))
+          .agg(coalesce(sum(col("h")), lit(0)).as("f"),
+            count(lit(1)).as("n"))
+          .head()
+        val pre = fp()
+        var liveOk = true
+        var points = 0
+        val probeHook: String => Unit = _ => {
+          points += 1
+          liveOk &&= fp() == pre
+        }
+        AnnIndex.compact(s, dir, hook = probeHook)
+        AnnIndex.build(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+          IvfCentroids.pinned, PqCodebooks.pinned, hook = probeHook)
+        AnnIndex.probe(s, dir, qs, "vec_id", "embedding",
+            k = 3, nprobe = 2, shortlist = 9)
+          .withColumn("live_ok", lit(liveOk))
+          .withColumn("probe_points", lit(points))
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      ivfPqOracle(
+        ", TRUE AS live_ok, CAST(6 AS INT) AS probe_points")),
+
+    // Persisted-index LATEST-WINS UPDATE: re-appending an id replaces
+    // it — every component carries an implicit commit number (base 0,
+    // delta-N = N) and probes keep only each id's highest-commit row
+    // among the scanned cells; compact folds the dedup permanently.
+    // The row re-appends every %11==0 corpus id with a REVERSED
+    // vector (bit-exact transform) and probes at nprobe = nlist so no
+    // cross-cell shadow can mask a stale row; the oracle replays the
+    // full quantization pipeline over the UPDATED corpus — a probe
+    // returning a stale vector, a duplicate id, or a dropped update
+    // hash-mismatches. In-row booleans pin the fold: post-compact
+    // probe identical, storage deduped to one row per id. Reference
+    // analog: upsert-by-key is the reference's core write
+    // (database/etl_sqlite_to_mongo.py:99-104).
+    "sim_index_append_update" -> QueryDef(
+      (s, d) => {
+        val dir = annIndexFixture(s, d, "target/ann_index_update")
+        val emb = T.embeddings(s, d)
+        val corpusN = emb.filter(col("vec_id") % 50 =!= 0).count()
+        AnnIndex.append(s, dir,
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 11 === 0)
+            .withColumn("embedding", reverse(col("embedding"))),
+          "vec_id", "embedding")
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        def run() = AnnIndex.probe(s, dir, qs, "vec_id", "embedding",
+          k = 3, nprobe = 4, shortlist = 9)
+        def fpOf(df: DataFrame) = df
+          .select(xxhash64(col("query_id"), col("corpus_id"),
+            col("cosine").cast("string"))
+            .cast("decimal(38,0)").as("h"))
+          .agg(coalesce(sum(col("h")), lit(0)).as("f"),
+            count(lit(1)).as("n"))
+          .head()
+        val pre = fpOf(run())
+        AnnIndex.compact(s, dir)
+        val postIdentical = fpOf(run()) == pre
+        val deduped = AnnIndex.census(s, dir)
+          .agg(sum(col("n_vectors"))).head().getLong(0) == corpusN
+        run()
+          .withColumn("post_compact_identical", lit(postIdentical))
+          .withColumn("storage_deduped", lit(deduped))
+          .orderBy(col("query_id"), col("cosine").desc, col("corpus_id"))
+      },
+      ivfPqOracle(
+        ", TRUE AS post_compact_identical, TRUE AS storage_deduped",
+        embExpr = "CASE WHEN vec_id % 50 <> 0 AND vec_id % 11 = 0 " +
+          "THEN list_reverse(embedding) ELSE embedding END",
+        nprobe = 4)),
 
     // IVF-PQ at a DECLARED recall target (>= 0.9): the shortlist dial
     // turned automatically — ONE ADC ranking at the largest shortlist,

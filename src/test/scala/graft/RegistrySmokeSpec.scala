@@ -111,6 +111,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // operators under test
       "sim_index_build", "sim_index_probe", "sim_index_compact",
       "sim_index_probe_recall90",
+      // liveness + latest-wins rows: the hooked maintenance ops and
+      // the mid-flight fingerprint probes ARE the properties under test
+      "sim_index_probe_live", "sim_index_append_update",
       "sim_ivf_nprobe_sweep", "sim_recall_report",
       // recall-curve + exact-pair checkpoint: bounded queries×k×nlist
       // artifacts each read twice (Similarity.knnJoinIvfAtRecall)
