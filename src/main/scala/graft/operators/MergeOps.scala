@@ -518,6 +518,7 @@ object MergeOps {
             s"$tablePath is inside an online-reshard metadata window " +
               "(enter/exit) — retry the merge shortly, or resume the " +
               "migration with MergeOps.reshardOnline(same target)")
+        sweepStragglerResidue(fs, dest, sentinelPath)
         upsertShardFlat(spark, tablePath, incoming, keys, recency,
           partCol, numShards, shardCol, shardRewriteBudgetBytes)
         done = true
@@ -534,7 +535,8 @@ object MergeOps {
         // batch was writing — loop and re-resolve from scratch (the
         // re-applied merge is idempotent latest-wins).
         done = upsertShardRouted(spark, dest, fs, incoming, keys,
-          recency, numShards, shardRewriteBudgetBytes, man.get, hook)
+          recency, partCol, numShards, shardRewriteBudgetBytes,
+          man.get, hook)
       }
     }
   }
@@ -579,7 +581,8 @@ object MergeOps {
   private def upsertShardRouted(spark: SparkSession,
       dest: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
       incoming: DataFrame, keys: Seq[String], recency: String,
-      callerShards: Int, shardRewriteBudgetBytes: Long,
+      callerPartCol: String, callerShards: Int,
+      shardRewriteBudgetBytes: Long,
       man0: GenManifest, hook: (String, String) => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
     val g = man0.globals
@@ -587,6 +590,12 @@ object MergeOps {
     require(keys == g("shard_keys").split(",").toSeq,
       s"keys ${keys.mkString(",")} differ from the migration manifest's " +
         s"${g("shard_keys")} for $dest")
+    // same caller-bug-made-loud treatment as keys/numShards: a merge
+    // declaring a different partition column must not silently
+    // proceed on the manifest's
+    require(callerPartCol == partCol,
+      s"partCol=$callerPartCol differs from the migration manifest's " +
+        s"$partCol for $dest")
     // the sentinel can vanish between the caller's manifest read and
     // here (EXIT completed and swept everything) — that is just the
     // state moving on: re-resolve from the top rather than surfacing
@@ -982,12 +991,25 @@ object MergeOps {
       // verify below is what acknowledges, never the rename alone
       case _: java.io.IOException => false
     }
-    val published = renamed && (try {
-      val in = fs.open(finalP)
+    def readsAsOurs(p: Path): Boolean = try {
+      val in = fs.open(p)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       got == content
-    } catch { case _: java.io.IOException => false })
+    } catch { case _: java.io.IOException => false }
+    // The read-back can fail even though OUR commit published and
+    // stood: a racing committer two versions ahead can sweep the
+    // just-published file between our rename and our read. The
+    // tombstone CARRIES the swept bytes (written below), so that case
+    // is distinguishable from "a racer's claim-swap won the rename":
+    // tombstone payload == our content ⇒ our commit was published,
+    // acknowledged here, and superseded normally — reporting it lost
+    // would force the caller into a spurious seq-bump re-commit and
+    // restage. Foreign bytes in either place, or no readable trace
+    // (transient IO), conservatively report lost — the idempotent
+    // retry is the safe side.
+    val published = renamed &&
+      (readsAsOurs(finalP) || readsAsOurs(spentP))
     if (!published) {
       if (!renamed) fs.delete(claim, false)
       return false
@@ -1013,9 +1035,21 @@ object MergeOps {
           // tombstone write would erase the version's staleness
           // trace — the exact lost-update hole the tombstones close.
           // A version left un-swept is retried at the next commit.
-          val spentOk =
-            try { fs.create(new Path(dest, n + ".spent"), true).close(); true }
-            catch { case _: java.io.IOException => false }
+          // The tombstone CARRIES the swept manifest's bytes (not
+          // zero-byte): a committer whose publish was swept before
+          // its verify read-back distinguishes "mine stood" from
+          // "a racer's bytes won" by comparing this payload — see
+          // the verify step above. Cost is bounded by the
+          // migration's commit count × manifest size, and EXIT
+          // sweeps every tombstone.
+          val spentOk = try {
+            val in = fs.open(p)
+            val bytes = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.getBytes("UTF-8") finally in.close()
+            val out = fs.create(new Path(dest, n + ".spent"), true)
+            try out.write(bytes) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
           if (spentOk) fs.delete(p, false)
         } else if (core.endsWith(".claim")) {
           val v = core.stripSuffix(".claim")
@@ -1473,6 +1507,48 @@ object MergeOps {
           n.startsWith(rGenManifestPrefix))
         fs.delete(p, true)
     }
+
+  /** Self-heal for EXIT's straggler window: a routed merge's physical
+    * write that was in flight when [[sweepGenerationResidue]] ran can
+    * finish AFTER the sentinel is gone (the closing barrier blocks
+    * its COMMIT, not its Spark write), recreating `gen-*` dirs — or
+    * their `_mstaging`/`_mretired` merge-swap siblings — at the table
+    * root, where a plain flat read trips over conflicting partition
+    * depths or phantom rows. The next flat-path writer sweeps them
+    * here, guarded two ways: it only runs when neither manifest nor
+    * sentinel exists (the caller's branch), and each dir is
+    * QUARANTINE-RENAMED to an underscore name (invisible to Spark
+    * reads) with the sentinel re-checked before the delete — so
+    * racing a brand-new ENTER (which publishes its sentinel before
+    * staging anything into `gen-*`) restores the dir and degrades to
+    * the protocol's loud crash-and-resume class, never silent loss. */
+  private def sweepStragglerResidue(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path,
+      sentinelPath: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(dest)) return
+    fs.listStatus(dest).map(_.getPath).foreach { p =>
+      val n = p.getName
+      // our own crashed quarantine: underscore-prefixed, already
+      // invisible to reads — finish the delete unconditionally
+      if (n.startsWith("_residue_")) fs.delete(p, true)
+      else if (n.startsWith("gen-")) {
+        val q = new Path(dest, "_residue_" + n)
+        if (fs.rename(p, q)) {
+          if (fs.exists(sentinelPath)) {
+            // a migration ENTERed between the caller's check and the
+            // rename — restore and let the protocol's fail-fast
+            // handle this merge on its next resolution
+            if (!fs.rename(q, p))
+              throw new java.io.IOException(
+                s"could not restore $p after racing a new online " +
+                  "reshard's ENTER — resume the migration; the dir " +
+                  s"is quarantined at $q")
+          } else fs.delete(q, true)
+        }
+      }
+    }
+  }
 
   /** Reconcile cross-month duplicate keys — the periodic pass that
     * closes [[upsertParquetByMonth]]'s documented gap: a key whose

@@ -997,6 +997,58 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(!MergeOps.reshardOnline(spark, table, 12))
   }
 
+  test("EXIT's straggler window self-heals: gen-prefixed residue " +
+      "recreated after the sweep is quarantined and removed by the " +
+      "next flat-path merge; a mid-migration merge declaring a " +
+      "different partCol fails fast") {
+    val dir = Files.createTempDirectory("graft_straggler").toFile
+      .getAbsolutePath
+    val table = onlineFixture(s"$dir/events")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partCol fail-fast: inject a mismatched-declaration merge at a
+    // MIGRATE commit point — same loud treatment as keys/numShards
+    var partColChecked = false
+    assert(MergeOps.reshardOnline(spark, table, 12,
+      hook = (phase, mo) => {
+        if (phase == "month_staged" && !partColChecked) {
+          partColChecked = true
+          val e = intercept[IllegalArgumentException] {
+            MergeOps.upsertParquetByMonthShard(spark, table,
+              monthDocs(Seq(("e1", "t1 v9", 9, "2025-01")))
+                .withColumnRenamed("start_month", "other_month"),
+              Seq("event_id"), "version", partCol = "other_month",
+              numShards = 4)
+          }
+          assert(e.getMessage.contains("differs from the migration"))
+        }
+      }))
+    assert(partColChecked)
+    val before = rowsOf(spark.read.parquet(table))
+    // the straggler: a routed merge's Spark write that outlived the
+    // EXIT sweep recreates generation dirs (and a merge-swap staging
+    // sibling) at the root — a plain flat read would now trip over
+    // phantom rows / mixed partition depths
+    monthDocs(Seq(("zz", "phantom", 99, "2025-01")))
+      .write.parquet(s"$table/gen-000002/start_month=2025-01")
+    monthDocs(Seq(("zz", "phantom2", 99, "2025-01")))
+      .write.parquet(s"$table/gen-000002_mstaging/start_month=2025-01")
+    // the next flat-path merge sweeps the residue and lands normally
+    MergeOps.upsertParquetByMonthShard(spark, table,
+      monthDocs(Seq(("e1", "t1 v2", 2, "2025-01"))),
+      Seq("event_id"), "version", numShards = 12)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName)
+    assert(!names.exists(n => n.startsWith("gen-") ||
+        n.startsWith("_residue_")),
+      s"straggler residue must be swept, saw: ${names.mkString(",")}")
+    val after = rowsOf(spark.read.parquet(table))
+    assert(after ===
+      before.map(r => if (r._1 == "e1") ("e1", "t1 v2", 2, "2025-01")
+        else r).sorted,
+      "the healing merge must land latest-wins with no phantom rows")
+  }
+
   test("online reshard: superseded manifests get the month-dir grace, " +
       "and every grace manifest maps months to dirs that exist") {
     // The race this pins: a reader lists the manifest set just before
