@@ -211,12 +211,28 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case NonFatal(_) => () }
     // Warm the calibration codepath itself before timing it: r09
     // recorded calibration_first 12.13 s vs r08's 1.53 s — a cold
-    // JIT/codegen first pass masquerading as machine load. Two
-    // discarded runs amortize compilation so calibration_first and
-    // calibration_last measure the same steady state and their ratio
-    // isolates genuine contention.
-    calibration(spark); calibration(spark)
-    val calFirst = calibration(spark)
+    // JIT/codegen first pass masquerading as machine load. The first
+    // discarded run amortizes compilation; the SECOND is kept as the
+    // run's own idle proxy (calWarm) so every threshold below derives
+    // from this machine, not a hardcoded container constant.
+    calibration(spark)
+    val calWarm = calibration(spark)
+    // Calibration-RETRY before the timed sweep (r19 ask: that round's
+    // driver run started under a 74.97 s calibration lap and healed
+    // 18 rows after the fact): a first lap an order of magnitude
+    // above the best lap this run has seen is front-loaded ambient
+    // load — wait it out by re-running calibration (each retry lap IS
+    // the wait) instead of timing the cold sweep through it. Bounded
+    // retries; every attempt is published under calibration_retries
+    // so the record shows what was skipped. A machine that stays
+    // loaded never triggers this (its best lap is high too) — that is
+    // the post-sweep heal's job, not the pre-lap's.
+    var calAttempts = Vector(calibration(spark))
+    while (calAttempts.length < 4 &&
+        calAttempts.last > 10 * math.min(calWarm, calAttempts.min))
+      calAttempts = calAttempts :+ calibration(spark)
+    val calFirst = calAttempts.last
+    val calRetries = calAttempts.dropRight(1)
     val (streaming, batch) = SparkEntry.queries.toSeq.sortBy(_._1)
       .partition { case (n, _) => isStreaming(n) }
     // Batch queries: timed twice; "queries"/"value" record the FIRST
@@ -268,13 +284,18 @@ object Bench {
     // re-measure is honest regardless of what ran before it.
     // Ratio alone false-positives on an idle machine: r19 recorded
     // 0.62 -> 1.55 (both sub-2 s — the first lap landed FASTER than
-    // the ~1 s idle floor, which no amount of machine load produces).
+    // the idle floor, which no amount of machine load produces).
     // Genuine contention inflates a calibration lap well past idle
     // (r10: 20.18 s, r18: 12.97 s), so the flag requires BOTH a >2x
-    // disagreement AND at least one lap over an absolute 3 s floor
-    // (3x this container's idle; see BENCH_NOTES calibration notes).
+    // disagreement AND at least one lap over a floor of 3x the BEST
+    // calibration lap this run observed — the run's own measured
+    // idle, not a container-specific constant (r19 hardcoded 3.0 s,
+    // calibrated to that machine's ~1 s idle; a faster host would
+    // have suppressed real heals, a slower one over-triggered them).
+    val minIdle = (Seq(calWarm, calLast) ++ calAttempts).min
+    val calFloor = 3.0 * minIdle
     val contended = (calFirst > 2 * calLast || calLast > 2 * calFirst) &&
-      math.max(calFirst, calLast) > 3.0
+      math.max(calFirst, calLast) > calFloor
     val allFns = SparkEntry.queries
     val rehealed: Map[String, Double] =
       if (!contended) Map.empty
@@ -342,7 +363,8 @@ object Bench {
     // min-of-runs warm times ride along under queries_warm/warm_slow/
     // total_warm so plan-cost comparisons stay published without
     // redefining the headline.
-    val line = s"""{"queries_warm":$qsWarm,"queries":$qsCold,"failed":$failed,"calibration_first":${f2(calFirst)},"calibration_last":${f2(calLast)},"pretouch_sec":${f2(pretouchSec)},"stream_prelap_sec":${f2(streamPrelapSec)},"contended":$contended,"cold_retry":${jmap(coldRetry)},"warm_slow":$warmSlow,"sf":"$sfDir","metric":"total","unit":"sec","total_warm":$totalWarm,"value":$totalCold}"""
+    val calRetriesJson = calRetries.map(f2(_)).mkString("[", ",", "]")
+    val line = s"""{"queries_warm":$qsWarm,"queries":$qsCold,"failed":$failed,"calibration_first":${f2(calFirst)},"calibration_last":${f2(calLast)},"calibration_retries":$calRetriesJson,"calibration_floor":${f2(calFloor)},"pretouch_sec":${f2(pretouchSec)},"stream_prelap_sec":${f2(streamPrelapSec)},"contended":$contended,"cold_retry":${jmap(coldRetry)},"warm_slow":$warmSlow,"sf":"$sfDir","metric":"total","unit":"sec","total_warm":$totalWarm,"value":$totalCold}"""
     println(line)
     // Belt and braces: persist the same JSON where a truncated stdout
     // capture can't touch it.
