@@ -35,6 +35,7 @@ import graft.operators.{Unify, V2Fixtures}
   * Usage: runMain graft.tools.ScaleProbe [maxFactor] [sfDir] [probe]
   *   probe ∈ unify (default) | minhash | funnel | funnelcap | asof |
   *   merge | mergeshard | reshard | reshardonline | annprobe |
+  *   annappend | anncompact |
   *   bpe | ppjoin | ppjoinz | pagerank | rolling | lm | nb |
   *   novelty | noveltyb | neardup | neardupb | neardupt |
   *   neardupcap | neardupauto | embedt | embedcap | curate | curatecap |
@@ -413,6 +414,107 @@ object ScaleProbe {
       lastInlineSec = (System.nanoTime() - t2) / 1e9
       fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
       (n, probeSec)
+    }
+
+    // Persisted-ANN APPEND (`annappend`): the corpus scales with
+    // factor, the appended batch is FIXED — the curve the incremental
+    // contract promises: append encodes ONLY the batch and never
+    // opens base or prior deltas, so its cost is flat in corpus size
+    // and linear in batch size. Per factor the sweep records the
+    // one-off build (sec_build), the fixed-batch append (the measured
+    // sec), a double-batch append (sec_batch_2x — the linear-in-batch
+    // leg), and the written-files census: base_files_changed MUST be
+    // 0 (name/length/mtime equality across the append — the
+    // no-re-encode proof at scale) and delta_files is bounded by the
+    // batch's cells, not the corpus.
+    var lastAnnBuildSec = -1.0
+    var lastAppend2xSec = -1.0
+    var lastBaseChanged = -1L
+    var lastDeltaFiles = -1L
+    def annFileCensus(fs: org.apache.hadoop.fs.FileSystem,
+        dir: String): Seq[(String, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) return Seq.empty
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      buf.sortBy(_._1).toSeq
+    }
+    def annShift(emb: org.apache.spark.sql.DataFrame, off: Long) =
+      emb.select((col("vec_id") + lit(off)).as("vec_id"),
+        col("embedding"))
+    def runAnnAppendAt(factor: Int): (Long, Double) = {
+      import graft.operators.{AnnIndex, IvfCentroids, PqCodebooks}
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      if (lastAnnCorpusRows < 0) lastAnnCorpusRows = emb.count()
+      val corpus = (0 until factor).map(i =>
+        annShift(emb, i * 10000000L)).reduce(_ unionByName _)
+      val batch = annShift(emb, 900000000L).localCheckpoint()
+      val batchRows = batch.count()
+      val batch2 = annShift(emb, 910000000L)
+        .unionByName(annShift(emb, 920000000L)).localCheckpoint()
+      val dirRoot = new java.io.File(
+        s"target/annappend/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      val idx = s"$dirRoot/idx"
+      val t0 = System.nanoTime()
+      AnnIndex.build(spark, idx, corpus, "vec_id", "embedding",
+        IvfCentroids.pinned, PqCodebooks.pinned)
+      lastAnnBuildSec = (System.nanoTime() - t0) / 1e9
+      val gen = AnnIndex.currentGeneration(spark, idx)
+      val before = annFileCensus(fs, s"$idx/$gen/base")
+      val t1 = System.nanoTime()
+      AnnIndex.append(spark, idx, batch, "vec_id", "embedding")
+      val sec = (System.nanoTime() - t1) / 1e9
+      lastBaseChanged = annFileCensus(fs, s"$idx/$gen/base")
+        .diff(before).size.toLong
+      lastDeltaFiles = annFileCensus(fs, s"$idx/$gen/delta-000001")
+        .count(_._1.endsWith(".parquet")).toLong
+      val t2 = System.nanoTime()
+      AnnIndex.append(spark, idx, batch2, "vec_id", "embedding")
+      lastAppend2xSec = (System.nanoTime() - t2) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (batchRows, sec)
+    }
+
+    // Persisted-ANN COMPACT (`anncompact`): the total index size
+    // scales with factor (corpus base + one appended delta); the
+    // measured sec is the fold. The claim on record: compact is
+    // I/O-shaped — linear in carried rows with ZERO quantization
+    // work (it moves stored codes; sec_build over the same rows pays
+    // the full encode, so the build−compact gap IS the skipped
+    // encode). n_folded pins that every delta folded.
+    var lastFolded = -1L
+    def runAnnCompactAt(factor: Int): (Long, Double) = {
+      import graft.operators.{AnnIndex, IvfCentroids, PqCodebooks}
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      if (lastAnnCorpusRows < 0) lastAnnCorpusRows = emb.count()
+      val corpus = (0 until factor).map(i =>
+        annShift(emb, i * 10000000L)).reduce(_ unionByName _)
+      val batch = annShift(emb, 900000000L)
+      val dirRoot = new java.io.File(
+        s"target/anncompact/f$factor").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(dirRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      val idx = s"$dirRoot/idx"
+      val t0 = System.nanoTime()
+      AnnIndex.build(spark, idx, corpus, "vec_id", "embedding",
+        IvfCentroids.pinned, PqCodebooks.pinned)
+      lastAnnBuildSec = (System.nanoTime() - t0) / 1e9
+      AnnIndex.append(spark, idx, batch, "vec_id", "embedding")
+      val total = lastAnnCorpusRows * factor + lastAnnCorpusRows
+      val t1 = System.nanoTime()
+      lastFolded = AnnIndex.compact(spark, idx).toLong
+      val sec = (System.nanoTime() - t1) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(dirRoot), true)
+      (total, sec)
     }
 
     // Prefix-filter similarity-join probe: near-duplicate replicas
@@ -1044,6 +1146,8 @@ object ScaleProbe {
       case "reshard"   => runReshardAt
       case "reshardonline" => runReshardOnlineAt
       case "annprobe"  => runAnnProbeAt
+      case "annappend" => runAnnAppendAt
+      case "anncompact" => runAnnCompactAt
       case "bpe"       => runBpeAt
       case "ppjoin"    => runPpjoinAt
       case "ppjoinz"   => runPpjoinZipfAt
@@ -1080,6 +1184,8 @@ object ScaleProbe {
       case "reshard"   => "merge_after_reshard"
       case "reshardonline" => "reshard_online"
       case "annprobe"  => "ann_index_probe"
+      case "annappend" => "ann_index_append"
+      case "anncompact" => "ann_index_compact"
       case "bpe"       => "ta_subword_bpe"
       case "ppjoin"    => "dd_prefix_jaccard"
       case "ppjoinz"   => "dd_prefix_jaccard_zipf"
@@ -1111,6 +1217,8 @@ object ScaleProbe {
       case "merge" | "mergeshard" | "reshard" => "batch_rows"
       case "reshardonline" => "months"
       case "annprobe"  => "pairs"
+      case "annappend" => "batch_rows"
+      case "anncompact" => "carried_rows"
       case "bpe"       => "tokens"
       case "ppjoin" | "ppjoinz" => "pairs"
       case "pagerank"  => "top50_pr_sum"
@@ -1141,6 +1249,10 @@ object ScaleProbe {
           f""","sec_read_mid":$lastReadMidSec%.2f,"sec_read_flat":$lastReadFlatSec%.2f"""
         else if (probe == "annprobe")
           f""","sec_build":$lastBuildSec%.2f,"sec_inline":$lastInlineSec%.2f"""
+        else if (probe == "annappend")
+          f""","sec_build":$lastAnnBuildSec%.2f,"sec_batch_2x":$lastAppend2xSec%.2f,"base_files_changed":$lastBaseChanged%d,"delta_files":$lastDeltaFiles%d"""
+        else if (probe == "anncompact")
+          f""","sec_build":$lastAnnBuildSec%.2f,"n_folded":$lastFolded%d"""
         else if (probe == "ppjoin" || probe == "ppjoinz")
           f""","pairs_full":$lastFullPairs%d,"sec_full_index":$lastFullSec%.2f"""
         else if (probe == "rolling")
@@ -1167,7 +1279,8 @@ object ScaleProbe {
       val inRows =
         if (probe == "funnelcap") baseRows + f
         else if (probe == "ppjoinz") 5000L * f
-        else if (probe == "annprobe") lastAnnCorpusRows * f
+        else if (probe == "annprobe" || probe == "annappend" ||
+                 probe == "anncompact") lastAnnCorpusRows * f
         else baseRows * f
       f"""{"factor":$f%d,"input_rows":$inRows%d,"$unit%s":$n%d,"sec":$sec%.2f$extra%s}"""
     }
