@@ -110,6 +110,27 @@ object AnnIndex {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Recursive (path, length, mtime) census of an index component —
+    * the no-re-encode proof's ONE measuring stick (the probe registry
+    * row, the lifecycle ScaleProbes, and specs compare these
+    * before/after maintenance ops: any rewrite changes task-UUID file
+    * names, lengths, and mtimes). Shared so the property every
+    * surface certifies cannot drift between copies. */
+  def fileCensus(spark: SparkSession,
+      dir: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
   // ------------------------------------------------------------------
   // generation pointer
   // ------------------------------------------------------------------
@@ -179,9 +200,15 @@ object AnnIndex {
     if (!fs.exists(dest)) return
     val vs = ptrVersions(fs, dest)
     val keep = vs.sorted.takeRight(2).toSet
-    val kept = keep.toSeq.sorted.flatMap { v =>
-      try Some(GateLayout.read(fs, ptrPath(dest, v))("gen"))
-      catch { case _: java.io.IOException => None }
+    // STRICT reads: a kept pointer that cannot be read must ABORT the
+    // sweep (propagate), never be treated as referencing nothing — a
+    // transient IO fault mapped to "no generation" would delete the
+    // generation the live pointer still references, destroying the
+    // index's only copy. (Kept pointers are immutable once published
+    // and only writers delete them, so under the single-writer
+    // contract a failed read here is never a lost race.)
+    val kept = keep.toSeq.sorted.map { v =>
+      GateLayout.read(fs, ptrPath(dest, v))("gen")
     }.toSet
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
@@ -391,22 +418,55 @@ object AnnIndex {
     if (component == "base") 0L
     else component.stripPrefix(deltaPrefix).toLong
 
+  /** Total bytes under the generation's committed deltas — the
+    * physical size that drives [[readCells]]' dedup-plan choice. */
+  private def deltaBytes(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path, deltas: Seq[String]): Long =
+    deltas.map(d => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(genPath, d)).getLength).sum
+
+  /** Physical delta bytes below which the delta id set comfortably
+    * broadcasts: 256 MB of PHYSICAL delta bytes bounds the id set far
+    * below it (each row carries codes + a raw vector, ≥100 B, vs an
+    * 8-byte id), i.e. a ≲20 MB broadcast worst-case. The steady state
+    * (daily appends, periodic compact) lives entirely below this;
+    * override per session for unusual geometries. */
+  val deltaBroadcastBytesKey = "spark.graft.ann.deltaBroadcastBytes"
+
+  private def deltasBroadcastable(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path, deltas: Seq[String]): Boolean = {
+    val cap = spark.conf
+      .getOption(deltaBroadcastBytesKey).map(_.toLong)
+      .getOrElse(256L << 20)
+    deltas.isEmpty || deltaBytes(fs, genPath, deltas) <= cap
+  }
+
   /** The persisted-index read: base + every committed delta of the
     * live generation, pruned to `cells` (partition pruning — the scan
     * unit the whole layout exists for), with only `cols` read (column
     * pruning: the ADC pass never deserializes `vec`, the rerank never
-    * reads `codes`), then resolved LATEST-WINS: each component is
-    * stamped with its commit number and only each corpus_id's
-    * highest-commit row among the scanned components survives. The
-    * dedup runs only when deltas exist (a fresh or compacted index
-    * pays nothing) and is the spill-safe windowed top-k — corpus_id
-    * cardinality is the scan's, unbounded, so the heap operator's
-    * keys×k memory contract does not apply; the sort's input is the
-    * already-pruned scan, which is the bound that matters. */
+    * reads `codes`), then resolved LATEST-WINS: each component
+    * carries its commit number and only each corpus_id's highest-
+    * commit row among the scanned components survives.
+    *
+    * Dedup plan, sized to where the rows are: with no deltas (fresh
+    * or compacted index) there is nothing to resolve and the base
+    * scan streams through untouched — the steady post-compact state
+    * pays NOTHING. With `broadcastDeltaIds` (the caller's one
+    * physical-size check, [[deltasBroadcastable]]), only the DELTAS —
+    * small by the maintenance contract — pay a window sort, and the
+    * base scan sheds superseded rows through a broadcast LEFT ANTI
+    * join on the delta id set: no shuffle, no sort, map-side only —
+    * the base never pays for being large, which is the whole layout's
+    * point. Only a delta backlog past the broadcast bound (a missed
+    * compact) falls back to the spill-safe windowed top-k over the
+    * full pruned scan. */
   private def readCells(spark: SparkSession,
       genPath: org.apache.hadoop.fs.Path, deltas: Seq[String],
-      cells: Option[Seq[Int]], cols: Seq[String]): DataFrame = {
-    val unioned = ("base" +: deltas).map { d =>
+      cells: Option[Seq[Int]], cols: Seq[String],
+      broadcastDeltaIds: Boolean): DataFrame = {
+    def component(d: String): DataFrame = {
       val all = spark.read
         .parquet(new org.apache.hadoop.fs.Path(genPath, d).toString)
       // None = a deliberately UNPRUNED read (the exact baseline is
@@ -414,11 +474,28 @@ object AnnIndex {
       // isin over every cell id
       cells.fold(all)(cs => all.filter(col("cell").isin(cs: _*)))
         .select(cols.map(col): _*)
-        .withColumn("_icommit", lit(commitOf(d)))
-    }.reduce(_ unionByName _)
-    if (deltas.isEmpty) unioned.drop("_icommit")
-    else graft.plans.GroupedTopK.windowed(unioned, Seq("corpus_id"),
-      Seq("_icommit"), descending = true, 1).drop("_icommit")
+    }
+    val base = component("base")
+    if (deltas.isEmpty) return base
+    val deltaUnion = deltas.map(d =>
+        component(d).withColumn("_icommit", lit(commitOf(d))))
+      .reduce(_ unionByName _)
+    if (broadcastDeltaIds) {
+      val deltaWins = graft.plans.GroupedTopK.windowed(deltaUnion,
+          Seq("corpus_id"), Seq("_icommit"), descending = true, 1)
+        .drop("_icommit")
+      base.join(broadcast(deltaWins.select(col("corpus_id"))),
+          Seq("corpus_id"), "left_anti")
+        .unionByName(deltaWins)
+    } else {
+      val unioned = base.withColumn("_icommit", lit(0L))
+        .unionByName(deltaUnion)
+      // corpus_id cardinality is the scan's, unbounded — the heap
+      // operator's keys×k memory contract does not apply; windowed
+      // spills
+      graft.plans.GroupedTopK.windowed(unioned, Seq("corpus_id"),
+        Seq("_icommit"), descending = true, 1).drop("_icommit")
+    }
   }
 
   /** The empty-result schema both probes share when no cell is
@@ -473,6 +550,7 @@ object AnnIndex {
     val m = codebooks.length
     val ksub = codebooks.head.length
     val deltas = deltaDirs(fs, genPath)
+    val bcastDeltas = deltasBroadcastable(spark, fs, genPath, deltas)
     def side(df: DataFrame): DataFrame =
       if (broadcastQueries) broadcast(df) else df
     val q = queries
@@ -489,7 +567,7 @@ object AnnIndex {
     if (cells.isEmpty)
       return emptyProbeResult(spark, genPath, queries, idCol, Seq.empty)
     val codesSide = readCells(spark, genPath, deltas, Some(cells),
-        Seq("cell", "corpus_id", "codes", "cn"))
+        Seq("cell", "corpus_id", "codes", "cn"), bcastDeltas)
       .withColumnRenamed("cell", "_cell")
     val adc = codesSide
       .join(side(q.select(col("_cell"), col("query_id"),
@@ -500,7 +578,7 @@ object AnnIndex {
     val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
       Seq("adc_cosine", "corpus_id"), descending = true, shortlist)
     val vecSide = readCells(spark, genPath, deltas, Some(cells),
-      Seq("corpus_id", "vec", "cn"))
+      Seq("corpus_id", "vec", "cn"), bcastDeltas)
     val reranked = cand.select(col("query_id"), col("corpus_id"))
       .join(vecSide, "corpus_id")
       .join(side(queries
@@ -559,6 +637,7 @@ object AnnIndex {
     val centroids = parseVecs(lay("centroids"))
     val codebooks = parseBooks(lay("codebooks"))
     val deltas = deltaDirs(fs, genPath)
+    val bcastDeltas = deltasBroadcastable(spark, fs, genPath, deltas)
     val cells = queries.select(explode(
         Similarity.ivfProbes(col(vecCol), centroids, nprobe)).as("_c"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -569,18 +648,18 @@ object AnnIndex {
         StructField("recall_x1000", LongType)))
     }
     val codesSide = readCells(spark, genPath, deltas, Some(cells),
-        Seq("cell", "corpus_id", "codes", "cn"))
+        Seq("cell", "corpus_id", "codes", "cn"), bcastDeltas)
       .withColumnRenamed("cell", "_cell")
       .withColumnRenamed("codes", "_codes")
       .withColumnRenamed("cn", "_cn")
     val vecSide = readCells(spark, genPath, deltas, Some(cells),
-        Seq("corpus_id", "vec", "cn"))
+        Seq("corpus_id", "vec", "cn"), bcastDeltas)
       .withColumnRenamed("vec", "_cv")
       .withColumnRenamed("cn", "_cn")
     // the exact baseline is inherently all-corpus: every cell's
     // stored vectors, renamed back to the caller's column contract
     val fullVecs = readCells(spark, genPath, deltas, None,
-        Seq("corpus_id", "vec"))
+        Seq("corpus_id", "vec"), bcastDeltas)
       .withColumnRenamed("corpus_id", idCol)
       .withColumnRenamed("vec", vecCol)
     val exactPairs = Similarity.knnJoinExact(fullVecs, queries,
@@ -620,13 +699,12 @@ object AnnIndex {
     if (deltas.isEmpty) return 0
     val gen = nextGenName(fs, dest)
     val newGenPath = new Path(dest, gen)
-    val unioned = ("base" +: deltas).map(d =>
-        spark.read.parquet(new Path(genPath, d).toString)
-          .withColumn("_icommit", lit(commitOf(d))))
-      .reduce(_ unionByName _)
-    graft.plans.GroupedTopK.windowed(unioned, Seq("corpus_id"),
-        Seq("_icommit"), descending = true, 1)
-      .drop("_icommit")
+    // the SAME latest-wins resolution probes apply, over every cell
+    // (cells = None) — one implementation, so probe and compact can
+    // never resolve an update differently
+    readCells(spark, genPath, deltas, None,
+        Seq("cell", "corpus_id", "codes", "cn", "vec"),
+        deltasBroadcastable(spark, fs, genPath, deltas))
       .withColumn("cell", col("cell").cast("int"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("corpus_id"))

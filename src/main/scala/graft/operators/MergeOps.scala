@@ -1534,18 +1534,26 @@ object MergeOps {
       if (n.startsWith("_residue_")) fs.delete(p, true)
       else if (n.startsWith("gen-")) {
         val q = new Path(dest, "_residue_" + n)
-        if (fs.rename(p, q)) {
-          if (fs.exists(sentinelPath)) {
-            // a migration ENTERed between the caller's check and the
-            // rename — restore and let the protocol's fail-fast
-            // handle this merge on its next resolution
-            if (!fs.rename(q, p))
-              throw new java.io.IOException(
-                s"could not restore $p after racing a new online " +
-                  "reshard's ENTER — resume the migration; the dir " +
-                  s"is quarantined at $q")
-          } else fs.delete(q, true)
-        }
+        // clear a stale quarantine of the SAME name first —
+        // listStatus order is not guaranteed, so the unconditional
+        // branch above may not have seen it yet, and a rename onto an
+        // existing non-empty dir fails, which would silently leave
+        // the residue in place for the very read this sweep protects
+        fs.delete(q, true)
+        if (!fs.rename(p, q))
+          throw new java.io.IOException(
+            s"could not quarantine straggler residue $p — sweep it " +
+              "manually before merging into this table")
+        if (fs.exists(sentinelPath)) {
+          // a migration ENTERed between the caller's check and the
+          // rename — restore and let the protocol's fail-fast
+          // handle this merge on its next resolution
+          if (!fs.rename(q, p))
+            throw new java.io.IOException(
+              s"could not restore $p after racing a new online " +
+                "reshard's ENTER — resume the migration; the dir " +
+                s"is quarantined at $q")
+        } else fs.delete(q, true)
       }
     }
   }

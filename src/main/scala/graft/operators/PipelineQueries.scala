@@ -909,17 +909,7 @@ object PipelineQueries {
           emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 3),
           "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
         val gen = AnnIndex.currentGeneration(s, dir)
-        def baseCensus() = {
-          val it = fs.listFiles(
-            new org.apache.hadoop.fs.Path(dir, s"$gen/base"), true)
-          val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(String, Long, Long)]
-          while (it.hasNext) {
-            val f = it.next()
-            buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
-          }
-          buf.sortBy(_._1).toSeq
-        }
+        def baseCensus() = AnnIndex.fileCensus(s, s"$dir/$gen/base")
         val before = baseCensus()
         AnnIndex.append(s, dir,
           emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 3),

@@ -431,19 +431,6 @@ object ScaleProbe {
     var lastAppend2xSec = -1.0
     var lastBaseChanged = -1L
     var lastDeltaFiles = -1L
-    def annFileCensus(fs: org.apache.hadoop.fs.FileSystem,
-        dir: String): Seq[(String, Long, Long)] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) return Seq.empty
-      val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
-      }
-      buf.sortBy(_._1).toSeq
-    }
     def annShift(emb: org.apache.spark.sql.DataFrame, off: Long) =
       emb.select((col("vec_id") + lit(off)).as("vec_id"),
         col("embedding"))
@@ -468,13 +455,15 @@ object ScaleProbe {
         IvfCentroids.pinned, PqCodebooks.pinned)
       lastAnnBuildSec = (System.nanoTime() - t0) / 1e9
       val gen = AnnIndex.currentGeneration(spark, idx)
-      val before = annFileCensus(fs, s"$idx/$gen/base")
+      val before = graft.operators.AnnIndex.fileCensus(spark,
+        s"$idx/$gen/base")
       val t1 = System.nanoTime()
       AnnIndex.append(spark, idx, batch, "vec_id", "embedding")
       val sec = (System.nanoTime() - t1) / 1e9
-      lastBaseChanged = annFileCensus(fs, s"$idx/$gen/base")
-        .diff(before).size.toLong
-      lastDeltaFiles = annFileCensus(fs, s"$idx/$gen/delta-000001")
+      lastBaseChanged = graft.operators.AnnIndex.fileCensus(spark,
+        s"$idx/$gen/base").diff(before).size.toLong
+      lastDeltaFiles = graft.operators.AnnIndex.fileCensus(spark,
+        s"$idx/$gen/delta-000001")
         .count(_._1.endsWith(".parquet")).toLong
       val t2 = System.nanoTime()
       AnnIndex.append(spark, idx, batch2, "vec_id", "embedding")

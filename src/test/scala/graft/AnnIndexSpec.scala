@@ -155,6 +155,16 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rowsOf(fromIndex) === rowsOf(inline),
       "latest-wins probe diverged from the inline join over the " +
         "updated corpus")
+    // both dedup plans resolve identically: the broadcast anti-join
+    // (small deltas, the steady state) and the windowed fallback
+    // (delta backlog past the broadcast bound — forced here by
+    // zeroing the threshold)
+    spark.conf.set(AnnIndex.deltaBroadcastBytesKey, "0")
+    try assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 4, shortlist = 12)) ===
+      rowsOf(inline),
+      "windowed-fallback dedup diverged from the broadcast anti-join")
+    finally spark.conf.unset(AnnIndex.deltaBroadcastBytesKey)
     // physical shadows exist pre-compact (census counts storage) ...
     val preRows = AnnIndex.census(spark, dir)
       .agg(sum($"n_vectors")).head().getLong(0)
