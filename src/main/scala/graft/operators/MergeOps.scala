@@ -1223,8 +1223,9 @@ object MergeOps {
     *
     *  1. ENTER (metadata-only, O(months) renames, seconds): a
     *     `_reshard_online` sentinel records the migration (its
-    *     presence fail-fasts every writer entry point — the
-    *     single-writer contract made loud); the live months are
+    *     presence fail-fasts every MAINTENANCE writer entry point —
+    *     compaction, reconcile, a second reshard — while keyed merges
+    *     route through the manifest and stay live); the live months are
     *     renamed into a source generation dir and generation manifest
     *     v1 maps every month to it at the old geometry.
     *  2. MIGRATE (the hours-long part at 100 TB — readers live
@@ -1254,11 +1255,13 @@ object MergeOps {
     * reconstruct the phase; unreferenced target-generation month dirs
     * are rewritten, already-committed months are not repeated, a
     * crashed exit completes). [[readMonthTable]] reads every
-    * intermediate state correctly, including mid-crash ones. Other
-    * writers are excluded for the whole migration (fail fast naming
-    * the remedy) — interleave merges by running migrations in
-    * maintenance windows, or accept the offline [[reshard]] if writer
-    * latency matters more than reader availability.
+    * intermediate state correctly, including mid-crash ones. Keyed
+    * merges stay LIVE throughout MIGRATE — routed per month through
+    * the generation manifest and committed as manifest versions
+    * ([[upsertParquetByMonthShard]]'s routed path; ENTER/EXIT are
+    * seconds-long retryable refusals). Only the other MAINTENANCE
+    * writers (compaction, reconcile, another reshard) are excluded
+    * for the migration's duration, failing fast with the remedy.
     *
     * Requires an already-sharded table (adopt an unsharded one via
     * the offline [[reshard]] first — a half-adopted root would show
