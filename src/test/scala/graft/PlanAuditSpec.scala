@@ -228,6 +228,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-index probe: partition-pruned scans, broadcast " +
+      "anti-join dedup — the base never shuffles in the steady state") {
+    // The layout's scale contract, post latest-wins: with small
+    // deltas the probe's base scan is (1) PARTITION-pruned to the
+    // probed cells, (2) COLUMN-pruned (the ADC side never reads vec),
+    // and (3) deduped via a BROADCAST left-anti join — never an
+    // exchange+sort of the scanned base (only a delta backlog past
+    // the broadcast bound may pay that).
+    import graft.operators.{AnnIndex, IvfCentroids, PqCodebooks}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_annplan")
+      .toFile.getAbsolutePath + "/idx"
+    val emb = graft.Tables.embeddings(spark, sf)
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", IvfCentroids.pinned, PqCodebooks.pinned)
+    AnnIndex.append(spark, dir, emb.filter(col("vec_id") % 7 === 3),
+      "vec_id", "embedding")
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val executed =
+      try AnnIndex.probe(spark, dir,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 3, nprobe = 2, shortlist = 9)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val scans = executed.collectWithSubqueries {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // (1) every index scan carries a partition filter on cell
+    val indexScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/idx")))
+    assert(indexScans.nonEmpty, "no index file scans found")
+    assert(indexScans.forall(_.partitionFilters.nonEmpty),
+      "an index scan lost its probed-cell partition filter:\n" +
+        indexScans.map(_.verboseStringWithSuffix(2)).mkString("\n"))
+    // (2) the ADC-side scans never read vec alongside codes (column
+    // pruning: vec appears only on rerank-branch scans, codes only on
+    // ADC-branch scans)
+    assert(indexScans.forall { s =>
+      val cols = s.output.map(_.name)
+      !(cols.contains("vec") && cols.contains("codes"))
+    }, "an index scan reads vec AND codes — column pruning lost")
+    // (3) the latest-wins dedup is a broadcast LEFT ANTI join on
+    // corpus_id, and no sort runs over a base scan's output
+    val anti = executed.collectWithSubqueries {
+      case b: BroadcastHashJoinExec
+        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+    }
+    assert(anti.nonEmpty, "latest-wins dedup is not a broadcast anti-join")
+    assert(anti.forall(_.leftKeys.exists(
+      _.references.exists(_.name == "corpus_id"))),
+      "anti-join not keyed on corpus_id")
+  }
+
   test("decontamination broadcasts the eval side, never doc x doc") {
     val p = plan("etl_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
