@@ -90,6 +90,7 @@ object AnnIndex {
   private val deltaStaging = "_delta_staging"
   private val genPrefix = "gen-"
   private val ptrPrefix = "ptr-"
+  private val adoptingMarker = "_adopting"
 
   /** No-op default for the maintenance hooks — [[build]]/[[compact]]
     * fire it at "staged" (new generation fully written, old still
@@ -178,10 +179,58 @@ object AnnIndex {
     * query callers never need it. Fails fast on a missing index. */
   def currentGeneration(spark: SparkSession, indexPath: String): String = {
     val dest = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = fsOf(spark, dest)
-    resolveGen(fs, dest).map(_._2).getOrElse(
-      throw new IllegalArgumentException(
-        s"no ANN index at $indexPath (no pointer)"))
+    liveGen(fsOf(spark, dest), dest).getName
+  }
+
+  /** One-time ADOPTION of a pre-generation-layout index (the previous
+    * release's root shape: `_ann_layout` + `base/` + `delta-*`
+    * directly at indexPath): move the components into the first
+    * generation and publish pointer v1 — O(components) metadata
+    * renames, NO data rewrite or re-encode. Writer-entry only (the
+    * single-writer contract is what makes the renames safe); READERS
+    * on a legacy index fail fast naming this remedy instead of
+    * mutating ([[liveGen]]).
+    *
+    * Crash safety: an `_adopting` marker brackets the move — created
+    * before the first rename, deleted after the pointer publish — so
+    * a crashed adoption RESUMES here at the next writer entry (the
+    * marker, not any component's position, is the in-progress
+    * signal), and [[sweep]] skips generation deletion while the
+    * marker exists: without it, a half-adopted generation with no
+    * pointer would be indistinguishable from a crashed first build's
+    * sweepable debris. */
+  private def adoptLegacy(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(dest)) return
+    val marker = new Path(dest, adoptingMarker)
+    val rootLayout = new Path(dest, layoutName)
+    val resuming = fs.exists(marker)
+    if (!resuming &&
+      (ptrVersions(fs, dest).nonEmpty || !fs.exists(rootLayout))) return
+    // adoption only ever starts on a root with no published
+    // generations, so the first name is free
+    val gen = f"$genPrefix${1L}%06d"
+    val genPath = new Path(dest, gen)
+    if (!resuming) GateLayout.write(fs, marker, Seq("gen" -> gen))
+    fs.mkdirs(genPath)
+    fs.listStatus(dest).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val isComponent = n == "base" || n == layoutName ||
+        (n.startsWith(deltaPrefix) &&
+          n.stripPrefix(deltaPrefix).forall(_.isDigit))
+      if (isComponent && !fs.rename(p, new Path(genPath, n)))
+        throw new java.io.IOException(
+          s"could not adopt legacy component $p into $genPath")
+    }
+    fs.delete(new Path(dest, deltaStaging), true) // legacy staging debris
+    require(fs.exists(new Path(genPath, layoutName)),
+      s"legacy adoption of $dest carried no $layoutName — the dir " +
+        "is neither a generation-layout nor a legacy-layout index; " +
+        "inspect manually")
+    // a resume landing after a crashed publish must not publish twice
+    if (ptrVersions(fs, dest).isEmpty) publish(fs, dest, gen, noHook)
+    fs.delete(marker, false)
   }
 
   /** Writer-side sweep, run at writer entry and after each publish:
@@ -218,8 +267,13 @@ object AnnIndex {
           if (!keep.contains(core.toLong)) fs.delete(p, false)
         } else fs.delete(p, true) // _tmp debris of a crashed publish
       } else if (n.startsWith(genPrefix)) {
-        if (!kept.contains(n)) fs.delete(p, true)
-        else fs.delete(new Path(p, deltaStaging), true)
+        // never delete generations mid-adoption (see [[adoptLegacy]]:
+        // a half-adopted gen has no pointer yet but holds the index's
+        // only copy)
+        if (!kept.contains(n)) {
+          if (!fs.exists(new Path(dest, adoptingMarker)))
+            fs.delete(p, true)
+        } else fs.delete(new Path(p, deltaStaging), true)
       }
     }
   }
@@ -248,19 +302,29 @@ object AnnIndex {
     f"$genPrefix${n + 1}%06d"
   }
 
-  /** Fail fast on duplicate ids within one component — latest-wins
-    * resolution is BY COMMIT NUMBER, so two rows of one id at the same
-    * commit would tie undecidably. One aggregate over the batch: the
-    * same key-uniqueness fail-fast the month merge applies to its
-    * batches. */
-  private def requireUniqueIds(df: DataFrame, idCol: String,
-      what: String): Unit = {
-    val r = df.agg(count(lit(1)).as("n"),
-      count_distinct(col(idCol)).as("d")).head()
-    require(r.getLong(0) == r.getLong(1),
-      s"$what has ${r.getLong(0)} rows but only ${r.getLong(1)} " +
-        s"distinct $idCol values — ids must be unique within one " +
-        "batch (re-append an id in a LATER batch to update it)")
+  /** Fail fast on duplicate ids within one STAGED component —
+    * latest-wins resolution is BY COMMIT NUMBER, so two rows of one
+    * id at the same commit would tie undecidably (the same
+    * key-uniqueness fail-fast the month merge applies to its
+    * batches). Validated from the staged PARQUET, never the caller's
+    * DataFrame: a column-pruned scan of the one 8-byte id column
+    * costs ~nothing, where re-running the caller's lineage would
+    * double the price of an arbitrarily expensive upstream pipeline
+    * (and re-execute non-deterministic sources). On violation runs
+    * `abort` (sweep the staging) before throwing. */
+  private def requireUniqueStaged(spark: SparkSession,
+      stagedDir: org.apache.hadoop.fs.Path, idCol: String,
+      what: String, abort: () => Unit): Unit = {
+    val r = spark.read.parquet(stagedDir.toString)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("corpus_id")).as("d")).head()
+    if (r.getLong(0) != r.getLong(1)) {
+      abort()
+      throw new IllegalArgumentException(
+        s"$what has ${r.getLong(0)} rows but only ${r.getLong(1)} " +
+          s"distinct $idCol values — ids must be unique within one " +
+          "batch (re-append an id in a LATER batch to update it)")
+    }
   }
 
   /** Encode a corpus slice with the index's quantizer:
@@ -296,8 +360,8 @@ object AnnIndex {
       s"codebooks cover ${codebooks.length}·$dsub dims, corpus has $dim")
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
+    adoptLegacy(fs, dest)
     sweep(fs, dest)
-    requireUniqueIds(corpus, idCol, s"build corpus for $indexPath")
     val gen = nextGenName(fs, dest)
     val genPath = new Path(dest, gen)
     encoded(corpus, idCol, vecCol, centroids, codebooks)
@@ -306,17 +370,27 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(new Path(genPath, "base").toString)
+    // abort = drop the staged generation; clear the root only when it
+    // is EMPTY afterwards (the fresh failed-first-build case) — NEVER
+    // recursively: the path may hold a live index, or content this
+    // build did not create
+    def abortStaged(): Unit = {
+      fs.delete(genPath, true)
+      if (fs.exists(dest) && fs.listStatus(dest).isEmpty)
+        fs.delete(dest, true)
+    }
     // a 0-row corpus writes a partitionless parquet dir that every
     // later read of the generation would die on (schema inference
     // finds nothing) — refuse to publish an unreadable generation,
     // and leave the live one (if any) untouched
     if (!hasCellDirs(fs, new Path(genPath, "base"))) {
-      fs.delete(genPath, true)
-      if (ptrVersions(fs, dest).isEmpty) fs.delete(dest, true)
+      abortStaged()
       throw new IllegalArgumentException(
         s"refusing to build an ANN index from an EMPTY corpus at " +
           s"$indexPath — the artifact would be unreadable")
     }
+    requireUniqueStaged(spark, new Path(genPath, "base"), idCol,
+      s"build corpus for $indexPath", abortStaged _)
     GateLayout.write(fs, new Path(genPath, layoutName), Seq(
       "id_col" -> idCol, "vec_col" -> vecCol,
       "dim" -> dim.toString,
@@ -344,8 +418,18 @@ object AnnIndex {
       dest: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
     resolveGen(fs, dest) match {
       case Some((_, g)) => new org.apache.hadoop.fs.Path(dest, g)
-      case None => throw new IllegalArgumentException(
-        s"no ANN index at $dest (no pointer)")
+      case None =>
+        import org.apache.hadoop.fs.Path
+        val legacy = fs.exists(new Path(dest, layoutName)) ||
+          fs.exists(new Path(dest, adoptingMarker))
+        throw new IllegalArgumentException(
+          if (legacy)
+            s"the index at $dest is in the legacy pre-generation " +
+              "layout (or mid-adoption) — run any WRITER op to adopt " +
+              "it in place (e.g. AnnIndex.append with an empty " +
+              "batch: O(components) renames, no re-encode); readers " +
+              "never mutate the artifact"
+          else s"no ANN index at $dest (no pointer)")
     }
 
   private def deltaDirs(fs: org.apache.hadoop.fs.FileSystem,
@@ -379,13 +463,13 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
+    adoptLegacy(fs, dest)
     sweep(fs, dest)
     val genPath = liveGen(fs, dest)
     val m = readLayout(fs, genPath)
     require(m("id_col") == idCol && m("vec_col") == vecCol,
       s"index at $indexPath was built on (${m("id_col")}, " +
         s"${m("vec_col")}), append offered ($idCol, $vecCol)")
-    requireUniqueIds(batch, idCol, s"append batch for $indexPath")
     val staging = new Path(genPath, deltaStaging)
     encoded(batch, idCol, vecCol,
         parseVecs(m("centroids")), parseBooks(m("codebooks")))
@@ -401,6 +485,9 @@ object AnnIndex {
       fs.delete(staging, true)
       return
     }
+    requireUniqueStaged(spark, staging, idCol,
+      s"append batch for $indexPath",
+      () => { fs.delete(staging, true); () })
     // the rename IS the commit; writers are strictly single-writer
     // (object doc), so the next delta name cannot be contended — a
     // failed rename is a contract violation or an IO fault, loud
@@ -692,6 +779,7 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
+    adoptLegacy(fs, dest)
     sweep(fs, dest)
     val genPath = liveGen(fs, dest)
     val lay = readLayout(fs, genPath)

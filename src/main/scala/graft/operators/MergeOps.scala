@@ -921,9 +921,10 @@ object MergeOps {
     *
     *  1. STALENESS CHECK — the version number must be fresh. Every
     *     version ever used leaves a trace until EXIT: the live
-    *     manifest, a one-version-grace predecessor, or a zero-byte
-    *     `.spent` tombstone written when a superseded manifest's
-    *     content is swept. A committer whose read went stale by ANY
+    *     manifest, a one-version-grace predecessor, or a `.spent`
+    *     tombstone CARRYING the swept manifest's bytes (the payload
+    *     the verify step's swept-vs-lost disambiguation reads).
+    *     A committer whose read went stale by ANY
     *     number of commits (arbitrarily long GC pause included) finds
     *     its target version's trace and retries — the
     *     acknowledged-but-invisible stale publish is structurally
@@ -1021,9 +1022,11 @@ object MergeOps {
     // manifest a reader can resolve maps every month to a dir that
     // still exists), leaving a `.spent` tombstone for step 1's
     // staleness check. Tombstone BEFORE delete — a crash between the
-    // two must never lose the version's trace. Tombstones are
-    // zero-byte, bounded by the migration's commit count, and EXIT
-    // sweeps them all.
+    // two must never lose the version's trace. Tombstones carry the
+    // swept manifest's bytes (NOT zero-byte — the verify step's
+    // swept-vs-lost disambiguation depends on the payload), are
+    // bounded by the migration's commit count × manifest size, and
+    // EXIT sweeps them all.
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith(rGenManifestPrefix)) {
@@ -1532,17 +1535,24 @@ object MergeOps {
     if (!fs.exists(dest)) return
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
-      // our own crashed quarantine: underscore-prefixed, already
-      // invisible to reads — finish the delete unconditionally
-      if (n.startsWith("_residue_")) fs.delete(p, true)
+      if (n.startsWith("_residue_"))
+        // an ORPHANED quarantine: junk from a sweep that crashed
+        // between its rename and its delete — or, the case that
+        // forbids auto-deleting it, LIVE months left by a failed
+        // ENTER-race restore. The two are indistinguishable from the
+        // bytes, so the sweep never deletes a quarantine it did not
+        // create in THIS call ("never silent loss" outranks
+        // self-healing); the dir is underscore-invisible to reads,
+        // and the operator is told loudly
+        System.err.println(s"[merge] orphaned quarantine $p — junk " +
+          "from a crashed residue sweep, or live months from a " +
+          "failed reshard-race restore; inspect, then delete it or " +
+          "rename it back")
       else if (n.startsWith("gen-")) {
-        val q = new Path(dest, "_residue_" + n)
-        // clear a stale quarantine of the SAME name first —
-        // listStatus order is not guaranteed, so the unconditional
-        // branch above may not have seen it yet, and a rename onto an
-        // existing non-empty dir fails, which would silently leave
-        // the residue in place for the very read this sweep protects
-        fs.delete(q, true)
+        // per-call unique quarantine name: a stale orphan can never
+        // block this rename, and the delete below touches only the
+        // quarantine THIS call created
+        val q = new Path(dest, s"_residue_${System.nanoTime()}_$n")
         if (!fs.rename(p, q))
           throw new java.io.IOException(
             s"could not quarantine straggler residue $p — sweep it " +
@@ -1554,8 +1564,9 @@ object MergeOps {
           if (!fs.rename(q, p))
             throw new java.io.IOException(
               s"could not restore $p after racing a new online " +
-                "reshard's ENTER — resume the migration; the dir " +
-                s"is quarantined at $q")
+                s"reshard's ENTER — the dir is quarantined at $q " +
+                s"and holds the migration's staged months: rename " +
+                s"it back to $p BEFORE resuming the migration")
         } else fs.delete(q, true)
       }
     }
