@@ -261,7 +261,11 @@ object AnnIndex {
     }.toSet
     fs.listStatus(dest).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(ptrPrefix)) {
+      if (n == adoptingMarker + "_tmp")
+        // a crashed marker write's temp — adoption completed or never
+        // started (writer entry runs adoptLegacy BEFORE this sweep)
+        fs.delete(p, true)
+      else if (n.startsWith(ptrPrefix)) {
         val core = n.stripPrefix(ptrPrefix)
         if (core.nonEmpty && core.forall(_.isDigit)) {
           if (!keep.contains(core.toLong)) fs.delete(p, false)
@@ -389,6 +393,8 @@ object AnnIndex {
         s"refusing to build an ANN index from an EMPTY corpus at " +
           s"$indexPath — the artifact would be unreadable")
     }
+    requireValidCells(fs, new Path(genPath, "base"), centroids.length,
+      dim, s"build corpus for $indexPath", abortStaged _)
     requireUniqueStaged(spark, new Path(genPath, "base"), idCol,
       s"build corpus for $indexPath", abortStaged _)
     GateLayout.write(fs, new Path(genPath, layoutName), Seq(
@@ -448,6 +454,34 @@ object AnnIndex {
     fs.exists(dir) && fs.listStatus(dir)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
 
+  /** Fail fast on a staged component whose cell partitions fall
+    * outside [0, nlist) — the on-disk symptom of a WRONG-DIMENSION or
+    * null vector: the assignment arithmetic yields no real argmin for
+    * those, the row lands at cell=-1 (or the null partition) which no
+    * probe ever scans (ivfProbes emits 0..nlist-1 only), and the
+    * batch would silently vanish from every result while compact
+    * carries it forever. The layout persists `dim` exactly so the
+    * artifact can self-validate; this is the check — FILESYSTEM-level
+    * (partition dir names), zero data scanned. Runs `abort` (sweep
+    * the staging) before throwing. */
+  private def requireValidCells(fs: org.apache.hadoop.fs.FileSystem,
+      stagedDir: org.apache.hadoop.fs.Path, nlist: Int, dim: Int,
+      what: String, abort: () => Unit): Unit = {
+    val bad = fs.listStatus(stagedDir).map(_.getPath.getName)
+      .filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell="))
+      .filter(c => !(c.forall(_.isDigit) && c.nonEmpty &&
+        c.length <= 9 && c.toInt < nlist))
+    if (bad.nonEmpty) {
+      abort()
+      throw new IllegalArgumentException(
+        s"$what holds vectors the index's quantizer cannot assign " +
+          s"(cell partitions ${bad.mkString(",")} outside [0,$nlist)) " +
+          s"— every vector must be non-null with exactly dim=$dim " +
+          "elements; such rows would be invisible to every probe")
+    }
+  }
+
   /** Incrementally add a batch: encode ONLY the batch with the
     * persisted quantizer and commit it as the next delta directory of
     * the LIVE generation — one atomic rename; the base and every prior
@@ -470,6 +504,22 @@ object AnnIndex {
     require(m("id_col") == idCol && m("vec_col") == vecCol,
       s"index at $indexPath was built on (${m("id_col")}, " +
         s"${m("vec_col")}), append offered ($idCol, $vecCol)")
+    // TYPE contract, not just names: a mismatched id type would make
+    // latest-wins resolution coerce (long 7 vs string "007" never
+    // supersede each other) or brick later reads with an
+    // AnalysisException AFTER the commit — and append is the last
+    // validation point. One parquet FOOTER read, no job.
+    val baseSchema = spark.read
+      .parquet(new Path(genPath, "base").toString).schema
+    for ((bCol, oCol, oName) <- Seq(
+        ("corpus_id", idCol, "id"), ("vec", vecCol, "vector")))
+      // catalogString: nullability-INSENSITIVE (parquet round-trips
+      // flip containsNull; the contract is the value type)
+      require(baseSchema(bCol).dataType.catalogString ==
+          batch.schema(oCol).dataType.catalogString,
+        s"index at $indexPath stores $oName column $bCol as " +
+          s"${baseSchema(bCol).dataType.catalogString}, append offered " +
+          s"${batch.schema(oCol).dataType.catalogString}")
     val staging = new Path(genPath, deltaStaging)
     encoded(batch, idCol, vecCol,
         parseVecs(m("centroids")), parseBooks(m("codebooks")))
@@ -485,6 +535,9 @@ object AnnIndex {
       fs.delete(staging, true)
       return
     }
+    requireValidCells(fs, staging, m("nlist").toInt, m("dim").toInt,
+      s"append batch for $indexPath",
+      () => { fs.delete(staging, true); () })
     requireUniqueStaged(spark, staging, idCol,
       s"append batch for $indexPath",
       () => { fs.delete(staging, true); () })
@@ -492,8 +545,13 @@ object AnnIndex {
     // (object doc), so the next delta name cannot be contended — a
     // failed rename is a contract violation or an IO fault, loud
     // either way
-    val n = deltaDirs(fs, genPath).lastOption
-      .map(_.stripPrefix(deltaPrefix).toLong + 1).getOrElse(1L)
+    // NUMERIC max, not the lexicographic lastOption: at the
+    // delta-999999 -> delta-1000000 width rollover string order would
+    // re-derive a taken name and an HDFS rename would nest the batch
+    // invisibly inside it
+    val n = deltaDirs(fs, genPath)
+      .map(_.stripPrefix(deltaPrefix).toLong)
+      .foldLeft(0L)(math.max) + 1
     val target = new Path(genPath, f"$deltaPrefix$n%06d")
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
@@ -568,9 +626,15 @@ object AnnIndex {
         component(d).withColumn("_icommit", lit(commitOf(d))))
       .reduce(_ unionByName _)
     if (broadcastDeltaIds) {
+      // localCheckpoint: the anti-join's broadcast side and the union
+      // branch are different projections of this subtree, so exchange
+      // reuse would NOT apply and the delta scan + window would run
+      // twice per call (ivfPqAtRecallCore's 'scored' precedent);
+      // bounded by the broadcastable-delta contract
       val deltaWins = graft.plans.GroupedTopK.windowed(deltaUnion,
           Seq("corpus_id"), Seq("_icommit"), descending = true, 1)
         .drop("_icommit")
+        .localCheckpoint()
       base.join(broadcast(deltaWins.select(col("corpus_id"))),
           Seq("corpus_id"), "left_anti")
         .unionByName(deltaWins)
@@ -628,6 +692,8 @@ object AnnIndex {
       shortlist: Int = 50, broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.hadoop.fs.Path
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe — 0 would " +
+      "read as 'no neighbors exist'")
     val dest = new Path(indexPath)
     val fs = fsOf(spark, dest)
     val genPath = liveGen(fs, dest)
@@ -701,6 +767,8 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     require(targetX100 >= 1 && targetX100 <= 100,
       s"targetX100 in [1,100], got $targetX100")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe — 0 would " +
+      "read as 'no neighbors exist'")
     val ss = (if (shortlists.nonEmpty) shortlists
       else Seq(k, 2 * k, 4 * k, 8 * k)).distinct.sorted
     require(ss.head >= k, s"every shortlist must be >= k=$k, got $ss")

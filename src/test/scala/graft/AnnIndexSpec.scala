@@ -490,20 +490,57 @@ class AnnIndexSpec extends AnyFunSuite {
       "resumed adoption lost data")
   }
 
-  test("append fails fast on a column-contract mismatch; probe fails " +
-      "fast on a missing index") {
+  test("append fails fast on column-name, column-TYPE, and vector-" +
+      "DIMENSION mismatches; probe fails fast on a missing index and " +
+      "on nprobe < 1") {
     val dir = Files.createTempDirectory("graft_ann_ff").toFile
       .getAbsolutePath + "/idx"
     AnnIndex.build(spark, dir, corpus.limit(50), "vec_id", "embedding",
       cents, books)
+    val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12))
     val e = intercept[IllegalArgumentException] {
       AnnIndex.append(spark, dir, corpus.limit(5)
         .withColumnRenamed("vec_id", "other_id"), "other_id", "embedding")
     }
     assert(e.getMessage.contains("was built on"))
+    // a type-mismatched id would coerce in the latest-wins resolution
+    // (long 7 never supersedes string "7") or brick reads AFTER the
+    // commit — append is the last validation point, so it refuses
+    val eT = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, corpus.limit(5)
+        .withColumn("vec_id", $"vec_id".cast("string")),
+        "vec_id", "embedding")
+    }
+    assert(eT.getMessage.contains("stores id column"))
+    // wrong-dim (and null) vectors assign to no real cell: the rows
+    // would be INVISIBLE to every probe while compact carries them
+    // forever — refused from the staged artifact's partition names
+    val eD = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, corpus.limit(5)
+        .withColumn("embedding",
+          concat($"embedding", $"embedding")),
+        "vec_id", "embedding")
+    }
+    assert(eD.getMessage.contains("cannot assign"))
+    val eN = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, corpus.limit(5)
+        .withColumn("embedding",
+          lit(null).cast("array<float>")),
+        "vec_id", "embedding")
+    }
+    assert(eN.getMessage.contains("cannot assign"))
+    // every refused append left the index fully intact
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect)
     intercept[IllegalArgumentException] {
       AnnIndex.probe(spark, dir + "_nope", queries, "vec_id",
         "embedding", k = 3)
     }
+    val eP = intercept[IllegalArgumentException] {
+      AnnIndex.probe(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nprobe = 0)
+    }
+    assert(eP.getMessage.contains("nprobe"))
   }
 }
