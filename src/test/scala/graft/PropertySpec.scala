@@ -209,4 +209,83 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: the persisted index's latest-wins lifecycle matches " +
+      "an in-memory model under arbitrary build/append/update/compact " +
+      "sequences") {
+    import graft.operators.{AnnIndex, Similarity}
+    // fixed quantizer, independent of the generated ops (the lifecycle
+    // under test is storage resolution, not quantization quality)
+    val dim = 8
+    val rng = new scala.util.Random(7)
+    lazy val seedCorpus = (0 until 200).map(i =>
+      (i.toLong + 1000L, Array.fill(dim)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    lazy val cents = Similarity.trainIvfCentroids(seedCorpus,
+      "vec_id", "embedding", dim = dim, nlist = 4, iters = 2,
+      sampleSize = 200)
+    lazy val books = Similarity.trainPqCodebooks(seedCorpus,
+      "vec_id", "embedding", dim = dim, m = 4, ksub = 4, iters = 2,
+      sampleSize = 200)
+    val vecGen: Gen[Array[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0).map(_.toFloat))
+        .map(_.toArray)
+        .map(v => if (v.forall(_ == 0f)) v.updated(0, 1f) else v)
+    // a batch: 3-8 rows over a SMALL id space (0..19) so re-appends
+    // (updates) are frequent; ids unique within one batch by contract
+    val batchGen: Gen[Seq[(Long, Array[Float])]] =
+      Gen.chooseNum(3, 8).flatMap(k =>
+        Gen.listOfN(k, Gen.zip(Gen.chooseNum(0L, 19L), vecGen)))
+        .map(_.groupBy(_._1).map(_._2.head).toSeq)
+    val opsGen: Gen[(Seq[Seq[(Long, Array[Float])]], Int)] = for {
+      nBatches <- Gen.chooseNum(3, 5)
+      batches  <- Gen.listOfN(nBatches, batchGen)
+      compactAt <- Gen.chooseNum(1, nBatches - 1)
+    } yield (batches.map(_.toSeq), compactAt)
+    var run = 0
+    forAll(opsGen, n = 3) { case (batches, compactAt) =>
+      whenever(batches.nonEmpty && batches.head.nonEmpty) {
+        run += 1
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_ann_prop$run").toFile
+          .getAbsolutePath + "/idx"
+        val model = scala.collection.mutable.Map.empty[Long, Array[Float]]
+        def df(rows: Seq[(Long, Array[Float])]) =
+          rows.toDF("vec_id", "embedding")
+        AnnIndex.build(spark, dir, df(batches.head), "vec_id",
+          "embedding", cents, books)
+        batches.head.foreach { case (id, v) => model(id) = v }
+        batches.zipWithIndex.drop(1).foreach { case (b, i) =>
+          AnnIndex.append(spark, dir, df(b), "vec_id", "embedding")
+          b.foreach { case (id, v) => model(id) = v }
+          if (i == compactAt) AnnIndex.compact(spark, dir)
+        }
+        // probe at nprobe = nlist (no cross-cell shadows) must equal
+        // the inline join over the MODEL's final state, exactly
+        val queries = (0 until 3).map(q =>
+          (9000L + q, Array.fill(dim)(rng.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding")
+        def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sortBy(t => (t._1, -t._3, t._2))
+        val fromIndex = rowsOf(AnnIndex.probe(spark, dir, queries,
+          "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 12))
+        val inline = rowsOf(Similarity.knnJoinIvfPq(df(model.toSeq),
+          queries, "vec_id", "embedding", k = 3, cents, books,
+          nprobe = 4, shortlist = 12))
+        assert(fromIndex === inline,
+          s"lifecycle diverged from the model (run $run, " +
+            s"${batches.size} batches, compact after $compactAt)")
+        // a final compact folds storage to exactly the model's ids
+        AnnIndex.compact(spark, dir)
+        val stored = AnnIndex.census(spark, dir)
+          .agg(sum($"n_vectors")).head().getLong(0)
+        assert(stored === model.size.toLong,
+          s"compact left $stored rows for ${model.size} live ids")
+        assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+          "embedding", k = 3, nprobe = 4, shortlist = 12)) === inline,
+          "post-compact probe diverged")
+      }
+    }
+  }
 }
