@@ -399,6 +399,10 @@ object AnnIndex {
       s"build corpus for $indexPath", abortStaged _)
     GateLayout.write(fs, new Path(genPath, layoutName), Seq(
       "id_col" -> idCol, "vec_col" -> vecCol,
+      // value TYPES ride in the manifest so append's type contract
+      // costs zero filesystem I/O (catalogString: nullability-free)
+      "id_type" -> corpus.schema(idCol).dataType.catalogString,
+      "vec_type" -> corpus.schema(vecCol).dataType.catalogString,
       "dim" -> dim.toString,
       "nlist" -> centroids.length.toString,
       "m" -> codebooks.length.toString,
@@ -443,6 +447,7 @@ object AnnIndex {
     if (!fs.exists(genPath)) Nil
     else fs.listStatus(genPath).map(_.getPath.getName)
       .filter(n => n.startsWith(deltaPrefix) &&
+        n.stripPrefix(deltaPrefix).nonEmpty &&
         n.stripPrefix(deltaPrefix).forall(_.isDigit)).sorted.toSeq
 
   /** Whether a staged component actually holds data: a 0-row
@@ -508,18 +513,22 @@ object AnnIndex {
     // latest-wins resolution coerce (long 7 vs string "007" never
     // supersede each other) or brick later reads with an
     // AnalysisException AFTER the commit — and append is the last
-    // validation point. One parquet FOOTER read, no job.
-    val baseSchema = spark.read
+    // validation point. The stored types ride in the manifest (zero
+    // filesystem I/O; catalogString is nullability-insensitive —
+    // parquet round-trips flip containsNull, the contract is the
+    // value type); an ADOPTED legacy index whose manifest predates
+    // the keys falls back to one schema read of the base.
+    lazy val baseSchema = spark.read
       .parquet(new Path(genPath, "base").toString).schema
-    for ((bCol, oCol, oName) <- Seq(
-        ("corpus_id", idCol, "id"), ("vec", vecCol, "vector")))
-      // catalogString: nullability-INSENSITIVE (parquet round-trips
-      // flip containsNull; the contract is the value type)
-      require(baseSchema(bCol).dataType.catalogString ==
-          batch.schema(oCol).dataType.catalogString,
+    for ((bCol, key, oCol, oName) <- Seq(
+        ("corpus_id", "id_type", idCol, "id"),
+        ("vec", "vec_type", vecCol, "vector"))) {
+      val stored = m.getOrElse(key, baseSchema(bCol).dataType.catalogString)
+      require(stored == batch.schema(oCol).dataType.catalogString,
         s"index at $indexPath stores $oName column $bCol as " +
-          s"${baseSchema(bCol).dataType.catalogString}, append offered " +
+          s"$stored, append offered " +
           s"${batch.schema(oCol).dataType.catalogString}")
+    }
     val staging = new Path(genPath, deltaStaging)
     encoded(batch, idCol, vecCol,
         parseVecs(m("centroids")), parseBooks(m("codebooks")))
@@ -852,13 +861,41 @@ object AnnIndex {
     val genPath = liveGen(fs, dest)
     val lay = readLayout(fs, genPath)
     val deltas = deltaDirs(fs, genPath)
-    if (deltas.isEmpty) return 0
+    // remediation sweep for PRE-VALIDATION artifacts: cells outside
+    // [0,nlist) hold wrong-dim / null vectors that no probe ever
+    // scans — ingress now refuses them, but an index that took such
+    // a batch before would otherwise re-carry the invisible rows
+    // through every compact forever. Detected from partition dir
+    // names (free); compact proceeds even with no deltas when only
+    // the drop is needed. The fold reads GOOD cells only — pruned
+    // BEFORE latest-wins, so a bad row can never outrank and then
+    // orphan an id's older good row.
+    val nlist = lay("nlist").toInt
+    def cellNames(d: String): Seq[String] =
+      fs.listStatus(new Path(genPath, d)).map(_.getPath.getName)
+        .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=")).toSeq
+    val allCells = ("base" +: deltas).flatMap(cellNames).distinct
+    val (goodCells, badCells) = allCells.partition(c =>
+      c.nonEmpty && c.forall(_.isDigit) && c.length <= 9 && c.toInt < nlist)
+    if (deltas.isEmpty && badCells.isEmpty) return 0
+    if (badCells.nonEmpty) {
+      val dropped = ("base" +: deltas).map(d =>
+          spark.read.parquet(new Path(genPath, d).toString)
+            .filter(!(col("cell").isNotNull &&
+              col("cell").cast("int") >= 0 &&
+              col("cell").cast("int") < nlist)))
+        .reduce(_ unionByName _).count()
+      System.err.println(s"[annindex] compact at $indexPath dropping " +
+        s"$dropped unassignable rows (cells ${badCells.mkString(",")} " +
+        "outside the quantizer's range — a pre-validation artifact); " +
+        "these rows were invisible to every probe")
+    }
     val gen = nextGenName(fs, dest)
     val newGenPath = new Path(dest, gen)
-    // the SAME latest-wins resolution probes apply, over every cell
-    // (cells = None) — one implementation, so probe and compact can
+    // the SAME latest-wins resolution probes apply, over every
+    // in-range cell — one implementation, so probe and compact can
     // never resolve an update differently
-    readCells(spark, genPath, deltas, None,
+    readCells(spark, genPath, deltas, Some(goodCells.map(_.toInt).sorted),
         Seq("cell", "corpus_id", "codes", "cn", "vec"),
         deltasBroadcastable(spark, fs, genPath, deltas))
       .withColumn("cell", col("cell").cast("int"))

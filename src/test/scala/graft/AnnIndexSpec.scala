@@ -413,6 +413,46 @@ class AnnIndexSpec extends AnyFunSuite {
       "embedding", k = 3, nprobe = 2, shortlist = 12)) === expect)
   }
 
+  test("a pre-validation artifact's unassignable cells are invisible " +
+      "to probes and dropped at compact; a stray 'delta-' name is " +
+      "never a component") {
+    val dir = Files.createTempDirectory("graft_ann_bad").toFile
+      .getAbsolutePath + "/idx"
+    val fs = fsFor(dir)
+    AnnIndex.build(spark, dir, corpus.limit(100), "vec_id", "embedding",
+      cents, books)
+    val gen = genOf(dir)
+    val expect = rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 4, shortlist = 12))
+    // simulate rows a pre-validation append misfiled at cell=-1 (the
+    // wrong-dim/null assignment sink): clone stored rows into the
+    // out-of-range partition
+    spark.read.parquet(s"$dir/$gen/base/cell=0").limit(3)
+      .withColumn("corpus_id", col("corpus_id") + 500000L)
+      .write.parquet(s"$dir/$gen/base/cell=-1")
+    // and a stray 'delta-' dir (tooling debris — empty numeric suffix)
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/$gen/delta-")))
+    // probes never scan either
+    assert(rowsOf(AnnIndex.probe(spark, dir, queries, "vec_id",
+      "embedding", k = 3, nprobe = 4, shortlist = 12)) === expect)
+    // appends keep numbering cleanly past the stray name
+    AnnIndex.append(spark, dir,
+      corpus.filter($"vec_id" === 1L)
+        .withColumn("vec_id", lit(600000L)), "vec_id", "embedding")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/$gen/delta-000001")))
+    // compact drops the unassignable rows permanently: storage holds
+    // exactly the live ids, no out-of-range partition survives
+    assert(AnnIndex.compact(spark, dir) === 1)
+    val stored = AnnIndex.census(spark, dir)
+      .agg(sum($"n_vectors")).head().getLong(0)
+    assert(stored === 101L,
+      s"compact must drop the 3 unassignable rows, stored=$stored")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/${genOf(dir)}/base")).map(_.getPath.getName)
+      .contains("cell=-1"))
+  }
+
   test("a legacy pre-generation index is adopted in place at writer " +
       "entry (renames only, no re-encode); readers fail fast naming " +
       "that remedy; a crashed adoption resumes") {
