@@ -2194,10 +2194,17 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     }
 
   private def banded(df: DataFrame): DataFrame =
-    df.select(col("id"), col("sig"), posexplode(
+    // `_keys` (the doc's full band-hash array) rides along so the
+    // uncapped self-probe can emit each candidate pair exactly once —
+    // at the pair's FIRST colliding band — instead of once per
+    // colliding band followed by a distinct over the (quadratic on a
+    // template clique) pair volume
+    df.select(col("id"), col("sig"),
         transform(sequence(lit(0), lit(bands - 1)),
-          b => Dedup.bandHashExpr(col("sig"), b, lit(rows))))
-      ).toDF("id", "sig", "band", "band_hash")
+          b => Dedup.bandHashExpr(col("sig"), b, lit(rows)))
+          .as("_keys"))
+      .select(col("id"), col("sig"), col("_keys"),
+        posexplode(col("_keys")).as(Seq("band", "band_hash")))
 
   private def emptyPairs(spark: org.apache.spark.sql.SparkSession) =
     spark.createDataFrame(new java.util.ArrayList[Row](),
@@ -2443,18 +2450,51 @@ final class NearDupGate(root: String, numHashes: Int = 32,
     // candidate still precedes any over-cap query doc (the c.id <
     // q.id guard keeps exact in-batch order among them)
     val (selfCand, selfCapped) = capPerKey(bandKeys)
-    val internal = bandKeys.as("q")
-      .join(maybeBroadcast(selfCand).as("c"),
-        col("q.band") === col("c.band") &&
-          col("q.band_hash") === col("c.band_hash") &&
-          col("c.id") < col("q.id"))
-      .select(col("q.id").as("id"), col("c.id").as("cid"))
-      .distinct()
-      .join(maybeBroadcast(batchSigs.toDF("cid", "csig")), "cid")
-      .join(maybeBroadcast(batchSigs.toDF("id", "qsig")), "id")
-      .select(col("id"), col("cid"),
-        graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
-          .as("n_eq"))
+    // Uncapped self-probe: the template-clique shape makes the
+    // all-bands pair volume quadratic (sf0.1 fixture: 79M join rows
+    // collapsing to 12.1M distinct pairs through a full hash
+    // aggregation). Emit each pair exactly ONCE instead — at its
+    // FIRST colliding band — via a codegen'd element_at chain over
+    // the band-key arrays both sides already carry (a pair at band b
+    // is kept iff no band b' < b had equal keys; higher-order
+    // functions are deliberately avoided here — ArrayExists/ZipWith
+    // don't codegen and interpret ~16x slower on this volume), and
+    // score it inline from the sigs riding the same join, so neither
+    // the distinct exchange nor the two pair-level sig joins exist.
+    // Result multiset is identical by construction: every colliding
+    // pair has exactly one minimal band. The capped path keeps the
+    // distinct shape — its candidate set is "per-KEY rank ≤ cap",
+    // where a pair shed from its minimal band can legitimately
+    // survive via a later band, so first-band emission would change
+    // the (oracle-pinned) capped semantics.
+    val internal =
+      if (capCur <= 0) {
+        val firstBand = (0 until bands - 1).map { i =>
+          (col("q.band") <= i) ||
+            !(element_at(col("q._keys"), i + 1) <=>
+              element_at(col("c._keys"), i + 1))
+        }.reduce(_ && _)
+        batchBands.as("q")
+          .join(maybeBroadcast(batchBands).as("c"),
+            col("q.band") === col("c.band") &&
+              col("q.band_hash") === col("c.band_hash") &&
+              col("c.id") < col("q.id"))
+          .filter(firstBand)
+          .select(col("q.id").as("id"), col("c.id").as("cid"),
+            graft.functions.VecOps.arrayEqCount(
+              col("q.sig"), col("c.sig")).as("n_eq"))
+      } else bandKeys.as("q")
+        .join(maybeBroadcast(selfCand).as("c"),
+          col("q.band") === col("c.band") &&
+            col("q.band_hash") === col("c.band_hash") &&
+            col("c.id") < col("q.id"))
+        .select(col("q.id").as("id"), col("c.id").as("cid"))
+        .distinct()
+        .join(maybeBroadcast(batchSigs.toDF("cid", "csig")), "cid")
+        .join(maybeBroadcast(batchSigs.toDF("id", "qsig")), "id")
+        .select(col("id"), col("cid"),
+          graft.functions.VecOps.arrayEqCount(col("qsig"), col("csig"))
+            .as("n_eq"))
     // cross (cid NOT of this batch, by the pre-cap anti-join) and
     // internal (cid of this batch) are DISJOINT by construction, and
     // each side is already pair-distinct — so the union needs no
