@@ -80,6 +80,15 @@ object Dedup {
         .otherwise(filter(combined, s => s.isNotNull)))
   }
 
+  /** md5-hex word n-gram shingles — bit-identical to
+    * `array_distinct(transform(shingles(text, n), md5))` (spec-pinned)
+    * through one codegen'd loop instead of the n−1 interpreted
+    * zip_with passes + per-element md5 that chain costs; the hot path
+    * of every exact-decontamination site.
+    */
+  def md5Shingles(text: Column, n: Int): Column =
+    graft.functions.Md5Shingles.md5_shingles(text, n)
+
   /** Exact duplicate fingerprint: md5 of whitespace-normalized text. */
   def exactFingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
@@ -767,7 +776,7 @@ object Dedup {
       // filtered by the size guard) — a <n-token doc can't contain a
       // verbatim n-gram.
       val arr = when(size(tokens(col("t"))) >= n,
-        transform(shingles(col("t"), n), s => md5(s)))
+        md5Shingles(col("t"), n))
         .otherwise(array().cast("array<string>"))
       spread(df.select(col(idCol).as(out), col(textCol).as("t")))
         .select(col(out), explode(arr).as("g"))

@@ -459,6 +459,5 @@ object TextAnalysis {
     * ~4× cheaper per shingle.
     */
   def bottomKFingerprintHex(text: Column, shingleSize: Int = 5, k: Int = 8): Column =
-    slice(array_sort(array_distinct(
-      transform(Dedup.shingles(text, shingleSize), s => md5(s)))), 1, k)
+    slice(array_sort(Dedup.md5Shingles(text, shingleSize)), 1, k)
 }

@@ -241,8 +241,7 @@ object Curation {
     * matching the decontamination oracle's list_distinct). */
   private def gramArr: org.apache.spark.sql.Column = when(
     size(Dedup.tokens(col("text"))) >= 13,
-    array_distinct(
-      transform(Dedup.shingles(col("text"), 13), x => md5(x))))
+    Dedup.md5Shingles(col("text"), 13))
     .otherwise(array().cast("array<string>"))
 
   private def lmToks(df: DataFrame): DataFrame = df

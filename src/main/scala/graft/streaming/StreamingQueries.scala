@@ -1127,8 +1127,7 @@ object StreamingQueries {
         // repeats a 13-gram contributes it once
         def gramArr = when(
           size(Dedup.tokens(col("text"))) >= 13,
-          array_distinct(
-            transform(Dedup.shingles(col("text"), 13), x => md5(x))))
+          Dedup.md5Shingles(col("text"), 13))
           .otherwise(array().cast("array<string>"))
         // NOT globally distinct: the oracle's sh CTE counts
         // (gram, eval-doc) pairs, so a gram appearing in two eval docs

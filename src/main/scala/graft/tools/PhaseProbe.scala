@@ -146,23 +146,27 @@ object PhaseProbe {
         .groupBy(col("id"))
         .agg(count(lit(1)), max(col("n_eq"))).count()
     }
-    // decontam internals: gram build vs md5 vs join
-    val gramArrLocal = when(
+    // decontam internals: gram build (old HOF chain vs the codegen'd
+    // Md5Shingles expression) vs the join
+    val gramArrHof = when(
       size(graft.operators.Dedup.tokens(col("text"))) >= 13,
       array_distinct(transform(
         graft.operators.Dedup.shingles(col("text"), 13), x => md5(x))))
       .otherwise(array().cast("array<string>"))
-    time("decontam: shingles only (noop)") {
-      batch.select(graft.operators.Dedup.shingles(col("text"), 13)
-          .as("g"))
+    val gramArrFast = when(
+      size(graft.operators.Dedup.tokens(col("text"))) >= 13,
+      graft.operators.Dedup.md5Shingles(col("text"), 13))
+      .otherwise(array().cast("array<string>"))
+    time("decontam: HOF shingles+md5 (noop)") {
+      batch.select(gramArrHof.as("g"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("decontam: shingles+md5 (noop)") {
-      batch.select(gramArrLocal.as("g"))
+    time("decontam: Md5Shingles (noop)") {
+      batch.select(gramArrFast.as("g"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("decontam: explode+join+agg") {
-      batch.select(col("doc_id"), explode(gramArrLocal).as("g"))
+    time("decontam: explode+join+agg (fast)") {
+      batch.select(col("doc_id"), explode(gramArrFast).as("g"))
         .join(broadcast(models.evalGrams), "g")
         .groupBy(col("doc_id")).agg(count(lit(1))).count()
     }

@@ -162,6 +162,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Shingles expression == HOF chain, bit-exact incl. edges") {
+    import spark.implicits._
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").limit(100)
+    val edges = Seq("", " ", "one", "one two", "a b c", "a b c d e",
+      "a a a a", "  padded  ", "tab\tsep", "trail\t", "x\ny z",
+      "ünïcode wörds héré mixed in", "a b a b a b a b")
+      .toDF("text")
+    for (df <- Seq(fixture, edges); n <- Seq(2, 5, 13)) {
+      val rows = df.select(
+          graft.operators.Dedup.md5Shingles($"text", n).as("fast"),
+          array_distinct(transform(
+            graft.operators.Dedup.shingles($"text", n),
+            x => md5(x))).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"divergence at n=$n")
+      }
+    }
+  }
+
   test("ArrayEqCount expression == HOF zip-filter-size, incl. length skew") {
     import spark.implicits._
     val df = Seq(
