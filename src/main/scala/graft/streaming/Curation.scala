@@ -309,17 +309,25 @@ object Curation {
       b.count() <= graft.operators.GateOps.broadcastRowCap
     def mb(df: DataFrame): DataFrame =
       if (smallBatch) broadcast(df) else df
+    // Pinning discipline (measured, r21): the SMALL per-doc verdict
+    // frames are pinned (nov here, nd/q3/dec by the gate or below) —
+    // they are each consumed by 2+ downstream plans and their
+    // recompute re-reads gate state. The TEXT-CARRYING survivor
+    // frames s1–s4 are deliberately NOT pinned: each is just
+    // `b ⋈ broadcast(id-set)` over the already-pinned batch, a
+    // map-side re-evaluation costing one in-memory block scan —
+    // cheaper than the localCheckpoint jobs that used to materialize
+    // the corpus text four more times (~1s/batch of pure pin cost on
+    // the sf0.1 fixture).
     // stage 1: exact novelty (first-wins per fingerprint, ownership-
     // backed so a replay reproduces)
-    val nov = ngate.admitScored(b, "doc_id", "text")
+    val nov = ngate.admitScored(b, "doc_id", "text").localCheckpoint()
     val s1 = b.join(mb(nov.filter(col("is_novel") === 1)
       .select(col("id").as("doc_id"))), Seq("doc_id"))
-      .localCheckpoint()
     // stage 2: near-dup vs earlier-curated docs only
     val nd = ndgate.admitScored(s1, "doc_id", "text")
     val s2 = s1.join(mb(nd.filter(col("is_neardup") === 0)
       .select(col("id").as("doc_id"))), Seq("doc_id"))
-      .localCheckpoint()
     // stage 3: Gopher rules ∧ NB classifier
     val rules = TextClassify
       .gopherMetrics(s2, keyCols = Seq("doc_id"))
@@ -338,7 +346,6 @@ object Curation {
       .localCheckpoint()
     val s3 = s2.join(mb(q3.filter(col("quality_kept") === 1)
       .select(col("doc_id"))), Seq("doc_id"))
-      .localCheckpoint()
     // stage 4: decontamination (eval members themselves are excluded
     // from a training corpus by definition)
     val hits = s3
@@ -356,7 +363,6 @@ object Curation {
       .localCheckpoint()
     val s4 = s3.join(mb(dec.filter(col("decontam_kept") === 1)
       .select(col("doc_id"))), Seq("doc_id"))
-      .localCheckpoint()
     // stage 5: LM perplexity filter under the shared table
     val lmk = LmScore.scoreDocs(LmScore.bigrams(lmToks(s4)),
         models.lmTable)

@@ -51,14 +51,17 @@ object PhaseProbe {
     // approximates the single-batch stream's foreachBatch body
     val root = java.nio.file.Files.createTempDirectory("phaseprobe")
       .toString
-    val ngate = new graft.operators.NoveltyGate(s"$root/nov")
-    val ndgate = new graft.operators.NearDupGate(s"$root/nd")
     val batch = docs.select(col("doc_id"), col("text"))
-    val verdicts = time("curateBatch(all five stages)") {
-      graft.streaming.Curation.curateBatch(batch, ngate, ndgate, models)
-        .localCheckpoint()
+    for (rep <- 1 to 2) {
+      val ngate = new graft.operators.NoveltyGate(s"$root/nov$rep")
+      val ndgate = new graft.operators.NearDupGate(s"$root/nd$rep")
+      val verdicts = time(s"curateBatch(all five stages) #$rep") {
+        graft.streaming.Curation.curateBatch(batch, ngate, ndgate,
+            models)
+          .localCheckpoint()
+      }
+      println(s"[phase] verdict rows: ${verdicts.count()}")
     }
-    println(s"[phase] verdict rows: ${verdicts.count()}")
 
     // stage isolation: novelty gate alone, then near-dup gate alone
     val ngate2 = new graft.operators.NoveltyGate(s"$root/nov2")
