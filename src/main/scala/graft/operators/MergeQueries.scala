@@ -81,12 +81,17 @@ object MergeQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        // pinned: each fixture frame is consumed 2-4x (the merge op
+        // collects touched months/pairs AND writes; the row censuses
+        // besides) and re-evaluating it re-runs the events window —
+        // bounded by distinct users, so the pin is small
         def latestPerUser(df: DataFrame) = df
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
           .select(col("user_id"), col("event_id"), col("value"),
             concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
               .as("start_month"))
+          .localCheckpoint()
         val ev = T.events(s, d)
         val base = latestPerUser(ev.filter(col("event_id") < 8000))
         // %12==2 (not %6==2): the hot month 2025-03 holds every
@@ -161,12 +166,17 @@ object MergeQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        // pinned: each fixture frame is consumed 2-4x (the merge op
+        // collects touched months/pairs AND writes; the row censuses
+        // besides) and re-evaluating it re-runs the events window —
+        // bounded by distinct users, so the pin is small
         def latestPerUser(df: DataFrame) = df
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
           .select(col("user_id"), col("event_id"), col("value"),
             concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
               .as("start_month"))
+          .localCheckpoint()
         val ev = T.events(s, d)
         val base = latestPerUser(ev.filter(col("event_id") < 8000))
         val batch1 = latestPerUser(ev.filter(col("event_id") >= 8000 &&
@@ -248,12 +258,17 @@ object MergeQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        // pinned: each fixture frame is consumed 2-4x (the merge op
+        // collects touched months/pairs AND writes; the row censuses
+        // besides) and re-evaluating it re-runs the events window —
+        // bounded by distinct users, so the pin is small
         def latestPerUser(df: DataFrame) = df
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
           .select(col("user_id"), col("event_id"), col("value"),
             concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
               .as("start_month"))
+          .localCheckpoint()
         val ev = T.events(s, d)
         val base = latestPerUser(ev.filter(col("event_id") < 8000))
         val batch1 = latestPerUser(ev.filter(col("event_id") >= 8000 &&
@@ -367,12 +382,17 @@ object MergeQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        // pinned: each fixture frame is consumed 2-4x (the merge op
+        // collects touched months/pairs AND writes; the row censuses
+        // besides) and re-evaluating it re-runs the events window —
+        // bounded by distinct users, so the pin is small
         def latestPerUser(df: DataFrame) = df
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
           .select(col("user_id"), col("event_id"), col("value"),
             concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
               .as("start_month"))
+          .localCheckpoint()
         val ev = T.events(s, d)
         val base = latestPerUser(ev.filter(col("event_id") < 8000))
         // both live batches hit the hot month 2025-03 (user%6==2);
@@ -479,12 +499,17 @@ object MergeQueries {
         // fresh start: wipe the table AND its staging/retired siblings
         fs.delete(new org.apache.hadoop.fs.Path(table).getParent, true)
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        // pinned: each fixture frame is consumed 2-4x (the merge op
+        // collects touched months/pairs AND writes; the row censuses
+        // besides) and re-evaluating it re-runs the events window —
+        // bounded by distinct users, so the pin is small
         def latestPerUser(df: DataFrame) = df
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1)
           .select(col("user_id"), col("event_id"), col("value"),
             concat(lit("2025-0"), (col("user_id") % 6 + 1).cast("string"))
               .as("start_month"))
+          .localCheckpoint()
         val ev = T.events(s, d)
         val base = latestPerUser(ev.filter(col("event_id") < 8000))
         val batch = latestPerUser(ev.filter(

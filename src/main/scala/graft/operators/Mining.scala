@@ -150,12 +150,17 @@ object Mining {
       itemCol: String, minSupport: Long): DataFrame = {
     val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
+    // pinned: f2 feeds the candidate triple join three times plus the
+    // frequent-item projection twice, and each un-pinned reference
+    // would re-run the basket self-join aggregation above it; the
+    // frequent-pair set is minSupport-bounded — small by construction
     val f2 = b.as("a").join(b.as("c"),
         col("a.bk") === col("c.bk") && col("a.it") < col("c.it"))
       .groupBy(col("a.it").as("p1"), col("c.it").as("p2"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= minSupport)
       .select(col("p1"), col("p2"))
+      .localCheckpoint()
     val cand = f2.as("x").join(f2.as("y"),
         col("x.p2") === col("y.p1"))
       .select(col("x.p1").as("p1"), col("x.p2").as("p2"),
@@ -260,11 +265,19 @@ object Mining {
     */
   def triangleCensus(edges: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
+    // e is referenced four times in the final census plan (both union
+    // branches of `und`, the closure probe, the edge count) and deg
+    // three times — only their exchanges would be reused, so without
+    // the pins the post-shuffle distinct/aggregation re-executes per
+    // reference (the pageRank precedent: edges/degrees pinned once,
+    // consumed by every iteration).
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
       .filter(col("a") < col("b"))
+      .localCheckpoint()
     val und = e.select(col("a").as("n"), col("b").as("m"))
       .unionAll(e.select(col("b").as("n"), col("a").as("m")))
     val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     // orient each edge from lower (deg, id) endpoint to higher
     val oriented = und
       .join(deg.toDF("n", "dn"), "n")
@@ -333,10 +346,18 @@ object Mining {
     val localW = Window.partitionBy(col("bx"))
       .orderBy(col("x").asc, col("y").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // pinned: the frontier subtree is referenced three times in the
+    // final plan (directly, under census, under census-via-superPrefix)
+    // and only the distinct EXCHANGE below it would be reused — the
+    // window itself would re-execute per reference. The frontier is
+    // orders of magnitude smaller than the input (per bucket it is
+    // bounded by the distinct y values), so the pin is cheap at any
+    // scale the bucketing handles.
     val local = p.withColumn("bx", expr(s"x div $bucketWidth"))
       .withColumn("pm", max(col("y")).over(localW))
       .filter(col("pm").isNull || col("y") > col("pm"))
       .select(col("bx"), col("x"), col("y"))
+      .localCheckpoint()
     // Per-bucket census: (bucket, max y among its survivors) — equal
     // to the bucket's overall max y (see scaladoc), one row per
     // non-empty bucket.
@@ -574,11 +595,15 @@ object MiningQueries {
     "pg_pagerank" -> QueryDef(
       (s, d) => {
         val b = baskets(s, d)
+        // pinned: both symmetrization branches reference pairs, and
+        // only its exchange would be reused — the co-purchase
+        // aggregation would otherwise run twice
         val pairs = b.as("a").join(b.as("bb"),
             col("a.bk") === col("bb.bk") && col("a.it") < col("bb.it"))
           .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
           .agg(count(lit(1)).as("n_xy"))
           .filter(col("n_xy") >= 2)
+          .localCheckpoint()
         val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
           .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
         Mining.pageRank(edges, "src", "dst", iterations = 10)
