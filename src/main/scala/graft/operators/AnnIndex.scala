@@ -616,10 +616,36 @@ object AnnIndex {
     * point. Only a delta backlog past the broadcast bound (a missed
     * compact) falls back to the spill-safe windowed top-k over the
     * full pruned scan. */
+  /** The broadcast-path delta resolution, computed ONCE per probe
+    * over the union of every column the call's component reads need
+    * (probe reads the pruned cells twice — codes for ADC, vectors for
+    * the rerank — and each used to pay its own delta scan + window +
+    * pin; the resolved rows are identical, only the projection
+    * differs). Bounded by the broadcastable-delta contract like the
+    * per-call form it replaces. */
+  private def resolveDeltaWins(spark: SparkSession,
+      genPath: org.apache.hadoop.fs.Path, deltas: Seq[String],
+      cells: Option[Seq[Int]], cols: Seq[String]): DataFrame = {
+    def component(d: String): DataFrame = {
+      val all = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(genPath, d).toString)
+      cells.fold(all)(cs => all.filter(col("cell").isin(cs: _*)))
+        .select(cols.map(col): _*)
+    }
+    val deltaUnion = deltas.map(d =>
+        component(d).withColumn("_icommit", lit(commitOf(d))))
+      .reduce(_ unionByName _)
+    graft.plans.GroupedTopK.windowed(deltaUnion,
+        Seq("corpus_id"), Seq("_icommit"), descending = true, 1)
+      .drop("_icommit")
+      .localCheckpoint()
+  }
+
   private def readCells(spark: SparkSession,
       genPath: org.apache.hadoop.fs.Path, deltas: Seq[String],
       cells: Option[Seq[Int]], cols: Seq[String],
-      broadcastDeltaIds: Boolean): DataFrame = {
+      broadcastDeltaIds: Boolean,
+      sharedDeltaWins: Option[DataFrame] = None): DataFrame = {
     def component(d: String): DataFrame = {
       val all = spark.read
         .parquet(new org.apache.hadoop.fs.Path(genPath, d).toString)
@@ -631,23 +657,26 @@ object AnnIndex {
     }
     val base = component("base")
     if (deltas.isEmpty) return base
-    val deltaUnion = deltas.map(d =>
-        component(d).withColumn("_icommit", lit(commitOf(d))))
-      .reduce(_ unionByName _)
     if (broadcastDeltaIds) {
-      // localCheckpoint: the anti-join's broadcast side and the union
-      // branch are different projections of this subtree, so exchange
-      // reuse would NOT apply and the delta scan + window would run
-      // twice per call (ivfPqAtRecallCore's 'scored' precedent);
-      // bounded by the broadcastable-delta contract
-      val deltaWins = graft.plans.GroupedTopK.windowed(deltaUnion,
-          Seq("corpus_id"), Seq("_icommit"), descending = true, 1)
-        .drop("_icommit")
-        .localCheckpoint()
+      // localCheckpoint (inside resolveDeltaWins): the anti-join's
+      // broadcast side and the union branch are different projections
+      // of this subtree, so exchange reuse would NOT apply and the
+      // delta scan + window would run twice per call
+      // (ivfPqAtRecallCore's 'scored' precedent); bounded by the
+      // broadcastable-delta contract. A caller reading the same
+      // pruned cells more than once passes the resolution in
+      // (`sharedDeltaWins`, superset columns) so the delta scan +
+      // window + pin run once per PROBE, not once per read.
+      val deltaWins = sharedDeltaWins
+        .map(_.select(cols.map(col): _*))
+        .getOrElse(resolveDeltaWins(spark, genPath, deltas, cells, cols))
       base.join(broadcast(deltaWins.select(col("corpus_id"))),
           Seq("corpus_id"), "left_anti")
         .unionByName(deltaWins)
     } else {
+      val deltaUnion = deltas.map(d =>
+          component(d).withColumn("_icommit", lit(commitOf(d))))
+        .reduce(_ unionByName _)
       val unioned = base.withColumn("_icommit", lit(0L))
         .unionByName(deltaUnion)
       // corpus_id cardinality is the scan's, unbounded — the heap
@@ -728,8 +757,15 @@ object AnnIndex {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (cells.isEmpty)
       return emptyProbeResult(spark, genPath, queries, idCol, Seq.empty)
+    // one delta resolution for both pruned reads (superset columns)
+    val sharedWins =
+      if (deltas.nonEmpty && bcastDeltas)
+        Some(resolveDeltaWins(spark, genPath, deltas, Some(cells),
+          Seq("cell", "corpus_id", "codes", "cn", "vec")))
+      else None
     val codesSide = readCells(spark, genPath, deltas, Some(cells),
-        Seq("cell", "corpus_id", "codes", "cn"), bcastDeltas)
+        Seq("cell", "corpus_id", "codes", "cn"), bcastDeltas,
+        sharedWins)
       .withColumnRenamed("cell", "_cell")
     val adc = codesSide
       .join(side(q.select(col("_cell"), col("query_id"),
@@ -740,7 +776,7 @@ object AnnIndex {
     val cand = graft.plans.GroupedTopK.combined(adc, Seq("query_id"),
       Seq("adc_cosine", "corpus_id"), descending = true, shortlist)
     val vecSide = readCells(spark, genPath, deltas, Some(cells),
-      Seq("corpus_id", "vec", "cn"), bcastDeltas)
+      Seq("corpus_id", "vec", "cn"), bcastDeltas, sharedWins)
     val reranked = cand.select(col("query_id"), col("corpus_id"))
       .join(vecSide, "corpus_id")
       .join(side(queries
@@ -811,13 +847,21 @@ object AnnIndex {
         StructField("shortlist", IntegerType),
         StructField("recall_x1000", LongType)))
     }
+    // one delta resolution for both pruned reads (superset columns);
+    // the exact baseline below is unpruned and keeps its own
+    val sharedWins =
+      if (deltas.nonEmpty && bcastDeltas)
+        Some(resolveDeltaWins(spark, genPath, deltas, Some(cells),
+          Seq("cell", "corpus_id", "codes", "cn", "vec")))
+      else None
     val codesSide = readCells(spark, genPath, deltas, Some(cells),
-        Seq("cell", "corpus_id", "codes", "cn"), bcastDeltas)
+        Seq("cell", "corpus_id", "codes", "cn"), bcastDeltas,
+        sharedWins)
       .withColumnRenamed("cell", "_cell")
       .withColumnRenamed("codes", "_codes")
       .withColumnRenamed("cn", "_cn")
     val vecSide = readCells(spark, genPath, deltas, Some(cells),
-        Seq("corpus_id", "vec", "cn"), bcastDeltas)
+        Seq("corpus_id", "vec", "cn"), bcastDeltas, sharedWins)
       .withColumnRenamed("vec", "_cv")
       .withColumnRenamed("cn", "_cn")
     // the exact baseline is inherently all-corpus: every cell's
