@@ -152,22 +152,29 @@ object Bench {
     // lap's cost; on a layout without the sibling sf0.001 dir the lap
     // falls back to the target SF — a costlier pre-lap, never a
     // silently-skipped one.
-    try {
-      val small = new java.io.File(
-        new java.io.File(sfDir).getParentFile, "sf0.001")
-      val lapDir = if (small.isDirectory) small.getAbsolutePath else sfDir
-      SparkEntry.queries.get("ev_stream_curate_capped") match {
-        case Some(fn) => fn(spark, lapDir).count(); ()
-        case None =>
-          // a rename/removal must be VISIBLE in the bench record, or
-          // the first timed curate row silently re-absorbs the JIT
-          // cost this pre-lap exists to strip
-          System.err.println("[bench] curate prelap skipped: registry " +
-            "row 'ev_stream_curate_capped' not found — renamed?")
+    // BOTH curate variants since r21: the uncapped and capped gates
+    // compile DIFFERENT self-probe shapes (first-colliding-band fused
+    // join vs the per-key-rank distinct path), so warming only the
+    // capped row leaves the first timed uncapped curate row to absorb
+    // the fused join's codegen — the exact JIT class this pre-lap
+    // exists to strip. Same discarded-lap discipline, still untimed.
+    for (prelapRow <- Seq("ev_stream_curate_capped", "ev_stream_curate"))
+      try {
+        val small = new java.io.File(
+          new java.io.File(sfDir).getParentFile, "sf0.001")
+        val lapDir = if (small.isDirectory) small.getAbsolutePath else sfDir
+        SparkEntry.queries.get(prelapRow) match {
+          case Some(fn) => fn(spark, lapDir).count(); ()
+          case None =>
+            // a rename/removal must be VISIBLE in the bench record, or
+            // the first timed curate row silently re-absorbs the JIT
+            // cost this pre-lap exists to strip
+            System.err.println("[bench] curate prelap skipped: registry " +
+              s"row '$prelapRow' not found — renamed?")
+        }
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] curate prelap failed: ${e.getMessage}")
       }
-    } catch { case NonFatal(e) =>
-      System.err.println(s"[bench] curate prelap failed: ${e.getMessage}")
-    }
     // the micro-stream's scratch tree (source parquet, checkpoint,
     // two sink tables) has served its purpose — don't let bench runs
     // accumulate debris across rounds

@@ -99,6 +99,12 @@ class RegistrySmokeSpec extends AnyFunSuite {
       // iterative fixpoints: localCheckpoint per round is the lineage
       // bound that makes them 100TB-viable (Mining/Dedup/BpeCount docs)
       "pg_pagerank", "dd_canonical_docs", "dd_degree_cap", "ta_bpe_train",
+      // r21: multiply-referenced bounded intermediates pinned once at
+      // construction (skyline's per-bucket frontier, the triangle
+      // census's edge/degree frames, Apriori's frequent-pair set) —
+      // the dd_degree_cap discipline: each pin replaces 3-5
+      // re-executions of the aggregation above a reused exchange
+      "a19_skyline", "pg_triangles", "mb_frequent_triples",
       // bounded driver artifacts, each documented at its collect site:
       // Bloom bits (Bloom.scala), CMS table embed (Sketches.scala), IVF
       // centroid sample (Similarity.scala / IvfCentroids), LM count
