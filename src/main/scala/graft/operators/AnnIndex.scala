@@ -923,12 +923,16 @@ object AnnIndex {
       c.nonEmpty && c.forall(_.isDigit) && c.length <= 9 && c.toInt < nlist)
     if (deltas.isEmpty && badCells.isEmpty) return 0
     if (badCells.nonEmpty) {
-      val dropped = ("base" +: deltas).map(d =>
-          spark.read.parquet(new Path(genPath, d).toString)
-            .filter(!(col("cell").isNotNull &&
-              col("cell").cast("int") >= 0 &&
-              col("cell").cast("int") < nlist)))
-        .reduce(_ unionByName _).count()
+      // count ONLY the bad cell directories, read as explicit paths —
+      // the previous full-table negated filter re-read every GOOD
+      // cell of every component solely for this log line, roughly
+      // doubling a remediating compact's read cost (r20 ADVICE)
+      val badSet = badCells.toSet
+      val badPaths = ("base" +: deltas).flatMap { d =>
+        cellNames(d).filter(badSet.contains)
+          .map(c => new Path(genPath, s"$d/cell=$c").toString)
+      }
+      val dropped = spark.read.parquet(badPaths: _*).count()
       System.err.println(s"[annindex] compact at $indexPath dropping " +
         s"$dropped unassignable rows (cells ${badCells.mkString(",")} " +
         "outside the quantizer's range — a pre-validation artifact); " +
